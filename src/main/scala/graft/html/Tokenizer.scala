@@ -1,0 +1,187 @@
+package graft.html
+
+import scala.collection.mutable.ArrayBuffer
+
+/** HTML token stream. */
+sealed trait Token
+final case class StartTag(name: String, attrs: Map[String, String], selfClosing: Boolean) extends Token
+final case class EndTag(name: String) extends Token
+final case class Text(data: String) extends Token // already entity-decoded
+final case class Comment(data: String) extends Token
+
+/** From-scratch HTML tokenizer (no jsoup). Behavior modeled on Python's
+  * `html.parser` lenient mode, which the reference relies on through
+  * BeautifulSoup (`/root/reference/mvp/evaluation/eval.py:34`):
+  *
+  *  - `<` begins a tag only when followed by an ASCII letter, `/`, `!`, `?`;
+  *    otherwise it is literal text (so `a < b` survives).
+  *  - `<!-- ... -->` comments; `<!...>` / `<?...>` bogus markup, skipped.
+  *  - Raw-text elements (`script`, `style`, `textarea`, `title`): content is
+  *    swallowed verbatim until the matching case-insensitive close tag.
+  *  - Attribute values: double-, single-, or un-quoted; entity-decoded.
+  *  - Truncated markup at EOF is emitted as literal text (lenient).
+  */
+object Tokenizer {
+  val rawTextElements: Set[String] = Set("script", "style", "textarea", "title")
+
+  private def isAsciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+
+  def tokenize(input: String): Vector[Token] = {
+    val out = ArrayBuffer.empty[Token]
+    val n = input.length
+    var i = 0
+    val text = new StringBuilder
+
+    def flushText(): Unit = if (text.nonEmpty) {
+      out += Text(Entities.decode(text.toString)); text.clear()
+    }
+
+    while (i < n) {
+      val c = input.charAt(i)
+      if (c != '<') { text.append(c); i += 1 }
+      else if (i + 1 >= n) { text.append(c); i += 1 } // trailing '<'
+      else {
+        val c1 = input.charAt(i + 1)
+        if (isAsciiLetter(c1)) {
+          parseStartTag(input, i) match {
+            case Some((tok, next)) =>
+              flushText(); out += tok
+              // raw-text mode
+              if (!tok.selfClosing && rawTextElements.contains(tok.name)) {
+                val close = findCloseTag(input, next, tok.name)
+                close match {
+                  case Some((cs, ce)) =>
+                    if (cs > next) out += Text(input.substring(next, cs)) // raw, NOT entity-decoded
+                    out += EndTag(tok.name)
+                    i = ce
+                  case None =>
+                    if (next < n) out += Text(input.substring(next))
+                    i = n
+                }
+              } else i = next
+            case None => text.append(c); i += 1 // malformed / truncated: literal '<'
+          }
+        } else if (c1 == '/') {
+          if (i + 2 < n && isAsciiLetter(input.charAt(i + 2))) {
+            parseEndTag(input, i) match {
+              case Some((tok, next)) => flushText(); out += tok; i = next
+              case None              => text.append(c); i += 1
+            }
+          } else { text.append(c); i += 1 }
+        } else if (c1 == '!') {
+          if (input.startsWith("<!--", i)) {
+            val end = input.indexOf("-->", i + 4)
+            flushText()
+            if (end < 0) { out += Comment(input.substring(i + 4)); i = n }
+            else { out += Comment(input.substring(i + 4, end)); i = end + 3 }
+          } else {
+            val end = input.indexOf('>', i + 2) // doctype / bogus: skip
+            flushText()
+            if (end < 0) i = n else i = end + 1
+          }
+        } else if (c1 == '?') {
+          val end = input.indexOf('>', i + 2)
+          flushText()
+          if (end < 0) i = n else i = end + 1
+        } else { text.append(c); i += 1 }
+      }
+    }
+    flushText()
+    out.toVector
+  }
+
+  /** Find `</name` followed by optional junk then '>'. Returns (startIdx, idxAfterGt). */
+  private def findCloseTag(input: String, from: Int, name: String): Option[(Int, Int)] = {
+    val needle = "</" + name
+    var i = from
+    val n = input.length
+    while (i >= 0 && i < n) {
+      i = indexOfIgnoreCase(input, needle, i)
+      if (i < 0) return None
+      var j = i + needle.length
+      // must be followed by whitespace, '/', or '>'
+      if (j < n && (input.charAt(j) == '>' || input.charAt(j) == '/' || Character.isWhitespace(input.charAt(j)))) {
+        while (j < n && input.charAt(j) != '>') j += 1
+        if (j < n) return Some((i, j + 1)) else return Some((i, n))
+      } else i += 1
+    }
+    None
+  }
+
+  private def indexOfIgnoreCase(hay: String, needle: String, from: Int): Int = {
+    val n = hay.length; val m = needle.length
+    var i = from
+    while (i + m <= n) {
+      var k = 0
+      while (k < m && Character.toLowerCase(hay.charAt(i + k)) == Character.toLowerCase(needle.charAt(k))) k += 1
+      if (k == m) return i
+      i += 1
+    }
+    -1
+  }
+
+  /** Parse a start tag at position i (input(i)=='<', letter next).
+    * Returns (token, indexAfterGt) or None if truncated before '>'.
+    */
+  private def parseStartTag(input: String, start: Int): Option[(StartTag, Int)] = {
+    val n = input.length
+    var i = start + 1
+    val nameSb = new StringBuilder
+    while (i < n && (isAsciiLetter(input.charAt(i)) || Character.isDigit(input.charAt(i)) ||
+           input.charAt(i) == '-' || input.charAt(i) == '_' || input.charAt(i) == ':')) {
+      nameSb.append(Character.toLowerCase(input.charAt(i))); i += 1
+    }
+    val attrs = Map.newBuilder[String, String]
+    var selfClosing = false
+    var done = false
+    while (!done) {
+      while (i < n && Character.isWhitespace(input.charAt(i))) i += 1
+      if (i >= n) return None
+      val c = input.charAt(i)
+      if (c == '>') { i += 1; done = true }
+      else if (c == '/') {
+        if (i + 1 < n && input.charAt(i + 1) == '>') { selfClosing = true; i += 2; done = true }
+        else i += 1
+      } else {
+        // attribute name
+        val an = new StringBuilder
+        while (i < n && !Character.isWhitespace(input.charAt(i)) &&
+               input.charAt(i) != '=' && input.charAt(i) != '>' && input.charAt(i) != '/') {
+          an.append(Character.toLowerCase(input.charAt(i))); i += 1
+        }
+        while (i < n && Character.isWhitespace(input.charAt(i))) i += 1
+        if (i < n && input.charAt(i) == '=') {
+          i += 1
+          while (i < n && Character.isWhitespace(input.charAt(i))) i += 1
+          if (i >= n) return None
+          val q = input.charAt(i)
+          val av = new StringBuilder
+          if (q == '"' || q == '\'') {
+            i += 1
+            while (i < n && input.charAt(i) != q) { av.append(input.charAt(i)); i += 1 }
+            if (i >= n) return None
+            i += 1
+          } else {
+            while (i < n && !Character.isWhitespace(input.charAt(i)) && input.charAt(i) != '>') {
+              av.append(input.charAt(i)); i += 1
+            }
+          }
+          if (an.nonEmpty) attrs += an.toString -> Entities.decode(av.toString)
+        } else if (an.nonEmpty) attrs += an.toString -> ""
+      }
+    }
+    Some((StartTag(nameSb.toString, attrs.result(), selfClosing), i))
+  }
+
+  private def parseEndTag(input: String, start: Int): Option[(EndTag, Int)] = {
+    val n = input.length
+    var i = start + 2
+    val nameSb = new StringBuilder
+    while (i < n && (isAsciiLetter(input.charAt(i)) || Character.isDigit(input.charAt(i)) ||
+           input.charAt(i) == '-' || input.charAt(i) == '_' || input.charAt(i) == ':')) {
+      nameSb.append(Character.toLowerCase(input.charAt(i))); i += 1
+    }
+    while (i < n && input.charAt(i) != '>') i += 1
+    if (i >= n) None else Some((EndTag(nameSb.toString), i + 1))
+  }
+}
