@@ -1,0 +1,360 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The operator inventory (SURVEY.md §2) as driver-checkable queries.
+  *
+  * Every SQL-expressible operator has a DuckDB oracle in [[oracles]]; the
+  * SQL mirrors the Spark plan semantically but is written for DuckDB
+  * (regexp replacement is `\1` there vs `$1` in Spark, epoch_us vs
+  * unix_micros, etc.). Cross-engine determinism rules used throughout:
+  *   - fractional double sums go through DECIMAL casts (exact, order-free)
+  *   - averages are single divisions of exact sums, then rounded
+  *   - timestamps surface as epoch microseconds (bigint)
+  *   - every top-k has a total tiebreak order
+  */
+object Queries {
+
+  private def docs(s: SparkSession, dir: String) = s.read.parquet(s"$dir/documents.parquet")
+  private def events(s: SparkSession, dir: String) = s.read.parquet(s"$dir/events.parquet")
+  private def lineitem(s: SparkSession, dir: String) = s.read.parquet(s"$dir/lineitem.parquet")
+  private def orders(s: SparkSession, dir: String) = s.read.parquet(s"$dir/orders.parquet")
+  private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
+  private def embeddings(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
+
+  // ------------------------------------------------------------------
+  // SQL-oracled queries (SURVEY §2.2 P3/P6, §2.4 A1-A3/A7, §2.5, §2.6 O1,
+  // §2.3 J1/J3, §2.7, §2.8 N3/N5/N6, + training-pipeline text ops)
+  // ------------------------------------------------------------------
+
+  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1-A3: grouped counts + guarded mean (success-summary shape, eval.py:305-319)
+    "q1_filter_agg" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("lang")).agg(
+        count(lit(1)).as("cnt"),
+        round(avg(col("n_chars")), 4).as("avg_chars"))
+    }),
+
+    // A7: CER via built-in levenshtein (eval.py:145-150), en-restricted
+    "q2_cer" -> ((s, dir) => {
+      docs(s, dir).filter(col("lang") === "en" && col("doc_id") < 100)
+        .select(col("doc_id"),
+          round(
+            levenshtein(substring(col("text"), 1, 120),
+              upper(substring(col("text"), 1, 120))).cast("double") /
+              length(substring(col("text"), 1, 120)), 6).as("cer"))
+    }),
+
+    // N3+N5+N6: normalization chain subset as Column DSL (eval.py:49,58,66)
+    "q3_normalize" -> ((s, dir) => {
+      val styled = concat(lit("**"), substring(col("text"), 1, 60), lit("** x  y"))
+      val bulleted = concat(lit("* item\n+ item2\n"), substring(col("text"), 1, 20))
+      docs(s, dir).filter(col("doc_id") < 50).select(
+        col("doc_id"),
+        trim(regexp_replace(regexp_replace(styled, "\\*\\*([^*]+)\\*\\*", "$1"), " +", " ")).as("norm_styled"),
+        regexp_replace(bulleted, "(?m)^[\\s]*[\\*\\+][\\s]*", "- ").as("norm_bullets"))
+    }),
+
+    // O1/S5: latest-artifact selection (eval.py:133) as max over the manifest key
+    "q4_latest" -> ((s, dir) => {
+      // parquet ts is TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+      events(s, dir).agg(unix_micros(max(col("ts")).cast("timestamp")).as("latest_us"))
+    }),
+
+    // §2.5: latest attempt per key via row_number window
+    "q5_window_latest" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      events(s, dir).withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"))
+    }),
+
+    // J1: equi-join + grouped aggregate (decimal-exact revenue)
+    "q6_join_agg" -> ((s, dir) => {
+      val li = lineitem(s, dir)
+      val o = orders(s, dir)
+      li.join(o, li("l_orderkey") === o("o_orderkey"))
+        .groupBy(col("o_orderstatus")).agg(
+          count(lit(1)).as("cnt"),
+          round(sum(col("l_extendedprice").cast("decimal(18,2)")), 2)
+            .cast("double").as("revenue"))
+    }),
+
+    // J3: left-anti (resume-skip shape)
+    "q7_anti_join" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val o = orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // left-semi complement
+    "q8_semi_join" -> ((s, dir) => {
+      val c = customer(s, dir)
+      val o = orders(s, dir)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // E2: union-distinct
+    "q9_union" -> ((s, dir) => {
+      events(s, dir).select(col("event_type").as("v")).distinct()
+        .union(docs(s, dir).select(col("lang").as("v")).distinct())
+        .distinct().agg(count(lit(1)).as("cnt"))
+    }),
+
+    // exact dedup signature (training op): distinct counts
+    "q10_exact_dedup" -> ((s, dir) => {
+      docs(s, dir).agg(
+        count(lit(1)).as("total"),
+        countDistinct(col("text")).as("distinct_texts"),
+        countDistinct(col("source")).as("distinct_sources"))
+    }),
+
+    // token counting (training op): whitespace tokenization
+    "q11_token_count" -> ((s, dir) => {
+      docs(s, dir).groupBy(col("lang")).agg(
+        sum(size(split(trim(col("text")), "\\s+"))).as("tokens"))
+    }),
+
+    // word frequency top-k via explode (Generator) — multiset semantics
+    "q12_word_freq" -> ((s, dir) => {
+      docs(s, dir).filter(col("lang") === "en")
+        .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w").asc).limit(20)
+    }),
+
+    // quality scoring (training op): stopword-occurrence ratio per lang
+    "q13_stopword" -> ((s, dir) => {
+      val occ = ((length(col("text")) - length(regexp_replace(col("text"), " the ", ""))) / 5)
+        .cast("long")
+      docs(s, dir).groupBy(col("lang")).agg(
+        sum(occ).as("the_occurrences"),
+        round(sum(occ).cast("double") / sum(col("n_chars")), 6).as("density"))
+    }),
+
+    // tumbling-hour aggregate (batch analog of an event-time window)
+    "q14_hour_agg" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(unix_micros(date_trunc("HOUR", col("ts"))).as("hour_us"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("total"))
+    }),
+
+    // C5: JSON field extraction from props
+    "q15_json" -> ((s, dir) => {
+      events(s, dir).groupBy(col("event_type")).agg(
+        round(avg(get_json_object(col("props"), "$.k").cast("int")), 4).as("avg_k"))
+    }),
+
+    // top-k users by decimal-exact total (TakeOrderedAndProject)
+    "q16_topk_users" -> ((s, dir) => {
+      events(s, dir).groupBy(col("user_id"))
+        .agg(round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("total"))
+        .orderBy(col("total").desc, col("user_id").asc).limit(10)
+    }),
+
+    // A4 relational form: multiset word overlap between two sources
+    "q17_multiset_overlap" -> ((s, dir) => {
+      def wordCounts(src: String) =
+        docs(s, dir).filter(col("source") === src)
+          .select(explode(split(trim(col("text")), "\\s+")).as("w"))
+          .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      val a = wordCounts("src0").withColumnRenamed("c", "ca")
+      val b = wordCounts("src1").withColumnRenamed("c", "cb")
+      a.join(b, Seq("w"))
+        .agg(sum(least(col("ca"), col("cb"))).as("overlap"))
+    }),
+
+    // language-id heuristic (training op): stopword-score argmax
+    "q18_langid" -> ((s, dir) => {
+      def score(word: String) =
+        (length(col("text")) - length(regexp_replace(col("text"), s" $word ", ""))) /
+          (word.length + 2)
+      val sEn = score("the") + score("and")
+      val sDe = score("der") + score("und")
+      val sEs = score("los") + score("las")
+      val sFr = score("les") + score("des")
+      val pred = when(sEn >= greatest(sDe, sEs, sFr), "en")
+        .when(sDe >= greatest(sEs, sFr), "de")
+        .when(sEs >= sFr, "es")
+        .otherwise("fr")
+      docs(s, dir).select(pred.as("predicted"))
+        .groupBy(col("predicted")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // P2: extension extraction (orchestrator.py:22) over document sources
+    "q19_ext_dispatch" -> ((s, dir) => {
+      val url = concat(lit("https://h/"), col("source"), lit("/f."),
+        when(col("doc_id") % 10 === 0, "pdf").otherwise("html"))
+      docs(s, dir)
+        .select(element_at(split(lower(url), "\\."), -1).as("ext"))
+        .groupBy(col("ext")).agg(count(lit(1)).as("cnt"))
+    }),
+
+    // ----------------------------------------------------------------
+    // Spark-only (non-SQL-expressible kernels → rows-only driver check)
+    // ----------------------------------------------------------------
+
+    // X2/X3 flagship: extraction over the deterministic synth corpus
+    "q20_extract" -> ((s, dir) => {
+      val pages = graft.synth.Synth.pagesDs(s, 500L, seed = 42L).toDF()
+      graft.extract.ExtractJob.extractedDf(pages)
+        .groupBy(col("extracted.status").as("status"),
+          col("extracted.content_type").as("content_type"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(length(col("extracted.markdown"))).as("md_chars"))
+    }),
+
+    // N1-N8 full kernel + A4-A9 metrics via UDFs (eval.py:248-267)
+    "q21_eval_metrics" -> ((s, dir) => {
+      val normUdf = udf((t: String) => textnorm.TextNorm.normalize(t))
+      val cerUdf = udf((a: String, b: String) => metrics.Metrics.cer(a, b))
+      val werUdf = udf((a: String, b: String) => metrics.Metrics.wer(a, b))
+      val waUdf = udf((a: String, b: String) => metrics.Metrics.wordAccuracy(a, b))
+      val ssUdf = udf((a: String, b: String) => metrics.Metrics.sequenceSimilarity(a, b))
+      val hyp = regexp_replace(col("text"), "value", "worth") // perturbed hypothesis
+      docs(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          normUdf(col("text")).as("ref_n"), normUdf(hyp).as("hyp_n"))
+        .select(col("doc_id"),
+          round(cerUdf(col("ref_n"), col("hyp_n")), 6).as("cer"),
+          round(werUdf(col("ref_n"), col("hyp_n")), 6).as("wer"),
+          round(waUdf(col("ref_n"), col("hyp_n")), 6).as("word_acc"),
+          round(ssUdf(col("ref_n"), col("hyp_n")), 6).as("seq_sim"))
+    }),
+
+    // A10: per-partition lineage checksum (north_rule)
+    "q22_lineage" -> ((s, dir) => {
+      docs(s, dir)
+        .withColumn("part_id", pmod(xxhash64(col("doc_id")), lit(8)).cast("int"))
+        .groupBy(col("part_id")).agg(
+          count(lit(1)).as("row_count"),
+          expr("bit_xor(xxhash64(doc_id, text))").as("checksum"))
+    })
+  )
+
+  /** DuckDB oracles. Keys missing here get the driver's rows-only check. */
+  val oracles: Map[String, String] = Map(
+    "q1_filter_agg" ->
+      "SELECT lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang",
+
+    "q2_cer" ->
+      """SELECT doc_id, round(CAST(levenshtein(substr(text,1,120), upper(substr(text,1,120))) AS DOUBLE)
+        | / length(substr(text,1,120)), 6) AS cer
+        |FROM documents WHERE lang = 'en' AND doc_id < 100""".stripMargin,
+
+    "q3_normalize" ->
+      """SELECT doc_id,
+        | trim(regexp_replace(regexp_replace('**' || substr(text,1,60) || '** x  y',
+        |   '\*\*([^*]+)\*\*', '\1', 'g'), ' +', ' ', 'g')) AS norm_styled,
+        | regexp_replace('* item' || chr(10) || '+ item2' || chr(10) || substr(text,1,20),
+        |   '(?m)^[\s]*[\*\+][\s]*', '- ', 'g') AS norm_bullets
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    "q4_latest" ->
+      "SELECT epoch_us(max(ts)) AS latest_us FROM events",
+
+    "q5_window_latest" ->
+      """SELECT user_id, event_id FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events) WHERE rn = 1""".stripMargin,
+
+    "q6_join_agg" ->
+      """SELECT o_orderstatus, count(*) AS cnt,
+        | CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,2))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q7_anti_join" ->
+      """SELECT count(*) AS cnt FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q8_semi_join" ->
+      """SELECT count(*) AS cnt FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
+
+    "q9_union" ->
+      """SELECT count(*) AS cnt FROM (
+        |  SELECT DISTINCT event_type AS v FROM events
+        |  UNION
+        |  SELECT DISTINCT lang AS v FROM documents)""".stripMargin,
+
+    "q10_exact_dedup" ->
+      """SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts,
+        | count(DISTINCT source) AS distinct_sources FROM documents""".stripMargin,
+
+    "q11_token_count" ->
+      """SELECT lang, CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q12_word_freq" ->
+      """SELECT w, count(*) AS c FROM (
+        |  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents WHERE lang = 'en')
+        |GROUP BY w ORDER BY c DESC, w ASC LIMIT 20""".stripMargin,
+
+    "q13_stopword" ->
+      """SELECT lang,
+        | CAST(sum((length(text) - length(replace(text, ' the ', ''))) // 5) AS BIGINT) AS the_occurrences,
+        | round(CAST(sum((length(text) - length(replace(text, ' the ', ''))) // 5) AS DOUBLE)
+        |   / sum(n_chars), 6) AS density
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q14_hour_agg" ->
+      """SELECT epoch_us(date_trunc('hour', ts)) AS hour_us, count(*) AS cnt,
+        | CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "q15_json" ->
+      """SELECT event_type, round(avg(CAST(json_extract_string(props, '$.k') AS INT)), 4) AS avg_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q16_topk_users" ->
+      """SELECT user_id, CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
+        |FROM events GROUP BY user_id ORDER BY total DESC, user_id ASC LIMIT 10""".stripMargin,
+
+    "q17_multiset_overlap" ->
+      """WITH a AS (
+        |  SELECT w, count(*) AS ca FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents WHERE source = 'src0') GROUP BY w),
+        |b AS (
+        |  SELECT w, count(*) AS cb FROM (
+        |    SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |    FROM documents WHERE source = 'src1') GROUP BY w)
+        |SELECT CAST(sum(least(ca, cb)) AS BIGINT) AS overlap FROM a JOIN b USING (w)""".stripMargin,
+
+    "q18_langid" ->
+      """SELECT predicted, count(*) AS cnt FROM (
+        |  SELECT CASE
+        |    WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |    WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |    WHEN s_es >= s_fr THEN 'es'
+        |    ELSE 'fr' END AS predicted
+        |  FROM (
+        |    SELECT
+        |      (length(text) - length(replace(text, ' the ', ''))) // 5
+        |        + (length(text) - length(replace(text, ' and ', ''))) // 5 AS s_en,
+        |      (length(text) - length(replace(text, ' der ', ''))) // 5
+        |        + (length(text) - length(replace(text, ' und ', ''))) // 5 AS s_de,
+        |      (length(text) - length(replace(text, ' los ', ''))) // 5
+        |        + (length(text) - length(replace(text, ' las ', ''))) // 5 AS s_es,
+        |      (length(text) - length(replace(text, ' les ', ''))) // 5
+        |        + (length(text) - length(replace(text, ' des ', ''))) // 5 AS s_fr
+        |    FROM documents))
+        |GROUP BY predicted""".stripMargin,
+
+    "q19_ext_dispatch" ->
+      """SELECT ext, count(*) AS cnt FROM (
+        |  SELECT list_extract(string_split(lower('https://h/' || source || '/f.' ||
+        |    CASE WHEN doc_id % 10 = 0 THEN 'pdf' ELSE 'html' END), '.'), -1) AS ext
+        |  FROM documents)
+        |GROUP BY ext""".stripMargin,
+  )
+}

@@ -1,0 +1,280 @@
+package graft.extract
+
+import scala.collection.mutable.ArrayBuffer
+import graft.html.{Elem, TextN, TreeBuilder, Node}
+import graft.model.{Extracted, Span}
+
+/** From-scratch main-content extractor for HTML (north_star: jsoup-free DOM
+  * tokenizer + text-density / link-density heuristics a la Boilerpipe /
+  * Readability, tag-tree pruning with per-node char / anchor-char ratios).
+  *
+  * Replaces the reference's image→LLM call
+  * (/root/reference/mvp/utils/ocr_client.py:14-29); the OUTPUT obeys the
+  * reference's markdown contract (/root/reference/mvp/prompts/prompt.py:9-22):
+  * all visible text verbatim, pipe-markdown tables preserving row/col order
+  * and `**bold**`, exact `#` headings, bullets only for real lists, no code
+  * fences, no invented syntax.
+  *
+  * Fully deterministic: no wallclock, no randomness, stable traversal order.
+  */
+object HtmlExtractor {
+
+  /** Tags whose subtrees are never content. */
+  private val dropTags = Set(
+    "script", "style", "noscript", "template", "iframe", "svg", "canvas",
+    "form", "button", "select", "input", "textarea", "label", "object",
+    "nav", "header", "footer", "aside")
+
+  /** id/class tokens that mark boilerplate containers. */
+  private val dropClassRe =
+    ("(?:^|[\\s_-])(nav|navbar|menu|footer|header|sidebar|side-bar|advert|advertisement|ads?|banner|" +
+      "breadcrumbs?|cookie|consent|social|share|sharing|comments?|related|widget|promo|" +
+      "subscribe|newsletter|pagination|skip|masthead|byline-sharing)(?:$|[\\s_-])").r
+
+  private val blockTags = Set(
+    "p", "div", "section", "article", "main", "body", "html",
+    "h1", "h2", "h3", "h4", "h5", "h6", "ul", "ol", "li", "table",
+    "blockquote", "pre", "figure", "figcaption", "dl", "dt", "dd",
+    "tr", "td", "th", "thead", "tbody", "tfoot", "caption", "hr", "address")
+
+  // ---------------------------------------------------------------- entry
+
+  /** Extract from raw bytes: strict UTF-8 decode (malformed → error row). */
+  def extractBytes(payload: Array[Byte]): Extracted = {
+    if (payload == null || payload.isEmpty)
+      return Extracted("error", "html", "", Nil, 0, "empty_payload")
+    val decoded =
+      try {
+        val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+          .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+          .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        Right(dec.decode(java.nio.ByteBuffer.wrap(payload)).toString)
+      } catch { case e: java.nio.charset.CharacterCodingException => Left("invalid_utf8") }
+    decoded match {
+      case Left(err)   => Extracted("error", "html", "", Nil, 0, err)
+      case Right(html) => extract(html)
+    }
+  }
+
+  /** Extract main content from an HTML string. Never throws. */
+  def extract(html: String): Extracted =
+    try {
+      val root = TreeBuilder.parse(html)
+      prune(root)
+      val content = selectContent(root)
+      val (markdown, spans) = render(content)
+      if (markdown.isEmpty)
+        Extracted("error", "html", "", Nil, 0, "no_content")
+      else
+        Extracted("ok", "html", markdown, spans, 1, null)
+    } catch {
+      case e: Throwable =>
+        Extracted("error", "html", "", Nil, 0, "extract_failed:" + e.getClass.getSimpleName)
+    }
+
+  // ---------------------------------------------------------------- prune
+
+  /** Remove non-content subtrees in place (tag- and class/id-based). */
+  private def prune(e: Elem): Unit = {
+    e.children.filterInPlace {
+      case el: Elem =>
+        !(dropTags.contains(el.tag) || isBoilerplateClass(el))
+      case _ => true
+    }
+    e.children.foreach { case el: Elem => prune(el); case _ => }
+  }
+
+  private def isBoilerplateClass(el: Elem): Boolean = {
+    val marker = (el.attr("class") + " " + el.attr("id") + " " + el.attr("role"))
+      .toLowerCase(java.util.Locale.ROOT)
+    marker.trim.nonEmpty && dropClassRe.findFirstIn(" " + marker + " ").isDefined
+  }
+
+  // ------------------------------------------------------------- scoring
+
+  /** (total text chars, chars under <a>) for a subtree — the per-node
+    * char-count / anchor-char ratio of the north_star. */
+  private def charCounts(e: Elem, underA: Boolean = false): (Long, Long) = {
+    var chars = 0L
+    var anchor = 0L
+    e.children.foreach {
+      case t: TextN =>
+        val len = t.data.count(!_.isWhitespace).toLong
+        chars += len
+        if (underA) anchor += len
+      case el: Elem =>
+        val (c, a) = charCounts(el, underA || el.tag == "a")
+        chars += c; anchor += a
+    }
+    (chars, anchor)
+  }
+
+  /** Pick the content root: <main> if present, else <article>, else the
+    * best-scoring block container (score = chars * (1 - linkDensity)^2,
+    * ties broken by document order). */
+  private def selectContent(root: Elem): Elem = {
+    root.findFirst("main").orElse(root.findFirst("article")).getOrElse {
+      val candidates = ArrayBuffer.empty[(Elem, Double)]
+      def walk(e: Elem): Unit = {
+        if (e.tag == "div" || e.tag == "section" || e.tag == "body" || e.tag == "td") {
+          val (c, a) = charCounts(e)
+          if (c > 0) {
+            val ld = if (c == 0) 0.0 else a.toDouble / c
+            candidates += ((e, c * (1.0 - ld) * (1.0 - ld)))
+          }
+        }
+        e.children.foreach { case el: Elem => walk(el); case _ => }
+      }
+      walk(root)
+      if (candidates.isEmpty) root
+      else {
+        // prefer deeper containers when score is close (within 10%) so we
+        // skip page-level wrappers that include residual boilerplate
+        var best = candidates.head
+        candidates.tail.foreach { cand =>
+          if (cand._2 > best._2 * 1.1) best = cand
+        }
+        best._1
+      }
+    }
+  }
+
+  // ------------------------------------------------------------ rendering
+
+  /** Render a subtree to contract-markdown, recording block spans. */
+  def render(content: Elem): (String, Vector[Span]) = {
+    val sb = new StringBuilder
+    val spans = Vector.newBuilder[Span]
+
+    def emitBlock(text: String, kind: String): Unit = {
+      val t = text.trim
+      if (t.nonEmpty) {
+        if (sb.nonEmpty) sb.append("\n\n")
+        val start = sb.length.toLong
+        sb.append(t)
+        spans += Span(start, sb.length.toLong, kind)
+      }
+    }
+
+    def walkBlocks(e: Elem): Unit = e.children.foreach {
+      case t: TextN =>
+        // stray text directly inside a container: para if non-blank
+        val s = collapseWs(t.data)
+        if (s.trim.nonEmpty) emitBlock(s, "para")
+      case el: Elem => el.tag match {
+        case h if h.length == 2 && h.charAt(0) == 'h' && h.charAt(1) >= '1' && h.charAt(1) <= '6' =>
+          val level = h.charAt(1) - '0'
+          emitBlock(("#" * level) + " " + inline(el), "heading")
+        case "p" | "blockquote" | "figcaption" | "caption" | "address" | "dt" | "dd" =>
+          // a paragraph that drowns in links is residual boilerplate
+          val (c, a) = charCounts(el)
+          if (c == 0 || a.toDouble / c <= 0.66 || c > 200) {
+            emitBlock(inline(el), "para")
+          }
+        case "pre" =>
+          // verbatim text, no code fences (contract rule 7)
+          emitBlock(el.allText.trim, "para")
+        case "ul" => emitBlock(renderList(el, ordered = false), "list")
+        case "ol" => emitBlock(renderList(el, ordered = true), "list")
+        case "table" => emitBlock(renderTable(el), "table")
+        case "br" | "hr" | "img" | "a" => // skipped at block level
+          if (el.tag == "a") { val s = collapseWs(inline(el)); if (s.trim.nonEmpty) () }
+        case _ =>
+          if (blockTags.contains(el.tag)) walkBlocks(el)
+          else {
+            // inline element floating at block level: render as paragraph
+            val s = inline(el)
+            if (s.trim.nonEmpty) emitBlock(s, "para")
+          }
+      }
+    }
+
+    walkBlocks(content)
+    (sb.toString, spans.result())
+  }
+
+  /** Inline rendering: text with `**bold**` preserved (b/strong), HTML
+    * whitespace collapsed; links contribute their anchor text only. */
+  def inline(e: Elem): String = {
+    val sb = new StringBuilder
+    def rec(n: Node): Unit = n match {
+      case t: TextN => sb.append(t.data)
+      case el: Elem => el.tag match {
+        case "b" | "strong" =>
+          val innerSb = new StringBuilder
+          el.children.foreach { c => renderInto(c, innerSb) }
+          val inner = collapseWs(innerSb.toString).trim
+          if (inner.nonEmpty) sb.append("**").append(inner).append("**")
+        case "br" => sb.append('\n')
+        case "script" | "style" => ()
+        case _ => el.children.foreach(rec)
+      }
+    }
+    def renderInto(n: Node, out: StringBuilder): Unit = n match {
+      case t: TextN => out.append(t.data)
+      case el: Elem if el.tag == "br" => out.append(' ')
+      case el: Elem => el.children.foreach(c => renderInto(c, out))
+    }
+    e.children.foreach(rec)
+    collapseWs(sb.toString).trim
+  }
+
+  /** Collapse HTML whitespace runs to single spaces, preserving \n from <br>. */
+  private def collapseWs(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var lastWs = false
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '\n') { // from <br>
+        while (sb.nonEmpty && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+        sb.append('\n'); lastWs = true
+      } else if (c.isWhitespace || c.toInt == 0xa0) {
+        if (!lastWs) { sb.append(' '); lastWs = true }
+        else if (sb.nonEmpty && sb.charAt(sb.length - 1) == '\n') () // swallow after \n
+      } else { sb.append(c); lastWs = false }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** Real lists only (contract rule 5): "- " bullets / "1." numbering. */
+  private def renderList(list: Elem, ordered: Boolean): String = {
+    val items = ArrayBuffer.empty[String]
+    list.children.foreach {
+      case el: Elem if el.tag == "li" =>
+        val s = inline(el)
+        if (s.nonEmpty) items += s
+      case _ =>
+    }
+    items.zipWithIndex.map { case (s, i) =>
+      if (ordered) s"${i + 1}. $s" else s"- $s"
+    }.mkString("\n")
+  }
+
+  /** Pipe-markdown table preserving row/col order and **bold** (contract
+    * rule 2). First tr = header (th or td); every row rendered; separator
+    * sized to the header. */
+  def renderTable(table: Elem): String = {
+    val trs = table.findAll("tr")
+    if (trs.isEmpty) return ""
+    def cells(tr: Elem): Vector[String] = {
+      val out = Vector.newBuilder[String]
+      def rec(e: Elem): Unit = e.children.foreach {
+        case el: Elem =>
+          if (el.tag == "td" || el.tag == "th") out += inline(el).replace("|", "\\|").replace("\n", " ")
+          else rec(el)
+        case _ =>
+      }
+      rec(tr)
+      out.result()
+    }
+    val rows = trs.map(cells).filter(_.nonEmpty)
+    if (rows.isEmpty) return ""
+    val lines = ArrayBuffer.empty[String]
+    lines += rows.head.mkString("| ", " | ", " |")
+    lines += Vector.fill(rows.head.length)("---").mkString("| ", " | ", " |")
+    rows.tail.foreach(r => lines += r.mkString("| ", " | ", " |"))
+    lines.mkString("\n")
+  }
+}

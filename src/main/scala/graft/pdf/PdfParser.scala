@@ -1,0 +1,623 @@
+package graft.pdf
+
+import java.nio.charset.StandardCharsets.ISO_8859_1
+import java.util.zip.Inflater
+import scala.collection.mutable
+import scala.collection.mutable.ArrayBuffer
+
+/** From-scratch PDF layout parser (north_star; replaces the reference's
+  * MuPDF rasterize + LLM OCR, /root/reference/mvp/utils/pdf_processor.py:24-58
+  * and ocr_client.py:14-29).
+  *
+  * Scope fence (SURVEY.md §7.4): classic xref tables, raw / FlateDecode /
+  * ASCIIHexDecode content streams, simple-font text operators
+  * (BT ET Tf Td TD Tm T* TL Tj TJ ' "), WinAnsi/Latin-1 strings, /MediaBox +
+  * /Rotate inheritance and normalization (the reference zeroes rotation,
+  * pdf_processor.py:76-77 — we normalize coordinates instead, same observable
+  * reading order), x-gap column clustering, reading-order sort
+  * (page asc, column asc, y desc, x asc). Unsupported features yield an
+  * error result — a malformed document never throws out of `parse`.
+  */
+object PdfParser {
+
+  // ----------------------------------------------------------- object model
+  sealed trait PObj
+  final case class PNum(v: Double) extends PObj
+  final case class PName(v: String) extends PObj
+  final case class PStr(bytes: Array[Byte]) extends PObj
+  final case class PArr(items: Vector[PObj]) extends PObj
+  final case class PDict(m: Map[String, PObj]) extends PObj
+  final case class PRef(num: Int, gen: Int) extends PObj
+  final case class PBool(v: Boolean) extends PObj
+  case object PNull extends PObj
+  final case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
+
+  final case class Fragment(page: Int, x: Double, y: Double, text: String)
+  final case class PageObj(dict: PDict, mediaBox: (Double, Double, Double, Double), rotate: Int)
+  final case class ParseResult(pageTexts: Vector[String]) {
+    def text: String = pageTexts.mkString("\n\n")
+    def pages: Int = pageTexts.length
+  }
+
+  final case class PdfError(msg: String) extends Exception(msg)
+
+  /** True if the payload smells like a PDF (magic prefix, possibly after BOM). */
+  def isPdf(payload: Array[Byte]): Boolean = {
+    if (payload == null || payload.length < 5) return false
+    val head = new String(payload, 0, math.min(16, payload.length), ISO_8859_1)
+    head.contains("%PDF-")
+  }
+
+  /** Parse a PDF and emit reading-ordered text. Either an error message or
+    * the result — never throws. */
+  def parse(payload: Array[Byte]): Either[String, ParseResult] =
+    try {
+      val doc = new Doc(payload)
+      val pages = doc.pages()
+      if (pages.isEmpty) return Left("pdf_no_pages")
+      val pageTexts = pages.zipWithIndex.map { case (pg, i) =>
+        renderPage(doc, pg, i)
+      }
+      Right(ParseResult(pageTexts))
+    } catch {
+      case PdfError(m)  => Left(m)
+      case e: Throwable => Left("pdf_parse_failed:" + e.getClass.getSimpleName)
+    }
+
+  // ----------------------------------------------------------------- lexer
+  private final class Lexer(val s: Array[Byte]) {
+    var pos = 0
+    def n: Int = s.length
+    private def isWs(b: Byte) = b == ' ' || b == '\n' || b == '\r' || b == '\t' || b == 0 || b == '\f'
+    private def isDelim(b: Byte) =
+      b == '(' || b == ')' || b == '<' || b == '>' || b == '[' || b == ']' ||
+      b == '{' || b == '}' || b == '/' || b == '%'
+
+    def skipWs(): Unit = {
+      var going = true
+      while (going && pos < n) {
+        if (isWs(s(pos))) pos += 1
+        else if (s(pos) == '%') { while (pos < n && s(pos) != '\n' && s(pos) != '\r') pos += 1 }
+        else going = false
+      }
+    }
+
+    def peek: Int = if (pos < n) s(pos) & 0xff else -1
+    def at(i: Int): Int = if (i < n) s(i) & 0xff else -1
+
+    def token(): String = { // bare token (name/number/keyword chars)
+      skipWs()
+      val start = pos
+      while (pos < n && !isWs(s(pos)) && !isDelim(s(pos))) pos += 1
+      new String(s, start, pos - start, ISO_8859_1)
+    }
+
+    /** Parse one object at current position. */
+    def obj(): PObj = {
+      skipWs()
+      if (pos >= n) throw PdfError("pdf_eof")
+      val c = s(pos) & 0xff
+      c match {
+        case '/' =>
+          pos += 1
+          val start = pos
+          while (pos < n && !isWs(s(pos)) && !isDelim(s(pos))) pos += 1
+          PName(decodeName(new String(s, start, pos - start, ISO_8859_1)))
+        case '(' => PStr(literalString())
+        case '<' =>
+          if (at(pos + 1) == '<') { dict() }
+          else PStr(hexString())
+        case '[' =>
+          pos += 1
+          val items = Vector.newBuilder[PObj]
+          skipWs()
+          while (peek != ']') {
+            items += obj()
+            skipWs()
+            if (pos >= n) throw PdfError("pdf_unterminated_array")
+          }
+          pos += 1
+          PArr(items.result())
+        case _ =>
+          val t = token()
+          if (t.isEmpty) throw PdfError("pdf_bad_token")
+          t match {
+            case "true"  => PBool(true)
+            case "false" => PBool(false)
+            case "null"  => PNull
+            case _ =>
+              // number — maybe "num gen R" reference
+              val v = parseNum(t)
+              val save = pos
+              skipWs()
+              val t2start = pos
+              val t2 = token()
+              if (t2.nonEmpty && t2.forall(_.isDigit)) {
+                skipWs()
+                val t3 = token()
+                if (t3 == "R") PRef(v.toInt, t2.toInt)
+                else { pos = save; PNum(v) }
+              } else { pos = save; PNum(v) }
+          }
+      }
+    }
+
+    private def parseNum(t: String): Double =
+      try t.toDouble catch { case _: NumberFormatException => throw PdfError("pdf_bad_number") }
+
+    private def decodeName(raw: String): String = {
+      if (!raw.contains('#')) return raw
+      val sb = new StringBuilder
+      var i = 0
+      while (i < raw.length) {
+        val c = raw.charAt(i)
+        if (c == '#' && i + 2 < raw.length) {
+          try { sb.append(Integer.parseInt(raw.substring(i + 1, i + 3), 16).toChar); i += 3 }
+          catch { case _: NumberFormatException => sb.append(c); i += 1 }
+        } else { sb.append(c); i += 1 }
+      }
+      sb.toString
+    }
+
+    def dict(): PObj = {
+      pos += 2 // <<
+      val m = Map.newBuilder[String, PObj]
+      skipWs()
+      while (!(peek == '>' && at(pos + 1) == '>')) {
+        if (pos >= n) throw PdfError("pdf_unterminated_dict")
+        val k = obj() match {
+          case PName(v) => v
+          case _        => throw PdfError("pdf_dict_key")
+        }
+        m += k -> obj()
+        skipWs()
+      }
+      pos += 2
+      PDict(m.result())
+    }
+
+    private def literalString(): Array[Byte] = {
+      pos += 1 // (
+      val out = new java.io.ByteArrayOutputStream()
+      var depth = 1
+      while (depth > 0) {
+        if (pos >= n) throw PdfError("pdf_unterminated_string")
+        val b = s(pos) & 0xff
+        pos += 1
+        b match {
+          case '\\' =>
+            if (pos >= n) throw PdfError("pdf_unterminated_string")
+            val e = s(pos) & 0xff
+            pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (peek == '\n') pos += 1 // line continuation
+              case '\n' => ()
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && pos < n && s(pos) >= '0' && s(pos) <= '7') {
+                  v = v * 8 + (s(pos) - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other)
+            }
+          case '(' => depth += 1; out.write('(')
+          case ')' => depth -= 1; if (depth > 0) out.write(')')
+          case other => out.write(other)
+        }
+      }
+      out.toByteArray
+    }
+
+    private def hexString(): Array[Byte] = {
+      pos += 1 // <
+      val out = new java.io.ByteArrayOutputStream()
+      val digits = new StringBuilder
+      while (peek != '>') {
+        if (pos >= n) throw PdfError("pdf_unterminated_hex")
+        val c = (s(pos) & 0xff).toChar
+        if (!c.isWhitespace) digits.append(c)
+        pos += 1
+      }
+      pos += 1
+      val d = if (digits.length % 2 == 1) digits.append('0') else digits
+      var i = 0
+      while (i < d.length) {
+        out.write(Integer.parseInt(d.substring(i, i + 2), 16))
+        i += 2
+      }
+      out.toByteArray
+    }
+  }
+
+  // ------------------------------------------------------------- document
+  private final class Doc(bytes: Array[Byte]) {
+    private var _trailer: PDict = PDict(Map.empty)
+    private val offsets: Map[Int, Int] = buildXref()
+    private val cache = mutable.HashMap.empty[Int, PObj]
+    def trailer: PDict = _trailer
+
+    private def tail(k: Int): String = {
+      val from = math.max(0, bytes.length - k)
+      new String(bytes, from, bytes.length - from, ISO_8859_1)
+    }
+
+    /** Classic xref tables with /Prev chains; falls back to a raw scan for
+      * "N G obj" when the table is missing or damaged. */
+    private def buildXref(): Map[Int, Int] = {
+      val out = mutable.HashMap.empty[Int, Int]
+      try {
+        val t = tail(2048)
+        val sxi = t.lastIndexOf("startxref")
+        if (sxi < 0) throw PdfError("pdf_no_startxref")
+        val after = t.substring(sxi + "startxref".length).trim
+        val off = after.takeWhile(_.isDigit).toInt
+        var xrefOff = off
+        var guard = 0
+        while (xrefOff >= 0 && guard < 64) {
+          guard += 1
+          val lx = new Lexer(bytes)
+          lx.pos = xrefOff
+          lx.skipWs()
+          val kw = lx.token()
+          if (kw != "xref") throw PdfError("pdf_xref_stream_unsupported")
+          var more = true
+          while (more) {
+            lx.skipWs()
+            val save = lx.pos
+            val a = lx.token()
+            if (a == "trailer") { more = false; lx.pos = save }
+            else {
+              val start = a.toInt
+              val count = lx.token().toInt
+              var i = 0
+              while (i < count) {
+                lx.skipWs()
+                val o = lx.token().toInt
+                val g = lx.token().toInt
+                val ty = lx.token()
+                if (ty == "n" && !out.contains(start + i)) out(start + i) = o
+                i += 1
+              }
+            }
+          }
+          lx.skipWs()
+          val tk = lx.token() // "trailer"
+          val td = lx.obj() match { case d: PDict => d; case _ => throw PdfError("pdf_bad_trailer") }
+          if (_trailer.m.isEmpty) _trailer = td
+          xrefOff = td.m.get("Prev") match {
+            case Some(PNum(v)) => v.toInt
+            case _             => -1
+          }
+        }
+      } catch {
+        case _: Throwable =>
+          // damaged / unsupported xref: brute scan for object headers
+          out.clear()
+          val s = new String(bytes, ISO_8859_1)
+          val re = "(?m)(\\d+)\\s+(\\d+)\\s+obj".r
+          re.findAllMatchIn(s).foreach { m =>
+            out(m.group(1).toInt) = m.start
+          }
+          if (_trailer.m.isEmpty) {
+            val ti = s.lastIndexOf("trailer")
+            if (ti >= 0) {
+              try {
+                val lx = new Lexer(bytes); lx.pos = ti + 7
+                _trailer = lx.obj() match { case d: PDict => d; case _ => PDict(Map.empty) }
+              } catch { case _: Throwable => () }
+            }
+          }
+      }
+      if (out.isEmpty) throw PdfError("pdf_no_objects")
+      out.toMap
+    }
+
+    def resolve(o: PObj): PObj = o match {
+      case PRef(num, _) => resolve(objAt(num))
+      case other        => other
+    }
+
+    def objAt(num: Int): PObj = cache.getOrElseUpdate(num, {
+      val off = offsets.getOrElse(num, throw PdfError(s"pdf_missing_obj_$num"))
+      val lx = new Lexer(bytes)
+      lx.pos = off
+      lx.skipWs()
+      lx.token() // obj num
+      lx.token() // gen
+      val kw = lx.token()
+      if (kw != "obj") throw PdfError("pdf_bad_obj_header")
+      val body = lx.obj()
+      lx.skipWs()
+      val save = lx.pos
+      val nxt = lx.token()
+      if (nxt == "stream") {
+        // after 'stream' keyword: CRLF or LF then raw data of /Length bytes
+        var p = lx.pos
+        if (lx.at(p) == '\r') p += 1
+        if (lx.at(p) == '\n') p += 1
+        val d = body match { case d: PDict => d; case _ => throw PdfError("pdf_stream_no_dict") }
+        val len = resolve(d.m.getOrElse("Length", throw PdfError("pdf_stream_no_length"))) match {
+          case PNum(v) => v.toInt
+          case _       => throw PdfError("pdf_bad_length")
+        }
+        if (p + len > bytes.length) throw PdfError("pdf_stream_truncated")
+        PStream(d, java.util.Arrays.copyOfRange(bytes, p, p + len))
+      } else { lx.pos = save; body }
+    })
+
+    /** Decode a stream through its filter chain (raw / Flate / ASCIIHex). */
+    def decodeStream(st: PStream): Array[Byte] = {
+      val filters: Vector[String] = resolve(st.dict.m.getOrElse("Filter", PNull)) match {
+        case PNull        => Vector.empty
+        case PName(f)     => Vector(f)
+        case PArr(items)  => items.map(i => resolve(i) match {
+          case PName(f) => f
+          case _        => throw PdfError("pdf_bad_filter")
+        })
+        case _            => throw PdfError("pdf_bad_filter")
+      }
+      filters.foldLeft(st.raw) { (data, f) =>
+        f match {
+          case "FlateDecode"    => inflate(data)
+          case "ASCIIHexDecode" => asciiHex(data)
+          case other            => throw PdfError("pdf_filter_unsupported:" + other)
+        }
+      }
+    }
+
+    private def inflate(data: Array[Byte]): Array[Byte] = {
+      val inf = new Inflater()
+      inf.setInput(data)
+      val out = new java.io.ByteArrayOutputStream(data.length * 4)
+      val buf = new Array[Byte](8192)
+      try {
+        while (!inf.finished()) {
+          val k = inf.inflate(buf)
+          if (k == 0) {
+            if (inf.needsInput() || inf.needsDictionary()) throw PdfError("pdf_flate_truncated")
+          } else out.write(buf, 0, k)
+        }
+      } catch {
+        case _: java.util.zip.DataFormatException => throw PdfError("pdf_flate_corrupt")
+      } finally inf.end()
+      out.toByteArray
+    }
+
+    private def asciiHex(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val digits = new StringBuilder
+      var i = 0
+      var stop = false
+      while (i < data.length && !stop) {
+        val c = (data(i) & 0xff).toChar
+        if (c == '>') stop = true
+        else if (!c.isWhitespace) digits.append(c)
+        i += 1
+      }
+      val d = if (digits.length % 2 == 1) digits.append('0') else digits
+      var j = 0
+      while (j < d.length) { out.write(Integer.parseInt(d.substring(j, j + 2), 16)); j += 2 }
+      out.toByteArray
+    }
+
+    /** Walk /Root → /Pages → /Kids with /MediaBox + /Rotate inheritance. */
+    def pages(): Vector[PageObj] = {
+      val root = resolve(trailer.m.getOrElse("Root", throw PdfError("pdf_no_root"))) match {
+        case d: PDict => d
+        case _        => throw PdfError("pdf_bad_root")
+      }
+      val top = resolve(root.m.getOrElse("Pages", throw PdfError("pdf_no_pages_dict"))) match {
+        case d: PDict => d
+        case _        => throw PdfError("pdf_bad_pages")
+      }
+      val out = Vector.newBuilder[PageObj]
+      def mb(d: PDict, inherited: Option[(Double, Double, Double, Double)]) =
+        resolve(d.m.getOrElse("MediaBox", PNull)) match {
+          case PArr(Vector(a, b, c, dd)) =>
+            def num(o: PObj) = resolve(o) match { case PNum(v) => v; case _ => 0.0 }
+            Some((num(a), num(b), num(c), num(dd)))
+          case _ => inherited
+        }
+      def rot(d: PDict, inherited: Int) = resolve(d.m.getOrElse("Rotate", PNull)) match {
+        case PNum(v) => (((v.toInt % 360) + 360) % 360)
+        case _       => inherited
+      }
+      def walk(node: PDict, inheritedMb: Option[(Double, Double, Double, Double)], inheritedRot: Int, depth: Int): Unit = {
+        if (depth > 32) throw PdfError("pdf_pages_cycle")
+        val curMb = mb(node, inheritedMb)
+        val curRot = rot(node, inheritedRot)
+        resolve(node.m.getOrElse("Type", PNull)) match {
+          case PName("Page") =>
+            out += PageObj(node, curMb.getOrElse((0.0, 0.0, 612.0, 792.0)), curRot)
+          case _ =>
+            resolve(node.m.getOrElse("Kids", PNull)) match {
+              case PArr(kids) => kids.foreach { k =>
+                resolve(k) match {
+                  case d: PDict => walk(d, curMb, curRot, depth + 1)
+                  case _        => throw PdfError("pdf_bad_kid")
+                }
+              }
+              case _ => throw PdfError("pdf_no_kids")
+            }
+        }
+      }
+      walk(top, None, 0, 0)
+      out.result()
+    }
+
+    /** Concatenated, decoded content streams of a page. */
+    def pageContent(pg: PageObj): Array[Byte] = {
+      def streamsOf(o: PObj): Vector[Array[Byte]] = resolve(o) match {
+        case st: PStream => Vector(decodeStream(st))
+        case PArr(items) => items.flatMap(streamsOf)
+        case PNull       => Vector.empty
+        case _           => throw PdfError("pdf_bad_contents")
+      }
+      val parts = streamsOf(pg.dict.m.getOrElse("Contents", PNull))
+      if (parts.isEmpty) Array.emptyByteArray
+      else if (parts.length == 1) parts.head
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        parts.foreach { p => out.write(p); out.write('\n') }
+        out.toByteArray
+      }
+    }
+  }
+
+  // --------------------------------------------------------- text machine
+
+  /** WinAnsi (CP1252) high-range mappings that differ from Latin-1. */
+  private val winAnsiHigh: Map[Int, Char] = Map(
+    0x80 -> '€', 0x82 -> '‚', 0x83 -> 'ƒ', 0x84 -> '„', 0x85 -> '…',
+    0x86 -> '†', 0x87 -> '‡', 0x88 -> 'ˆ', 0x89 -> '‰', 0x8a -> 'Š',
+    0x8b -> '‹', 0x8c -> 'Œ', 0x8e -> 'Ž', 0x91 -> '‘', 0x92 -> '’',
+    0x93 -> '“', 0x94 -> '”', 0x95 -> '•', 0x96 -> '–', 0x97 -> '—',
+    0x98 -> '˜', 0x99 -> '™', 0x9a -> 'š', 0x9b -> '›', 0x9c -> 'œ',
+    0x9e -> 'ž', 0x9f -> 'Ÿ')
+
+  private def winAnsiDecode(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length)
+    bytes.foreach { b =>
+      val v = b & 0xff
+      sb.append(winAnsiHigh.getOrElse(v, v.toChar))
+    }
+    sb.toString
+  }
+
+  /** Run the text operators of one page's content; emit positioned fragments. */
+  private def extractFragments(doc: Doc, pg: PageObj, pageIdx: Int): Vector[Fragment] = {
+    val content = doc.pageContent(pg)
+    if (content.isEmpty) return Vector.empty
+    val lx = new Lexer(content)
+    val frags = Vector.newBuilder[Fragment]
+
+    // text state (simplified: track translation of the text line matrix)
+    var tlx, tly = 0.0      // line start
+    var tx, ty = 0.0        // current position
+    var leading = 0.0
+    var inText = false
+    val operands = ArrayBuffer.empty[PObj]
+
+    def num(o: PObj): Double = o match { case PNum(v) => v; case _ => 0.0 }
+
+    def showText(bytes: Array[Byte]): Unit = {
+      val t = winAnsiDecode(bytes)
+      if (t.nonEmpty) frags += Fragment(pageIdx, tx, ty, t)
+      // advance x roughly (not glyph-accurate; ordering only needs start pos)
+      tx += t.length * 5.5
+    }
+
+    def nextLine(): Unit = { tlx = tlx; tly -= leading; tx = tlx; ty = tly }
+
+    var going = true
+    while (going) {
+      lx.skipWs()
+      if (lx.pos >= lx.n) going = false
+      else {
+        val c = lx.peek
+        if (c == '/' || c == '(' || c == '<' || c == '[' ||
+            (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+          operands += lx.obj()
+        } else {
+          val op = lx.token()
+          if (op.isEmpty) { going = false }
+          else {
+            op match {
+              case "BT" => inText = true; tlx = 0; tly = 0; tx = 0; ty = 0
+              case "ET" => inText = false
+              case "Tf" => () // font+size — size ignored (ordering only)
+              case "TL" => if (operands.nonEmpty) leading = num(operands.last)
+              case "Td" =>
+                if (operands.length >= 2) {
+                  tlx += num(operands(operands.length - 2)); tly += num(operands.last)
+                  tx = tlx; ty = tly
+                }
+              case "TD" =>
+                if (operands.length >= 2) {
+                  leading = -num(operands.last)
+                  tlx += num(operands(operands.length - 2)); tly += num(operands.last)
+                  tx = tlx; ty = tly
+                }
+              case "Tm" =>
+                if (operands.length >= 6) {
+                  tlx = num(operands(operands.length - 2)); tly = num(operands.last)
+                  tx = tlx; ty = tly
+                }
+              case "T*" => nextLine()
+              case "Tj" => operands.lastOption.collect { case PStr(b) => showText(b) }
+              case "'" =>
+                nextLine()
+                operands.lastOption.collect { case PStr(b) => showText(b) }
+              case "\"" =>
+                nextLine()
+                operands.lastOption.collect { case PStr(b) => showText(b) }
+              case "TJ" => operands.lastOption.collect {
+                case PArr(items) =>
+                  items.foreach {
+                    case PStr(b) => showText(b)
+                    case PNum(adj) => if (adj < -180) { frags += Fragment(pageIdx, tx, ty, " "); tx += 2 }
+                    case _ => ()
+                  }
+              }
+              case _ => () // graphics operators ignored
+            }
+            operands.clear()
+          }
+        }
+      }
+    }
+    frags.result()
+  }
+
+  /** The reference preprocesses every page with set_rotation(0)
+    * (pdf_processor.py:76-77) BEFORE reading, which makes the displayed page
+    * equal the content's user space. Matching that observable behavior means
+    * /Rotate is deliberately discarded here: reading order is computed in
+    * user space with only the MediaBox origin shifted out. */
+  private def normalizeRotation(f: Fragment, mediaBox: (Double, Double, Double, Double), rotate: Int): Fragment = {
+    val (x0, y0, _, _) = mediaBox
+    f.copy(x = f.x - x0, y = f.y - y0)
+  }
+
+  /** Column clustering by x-gap + reading-order sort, then text assembly. */
+  private def renderPage(doc: Doc, pg: PageObj, pageIdx: Int): String = {
+    val raw = extractFragments(doc, pg, pageIdx)
+    if (raw.isEmpty) return ""
+    val frags = raw.map(normalizeRotation(_, pg.mediaBox, pg.rotate))
+
+    // column detection: cluster distinct line-start x positions; a gap
+    // > 120pt between consecutive cluster centers splits columns
+    val starts = frags.map(_.x).distinct.sorted
+    val splits = ArrayBuffer.empty[Double]
+    var i = 1
+    while (i < starts.length) {
+      if (starts(i) - starts(i - 1) > 120) splits += (starts(i) + starts(i - 1)) / 2
+      i += 1
+    }
+    def columnOf(x: Double): Int = splits.count(_ <= x)
+
+    val byColumn = frags.groupBy(f => columnOf(f.x)).toVector.sortBy(_._1)
+    val colTexts = byColumn.map { case (_, fs) =>
+      // reading order within a column: y desc (PDF origin bottom-left), x asc
+      val sorted = fs.sortBy(f => (-f.y, f.x))
+      // group into lines by y (tolerance 2pt)
+      val lines = ArrayBuffer.empty[ArrayBuffer[Fragment]]
+      sorted.foreach { f =>
+        if (lines.nonEmpty && math.abs(lines.last.head.y - f.y) < 2.0) lines.last += f
+        else lines += ArrayBuffer(f)
+      }
+      lines.map(_.sortBy(_.x).map(_.text).mkString("").stripTrailing())
+        .filter(_.nonEmpty).mkString("\n")
+    }
+    colTexts.filter(_.nonEmpty).mkString("\n\n")
+  }
+}

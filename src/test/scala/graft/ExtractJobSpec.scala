@@ -1,0 +1,140 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.extract.{ExtractJob, Extractor, HtmlExtractor}
+import graft.io.ParquetTableIO
+import graft.synth.Synth
+
+/** End-to-end pipeline tests: synth corpus → extract → results/lineage/
+  * manifest, plus the determinism + resume properties the north_rule demands.
+  */
+class ExtractJobSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestBase.spark
+  private val runTs = Timestamp.valueOf("2023-09-05 00:00:00")
+
+  test("synth corpus extracts end-to-end: ok + error rows, job never fails") {
+    import spark.implicits._
+    val pages = Synth.pagesDs(spark, 200, seed = 42L, parallelism = 4).toDF()
+    val wh = SparkTestBase.tempDir("wh")
+    val io = new ParquetTableIO(wh)
+    val s = ExtractJob.run(spark, pages, io, runTs, partitions = 16, salt = 2)
+    assert(s.total == 200)
+    assert(s.err > 0, "malformed slice must produce error rows")
+    assert(s.ok > 150, s"expected most rows ok, got ${s.ok}")
+    val res = io.readTable(spark, "results")
+    // malformed PDFs (truncated / garbage xref) must error; malformed HTML may
+    // degrade leniently but never crash (X7); error rows carry empty markdown + reason
+    assert(res.filter($"url".contains("/broken/") && $"url".endsWith(".pdf"))
+      .filter($"status" === "ok").count() == 0)
+    assert(res.filter($"status" === "error")
+      .filter(length($"markdown") > 0 || $"error".isNull).count() == 0)
+    // hard-fail malformed kinds, asserted at the kernel level
+    assert(Extractor.extract("https://h/e.html", Array.emptyByteArray).status == "error")
+    assert(Extractor.extract("https://h/u.html",
+      Array[Byte](0xff.toByte, 0xfe.toByte, 0x00, 0x01, 0x80.toByte)).status == "error")
+    // lineage covers all non-empty partitions and counts add up
+    val lin = io.readTable(spark, "lineage")
+    val (rc, okc, ec) = lin.agg(sum("row_count"), sum("ok_count"), sum("err_count"))
+      .as[(Long, Long, Long)].first()
+    assert(rc == 200 && okc == s.ok && ec == s.err)
+  }
+
+  test("markdown contract invariants (prompt.py:9-22) on ok html rows") {
+    import spark.implicits._
+    val pages = Synth.pagesDs(spark, 120, seed = 7L, parallelism = 4).toDF()
+    val md = ExtractJob.extractedDf(pages)
+      .select($"url", $"extracted.status".as("status"), $"extracted.content_type".as("ct"),
+        $"extracted.markdown".as("markdown"))
+      .filter($"status" === "ok" && $"ct" === "html")
+      .as[(String, String, String, String)].collect()
+    assert(md.nonEmpty)
+    md.foreach { case (url, _, _, m) =>
+      assert(!m.contains("<table"), s"raw html table leaked: $url")
+      assert(!m.contains("```"), s"code fence invented: $url")
+      assert(!m.contains("<script"), s"script leaked: $url")
+      assert(!m.toLowerCase.contains("should never appear"), s"script text leaked: $url")
+      assert(!m.contains("We use cookies"), s"cookie banner leaked: $url")
+      assert(!m.contains("Site Banner Not Content"), s"header boilerplate leaked: $url")
+      // every table line is pipe-framed
+      m.split("\n").filter(_.startsWith("|")).foreach { line =>
+        assert(line.endsWith("|"), s"unframed table line in $url: $line")
+      }
+    }
+  }
+
+  test("extraction is deterministic: same corpus, different partitioning, same bytes") {
+    import spark.implicits._
+    val a = Synth.pagesDs(spark, 150, seed = 42L, parallelism = 2).toDF()
+    val b = Synth.pagesDs(spark, 150, seed = 42L, parallelism = 7)
+      .toDF().repartition(13, $"url")
+    def fingerprint(df: org.apache.spark.sql.DataFrame): Long =
+      ExtractJob.extractedDf(df)
+        .select(xxhash64($"url", $"extracted.markdown", $"extracted.status").as("h"))
+        .agg(expr("bit_xor(h)")).as[Long].first()
+    assert(fingerprint(a) == fingerprint(b))
+  }
+
+  test("resume: second run skips all manifested partitions and changes nothing") {
+    import spark.implicits._
+    val pages = Synth.pagesDs(spark, 100, seed = 3L, parallelism = 4).toDF()
+    val wh = SparkTestBase.tempDir("wh-resume")
+    val io = new ParquetTableIO(wh)
+    val s1 = ExtractJob.run(spark, pages, io, runTs, partitions = 8, salt = 2)
+    assert(s1.skippedParts == 0)
+    val chk1 = io.readTable(spark, "lineage")
+      .agg(expr("bit_xor(checksum)")).as[Long].first()
+    // capture results file mtimes
+    def mtimes(dir: String): Map[String, Long] = {
+      val base = new java.io.File(s"$wh/$dir")
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(base).filter(_.getName.endsWith(".parquet")).map(f => f.getPath -> f.lastModified()).toMap
+    }
+    val m1 = mtimes("results")
+    Thread.sleep(1100)
+    val s2 = ExtractJob.run(spark, pages, io, runTs, partitions = 8, salt = 2)
+    assert(s2.total == 0, "all partitions should be skipped on rerun")
+    assert(s2.skippedParts > 0)
+    val m2 = mtimes("results")
+    assert(m1 == m2, "resume must not rewrite completed partitions")
+    val chk2 = io.readTable(spark, "lineage")
+      .agg(expr("bit_xor(checksum)")).as[Long].first()
+    assert(chk1 == chk2)
+  }
+
+  test("dispatch: pdf magic sniffed from bytes, extension fallback, html default") {
+    assert(Extractor.urlExt("https://h/x/doc.pdf") == "pdf")
+    assert(Extractor.urlExt("https://h/x/doc.pdf?q=1#frag") == "pdf")
+    assert(Extractor.urlExt("https://h/x/noext") == "")
+    val pdf = graft.pdf.PdfWriter.write(Vector(
+      graft.pdf.PdfWriter.PageSpec(Vector(Vector("From pdf")))))
+    assert(Extractor.extract("https://h/a.bin", pdf).content_type == "pdf")
+    val html = "<html><body><article><p>From html page with enough text.</p></article></body></html>"
+    assert(Extractor.extract("https://h/a.html", html.getBytes).content_type == "html")
+    assert(Extractor.extract("https://h/a.html", Array.emptyByteArray).status == "error")
+  }
+
+  test("html extractor picks article content over boilerplate wrappers") {
+    val html =
+      """<html><body>
+        |<nav><a href="/">Home</a><a href="/a">About</a></nav>
+        |<div class="sidebar"><a href="/x">L1</a><a href="/y">L2</a><a href="/z">L3</a></div>
+        |<article><h1>Real Title</h1><p>The actual body of the article with plenty of words to win scoring.</p></article>
+        |<footer>copyright</footer>
+        |</body></html>""".stripMargin
+    val e = HtmlExtractor.extract(html)
+    assert(e.status == "ok")
+    assert(e.markdown.startsWith("# Real Title"))
+    assert(e.markdown.contains("actual body"))
+    assert(!e.markdown.contains("Home"))
+    assert(!e.markdown.contains("copyright"))
+    // spans cover the output exactly, in order, with known kinds
+    assert(e.spans.nonEmpty)
+    assert(e.spans.head.kind == "heading")
+    e.spans.foreach { s =>
+      assert(s.start >= 0 && s.end <= e.markdown.length && s.start < s.end)
+    }
+  }
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.pdf.{PdfParser, PdfWriter}
+import graft.pdf.PdfWriter.PageSpec
+
+/** Round-trip tests: our deterministic PDF writer feeds the from-scratch
+  * parser (SURVEY.md §7.1.2 — the writer exists so the parser is testable
+  * with zero external data).
+  */
+class PdfSpec extends AnyFunSuite {
+
+  test("single uncompressed page round-trips line-exact") {
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector(
+      "# Report Title", "First line of text.", "Second line.")))))
+    assert(PdfParser.isPdf(pdf))
+    val r = PdfParser.parse(pdf)
+    assert(r.map(_.text) == Right("# Report Title\nFirst line of text.\nSecond line.") && r.map(_.pages) == Right(1))
+  }
+
+  test("FlateDecode page round-trips") {
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector(
+      "Compressed content line A", "Line B with numbers 12345")), compress = true)))
+    val r = PdfParser.parse(pdf)
+    assert(r.map(_.text) == Right("Compressed content line A\nLine B with numbers 12345"))
+  }
+
+  test("multi-page order preserved, pages joined by blank line") {
+    val pdf = PdfWriter.write(Vector(
+      PageSpec(Vector(Vector("Page one text"))),
+      PageSpec(Vector(Vector("Page two text")), compress = true),
+      PageSpec(Vector(Vector("Page three text")))))
+    val r = PdfParser.parse(pdf)
+    assert(r.map(_.pageTexts) == Right(Vector("Page one text", "Page two text", "Page three text")))
+  }
+
+  test("two columns read left column fully before right (x-gap clustering)") {
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(
+      Vector("L1 left", "L2 left"),
+      Vector("R1 right", "R2 right")))))
+    val r = PdfParser.parse(pdf)
+    assert(r.map(_.text) == Right("L1 left\nL2 left\n\nR1 right\nR2 right") && r.map(_.pages) == Right(1))
+  }
+
+  test("rotated page: /Rotate discarded like the reference's set_rotation(0)") {
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector(
+      "Rotated line 1", "Rotated line 2")), rotate = 90)))
+    val r = PdfParser.parse(pdf)
+    assert(r.map(_.text) == Right("Rotated line 1\nRotated line 2"))
+  }
+
+  test("special characters: parens, backslash, latin-1") {
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector(
+      "Parens (like this) ok", "Back\\slash", "Café über")))))
+    val r = PdfParser.parse(pdf)
+    assert(r.map(_.text) == Right("Parens (like this) ok\nBack\\slash\nCafé über"))
+  }
+
+  test("malformed inputs yield Left, never throw") {
+    assert(PdfParser.parse("not a pdf at all".getBytes).isLeft)
+    assert(PdfParser.parse(Array.emptyByteArray).isLeft)
+    val good = PdfWriter.write(Vector(PageSpec(Vector(Vector("hello world")))))
+    // truncate at 60%: damaged xref and/or stream
+    val truncated = java.util.Arrays.copyOfRange(good, 0, (good.length * 0.6).toInt)
+    val r = PdfParser.parse(truncated)
+    assert(r.isLeft || r.isRight) // must not throw; either recovers via scan or errs
+    // flip bytes inside the stream
+    val corrupt = good.clone()
+    val si = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1).indexOf("stream")
+    var i = si + 10
+    while (i < si + 14) { corrupt(i) = 0x7f.toByte; i += 1 }
+    PdfParser.parse(corrupt) // lenient: raw stream still yields some text or error
+  }
+
+  test("isPdf sniffing") {
+    assert(PdfParser.isPdf("%PDF-1.4\nrest".getBytes))
+    assert(!PdfParser.isPdf("<html></html>".getBytes))
+    assert(!PdfParser.isPdf(null))
+  }
+}
