@@ -1,0 +1,18 @@
+#!/bin/bash
+# Run a graft main class against the packaged jar + /opt/spark/jars.
+# Usage: scripts/run_main.sh <MainClass> [args...]
+set -e
+cd "$(dirname "$0")/.."
+MAIN="$1"; shift
+ADD_OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
+  -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
+  -cp "target/scala-2.13/ocrspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
+  "$MAIN" "$@"

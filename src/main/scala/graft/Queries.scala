@@ -196,9 +196,92 @@ object Queries {
         .groupBy(col("ext")).agg(count(lit(1)).as("cnt"))
     }),
 
+    // n-gram Jaccard near-dup (training op): char-3-gram set similarity
+    // over all doc pairs in a bounded slice — the exact-verify stage of
+    // fuzzy dedup (the LSH stage is q27; at scale LSH prunes the pairs
+    // and THIS formula re-scores only candidates).
+    "q23_ngram_jaccard" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 30)
+        .select(col("doc_id"), expr(
+          "array_distinct(transform(sequence(1, greatest(length(substr(text,1,150)) - 2, 1))," +
+            " i -> substr(substr(text,1,150), i, 3)))").as("g"))
+      val a = base.select(col("doc_id").as("id_a"), col("g").as("ga"))
+      val b = base.select(col("doc_id").as("id_b"), col("g").as("gb"))
+      val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
+      val union = (size(col("ga")) + size(col("gb"))).cast("double") - inter
+      a.crossJoin(b).filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"), round(inter / union, 6).as("jaccard"))
+    }),
+
+    // ANN baseline (training op): brute-force cosine top-k, broadcast
+    // query batch, one corpus scan, per-query row_number top-k
+    "q24_cosine_topk" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      graft.ops.Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+    }),
+
+    // quality scoring (training op): Gopher/C4-style cheap heuristics
+    "q25_quality" -> ((s, dir) => {
+      import graft.ops.TextOps
+      val f = TextOps.qualityFeatures(col("text"))
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          f.getField("n_words").as("n_words"),
+          f.getField("mean_word_len").as("mean_word_len"),
+          f.getField("punct_ratio").as("punct_ratio"),
+          f.getField("upper_ratio").as("upper_ratio"),
+          TextOps.qualityScore(col("text")).as("quality"))
+    }),
+
+    // document fingerprinting (training op): polynomial rolling hash +
+    // content-defined chunk boundaries, both pure HOF folds
+    "q26_fingerprint" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"), substring(col("text"), 1, 200).as("t"))
+        .select(col("doc_id"),
+          graft.ops.TextOps.fingerprint(col("t")).as("fp"),
+          graft.ops.TextOps.chunkBoundaryCount("t").as("chunks"))
+    }),
+
     // ----------------------------------------------------------------
     // Spark-only (non-SQL-expressible kernels → rows-only driver check)
     // ----------------------------------------------------------------
+
+    // MinHash+LSH near-dup (training op): documents ∪ perturbed copies;
+    // the LSH band join must surface each planted near-dup pair
+    "q27_minhash_lsh" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val perturbed = base.select((col("id") + 10000L).as("id"),
+        regexp_replace(col("text"), "^(\\S+) (\\S+)", "changed prefix").as("text"))
+      val corpus = base.unionByName(perturbed)
+      graft.ops.Dedup.minhashNearDups(corpus, "id", "text", threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // SimHash near-dup (training op): 64-bit fingerprints, 16-bit chunk
+    // banding, hamming <= 3
+    "q28_simhash" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 150)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val perturbed = base.select((col("id") + 10000L).as("id"),
+        regexp_replace(col("text"), "^(\\S+) (\\S+)", "changed prefix").as("text"))
+      graft.ops.Dedup.simhashNearDups(base.unionByName(perturbed), "id", "text", maxDist = 3)
+    }),
+
+    // LSH-bucketed ANN (training op): the scale path for q24 — random
+    // hyperplane signatures, banded bucket join, exact re-rank
+    "q29_ann_lsh" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      graft.ops.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+    }),
+
+    // multimodal plumbing (training op): binary payloads + typed meta,
+    // batched decode/feature-extract via mapPartitions (codec = fake)
+    "q30_multimodal" -> ((s, dir) =>
+      graft.ops.Multimodal.featureSummary(s, 300L)),
 
     // X2/X3 flagship: extraction over the deterministic synth corpus
     "q20_extract" -> ((s, dir) => {
@@ -356,5 +439,62 @@ object Queries {
         |    CASE WHEN doc_id % 10 = 0 THEN 'pdf' ELSE 'html' END), '.'), -1) AS ext
         |  FROM documents)
         |GROUP BY ext""".stripMargin,
+
+    "q23_ngram_jaccard" ->
+      """WITH g AS (
+        |  SELECT doc_id, list_distinct([substr(t, i, 3)
+        |    FOR i IN range(1, greatest(length(t) - 1, 2))]) AS g
+        |  FROM (SELECT doc_id, substr(text, 1, 150) AS t FROM documents WHERE doc_id < 30))
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |  round(len(list_intersect(a.g, b.g))::DOUBLE
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+        |FROM g a, g b WHERE a.doc_id < b.doc_id""".stripMargin,
+
+    "q24_cosine_topk" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT query_id, c.vec_id AS nn_id,
+        |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(nq) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT query_id, c.vec_id,
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        [qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        [qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS nq,
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        [cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM q, (SELECT vec_id, embedding AS cv FROM embeddings) c) c)
+        |SELECT query_id, rank, nn_id, round(sim, 6) AS sim FROM (
+        |  SELECT query_id, nn_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "q25_quality" ->
+      """SELECT doc_id,
+        |  len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS n_words,
+        |  round(length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mean_word_len,
+        |  round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |    / greatest(length(text), 1), 6) AS punct_ratio,
+        |  round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+        |    / greatest(length(text), 1), 6) AS upper_ratio,
+        |  round((
+        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE / 50, 1.0)
+        |    + CASE WHEN round(length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')), 4)
+        |        BETWEEN 3 AND 10 THEN 1.0 ELSE 0.5 END
+        |    + CASE WHEN round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |        / greatest(length(text), 1), 6) <= 0.1 THEN 1.0 ELSE 0.5 END
+        |  ) / 3, 6) AS quality
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+
+    "q26_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(t, '')]),
+        |    (acc, c) -> (acc * 31 + c) % 1000000007) AS fp,
+        |  len(list_filter(
+        |    [list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(substr(t, i, 8), '')]),
+        |       (acc, c) -> (acc * 31 + c) % 1000000007)
+        |     FOR i IN range(1, greatest(length(t) - 7, 1) + 1)],
+        |    h -> h % 64 = 0))::BIGINT AS chunks
+        |FROM (SELECT doc_id, substr(text, 1, 200) AS t FROM documents WHERE doc_id < 200)""".stripMargin,
   )
 }

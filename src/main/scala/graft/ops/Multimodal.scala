@@ -1,0 +1,160 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * payloads with typed metadata, plus decode / feature-extract /
+  * frame-sample stages.
+  *
+  * The Spark-side shape is the real deliverable — schema, partitioning,
+  * per-partition batched processing (`mapPartitions`, the JVM analog of a
+  * `mapInPandas` batch UDF: one iterator per partition, amortized setup,
+  * no per-row driver involvement). The actual codec step is a
+  * **DETERMINISTIC FAKE** (this container has no image/audio libraries):
+  * payloads are self-describing (magic + metadata header + seeded body)
+  * and "decoding" parses that header and histograms the body bytes. A
+  * production build swaps [[FakeCodec]] for a real decoder behind the
+  * same signatures; nothing else changes.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, sampleRate: Int, nFrames: Int)
+  final case class MediaRow(media_id: Long, modality: String, payload: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(
+      media_id: Long,
+      modality: String,
+      decoded_ok: Boolean,
+      n_bytes: Int,
+      histogram: Array[Double], // 16-bin byte histogram, L1-normalized
+      mean_byte: Double)
+  final case class FrameRow(media_id: Long, frame_idx: Int, frame_bytes: Array[Byte])
+
+  /** The stand-in codec. Payload layout: 4-byte magic ("GIM0"/"GAU0"/
+    * "GVI0") + 4×4-byte big-endian ints (width, height, sampleRate,
+    * nFrames) + body. Deterministic; malformed payloads decode to
+    * decoded_ok=false rows, never exceptions (X7 error-as-data rule). */
+  object FakeCodec {
+    val HeaderLen = 20
+    private val magics = Map("image" -> "GIM0", "audio" -> "GAU0", "video" -> "GVI0")
+
+    def encode(modality: String, meta: MediaMeta, seed: Long, bodyLen: Int): Array[Byte] = {
+      val out = new Array[Byte](HeaderLen + bodyLen)
+      val magic = magics(modality).getBytes("US-ASCII")
+      System.arraycopy(magic, 0, out, 0, 4)
+      def putInt(off: Int, v: Int): Unit = {
+        out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+        out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+      }
+      putInt(4, meta.width); putInt(8, meta.height)
+      putInt(12, meta.sampleRate); putInt(16, meta.nFrames)
+      var z = seed
+      var i = 0
+      while (i < bodyLen) { // splitmix64 byte stream
+        z += 0x9e3779b97f4a7c15L
+        var x = z
+        x = (x ^ (x >>> 30)) * 0xbf58476d1ce4e5b9L
+        x = (x ^ (x >>> 27)) * 0x94d049bb133111ebL
+        out(HeaderLen + i) = (x ^ (x >>> 31)).toByte
+        i += 1
+      }
+      out
+    }
+
+    def decode(payload: Array[Byte]): Option[(String, MediaMeta, Array[Byte])] = {
+      if (payload == null || payload.length < HeaderLen) None
+      else {
+        val magic = new String(payload, 0, 4, "US-ASCII")
+        val modality = magics.collectFirst { case (m, g) if g == magic => m }
+        def getInt(off: Int): Int =
+          ((payload(off) & 0xff) << 24) | ((payload(off + 1) & 0xff) << 16) |
+            ((payload(off + 2) & 0xff) << 8) | (payload(off + 3) & 0xff)
+        modality.map { m =>
+          (m, MediaMeta(getInt(4), getInt(8), getInt(12), getInt(16)),
+            java.util.Arrays.copyOfRange(payload, HeaderLen, payload.length))
+        }
+      }
+    }
+  }
+
+  /** Deterministic synthetic media corpus (each row independently seeded —
+    * executor-side generation, same pattern as Synth.pagesDs). */
+  def mediaDs(spark: SparkSession, n: Long, seed: Long = 42L): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, n, 1, math.max(spark.sparkContext.defaultParallelism, 1)).map { i =>
+      val modality = (i % 3) match {
+        case 0 => "image"; case 1 => "audio"; case _ => "video"
+      }
+      val meta = modality match {
+        case "image" => MediaMeta(64 + (i % 8).toInt * 32, 64 + (i % 5).toInt * 32, 0, 1)
+        case "audio" => MediaMeta(0, 0, 16000, 0)
+        case _       => MediaMeta(128, 96, 0, 8 + (i % 5).toInt)
+      }
+      val bodyLen = 256 + ((i * 37) % 512).toInt
+      val payload =
+        if (i % 23 == 13) Array[Byte](1, 2, 3) // malformed slice
+        else FakeCodec.encode(modality, meta, seed ^ i, bodyLen)
+      MediaRow(i, modality, payload, meta)
+    }
+  }
+
+  /** Batched decode + feature extraction. The feature kernel (byte
+    * histogram) stands in for an image-embedding / mel-spectrogram step;
+    * the batch shape (one partition = one iterator, preallocated buffers
+    * reused across rows) is the part that must be right at 100 TB. */
+  def decodeFeatures(media: Dataset[MediaRow]): Dataset[MediaFeatures] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      val hist = new Array[Long](16) // reused per batch — no per-row alloc
+      rows.map { r =>
+        FakeCodec.decode(r.payload) match {
+          case Some((mod, _, body)) =>
+            java.util.Arrays.fill(hist, 0L)
+            var sum = 0L
+            var i = 0
+            while (i < body.length) {
+              val b = body(i) & 0xff
+              hist(b >>> 4) += 1
+              sum += b
+              i += 1
+            }
+            val n = math.max(body.length, 1)
+            MediaFeatures(r.media_id, mod, decoded_ok = true, body.length,
+              hist.map(_.toDouble / n), sum.toDouble / n)
+          case None =>
+            MediaFeatures(r.media_id, r.modality, decoded_ok = false, 0,
+              Array.fill(16)(0d), 0d)
+        }
+      }
+    }
+  }
+
+  /** Frame sampling for "video" payloads: every `stride`-th fixed-size
+    * block of the body becomes a frame row (fan-out via flatMap — the
+    * Dataset analog of a generator/UDTF). */
+  def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 64, stride: Int = 2): Dataset[FrameRow] = {
+    import media.sparkSession.implicits._
+    media.filter(_.modality == "video").flatMap { r =>
+      FakeCodec.decode(r.payload) match {
+        case Some((_, _, body)) =>
+          val nFrames = body.length / frameSize
+          (0 until nFrames by stride).map { f =>
+            FrameRow(r.media_id, f,
+              java.util.Arrays.copyOfRange(body, f * frameSize, (f + 1) * frameSize))
+          }
+        case None => Nil
+      }
+    }
+  }
+
+  /** Relational summary over the decoded features (the rows-only driver
+    * check for the multimodal plumbing). */
+  def featureSummary(spark: SparkSession, n: Long): DataFrame = {
+    val feats = decodeFeatures(mediaDs(spark, n)).toDF()
+    feats.groupBy(col("modality")).agg(
+      count(lit(1)).as("cnt"),
+      sum(when(col("decoded_ok"), 1L).otherwise(0L)).as("decoded"),
+      sum(col("n_bytes")).as("total_bytes"),
+      round(avg(col("mean_byte")), 4).as("avg_byte"))
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity search over an embedding
+  * column (`array<float>`).
+  *
+  *  - Brute-force top-k: broadcast the (small) query set against the
+  *    corpus, cosine via higher-order functions (whole-stage codegen'd,
+  *    deterministic left-to-right double accumulation), per-query top-k
+  *    via a row_number window partitioned by query id. At 10^12 rows
+  *    this is one corpus scan per query batch — the exact baseline.
+  *  - LSH (random hyperplane, Charikar 2002): a `numBits`-bit signature
+  *    from sign(v · plane_j) with ±1 planes derived deterministically
+  *    from splitmix64(planeSeed, j, i); candidates = bucket-equi-join on
+  *    the signature prefix bands, re-ranked with exact cosine. The scale
+  *    path: corpus signatures are computed once (narrow map, storable),
+  *    and each query touches only its buckets instead of the full scan.
+  */
+object Similarity {
+
+  /** Elementwise-deterministic cosine similarity of two `array<float>`
+    * columns: all math in double, sequential fold (index order), so the
+    * result is bit-stable across partitionings and engines. */
+  def cosine(a: Column, b: Column): Column = {
+    val ad = transform(a, x => x.cast("double"))
+    val bd = transform(b, x => x.cast("double"))
+    val dot = aggregate(zip_with(ad, bd, (x, y) => x * y), lit(0d), (acc, v) => acc + v)
+    val na = aggregate(transform(ad, x => x * x), lit(0d), (acc, v) => acc + v)
+    val nb = aggregate(transform(bd, x => x * x), lit(0d), (acc, v) => acc + v)
+    when(na === 0d || nb === 0d, lit(0d)).otherwise(dot / (sqrt(na) * sqrt(nb)))
+  }
+
+  /** Exact brute-force cosine top-k. `queries`/`corpus` carry
+    * (`idCol`, `vecCol`). Output: (query_id, vec_id, sim) — k rows per
+    * query, ordered ties broken by corpus id (total order). */
+  def bruteForceTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("nn_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
+  }
+
+  /** Deterministic ±1 hyperplane component for (seed, plane j, dim i). */
+  private def planeSign(seed: Long, j: Int, i: Int): Double = {
+    var z = seed + j * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1.0 else -1.0
+  }
+
+  /** Random-hyperplane signature UDF kernel: numBits sign bits packed into
+    * a Long. Pure Scala loop — one pass over the vector per plane. */
+  def lshSignature(seed: Long, numBits: Int): Seq[Float] => Long = { vec =>
+    if (vec == null) 0L
+    else {
+      var sig = 0L
+      var j = 0
+      while (j < numBits) {
+        var dot = 0.0
+        var i = 0
+        val n = vec.length
+        while (i < n) { dot += vec(i) * planeSign(seed, j, i); i += 1 }
+        if (dot >= 0) sig |= (1L << j)
+        j += 1
+      }
+      sig
+    }
+  }
+
+  /** LSH-bucketed ANN: signatures banded into `bands` chunks; a corpus row
+    * is a candidate for a query if ANY band matches (equi-join); candidates
+    * are re-ranked with exact cosine. Returns the same schema as
+    * [[bruteForceTopK]] (fewer than k rows per query possible — ANN). */
+  def lshTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      numBits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0)
+    val r = numBits / bands
+    val sigUdf = udf(lshSignature(seed, numBits))
+    def banded(df: DataFrame, id: String, vec: String) =
+      df.select(col(idCol).as(id), col(vecCol).as(vec),
+          sigUdf(col(vecCol)).as("sig"))
+        .select(col(id), col(vec),
+          posexplode(expr(
+            s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & ${(1L << r) - 1})"))
+            .as(Seq("band", "bk")))
+    val q = banded(queries, "query_id", "qv")
+    val c = banded(corpus, "nn_id", "cv")
+    val cand = c.join(broadcast(q), Seq("band", "bk"))
+      .select(col("query_id"), col("nn_id"), col("qv"), col("cv"))
+      .distinct()
+      .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("nn_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
+  }
+}

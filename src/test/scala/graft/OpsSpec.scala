@@ -1,0 +1,161 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Training-pipeline operators: dedup (MinHash/LSH, SimHash), ANN
+  * similarity, text analysis, multimodal plumbing. */
+class OpsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def docsDf = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 1
+    (3L, "completely different content about spark catalyst optimizer internals"),
+    (4L, "another unrelated document mentioning parquet columnar storage formats"),
+    (5L, "the quick brown fox jumps over the lazy dog again and again today") // exact dup of 1
+  ).toDF("id", "text")
+
+  test("minhash LSH finds planted near-dup and exact-dup pairs, skips unrelated") {
+    val pairs = Dedup.minhashNearDups(docsDf, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 5L))) // exact dup: jaccard 1.0
+    assert(pairs.contains((1L, 2L)) && pairs.contains((2L, 5L))) // near-dups
+    assert(!pairs.exists { case (a, b) => Set(a, b).intersect(Set(3L, 4L)).nonEmpty })
+  }
+
+  test("minhash jaccard column is exact set jaccard") {
+    val r = Dedup.minhashNearDups(docsDf, "id", "text", threshold = 0.1)
+      .filter($"id_a" === 1L && $"id_b" === 5L).select("jaccard").as[Double].head()
+    assert(r == 1.0)
+  }
+
+  test("simhash: identical texts → distance 0; near-dup small; unrelated large") {
+    val h1 = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    val h1b = Dedup.simhash64("the quick brown fox jumps over the lazy dog")
+    val h2 = Dedup.simhash64("the quick brown fox jumps over the lazy cat")
+    val h3 = Dedup.simhash64("totally different words entirely elsewhere")
+    assert(h1 == h1b)
+    assert(java.lang.Long.bitCount(h1 ^ h2) < java.lang.Long.bitCount(h1 ^ h3))
+    assert(Dedup.simhash64(null) == 0L && Dedup.simhash64("") == 0L)
+  }
+
+  test("simhash LSH join surfaces the exact-dup pair") {
+    val pairs = Dedup.simhashNearDups(docsDf, "id", "text", maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.exists(p => p._1 == 1L && p._2 == 5L && p._3 == 0))
+  }
+
+  private def vecsDf = {
+    // 3 tight clusters around orthogonal axes in R^8
+    def v(axis: Int, eps: Float, id: Long) = {
+      val a = Array.fill(8)(eps); a(axis) = 1f; (id, a.toSeq)
+    }
+    Seq(v(0, 0.01f, 0L), v(0, 0.02f, 1L), v(0, 0.03f, 2L),
+      v(3, 0.01f, 3L), v(3, 0.02f, 4L), v(3, 0.03f, 5L),
+      v(6, 0.01f, 6L), v(6, 0.02f, 7L), v(6, 0.03f, 8L)
+    ).toDF("vec_id", "embedding")
+  }
+
+  test("brute-force cosine top-k ranks own cluster first, k rows per query, rank total-ordered") {
+    val out = Similarity.bruteForceTopK(
+      vecsDf.filter($"vec_id" === 0L), vecsDf, "vec_id", "embedding", k = 3).collect()
+    assert(out.length == 3)
+    val ids = out.sortBy(_.getInt(1)).map(_.getLong(2)).toSeq
+    assert(ids.toSet == Set(0L, 1L, 2L)) // the axis-0 cluster
+    assert(out.map(_.getDouble(3)).max == 1.0) // self-match first
+  }
+
+  test("cosine column: orthogonal ~0, identical = 1, zero vector guarded") {
+    val df = Seq(
+      (Seq(1f, 0f), Seq(1f, 0f)),
+      (Seq(1f, 0f), Seq(0f, 1f)),
+      (Seq(0f, 0f), Seq(1f, 1f))
+    ).toDF("a", "b").select(Similarity.cosine($"a", $"b").as("c"))
+    val cs = df.as[Double].collect()
+    assert(cs(0) == 1.0 && cs(1) == 0.0 && cs(2) == 0.0)
+  }
+
+  test("LSH ANN: recall@3 vs brute force is perfect on separated clusters") {
+    val q = vecsDf.filter($"vec_id".isin(0L, 3L, 6L))
+    val exact = Similarity.bruteForceTopK(q, vecsDf, "vec_id", "embedding", k = 3)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ann = Similarity.lshTopK(q, vecsDf, "vec_id", "embedding", k = 3, numBits = 16, bands = 8)
+      .select("query_id", "nn_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // orthogonal clusters: every true neighbor shares a band with its query
+    assert(exact.subsetOf(ann) || (exact -- ann).isEmpty,
+      s"missing: ${exact -- ann}")
+  }
+
+  test("fingerprint: pure fold, matches a reference Scala loop; chunk count shift-invariant") {
+    val text = "hello world of deterministic rolling hashes"
+    def refFp(s: String): Long =
+      s.foldLeft(0L)((acc, c) => (acc * 31 + c.toLong) % 1000000007L)
+    val out = Seq(Tuple1(text)).toDF("t")
+      .select(TextOps.fingerprint($"t").as("fp"), TextOps.chunkBoundaryCount("t").as("ch"))
+      .collect().head
+    assert(out.getLong(0) == refFp(text))
+    // content-defined chunking: boundaries inside a shared suffix survive a prefix edit
+    val a = "PREFIX-A " * 3 + ("stable shared tail content " * 20)
+    val b = "DIFFERENT-HEAD " + ("stable shared tail content " * 20)
+    val Array(ca, cb) = Seq(Tuple1(a), Tuple1(b)).toDF("t")
+      .select(TextOps.chunkBoundaryCount("t").as("c")).as[Long].collect()
+    assert(ca > 0 && cb > 0) // both found boundaries in the shared region
+  }
+
+  test("quality features + score: bounds and degenerate inputs") {
+    val df = Seq(
+      Tuple1("A normal, well formed sentence with reasonable words and length."),
+      Tuple1("!!!!!! ???? ;;;; ,,,, ...."),
+      Tuple1("x")
+    ).toDF("text").select(
+      TextOps.qualityFeatures($"text").as("f"),
+      TextOps.qualityScore($"text").as("q"))
+    val rows = df.select($"f.n_words", $"f.punct_ratio", $"q").collect()
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+      assert(r.getDouble(1) >= 0.0 && r.getDouble(1) <= 1.0)
+    }
+    assert(rows(0).getDouble(2) > rows(1).getDouble(2)) // punctuation soup scores lower
+  }
+
+  test("token counts: whitespace and subword proxies") {
+    val r = Seq(Tuple1("Hello world, this is test-42!")).toDF("t")
+      .select(TextOps.tokenCount($"t").as("w"), TextOps.subwordCount($"t").as("s"))
+      .collect().head
+    assert(r.getLong(0) == 5L)
+    assert(r.getLong(1) > r.getLong(0)) // punctuation splits add tokens
+  }
+
+  test("multimodal: decode round-trips header, malformed rows are error-data, frames sample") {
+    val media = Multimodal.mediaDs(spark, 60L)
+    val feats = Multimodal.decodeFeatures(media).collect()
+    assert(feats.length == 60)
+    val bad = feats.filter(!_.decoded_ok)
+    assert(bad.nonEmpty && bad.forall(f => f.n_bytes == 0)) // malformed slice, no exceptions
+    val ok = feats.filter(_.decoded_ok)
+    assert(ok.forall(f => math.abs(f.histogram.sum - 1.0) < 1e-9)) // L1-normalized
+    val frames = Multimodal.sampleFrames(media).collect()
+    assert(frames.nonEmpty && frames.forall(_.frame_bytes.length == 64))
+    // deterministic: regenerate → identical features
+    val again = Multimodal.decodeFeatures(Multimodal.mediaDs(spark, 60L)).collect()
+    assert(feats.map(_.mean_byte).toSeq == again.map(_.mean_byte).toSeq)
+  }
+
+  test("multimodal summary query returns one row per modality") {
+    val rows = Multimodal.featureSummary(spark, 300L).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
+  }
+
+  test("langid column agrees with doc lang on clean stopword-marked text") {
+    val df = Seq(
+      ("en", "we saw the cat and the dog and the end"),
+      ("de", "das ist der hund und der mann und der tag"),
+      ("fr", "ce sont les chats des villes les plus grandes")
+    ).toDF("lang", "text")
+    val preds = df.select($"lang", TextOps.langId($"text").as("p")).collect()
+    preds.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+}
