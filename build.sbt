@@ -27,4 +27,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Fixed, pre-touched heap: on this Firecracker VM, G1's grow/uncommit
+  // cycle turns into kernel page-fault storms (sys time 2x user time,
+  // 10-50x wall variance on identical runs). Pre-touching once makes
+  // run times stable and scaling measurable.
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  "-XX:+AlwaysPreTouch",
 )

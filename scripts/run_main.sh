@@ -12,7 +12,7 @@ done
 for p in sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
   ADD_OPENS="$ADD_OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
-exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-16g} \
+exec java $ADD_OPENS -Xmx${SPARK_DRIVER_MEM:-8g} -Xms${SPARK_DRIVER_MEM:-8g} -XX:+AlwaysPreTouch \
   -Dspark.ui.enabled=false -Dspark.sql.session.timeZone=UTC \
   -cp "target/scala-2.13/ocrspark_2.13-0.1.0.jar:/opt/spark/jars/*" \
   "$MAIN" "$@"

@@ -1,24 +1,174 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Benchmark main. Emits exactly ONE JSON line on stdout:
+  *
+  * {"metric":"total","value":<sum sec>,"unit":"sec",
+  *  "queries":{<name>:<sec>,...},"sf":"<dir>",
+  *  "scaling":{"docs":N,"cores_low":..,"cores_high":..,
+  *             "wall_low_sec":..,"wall_high_sec":..,
+  *             "thr_low_docs_per_sec":..,"thr_high_docs_per_sec":..,
+  *             "efficiency":..}}
+  *
+  * Two phases:
+  *  1. every SparkEntry query on SPARK_GRAFT_SF_DIR at local[32], each
+  *     forced through a noop sink (full evaluation — a count() would let
+  *     Catalyst prune projections and skip the UDF work being measured);
+  *  2. the sandbox proxy for the north_rule's N → 4N cluster-size scaling
+  *     criterion (BASELINE.md "Sandbox scaling protocol"): the SAME
+  *     pre-materialized parquet `pages` corpus extracted at local[N] and
+  *     local[4N], each level in its OWN freshly spawned JVM (shared-JVM
+  *     measurements carried phase-1 GC/JIT debt and cost ~0.2 efficiency),
+  *     shuffle.partitions matched to cores, JIT warmed in-child, wall =
+  *     min of 3 passes. Default pair 4 → 16: probing showed this VM does
+  *     not deliver >16 truly-concurrent cores (32 advertised), so 8 → 32
+  *     would measure hypervisor capacity, not pipeline scaling.
+  */
 object Bench {
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+
+  private def session(cpus: Int): SparkSession = {
+    val s = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .appName(s"graft-bench-$cpus")
+      .config("spark.sql.shuffle.partitions", cpus.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private def force(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  private def extractAll(s: SparkSession, corpusDir: String): Unit =
+    force(graft.extract.ExtractJob.extractedDf(s.read.parquet(corpusDir))
+      .select(org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("extracted")))
+
+  /** Child-JVM entry: measure one parallelism level on a corpus.
+    * Prints `SCALE_WALL=<min sec>` on stdout. */
+  private def scaleChild(cpus: Int, corpusDir: String): Unit = {
+    val s = session(cpus)
+    extractAll(s, corpusDir) // warmup (JIT + scan setup)
+    val walls = (1 to 5).map(_ => time(extractAll(s, corpusDir)))
+    s.stop()
+    System.err.println(s"[bench-child] local[$cpus] walls=${walls.mkString(",")}")
+    println(f"SCALE_WALL=${walls.min}%.6f")
+  }
+
+  private val addOpens = Seq(
+    "java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+    "java.net", "java.nio", "java.util", "java.util.concurrent",
+    "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+    "sun.security.action", "sun.util.calendar"
+  ).flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+
+  /** Spawn a fresh JVM for one scaling level; fall back to in-process
+    * measurement if spawning fails (e.g. exotic launcher classpath). */
+  private def measureIsolated(cpus: Int, corpusDir: String): Double = {
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
+    val cp = System.getProperty("java.class.path")
+    val cmd: Seq[String] =
+      Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xms8g", "-Xmx8g", "-XX:+AlwaysPreTouch", // see build.sbt note: stable walls need a fixed pre-touched heap
+        "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+        "-cp", cp, "graft.Bench", "--scale-child", cpus.toString, corpusDir)
+    try {
+      val pb = new ProcessBuilder(cmd: _*)
+      pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+      val proc = pb.start()
+      val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+      val rc = proc.waitFor()
+      val wall = out.linesIterator
+        .find(_.startsWith("SCALE_WALL=")).map(_.stripPrefix("SCALE_WALL=").toDouble)
+      if (rc == 0 && wall.isDefined) wall.get
+      else {
+        System.err.println(s"[bench] child rc=$rc, falling back to in-process")
+        measureInProcess(cpus, corpusDir)
+      }
+    } catch {
+      case e: Throwable =>
+        System.err.println(s"[bench] spawn failed (${e.getMessage}), in-process fallback")
+        measureInProcess(cpus, corpusDir)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+  }
+
+  private def measureInProcess(cpus: Int, corpusDir: String): Double = {
+    System.gc()
+    val s = session(cpus)
+    extractAll(s, corpusDir)
+    val walls = (1 to 3).map(_ => time(extractAll(s, corpusDir)))
+    s.stop()
+    walls.min
+  }
+
+  def main(args: Array[String]): Unit = {
+    if (args.length == 3 && args(0) == "--scale-child") {
+      scaleChild(args(1).toInt, args(2))
+      return
+    }
+
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
+    // sized so the timed walls are seconds, not scheduler noise
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "200000").toLong
+
+    // ---- phase 1: query suite at local[cpus] ----
+    val spark = session(cpus)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+      name -> sec
+    }
+
+    // ---- phase 2: scaling on a shared materialized corpus ----
+    val corpusDir = java.nio.file.Files.createTempDirectory("graft_bench_pages").toString
+    graft.synth.Synth.pagesDs(spark, scaleDocs, seed = 42L, parallelism = 128)
+      .write.mode("overwrite").parquet(corpusDir)
     spark.stop()
+
+    val Array(nLow, nHigh) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "4,16")
+      .split(",").map(_.trim.toInt)
+    // Interleave the levels across rounds of alternating child JVMs and
+    // take the per-level min: host capacity on this VM fluctuates on
+    // multi-minute windows, so back-to-back single measurements can land
+    // one level in a slow window and corrupt the ratio in either
+    // direction. Alternation gives both levels the same exposure.
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+    val walls = (1 to rounds).map { _ =>
+      (measureIsolated(nLow, corpusDir), measureIsolated(nHigh, corpusDir))
+    }
+    val wallLow = walls.map(_._1).min
+    val wallHigh = walls.map(_._2).min
+
+    // best-effort cleanup of the materialized corpus
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete()
+    }
+    try rm(new java.io.File(corpusDir)) catch { case _: Throwable => () }
+
+    val thrLow = scaleDocs / wallLow
+    val thrHigh = scaleDocs / wallHigh
+    val eff = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val scaling =
+      f"""{"docs":$scaleDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
+        f""""wall_low_sec":$wallLow%.2f,"wall_high_sec":$wallHigh%.2f,""" +
+        f""""thr_low_docs_per_sec":$thrLow%.1f,"thr_high_docs_per_sec":$thrHigh%.1f,""" +
+        f""""efficiency":$eff%.3f}"""
+    println(
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
   }
 }

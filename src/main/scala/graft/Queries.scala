@@ -311,6 +311,37 @@ object Queries {
           round(ssUdf(col("ref_n"), col("hyp_n")), 6).as("seq_sim"))
     }),
 
+    // §3.3 full evaluation pipeline: extraction output scored against a
+    // golden side (here: the same corpus, with a perturbed slice standing
+    // in for prediction drift) → per-url detail + imputation + summary
+    "q31_eval_pipeline" -> ((s, dir) => {
+      val pages = graft.synth.Synth.pagesDs(s, 200L, seed = 42L).toDF()
+      val extracted = graft.extract.ExtractJob.extractedDf(pages).select(
+        col("url"), col("extracted.status").as("status"),
+        col("extracted.markdown").as("markdown"))
+      // golden = clean extraction; prediction = word-perturbed on a slice
+      val goldens = extracted.select(col("url"), col("markdown").as("g_markdown"))
+      val preds = extracted.withColumn("markdown",
+        when(xxhash64(col("url")) % 4 === 0,
+          regexp_replace(col("markdown"), "the|value|report", "X"))
+          .otherwise(col("markdown")))
+      val det = graft.jobs.EvalJob.detail(preds, broadcast(goldens))
+      graft.jobs.EvalJob.summary(det)
+    }),
+
+    // X5 schema-guided field harvest: markdown + JSON schema → fields
+    "q32_fields" -> ((s, dir) => {
+      val schema = """{"type":"object","properties":{"Col A":{"type":"string"},"Col B":{"type":"string"},"missing key":{"type":"string"}}}"""
+      val fieldsUdf = udf((md: String) =>
+        graft.fields.FieldExtractor.extractFields(md, schema).orNull)
+      val pages = graft.synth.Synth.pagesDs(s, 300L, seed = 42L).toDF()
+      graft.extract.ExtractJob.extractedDf(pages)
+        .filter(col("extracted.status") === "ok")
+        .select(col("url"), fieldsUdf(col("extracted.markdown")).as("fields"))
+        .select(col("url"), to_json(col("fields")).as("fields_json"))
+        .filter(col("fields_json").isNotNull)
+    }),
+
     // A10: per-partition lineage checksum (north_rule)
     "q22_lineage" -> ((s, dir) => {
       docs(s, dir)

@@ -1,0 +1,59 @@
+package graft.jobs
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.metrics.Metrics
+
+/** The evaluation pipeline (SURVEY §3.3, process 2 —
+  * /root/reference/mvp/evaluation/eval.py:342-385) as one Spark job:
+  * results ⋈ goldens on url (the reference's positional zip made keyed,
+  * §2.3 J1), per-row 8-metric evaluation with worst-case imputation for
+  * failed rows (eval.py:290-301), then a success-filtered summary with
+  * the reference's empty-set fallbacks (eval.py:305-319).
+  *
+  * Scale shape: the join broadcasts whichever side is small (goldens at
+  * test scale) or sort-merges on url; the metric stage is a narrow map;
+  * the summary is one partial+final aggregate. No driver loops.
+  */
+object EvalJob {
+
+  /** Per-document detail table.
+    * `results` needs (url, status, markdown); `goldens` needs
+    * (url, g_markdown). Output: url, success, 8 metric columns. */
+  def detail(results: DataFrame, goldens: DataFrame): DataFrame = {
+    val evalUdf = udf { (success: Boolean, gt: String, pred: String) =>
+      if (!success || pred == null) Metrics.failedRow
+      else Metrics.evaluateOcr(gt, pred)
+    }
+    results
+      .join(goldens, Seq("url"))
+      .withColumn("success", col("status") === "ok")
+      .withColumn("m", evalUdf(col("success"), col("g_markdown"), col("markdown")))
+      .select(col("url"), col("success"),
+        round(col("m.cer"), 6).as("cer"),
+        round(col("m.wer"), 6).as("wer"),
+        round(col("m.wordAcc"), 6).as("word_acc"),
+        round(col("m.tableAcc"), 6).as("table_acc"),
+        round(col("m.sequenceSimilarity"), 6).as("seq_sim"),
+        round(col("m.rowAccuracy"), 6).as("row_acc"),
+        round(col("m.columnAccuracy"), 6).as("col_acc"),
+        round(col("m.cellAccuracy"), 6).as("cell_acc"))
+  }
+
+  /** Corpus summary (eval.py:305-319): counts + success rate over ALL
+    * rows, metric means over successful rows only, with the reference's
+    * fallbacks when no row succeeded (1.0 for CER/WER, 0.0 for the
+    * accuracy/similarity metrics). */
+  def summary(detail: DataFrame): DataFrame = {
+    def meanOk(c: String, fallback: Double) =
+      round(coalesce(avg(when(col("success"), col(c))), lit(fallback)), 6).as(s"mean_$c")
+    detail.agg(
+      count(lit(1)).as("total"),
+      count(when(col("success"), 1)).as("successes"),
+      round(avg(col("success").cast("double")), 6).as("success_rate"),
+      meanOk("cer", 1.0), meanOk("wer", 1.0),
+      meanOk("word_acc", 0.0), meanOk("table_acc", 0.0),
+      meanOk("seq_sim", 0.0), meanOk("row_acc", 0.0),
+      meanOk("col_acc", 0.0), meanOk("cell_acc", 0.0))
+  }
+}

@@ -12,6 +12,9 @@ import org.apache.spark.sql.functions._
   *  - exact:   groupBy(xxhash64(text)) — one shuffle on the content hash.
   *  - MinHash: shingle → per-shingle hash → column-wise min (signature) →
   *             banded LSH keys → self-equi-join on (band, bandHash).
+  *             Signature kernels are tight Scala UDFs (see
+  *             wordShinglesKernel's note on why HOF spellings degenerate);
+  *             the join itself stays relational.
   *             At 10^12 docs the band join is the only wide op; hot
   *             buckets (boilerplate-identical shingle sets) are the skew
   *             risk — the candidate join keys include the band id, and
@@ -27,29 +30,73 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  /** Distinct k-word shingles of a text column, as `array<string>`.
-    * Shorter-than-k documents yield their single joined-word shingle. */
-  def wordShingles(text: Column, k: Int): Column = {
-    val words = split(trim(text), "\\s+")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(words) - lit(k - 1), lit(1))),
-        i => concat_ws(" ", slice(words, i, lit(k)))))
+  /** Distinct k-word shingles of a text. (Single pass — the HOF
+    * spelling `transform(seq, i -> concat_ws(slice(split(text)...)))` is
+    * avoided deliberately: Catalyst re-evaluates non-trivial child
+    * expressions inside lambda bodies per element, turning shingling
+    * into O(positions × split) and, nested under a signature transform,
+    * into O(hashes × positions × split) per row.) */
+  def wordShinglesKernel(k: Int): String => Array[String] = { text =>
+    if (text == null) Array.empty
+    else {
+      val words = text.trim.split("\\s+").filter(_.nonEmpty)
+      if (words.isEmpty) Array.empty
+      else if (words.length <= k) Array(words.mkString(" "))
+      else {
+        val out = new java.util.LinkedHashSet[String]()
+        var i = 0
+        while (i + k <= words.length) {
+          val sb = new java.lang.StringBuilder
+          var j = 0
+          while (j < k) { if (j > 0) sb.append(' '); sb.append(words(i + j)); j += 1 }
+          out.add(sb.toString)
+          i += 1
+        }
+        out.toArray(new Array[String](out.size))
+      }
+    }
   }
 
-  /** MinHash signature: `array<bigint>` of length `numHashes`;
-    * element i = min over shingles of xxhash64(i, shingle). */
-  def minhashSignature(shingleSet: Column, numHashes: Int): Column =
-    transform(
-      sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(shingleSet, s => xxhash64(i, s))))
+  /** splitmix64 of a seeded polynomial string hash — the permutation
+    * family for MinHash (deterministic, independent of JVM hashing). */
+  private def shingleHash(seed: Long, s: String): Long = {
+    var h = 1125899906842597L ^ (seed * 0x9e3779b97f4a7c15L)
+    var i = 0
+    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
+    var z = h + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
 
-  /** LSH band keys: hash each of `bands` contiguous signature slices.
-    * Returns `array<bigint>` of length `bands`. */
-  def bandKeys(signature: Column, bands: Int, rowsPerBand: Int): Column =
-    transform(
-      sequence(lit(0), lit(bands - 1)),
-      b => xxhash64(b, slice(signature, b * lit(rowsPerBand) + lit(1), lit(rowsPerBand))))
+  /** MinHash band keys from a shingle set: signature of `numHashes` mins
+    * (one pass per hash seed over the shingles), then each of `bands`
+    * contiguous signature slices folded to one 64-bit key. */
+  def bandKeysKernel(numHashes: Int, bands: Int): Array[String] => Array[Long] = { shingles =>
+    val r = numHashes / bands
+    val sig = new Array[Long](numHashes)
+    java.util.Arrays.fill(sig, Long.MaxValue)
+    var h = 0
+    while (h < numHashes) {
+      var i = 0
+      while (i < shingles.length) {
+        val v = shingleHash(h.toLong, shingles(i))
+        if (v < sig(h)) sig(h) = v
+        i += 1
+      }
+      h += 1
+    }
+    val keys = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 1125899906842597L + b
+      var j = 0
+      while (j < r) { acc = acc * 0x100000001b3L + sig(b * r + j); j += 1 }
+      keys(b) = acc
+      b += 1
+    }
+    keys
+  }
 
   /** Exact Jaccard over two distinct-element arrays (set semantics —
     * correct here because shingle arrays are array_distinct'ed). */
@@ -78,10 +125,11 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val r = numHashes / bands
+    val shingleUdf = udf(wordShinglesKernel(shingleK))
+    val bandUdf = udf(bandKeysKernel(numHashes, bands))
     val sig = df
-      .select(col(idCol).as("id"), wordShingles(col(textCol), shingleK).as("sh"))
-      .withColumn("bk", bandKeys(minhashSignature(col("sh"), numHashes), bands, r))
+      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
+      .withColumn("bk", bandUdf(col("sh")))
     val buckets = sig.select(col("id"), col("sh"), posexplode(col("bk")).as(Seq("band", "key")))
     val a = buckets.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = buckets.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))

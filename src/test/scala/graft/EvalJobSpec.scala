@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.jobs.EvalJob
+
+/** §3.3 evaluation pipeline: keyed golden join, metric columns,
+  * failed-row imputation, success-filtered summary with fallbacks. */
+class EvalJobSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def results = Seq(
+    ("u1", "ok", "identical text"),
+    ("u2", "ok", "sume text with drift"),
+    ("u3", "error", null.asInstanceOf[String])
+  ).toDF("url", "status", "markdown")
+
+  private def goldens = Seq(
+    ("u1", "identical text"),
+    ("u2", "some text with drift"),
+    ("u3", "never produced")
+  ).toDF("url", "g_markdown")
+
+  test("detail: perfect row scores 0 CER / 1.0 accuracies; failed row imputed worst-case") {
+    val det = EvalJob.detail(results, goldens).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val perfect = det("u1")
+    assert(perfect.getDouble(2) == 0.0 && perfect.getDouble(3) == 0.0) // cer, wer
+    assert(perfect.getDouble(4) == 1.0) // word_acc
+    assert(perfect.getDouble(6) == 1.0) // seq_sim
+    val drifted = det("u2")
+    assert(drifted.getDouble(2) > 0.0 && drifted.getDouble(2) < 0.5)
+    val failed = det("u3")
+    assert(!failed.getBoolean(1))
+    assert(failed.getDouble(2) == 1.0 && failed.getDouble(3) == 1.0) // imputed cer/wer
+    assert((4 to 9).forall(i => failed.getDouble(i) == 0.0)) // imputed accuracies
+  }
+
+  test("summary: means over successes only; success_rate over all") {
+    val s = EvalJob.summary(EvalJob.detail(results, goldens)).collect().head
+    assert(s.getLong(0) == 3L && s.getLong(1) == 2L)
+    assert(math.abs(s.getDouble(2) - 2.0 / 3.0) < 1e-4)
+    // mean_cer over successes excludes the imputed 1.0 of the failed row
+    assert(s.getDouble(3) < 0.5)
+  }
+
+  test("summary fallbacks: all-failed corpus gives CER/WER 1.0, accuracies 0.0") {
+    val allFailed = Seq(("u1", "error", null.asInstanceOf[String])).toDF("url", "status", "markdown")
+    val s = EvalJob.summary(EvalJob.detail(allFailed, goldens)).collect().head
+    assert(s.getDouble(3) == 1.0 && s.getDouble(4) == 1.0) // mean_cer, mean_wer
+    assert(s.getDouble(5) == 0.0) // mean_word_acc
+  }
+
+  test("join is keyed on url, not positional (order shuffle changes nothing)") {
+    val shuffled = results.orderBy(rand(7))
+    val a = EvalJob.summary(EvalJob.detail(results, goldens)).collect().head.toSeq
+    val b = EvalJob.summary(EvalJob.detail(shuffled, goldens)).collect().head.toSeq
+    assert(a == b)
+  }
+}

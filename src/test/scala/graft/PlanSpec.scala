@@ -1,0 +1,64 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits (SURVEY §4): the 100 TB design properties must be
+  * visible in `explain`, not just hoped for — filter pushdown and column
+  * pruning at the parquet scan, broadcast for the small join sides,
+  * whole-stage codegen around the relational stages, no shuffle in the
+  * narrow extraction map. */
+class PlanSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def physicalPlan(df: org.apache.spark.sql.DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("lang filter + narrow projection push down to the parquet scan") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .filter(col("lang") === "en")
+      .select(col("doc_id"), col("lang"))
+    val plan = physicalPlan(df)
+    assert(plan.contains("PushedFilters") &&
+      (plan.contains("IsNotNull(lang)") || plan.contains("EqualTo(lang,en)")), plan)
+    // column pruning: the fat `text` column must not be read
+    val readSchema = plan.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(!readSchema.contains("text"), readSchema)
+  }
+
+  test("extraction pipeline plan: no shuffle beyond the explicit salted repartition") {
+    val pages = graft.synth.Synth.pagesDs(spark, 50L, seed = 42L).toDF()
+      .repartition(8, pmod(xxhash64(col("url")), lit(8)))
+    val out = graft.extract.ExtractJob.extractedDf(pages)
+      .select(col("url"), col("extracted.status"))
+    val plan = physicalPlan(out)
+    val exchanges = plan.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"extraction map must stay narrow after the one repartition:\n$plan")
+  }
+
+  test("golden-style equi-join broadcasts the small side") {
+    import spark.implicits._
+    val golden = Seq(("u1", "t1"), ("u2", "t2")).toDF("url", "g")
+    val big = spark.read.parquet(s"$sf/documents.parquet")
+      .select(concat(lit("u"), col("doc_id")).as("url"), col("text"))
+    val joined = big.join(broadcast(golden), Seq("url"))
+    assert(physicalPlan(joined).contains("BroadcastHashJoin"))
+  }
+
+  test("grouped aggregate runs as partial+final hash aggregate under codegen") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+    df.collect() // materialize so AQE finalizes the adaptive plan
+    val plan = physicalPlan(df)
+    assert(plan.linesIterator.count(_.contains("HashAggregate")) >= 2, plan) // partial+final
+    // the *(n) star prefix marks WholeStageCodegen spans in simpleString
+    assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), plan)
+  }
+
+  test("top-k compiles to TakeOrderedAndProject, not a global sort") {
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .orderBy(col("value").desc).limit(10)
+    assert(physicalPlan(df).contains("TakeOrderedAndProject"))
+  }
+}
