@@ -74,6 +74,33 @@ class MetricsSpec extends AnyFunSuite {
       0.014814814814814815))
   }
 
+  test("SequenceMatcher.ratio matches CPython difflib on the 300-case fuzz corpus") {
+    // fixtures/seqmatcher_cases.jsonl: seeded random + near-dup pairs,
+    // 128 of them on the autojunk path, expected ratios computed by
+    // CPython 3.11 difflib (generation commands in the file's git log)
+    val src = scala.io.Source.fromFile("fixtures/seqmatcher_cases.jsonl", "UTF-8")
+    val cases = try src.getLines().toVector finally src.close()
+    assert(cases.size == 300)
+    def field(line: String, k: String): String = {
+      val i = line.indexOf("\"" + k + "\": ")
+      val start = i + k.length + 4
+      if (line.charAt(start) == '"') {
+        val sb = new StringBuilder
+        var j = start + 1
+        while (line.charAt(j) != '"') { // corpus alphabet has no escapes except none
+          sb.append(line.charAt(j)); j += 1
+        }
+        sb.toString
+      } else line.substring(start).takeWhile(c => c != ',' && c != '}')
+    }
+    cases.foreach { line =>
+      val a = field(line, "a"); val b = field(line, "b")
+      val want = field(line, "ratio").toDouble
+      val got = SequenceMatcher.ratio(a, b)
+      assert(~=(got, want), s"drift: a=${a.take(40)}... b=${b.take(40)}... want=$want got=$got")
+    }
+  }
+
   test("evaluate_ocr: identical docs score perfectly; metric bounds hold") {
     val md = "# Title\n\nSome **bold** text.\n\n| a | b |\n| --- | --- |\n| 1 | 2 |"
     val m = Metrics.evaluateOcr(md, md)
