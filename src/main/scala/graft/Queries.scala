@@ -106,11 +106,15 @@ object Queries {
         .distinct().agg(count(lit(1)).as("cnt"))
     }),
 
-    // exact dedup signature (training op): distinct counts
+    // exact dedup signature (training op): distinct counts. The md5
+    // variant is the 100 TB shape — shuffling 32-char digests instead of
+    // full documents; identical algorithm in both engines so it stays
+    // oracle-checked
     "q10_exact_dedup" -> ((s, dir) => {
       docs(s, dir).agg(
         count(lit(1)).as("total"),
         countDistinct(col("text")).as("distinct_texts"),
+        countDistinct(md5(col("text").cast("binary"))).as("distinct_hashes"),
         countDistinct(col("source")).as("distinct_sources"))
     }),
 
@@ -401,6 +405,7 @@ object Queries {
 
     "q10_exact_dedup" ->
       """SELECT count(*) AS total, count(DISTINCT text) AS distinct_texts,
+        | count(DISTINCT md5(text)) AS distinct_hashes,
         | count(DISTINCT source) AS distinct_sources FROM documents""".stripMargin,
 
     "q11_token_count" ->

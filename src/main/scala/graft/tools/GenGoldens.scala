@@ -14,9 +14,11 @@ import graft.synth.Synth
   *   sbt "runMain graft.tools.GenGoldens --regenerate"
   *
   * Output: fixtures/goldens_v1.jsonl — one JSON object per line, sorted by
-  * url: {"url","status","content_type","pages","md_b64"} where md_b64 is the
-  * base64 of the markdown's UTF-8 bytes (base64 so the contract is exact
-  * bytes, immune to JSON-escaping subtleties).
+  * url: {"url","status","content_type","pages","md_b64","spans"} where
+  * md_b64 is the base64 of the markdown's UTF-8 bytes (base64 so the
+  * contract is exact bytes, immune to JSON-escaping subtleties) and spans
+  * is the frozen "start:end:kind" list — the north_rule covers spans per
+  * url, not just text.
   */
 object GenGoldens {
   val CorpusSeed = 42L
@@ -29,7 +31,8 @@ object GenGoldens {
       val e = Extractor.extract(p.url, p.html)
       val b64 = Base64.getEncoder.encodeToString(e.markdown.getBytes(UTF_8))
       val err = if (e.error == null) "" else e.error
-      s"""{"url":"${p.url}","status":"${e.status}","content_type":"${e.content_type}","pages":${e.pages},"error":"$err","md_b64":"$b64"}"""
+      val spans = e.spans.map(s => s"${s.start}:${s.end}:${s.kind}").mkString(",")
+      s"""{"url":"${p.url}","status":"${e.status}","content_type":"${e.content_type}","pages":${e.pages},"error":"$err","spans":"$spans","md_b64":"$b64"}"""
     }.sortBy(identity).toVector
   }
 

@@ -13,7 +13,7 @@ import graft.tools.GenGoldens
   */
 class GoldenSpec extends AnyFunSuite {
 
-  private def loadGoldens(): Map[String, (String, String, Int, Array[Byte])] = {
+  private def loadGoldens(): Map[String, (String, String, Int, String, Array[Byte])] = {
     val src = scala.io.Source.fromFile(GenGoldens.GoldenPath, "UTF-8")
     try {
       src.getLines().map { line =>
@@ -28,7 +28,7 @@ class GoldenSpec extends AnyFunSuite {
         }
         val url = field("url")
         url -> ((field("status"), field("content_type"), intField("pages"),
-          Base64.getDecoder.decode(field("md_b64"))))
+          field("spans"), Base64.getDecoder.decode(field("md_b64"))))
       }.toMap
     } finally src.close()
   }
@@ -40,12 +40,14 @@ class GoldenSpec extends AnyFunSuite {
     (0L until GenGoldens.CorpusSize).foreach { i =>
       val p = graft.synth.Synth.page(GenGoldens.CorpusSeed, i)
       val e = graft.extract.Extractor.extract(p.url, p.html)
-      val (status, ct, pages, mdBytes) = goldens(p.url)
+      val (status, ct, pages, spans, mdBytes) = goldens(p.url)
       assert(e.status == status, s"status drift at ${p.url}")
       assert(e.content_type == ct, s"content_type drift at ${p.url}")
       assert(e.pages == pages, s"page count drift at ${p.url}")
       assert(java.util.Arrays.equals(e.markdown.getBytes(UTF_8), mdBytes),
         s"BYTE DRIFT at ${p.url}")
+      val gotSpans = e.spans.map(s => s"${s.start}:${s.end}:${s.kind}").mkString(",")
+      assert(gotSpans == spans, s"SPAN DRIFT at ${p.url}")
       checked += 1
     }
     assert(checked == 500)
@@ -55,7 +57,7 @@ class GoldenSpec extends AnyFunSuite {
     val spark = SparkTestBase.spark
     import spark.implicits._
     val goldens = loadGoldens().toSeq
-      .map { case (url, (status, _, _, md)) => (url, status, new String(md, UTF_8)) }
+      .map { case (url, (status, _, _, _, md)) => (url, status, new String(md, UTF_8)) }
       .toDF("url", "g_status", "g_markdown")
     val pages = graft.synth.Synth.pagesDs(spark, GenGoldens.CorpusSize,
       seed = GenGoldens.CorpusSeed, parallelism = 4).toDF()
