@@ -9,8 +9,12 @@ import scala.collection.mutable.ArrayBuffer
   * MuPDF rasterize + LLM OCR, /root/reference/mvp/utils/pdf_processor.py:24-58
   * and ocr_client.py:14-29).
   *
-  * Scope fence (SURVEY.md §7.4): classic xref tables, raw / FlateDecode /
-  * ASCIIHexDecode content streams, simple-font text operators
+  * Scope fence (SURVEY.md §7.4): classic xref tables AND PDF 1.5+
+  * cross-reference streams (/Type /XRef with /W fields, /Index, /Prev
+  * chains, TIFF/PNG predictors incl. the ubiquitous /Predictor 12) with
+  * compressed object streams (/Type /ObjStm) — the container formats real
+  * Common-Crawl PDFs use; raw / FlateDecode / ASCIIHexDecode content
+  * streams, simple-font text operators
   * (BT ET Tf Td TD Tm T* TL Tj TJ ' "), WinAnsi/Latin-1 strings, /MediaBox +
   * /Rotate inheritance and normalization (the reference zeroes rotation,
   * pdf_processor.py:76-77 — we normalize coordinates instead, same observable
@@ -241,8 +245,13 @@ object PdfParser {
   // ------------------------------------------------------------- document
   private final class Doc(bytes: Array[Byte]) {
     private var _trailer: PDict = PDict(Map.empty)
+    /** objNum → (containing ObjStm number, index within it) — PDF 1.5+
+      * compressed objects (xref stream type-2 entries). */
+    private val compressed = mutable.HashMap.empty[Int, (Int, Int)]
     private val offsets: Map[Int, Int] = buildXref()
     private val cache = mutable.HashMap.empty[Int, PObj]
+    /** Decoded object streams: stmNum → (payload, (objNum, relOffset) pairs). */
+    private val objStmCache = mutable.HashMap.empty[Int, (Array[Byte], Vector[(Int, Int)])]
     def trailer: PDict = _trailer
 
     private def tail(k: Int): String = {
@@ -267,8 +276,13 @@ object PdfParser {
           val lx = new Lexer(bytes)
           lx.pos = xrefOff
           lx.skipWs()
+          val save0 = lx.pos
           val kw = lx.token()
-          if (kw != "xref") throw PdfError("pdf_xref_stream_unsupported")
+          if (kw != "xref") {
+            // PDF 1.5+ cross-reference STREAM: "N G obj << /Type /XRef ... >> stream"
+            lx.pos = save0
+            xrefOff = readXrefStream(lx, out)
+          } else {
           var more = true
           while (more) {
             lx.skipWs()
@@ -297,6 +311,7 @@ object PdfParser {
             case Some(PNum(v)) => v.toInt
             case _             => -1
           }
+          }
         }
       } catch {
         case _: Throwable =>
@@ -321,13 +336,141 @@ object PdfParser {
       out.toMap
     }
 
+    /** Parse one cross-reference stream (PDF 1.5+) at the lexer position;
+      * fill `out`/`compressed` (first entry wins — /Prev chains go newest
+      * to oldest) and adopt its dict as the trailer. Returns /Prev or -1. */
+    private def readXrefStream(lx: Lexer, out: mutable.HashMap[Int, Int]): Int = {
+      lx.token(); lx.token() // obj num, gen
+      if (lx.token() != "obj") throw PdfError("pdf_bad_xref_stream")
+      val dict = lx.obj() match {
+        case d: PDict => d
+        case _        => throw PdfError("pdf_bad_xref_stream")
+      }
+      lx.skipWs()
+      if (lx.token() != "stream") throw PdfError("pdf_bad_xref_stream")
+      var p = lx.pos
+      if (lx.at(p) == '\r') p += 1
+      if (lx.at(p) == '\n') p += 1
+      // /Length may be an indirect ref, unreadable before the xref exists:
+      // fall back to locating "endstream"
+      val len = dict.m.get("Length") match {
+        case Some(PNum(v)) => v.toInt
+        case _             => endstreamLen(p)
+      }
+      if (p + len > bytes.length) throw PdfError("pdf_stream_truncated")
+      val data = decodeStream(PStream(dict, java.util.Arrays.copyOfRange(bytes, p, p + len)))
+
+      def num(o: PObj): Int = o match {
+        case PNum(v) => v.toInt
+        case _       => throw PdfError("pdf_bad_xref_stream")
+      }
+      val w = dict.m.getOrElse("W", throw PdfError("pdf_bad_xref_stream")) match {
+        case PArr(xs) => xs.map(num)
+        case _        => throw PdfError("pdf_bad_xref_stream")
+      }
+      val size = num(dict.m.getOrElse("Size", throw PdfError("pdf_bad_xref_stream")))
+      val index: Vector[(Int, Int)] = dict.m.get("Index") match {
+        case Some(PArr(xs)) => xs.map(num).grouped(2).collect { case Vector(a, b) => (a, b) }.toVector
+        case _              => Vector((0, size))
+      }
+      val rowLen = w.sum
+      var pos = 0
+      def field(width: Int): Long = {
+        var v = 0L
+        var k = 0
+        while (k < width) { v = (v << 8) | (data(pos) & 0xff); pos += 1; k += 1 }
+        v
+      }
+      index.foreach { case (start, count) =>
+        var i = 0
+        while (i < count && pos + rowLen <= data.length) {
+          val objNum = start + i
+          val typ = if (w(0) == 0) 1L else field(w(0))
+          val f2 = if (w.length > 1) field(w(1)) else 0L
+          val f3 = if (w.length > 2) field(w(2)) else 0L
+          typ match {
+            case 1 => if (!out.contains(objNum)) out(objNum) = f2.toInt
+            case 2 => if (!out.contains(objNum) && !compressed.contains(objNum))
+              compressed(objNum) = (f2.toInt, f3.toInt)
+            case _ => () // type 0 (free) and unknown types: skip
+          }
+          i += 1
+        }
+      }
+      if (_trailer.m.isEmpty) _trailer = dict
+      dict.m.get("Prev") match {
+        case Some(PNum(v)) => v.toInt
+        case _             => -1
+      }
+    }
+
+    /** Length of a stream when /Length is unresolvable during xref
+      * bootstrap: distance to the "endstream" keyword, trailing EOL trimmed. */
+    private def endstreamLen(from: Int): Int = {
+      val needle = "endstream".getBytes(ISO_8859_1)
+      var i = from
+      while (i + needle.length <= bytes.length) {
+        var k = 0
+        while (k < needle.length && bytes(i + k) == needle(k)) k += 1
+        if (k == needle.length) {
+          var end = i
+          if (end > from && bytes(end - 1) == '\n') end -= 1
+          if (end > from && bytes(end - 1) == '\r') end -= 1
+          return end - from
+        }
+        i += 1
+      }
+      throw PdfError("pdf_stream_truncated")
+    }
+
     def resolve(o: PObj): PObj = o match {
       case PRef(num, _) => resolve(objAt(num))
       case other        => other
     }
 
     def objAt(num: Int): PObj = cache.getOrElseUpdate(num, {
-      val off = offsets.getOrElse(num, throw PdfError(s"pdf_missing_obj_$num"))
+      offsets.get(num) match {
+        case Some(off) => parseAt(off)
+        case None => compressed.get(num) match {
+          case Some((stmNum, idx)) => fromObjStm(stmNum, idx, num)
+          case None                => throw PdfError(s"pdf_missing_obj_$num")
+        }
+      }
+    })
+
+    /** Load an object out of a /Type /ObjStm compressed object stream. */
+    private def fromObjStm(stmNum: Int, idx: Int, wantNum: Int): PObj = {
+      val (payload, pairs) = objStmCache.getOrElseUpdate(stmNum, {
+        val st = objAt(stmNum) match {
+          case s: PStream => s
+          case _          => throw PdfError("pdf_bad_objstm")
+        }
+        val data = decodeStream(st)
+        def num(k: String): Int = resolve(st.dict.m.getOrElse(k, throw PdfError("pdf_bad_objstm"))) match {
+          case PNum(v) => v.toInt
+          case _       => throw PdfError("pdf_bad_objstm")
+        }
+        val n = num("N")
+        val first = num("First")
+        val hlx = new Lexer(data)
+        val ps = (0 until n).map { _ =>
+          hlx.skipWs()
+          val objNum = hlx.token().toInt
+          val rel = hlx.token().toInt
+          (objNum, first + rel)
+        }.toVector
+        (data, ps)
+      })
+      val off = pairs.find(_._1 == wantNum)
+        .orElse(pairs.lift(idx))
+        .getOrElse(throw PdfError("pdf_objstm_missing"))._2
+      val lx = new Lexer(payload)
+      lx.pos = off
+      lx.skipWs()
+      lx.obj()
+    }
+
+    private def parseAt(off: Int): PObj = {
       val lx = new Lexer(bytes)
       lx.pos = off
       lx.skipWs()
@@ -352,9 +495,11 @@ object PdfParser {
         if (p + len > bytes.length) throw PdfError("pdf_stream_truncated")
         PStream(d, java.util.Arrays.copyOfRange(bytes, p, p + len))
       } else { lx.pos = save; body }
-    })
+    }
 
-    /** Decode a stream through its filter chain (raw / Flate / ASCIIHex). */
+    /** Decode a stream through its filter chain (raw / Flate / ASCIIHex),
+      * honoring per-filter /DecodeParms predictors (TIFF + PNG row
+      * filters — xref streams are almost always Flate + /Predictor 12). */
     def decodeStream(st: PStream): Array[Byte] = {
       val filters: Vector[String] = resolve(st.dict.m.getOrElse("Filter", PNull)) match {
         case PNull        => Vector.empty
@@ -365,12 +510,86 @@ object PdfParser {
         })
         case _            => throw PdfError("pdf_bad_filter")
       }
-      filters.foldLeft(st.raw) { (data, f) =>
-        f match {
+      val parms: Vector[Option[PDict]] = {
+        val raw = resolve(st.dict.m.getOrElse("DecodeParms", st.dict.m.getOrElse("DP", PNull)))
+        raw match {
+          case d: PDict    => Vector(Some(d)) ++ Vector.fill(math.max(filters.length - 1, 0))(None)
+          case PArr(items) => items.map(i => resolve(i) match {
+            case d: PDict => Some(d)
+            case _        => None
+          }) ++ Vector.fill(math.max(filters.length - items.length, 0))(None)
+          case _           => Vector.fill(filters.length)(None)
+        }
+      }
+      filters.zip(parms).foldLeft(st.raw) { case (data, (f, parm)) =>
+        val decoded = f match {
           case "FlateDecode"    => inflate(data)
           case "ASCIIHexDecode" => asciiHex(data)
           case other            => throw PdfError("pdf_filter_unsupported:" + other)
         }
+        parm match {
+          case Some(d) =>
+            def intOf(k: String, dflt: Int) = resolve(d.m.getOrElse(k, PNull)) match {
+              case PNum(v) => v.toInt
+              case _       => dflt
+            }
+            unpredict(decoded, intOf("Predictor", 1), intOf("Columns", 1),
+              intOf("Colors", 1), intOf("BitsPerComponent", 8))
+          case None => decoded
+        }
+      }
+    }
+
+    /** Reverse a TIFF (2) or PNG (10-15) predictor. */
+    private def unpredict(data: Array[Byte], predictor: Int, columns: Int,
+        colors: Int, bpc: Int): Array[Byte] = {
+      if (predictor <= 1) return data
+      val bpp = math.max(1, colors * bpc / 8)
+      val rowLen = (columns * colors * bpc + 7) / 8
+      if (predictor == 2) { // TIFF horizontal differencing (8-bit only)
+        if (bpc != 8) throw PdfError("pdf_predictor_unsupported")
+        val out = data.clone()
+        var r = 0
+        while (r + rowLen <= out.length) {
+          var i = r + bpp
+          while (i < r + rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+          r += rowLen
+        }
+        out
+      } else { // PNG row filters: each row = 1 tag byte + rowLen data bytes
+        val stride = rowLen + 1
+        val nRows = data.length / stride
+        val out = new Array[Byte](nRows * rowLen)
+        val prior = new Array[Byte](rowLen)
+        var r = 0
+        while (r < nRows) {
+          val tag = data(r * stride) & 0xff
+          val src = r * stride + 1
+          val dst = r * rowLen
+          var i = 0
+          while (i < rowLen) {
+            val raw = data(src + i) & 0xff
+            val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+            val up = prior(i) & 0xff
+            val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
+            val v = tag match {
+              case 0 => raw
+              case 1 => raw + left
+              case 2 => raw + up
+              case 3 => raw + ((left + up) / 2)
+              case 4 => // Paeth
+                val pp = left + up - upLeft
+                val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - upLeft)
+                raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+              case _ => throw PdfError("pdf_predictor_unsupported")
+            }
+            out(dst + i) = v.toByte
+            i += 1
+          }
+          System.arraycopy(out, dst, prior, 0, rowLen)
+          r += 1
+        }
+        out
       }
     }
 

@@ -67,48 +67,165 @@ object PdfWriter {
     }
   }
 
+  /** Cross-reference flavor: classic PDF 1.4 table, or PDF 1.5+ xref
+    * STREAM (optionally with the non-stream objects packed into a
+    * compressed /ObjStm and the xref data run through the PNG Up
+    * predictor) — so the parser's modern-PDF path is testable offline. */
+  sealed trait XrefFlavor
+  case object Classic extends XrefFlavor
+  final case class XrefStream(objStm: Boolean = false, predictor: Boolean = false) extends XrefFlavor
+
+  private def deflate(raw: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(raw); d.finish()
+    val buf = new Array[Byte](raw.length * 2 + 64)
+    val out = new ByteArrayOutputStream()
+    while (!d.finished()) {
+      val n = d.deflate(buf)
+      out.write(buf, 0, n)
+    }
+    d.end()
+    out.toByteArray
+  }
+
   /** Build a complete PDF from page specs. */
-  def write(pages: Vector[PageSpec]): Array[Byte] = {
+  def write(pages: Vector[PageSpec], flavor: XrefFlavor = Classic): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
-    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
 
     // object numbering: 1 catalog, 2 pages, 3 font,
     // then per page i: obj 4+2i page, obj 5+2i content
     val nPages = pages.length
     val total = 3 + 2 * nPages
 
-    w("%PDF-1.4\n")
-    def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
-
-    beginObj(1)
-    w("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
-    beginObj(2)
+    val catalogBody = "<< /Type /Catalog /Pages 2 0 R >>"
     val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
-    w(s"<< /Type /Pages /Kids [$kids] /Count $nPages /MediaBox [0 0 $pageW $pageH] >>\nendobj\n")
-    beginObj(3)
-    w("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj\n")
-
-    pages.zipWithIndex.foreach { case (spec, i) =>
-      val pageObj = 4 + 2 * i
-      val contObj = 5 + 2 * i
-      beginObj(pageObj)
+    val pagesBody =
+      s"<< /Type /Pages /Kids [$kids] /Count $nPages /MediaBox [0 0 $pageW $pageH] >>"
+    val fontBody =
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    def pageBody(spec: PageSpec, contObj: Int): String = {
       val rot = if (spec.rotate != 0) s" /Rotate ${spec.rotate}" else ""
-      w(s"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 3 0 R >> >> " +
-        s"/Contents $contObj 0 R$rot >>\nendobj\n")
-      beginObj(contObj)
-      val data = contentStream(spec)
-      val filter = if (spec.compress) " /Filter /FlateDecode" else ""
-      w(s"<< /Length ${data.length}$filter >>\nstream\n")
-      out.write(data)
-      w("\nendstream\nendobj\n")
+      s"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 3 0 R >> >> " +
+        s"/Contents $contObj 0 R$rot >>"
     }
 
-    val xrefPos = out.size()
-    w(s"xref\n0 ${total + 1}\n")
-    w("0000000000 65535 f \n")
-    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-    w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+    flavor match {
+      case Classic =>
+        val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+        w("%PDF-1.4\n")
+        def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
+        beginObj(1); w(catalogBody + "\nendobj\n")
+        beginObj(2); w(pagesBody + "\nendobj\n")
+        beginObj(3); w(fontBody + "\nendobj\n")
+        pages.zipWithIndex.foreach { case (spec, i) =>
+          beginObj(4 + 2 * i)
+          w(pageBody(spec, 5 + 2 * i) + "\nendobj\n")
+          beginObj(5 + 2 * i)
+          val data = contentStream(spec)
+          val filter = if (spec.compress) " /Filter /FlateDecode" else ""
+          w(s"<< /Length ${data.length}$filter >>\nstream\n")
+          out.write(data)
+          w("\nendstream\nendobj\n")
+        }
+        val xrefPos = out.size()
+        w(s"xref\n0 ${total + 1}\n")
+        w("0000000000 65535 f \n")
+        offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+        w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+
+      case XrefStream(objStm, predictor) =>
+        // entry per object: Left(offset) = type 1, Right((stm, idx)) = type 2
+        val entries = new Array[Either[Int, (Int, Int)]](total + 3)
+        val objStmNum = total + 1
+        val xrefNum = total + 2
+        w("%PDF-1.5\n")
+        def directObj(n: Int, body: String): Unit = {
+          entries(n) = Left(out.size())
+          w(s"$n 0 obj\n" + body + "\nendobj\n")
+        }
+        def streamObj(n: Int, dictExtra: String, data: Array[Byte]): Unit = {
+          entries(n) = Left(out.size())
+          w(s"$n 0 obj\n<< /Length ${data.length}$dictExtra >>\nstream\n")
+          out.write(data)
+          w("\nendstream\nendobj\n")
+        }
+
+        val dictObjs: Vector[(Int, String)] =
+          Vector(1 -> catalogBody, 2 -> pagesBody, 3 -> fontBody) ++
+            pages.zipWithIndex.map { case (spec, i) => (4 + 2 * i) -> pageBody(spec, 5 + 2 * i) }
+
+        if (objStm) {
+          // pack all non-stream objects into one compressed object stream
+          val bodies = dictObjs.map(_._2)
+          val offsetsInStm = bodies.scanLeft(0)((acc, b) => acc + b.length + 1).init
+          val header = dictObjs.zip(offsetsInStm)
+            .map { case ((n, _), off) => s"$n $off" }.mkString(" ") + "\n"
+          val payload = (header + bodies.mkString("\n") + "\n").getBytes(ISO_8859_1)
+          val first = header.length
+          dictObjs.zipWithIndex.foreach { case ((n, _), idx) =>
+            entries(n) = Right((objStmNum, idx))
+          }
+          streamObj(objStmNum,
+            s" /Type /ObjStm /N ${dictObjs.length} /First $first /Filter /FlateDecode",
+            deflate(payload))
+        } else {
+          dictObjs.foreach { case (n, body) => directObj(n, body) }
+        }
+
+        pages.zipWithIndex.foreach { case (spec, i) =>
+          val data = contentStream(spec)
+          val filter = if (spec.compress) " /Filter /FlateDecode" else ""
+          streamObj(5 + 2 * i, filter, data)
+        }
+
+        // the xref stream object: W [1 4 2], entries 0..xrefNum
+        val xrefPos = out.size()
+        entries(0) = Right((0, 65535)) // free head, type 0 written specially
+        entries(xrefNum) = Left(xrefPos)
+        val size = xrefNum + 1
+        val rowLen = 7
+        val rows = new ByteArrayOutputStream()
+        def putRow(t: Int, f2: Int, f3: Int): Unit = {
+          rows.write(t)
+          rows.write((f2 >>> 24) & 0xff); rows.write((f2 >>> 16) & 0xff)
+          rows.write((f2 >>> 8) & 0xff); rows.write(f2 & 0xff)
+          rows.write((f3 >>> 8) & 0xff); rows.write(f3 & 0xff)
+        }
+        (0 until size).foreach { n =>
+          if (n == 0) putRow(0, 0, 65535)
+          else entries(n) match {
+            case Left(off)         => putRow(1, off, 0)
+            case Right((stm, idx)) => putRow(2, stm, idx)
+            case null              => putRow(0, 0, 0)
+          }
+        }
+        val rawRows = rows.toByteArray
+        val (xdata, parms) =
+          if (!predictor) (deflate(rawRows), "")
+          else {
+            // PNG Up (tag 2) per row — what real-world writers emit
+            val nRows = rawRows.length / rowLen
+            val enc = new ByteArrayOutputStream()
+            val prior = new Array[Byte](rowLen)
+            (0 until nRows).foreach { r =>
+              enc.write(2)
+              var i = 0
+              while (i < rowLen) {
+                val cur = rawRows(r * rowLen + i)
+                enc.write((cur - prior(i)) & 0xff)
+                prior(i) = cur
+                i += 1
+              }
+            }
+            (deflate(enc.toByteArray),
+              s" /DecodeParms << /Predictor 12 /Columns $rowLen >>")
+          }
+        streamObj(xrefNum,
+          s" /Type /XRef /Size $size /Root 1 0 R /W [1 4 2]$parms /Filter /FlateDecode",
+          xdata)
+        w(s"startxref\n$xrefPos\n%%EOF\n")
+    }
     out.toByteArray
   }
 }

@@ -146,7 +146,14 @@ object Synth {
         rotate = if (docIdx % 17 == 0 && p == 0) 90 else 0,
         compress = rng.nextInt(2) == 0)
     }.toVector
-    PdfWriter.write(pages)
+    // xref flavor derives from the index alone (no rng draws!) so the
+    // text content — and therefore the frozen goldens — is identical
+    // across container formats; only the PDF plumbing differs
+    val flavor =
+      if (docIdx % 3 == 1)
+        PdfWriter.XrefStream(objStm = (docIdx / 3) % 2 == 0, predictor = (docIdx / 6) % 2 == 0)
+      else PdfWriter.Classic
+    PdfWriter.write(pages, flavor)
   }
 
   /** Malformed corpus slice (FIXTURES.md: must yield status='error' rows or

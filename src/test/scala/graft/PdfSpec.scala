@@ -77,4 +77,44 @@ class PdfSpec extends AnyFunSuite {
     assert(!PdfParser.isPdf("<html></html>".getBytes))
     assert(!PdfParser.isPdf(null))
   }
+
+  // ---- PDF 1.5+ container formats (xref streams / object streams) ----
+
+  private val modernPages = Vector(
+    PageSpec(Vector(Vector("# Modern Doc", "Body line one", "Body line two"))),
+    PageSpec(Vector(Vector("Second page content")), compress = true))
+  private val wantText = "# Modern Doc\nBody line one\nBody line two\n\nSecond page content"
+
+  test("xref stream (uncompressed entries) parses identically to classic") {
+    val pdf = PdfWriter.write(modernPages, PdfWriter.XrefStream())
+    assert(PdfParser.parse(pdf).map(_.text) == Right(wantText))
+  }
+
+  test("xref stream with PNG Up predictor (/Predictor 12) parses") {
+    val pdf = PdfWriter.write(modernPages, PdfWriter.XrefStream(predictor = true))
+    assert(PdfParser.parse(pdf).map(_.text) == Right(wantText))
+  }
+
+  test("object streams: dict objects packed in a compressed /ObjStm parse") {
+    val pdf = PdfWriter.write(modernPages, PdfWriter.XrefStream(objStm = true))
+    assert(PdfParser.parse(pdf).map(_.text) == Right(wantText))
+  }
+
+  test("objstm + predictor combined; byte-identical text across all four flavors") {
+    val flavors = Seq(
+      PdfWriter.Classic,
+      PdfWriter.XrefStream(),
+      PdfWriter.XrefStream(predictor = true),
+      PdfWriter.XrefStream(objStm = true, predictor = true))
+    val texts = flavors.map(f => PdfParser.parse(PdfWriter.write(modernPages, f)).map(_.text))
+    assert(texts.forall(_ == Right(wantText)), texts.toString)
+  }
+
+  test("truncated xref-stream pdf yields Left, never throws") {
+    val good = PdfWriter.write(modernPages, PdfWriter.XrefStream(objStm = true, predictor = true))
+    (1 until 10).foreach { k =>
+      val t = java.util.Arrays.copyOfRange(good, 0, good.length * k / 10)
+      PdfParser.parse(t) // must not throw
+    }
+  }
 }
