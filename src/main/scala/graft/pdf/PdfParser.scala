@@ -13,8 +13,9 @@ import scala.collection.mutable.ArrayBuffer
   * cross-reference streams (/Type /XRef with /W fields, /Index, /Prev
   * chains, TIFF/PNG predictors incl. the ubiquitous /Predictor 12) with
   * compressed object streams (/Type /ObjStm) — the container formats real
-  * Common-Crawl PDFs use; raw / FlateDecode / ASCIIHexDecode content
-  * streams, simple-font text operators
+  * Common-Crawl PDFs use; raw / Flate / ASCIIHex / ASCII85 / RunLength /
+  * LZW (EarlyChange-aware) stream filters, chainable per /Filter arrays;
+  * simple-font text operators
   * (BT ET Tf Td TD Tm T* TL Tj TJ ' "), WinAnsi/Latin-1 strings, /MediaBox +
   * /Rotate inheritance and normalization (the reference zeroes rotation,
   * pdf_processor.py:76-77 — we normalize coordinates instead, same observable
@@ -523,9 +524,17 @@ object PdfParser {
       }
       filters.zip(parms).foldLeft(st.raw) { case (data, (f, parm)) =>
         val decoded = f match {
-          case "FlateDecode"    => inflate(data)
-          case "ASCIIHexDecode" => asciiHex(data)
-          case other            => throw PdfError("pdf_filter_unsupported:" + other)
+          case "FlateDecode" | "Fl"     => inflate(data)
+          case "ASCIIHexDecode" | "AHx" => asciiHex(data)
+          case "ASCII85Decode" | "A85"  => ascii85(data)
+          case "RunLengthDecode" | "RL" => runLength(data)
+          case "LZWDecode" | "LZW" =>
+            val early = parm.flatMap(_.m.get("EarlyChange")).map(resolve) match {
+              case Some(PNum(v)) => v.toInt
+              case _             => 1 // PDF default
+            }
+            lzw(data, early)
+          case other => throw PdfError("pdf_filter_unsupported:" + other)
         }
         parm match {
           case Some(d) =>
@@ -538,94 +547,6 @@ object PdfParser {
           case None => decoded
         }
       }
-    }
-
-    /** Reverse a TIFF (2) or PNG (10-15) predictor. */
-    private def unpredict(data: Array[Byte], predictor: Int, columns: Int,
-        colors: Int, bpc: Int): Array[Byte] = {
-      if (predictor <= 1) return data
-      val bpp = math.max(1, colors * bpc / 8)
-      val rowLen = (columns * colors * bpc + 7) / 8
-      if (predictor == 2) { // TIFF horizontal differencing (8-bit only)
-        if (bpc != 8) throw PdfError("pdf_predictor_unsupported")
-        val out = data.clone()
-        var r = 0
-        while (r + rowLen <= out.length) {
-          var i = r + bpp
-          while (i < r + rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
-          r += rowLen
-        }
-        out
-      } else { // PNG row filters: each row = 1 tag byte + rowLen data bytes
-        val stride = rowLen + 1
-        val nRows = data.length / stride
-        val out = new Array[Byte](nRows * rowLen)
-        val prior = new Array[Byte](rowLen)
-        var r = 0
-        while (r < nRows) {
-          val tag = data(r * stride) & 0xff
-          val src = r * stride + 1
-          val dst = r * rowLen
-          var i = 0
-          while (i < rowLen) {
-            val raw = data(src + i) & 0xff
-            val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
-            val up = prior(i) & 0xff
-            val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
-            val v = tag match {
-              case 0 => raw
-              case 1 => raw + left
-              case 2 => raw + up
-              case 3 => raw + ((left + up) / 2)
-              case 4 => // Paeth
-                val pp = left + up - upLeft
-                val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - upLeft)
-                raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
-              case _ => throw PdfError("pdf_predictor_unsupported")
-            }
-            out(dst + i) = v.toByte
-            i += 1
-          }
-          System.arraycopy(out, dst, prior, 0, rowLen)
-          r += 1
-        }
-        out
-      }
-    }
-
-    private def inflate(data: Array[Byte]): Array[Byte] = {
-      val inf = new Inflater()
-      inf.setInput(data)
-      val out = new java.io.ByteArrayOutputStream(data.length * 4)
-      val buf = new Array[Byte](8192)
-      try {
-        while (!inf.finished()) {
-          val k = inf.inflate(buf)
-          if (k == 0) {
-            if (inf.needsInput() || inf.needsDictionary()) throw PdfError("pdf_flate_truncated")
-          } else out.write(buf, 0, k)
-        }
-      } catch {
-        case _: java.util.zip.DataFormatException => throw PdfError("pdf_flate_corrupt")
-      } finally inf.end()
-      out.toByteArray
-    }
-
-    private def asciiHex(data: Array[Byte]): Array[Byte] = {
-      val out = new java.io.ByteArrayOutputStream()
-      val digits = new StringBuilder
-      var i = 0
-      var stop = false
-      while (i < data.length && !stop) {
-        val c = (data(i) & 0xff).toChar
-        if (c == '>') stop = true
-        else if (!c.isWhitespace) digits.append(c)
-        i += 1
-      }
-      val d = if (digits.length % 2 == 1) digits.append('0') else digits
-      var j = 0
-      while (j < d.length) { out.write(Integer.parseInt(d.substring(j, j + 2), 16)); j += 2 }
-      out.toByteArray
     }
 
     /** Walk /Root → /Pages → /Kids with /MediaBox + /Rotate inheritance. */
@@ -690,6 +611,201 @@ object PdfParser {
         out.toByteArray
       }
     }
+  }
+
+  // ------------------------------------------------- stream codecs
+
+  /** Reverse a TIFF (2) or PNG (10-15) predictor. */
+  private[graft] def unpredict(data: Array[Byte], predictor: Int, columns: Int,
+      colors: Int, bpc: Int): Array[Byte] = {
+    if (predictor <= 1) return data
+    val bpp = math.max(1, colors * bpc / 8)
+    val rowLen = (columns * colors * bpc + 7) / 8
+    if (predictor == 2) { // TIFF horizontal differencing (8-bit only)
+      if (bpc != 8) throw PdfError("pdf_predictor_unsupported")
+      val out = data.clone()
+      var r = 0
+      while (r + rowLen <= out.length) {
+        var i = r + bpp
+        while (i < r + rowLen) { out(i) = (out(i) + out(i - bpp)).toByte; i += 1 }
+        r += rowLen
+      }
+      out
+    } else { // PNG row filters: each row = 1 tag byte + rowLen data bytes
+      val stride = rowLen + 1
+      val nRows = data.length / stride
+      val out = new Array[Byte](nRows * rowLen)
+      val prior = new Array[Byte](rowLen)
+      var r = 0
+      while (r < nRows) {
+        val tag = data(r * stride) & 0xff
+        val src = r * stride + 1
+        val dst = r * rowLen
+        var i = 0
+        while (i < rowLen) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = prior(i) & 0xff
+          val upLeft = if (i >= bpp) prior(i - bpp) & 0xff else 0
+          val v = tag match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + ((left + up) / 2)
+            case 4 => // Paeth
+              val pp = left + up - upLeft
+              val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - upLeft)
+              raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+            case _ => throw PdfError("pdf_predictor_unsupported")
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        System.arraycopy(out, dst, prior, 0, rowLen)
+        r += 1
+      }
+      out
+    }
+  }
+
+  private[graft] def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 4)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished()) {
+        val k = inf.inflate(buf)
+        if (k == 0) {
+          if (inf.needsInput() || inf.needsDictionary()) throw PdfError("pdf_flate_truncated")
+        } else out.write(buf, 0, k)
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => throw PdfError("pdf_flate_corrupt")
+    } finally inf.end()
+    out.toByteArray
+  }
+
+  private[graft] def asciiHex(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val digits = new StringBuilder
+    var i = 0
+    var stop = false
+    while (i < data.length && !stop) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '>') stop = true
+      else if (!c.isWhitespace) digits.append(c)
+      i += 1
+    }
+    val d = if (digits.length % 2 == 1) digits.append('0') else digits
+    var j = 0
+    while (j < d.length) { out.write(Integer.parseInt(d.substring(j, j + 2), 16)); j += 2 }
+    out.toByteArray
+  }
+
+  /** ASCII85 (base-85): 5 chars → 4 bytes; 'z' = four zero bytes; a
+    * partial group of n chars yields n-1 bytes; "~>" terminates. */
+  private[graft] def ascii85(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    var tuple = 0L
+    var count = 0
+    var i = 0
+    var stop = false
+    def flush(nBytes: Int, chars: Int): Unit = {
+      // pad missing chars with 'u' (84) per the spec, then drop pad bytes
+      var t = tuple
+      var k = chars
+      while (k < 5) { t = t * 85 + 84; k += 1 }
+      var shift = 24
+      var b = 0
+      while (b < nBytes) { out.write(((t >>> shift) & 0xff).toInt); shift -= 8; b += 1 }
+    }
+    while (i < data.length && !stop) {
+      val c = (data(i) & 0xff).toChar
+      if (c == '~') stop = true
+      else if (c == 'z' && count == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        tuple = tuple * 85 + (c - '!')
+        count += 1
+        if (count == 5) { flush(4, 5); tuple = 0; count = 0 }
+      } else if (!c.isWhitespace) throw PdfError("pdf_ascii85_bad_char")
+      i += 1
+    }
+    if (count == 1) throw PdfError("pdf_ascii85_truncated")
+    if (count > 1) flush(count - 1, count)
+    out.toByteArray
+  }
+
+  /** RunLengthDecode: tag L in 0..127 copies L+1 literal bytes; L in
+    * 129..255 repeats the next byte 257-L times; 128 = EOD. */
+  private[graft] def runLength(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var stop = false
+    while (i < data.length && !stop) {
+      val tag = data(i) & 0xff
+      i += 1
+      if (tag == 128) stop = true
+      else if (tag < 128) {
+        val n = tag + 1
+        if (i + n > data.length) throw PdfError("pdf_runlength_truncated")
+        out.write(data, i, n)
+        i += n
+      } else {
+        if (i >= data.length) throw PdfError("pdf_runlength_truncated")
+        val b = data(i) & 0xff
+        i += 1
+        var k = 257 - tag
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** LZWDecode (TIFF-style, MSB-first, 9→12-bit codes, clear=256,
+    * EOD=257). With EarlyChange=1 (the PDF default) the code width grows
+    * one entry early: after table index `next` is assigned, width bumps
+    * when next + earlyChange == 1 << width. */
+  private[graft] def lzw(data: Array[Byte], earlyChange: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    val table = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { table(i) = Array(i.toByte); i += 1 }
+    var next = 258
+    var width = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    var stop = false
+    while (!stop) {
+      while (bitCnt < width && pos < data.length) {
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff)
+        bitCnt += 8
+        pos += 1
+      }
+      if (bitCnt < width) stop = true // ran out of input: tolerate missing EOD
+      else {
+        val code = ((bitBuf >>> (bitCnt - width)) & ((1 << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { next = 258; width = 9; prev = null }
+        else if (code == 257) stop = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256 || (code >= 258 && code < next && table(code) != null)) table(code)
+            else if (code == next && prev != null) prev :+ prev(0) // KwKwK
+            else throw PdfError("pdf_lzw_bad_code")
+          if (prev != null && next < 4096) {
+            table(next) = prev :+ entry(0)
+            next += 1
+            if (next + earlyChange >= (1 << width) && width < 12) width += 1
+          }
+          out.write(entry, 0, entry.length)
+          prev = entry
+        }
+      }
+    }
+    out.toByteArray
   }
 
   // --------------------------------------------------------- text machine

@@ -14,10 +14,23 @@ import java.util.zip.Deflater
   */
 object PdfWriter {
 
+  /** Content-stream filters, in DECODE order as they appear in /Filter
+    * (i.e. `Vector(Ascii85F, FlateF)` stores a85(deflate(raw))). */
+  sealed trait Filter { def name: String }
+  case object FlateF extends Filter { val name = "FlateDecode" }
+  case object AsciiHexF extends Filter { val name = "ASCIIHexDecode" }
+  case object Ascii85F extends Filter { val name = "ASCII85Decode" }
+  case object RunLengthF extends Filter { val name = "RunLengthDecode" }
+  case object LzwF extends Filter { val name = "LZWDecode" }
+
   final case class PageSpec(
       columns: Vector[Vector[String]], // 1 or 2 columns of text lines
       rotate: Int = 0,                 // 0 / 90 / 180 / 270
-      compress: Boolean = false)
+      compress: Boolean = false,       // legacy shorthand for Vector(FlateF)
+      filters: Vector[Filter] = Vector.empty) {
+    def effectiveFilters: Vector[Filter] =
+      if (filters.nonEmpty) filters else if (compress) Vector(FlateF) else Vector.empty
+  }
 
   private val pageW = 612
   private val pageH = 792
@@ -52,19 +65,136 @@ object PdfWriter {
       sb.append("ET\n")
     }
     val raw = sb.toString.getBytes(ISO_8859_1)
-    if (!spec.compress) raw
-    else {
-      val d = new Deflater()
-      d.setInput(raw); d.finish()
-      val buf = new Array[Byte](raw.length * 2 + 64)
-      val out = new ByteArrayOutputStream()
-      while (!d.finished()) {
-        val n = d.deflate(buf)
-        out.write(buf, 0, n)
+    encodeFilters(raw, spec.effectiveFilters)
+  }
+
+  /** Apply a decode-ordered filter chain in encode order. */
+  def encodeFilters(raw: Array[Byte], filters: Vector[Filter]): Array[Byte] =
+    filters.reverse.foldLeft(raw)((d, f) => encodeOne(f, d))
+
+  def encodeOne(f: Filter, data: Array[Byte]): Array[Byte] = f match {
+    case FlateF     => deflate(data)
+    case AsciiHexF  =>
+      val sb = new StringBuilder(data.length * 2 + 1)
+      data.foreach(b => sb.append(f"${b & 0xff}%02x"))
+      sb.append('>')
+      sb.toString.getBytes(ISO_8859_1)
+    case Ascii85F   => ascii85Encode(data)
+    case RunLengthF => runLengthEncode(data)
+    case LzwF       => lzwEncode(data)
+  }
+
+  private def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val out = new StringBuilder(data.length * 5 / 4 + 8)
+    var i = 0
+    while (i + 4 <= data.length) {
+      val t = ((data(i) & 0xffL) << 24) | ((data(i + 1) & 0xffL) << 16) |
+        ((data(i + 2) & 0xffL) << 8) | (data(i + 3) & 0xffL)
+      if (t == 0) out.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var v = t
+        var k = 4
+        while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+        out.appendAll(cs)
       }
-      d.end()
-      out.toByteArray
+      i += 4
     }
+    val rem = data.length - i
+    if (rem > 0) {
+      var t = 0L
+      var k = 0
+      while (k < 4) { t = (t << 8) | (if (i + k < data.length) data(i + k) & 0xffL else 0L); k += 1 }
+      val cs = new Array[Char](5)
+      var v = t
+      k = 4
+      while (k >= 0) { cs(k) = ('!' + (v % 85).toInt).toChar; v /= 85; k -= 1 }
+      out.appendAll(cs.take(rem + 1))
+    }
+    out.append("~>")
+    out.toString.getBytes(ISO_8859_1)
+  }
+
+  private def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 8)
+    var i = 0
+    while (i < data.length) {
+      // measure run of identical bytes
+      var run = 1
+      while (i + run < data.length && data(i + run) == data(i) && run < 128) run += 1
+      if (run >= 2) {
+        out.write(257 - run)
+        out.write(data(i))
+        i += run
+      } else {
+        // literal stretch up to the next run of >=3 (or 128 bytes)
+        var j = i + 1
+        var going = true
+        while (going && j < data.length && j - i < 128) {
+          if (j + 2 < data.length && data(j) == data(j + 1) && data(j) == data(j + 2)) going = false
+          else j += 1
+        }
+        out.write(j - i - 1)
+        out.write(data, i, j - i)
+        i = j
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
+
+  /** TIFF-style LZW with EarlyChange=1 (the PDF default). The encoder's
+    * dictionary runs one entry AHEAD of the decoder's (the decoder only
+    * learns an entry from the following code), so the encoder's classic
+    * bump at next == 1<<width is what an EarlyChange decoder — which bumps
+    * at next + 1 == 1<<width on its lagged count — stays aligned with. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + 16)
+    var bitBuf = 0L
+    var bitCnt = 0
+    var width = 9
+    var next = 258
+    val table = scala.collection.mutable.LongMap.empty[Int] // (prefixCode << 8 | byte) → code
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code
+      bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >>> (bitCnt - 8)) & 0xff).toInt)
+        bitCnt -= 8
+      }
+    }
+    def bumpWidth(): Unit = if (next >= (1 << width) && width < 12) width += 1
+    put(256) // clear
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val key = (prefix.toLong << 8) | b
+        val hit = table.getOrElse(key, -1)
+        if (hit >= 0) prefix = hit
+        else {
+          put(prefix)
+          if (next < 4095) {
+            table.update(key, next)
+            next += 1
+            bumpWidth()
+          } else { // table full: clear and restart
+            put(256)
+            table.clear()
+            next = 258
+            width = 9
+          }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) put(prefix)
+    put(257) // EOD
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
   }
 
   /** Cross-reference flavor: classic PDF 1.4 table, or PDF 1.5+ xref
@@ -86,6 +216,12 @@ object PdfWriter {
     }
     d.end()
     out.toByteArray
+  }
+
+  private def filterEntry(filters: Vector[Filter]): String = filters match {
+    case Vector()  => ""
+    case Vector(f) => s" /Filter /${f.name}"
+    case fs        => fs.map("/" + _.name).mkString(" /Filter [", " ", "]")
   }
 
   /** Build a complete PDF from page specs. */
@@ -123,7 +259,7 @@ object PdfWriter {
           w(pageBody(spec, 5 + 2 * i) + "\nendobj\n")
           beginObj(5 + 2 * i)
           val data = contentStream(spec)
-          val filter = if (spec.compress) " /Filter /FlateDecode" else ""
+          val filter = filterEntry(spec.effectiveFilters)
           w(s"<< /Length ${data.length}$filter >>\nstream\n")
           out.write(data)
           w("\nendstream\nendobj\n")
@@ -175,7 +311,7 @@ object PdfWriter {
 
         pages.zipWithIndex.foreach { case (spec, i) =>
           val data = contentStream(spec)
-          val filter = if (spec.compress) " /Filter /FlateDecode" else ""
+          val filter = filterEntry(spec.effectiveFilters)
           streamObj(5 + 2 * i, filter, data)
         }
 

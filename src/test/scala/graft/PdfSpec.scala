@@ -110,6 +110,73 @@ class PdfSpec extends AnyFunSuite {
     assert(texts.forall(_ == Right(wantText)), texts.toString)
   }
 
+  // ---- stream filter breadth: ASCIIHex / ASCII85 / RunLength / LZW ----
+
+  private val filterLines = Vector(
+    "Filter test line one.", "Second line, numbers 0123456789.",
+    "Repeatssssssssssss and    spaces.")
+
+  for (f <- Seq(PdfWriter.AsciiHexF, PdfWriter.Ascii85F,
+      PdfWriter.RunLengthF, PdfWriter.LzwF, PdfWriter.FlateF)) {
+    test(s"content stream with /${f.name} round-trips") {
+      val pdf = PdfWriter.write(Vector(PageSpec(Vector(filterLines), filters = Vector(f))))
+      assert(PdfParser.parse(pdf).map(_.text) == Right(filterLines.mkString("\n")))
+    }
+  }
+
+  test("filter chain [/ASCII85 /FlateDecode] and [/ASCIIHex /LZW] round-trip") {
+    for (chain <- Seq(
+        Vector(PdfWriter.Ascii85F, PdfWriter.FlateF),
+        Vector(PdfWriter.AsciiHexF, PdfWriter.LzwF))) {
+      val pdf = PdfWriter.write(Vector(PageSpec(Vector(filterLines), filters = chain)))
+      assert(PdfParser.parse(pdf).map(_.text) == Right(filterLines.mkString("\n")), chain.toString)
+    }
+  }
+
+  test("LZW known vector: 'AAAAAA' decodes from hand-packed 9-bit codes") {
+    // codes: 256(clear) 65 258 259 257(EOD) at 9 bits each, MSB-first
+    val bytes = Array(0x80, 0x10, 0x60, 0x50, 0x38, 0x08).map(_.toByte)
+    assert(new String(PdfParser.lzw(bytes, 1), "ISO-8859-1") == "AAAAAA")
+  }
+
+  test("LZW width growth: >253 dictionary entries forces 10-bit codes") {
+    // varied bytes so the dictionary grows fast; round-trip through encoder
+    val rng = new scala.util.Random(7)
+    val raw = Array.fill(8192)((rng.nextInt(64) + 32).toByte)
+    val enc = PdfWriter.encodeOne(PdfWriter.LzwF, raw)
+    assert(java.util.Arrays.equals(PdfParser.lzw(enc, 1), raw))
+  }
+
+  test("ASCII85 edge cases: z shortcut, partial final group, whitespace") {
+    val zeros = new Array[Byte](8) // two 'z' groups
+    val encZ = PdfWriter.encodeOne(PdfWriter.Ascii85F, zeros)
+    assert(new String(encZ, "ISO-8859-1") == "zz~>")
+    assert(java.util.Arrays.equals(PdfParser.ascii85(encZ), zeros))
+    for (n <- 1 to 9) {
+      val raw = (1 to n).map(_.toByte).toArray
+      val enc = PdfWriter.encodeOne(PdfWriter.Ascii85F, raw)
+      // whitespace inside the encoding must be ignored
+      val spaced = new String(enc, "ISO-8859-1").flatMap(c => s"$c\n").getBytes("ISO-8859-1")
+      assert(java.util.Arrays.equals(PdfParser.ascii85(spaced), raw), s"n=$n")
+    }
+  }
+
+  test("RunLength edge cases: long runs, literals, EOD") {
+    val raw = (Array.fill(300)('x'.toByte) ++ "abcdef".getBytes ++ Array.fill(2)('y'.toByte))
+    val enc = PdfWriter.encodeOne(PdfWriter.RunLengthF, raw)
+    assert(java.util.Arrays.equals(PdfParser.runLength(enc), raw))
+    assert((enc.last & 0xff) == 128)
+  }
+
+  test("unsupported filter yields pdf_filter_unsupported error row, no throw") {
+    val good = PdfWriter.write(Vector(PageSpec(Vector(Vector("hi")))))
+    val doctored = new String(good, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("<< /Length", "<< /Filter /JBIG2Decode /Length")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val r = PdfParser.parse(doctored)
+    assert(r == Left("pdf_filter_unsupported:JBIG2Decode"))
+  }
+
   test("truncated xref-stream pdf yields Left, never throws") {
     val good = PdfWriter.write(modernPages, PdfWriter.XrefStream(objStm = true, predictor = true))
     (1 until 10).foreach { k =>
