@@ -15,8 +15,12 @@ import scala.collection.mutable.ArrayBuffer
   * compressed object streams (/Type /ObjStm) — the container formats real
   * Common-Crawl PDFs use; raw / Flate / ASCIIHex / ASCII85 / RunLength /
   * LZW (EarlyChange-aware) stream filters, chainable per /Filter arrays;
-  * simple-font text operators
-  * (BT ET Tf Td TD Tm T* TL Tj TJ ' "), WinAnsi/Latin-1 strings, /MediaBox +
+  * text operators (BT ET Tf Td TD Tm T* TL Tj TJ ' ") with per-font
+  * decoders selected by Tf: simple fonts via WinAnsi/MacRoman base
+  * encodings + /Encoding /Differences (AGL-subset + uniXXXX glyph names)
+  * + /ToUnicode overrides, composite Type0/Identity-H fonts via 2-byte
+  * codes through /ToUnicode CMaps (bfchar/bfrange incl. array form),
+  * UTF-16BE BOM text strings; /MediaBox +
   * /Rotate inheritance and normalization (the reference zeroes rotation,
   * pdf_processor.py:76-77 — we normalize coordinates instead, same observable
   * reading order), x-gap column clustering, reading-order sort
@@ -38,7 +42,8 @@ object PdfParser {
   final case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
 
   final case class Fragment(page: Int, x: Double, y: Double, text: String)
-  final case class PageObj(dict: PDict, mediaBox: (Double, Double, Double, Double), rotate: Int)
+  final case class PageObj(dict: PDict, mediaBox: (Double, Double, Double, Double), rotate: Int,
+      resources: Option[PDict] = None)
   final case class ParseResult(pageTexts: Vector[String]) {
     def text: String = pageTexts.mkString("\n\n")
     def pages: Int = pageTexts.length
@@ -571,18 +576,24 @@ object PdfParser {
         case PNum(v) => (((v.toInt % 360) + 360) % 360)
         case _       => inherited
       }
-      def walk(node: PDict, inheritedMb: Option[(Double, Double, Double, Double)], inheritedRot: Int, depth: Int): Unit = {
+      def res(d: PDict, inherited: Option[PDict]) = resolve(d.m.getOrElse("Resources", PNull)) match {
+        case r: PDict => Some(r)
+        case _        => inherited
+      }
+      def walk(node: PDict, inheritedMb: Option[(Double, Double, Double, Double)], inheritedRot: Int,
+          inheritedRes: Option[PDict], depth: Int): Unit = {
         if (depth > 32) throw PdfError("pdf_pages_cycle")
         val curMb = mb(node, inheritedMb)
         val curRot = rot(node, inheritedRot)
+        val curRes = res(node, inheritedRes)
         resolve(node.m.getOrElse("Type", PNull)) match {
           case PName("Page") =>
-            out += PageObj(node, curMb.getOrElse((0.0, 0.0, 612.0, 792.0)), curRot)
+            out += PageObj(node, curMb.getOrElse((0.0, 0.0, 612.0, 792.0)), curRot, curRes)
           case _ =>
             resolve(node.m.getOrElse("Kids", PNull)) match {
               case PArr(kids) => kids.foreach { k =>
                 resolve(k) match {
-                  case d: PDict => walk(d, curMb, curRot, depth + 1)
+                  case d: PDict => walk(d, curMb, curRot, curRes, depth + 1)
                   case _        => throw PdfError("pdf_bad_kid")
                 }
               }
@@ -590,7 +601,7 @@ object PdfParser {
             }
         }
       }
-      walk(top, None, 0, 0)
+      walk(top, None, 0, None, 0)
       out.result()
     }
 
@@ -611,6 +622,70 @@ object PdfParser {
         out.toByteArray
       }
     }
+
+    // ---------------------------------------------------------- fonts
+    private val fontCache = mutable.HashMap.empty[Int, FontDec]
+
+    /** Resource-name → decoder map for a page's /Resources /Font dict. */
+    def fontsOf(pg: PageObj): Map[String, FontDec] =
+      pg.resources.map(r => resolve(r.m.getOrElse("Font", PNull))) match {
+        case Some(fd: PDict) =>
+          fd.m.map { case (name, ref) =>
+            val dec = ref match {
+              case PRef(num, _) => fontCache.getOrElseUpdate(num, buildFont(ref))
+              case _            => buildFont(ref)
+            }
+            name -> dec
+          }
+        case _ => Map.empty
+      }
+
+    /** Build a decoder from a font dict: Type0/Identity-H fonts read 2-byte
+      * codes through /ToUnicode; simple fonts get a 256-entry table from the
+      * base /Encoding, /Differences remaps, and /ToUnicode overrides.
+      * Lenient throughout — a broken font never fails the page. */
+    private def buildFont(ref: PObj): FontDec =
+      try {
+        val fd = resolve(ref) match {
+          case d: PDict => d
+          case _        => return defaultFont
+        }
+        val toUni: Map[Int, String] = resolve(fd.m.getOrElse("ToUnicode", PNull)) match {
+          case st: PStream =>
+            try parseCMap(decodeStream(st)) catch { case _: Throwable => Map.empty }
+          case _ => Map.empty
+        }
+        resolve(fd.m.getOrElse("Subtype", PNull)) match {
+          case PName("Type0") => FontDec(twoByte = true, toUni, null)
+          case _ =>
+            val base: Array[String] = resolve(fd.m.getOrElse("Encoding", PNull)) match {
+              case PName("MacRomanEncoding") => macRomanTable.clone()
+              case encDict: PDict =>
+                val b = resolve(encDict.m.getOrElse("BaseEncoding", PNull)) match {
+                  case PName("MacRomanEncoding") => macRomanTable.clone()
+                  case _                         => winAnsiTable.clone()
+                }
+                resolve(encDict.m.getOrElse("Differences", PNull)) match {
+                  case PArr(items) =>
+                    var code = 0
+                    items.foreach {
+                      case PNum(v)  => code = v.toInt
+                      case PName(g) =>
+                        if (code >= 0 && code < 256)
+                          b(code) = Glyphs.char(g).map(_.toString).getOrElse("�")
+                        code += 1
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                b
+              case _ => winAnsiTable.clone() // WinAnsi/Standard + unknown names
+            }
+            if (toUni.nonEmpty)
+              toUni.foreach { case (c, s) => if (c >= 0 && c < 256) base(c) = s }
+            FontDec(twoByte = false, toUni, base)
+        }
+      } catch { case _: Throwable => defaultFont }
   }
 
   // ------------------------------------------------- stream codecs
@@ -819,13 +894,107 @@ object PdfParser {
     0x98 -> '˜', 0x99 -> '™', 0x9a -> 'š', 0x9b -> '›', 0x9c -> 'œ',
     0x9e -> 'ž', 0x9f -> 'Ÿ')
 
-  private def winAnsiDecode(bytes: Array[Byte]): String = {
-    val sb = new StringBuilder(bytes.length)
-    bytes.foreach { b =>
-      val v = b & 0xff
-      sb.append(winAnsiHigh.getOrElse(v, v.toChar))
+  /** MacRomanEncoding high range (0x80-0xFF), PDF 1.7 Annex D. */
+  private val macRomanHigh: Array[Char] =
+    ("ÄÅÇÉÑÖÜáàâäãåçéè" + "êëíìîïñóòôöõúùûü" +
+     "†°¢£§•¶ß®©™´¨≠ÆØ" + "∞±≤≥¥µ∂∑∏π∫ªºΩæø" +
+     "¿¡¬√ƒ≈∆«»… ÀÃÕŒœ" + "–—“”‘’÷◊ÿŸ⁄€‹›ﬁﬂ" +
+     "‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔ" + "ÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ").toCharArray
+
+  private val winAnsiTable: Array[String] =
+    Array.tabulate(256)(v => winAnsiHigh.getOrElse(v, v.toChar).toString)
+  private val macRomanTable: Array[String] =
+    Array.tabulate(256)(v => if (v < 0x80) v.toChar.toString else macRomanHigh(v - 0x80).toString)
+
+  /** Per-font byte→text decoder, built once per font object from
+    * /Subtype, /Encoding (incl. /Differences) and /ToUnicode. */
+  private[graft] final case class FontDec(
+      twoByte: Boolean,
+      toUni: Map[Int, String],
+      simple: Array[String]) {
+    def decode(bytes: Array[Byte]): String = {
+      // PDF text strings may themselves carry a UTF-16BE BOM
+      if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
+        return new String(bytes, 2, bytes.length - 2, java.nio.charset.StandardCharsets.UTF_16BE)
+      val sb = new StringBuilder(bytes.length)
+      if (twoByte) {
+        var i = 0
+        while (i + 1 < bytes.length) {
+          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+          sb.append(toUni.getOrElse(code, "�"))
+          i += 2
+        }
+      } else {
+        var i = 0
+        while (i < bytes.length) { sb.append(simple(bytes(i) & 0xff)); i += 1 }
+      }
+      sb.toString
     }
-    sb.toString
+  }
+
+  private[graft] val defaultFont: FontDec = FontDec(twoByte = false, Map.empty, winAnsiTable)
+
+  /** Parse a ToUnicode CMap (bfchar + bfrange sections, incl. the array
+    * destination form); lenient — anything unparseable just ends the scan. */
+  private[graft] def parseCMap(data: Array[Byte]): Map[Int, String] = {
+    val out = Map.newBuilder[Int, String]
+    def codeOf(b: Array[Byte]): Int = b.foldLeft(0)((acc, x) => (acc << 8) | (x & 0xff))
+    def strOf(b: Array[Byte]): String =
+      new String(b, java.nio.charset.StandardCharsets.UTF_16BE)
+    def bump(s: String, k: Int): String =
+      if (s.isEmpty) s
+      else s.substring(0, s.length - 1) + (s.charAt(s.length - 1) + k).toChar
+    try {
+      val lx = new Lexer(data)
+      var going = true
+      while (going) {
+        lx.skipWs()
+        if (lx.pos >= lx.n) going = false
+        else {
+          val c = lx.peek
+          if (c == '/' || c == '(' || c == '<' || c == '[' ||
+              (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+            lx.obj() // operand of some CMap operator we don't care about
+          } else lx.token() match {
+            case "beginbfchar" =>
+              var in = true
+              while (in) {
+                lx.skipWs()
+                if (lx.pos >= lx.n) { in = false; going = false }
+                else if (lx.peek == '<') (lx.obj(), lx.obj()) match {
+                  case (PStr(src), PStr(dst)) => out += codeOf(src) -> strOf(dst)
+                  case _                      => in = false
+                }
+                else { if (lx.token() != "endbfchar") going = false; in = false }
+              }
+            case "beginbfrange" =>
+              var in = true
+              while (in) {
+                lx.skipWs()
+                if (lx.pos >= lx.n) { in = false; going = false }
+                else if (lx.peek == '<') (lx.obj(), lx.obj(), lx.obj()) match {
+                  case (PStr(lo), PStr(hi), PStr(dst)) =>
+                    val (l, h) = (codeOf(lo), codeOf(hi))
+                    val base = strOf(dst)
+                    var k = 0
+                    while (l + k <= h && k < 65536) { out += (l + k) -> bump(base, k); k += 1 }
+                  case (PStr(lo), PStr(hi), PArr(items)) =>
+                    val l = codeOf(lo)
+                    items.zipWithIndex.foreach {
+                      case (PStr(d), k) if l + k <= codeOf(hi) => out += (l + k) -> strOf(d)
+                      case _                                   => ()
+                    }
+                  case _ => in = false
+                }
+                else { if (lx.token() != "endbfrange") going = false; in = false }
+              }
+            case "" => going = false
+            case _  => () // other CMap keywords (begincodespacerange etc.)
+          }
+        }
+      }
+    } catch { case _: Throwable => () } // lenient: keep whatever parsed
+    out.result()
   }
 
   /** Run the text operators of one page's content; emit positioned fragments. */
@@ -842,10 +1011,13 @@ object PdfParser {
     var inText = false
     val operands = ArrayBuffer.empty[PObj]
 
+    val fonts = try doc.fontsOf(pg) catch { case _: Throwable => Map.empty[String, FontDec] }
+    var curFont: FontDec = defaultFont
+
     def num(o: PObj): Double = o match { case PNum(v) => v; case _ => 0.0 }
 
     def showText(bytes: Array[Byte]): Unit = {
-      val t = winAnsiDecode(bytes)
+      val t = curFont.decode(bytes)
       if (t.nonEmpty) frags += Fragment(pageIdx, tx, ty, t)
       // advance x roughly (not glyph-accurate; ordering only needs start pos)
       tx += t.length * 5.5
@@ -869,7 +1041,11 @@ object PdfParser {
             op match {
               case "BT" => inText = true; tlx = 0; tly = 0; tx = 0; ty = 0
               case "ET" => inText = false
-              case "Tf" => () // font+size — size ignored (ordering only)
+              case "Tf" => // select font; size ignored (ordering only)
+                if (operands.length >= 2) operands(operands.length - 2) match {
+                  case PName(f) => curFont = fonts.getOrElse(f, defaultFont)
+                  case _        => ()
+                }
               case "TL" => if (operands.nonEmpty) leading = num(operands.last)
               case "Td" =>
                 if (operands.length >= 2) {

@@ -47,20 +47,109 @@ object PdfWriter {
       case c => c.toString
     }
 
-  /** Map text to WinAnsi bytes (Latin-1 subset; others replaced by '?'). */
-  private def winAnsi(s: String): String =
-    s.map(c => if (c.toInt < 256) c else '?')
+  /** CP1252 high-range code points that sit above U+00FF. */
+  private val winAnsiRev: Map[Char, Char] = Map(
+    '€' -> 0x80, '‚' -> 0x82, 'ƒ' -> 0x83, '„' -> 0x84, '…' -> 0x85,
+    '†' -> 0x86, '‡' -> 0x87, 'ˆ' -> 0x88, '‰' -> 0x89, 'Š' -> 0x8a,
+    '‹' -> 0x8b, 'Œ' -> 0x8c, 'Ž' -> 0x8e, '‘' -> 0x91, '’' -> 0x92,
+    '“' -> 0x93, '”' -> 0x94, '•' -> 0x95, '–' -> 0x96, '—' -> 0x97,
+    '˜' -> 0x98, '™' -> 0x99, 'š' -> 0x9a, '›' -> 0x9b, 'œ' -> 0x9c,
+    'ž' -> 0x9e, 'Ÿ' -> 0x9f).map { case (k, v) => k -> v.toChar }
 
-  private def contentStream(spec: PageSpec): Array[Byte] = {
+  /** Map text to WinAnsi (CP1252) bytes; inexpressible chars become '?'. */
+  private def winAnsi(s: String): String =
+    s.map(c => if (c.toInt < 256) c else winAnsiRev.getOrElse(c, '?'))
+
+  // ------------------------------------------------------------ fonts
+
+  /** How the document's single /F1 font encodes text:
+    *  - WinAnsiFont: Type1 Helvetica, WinAnsi literal strings (legacy).
+    *  - Type0Font: composite Identity-H font, 2-byte codes in hex strings,
+    *    char→code assigned doc-wide, mapped back via a /ToUnicode CMap —
+    *    lets any BMP char (Greek, CJK, …) round-trip.
+    *  - DifferencesFont: Type1 with /Encoding /Differences remapping codes
+    *    128+ to the doc's non-ASCII glyphs by AGL name (uniXXXX when
+    *    unnamed), as subset-font writers emit. */
+  sealed trait FontFlavor
+  case object WinAnsiFont extends FontFlavor
+  case object Type0Font extends FontFlavor
+  case object DifferencesFont extends FontFlavor
+
+  /** Doc-wide font plan: the /F1 body (given the number of the first extra
+    * object), extra objects (Left = dict body, Right = stream data), and
+    * the per-line text-showing token for content streams. */
+  private final case class FontPlan(
+      fontBody: Int => String,
+      extras: Vector[Either[String, Array[Byte]]],
+      encLine: String => String)
+
+  private def planFont(pages: Vector[PageSpec], font: FontFlavor): FontPlan = font match {
+    case WinAnsiFont =>
+      FontPlan(
+        _ => "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>",
+        Vector.empty,
+        line => s"(${esc(winAnsi(line))})")
+
+    case Type0Font =>
+      // char → 2-byte code in first-appearance order (code 0 unused)
+      val order = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+      for (p <- pages; col <- p.columns; line <- col; c <- line)
+        if (!order.contains(c)) order(c) = order.size + 1
+      val cmap = {
+        val sb = new StringBuilder
+        sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+        sb.append("/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n")
+        sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+        order.grouped(100).foreach { chunk =>
+          sb.append(s"${chunk.size} beginbfchar\n")
+          chunk.foreach { case (c, code) =>
+            sb.append(f"<$code%04X> <${c.toInt}%04X>\n")
+          }
+          sb.append("endbfchar\n")
+        }
+        sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+        sb.toString.getBytes(ISO_8859_1)
+      }
+      val descendant =
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"
+      FontPlan(
+        extraBase =>
+          "<< /Type /Font /Subtype /Type0 /BaseFont /Synth /Encoding /Identity-H " +
+            s"/DescendantFonts [$extraBase 0 R] /ToUnicode ${extraBase + 1} 0 R >>",
+        Vector(Left(descendant), Right(cmap)),
+        line => line.map(c => f"${order(c)}%04X").mkString("<", "", ">"))
+
+    case DifferencesFont =>
+      // non-ASCII chars → codes 128.. in first-appearance order ('?' overflow)
+      val order = scala.collection.mutable.LinkedHashMap.empty[Char, Int]
+      for (p <- pages; col <- p.columns; line <- col; c <- line)
+        if (c > 126 && !order.contains(c) && order.size < 128) order(c) = 128 + order.size
+      val diffs =
+        if (order.isEmpty) ""
+        else order.map { case (c, _) => "/" + Glyphs.name(c) }.mkString("128 ", " ", "")
+      FontPlan(
+        _ =>
+          "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+            s"/Encoding << /BaseEncoding /WinAnsiEncoding /Differences [$diffs] >> >>",
+        Vector.empty,
+        line => {
+          val mapped = line.map(c =>
+            if (c <= 126) c else order.get(c).map(_.toChar).getOrElse('?'))
+          s"(${esc(mapped)})"
+        })
+  }
+
+  private def contentStream(spec: PageSpec, encLine: String => String): Array[Byte] = {
     val sb = new StringBuilder
     val colX = if (spec.columns.length == 2) Vector(margin, pageW / 2 + 18) else Vector(margin)
     spec.columns.zipWithIndex.foreach { case (lines, ci) =>
       val x = colX(math.min(ci, colX.length - 1))
       sb.append(s"BT\n/F1 $fontSize Tf\n$leading TL\n$x ${pageH - margin} Td\n")
       lines.zipWithIndex.foreach { case (line, li) =>
-        val t = esc(winAnsi(line))
-        if (li == 0) sb.append(s"($t) Tj\n")
-        else sb.append(s"T*\n($t) Tj\n")
+        val t = encLine(line)
+        if (li == 0) sb.append(s"$t Tj\n")
+        else sb.append(s"T*\n$t Tj\n")
       }
       sb.append("ET\n")
     }
@@ -225,21 +314,23 @@ object PdfWriter {
   }
 
   /** Build a complete PDF from page specs. */
-  def write(pages: Vector[PageSpec], flavor: XrefFlavor = Classic): Array[Byte] = {
+  def write(pages: Vector[PageSpec], flavor: XrefFlavor = Classic,
+      font: FontFlavor = WinAnsiFont): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
 
     // object numbering: 1 catalog, 2 pages, 3 font,
-    // then per page i: obj 4+2i page, obj 5+2i content
+    // per page i: obj 4+2i page, obj 5+2i content; font extras appended
     val nPages = pages.length
-    val total = 3 + 2 * nPages
+    val plan = planFont(pages, font)
+    val extraBase = 3 + 2 * nPages + 1
+    val total = 3 + 2 * nPages + plan.extras.length
 
     val catalogBody = "<< /Type /Catalog /Pages 2 0 R >>"
     val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
     val pagesBody =
       s"<< /Type /Pages /Kids [$kids] /Count $nPages /MediaBox [0 0 $pageW $pageH] >>"
-    val fontBody =
-      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>"
+    val fontBody = plan.fontBody(extraBase)
     def pageBody(spec: PageSpec, contObj: Int): String = {
       val rot = if (spec.rotate != 0) s" /Rotate ${spec.rotate}" else ""
       s"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 3 0 R >> >> " +
@@ -258,11 +349,21 @@ object PdfWriter {
           beginObj(4 + 2 * i)
           w(pageBody(spec, 5 + 2 * i) + "\nendobj\n")
           beginObj(5 + 2 * i)
-          val data = contentStream(spec)
+          val data = contentStream(spec, plan.encLine)
           val filter = filterEntry(spec.effectiveFilters)
           w(s"<< /Length ${data.length}$filter >>\nstream\n")
           out.write(data)
           w("\nendstream\nendobj\n")
+        }
+        plan.extras.zipWithIndex.foreach {
+          case (Left(body), k) =>
+            beginObj(extraBase + k)
+            w(body + "\nendobj\n")
+          case (Right(data), k) =>
+            beginObj(extraBase + k)
+            w(s"<< /Length ${data.length} >>\nstream\n")
+            out.write(data)
+            w("\nendstream\nendobj\n")
         }
         val xrefPos = out.size()
         w(s"xref\n0 ${total + 1}\n")
@@ -310,9 +411,13 @@ object PdfWriter {
         }
 
         pages.zipWithIndex.foreach { case (spec, i) =>
-          val data = contentStream(spec)
+          val data = contentStream(spec, plan.encLine)
           val filter = filterEntry(spec.effectiveFilters)
           streamObj(5 + 2 * i, filter, data)
+        }
+        plan.extras.zipWithIndex.foreach {
+          case (Left(body), k)  => directObj(extraBase + k, body)
+          case (Right(data), k) => streamObj(extraBase + k, "", data)
         }
 
         // the xref stream object: W [1 4 2], entries 0..xrefNum

@@ -142,18 +142,37 @@ object Synth {
         val heading = if (p == 0 && c == 0) Vector("# " + sentence(rng, 3).dropRight(1)) else Vector.empty
         heading ++ (0 until linesPerCol).map(_ => sentence(rng, 5 + rng.nextInt(5)))
       }.map(_.toVector).toVector
+      // the rng draw stays (stream position feeds later draws); which
+      // filter chain a compressed page gets derives from the index alone
+      val compress = rng.nextInt(2) == 0
+      val chain: Vector[PdfWriter.Filter] =
+        if (!compress) Vector.empty
+        else ((docIdx + p) % 5) match {
+          case 0 => Vector(PdfWriter.FlateF)
+          case 1 => Vector(PdfWriter.LzwF)
+          case 2 => Vector(PdfWriter.Ascii85F, PdfWriter.FlateF)
+          case 3 => Vector(PdfWriter.RunLengthF)
+          case _ => Vector(PdfWriter.AsciiHexF, PdfWriter.LzwF)
+        }
       PageSpec(columns,
         rotate = if (docIdx % 17 == 0 && p == 0) 90 else 0,
-        compress = rng.nextInt(2) == 0)
+        filters = chain)
     }.toVector
-    // xref flavor derives from the index alone (no rng draws!) so the
-    // text content — and therefore the frozen goldens — is identical
-    // across container formats; only the PDF plumbing differs
+    // xref + font flavors derive from the index alone (no rng draws!) so
+    // the text content — and therefore the frozen goldens — is identical
+    // across container/filter/font formats; only the PDF plumbing differs
+    // (synth sentences are pure ASCII, losslessly expressible in all three
+    // font encodings)
     val flavor =
       if (docIdx % 3 == 1)
         PdfWriter.XrefStream(objStm = (docIdx / 3) % 2 == 0, predictor = (docIdx / 6) % 2 == 0)
       else PdfWriter.Classic
-    PdfWriter.write(pages, flavor)
+    val font = (docIdx % 7) match {
+      case 5 => PdfWriter.Type0Font
+      case 6 => PdfWriter.DifferencesFont
+      case _ => PdfWriter.WinAnsiFont
+    }
+    PdfWriter.write(pages, flavor, font)
   }
 
   /** Malformed corpus slice (FIXTURES.md: must yield status='error' rows or

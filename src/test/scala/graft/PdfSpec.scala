@@ -177,6 +177,89 @@ class PdfSpec extends AnyFunSuite {
     assert(r == Left("pdf_filter_unsupported:JBIG2Decode"))
   }
 
+  // ---- font machinery: Encoding/Differences, ToUnicode, Type0 ----
+
+  test("Type0/Identity-H font with ToUnicode round-trips non-Latin text") {
+    val lines = Vector("Ωμέγα κείμενο εδώ", "中文测试 一二三", "Mixed: αβγ and ascii")
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(lines))), font = PdfWriter.Type0Font)
+    assert(PdfParser.parse(pdf).map(_.text) == Right(lines.mkString("\n")))
+  }
+
+  test("Type0 font inside xref-stream/objstm container round-trips") {
+    val lines = Vector("Ünïcode vía Type0 — ok")
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(lines), compress = true)),
+      PdfWriter.XrefStream(objStm = true, predictor = true), PdfWriter.Type0Font)
+    assert(PdfParser.parse(pdf).map(_.text) == Right(lines.mkString("\n")))
+  }
+
+  test("/Encoding /Differences maps AGL names and uniXXXX back to chars") {
+    val lines = Vector("Café — naïve • done", "Ωmega via uni03A9")
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(lines))), font = PdfWriter.DifferencesFont)
+    assert(PdfParser.parse(pdf).map(_.text) == Right(lines.mkString("\n")))
+  }
+
+  test("all three font flavors agree byte-for-byte on WinAnsi-expressible text") {
+    val lines = Vector("Plain ascii text.", "Accents: é ü ñ ß", "Dashes — and • bullets")
+    val texts = Seq(PdfWriter.WinAnsiFont, PdfWriter.DifferencesFont, PdfWriter.Type0Font).map {
+      ff => PdfParser.parse(PdfWriter.write(Vector(PageSpec(Vector(lines))), font = ff)).map(_.text)
+    }
+    assert(texts.forall(_ == Right(lines.mkString("\n"))), texts.toString)
+  }
+
+  test("MacRomanEncoding: same byte decodes per the Mac table, not WinAnsi") {
+    // 0xA4 is '¤' in WinAnsi but '§' in MacRoman
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector("x¤x")))))
+    assert(PdfParser.parse(pdf).map(_.text) == Right("x¤x"))
+    val doctored = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/Encoding /WinAnsiEncoding", "/Encoding /MacRomanEncoding")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfParser.parse(doctored).map(_.text) == Right("x§x"))
+  }
+
+  test("literal string with UTF-16BE BOM decodes as UTF-16BE") {
+    // splice a BOM-prefixed UTF-16BE string into a content stream by hand
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector("placeholder")))))
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val utf16 = "þÿ" + new String(
+      "Hi Ω".getBytes(java.nio.charset.StandardCharsets.UTF_16BE),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doctored0 = s.replace("(placeholder)", "(" + utf16 + ")")
+    // fix /Length: the stream is uncompressed, so adjust by the size delta
+    val delta = utf16.length - "placeholder".length
+    val lenRe = "/Length (\\d+)".r
+    val m = lenRe.findFirstMatchIn(doctored0).get
+    val doctored = doctored0.replaceFirst("/Length \\d+", s"/Length ${m.group(1).toInt + delta}")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfParser.parse(doctored).map(_.text) == Right("Hi Ω"))
+  }
+
+  test("parseCMap: bfrange incremental and array destinations") {
+    val cmap =
+      """1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfrange
+        |<0010> <0012> <0041>
+        |<0020> <0021> [<00480069> <0042>]
+        |endbfrange
+        |1 beginbfchar
+        |<0001> <20AC>
+        |endbfchar
+        |""".stripMargin.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val m = PdfParser.parseCMap(cmap)
+    assert(m(0x10) == "A" && m(0x11) == "B" && m(0x12) == "C")
+    assert(m(0x20) == "Hi" && m(0x21) == "B") // array form, multi-char dst
+    assert(m(0x01) == "€")
+  }
+
+  test("broken ToUnicode or font dict never fails the page (lenient fonts)") {
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector("still works")))))
+    val doctored = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("/BaseFont /Helvetica", "/BaseFont /Helvetica /ToUnicode 99 0 R")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfParser.parse(doctored).map(_.text) == Right("still works"))
+  }
+
   test("truncated xref-stream pdf yields Left, never throws") {
     val good = PdfWriter.write(modernPages, PdfWriter.XrefStream(objStm = true, predictor = true))
     (1 until 10).foreach { k =>
