@@ -111,11 +111,20 @@ object Queries {
     // full documents; identical algorithm in both engines so it stays
     // oracle-checked
     "q10_exact_dedup" -> ((s, dir) => {
-      docs(s, dir).agg(
-        count(lit(1)).as("total"),
-        countDistinct(col("text")).as("distinct_texts"),
-        countDistinct(md5(col("text").cast("binary"))).as("distinct_hashes"),
-        countDistinct(col("source")).as("distinct_sources"))
+      // Hash FIRST, then count distinct over the 128-bit digest: multiple
+      // countDistincts expand the input N× before the shuffle, so distinct
+      // over raw `text` would shuffle every document body twice. Hashing in
+      // the scan projection shrinks the expanded rows to 32 bytes each —
+      // the only shape that survives 10^12 docs. distinct_texts is also
+      // computed from the digest (md5 collisions are ~1e-15 at 10^12 rows);
+      // the DuckDB oracle checks it against a true count(DISTINCT text),
+      // cross-verifying hash-dedup == raw-dedup on the test corpus.
+      docs(s, dir).select(md5(col("text").cast("binary")).as("h"), col("source"))
+        .agg(
+          count(lit(1)).as("total"),
+          countDistinct(col("h")).as("distinct_texts"),
+          countDistinct(col("h")).as("distinct_hashes"),
+          countDistinct(col("source")).as("distinct_sources"))
     }),
 
     // token counting (training op): whitespace tokenization
