@@ -39,7 +39,11 @@ object HtmlExtractor {
 
   // ---------------------------------------------------------------- entry
 
-  /** Extract from raw bytes: strict UTF-8 decode (malformed → error row). */
+  /** Extract from raw bytes. Strict UTF-8 first; if that fails, honor a
+    * `<meta charset=...>` / http-equiv Content-Type declaration in the first
+    * 2 KiB (crawl corpora are full of declared windows-1252 / iso-8859-1
+    * pages). Undeclared or unknown-charset invalid UTF-8 stays an error row
+    * — guessing encodings silently would break byte-reproducibility. */
   def extractBytes(payload: Array[Byte]): Extracted = {
     if (payload == null || payload.isEmpty)
       return Extracted("error", "html", "", Nil, 0, "empty_payload")
@@ -49,10 +53,36 @@ object HtmlExtractor {
           .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
           .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
         Right(dec.decode(java.nio.ByteBuffer.wrap(payload)).toString)
-      } catch { case e: java.nio.charset.CharacterCodingException => Left("invalid_utf8") }
+      } catch {
+        case _: java.nio.charset.CharacterCodingException =>
+          declaredCharset(payload) match {
+            case Some(cs) =>
+              try Right(new String(payload, cs))
+              catch { case _: Throwable => Left("invalid_" + cs.name.toLowerCase(java.util.Locale.ROOT)) }
+            case None => Left("invalid_utf8")
+          }
+      }
     decoded match {
       case Left(err)   => Extracted("error", "html", "", Nil, 0, err)
-      case Right(html) => extract(html)
+      case Right(html) =>
+        extract(if (html.nonEmpty && html.charAt(0) == '\ufeff') html.substring(1) else html)
+    }
+  }
+
+  private val metaCharsetRe =
+    "(?i)<meta[^>]+charset\\s*=\\s*[\"']?\\s*([A-Za-z0-9_][A-Za-z0-9._-]*)".r
+
+  /** Charset declared in the head of the document, if parseable and not
+    * UTF-8 itself (a declared-UTF-8 page that failed strict decode is
+    * genuinely malformed). */
+  private def declaredCharset(payload: Array[Byte]): Option[java.nio.charset.Charset] = {
+    val head = new String(payload, 0, math.min(2048, payload.length),
+      java.nio.charset.StandardCharsets.ISO_8859_1)
+    metaCharsetRe.findFirstMatchIn(head).map(_.group(1)).flatMap { name =>
+      try {
+        val cs = java.nio.charset.Charset.forName(name)
+        if (cs == java.nio.charset.StandardCharsets.UTF_8) None else Some(cs)
+      } catch { case _: Throwable => None }
     }
   }
 

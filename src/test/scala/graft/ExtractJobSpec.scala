@@ -104,6 +104,30 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(chk1 == chk2)
   }
 
+  test("declared legacy charsets decode; undeclared invalid utf-8 stays an error row") {
+    import graft.extract.HtmlExtractor
+    val body = "<html><body><article><p>Café résumé straße</p></article></body></html>"
+    // windows-1252 bytes are invalid UTF-8 for the accented chars
+    val declared = ("<html><head><meta charset=\"windows-1252\"></head>" + body.drop("<html>".length))
+      .getBytes("windows-1252")
+    val r = HtmlExtractor.extractBytes(declared)
+    assert(r.status == "ok" && r.markdown == "Café résumé straße", r.toString)
+    // http-equiv form
+    val httpEquiv = ("<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\"></head>"
+      + body.drop("<html>".length)).getBytes("ISO-8859-1")
+    assert(HtmlExtractor.extractBytes(httpEquiv).markdown == "Café résumé straße")
+    // same bytes with no declaration: error row, not a silent guess
+    val undeclared = body.getBytes("windows-1252")
+    assert(HtmlExtractor.extractBytes(undeclared).status == "error")
+    // declared but wrong (utf-8 label on cp1252 bytes): still an error
+    val lying = ("<html><head><meta charset=utf-8></head>" + body.drop("<html>".length))
+      .getBytes("windows-1252")
+    assert(HtmlExtractor.extractBytes(lying).status == "error")
+    // UTF-8 BOM stripped, not rendered into the text
+    val bom = (Array(0xef, 0xbb, 0xbf).map(_.toByte) ++ body.getBytes("UTF-8"))
+    assert(HtmlExtractor.extractBytes(bom).markdown == "Café résumé straße")
+  }
+
   test("dispatch: pdf magic sniffed from bytes, extension fallback, html default") {
     assert(Extractor.urlExt("https://h/x/doc.pdf") == "pdf")
     assert(Extractor.urlExt("https://h/x/doc.pdf?q=1#frag") == "pdf")
