@@ -627,8 +627,10 @@ object PdfParser {
     private val fontCache = mutable.HashMap.empty[Int, FontDec]
 
     /** Resource-name → decoder map for a page's /Resources /Font dict. */
-    def fontsOf(pg: PageObj): Map[String, FontDec] =
-      pg.resources.map(r => resolve(r.m.getOrElse("Font", PNull))) match {
+    def fontsOf(pg: PageObj): Map[String, FontDec] = fontsOfRes(pg.resources)
+
+    def fontsOfRes(resources: Option[PDict]): Map[String, FontDec] =
+      resources.map(r => resolve(r.m.getOrElse("Font", PNull))) match {
         case Some(fd: PDict) =>
           fd.m.map { case (name, ref) =>
             val dec = ref match {
@@ -1001,8 +1003,19 @@ object PdfParser {
   private def extractFragments(doc: Doc, pg: PageObj, pageIdx: Int): Vector[Fragment] = {
     val content = doc.pageContent(pg)
     if (content.isEmpty) return Vector.empty
-    val lx = new Lexer(content)
     val frags = Vector.newBuilder[Fragment]
+    runContent(doc, content, pg.resources, pageIdx, 0.0, 0.0, 0, frags)
+    frags.result()
+  }
+
+  /** Interpret one content stream (a page's, or a Form XObject's invoked
+    * via `Do` — recursing with the form's own /Resources and its /Matrix
+    * translation applied as an offset). */
+  private def runContent(doc: Doc, content: Array[Byte], resources: Option[PDict],
+      pageIdx: Int, dx: Double, dy: Double, depth: Int,
+      frags: scala.collection.mutable.Builder[Fragment, Vector[Fragment]]): Unit = {
+    if (depth > 8) return // cyclic or absurdly nested forms
+    val lx = new Lexer(content)
 
     // text state (simplified: track translation of the text line matrix)
     var tlx, tly = 0.0      // line start
@@ -1011,16 +1024,38 @@ object PdfParser {
     var inText = false
     val operands = ArrayBuffer.empty[PObj]
 
-    val fonts = try doc.fontsOf(pg) catch { case _: Throwable => Map.empty[String, FontDec] }
+    val fonts = try doc.fontsOfRes(resources) catch { case _: Throwable => Map.empty[String, FontDec] }
     var curFont: FontDec = defaultFont
 
     def num(o: PObj): Double = o match { case PNum(v) => v; case _ => 0.0 }
 
     def showText(bytes: Array[Byte]): Unit = {
       val t = curFont.decode(bytes)
-      if (t.nonEmpty) frags += Fragment(pageIdx, tx, ty, t)
+      if (t.nonEmpty) frags += Fragment(pageIdx, tx + dx, ty + dy, t)
       // advance x roughly (not glyph-accurate; ordering only needs start pos)
       tx += t.length * 5.5
+    }
+
+    def doXObject(name: String): Unit = {
+      val xobj = resources.map(r => doc.resolve(r.m.getOrElse("XObject", PNull))) match {
+        case Some(xd: PDict) => doc.resolve(xd.m.getOrElse(name, PNull))
+        case _               => PNull
+      }
+      xobj match {
+        case st: PStream if doc.resolve(st.dict.m.getOrElse("Subtype", PNull)) == PName("Form") =>
+          val formRes = doc.resolve(st.dict.m.getOrElse("Resources", PNull)) match {
+            case d: PDict => Some(d)
+            case _        => resources // inherit the invoking context's
+          }
+          val (mx, my) = doc.resolve(st.dict.m.getOrElse("Matrix", PNull)) match {
+            case PArr(items) if items.length == 6 => (num(doc.resolve(items(4))), num(doc.resolve(items(5))))
+            case _                                => (0.0, 0.0)
+          }
+          val inner = try doc.decodeStream(st) catch { case _: Throwable => Array.emptyByteArray }
+          if (inner.nonEmpty)
+            runContent(doc, inner, formRes, pageIdx, dx + mx, dy + my, depth + 1, frags)
+        case _ => () // image or missing XObject: no text
+      }
     }
 
     def nextLine(): Unit = { tlx = tlx; tly -= leading; tx = tlx; ty = tly }
@@ -1075,10 +1110,11 @@ object PdfParser {
                 case PArr(items) =>
                   items.foreach {
                     case PStr(b) => showText(b)
-                    case PNum(adj) => if (adj < -180) { frags += Fragment(pageIdx, tx, ty, " "); tx += 2 }
+                    case PNum(adj) => if (adj < -180) { frags += Fragment(pageIdx, tx + dx, ty + dy, " "); tx += 2 }
                     case _ => ()
                   }
               }
+              case "Do" => operands.lastOption.collect { case PName(n) => doXObject(n) }
               case _ => () // graphics operators ignored
             }
             operands.clear()
@@ -1086,7 +1122,6 @@ object PdfParser {
         }
       }
     }
-    frags.result()
   }
 
   /** The reference preprocesses every page with set_rotation(0)

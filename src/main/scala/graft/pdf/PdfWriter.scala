@@ -313,29 +313,44 @@ object PdfWriter {
     case fs        => fs.map("/" + _.name).mkString(" /Filter [", " ", "]")
   }
 
-  /** Build a complete PDF from page specs. */
+  /** Build a complete PDF from page specs. With `formXObject` each page's
+    * real content lives in a /Subtype /Form XObject (with its own
+    * /Resources and a translation /Matrix) invoked from a stub page stream
+    * via `Do` — the indirection many real-world generators emit. */
   def write(pages: Vector[PageSpec], flavor: XrefFlavor = Classic,
-      font: FontFlavor = WinAnsiFont): Array[Byte] = {
+      font: FontFlavor = WinAnsiFont, formXObject: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
 
     // object numbering: 1 catalog, 2 pages, 3 font,
-    // per page i: obj 4+2i page, obj 5+2i content; font extras appended
+    // per page i: obj 4+2i page, obj 5+2i content; font extras appended;
+    // with formXObject, one form object per page after the extras
     val nPages = pages.length
     val plan = planFont(pages, font)
     val extraBase = 3 + 2 * nPages + 1
-    val total = 3 + 2 * nPages + plan.extras.length
+    val formBase = extraBase + plan.extras.length
+    val total = 3 + 2 * nPages + plan.extras.length + (if (formXObject) nPages else 0)
 
     val catalogBody = "<< /Type /Catalog /Pages 2 0 R >>"
     val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
     val pagesBody =
       s"<< /Type /Pages /Kids [$kids] /Count $nPages /MediaBox [0 0 $pageW $pageH] >>"
     val fontBody = plan.fontBody(extraBase)
-    def pageBody(spec: PageSpec, contObj: Int): String = {
+    def pageBody(spec: PageSpec, contObj: Int, pageIdx: Int): String = {
       val rot = if (spec.rotate != 0) s" /Rotate ${spec.rotate}" else ""
-      s"<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 3 0 R >> >> " +
-        s"/Contents $contObj 0 R$rot >>"
+      val res =
+        if (formXObject) s"<< /XObject << /FX0 ${formBase + pageIdx} 0 R >> >>"
+        else "<< /Font << /F1 3 0 R >> >>"
+      s"<< /Type /Page /Parent 2 0 R /Resources $res /Contents $contObj 0 R$rot >>"
     }
+    // with forms: the page stream is a stub `Do`; the form holds the text,
+    // its own font resources, and a translation matrix (offset exercised)
+    val formStub = "q /FX0 Do Q\n".getBytes(ISO_8859_1)
+    def formDictExtra(filters: Vector[Filter]): String =
+      s" /Type /XObject /Subtype /Form /Matrix [1 0 0 1 6 -8] /BBox [0 0 $pageW $pageH]" +
+        s" /Resources << /Font << /F1 3 0 R >> >>${filterEntry(filters)}"
+    def pageData(spec: PageSpec): Array[Byte] =
+      if (formXObject) formStub else contentStream(spec, plan.encLine)
 
     flavor match {
       case Classic =>
@@ -347,10 +362,10 @@ object PdfWriter {
         beginObj(3); w(fontBody + "\nendobj\n")
         pages.zipWithIndex.foreach { case (spec, i) =>
           beginObj(4 + 2 * i)
-          w(pageBody(spec, 5 + 2 * i) + "\nendobj\n")
+          w(pageBody(spec, 5 + 2 * i, i) + "\nendobj\n")
           beginObj(5 + 2 * i)
-          val data = contentStream(spec, plan.encLine)
-          val filter = filterEntry(spec.effectiveFilters)
+          val data = pageData(spec)
+          val filter = if (formXObject) "" else filterEntry(spec.effectiveFilters)
           w(s"<< /Length ${data.length}$filter >>\nstream\n")
           out.write(data)
           w("\nendstream\nendobj\n")
@@ -364,6 +379,13 @@ object PdfWriter {
             w(s"<< /Length ${data.length} >>\nstream\n")
             out.write(data)
             w("\nendstream\nendobj\n")
+        }
+        if (formXObject) pages.zipWithIndex.foreach { case (spec, i) =>
+          beginObj(formBase + i)
+          val data = contentStream(spec, plan.encLine)
+          w(s"<< /Length ${data.length}${formDictExtra(spec.effectiveFilters)} >>\nstream\n")
+          out.write(data)
+          w("\nendstream\nendobj\n")
         }
         val xrefPos = out.size()
         w(s"xref\n0 ${total + 1}\n")
@@ -390,7 +412,7 @@ object PdfWriter {
 
         val dictObjs: Vector[(Int, String)] =
           Vector(1 -> catalogBody, 2 -> pagesBody, 3 -> fontBody) ++
-            pages.zipWithIndex.map { case (spec, i) => (4 + 2 * i) -> pageBody(spec, 5 + 2 * i) }
+            pages.zipWithIndex.map { case (spec, i) => (4 + 2 * i) -> pageBody(spec, 5 + 2 * i, i) }
 
         if (objStm) {
           // pack all non-stream objects into one compressed object stream
@@ -411,13 +433,17 @@ object PdfWriter {
         }
 
         pages.zipWithIndex.foreach { case (spec, i) =>
-          val data = contentStream(spec, plan.encLine)
-          val filter = filterEntry(spec.effectiveFilters)
+          val data = pageData(spec)
+          val filter = if (formXObject) "" else filterEntry(spec.effectiveFilters)
           streamObj(5 + 2 * i, filter, data)
         }
         plan.extras.zipWithIndex.foreach {
           case (Left(body), k)  => directObj(extraBase + k, body)
           case (Right(data), k) => streamObj(extraBase + k, "", data)
+        }
+        if (formXObject) pages.zipWithIndex.foreach { case (spec, i) =>
+          val data = contentStream(spec, plan.encLine)
+          streamObj(formBase + i, formDictExtra(spec.effectiveFilters), data)
         }
 
         // the xref stream object: W [1 4 2], entries 0..xrefNum

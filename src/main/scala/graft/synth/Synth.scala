@@ -172,7 +172,7 @@ object Synth {
       case 6 => PdfWriter.DifferencesFont
       case _ => PdfWriter.WinAnsiFont
     }
-    PdfWriter.write(pages, flavor, font)
+    PdfWriter.write(pages, flavor, font, formXObject = docIdx % 11 == 3)
   }
 
   /** Malformed corpus slice (FIXTURES.md: must yield status='error' rows or

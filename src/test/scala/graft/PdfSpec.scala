@@ -260,6 +260,37 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(doctored).map(_.text) == Right("still works"))
   }
 
+  // ---- Form XObjects (`Do` operator) ----
+
+  test("text inside a Form XObject extracts identically to inline content") {
+    val pages = Vector(
+      PageSpec(Vector(Vector("# Form Doc", "Line in a form", "Second line")), compress = true),
+      PageSpec(Vector(Vector("Left col", "more left"), Vector("Right col", "more right"))))
+    val inline0 = PdfParser.parse(PdfWriter.write(pages)).map(_.text)
+    val viaForm = PdfParser.parse(PdfWriter.write(pages, formXObject = true)).map(_.text)
+    assert(viaForm == inline0 && viaForm.isRight, s"$viaForm vs $inline0")
+  }
+
+  test("Form XObjects compose with xref-stream containers and Type0 fonts") {
+    val pages = Vector(PageSpec(Vector(Vector("Ünïcode in a fôrm — Ω")),
+      filters = Vector(PdfWriter.Ascii85F, PdfWriter.FlateF)))
+    val pdf = PdfWriter.write(pages, PdfWriter.XrefStream(objStm = true, predictor = true),
+      PdfWriter.Type0Font, formXObject = true)
+    assert(PdfParser.parse(pdf).map(_.text) == Right("Ünïcode in a fôrm — Ω"))
+  }
+
+  test("missing or non-form XObject in Do is ignored, never throws") {
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector("kept text")))))
+    // splice a Do for an undefined name into the (raw) content stream
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val doctored0 = s.replace("BT\n", "/NoSuchX Do\nBT\n")
+    val delta = "/NoSuchX Do\n".length
+    val m = "/Length (\\d+)".r.findFirstMatchIn(doctored0).get
+    val doctored = doctored0.replaceFirst("/Length \\d+", s"/Length ${m.group(1).toInt + delta}")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(PdfParser.parse(doctored).map(_.text) == Right("kept text"))
+  }
+
   test("truncated xref-stream pdf yields Left, never throws") {
     val good = PdfWriter.write(modernPages, PdfWriter.XrefStream(objStm = true, predictor = true))
     (1 until 10).foreach { k =>
