@@ -49,14 +49,22 @@ object ExtractJob {
     val withPart = pages.withColumn("part_id",
       pmod(xxhash64(col("url")), lit(partitions)).cast("int"))
 
-    // resume: skip partitions already recorded 'done' in the manifest
-    val (todo, skipped) =
-      if (io.tableExists(spark, ManifestTable)) {
-        val done = io.readTable(spark, ManifestTable)
+    // resume: skip partitions already recorded 'done' in the manifest.
+    // done/todo part-id sets are tiny (≤ `partitions` ints) — collecting
+    // them costs nothing and identifies exactly which hive partitions this
+    // invocation owns, independent of run_ts (reruns reuse the same ts).
+    val doneSet: Set[Int] =
+      if (io.tableExists(spark, ManifestTable))
+        io.readTable(spark, ManifestTable)
           .filter($"status" === "done").select("part_id").distinct()
-        val cnt = done.count()
-        (withPart.join(broadcast(done), Seq("part_id"), "left_anti"), cnt)
-      } else (withPart, 0L)
+          .as[Int].collect().toSet
+      else Set.empty
+    val skipped = doneSet.size.toLong
+    val todo =
+      if (doneSet.isEmpty) withPart
+      else withPart.filter(!$"part_id".isin(doneSet.toSeq: _*))
+    val todoParts: Set[Int] =
+      todo.select($"part_id").distinct().as[Int].collect().toSet
 
     // salted repartition: key spreads each part over `salt` buckets so a
     // skewed host's documents land in several tasks
@@ -76,11 +84,22 @@ object ExtractJob {
 
     io.overwritePartitions(results, ResultsTable, "part_id")
 
+    // Everything below reads the WRITTEN table back instead of re-evaluating
+    // `results`: the extraction UDF is the whole cost of the job, and a
+    // DataFrame reference would silently re-run it per action. Restricting
+    // to this invocation's part_ids prunes the read to the hive partitions
+    // just written, so a resumed rerun never rescans finished partitions.
+    val writtenThisRun =
+      if (todoParts.isEmpty)
+        io.readTable(spark, ResultsTable).filter(lit(false))
+      else
+        io.readTable(spark, ResultsTable)
+          .filter($"part_id".isin(todoParts.toSeq: _*))
+
     // lineage: commutative per-partition checksum — order-independent, so
     // identical at any parallelism (the determinism property the golden
     // byte-identity contract needs)
-    val written = io.readTable(spark, ResultsTable)
-    val lineage = written.groupBy($"part_id").agg(
+    val lineage = writtenThisRun.groupBy($"part_id").agg(
       count(lit(1)).as("row_count"),
       count(when($"status" === "ok", 1)).as("ok_count"),
       count(when($"status" === "error", 1)).as("err_count"),
@@ -90,12 +109,17 @@ object ExtractJob {
     io.overwritePartitions(
       lineage.withColumn("part_lbl", $"part_id"), LineageTable, "part_lbl")
 
-    // manifest: mark every part_id in this input as done (append-only)
-    val doneParts = withPart.select($"part_id").distinct()
-      .map(r => ManifestRow(r.getInt(0), runTs, "done"))
-    io.appendTable(doneParts.toDF(), ManifestTable)
+    // manifest: mark this invocation's partitions done (append-only); built
+    // from the already-collected part-id set — no extra pass over the input
+    if (todoParts.nonEmpty) {
+      val doneParts = todoParts.toSeq.sorted
+        .map(p => ManifestRow(p, runTs, "done")).toDS()
+      io.appendTable(doneParts.toDF(), ManifestTable)
+    }
 
-    val byStatus = results.groupBy($"status").count().collect()
+    // summary from the thin (status) column of the written files — no
+    // second pass over html payloads
+    val byStatus = writtenThisRun.groupBy($"status").count().collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
     RunSummary(
       total = byStatus.values.sum,
