@@ -745,6 +745,12 @@ object PdfParser {
     }
   }
 
+  /** Per-stream decode ceiling: a corrupt or hostile stream (zip bomb,
+    * runaway RunLength/LZW repeats) must error-row the document, not OOM an
+    * executor shared by thousands of other documents. 256 MiB is far above
+    * any legitimate text content stream. */
+  private[graft] val MaxDecodedBytes: Int = 256 << 20
+
   private[graft] def inflate(data: Array[Byte]): Array[Byte] = {
     val inf = new Inflater()
     inf.setInput(data)
@@ -755,7 +761,10 @@ object PdfParser {
         val k = inf.inflate(buf)
         if (k == 0) {
           if (inf.needsInput() || inf.needsDictionary()) throw PdfError("pdf_flate_truncated")
-        } else out.write(buf, 0, k)
+        } else {
+          if (out.size() + k > MaxDecodedBytes) throw PdfError("pdf_stream_too_large")
+          out.write(buf, 0, k)
+        }
       }
     } catch {
       case _: java.util.zip.DataFormatException => throw PdfError("pdf_flate_corrupt")
@@ -835,6 +844,7 @@ object PdfParser {
         var k = 257 - tag
         while (k > 0) { out.write(b); k -= 1 }
       }
+      if (out.size() > MaxDecodedBytes) throw PdfError("pdf_stream_too_large")
     }
     out.toByteArray
   }
@@ -877,6 +887,7 @@ object PdfParser {
             next += 1
             if (next + earlyChange >= (1 << width) && width < 12) width += 1
           }
+          if (out.size() + entry.length > MaxDecodedBytes) throw PdfError("pdf_stream_too_large")
           out.write(entry, 0, entry.length)
           prev = entry
         }

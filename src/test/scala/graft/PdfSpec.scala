@@ -291,6 +291,73 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(doctored).map(_.text) == Right("kept text"))
   }
 
+  test("mutation fuzz: parse never throws on corrupted documents") {
+    // deterministic corruption sweep over every writer flavor: truncations,
+    // single-byte flips, byte deletions, and garbage splices (X7: a
+    // malformed document must yield an error row, never an exception)
+    val bases = Seq(
+      PdfWriter.write(modernPages),
+      PdfWriter.write(modernPages, PdfWriter.XrefStream(objStm = true, predictor = true)),
+      PdfWriter.write(modernPages, PdfWriter.Classic, PdfWriter.Type0Font),
+      PdfWriter.write(Vector(PageSpec(Vector(filterLines),
+        filters = Vector(PdfWriter.Ascii85F, PdfWriter.LzwF))), formXObject = true))
+    val rng = new scala.util.Random(20260817L)
+    var parses = 0
+    for (base <- bases) {
+      for (k <- 1 until 20) { // truncations at 5% steps
+        PdfParser.parse(java.util.Arrays.copyOfRange(base, 0, base.length * k / 20))
+        parses += 1
+      }
+      for (_ <- 0 until 150) { // random single-byte flips
+        val m = base.clone()
+        m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+        PdfParser.parse(m)
+        parses += 1
+      }
+      for (_ <- 0 until 50) { // random 1-16 byte deletions
+        val at = rng.nextInt(base.length - 16)
+        val len = 1 + rng.nextInt(16)
+        val m = java.util.Arrays.copyOfRange(base, 0, at) ++
+          java.util.Arrays.copyOfRange(base, at + len, base.length)
+        PdfParser.parse(m)
+        parses += 1
+      }
+      for (_ <- 0 until 50) { // garbage splices (structure-breaking tokens)
+        val tokens = Seq(" stream ", " endobj ", "<<", ">>", "(((", "%PDF-", "  ")
+        val at = rng.nextInt(base.length)
+        val t = tokens(rng.nextInt(tokens.length)).getBytes("ISO-8859-1")
+        val m = java.util.Arrays.copyOfRange(base, 0, at) ++ t ++
+          java.util.Arrays.copyOfRange(base, at, base.length)
+        PdfParser.parse(m)
+        parses += 1
+      }
+    }
+    assert(parses > 1000) // the sweep actually ran
+  }
+
+  test("decompression bomb: oversized expansion becomes an error, not an OOM") {
+    // ~300 MiB of zeros deflates to ~300 KiB; decode must refuse it
+    val bomb = {
+      val chunk = new Array[Byte](1 << 20)
+      val d = new java.util.zip.Deflater()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1 << 16)
+      (0 until 300).foreach { _ =>
+        d.setInput(chunk)
+        while (!d.needsInput()) out.write(buf, 0, d.deflate(buf))
+      }
+      d.finish()
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    val e = intercept[PdfParser.PdfError](PdfParser.inflate(bomb))
+    assert(e.msg == "pdf_stream_too_large")
+    // a repeat-heavy RunLength stream: 128x expansion per 2 bytes
+    val rl = Array.fill(4 << 20)(Array(129.toByte, 'x'.toByte)).flatten
+    val e2 = intercept[PdfParser.PdfError](PdfParser.runLength(rl))
+    assert(e2.msg == "pdf_stream_too_large")
+  }
+
   test("truncated xref-stream pdf yields Left, never throws") {
     val good = PdfWriter.write(modernPages, PdfWriter.XrefStream(objStm = true, predictor = true))
     (1 until 10).foreach { k =>
