@@ -38,7 +38,14 @@ object Tokenizer {
 
     while (i < n) {
       val c = input.charAt(i)
-      if (c != '<') { text.append(c); i += 1 }
+      if (c != '<') {
+        // bulk-scan the text run to the next '<' — most of a document is
+        // text between tags, and per-char appends dominate the profile
+        val lt = input.indexOf('<', i)
+        val end = if (lt < 0) n else lt
+        text.underlying.append(input, i, end)
+        i = end
+      }
       else if (i + 1 >= n) { text.append(c); i += 1 } // trailing '<'
       else {
         val c1 = input.charAt(i + 1)
@@ -123,14 +130,28 @@ object Tokenizer {
   /** Parse a start tag at position i (input(i)=='<', letter next).
     * Returns (token, indexAfterGt) or None if truncated before '>'.
     */
+  private def isNameChar(c: Char): Boolean =
+    isAsciiLetter(c) || Character.isDigit(c) || c == '-' || c == '_' || c == ':'
+
+  /** Lower-cased name slice; skips the StringBuilder when already lower. */
+  private def lowerName(input: String, from: Int, until: Int): String = {
+    var k = from
+    while (k < until && !(input.charAt(k) >= 'A' && input.charAt(k) <= 'Z')) k += 1
+    if (k == until) input.substring(from, until)
+    else {
+      val sb = new java.lang.StringBuilder(until - from)
+      var j = from
+      while (j < until) { sb.append(Character.toLowerCase(input.charAt(j))); j += 1 }
+      sb.toString
+    }
+  }
+
   private def parseStartTag(input: String, start: Int): Option[(StartTag, Int)] = {
     val n = input.length
     var i = start + 1
-    val nameSb = new StringBuilder
-    while (i < n && (isAsciiLetter(input.charAt(i)) || Character.isDigit(input.charAt(i)) ||
-           input.charAt(i) == '-' || input.charAt(i) == '_' || input.charAt(i) == ':')) {
-      nameSb.append(Character.toLowerCase(input.charAt(i))); i += 1
-    }
+    val nameStart = i
+    while (i < n && isNameChar(input.charAt(i))) i += 1
+    val tagName = lowerName(input, nameStart, i)
     val attrs = Map.newBuilder[String, String]
     var selfClosing = false
     var done = false
@@ -170,18 +191,16 @@ object Tokenizer {
         } else if (an.nonEmpty) attrs += an.toString -> ""
       }
     }
-    Some((StartTag(nameSb.toString, attrs.result(), selfClosing), i))
+    Some((StartTag(tagName, attrs.result(), selfClosing), i))
   }
 
   private def parseEndTag(input: String, start: Int): Option[(EndTag, Int)] = {
     val n = input.length
     var i = start + 2
-    val nameSb = new StringBuilder
-    while (i < n && (isAsciiLetter(input.charAt(i)) || Character.isDigit(input.charAt(i)) ||
-           input.charAt(i) == '-' || input.charAt(i) == '_' || input.charAt(i) == ':')) {
-      nameSb.append(Character.toLowerCase(input.charAt(i))); i += 1
-    }
+    val nameStart = i
+    while (i < n && isNameChar(input.charAt(i))) i += 1
+    val tagName = lowerName(input, nameStart, i)
     while (i < n && input.charAt(i) != '>') i += 1
-    if (i >= n) None else Some((EndTag(nameSb.toString), i + 1))
+    if (i >= n) None else Some((EndTag(tagName), i + 1))
   }
 }
