@@ -125,6 +125,14 @@ object Bench {
 
     // ---- phase 1: query suite at local[cpus] ----
     val spark = session(cpus)
+    // warm the scan infrastructure (parquet footers, codegen of simple
+    // plans, JVM) so the alphabetically-first query doesn't absorb the
+    // whole cold-start and distort its time
+    Seq("documents", "events", "lineitem", "orders", "customer", "embeddings")
+      .foreach { t =>
+        try spark.read.parquet(s"$sfDir/$t.parquet").count()
+        catch { case _: Throwable => () }
+      }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
       name -> sec

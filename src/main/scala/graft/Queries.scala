@@ -329,9 +329,11 @@ object Queries {
     // in for prediction drift) → per-url detail + imputation + summary
     "q31_eval_pipeline" -> ((s, dir) => {
       val pages = graft.synth.Synth.pagesDs(s, 200L, seed = 42L).toDF()
+      // persist: goldens and preds both branch off this frame, and an
+      // unpersisted reference would re-run the extraction UDF per branch
       val extracted = graft.extract.ExtractJob.extractedDf(pages).select(
         col("url"), col("extracted.status").as("status"),
-        col("extracted.markdown").as("markdown"))
+        col("extracted.markdown").as("markdown")).persist()
       // golden = clean extraction; prediction = word-perturbed on a slice
       val goldens = extracted.select(col("url"), col("markdown").as("g_markdown"))
       val preds = extracted.withColumn("markdown",

@@ -37,6 +37,17 @@ class PlanSpec extends AnyFunSuite {
     assert(exchanges <= 1, s"extraction map must stay narrow after the one repartition:\n$plan")
   }
 
+  test("exact-dedup counts distinct over the digest, never raw text, below the Expand") {
+    val df = SparkEntry.queries("q10_exact_dedup")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(plan.contains("Expand"), plan)
+    // the Expand (count-distinct fan-out) must see only the 32-byte hash +
+    // source: a `text#` reference inside it means full bodies get shuffled
+    val expandLine = plan.linesIterator.find(_.contains("Expand")).getOrElse("")
+    assert(!expandLine.contains("text#"), expandLine)
+    assert(plan.contains("md5"), plan)
+  }
+
   test("golden-style equi-join broadcasts the small side") {
     import spark.implicits._
     val golden = Seq(("u1", "t1"), ("u2", "t2")).toDF("url", "g")
