@@ -104,6 +104,35 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(chk1 == chk2)
   }
 
+  test("mutation fuzz: html extraction never throws on corrupted markup") {
+    import graft.extract.Extractor
+    val rng = new scala.util.Random(20260817L)
+    val bases = (0 until 12).map(i => graft.synth.Synth.page(42L, i.toLong).html)
+    var runs = 0
+    for (base <- bases if !graft.pdf.PdfParser.isPdf(base)) {
+      for (k <- 1 until 10) { // truncations
+        Extractor.extract("u", java.util.Arrays.copyOfRange(base, 0, base.length * k / 10))
+        runs += 1
+      }
+      for (_ <- 0 until 80) { // byte flips (may break UTF-8 → error row, fine)
+        val m = base.clone()
+        m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+        Extractor.extract("u", m)
+        runs += 1
+      }
+      for (_ <- 0 until 40) { // structural splices
+        val tokens = Seq("<table>", "</div>", "<<<", "&#xZZ;", "<!--", "<script>", "</p", "<a href=")
+        val at = rng.nextInt(base.length)
+        val t = tokens(rng.nextInt(tokens.length)).getBytes("UTF-8")
+        val m = java.util.Arrays.copyOfRange(base, 0, at) ++ t ++
+          java.util.Arrays.copyOfRange(base, at, base.length)
+        Extractor.extract("u", m)
+        runs += 1
+      }
+    }
+    assert(runs > 500)
+  }
+
   test("declared legacy charsets decode; undeclared invalid utf-8 stays an error row") {
     import graft.extract.HtmlExtractor
     val body = "<html><body><article><p>Café résumé straße</p></article></body></html>"
