@@ -139,9 +139,22 @@ object HtmlExtractor {
     (chars, anchor)
   }
 
+  /** id/class tokens that mark the main content container (Readability's
+    * positive-hint idea) — worth a score boost, not an absolute pick,
+    * because link farms also like to call themselves "content". */
+  private val contentClassRe =
+    ("(?:^|[\\s_-])(article|content|entry|main|post|story|body|text|blog)" +
+      "(?:$|[\\s_-])").r
+
+  private def hasContentClass(el: Elem): Boolean = {
+    val marker = (el.attr("class") + " " + el.attr("id"))
+      .toLowerCase(java.util.Locale.ROOT)
+    marker.trim.nonEmpty && contentClassRe.findFirstIn(" " + marker + " ").isDefined
+  }
+
   /** Pick the content root: <main> if present, else <article>, else the
     * best-scoring block container (score = chars * (1 - linkDensity)^2,
-    * ties broken by document order). */
+    * ×2 for content-marked id/class, ties broken by document order). */
   private def selectContent(root: Elem): Elem = {
     root.findFirst("main").orElse(root.findFirst("article")).getOrElse {
       val candidates = ArrayBuffer.empty[(Elem, Double)]
@@ -150,7 +163,8 @@ object HtmlExtractor {
           val (c, a) = charCounts(e)
           if (c > 0) {
             val ld = if (c == 0) 0.0 else a.toDouble / c
-            candidates += ((e, c * (1.0 - ld) * (1.0 - ld)))
+            val boost = if (hasContentClass(e)) 2.0 else 1.0
+            candidates += ((e, c * (1.0 - ld) * (1.0 - ld) * boost))
           }
         }
         e.children.foreach { case el: Elem => walk(el); case _ => }

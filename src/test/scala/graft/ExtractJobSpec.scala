@@ -104,6 +104,22 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(chk1 == chk2)
   }
 
+  test("content-class hint beats an equally-sized link farm without article tags") {
+    import graft.extract.HtmlExtractor
+    // no <main>/<article>: selection must fall back to scoring; the link
+    // farm has as much text as the story, but all under <a> + no hint
+    val farmLinks = (1 to 12).map(i => s"""<a href="/$i">Interesting clickbait headline number $i</a>""").mkString(" ")
+    val story = (1 to 6).map(i => s"<p>Sentence $i of the actual story body with plain words.</p>").mkString("\n")
+    val html =
+      s"""<html><body>
+         |<div class="trending-links">$farmLinks</div>
+         |<div class="post-body">$story</div>
+         |</body></html>""".stripMargin
+    val r = HtmlExtractor.extract(html)
+    assert(r.status == "ok" && r.markdown.contains("Sentence 1 of the actual story")
+      && !r.markdown.contains("clickbait"), r.markdown)
+  }
+
   test("mutation fuzz: html extraction never throws on corrupted markup") {
     import graft.extract.Extractor
     val rng = new scala.util.Random(20260817L)
