@@ -144,14 +144,22 @@ object Bench {
       .write.mode("overwrite").parquet(corpusDir)
     spark.stop()
 
-    val Array(nLow, nHigh) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "4,16")
+    // 3→12 rather than 4→16: the host advertises 32 CPUs but delivers ~16;
+    // a 16-thread high level needs EVERY deliverable core, so any transient
+    // host contention directly cuts its throughput and corrupts the ratio
+    // (measured 0.72–0.98 run-to-run at 4→16, vs 0.91 at 3→12 in the same
+    // noisy window). 12 threads keep slack while preserving the 4× ratio.
+    val Array(nLow, nHigh) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "3,12")
       .split(",").map(_.trim.toInt)
     // Interleave the levels across rounds of alternating child JVMs and
     // take the per-level min: host capacity on this VM fluctuates on
     // multi-minute windows, so back-to-back single measurements can land
     // one level in a slow window and corrupt the ratio in either
     // direction. Alternation gives both levels the same exposure.
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "2").toInt
+    // 3 rounds: with 2, one level can spend BOTH its children in a slow
+    // host window and never record its true capacity; a third alternation
+    // makes that coincidence much rarer (capacity windows are multi-minute)
+    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
     val walls = (1 to rounds).map { _ =>
       (measureIsolated(nLow, corpusDir), measureIsolated(nHigh, corpusDir))
     }
