@@ -98,4 +98,18 @@ class TextNormSpec extends AnyFunSuite {
     assert(TextNorm.normalize("") == "")
     assert(TextNorm.normalize(null) == "")
   }
+
+  test("named entity decoding covers the full HTML4 table") {
+    import graft.html.Entities
+    assert(Entities.named.size >= 253)
+    // spot checks across the ranges: Latin-1, Greek, symbols, markup
+    assert(Entities.decode("&Aacute;&aelig;&iquest;") == "\u00c1\u00e6\u00bf")
+    assert(Entities.decode("&alpha;&Omega;&sigmaf;") == "\u03b1\u03a9\u03c2")
+    assert(Entities.decode("&rarr;&hearts;&sum;&ne;") == "\u2192\u2665\u2211\u2260")
+    assert(Entities.decode("&OElig;&permil;&sbquo;") == "\u0152\u2030\u201a")
+    assert(Entities.decode("x&shy;y&nbsp;z") == "x\u00ady\u00a0z")
+    // unknown + numeric forms unchanged
+    assert(Entities.decode("&nosuch;&#65;&#x42;") == "&nosuch;AB")
+  }
 }
+
