@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through UNPREFIXED: the driver invokes
+// `sbt runMain graft.Bench` and parses the one JSON line on stdout.
+// sbt's default LoggedOutput prefixes it with "[info] " which broke the
+// round-1 bench parse (BENCH_r01.json parsed:null).
+Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -15,6 +15,9 @@ for t in glob.glob(f"{sf_dir}/*.parquet"):
     con.sql(f"CREATE VIEW {name} AS SELECT * FROM '{t}'")
 
 oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
+# Verify emits each entry under BOTH `name` and `name.parquet` keys (the
+# driver keys its report by dump file name); normalize to bare names here.
+oracle = {k[:-8] if k.endswith(".parquet") else k: v for k, v in oracle.items()}
 fail = 0
 for name in sorted(oracle):
     sql = oracle[name]

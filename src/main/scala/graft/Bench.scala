@@ -73,14 +73,20 @@ object Bench {
   ).flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
 
   /** Spawn a fresh JVM for one scaling level; fall back to in-process
-    * measurement if spawning fails (e.g. exotic launcher classpath). */
-  private def measureIsolated(cpus: Int, corpusDir: String): Double = {
+    * measurement if spawning fails (e.g. exotic launcher classpath).
+    * Returns (wall, isolated) — isolated=false means the in-process
+    * fallback ran, which carries ~0.2 efficiency debt (GC/JIT state from
+    * phase 1) and must be visible in the emitted JSON. */
+  private def measureIsolated(cpus: Int, corpusDir: String): (Double, Boolean) = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val cp = System.getProperty("java.class.path")
+    // honor SPARK_DRIVER_MEM like build.sbt / run_main.sh so the spawn
+    // doesn't fail on a memory-constrained host and silently degrade
+    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
     val cmd: Seq[String] =
       Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xms8g", "-Xmx8g", "-XX:+AlwaysPreTouch", // see build.sbt note: stable walls need a fixed pre-touched heap
+        s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch", // see build.sbt note: stable walls need a fixed pre-touched heap
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
         "-cp", cp, "graft.Bench", "--scale-child", cpus.toString, corpusDir)
     try {
@@ -91,15 +97,15 @@ object Bench {
       val rc = proc.waitFor()
       val wall = out.linesIterator
         .find(_.startsWith("SCALE_WALL=")).map(_.stripPrefix("SCALE_WALL=").toDouble)
-      if (rc == 0 && wall.isDefined) wall.get
+      if (rc == 0 && wall.isDefined) (wall.get, true)
       else {
         System.err.println(s"[bench] child rc=$rc, falling back to in-process")
-        measureInProcess(cpus, corpusDir)
+        (measureInProcess(cpus, corpusDir), false)
       }
     } catch {
       case e: Throwable =>
         System.err.println(s"[bench] spawn failed (${e.getMessage}), in-process fallback")
-        measureInProcess(cpus, corpusDir)
+        (measureInProcess(cpus, corpusDir), false)
     }
   }
 
@@ -163,8 +169,9 @@ object Bench {
     val walls = (1 to rounds).map { _ =>
       (measureIsolated(nLow, corpusDir), measureIsolated(nHigh, corpusDir))
     }
-    val wallLow = walls.map(_._1).min
-    val wallHigh = walls.map(_._2).min
+    val wallLow = walls.map(_._1._1).min
+    val wallHigh = walls.map(_._2._1).min
+    val isolated = walls.forall { case (a, b) => a._2 && b._2 }
 
     // best-effort cleanup of the materialized corpus
     def rm(f: java.io.File): Unit = {
@@ -183,8 +190,15 @@ object Bench {
       f"""{"docs":$scaleDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
         f""""wall_low_sec":$wallLow%.2f,"wall_high_sec":$wallHigh%.2f,""" +
         f""""thr_low_docs_per_sec":$thrLow%.1f,"thr_high_docs_per_sec":$thrHigh%.1f,""" +
-        f""""efficiency":$eff%.3f}"""
-    println(
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}""")
+        f""""efficiency":$eff%.3f,"isolated":$isolated}"""
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
+    // File-based fallback: round 1's stdout line was eaten by sbt's
+    // "[info] " log prefix (BENCH_r01.json parsed:null). The stdout
+    // contract stays primary (build.sbt now forces StdoutOutput), but a
+    // BENCH.json in cwd survives any logging wrapper.
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
+    println(line)
   }
 }

@@ -34,9 +34,22 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    // The driver keys its correctness report by the parquet dump's file
+    // name (`qN_name.parquet`), not the bare query name — round 1 emitted
+    // bare names only and every query came back `err:"no_oracle"`. Emit
+    // each oracle entry under BOTH key shapes (harmless duplication; the
+    // driver picks whichever it looks up), and ALSO drop a standalone
+    // `<name>.sql` file beside each parquet so a file-based lookup works
+    // regardless of JSON key shape.
+    val entries = SparkEntry.oracleSql.toSeq.flatMap { case (k, v) =>
+      Seq(k -> v, s"$k.parquet" -> v)
+    }
+    val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    SparkEntry.oracleSql.foreach { case (k, v) =>
+      Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
+    }
     spark.stop()
   }
 }
