@@ -304,7 +304,12 @@ object PdfParser {
                 val o = lx.token().toInt
                 val g = lx.token().toInt
                 val ty = lx.token()
-                if (ty == "n" && !out.contains(start + i)) out(start + i) = o
+                // newest-wins must hold ACROSS entry types: objAt consults
+                // `offsets` before `compressed`, so a stale type-1 offset
+                // from an older /Prev section would shadow a newer type-2
+                // (ObjStm) entry unless guarded here too.
+                if (ty == "n" && !out.contains(start + i) && !compressed.contains(start + i))
+                  out(start + i) = o
                 i += 1
               }
             }
@@ -395,7 +400,9 @@ object PdfParser {
           val f2 = if (w.length > 1) field(w(1)) else 0L
           val f3 = if (w.length > 2) field(w(2)) else 0L
           typ match {
-            case 1 => if (!out.contains(objNum)) out(objNum) = f2.toInt
+            // same cross-type newest-wins guard as the classic-table case
+            case 1 => if (!out.contains(objNum) && !compressed.contains(objNum))
+              out(objNum) = f2.toInt
             case 2 => if (!out.contains(objNum) && !compressed.contains(objNum))
               compressed(objNum) = (f2.toInt, f3.toInt)
             case _ => () // type 0 (free) and unknown types: skip

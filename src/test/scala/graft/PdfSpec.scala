@@ -365,4 +365,48 @@ class PdfSpec extends AnyFunSuite {
       PdfParser.parse(t) // must not throw
     }
   }
+
+  test("incremental update: newer ObjStm entry beats stale type-1 offset from /Prev section") {
+    // Base: classic one-page PDF (obj 4 = page dict, obj 5 = content "OLD").
+    // Appended update: obj 6 = new content stream "NEW", obj 7 = ObjStm
+    // holding a REPLACEMENT obj 4 pointing /Contents at 6, obj 8 = xref
+    // stream marking obj 4 as type-2 with /Prev -> the old classic table.
+    // The /Prev chain is newest->oldest, so the old table's type-1 offset
+    // for obj 4 is stale and must not shadow the ObjStm version.
+    val base = PdfWriter.write(Vector(PageSpec(Vector(Vector("OLD CONTENT")))))
+    assert(PdfParser.parse(base).map(_.text) == Right("OLD CONTENT"))
+    val baseStr = new String(base, "ISO-8859-1")
+    val oldXref = baseStr.substring(baseStr.lastIndexOf("startxref") + 9).trim
+      .takeWhile(_.isDigit).toInt
+
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    val off6 = out.size()
+    val cont = "BT\n/F1 12 Tf\n72 700 Td\n(NEW CONTENT) Tj\nET\n"
+    w(s"6 0 obj\n<< /Length ${cont.length} >>\nstream\n$cont\nendstream\nendobj\n")
+    val off7 = out.size()
+    val newPage = "<< /Type /Page /Parent 2 0 R /Resources << /Font << /F1 3 0 R >> >> /Contents 6 0 R >>"
+    val stmPayload = s"4 0\n$newPage"
+    val first = "4 0\n".length
+    w(s"7 0 obj\n<< /Type /ObjStm /N 1 /First $first /Length ${stmPayload.length} >>\nstream\n" +
+      stmPayload + "\nendstream\nendobj\n")
+    val off8 = out.size()
+    // xref stream, W [1 4 2], Index [4 1 6 3]: obj4 type-2 in stm 7 idx 0;
+    // objs 6,7,8 type-1 at their offsets
+    val rows = Seq[(Int, Int, Int)]((2, 7, 0), (1, off6, 0), (1, off7, 0), (1, off8, 0))
+    val xdata = rows.flatMap { case (t, f2, f3) =>
+      Seq(t.toByte,
+        ((f2 >> 24) & 0xff).toByte, ((f2 >> 16) & 0xff).toByte,
+        ((f2 >> 8) & 0xff).toByte, (f2 & 0xff).toByte,
+        ((f3 >> 8) & 0xff).toByte, (f3 & 0xff).toByte)
+    }.toArray
+    w(s"8 0 obj\n<< /Type /XRef /Size 9 /Index [4 1 6 3] /W [1 4 2] /Root 1 0 R" +
+      s" /Prev $oldXref /Length ${xdata.length} >>\nstream\n")
+    out.write(xdata)
+    w(s"\nendstream\nendobj\nstartxref\n$off8\n%%EOF\n")
+
+    val r = PdfParser.parse(out.toByteArray)
+    assert(r.map(_.text) == Right("NEW CONTENT"))
+  }
 }
