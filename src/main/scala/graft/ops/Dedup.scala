@@ -111,11 +111,16 @@ object Dedup {
     * `textCol`: string). Output: (id_a, id_b, jaccard) with id_a < id_b,
     * jaccard ≥ `threshold`.
     *
-    * Scale shape: one narrow pass computes signatures, one explode, one
-    * shuffle on (band, key), candidate pairs verified WITHOUT re-reading
-    * the corpus (shingle sets travel with the bucket rows — cheaper than
-    * a second join back to a 100 TB table; for very long documents swap
-    * to re-join-by-id instead).
+    * Scale shape: the band shuffle carries ONLY (id, band, key) — the
+    * earlier version rode the shingle arrays through the 8-way posexplode
+    * on both join sides (~16× the corpus' shingle bytes over the wire at
+    * 100 TB). Candidate pairs are deduped FIRST, then the (small)
+    * candidate list re-joins the shingle table by id; Spark/AQE broadcasts
+    * the candidate side, so the verify stage streams the corpus once per
+    * side with no wide shuffle of shingles. The shingle kernel runs once
+    * per branch (3 scans total) — at 100 TB the wire cost of shipping
+    * shingle sets dwarfs the recompute; callers verifying against an
+    * already-materialized signature table can persist `df` upstream.
     */
   def minhashNearDups(
       df: DataFrame,
@@ -127,16 +132,18 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val shingleUdf = udf(wordShinglesKernel(shingleK))
     val bandUdf = udf(bandKeysKernel(numHashes, bands))
-    val sig = df
-      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
-      .withColumn("bk", bandUdf(col("sh")))
-    val buckets = sig.select(col("id"), col("sh"), posexplode(col("bk")).as(Seq("band", "key")))
-    val a = buckets.select(col("band"), col("key"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = buckets.select(col("band"), col("key"), col("id").as("id_b"), col("sh").as("sh_b"))
-    a.join(b, Seq("band", "key"))
+    val sig = df.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
+    val buckets = sig.select(col("id"), posexplode(bandUdf(col("sh"))).as(Seq("band", "key")))
+    val a = buckets.select(col("band"), col("key"), col("id").as("id_a"))
+    val b = buckets.select(col("band"), col("key"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), jaccardSets(col("sh_a"), col("sh_b")).as("jaccard"))
+      .select(col("id_a"), col("id_b"))
       .distinct()
+    val shA = sig.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val shB = sig.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    cand.join(shA, Seq("id_a")).join(shB, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), jaccardSets(col("sh_a"), col("sh_b")).as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -67,6 +67,34 @@ class PlanSpec extends AnyFunSuite {
     assert(plan.linesIterator.exists(l => l.contains("*(") && l.contains("HashAggregate")), plan)
   }
 
+  test("minhash band exchange carries only (id, band, key), never shingle arrays") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    // force the shuffle path (at sf0.001 everything auto-broadcasts and
+    // there would be no exchange to audit — at 100 TB the band join IS a
+    // shuffle, and that shuffle must not ship the shingle sets: that was
+    // the ~16x-shingle-bytes-through-the-wire scale hazard)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false") // executedPlan = concrete plan with exchanges
+    try {
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val df = graft.ops.Dedup.minhashNearDups(docs, "id", "text", threshold = 0.5)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val bandEx = exchanges.filter(_.outputPartitioning.toString.contains("band"))
+      assert(bandEx.nonEmpty, df.queryExecution.sparkPlan.toString)
+      bandEx.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(!cols.exists(_.startsWith("sh")), s"band exchange ships $cols")
+        assert(cols.subsetOf(Set("id", "id_a", "id_b", "band", "key")), s"band exchange ships $cols")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val df = spark.read.parquet(s"$sf/events.parquet")
       .orderBy(col("value").desc).limit(10)
