@@ -19,15 +19,23 @@ object EvalJob {
 
   /** Per-document detail table.
     * `results` needs (url, status, markdown); `goldens` needs
-    * (url, g_markdown). Output: url, success, 8 metric columns. */
+    * (url, g_markdown). Output: url, success, 8 metric columns.
+    *
+    * Every golden row gets scored (eval.py:95 zips GT with predictions):
+    * a url present in goldens but absent from results is imputed as a
+    * failed row (eval.py:290-301), not silently dropped. Scale shape:
+    * results is first semi-filtered to golden urls (broadcast semi join —
+    * goldens is the small side at crawl scale), so the outer join that
+    * preserves the golden side runs over two small frames. */
   def detail(results: DataFrame, goldens: DataFrame): DataFrame = {
     val evalUdf = udf { (success: Boolean, gt: String, pred: String) =>
       if (!success || pred == null) Metrics.failedRow
       else Metrics.evaluateOcr(gt, pred)
     }
-    results
-      .join(goldens, Seq("url"))
-      .withColumn("success", col("status") === "ok")
+    val relevant = results.join(goldens.select(col("url")), Seq("url"), "left_semi")
+    goldens
+      .join(relevant, Seq("url"), "left")
+      .withColumn("success", coalesce(col("status") === "ok", lit(false)))
       .withColumn("m", evalUdf(col("success"), col("g_markdown"), col("markdown")))
       .select(col("url"), col("success"),
         round(col("m.cer"), 6).as("cer"),

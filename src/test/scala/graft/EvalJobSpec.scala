@@ -52,6 +52,25 @@ class EvalJobSpec extends AnyFunSuite {
     assert(s.getDouble(5) == 0.0) // mean_word_acc
   }
 
+  test("golden url missing from results is imputed as a failed row, not dropped") {
+    // u3 never produced a result; u4 is a result with no golden (ignored)
+    val partial = Seq(
+      ("u1", "ok", "identical text"),
+      ("u2", "ok", "sume text with drift"),
+      ("u4", "ok", "stray result without golden")
+    ).toDF("url", "status", "markdown")
+    val det = EvalJob.detail(partial, goldens)
+    val rows = det.collect().map(r => r.getString(0) -> r).toMap
+    assert(rows.keySet == Set("u1", "u2", "u3")) // every golden scored, u4 dropped
+    val missing = rows("u3")
+    assert(!missing.getBoolean(1)) // success = false
+    assert(missing.getDouble(2) == 1.0 && missing.getDouble(3) == 1.0) // imputed cer/wer
+    assert((4 to 9).forall(i => missing.getDouble(i) == 0.0))
+    // summary counts the imputed row in total but not in the means
+    val s = EvalJob.summary(det).collect().head
+    assert(s.getLong(0) == 3L && s.getLong(1) == 2L)
+  }
+
   test("join is keyed on url, not positional (order shuffle changes nothing)") {
     val shuffled = results.orderBy(rand(7))
     val a = EvalJob.summary(EvalJob.detail(results, goldens)).collect().head.toSeq
