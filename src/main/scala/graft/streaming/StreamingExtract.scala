@@ -45,7 +45,14 @@ object StreamingExtract {
       checkpointDir: String,
       dedupUrls: Boolean = false): StreamingQuery = {
     val raw = spark.readStream.schema(pageSchema).parquet(srcDir)
-    val pages = if (dedupUrls) raw.dropDuplicates("url") else raw
+    // state key = xxhash64(url), 8 bytes/entry, as the scaladoc promises —
+    // dropDuplicates("url") would hold every full url string in state
+    // forever. The documented tradeoff: a 64-bit collision (~2e-4 expected
+    // collisions at 10^9 distinct urls) drops a non-duplicate page.
+    val pages = if (dedupUrls)
+      raw.withColumn("url_h", xxhash64(col("url")))
+        .dropDuplicates("url_h").drop("url_h")
+    else raw
     val extracted = graft.extract.ExtractJob.extractedDf(pages).select(
       col("url"), col("warc_ts"), col("lang"),
       col("extracted.status").as("status"),

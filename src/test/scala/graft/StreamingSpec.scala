@@ -55,10 +55,21 @@ class StreamingSpec extends AnyFunSuite {
     // re-drop the same 30 urls plus 10 new ones
     writeBatch(src, 0 until 30, "b")
     writeBatch(src, 30 until 40, "c")
-    StreamingExtract.run(spark, src, io, "dresults", ckpt, dedupUrls = true).awaitTermination()
+    val q = StreamingExtract.run(spark, src, io, "dresults", ckpt, dedupUrls = true)
+    q.awaitTermination()
 
     val out = io.readTable(spark, "dresults")
     assert(out.count() == 40, "state must drop the 30 re-fetched urls")
     assert(out.select("url").distinct().count() == 40)
+    // the dedup state key must be the 64-bit url hash (8 bytes/entry at
+    // 10^12 scale), not the raw url string
+    import org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper
+    val exec = q.asInstanceOf[StreamingQueryWrapper].streamingQuery.lastExecution
+    val dedupNodes = exec.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.streaming.operators.stateful.StreamingDeduplicateExec => s
+    }
+    assert(dedupNodes.nonEmpty, exec.executedPlan.toString)
+    val keyNames = dedupNodes.head.keyExpressions.map(_.name)
+    assert(keyNames == Seq("url_h"), s"state key is $keyNames")
   }
 }
