@@ -157,28 +157,28 @@ object HtmlExtractor {
     * ×2 for content-marked id/class, ties broken by document order). */
   private def selectContent(root: Elem): Elem = {
     root.findFirst("main").orElse(root.findFirst("article")).getOrElse {
-      val candidates = ArrayBuffer.empty[(Elem, Double)]
-      def walk(e: Elem): Unit = {
+      val candidates = ArrayBuffer.empty[(Elem, Double, Int)]
+      def walk(e: Elem, depth: Int): Unit = {
         if (e.tag == "div" || e.tag == "section" || e.tag == "body" || e.tag == "td") {
           val (c, a) = charCounts(e)
           if (c > 0) {
             val ld = if (c == 0) 0.0 else a.toDouble / c
             val boost = if (hasContentClass(e)) 2.0 else 1.0
-            candidates += ((e, c * (1.0 - ld) * (1.0 - ld) * boost))
+            candidates += ((e, c * (1.0 - ld) * (1.0 - ld) * boost, depth))
           }
         }
-        e.children.foreach { case el: Elem => walk(el); case _ => }
+        e.children.foreach { case el: Elem => walk(el, depth + 1); case _ => }
       }
-      walk(root)
+      walk(root, 0)
       if (candidates.isEmpty) root
       else {
-        // prefer deeper containers when score is close (within 10%) so we
-        // skip page-level wrappers that include residual boilerplate
-        var best = candidates.head
-        candidates.tail.foreach { cand =>
-          if (cand._2 > best._2 * 1.1) best = cand
-        }
-        best._1
+        // prefer the DEEPEST container within 10% of the max score: a
+        // page-level wrapper scores at least as high as the article div it
+        // contains (superset of its chars), so taking the raw max keeps
+        // residual boilerplate; ties in depth break by document order
+        // (maxBy keeps the first max in pre-order)
+        val maxScore = candidates.map(_._2).max
+        candidates.filter(_._2 >= maxScore * 0.9).maxBy(_._3)._1
       }
     }
   }
@@ -221,8 +221,13 @@ object HtmlExtractor {
         case "ul" => emitBlock(renderList(el, ordered = false), "list")
         case "ol" => emitBlock(renderList(el, ordered = true), "list")
         case "table" => emitBlock(renderTable(el), "table")
-        case "br" | "hr" | "img" | "a" => // skipped at block level
-          if (el.tag == "a") { val s = collapseWs(inline(el)); if (s.trim.nonEmpty) () }
+        case "br" | "hr" | "img" => // no visible text of their own
+        case "a" =>
+          // a block-level anchor directly inside the content root is
+          // visible text (contract rule 1: all visible text verbatim);
+          // link FARMS are handled upstream by prune() and the paragraph
+          // link-density rule, not by silently dropping anchors here
+          emitBlock(inline(el), "para")
         case _ =>
           if (blockTags.contains(el.tag)) walkBlocks(el)
           else {
