@@ -123,8 +123,10 @@ object Queries {
         .agg(
           count(lit(1)).as("total"),
           countDistinct(col("h")).as("distinct_texts"),
-          countDistinct(col("h")).as("distinct_hashes"),
           countDistinct(col("source")).as("distinct_sources"))
+        // same digest count under both names (one distinct in the Expand,
+        // not two — 3x fan-out instead of 4x); driver sorts by column name
+        .withColumn("distinct_hashes", col("distinct_texts"))
     }),
 
     // token counting (training op): whitespace tokenization

@@ -29,12 +29,41 @@ object Extractor {
           case Left(err) => Extracted("error", "pdf", "", Nil, 0, err)
         }
       } else {
-        HtmlExtractor.extractBytes(payload)
+        val media = sniffMedia(payload)
+        if (media != null)
+          // error-as-data with an HONEST label: without this, a JPEG in
+          // the crawl lands in the HTML branch as content_type="html",
+          // error="invalid_utf8" and poisons any filter on broken html
+          Extracted("error", media, "", Nil, 0, "unsupported_media")
+        else HtmlExtractor.extractBytes(payload)
       }
     } catch {
       case e: Throwable => // belt and braces: kernels are total, but X7 demands it
         Extracted("error", "unknown", "", Nil, 0, "extract_failed:" + e.getClass.getSimpleName)
     }
+  }
+
+  /** Magic-byte sniff for non-text media. The reference accepts arbitrary
+    * uploads (orchestrator.py:69-81, any extension); here the equivalent is
+    * labeling them honestly: JPEG/PNG/GIF/WEBP → "image", other RIFF
+    * (WAV/AVI), OGG, MP3-with-ID3, MP4-family → "media". Returns null for
+    * anything else (falls through to the HTML branch). */
+  def sniffMedia(p: Array[Byte]): String = {
+    def at(i: Int): Int = if (i < p.length) p(i) & 0xff else -1
+    def ascii(off: Int, s: String): Boolean = {
+      var k = 0
+      while (k < s.length) { if (at(off + k) != s.charAt(k).toInt) return false; k += 1 }
+      true
+    }
+    if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image" // JPEG
+    else if (at(0) == 0x89 && ascii(1, "PNG\r\n") && at(6) == 0x1a && at(7) == 0x0a) "image"
+    else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) "image"
+    else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "image"
+    else if (ascii(0, "RIFF")) "media" // WAV / AVI / other RIFF
+    else if (ascii(0, "OggS")) "media"
+    else if (ascii(0, "ID3")) "media" // MP3 with ID3 tag
+    else if (ascii(4, "ftyp")) "media" // MP4 / MOV family
+    else null
   }
 
   /** filename extension dispatch (orchestrator.py:22), generalized to urls. */

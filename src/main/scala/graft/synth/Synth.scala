@@ -188,19 +188,43 @@ object Synth {
     case _ => "%PDF-1.4\ngarbage no xref".getBytes(UTF_8)
   }
 
-  /** Generate document i of a corpus with the given seed. ~90% HTML /
-    * ~10% PDF; every 23rd row malformed. */
+  /** Non-text media payloads (real magic bytes, deterministic filler) —
+    * a crawl always carries stray images/audio; the extractor must label
+    * them content_type image/media with error=unsupported_media, never
+    * mislabel them as broken HTML. */
+  def mediaDoc(rng: Rng, i: Long): (String, Array[Byte]) = {
+    val filler = new Array[Byte](64 + rng.nextInt(192))
+    var j = 0
+    while (j < filler.length) { filler(j) = rng.nextLong().toByte; j += 1 }
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    (i % 5) match {
+      case 0 => ("jpg", b(0xff, 0xd8, 0xff, 0xe0) ++ "JFIF".getBytes(UTF_8) ++ filler)
+      case 1 => ("png", b(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++ filler)
+      case 2 => ("gif", "GIF89a".getBytes(UTF_8) ++ filler)
+      case 3 => ("webp", "RIFF".getBytes(UTF_8) ++ b(0, 1, 0, 0) ++ "WEBP".getBytes(UTF_8) ++ filler)
+      case _ => ("wav", "RIFF".getBytes(UTF_8) ++ b(0, 1, 0, 0) ++ "WAVE".getBytes(UTF_8) ++ filler)
+    }
+  }
+
+  /** Generate document i of a corpus with the given seed. ~87% HTML /
+    * ~10% PDF / ~3% non-text media; every 23rd row malformed. */
   def page(seed: Long, i: Long): Page = {
     val rng = new Rng(seed ^ (i * 0x5851f42d4c957f2dL + 0x14057b7ef767814fL))
     val h = host(rng)
     val lang = langs(rng.nextInt(langs.length))
     val ts = new Timestamp(baseEpoch + i * 1000L)
     val isMalformed = i % 23 == 13
-    val isPdf = !isMalformed && rng.nextInt(10) == 0
+    // index-derived (no rng draw) so every non-media row's rng stream —
+    // and therefore its frozen golden — is untouched by this slice
+    val isMedia = !isMalformed && i % 29 == 11
+    val isPdf = !isMalformed && rng.nextInt(10) == 0 && !isMedia
     if (isMalformed) {
       val kind = rng.nextInt(6)
       val ext = if (kind >= 4) "pdf" else "html"
       Page(f"https://$h/broken/doc-$i%07d.$ext", ts, malformedDoc(rng, kind), null, lang)
+    } else if (isMedia) {
+      val (ext, bytes) = mediaDoc(rng, i)
+      Page(f"https://$h/media/asset-$i%07d.$ext", ts, bytes, null, lang)
     } else if (isPdf) {
       Page(f"https://$h/docs/doc-$i%07d.pdf", ts, pdfDoc(rng, i), null, lang)
     } else {

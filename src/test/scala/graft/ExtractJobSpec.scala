@@ -120,6 +120,37 @@ class ExtractJobSpec extends AnyFunSuite {
       && !r.markdown.contains("clickbait"), r.markdown)
   }
 
+  test("nested article div beats its page-level wrapper (depth preference within 10%)") {
+    // no <main>/<article>, no content-class hints: the wrapper's score is a
+    // superset of the inner div's, so raw max would keep the wrapper (and
+    // its stray boilerplate text); the deepest candidate within 10% wins
+    val story = (1 to 8).map(i => s"<p>Sentence $i of the long article body with plenty of plain words.</p>").mkString("\n")
+    val html =
+      s"""<html><body>
+         |<div id="page-wrap">stray wrapper residue
+         |<div id="inner">$story</div>
+         |</div>
+         |</body></html>""".stripMargin
+    val r = HtmlExtractor.extract(html)
+    assert(r.status == "ok" && r.markdown.contains("Sentence 1 of the long article"), r.markdown)
+    assert(!r.markdown.contains("stray wrapper residue"), r.markdown)
+  }
+
+  test("block-level anchor inside content renders as a paragraph (rule 1: all visible text)") {
+    val html =
+      """<html><body><article>
+        |<p>Intro paragraph with enough words to be clearly the article body.</p>
+        |<a href="/part2">Continue reading part two</a>
+        |<p>Closing paragraph of the article with more plain words.</p>
+        |</article></body></html>""".stripMargin
+    val r = HtmlExtractor.extract(html)
+    assert(r.status == "ok")
+    assert(r.markdown.contains("Continue reading part two"), r.markdown)
+    // rendered as its own block between the two paragraphs
+    val blocks = r.markdown.split("\n\n")
+    assert(blocks.exists(_.trim == "Continue reading part two"), r.markdown)
+  }
+
   test("mutation fuzz: html extraction never throws on corrupted markup") {
     import graft.extract.Extractor
     val rng = new scala.util.Random(20260817L)
@@ -183,6 +214,33 @@ class ExtractJobSpec extends AnyFunSuite {
     val html = "<html><body><article><p>From html page with enough text.</p></article></body></html>"
     assert(Extractor.extract("https://h/a.html", html.getBytes).content_type == "html")
     assert(Extractor.extract("https://h/a.html", Array.emptyByteArray).status == "error")
+  }
+
+  test("non-text media labeled image/media + unsupported_media, never broken html") {
+    def check(bytes: Array[Byte], ct: String): Unit = {
+      val e = Extractor.extract("https://h/x.bin", bytes)
+      assert(e.status == "error" && e.content_type == ct && e.error == "unsupported_media",
+        s"${e.content_type}/${e.error}")
+    }
+    def b(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    check(b(0xff, 0xd8, 0xff, 0xe0) ++ "JFIFxxxx".getBytes, "image") // jpeg
+    check(b(0x89, 'P', 'N', 'G', '\r', '\n', 0x1a, '\n') ++ b(0, 0, 0, 13), "image") // png
+    check("GIF89a".getBytes ++ b(1, 2, 3), "image")
+    check("GIF87a".getBytes ++ b(1, 2, 3), "image")
+    check("RIFF".getBytes ++ b(8, 0, 0, 0) ++ "WEBPVP8 ".getBytes, "image")
+    check("RIFF".getBytes ++ b(8, 0, 0, 0) ++ "WAVEfmt ".getBytes, "media")
+    check("OggS".getBytes ++ b(0, 2), "media")
+    check("ID3".getBytes ++ b(4, 0), "media")
+    check(b(0, 0, 0, 0x20) ++ "ftypisom".getBytes, "media")
+    // malformed non-media bytes still take the html error path
+    val e = Extractor.extract("https://h/u.html", b(0xff, 0xfe, 0x00, 0x01, 0x80))
+    assert(e.content_type == "html" && e.error == "invalid_utf8")
+    // synth media slice flows through the full kernel with the same labels
+    val media = graft.synth.Synth.page(42L, 11L) // i%29==11 → media row
+    assert(media.url.contains("/media/"))
+    val me = Extractor.extract(media.url, media.html)
+    assert(me.status == "error" && me.error == "unsupported_media"
+      && Set("image", "media").contains(me.content_type))
   }
 
   test("html extractor picks article content over boilerplate wrappers") {
