@@ -308,13 +308,21 @@ object Queries {
           sum(length(col("extracted.markdown"))).as("md_chars"))
     }),
 
-    // N1-N8 full kernel + A4-A9 metrics via UDFs (eval.py:248-267)
+    // N1-N8 full kernel + A7/A8/A4 metrics via UDFs (eval.py:248-267).
+    // The real Scala kernels run end-to-end (normalize is identity on the
+    // already-clean corpus, which the oracle compare itself proves); the
+    // DuckDB side recomputes CER via levenshtein and WER/word_acc via the
+    // substitution-only closed form: value→worth is a same-length
+    // full-word replacement ('worth' never occurs in ref, 'value' never
+    // in hyp), so token edit distance = #substituted tokens exactly.
+    // seq_sim (difflib ratio incl. autojunk) is NOT SQL-expressible and
+    // lives in q33_seqsim (rows-only; kernel proven against CPython
+    // fixtures in SequenceMatcherSpec).
     "q21_eval_metrics" -> ((s, dir) => {
       val normUdf = udf((t: String) => textnorm.TextNorm.normalize(t))
       val cerUdf = udf((a: String, b: String) => metrics.Metrics.cer(a, b))
       val werUdf = udf((a: String, b: String) => metrics.Metrics.wer(a, b))
       val waUdf = udf((a: String, b: String) => metrics.Metrics.wordAccuracy(a, b))
-      val ssUdf = udf((a: String, b: String) => metrics.Metrics.sequenceSimilarity(a, b))
       val hyp = regexp_replace(col("text"), "value", "worth") // perturbed hypothesis
       docs(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"),
@@ -322,7 +330,19 @@ object Queries {
         .select(col("doc_id"),
           round(cerUdf(col("ref_n"), col("hyp_n")), 6).as("cer"),
           round(werUdf(col("ref_n"), col("hyp_n")), 6).as("wer"),
-          round(waUdf(col("ref_n"), col("hyp_n")), 6).as("word_acc"),
+          round(waUdf(col("ref_n"), col("hyp_n")), 6).as("word_acc"))
+    }),
+
+    // A9: difflib ratio (incl. autojunk) through the real normalize +
+    // SequenceMatcher kernels — rows-only (see q21 note)
+    "q33_seqsim" -> ((s, dir) => {
+      val normUdf = udf((t: String) => textnorm.TextNorm.normalize(t))
+      val ssUdf = udf((a: String, b: String) => metrics.Metrics.sequenceSimilarity(a, b))
+      val hyp = regexp_replace(col("text"), "value", "worth")
+      docs(s, dir).filter(col("doc_id") < 50)
+        .select(col("doc_id"),
+          normUdf(col("text")).as("ref_n"), normUdf(hyp).as("hyp_n"))
+        .select(col("doc_id"),
           round(ssUdf(col("ref_n"), col("hyp_n")), 6).as("seq_sim"))
     }),
 
@@ -488,6 +508,86 @@ object Queries {
         |    CASE WHEN doc_id % 10 = 0 THEN 'pdf' ELSE 'html' END), '.'), -1) AS ext
         |  FROM documents)
         |GROUP BY ext""".stripMargin,
+
+    // q21: real kernels on the Spark side; levenshtein + substitution-only
+    // closed form on the DuckDB side (see the query's comment for why the
+    // closed form is exact here)
+    "q21_eval_metrics" ->
+      """SELECT doc_id,
+        |  round(levenshtein(trim(text), trim(replace(text, 'value', 'worth')))::DOUBLE
+        |    / length(trim(text)), 6) AS cer,
+        |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'value'))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS wer,
+        |  round((len(regexp_split_to_array(trim(text), '\s+'))
+        |         - len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'value')))::DOUBLE
+        |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS word_acc
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q27: full independent replay of the MinHash LSH pipeline — the
+    // Carter-Wegman-mod-(2^31-1) family was chosen so shingle hash,
+    // signature, band keys, bucket join and exact-jaccard verify are all
+    // plain BIGINT arithmetic in ANSI SQL (see ops/Dedup.scala)
+    "q27_minhash_lsh" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 10000 AS id,
+        |         regexp_replace(text, '^(\S+) (\S+)', 'changed prefix') AS text
+        |  FROM documents WHERE doc_id < 150
+        |),
+        |words AS (
+        |  SELECT id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM corpus
+        |),
+        |sh AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |         ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+        |    END) AS shingles
+        |  FROM words
+        |),
+        |ph AS (
+        |  SELECT id, shingles,
+        |    [list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |       (acc, c) -> (acc * 131 + c) % 2147483647) FOR sg IN shingles] AS hb
+        |  FROM sh
+        |),
+        |sigs AS (
+        |  SELECT id, shingles,
+        |    [CASE WHEN len(hb) = 0 THEN 2147483647::BIGINT
+        |          ELSE list_min([((((h+1) * 1103515245 + 12345) % 2147483647) * x
+        |                          + (((h+1) * 1234567891 + 987654321) % 2147483647)) % 2147483647
+        |                         FOR x IN hb]) END
+        |     FOR h IN range(0, 32)] AS sig
+        |  FROM ph
+        |),
+        |keyed AS (
+        |  SELECT id, shingles,
+        |    [list_reduce(list_prepend((b+1)::BIGINT, [sig[4*b + j] FOR j IN range(1, 5)]),
+        |       (acc, s) -> (acc * 131071 + s) % 2147483647) FOR b IN range(0, 8)] AS keys
+        |  FROM sigs
+        |),
+        |buckets AS (
+        |  SELECT id, unnest([{'band': b, 'key': keys[b + 1]} FOR b IN range(0, 8)], recursive := true)
+        |  FROM keyed
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        |),
+        |verified AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE AS inter,
+        |    (len(sa.shingles) + len(sb.shingles))::DOUBLE AS stot
+        |  FROM cand
+        |  JOIN sh sa ON sa.id = cand.id_a
+        |  JOIN sh sb ON sb.id = cand.id_b
+        |)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END, 6) AS jaccard
+        |FROM verified
+        |WHERE (CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) >= 0.5""".stripMargin,
 
     "q23_ngram_jaccard" ->
       """WITH g AS (

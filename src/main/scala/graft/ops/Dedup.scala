@@ -57,41 +57,61 @@ object Dedup {
     }
   }
 
-  /** splitmix64 of a seeded polynomial string hash — the permutation
-    * family for MinHash (deterministic, independent of JVM hashing). */
-  private def shingleHash(seed: Long, s: String): Long = {
-    var h = 1125899906842597L ^ (seed * 0x9e3779b97f4a7c15L)
+  /** The MinHash permutation family is the Carter-Wegman affine family
+    * (a_h·x + b_h) mod p over the Mersenne prime p = 2^31-1, applied to a
+    * base-131 polynomial hash of the shingle. Chosen DELIBERATELY over a
+    * 64-bit splitmix mix: every operation fits signed-64-bit arithmetic
+    * (products < 2^62), so the exact same signature pipeline is
+    * expressible in ANSI SQL and the whole LSH result is verifiable
+    * against an independent engine (the q27 DuckDB oracle replays
+    * shingle → signature → band key → bucket join → jaccard bit-for-bit).
+    * 31-bit hash range is ample for near-dup banding: per-comparison
+    * collision odds ~n/2^31, and band keys only need equality. */
+  val MersenneP: Long = 2147483647L // 2^31 - 1
+
+  /** Base-131 polynomial hash of a string, mod 2^31-1. */
+  private def polyHash(s: String): Long = {
+    var acc = 0L
     var i = 0
-    while (i < s.length) { h = h * 31 + s.charAt(i); i += 1 }
-    var z = h + 0x9e3779b97f4a7c15L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z ^ (z >>> 31)
+    while (i < s.length) { acc = (acc * 131 + s.charAt(i)) % MersenneP; i += 1 }
+    acc
   }
 
+  /** Affine coefficients for hash function h (fixed pseudo-random, < p). */
+  @inline private def aCoef(h: Int): Long = ((h + 1L) * 1103515245L + 12345L) % MersenneP
+  @inline private def bCoef(h: Int): Long = ((h + 1L) * 1234567891L + 987654321L) % MersenneP
+
   /** MinHash band keys from a shingle set: signature of `numHashes` mins
-    * (one pass per hash seed over the shingles), then each of `bands`
-    * contiguous signature slices folded to one 64-bit key. */
+    * (one affine transform per seed of the per-shingle polynomial hash),
+    * then each of `bands` contiguous signature slices folded to one key
+    * (base-131071 polynomial fold, also mod p). */
   def bandKeysKernel(numHashes: Int, bands: Int): Array[String] => Array[Long] = { shingles =>
     val r = numHashes / bands
+    val base = new Array[Long](shingles.length)
+    var i = 0
+    while (i < shingles.length) { base(i) = polyHash(shingles(i)); i += 1 }
+    // p itself is the empty-set sentinel: every real hash is < p, and it
+    // keeps the band fold inside 64-bit range (no silent wraparound)
     val sig = new Array[Long](numHashes)
-    java.util.Arrays.fill(sig, Long.MaxValue)
+    java.util.Arrays.fill(sig, MersenneP)
     var h = 0
     while (h < numHashes) {
-      var i = 0
-      while (i < shingles.length) {
-        val v = shingleHash(h.toLong, shingles(i))
+      val a = aCoef(h)
+      val b = bCoef(h)
+      var j = 0
+      while (j < base.length) {
+        val v = (a * base(j) + b) % MersenneP
         if (v < sig(h)) sig(h) = v
-        i += 1
+        j += 1
       }
       h += 1
     }
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {
-      var acc = 1125899906842597L + b
+      var acc = b + 1L
       var j = 0
-      while (j < r) { acc = acc * 0x100000001b3L + sig(b * r + j); j += 1 }
+      while (j < r) { acc = (acc * 131071L + sig(b * r + j)) % MersenneP; j += 1 }
       keys(b) = acc
       b += 1
     }
