@@ -589,6 +589,47 @@ object Queries {
         |FROM verified
         |WHERE (CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) >= 0.5""".stripMargin,
 
+    // q28: independent replay of the SimHash pipeline — same portable
+    // Carter-Wegman family (see ops/Dedup.scala simhash64)
+    "q28_simhash" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents WHERE doc_id < 150
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 10000 AS id,
+        |         regexp_replace(text, '^(\S+) (\S+)', 'changed prefix') AS text
+        |  FROM documents WHERE doc_id < 150
+        |),
+        |toks AS (
+        |  SELECT id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM corpus
+        |),
+        |th AS (
+        |  SELECT id, [list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(t, '')]),
+        |     (acc, c) -> (acc * 131 + c) % 2147483647) FOR t IN w] AS hx
+        |  FROM toks
+        |),
+        |sigs AS (
+        |  SELECT id,
+        |    CAST(list_sum([CASE WHEN len(hx) > 0 AND
+        |      list_sum([CASE WHEN (((((b+101) * 1103515245 + 54321) % 2147483647) * x
+        |                           + (((b+29) * 1234567891 + 192837465) % 2147483647)) % 2147483647) % 2 = 1
+        |                    THEN 1 ELSE -1 END FOR x IN hx]) > 0
+        |      THEN (1::BIGINT << b) ELSE 0 END
+        |      FOR b IN range(0, 60)]) AS BIGINT) AS sig
+        |  FROM th
+        |),
+        |chunks AS (
+        |  SELECT id, sig, unnest([{'chunk': c, 'ck': (sig >> (c * 15)) & 32767} FOR c IN range(0, 4)],
+        |    recursive := true)
+        |  FROM sigs
+        |),
+        |pairs AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+        |    bit_count(xor(a.sig, b.sig)) AS hamming
+        |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.ck = b.ck AND a.id < b.id
+        |)
+        |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+
     "q23_ngram_jaccard" ->
       """WITH g AS (
         |  SELECT doc_id, list_distinct([substr(t, i, 3)

@@ -167,54 +167,59 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
-  /** 64-bit SimHash of whitespace tokens (Charikar 2002): bit j of the
-    * fingerprint is the sign of Σ_tokens (±1 by bit j of the token hash).
-    * Kernel is a tight Scala UDF (64×N bit loop — cheaper and clearer than
-    * 64 nested HOF passes); the token hash is splitmix64 of a polynomial
-    * char hash, fully deterministic, no JVM-hash dependence. */
+  /** 60-bit SimHash of whitespace tokens (Charikar 2002): bit j of the
+    * fingerprint is the sign of Σ_tokens (±1 by the parity of an affine
+    * transform of the token's polynomial hash). Like the MinHash family
+    * above, the per-bit hash is Carter-Wegman affine mod 2^31-1 so the
+    * identical signature is computable in ANSI SQL (q28's DuckDB oracle
+    * replays it); 60 bits (not 64) keeps the assembled signature strictly
+    * positive in signed-64 arithmetic on both engines. Kernel is a tight
+    * Scala UDF (60×N loop — cheaper and clearer than 60 nested HOF
+    * passes); fully deterministic, no JVM-hash dependence. */
+  val SimhashBits = 60
+
   val simhash64: String => Long = { text =>
     if (text == null) 0L
     else {
-      val counts = new Array[Int](64)
+      val counts = new Array[Int](SimhashBits)
       var i = 0
       val n = text.length
       while (i < n) {
         while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
-        var h = 1125899906842597L
+        var x = 0L
         var any = false
         while (i < n && !Character.isWhitespace(text.charAt(i))) {
-          h = h * 31 + text.charAt(i); i += 1; any = true
+          x = (x * 131 + text.charAt(i)) % MersenneP; i += 1; any = true
         }
         if (any) {
-          // splitmix64 finalizer
-          var z = h + 0x9e3779b97f4a7c15L
-          z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-          z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-          z = z ^ (z >>> 31)
           var b = 0
-          while (b < 64) {
-            if (((z >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          while (b < SimhashBits) {
+            // independent constants from the minhash family's (offset j)
+            val a = ((b + 101L) * 1103515245L + 54321L) % MersenneP
+            val c = ((b + 29L) * 1234567891L + 192837465L) % MersenneP
+            val v = (a * x + c) % MersenneP
+            if ((v & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
             b += 1
           }
         }
       }
       var out = 0L
       var b = 0
-      while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+      while (b < SimhashBits) { if (counts(b) > 0) out |= (1L << b); b += 1 }
       out
     }
   }
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, joined by
-    * 16-bit chunk banding (any pair within distance 3 shares ≥1 of the
+    * 15-bit chunk banding (any pair within distance 3 shares ≥1 of the
     * 4 chunks — pigeonhole — so no cross join is needed). */
   def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
-    require(maxDist <= 3, "4x16-bit banding guarantees recall only for distance <= 3")
+    require(maxDist <= 3, "4x15-bit banding guarantees recall only for distance <= 3")
     val shUdf = udf(simhash64)
     val sigs = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sig"))
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(sig, c * 16) & 65535)")).as(Seq("chunk", "ck")))
+        "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)")).as(Seq("chunk", "ck")))
     val a = chunks.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunks.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "ck"))
