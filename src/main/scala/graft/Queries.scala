@@ -379,13 +379,23 @@ object Queries {
         .filter(col("fields_json").isNotNull)
     }),
 
-    // A10: per-partition lineage checksum (north_rule)
+    // A10: per-partition lineage checksum (north_rule). Plan shape is the
+    // production one (hash-partition key, groupBy, count + bit_xor fold);
+    // the hash is the portable base-131/affine family instead of the
+    // xxhash64 the real ExtractJob lineage uses, so the checksum itself is
+    // oracle-verified cross-engine (xxhash64 has no DuckDB equivalent).
     "q22_lineage" -> ((s, dir) => {
+      val textHash = aggregate(
+        transform(split(col("text"), ""), c => ascii(c).cast("long")),
+        lit(0L), (acc, c) => (acc * 131 + c) % 2147483647L)
+      val docHash = (textHash * 1103515245L + col("doc_id")) % 2147483647L
       docs(s, dir)
-        .withColumn("part_id", pmod(xxhash64(col("doc_id")), lit(8)).cast("int"))
+        .withColumn("part_id",
+          pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L, lit(8)).cast("int"))
+        .withColumn("dh", docHash)
         .groupBy(col("part_id")).agg(
           count(lit(1)).as("row_count"),
-          expr("bit_xor(xxhash64(doc_id, text))").as("checksum"))
+          expr("bit_xor(dh)").as("checksum"))
     })
   )
 
@@ -629,6 +639,62 @@ object Queries {
         |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.ck = b.ck AND a.id < b.id
         |)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
+
+    // q22: portable lineage hash (see the query's comment)
+    "q22_lineage" ->
+      """SELECT part_id, count(*) AS row_count, bit_xor(dh) AS checksum FROM (
+        |  SELECT CAST(((doc_id * 1103515245 + 12345) % 2147483647) % 8 AS INT) AS part_id,
+        |    (list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(text, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) * 1103515245 + doc_id) % 2147483647 AS dh
+        |  FROM documents)
+        |GROUP BY part_id""".stripMargin,
+
+    // q29: independent replay of the random-hyperplane ANN pipeline —
+    // plane signs from the portable affine-parity family (seed 42 baked
+    // into the constants: 1302 = 42*31), dot products as sequential
+    // double folds (bit-equal), then the q24 cosine re-rank shape
+    "q29_ann_lsh" ->
+      """WITH sigt AS (
+        |  SELECT vec_id, embedding,
+        |    CAST(list_sum([CASE WHEN
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        [embedding[ii]::DOUBLE *
+        |           (CASE WHEN (((((j+7) * 1103515245 + 1302) % 2147483647) * ii
+        |                       + (((j+3) * 1234567891 + 42) % 2147483647)) % 2147483647) % 2 = 1
+        |                 THEN 1.0 ELSE -1.0 END)
+        |         FOR ii IN range(1, len(embedding) + 1)]), (x, y) -> x + y) >= 0
+        |      THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(0, 16)]) AS BIGINT) AS sig
+        |  FROM embeddings
+        |),
+        |qb AS (
+        |  SELECT vec_id AS query_id,
+        |    unnest([{'band': b, 'bk': (sig >> (b * 4)) & 15} FOR b IN range(0, 4)], recursive := true)
+        |  FROM sigt WHERE vec_id < 5
+        |),
+        |cb AS (
+        |  SELECT vec_id AS nn_id,
+        |    unnest([{'band': b, 'bk': (sig >> (b * 4)) & 15} FOR b IN range(0, 4)], recursive := true)
+        |  FROM sigt
+        |),
+        |cand AS (
+        |  SELECT DISTINCT query_id, nn_id FROM qb JOIN cb ON qb.band = cb.band AND qb.bk = cb.bk
+        |),
+        |scored AS (
+        |  SELECT query_id, nn_id,
+        |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(nq) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT query_id, nn_id,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS nq,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM cand
+        |    JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = cand.query_id
+        |    JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = cand.nn_id)
+        |)
+        |SELECT query_id, rank, nn_id, round(sim, 6) AS sim FROM (
+        |  SELECT query_id, nn_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
 
     "q23_ngram_jaccard" ->
       """WITH g AS (

@@ -52,13 +52,16 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Deterministic ±1 hyperplane component for (seed, plane j, dim i). */
+  /** Deterministic ±1 hyperplane component for (seed, plane j, dim i):
+    * parity of a Carter-Wegman affine transform mod 2^31-1 (same portable
+    * family as ops/Dedup — all arithmetic fits signed 64-bit, so the q29
+    * DuckDB oracle replays the identical signature; the dot products are
+    * sequential double folds, bit-equal across engines). */
+  private val MersenneP = 2147483647L
   private def planeSign(seed: Long, j: Int, i: Int): Double = {
-    var z = seed + j * 0x9e3779b97f4a7c15L + i * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 1L) 1.0 else -1.0
+    val a = ((j + 7L) * 1103515245L + seed * 31L) % MersenneP
+    val b = ((j + 3L) * 1234567891L + seed) % MersenneP
+    if (((a * (i + 1L) + b) % MersenneP & 1L) == 1L) 1.0 else -1.0
   }
 
   /** Random-hyperplane signature UDF kernel: numBits sign bits packed into
