@@ -120,12 +120,17 @@ object Queries {
       // the DuckDB oracle checks it against a true count(DISTINCT text),
       // cross-verifying hash-dedup == raw-dedup on the test corpus.
       docs(s, dir).select(md5(col("text").cast("binary")).as("h"), col("source"))
+        // pre-aggregate on (h, source) BEFORE the count-distinct Expand:
+        // the partial hash-aggregate combines duplicates map-side, so the
+        // Expand (3x fan-out) runs over distinct digest pairs instead of
+        // every row — on a dedup-worthy corpus that is the difference
+        // between expanding 10^12 rows and expanding the unique ~10^11
+        .groupBy(col("h"), col("source")).agg(count(lit(1)).as("cnt"))
         .agg(
-          count(lit(1)).as("total"),
+          sum(col("cnt")).as("total"),
           countDistinct(col("h")).as("distinct_texts"),
           countDistinct(col("source")).as("distinct_sources"))
-        // same digest count under both names (one distinct in the Expand,
-        // not two — 3x fan-out instead of 4x); driver sorts by column name
+        // same digest count under both names; driver sorts by column name
         .withColumn("distinct_hashes", col("distinct_texts"))
     }),
 
