@@ -298,6 +298,20 @@ object Queries {
         emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
     }),
 
+    // embedding-cosine near-dup PAIRS (training op): the pairwise dedup
+    // cousin of q29 — LSH band self-join candidates, exact-cosine verify.
+    // Planted duplicates are scaled-by-2 copies: x*2f is exact in float
+    // on both engines, so signatures, cosine, and the oracle replay all
+    // stay bit-equal.
+    "q34_cosine_neardup" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val base = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      val doubled = base.select((col("id") + 10000L).as("id"),
+        transform(col("v"), x => x * lit(2.0f)).as("v"))
+      graft.ops.Similarity.cosineNearDups(base.unionByName(doubled), "id", "v", threshold = 0.9)
+    }),
+
     // multimodal plumbing (training op): binary payloads + typed meta,
     // batched decode/feature-extract via mapPartitions (codec = fake)
     "q30_multimodal" -> ((s, dir) =>
@@ -700,6 +714,44 @@ object Queries {
         |  SELECT query_id, nn_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // q34: full replay of the cosine near-dup pipeline (see q29 note)
+    "q34_cosine_neardup" ->
+      """WITH corpus AS (
+        |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS v FROM embeddings WHERE vec_id < 100
+        |  UNION ALL
+        |  SELECT CAST(vec_id AS BIGINT) + 10000 AS id, [CAST(x * 2 AS REAL) FOR x IN embedding] AS v
+        |  FROM embeddings WHERE vec_id < 100
+        |),
+        |sigt AS (
+        |  SELECT id, v, CAST(list_sum([CASE WHEN
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        [v[ii]::DOUBLE * (CASE WHEN (((((j+7) * 1103515245 + 1302) % 2147483647) * ii
+        |                       + (((j+3) * 1234567891 + 42) % 2147483647)) % 2147483647) % 2 = 1
+        |                 THEN 1.0 ELSE -1.0 END)
+        |         FOR ii IN range(1, len(v) + 1)]), (x, y) -> x + y) >= 0
+        |      THEN (1::BIGINT << j) ELSE 0 END FOR j IN range(0, 16)]) AS BIGINT) AS sig
+        |  FROM corpus
+        |),
+        |bnd AS (
+        |  SELECT id, unnest([{'band': b, 'bk': (sig >> (b * 4)) & 15} FOR b IN range(0, 4)], recursive := true)
+        |  FROM sigt
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+        |),
+        |scored AS (
+        |  SELECT id_a, id_b, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
+        |  FROM (
+        |    SELECT id_a, id_b,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [av[i]::DOUBLE * bv[i]::DOUBLE FOR i IN range(1, len(av) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [av[i]::DOUBLE * av[i]::DOUBLE FOR i IN range(1, len(av) + 1)]), (a, b) -> a + b) AS na,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [bv[i]::DOUBLE * bv[i]::DOUBLE FOR i IN range(1, len(bv) + 1)]), (a, b) -> a + b) AS nb
+        |    FROM cand
+        |    JOIN (SELECT id, v AS av FROM corpus) qa ON qa.id = cand.id_a
+        |    JOIN (SELECT id, v AS bv FROM corpus) qb ON qb.id = cand.id_b)
+        |)
+        |SELECT id_a, id_b, round(sim, 6) AS sim FROM scored WHERE sim >= 0.9""".stripMargin,
 
     "q23_ngram_jaccard" ->
       """WITH g AS (

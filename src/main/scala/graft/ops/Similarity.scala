@@ -83,6 +83,44 @@ object Similarity {
     }
   }
 
+  /** Embedding-cosine near-duplicate PAIRS over one corpus: candidates
+    * from the banded hyperplane-signature self-join (same family as
+    * [[lshTopK]] — only (id, band, bk) enters the band shuffle), deduped,
+    * then re-joined to vectors by id and verified with exact cosine ≥
+    * `threshold`. The pairwise cousin of [[lshTopK]]: dedup wants "which
+    * rows duplicate each other", not "top-k per query". Output:
+    * (id_a, id_b, sim) with id_a < id_b. */
+  def cosineNearDups(
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numBits: Int = 16,
+      bands: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    require(numBits % bands == 0)
+    val r = numBits / bands
+    val sigUdf = udf(lshSignature(seed, numBits))
+    val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val banded = vecs
+      .select(col("id"), sigUdf(col("v")).as("sig"))
+      .select(col("id"), posexplode(expr(
+        s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & ${(1L << r) - 1})"))
+        .as(Seq("band", "bk")))
+    val a = banded.select(col("band"), col("bk"), col("id").as("id_a"))
+    val b = banded.select(col("band"), col("bk"), col("id").as("id_b"))
+    val cand = a.join(b, Seq("band", "bk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"))
+      .distinct()
+    val va = vecs.select(col("id").as("id_a"), col("v").as("va"))
+    val vb = vecs.select(col("id").as("id_b"), col("v").as("vb"))
+    cand.join(va, Seq("id_a")).join(vb, Seq("id_b"))
+      .select(col("id_a"), col("id_b"), cosine(col("va"), col("vb")).as("sim"))
+      .filter(col("sim") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
+  }
+
   /** LSH-bucketed ANN: signatures banded into `bands` chunks; a corpus row
     * is a candidate for a query if ANY band matches (equi-join); candidates
     * are re-ranked with exact cosine. Returns the same schema as

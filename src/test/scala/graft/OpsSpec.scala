@@ -89,6 +89,18 @@ class OpsSpec extends AnyFunSuite {
       s"missing: ${exact -- ann}")
   }
 
+  test("cosine near-dup pairs: same-cluster pairs found, cross-cluster pairs excluded") {
+    val pairs = Similarity.cosineNearDups(vecsDf, "vec_id", "embedding", threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // within-cluster pairs are near-identical directions (sim ~ 1)
+    val found = pairs.map(p => (p._1, p._2)).toSet
+    assert(found.contains((0L, 1L)) && found.contains((3L, 4L)) && found.contains((6L, 7L)), found)
+    // no pair bridges orthogonal clusters
+    val cluster = Map(0L -> 0, 1L -> 0, 2L -> 0, 3L -> 1, 4L -> 1, 5L -> 1, 6L -> 2, 7L -> 2, 8L -> 2)
+    assert(pairs.forall(p => cluster(p._1) == cluster(p._2)), pairs.mkString(","))
+    assert(pairs.forall(_._3 >= 0.9))
+  }
+
   test("fingerprint: pure fold, matches a reference Scala loop; chunk count shift-invariant") {
     val text = "hello world of deterministic rolling hashes"
     def refFp(s: String): Long =
