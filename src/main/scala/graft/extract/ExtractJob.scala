@@ -28,10 +28,17 @@ object ExtractJob {
   val LineageTable = "lineage"
   val ManifestTable = "manifest"
 
-  /** Extraction as a DataFrame stage: url + html binary → extracted struct. */
+  /** Extraction as a DataFrame stage: url + html binary → extracted struct.
+    * Prefers the native `graft_extract` Catalyst expression (no ScalaUDF
+    * converter round-trip per row — registered by graft.GraftExtensions);
+    * sessions built without the extension get the byte-identical Scala UDF. */
   def extractedDf(pages: DataFrame): DataFrame = {
-    val extractUdf = udf((url: String, payload: Array[Byte]) => Extractor.extract(url, payload))
-    pages.withColumn("extracted", extractUdf(col("url"), col("html")))
+    if (pages.sparkSession.catalog.functionExists("graft_extract"))
+      pages.withColumn("extracted", call_function("graft_extract", col("url"), col("html")))
+    else {
+      val extractUdf = udf((url: String, payload: Array[Byte]) => Extractor.extract(url, payload))
+      pages.withColumn("extracted", extractUdf(col("url"), col("html")))
+    }
   }
 
   final case class RunSummary(total: Long, ok: Long, err: Long, skippedParts: Long)

@@ -95,6 +95,32 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("extraction runs as the native graft_extract expression inside whole-stage codegen") {
+    val pages = graft.synth.Synth.pagesDs(spark, 30L, seed = 42L).toDF()
+    val out = graft.extract.ExtractJob.extractedDf(pages)
+      .select(col("url"), col("extracted.status"))
+    val plan = physicalPlan(out)
+    assert(plan.contains("graft_extract"), plan) // native expression, not ScalaUDF
+    assert(!plan.contains("UDF("), plan)
+    // the project evaluating it sits inside a WholeStageCodegen span
+    val projLine = plan.linesIterator.find(_.contains("graft_extract")).getOrElse("")
+    assert(projLine.contains("*("), plan)
+    // and the codegen path produces the same bytes as the interpreted UDF
+    val native = graft.extract.ExtractJob.extractedDf(pages)
+      .select(col("url"), col("extracted.markdown"), col("extracted.status"),
+        col("extracted.error"), col("extracted.pages"))
+      .collect().map(_.toSeq).sortBy(_.head.toString)
+    val viaUdf = {
+      val extractUdf = udf((url: String, payload: Array[Byte]) =>
+        graft.extract.Extractor.extract(url, payload))
+      pages.withColumn("extracted", extractUdf(col("url"), col("html")))
+        .select(col("url"), col("extracted.markdown"), col("extracted.status"),
+          col("extracted.error"), col("extracted.pages"))
+        .collect().map(_.toSeq).sortBy(_.head.toString)
+    }
+    assert(native.toSeq == viaUdf.toSeq)
+  }
+
   test("top-k compiles to TakeOrderedAndProject, not a global sort") {
     val df = spark.read.parquet(s"$sf/events.parquet")
       .orderBy(col("value").desc).limit(10)
