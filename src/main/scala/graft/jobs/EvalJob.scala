@@ -48,6 +48,21 @@ object EvalJob {
         round(col("m.cellAccuracy"), 6).as("cell_acc"))
   }
 
+  /** K2: the reference's two-sheet Excel report (eval.py:325-338 —
+    * 'Summary' + 'Detailed_Results') via the dependency-free
+    * [[graft.io.XlsxWriter]]. Report tables are bounded by the golden set,
+    * so the driver-side collect mirrors the reference's pandas writer —
+    * this is a report sink, not a distributed one. */
+  def writeReport(detail: DataFrame, summary: DataFrame, path: String): Unit = {
+    def sheetOf(name: String, df: DataFrame) = {
+      val cols = df.columns.toSeq
+      val rows = df.collect().toSeq.map(r => cols.indices.map(i => r.get(i)))
+      graft.io.XlsxWriter.Sheet(name, cols, rows)
+    }
+    graft.io.XlsxWriter.write(path,
+      Seq(sheetOf("Summary", summary), sheetOf("Detailed_Results", detail)))
+  }
+
   /** Corpus summary (eval.py:305-319): counts + success rate over ALL
     * rows, metric means over successful rows only, with the reference's
     * fallbacks when no row succeeded (1.0 for CER/WER, 0.0 for the

@@ -71,6 +71,54 @@ class EvalJobSpec extends AnyFunSuite {
     assert(s.getLong(0) == 3L && s.getLong(1) == 2L)
   }
 
+  test("K2 xlsx report: valid two-sheet OOXML package with header + values") {
+    val dir = SparkTestBase.tempDir("xlsx")
+    val path = s"$dir/markdown_evaluation_results.xlsx"
+    val det = EvalJob.detail(results, goldens)
+    EvalJob.writeReport(det, EvalJob.summary(det), path)
+
+    val zf = new java.util.zip.ZipFile(path)
+    try {
+      val names = {
+        val e = zf.entries(); val b = Seq.newBuilder[String]
+        while (e.hasMoreElements) b += e.nextElement().getName
+        b.result().toSet
+      }
+      assert(Set("[Content_Types].xml", "_rels/.rels", "xl/workbook.xml",
+        "xl/_rels/workbook.xml.rels", "xl/styles.xml",
+        "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml").subsetOf(names), names)
+      def read(n: String): String = new String(
+        zf.getInputStream(zf.getEntry(n)).readAllBytes(), "UTF-8")
+      val wb = read("xl/workbook.xml")
+      assert(wb.contains("name=\"Summary\"") && wb.contains("name=\"Detailed_Results\""))
+      val s1 = read("xl/worksheets/sheet1.xml")
+      assert(s1.contains("<t xml:space=\"preserve\">success_rate</t>")) // summary header
+      val s2 = read("xl/worksheets/sheet2.xml")
+      assert(s2.contains("<t xml:space=\"preserve\">u1</t>")) // detail row key
+      assert(s2.contains("<t xml:space=\"preserve\">cer</t>"))
+      // XML well-formedness of every sheet (the JDK parser rejects bad escaping)
+      val f = javax.xml.parsers.DocumentBuilderFactory.newInstance()
+      Seq("xl/workbook.xml", "xl/worksheets/sheet1.xml", "xl/worksheets/sheet2.xml").foreach { n =>
+        f.newDocumentBuilder().parse(
+          new java.io.ByteArrayInputStream(read(n).getBytes("UTF-8")))
+      }
+    } finally zf.close()
+    // special chars must escape, not corrupt the package
+    graft.io.XlsxWriter.write(s"$dir/esc.xlsx", Seq(graft.io.XlsxWriter.Sheet(
+      "S", Seq("c"), Seq(Seq("a<b&c>\"d\"", 1.5, null, true)))))
+    val zf2 = new java.util.zip.ZipFile(s"$dir/esc.xlsx")
+    try {
+      val x = new String(zf2.getInputStream(
+        zf2.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+      assert(x.contains("a&lt;b&amp;c&gt;&quot;d&quot;"))
+      javax.xml.parsers.DocumentBuilderFactory.newInstance().newDocumentBuilder()
+        .parse(new java.io.ByteArrayInputStream(x.getBytes("UTF-8")))
+    } finally zf2.close()
+    assert(graft.io.XlsxWriter.colName(0) == "A" && graft.io.XlsxWriter.colName(25) == "Z"
+      && graft.io.XlsxWriter.colName(26) == "AA" && graft.io.XlsxWriter.colName(701) == "ZZ"
+      && graft.io.XlsxWriter.colName(702) == "AAA")
+  }
+
   test("join is keyed on url, not positional (order shuffle changes nothing)") {
     val shuffled = results.orderBy(rand(7))
     val a = EvalJob.summary(EvalJob.detail(results, goldens)).collect().head.toSeq
