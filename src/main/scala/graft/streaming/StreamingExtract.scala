@@ -1,8 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
 import org.apache.spark.sql.types._
 import graft.io.TableIO
 
@@ -69,5 +69,54 @@ object StreamingExtract {
         io.appendTable(batch.withColumn("batch_id", lit(batchId)), resultsTable)
       }
       .start()
+  }
+
+  /** Event-time crawl-rate metrics (§2.10): per-host tumbling-hour doc
+    * counts under a watermark. The watermark bounds the window state —
+    * hours older than max(event time) - `watermark` are finalized and
+    * evicted, so state size is (hosts × watermark-hours), independent of
+    * stream length. Append output mode: a window row is emitted exactly
+    * once, when the watermark passes its end. */
+  def hostHourCounts(
+      spark: SparkSession,
+      srcDir: String,
+      watermark: String = "2 hours"): DataFrame = {
+    spark.readStream.schema(pageSchema).parquet(srcDir)
+      .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      .withWatermark("warc_ts", watermark)
+      .groupBy(window(col("warc_ts"), "1 hour"), col("host"))
+      .agg(count(lit(1)).as("n_docs"))
+      .select(unix_micros(col("window.start")).as("hour_us"),
+        col("host"), col("n_docs"))
+  }
+
+  final case class HostSession(
+      host: String, first_us: Long, last_us: Long, n_docs: Long)
+
+  /** Custom streaming state (§2.10): per-host crawl-session tracking via
+    * `mapGroupsWithState` — first/last event time and doc count per host,
+    * carried across micro-batches. ProcessingTimeTimeout is deliberately
+    * NOT set: crawl re-fetches arrive arbitrarily late (same rationale as
+    * the url-dedup state), so sessions only grow; at 10^12 scale the state
+    * key is the host (≤ ~10^8 entries), held by the RocksDB store. */
+  def hostSessions(
+      spark: SparkSession,
+      srcDir: String): Dataset[HostSession] = {
+    import spark.implicits._
+    val update = (host: String, rows: Iterator[(String, Long)],
+        state: GroupState[HostSession]) => {
+      var s = state.getOption.getOrElse(HostSession(host, Long.MaxValue, Long.MinValue, 0L))
+      rows.foreach { case (_, ts) =>
+        s = HostSession(host, math.min(s.first_us, ts), math.max(s.last_us, ts), s.n_docs + 1)
+      }
+      state.update(s)
+      s
+    }
+    spark.readStream.schema(pageSchema).parquet(srcDir)
+      .select(regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"),
+        unix_micros(col("warc_ts")).as("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
 }

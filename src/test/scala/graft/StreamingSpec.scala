@@ -72,4 +72,72 @@ class StreamingSpec extends AnyFunSuite {
     val keyNames = dedupNodes.head.keyExpressions.map(_.name)
     assert(keyNames == Seq("url_h"), s"state key is $keyNames")
   }
+
+  private def writeTsBatch(dir: String, rows: Seq[(String, Long)]): Unit = {
+    // hand-built pages rows (payload irrelevant to the metric streams)
+    val data = rows.map { case (url, tsMs) =>
+      (url, new java.sql.Timestamp(tsMs), Array.emptyByteArray, null: String, "en")
+    }
+    spark.createDataset(data)
+      .toDF("url", "warc_ts", "html", "text", "lang")
+      .write.mode("append").parquet(dir)
+  }
+
+  test("watermarked hour window: closed hours emit exactly once, open hours stay in state") {
+    val src = SparkTestBase.tempDir("wm_src")
+    val h0 = 1693872000000L // 2023-09-05T00:00:00Z
+    // hour 0: 3 docs on hostA, 2 on hostB; hour 1: 4 on hostA; hour 3: 1 doc
+    // (advances the watermark to 01:00, closing hour 0 but not 1 or 3)
+    writeTsBatch(src,
+      (1 to 3).map(i => (s"https://a.example/$i", h0 + i * 1000L)) ++
+        (1 to 2).map(i => (s"https://b.example/$i", h0 + i * 2000L)) ++
+        (1 to 4).map(i => (s"https://a.example/h1-$i", h0 + 3600000L + i * 1000L)) ++
+        Seq(("https://a.example/h3", h0 + 3 * 3600000L)))
+    val q = StreamingExtract.hostHourCounts(spark, src, watermark = "2 hours")
+      .writeStream.format("memory").queryName("wm_counts")
+      .outputMode("append")
+      .option("checkpointLocation", SparkTestBase.tempDir("wm_ckpt"))
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val rows = spark.table("wm_counts")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    // watermark = 03:00 - 2h = 01:00: hour 0 is closed and emitted; hour 1's
+    // window [01:00,02:00) is not fully below the watermark, hour 3 is open
+    assert(rows == Set(
+      (h0 * 1000, "a.example", 3L),
+      (h0 * 1000, "b.example", 2L)), rows.mkString(", "))
+  }
+
+  test("mapGroupsWithState host sessions: state carries across restarts") {
+    val src = SparkTestBase.tempDir("sess_src")
+    val ckpt = SparkTestBase.tempDir("sess_ckpt")
+    val h0 = 1693872000000L
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[StreamingExtract.HostSession]()
+    def run(): Unit = {
+      val q = StreamingExtract.hostSessions(spark, src)
+        .writeStream
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch {
+          (batch: org.apache.spark.sql.Dataset[StreamingExtract.HostSession], _: Long) =>
+            batch.collect().foreach(seen.add)
+        }
+        .start()
+      q.awaitTermination()
+    }
+    writeTsBatch(src, (0 until 10).map(i => (s"https://a.example/$i", h0 + i * 1000L)))
+    run()
+    // second drop extends the same host's session; state must resume
+    writeTsBatch(src, (10 until 20).map(i => (s"https://a.example/$i", h0 + i * 1000L)))
+    writeTsBatch(src, Seq(("https://b.example/x", h0 + 99000L)))
+    run()
+    import scala.jdk.CollectionConverters._
+    val byHost = seen.asScala.toSeq.groupBy(_.host)
+    val a = byHost("a.example").maxBy(_.n_docs)
+    assert(a.n_docs == 20L && a.first_us == h0 * 1000 && a.last_us == (h0 + 19000L) * 1000,
+      byHost.toString)
+    assert(byHost("b.example").maxBy(_.n_docs).n_docs == 1L)
+  }
 }
