@@ -63,6 +63,50 @@ object EvalJob {
       Seq(sheetOf("Summary", summary), sheetOf("Detailed_Results", detail)))
   }
 
+  /** K1+K2, prediction-data dump (ground_truth_prediciton.py:116-148):
+    * the 'Overview' + 'Markdown_Data' workbook and its JSON mirror.
+    * `results` needs (url, status, markdown[, error]); `goldens`
+    * (url, g_markdown). Golden-preserving like [[detail]]: a url with no
+    * prediction appears with OCR Success=false / 'FAILED' markdown. */
+  def writePredictionData(
+      results: DataFrame, goldens: DataFrame,
+      xlsxPath: String, jsonPath: String): Unit = {
+    val r0 = if (results.columns.contains("error")) results
+             else results.withColumn("error", lit(null: String))
+    val relevant = r0.join(goldens.select(col("url")), Seq("url"), "left_semi")
+    val rows = goldens.join(relevant, Seq("url"), "left")
+      .select(col("url"), coalesce(col("status") === "ok", lit(false)).as("ok"),
+        col("error"), col("g_markdown"), col("markdown"))
+      .orderBy(col("url"))
+      .collect()
+    def pred(r: org.apache.spark.sql.Row): String =
+      if (!r.getBoolean(1) || r.isNullAt(4)) "FAILED" else r.getString(4)
+    graft.io.XlsxWriter.write(xlsxPath, Seq(
+      graft.io.XlsxWriter.Sheet("Overview",
+        Seq("Sample ID", "Image File", "OCR Success", "Error"),
+        rows.toSeq.map(r => Seq(r.getString(0), r.getString(0), r.getBoolean(1),
+          if (r.isNullAt(2)) "" else r.getString(2)))),
+      graft.io.XlsxWriter.Sheet("Markdown_Data",
+        Seq("Sample ID", "Ground Truth Markdown", "Markdown Prediction"),
+        rows.toSeq.map(r => Seq(r.getString(0), r.getString(3), pred(r))))))
+    def js(s: String): String = "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val json = rows.map { r =>
+      s"""{"sample_id": ${js(r.getString(0))}, "ocr_success": ${r.getBoolean(1)},""" +
+        s""" "error": ${if (r.isNullAt(2)) "null" else js(r.getString(2))},""" +
+        s""" "ground_truth_markdown": ${js(r.getString(3))},""" +
+        s""" "markdown_prediction": ${js(pred(r))}}"""
+    }.mkString("[\n", ",\n", "\n]\n")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonPath), json)
+  }
+
   /** Corpus summary (eval.py:305-319): counts + success rate over ALL
     * rows, metric means over successful rows only, with the reference's
     * fallbacks when no row succeeded (1.0 for CER/WER, 0.0 for the

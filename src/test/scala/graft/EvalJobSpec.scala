@@ -119,6 +119,35 @@ class EvalJobSpec extends AnyFunSuite {
       && graft.io.XlsxWriter.colName(702) == "AAA")
   }
 
+  test("prediction-data dump: Overview/Markdown_Data workbook + JSON mirror, FAILED imputed") {
+    val dir = SparkTestBase.tempDir("pred")
+    val xlsx = s"$dir/markdown_evaluation_data.xlsx"
+    val json = s"$dir/markdown_evaluation_data.json"
+    // u3 has no prediction at all (dropped result)
+    val partial = Seq(("u1", "ok", "identical text"), ("u2", "ok", "sume text with drift"))
+      .toDF("url", "status", "markdown")
+    EvalJob.writePredictionData(partial, goldens, xlsx, json)
+
+    val zf = new java.util.zip.ZipFile(xlsx)
+    try {
+      def read(n: String): String = new String(
+        zf.getInputStream(zf.getEntry(n)).readAllBytes(), "UTF-8")
+      val wb = read("xl/workbook.xml")
+      assert(wb.contains("name=\"Overview\"") && wb.contains("name=\"Markdown_Data\""))
+      val mdSheet = read("xl/worksheets/sheet2.xml")
+      assert(mdSheet.contains(">FAILED</t>"), mdSheet) // u3 imputed
+      assert(mdSheet.contains(">never produced</t>")) // its golden still present
+    } finally zf.close()
+
+    // the JSON mirror parses and carries the same imputation
+    val parsed = spark.read.option("multiLine", true).json(json)
+    assert(parsed.count() == 3)
+    val u3 = parsed.filter($"sample_id" === "u3").collect().head
+    assert(u3.getAs[Boolean]("ocr_success") == false)
+    assert(u3.getAs[String]("markdown_prediction") == "FAILED")
+    assert(parsed.filter($"ocr_success" === true).count() == 2)
+  }
+
   test("join is keyed on url, not positional (order shuffle changes nothing)") {
     val shuffled = results.orderBy(rand(7))
     val a = EvalJob.summary(EvalJob.detail(results, goldens)).collect().head.toSeq
