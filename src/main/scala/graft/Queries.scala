@@ -127,7 +127,10 @@ object Queries {
         // between expanding 10^12 rows and expanding the unique ~10^11
         .groupBy(col("h"), col("source")).agg(count(lit(1)).as("cnt"))
         .agg(
-          sum(col("cnt")).as("total"),
+          // coalesce: the grouped pre-aggregate yields ZERO rows on an
+          // empty table, making sum() NULL where the oracle's count(*)
+          // says 0
+          coalesce(sum(col("cnt")), lit(0L)).as("total"),
           countDistinct(col("h")).as("distinct_texts"),
           countDistinct(col("source")).as("distinct_sources"))
         // same digest count under both names; driver sorts by column name

@@ -26,18 +26,9 @@ object Verify {
       // blocks pinned in executor storage for the rest of the run
       spark.catalog.clearCache()
     }
-    // JSON string escape: backslash, quote, and ALL control chars (<0x20)
-    // — a tab or CR in builder-authored SQL would otherwise make the
-    // driver's json.load fail and silently zero the round's correctness.
-    def q(s: String): String = "\"" + s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // a tab or CR in builder-authored SQL would otherwise make the
+    // driver's json.load fail and silently zero the round's correctness
+    def q(s: String): String = graft.io.JsonUtil.quote(s)
     // The driver keys its correctness report by the parquet dump's file
     // name (`qN_name.parquet`), not the bare query name — round 1 emitted
     // bare names only and every query came back `err:"no_oracle"`. Emit

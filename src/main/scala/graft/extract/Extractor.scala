@@ -55,14 +55,22 @@ object Extractor {
       while (k < s.length) { if (at(off + k) != s.charAt(k).toInt) return false; k += 1 }
       true
     }
+    // short text-like magics carry extra structural checks so a plain-text
+    // doc that merely STARTS with "ID3 ..." or "RIFF..." isn't swallowed:
+    // OggS requires stream-structure version 0, ID3v2 sync-safe size bytes
+    // (high bit clear), ftyp a plausible leading box size, generic RIFF an
+    // uppercase 4CC form type
+    def upper4(off: Int): Boolean =
+      (0 until 4).forall { k => val c = at(off + k); (c >= 'A' && c <= 'Z') || c == ' ' }
     if (at(0) == 0xff && at(1) == 0xd8 && at(2) == 0xff) "image" // JPEG
     else if (at(0) == 0x89 && ascii(1, "PNG\r\n") && at(6) == 0x1a && at(7) == 0x0a) "image"
     else if (ascii(0, "GIF87a") || ascii(0, "GIF89a")) "image"
     else if (ascii(0, "RIFF") && ascii(8, "WEBP")) "image"
-    else if (ascii(0, "RIFF")) "media" // WAV / AVI / other RIFF
-    else if (ascii(0, "OggS")) "media"
-    else if (ascii(0, "ID3")) "media" // MP3 with ID3 tag
-    else if (ascii(4, "ftyp")) "media" // MP4 / MOV family
+    else if (ascii(0, "RIFF") && upper4(8)) "media" // WAV / AVI / other RIFF
+    else if (ascii(0, "OggS") && at(4) == 0) "media"
+    else if (ascii(0, "ID3") && at(3) >= 2 && at(3) <= 4 // ID3v2.{2,3,4} version byte — a control char, never ASCII text
+      && (6 to 9).forall(k => at(k) >= 0 && at(k) < 0x80)) "media"
+    else if (ascii(4, "ftyp") && at(0) == 0 && at(1) == 0 && at(2) == 0) "media"
     else null
   }
 

@@ -157,14 +157,17 @@ object HtmlExtractor {
     * ×2 for content-marked id/class, ties broken by document order). */
   private def selectContent(root: Elem): Elem = {
     root.findFirst("main").orElse(root.findFirst("article")).getOrElse {
-      val candidates = ArrayBuffer.empty[(Elem, Double, Int)]
+      // (elem, boosted score, raw score, depth): boosted picks the winner,
+      // raw decides whether a deeper candidate is a thin-wrapper strip
+      val candidates = ArrayBuffer.empty[(Elem, Double, Double, Int)]
       def walk(e: Elem, depth: Int): Unit = {
         if (e.tag == "div" || e.tag == "section" || e.tag == "body" || e.tag == "td") {
           val (c, a) = charCounts(e)
           if (c > 0) {
             val ld = if (c == 0) 0.0 else a.toDouble / c
+            val raw = c * (1.0 - ld) * (1.0 - ld)
             val boost = if (hasContentClass(e)) 2.0 else 1.0
-            candidates += ((e, c * (1.0 - ld) * (1.0 - ld) * boost, depth))
+            candidates += ((e, raw * boost, raw, depth))
           }
         }
         e.children.foreach { case el: Elem => walk(el, depth + 1); case _ => }
@@ -172,13 +175,24 @@ object HtmlExtractor {
       walk(root, 0)
       if (candidates.isEmpty) root
       else {
-        // prefer the DEEPEST container within 10% of the max score: a
-        // page-level wrapper scores at least as high as the article div it
-        // contains (superset of its chars), so taking the raw max keeps
-        // residual boilerplate; ties in depth break by document order
-        // (maxBy keeps the first max in pre-order)
+        // winner = max boosted score (doc-order first on ties). Then
+        // descend to the DEEPEST candidate inside the winner's subtree
+        // that retains >= 90% of the winner's RAW content mass — i.e. the
+        // winner is just a thin wrapper adding <=10% residue around it.
+        // Raw (unboosted) mass is the subset test on purpose: a
+        // content-classed comments box holding 45% of the page would pass
+        // a boosted-score comparison and silently drop the article.
         val maxScore = candidates.map(_._2).max
-        candidates.filter(_._2 >= maxScore * 0.9).maxBy(_._3)._1
+        val top = candidates.find(_._2 == maxScore).get
+        val inTop = java.util.Collections.newSetFromMap(
+          new java.util.IdentityHashMap[Elem, java.lang.Boolean]())
+        def mark(e: Elem): Unit = {
+          inTop.add(e)
+          e.children.foreach { case el: Elem => mark(el); case _ => }
+        }
+        mark(top._1)
+        candidates.filter(c => inTop.contains(c._1) && c._3 >= top._3 * 0.9)
+          .maxBy(_._4)._1
       }
     }
   }

@@ -89,19 +89,13 @@ object EvalJob {
       graft.io.XlsxWriter.Sheet("Markdown_Data",
         Seq("Sample ID", "Ground Truth Markdown", "Markdown Prediction"),
         rows.toSeq.map(r => Seq(r.getString(0), r.getString(3), pred(r))))))
-    def js(s: String): String = "\"" + s.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    // JsonUtil.quote maps null → the JSON literal null (a golden row may
+    // legitimately carry a null g_markdown; evaluateOcr tolerates it too)
+    val js = graft.io.JsonUtil.quote _
     val json = rows.map { r =>
       s"""{"sample_id": ${js(r.getString(0))}, "ocr_success": ${r.getBoolean(1)},""" +
-        s""" "error": ${if (r.isNullAt(2)) "null" else js(r.getString(2))},""" +
-        s""" "ground_truth_markdown": ${js(r.getString(3))},""" +
+        s""" "error": ${js(if (r.isNullAt(2)) null else r.getString(2))},""" +
+        s""" "ground_truth_markdown": ${js(if (r.isNullAt(3)) null else r.getString(3))},""" +
         s""" "markdown_prediction": ${js(pred(r))}}"""
     }.mkString("[\n", ",\n", "\n]\n")
     java.nio.file.Files.writeString(java.nio.file.Paths.get(jsonPath), json)

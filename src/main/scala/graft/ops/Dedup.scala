@@ -178,6 +178,14 @@ object Dedup {
     * passes); fully deterministic, no JVM-hash dependence. */
   val SimhashBits = 60
 
+  // per-bit affine constants (independent offsets from the minhash
+  // family's), hoisted: they depend only on the bit index, and computing
+  // them inside the per-token loop doubled the kernel's inner-loop cost
+  private val simA: Array[Long] =
+    Array.tabulate(SimhashBits)(b => ((b + 101L) * 1103515245L + 54321L) % MersenneP)
+  private val simC: Array[Long] =
+    Array.tabulate(SimhashBits)(b => ((b + 29L) * 1234567891L + 192837465L) % MersenneP)
+
   val simhash64: String => Long = { text =>
     if (text == null) 0L
     else {
@@ -194,10 +202,7 @@ object Dedup {
         if (any) {
           var b = 0
           while (b < SimhashBits) {
-            // independent constants from the minhash family's (offset j)
-            val a = ((b + 101L) * 1103515245L + 54321L) % MersenneP
-            val c = ((b + 29L) * 1234567891L + 192837465L) % MersenneP
-            val v = (a * x + c) % MersenneP
+            val v = (simA(b) * x + simC(b)) % MersenneP
             if ((v & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
             b += 1
           }

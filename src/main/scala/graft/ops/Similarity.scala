@@ -52,30 +52,33 @@ object Similarity {
       .select(col("query_id"), col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
   }
 
-  /** Deterministic ±1 hyperplane component for (seed, plane j, dim i):
-    * parity of a Carter-Wegman affine transform mod 2^31-1 (same portable
-    * family as ops/Dedup — all arithmetic fits signed 64-bit, so the q29
-    * DuckDB oracle replays the identical signature; the dot products are
-    * sequential double folds, bit-equal across engines). */
+  /** Deterministic ±1 hyperplanes: the component for (plane j, dim i) is
+    * the parity of a Carter-Wegman affine transform mod 2^31-1 (same
+    * portable family as ops/Dedup — all arithmetic fits signed 64-bit, so
+    * the q29/q34 DuckDB oracles replay the identical signatures; the dot
+    * products are sequential double folds, bit-equal across engines). */
   private val MersenneP = 2147483647L
-  private def planeSign(seed: Long, j: Int, i: Int): Double = {
-    val a = ((j + 7L) * 1103515245L + seed * 31L) % MersenneP
-    val b = ((j + 3L) * 1234567891L + seed) % MersenneP
-    if (((a * (i + 1L) + b) % MersenneP & 1L) == 1L) 1.0 else -1.0
-  }
 
   /** Random-hyperplane signature UDF kernel: numBits sign bits packed into
-    * a Long. Pure Scala loop — one pass over the vector per plane. */
+    * a Long. Pure Scala loop — one pass over the vector per plane; the
+    * plane's affine coefficients are hoisted out of the per-dimension
+    * loop (they depend only on (seed, j)). */
   def lshSignature(seed: Long, numBits: Int): Seq[Float] => Long = { vec =>
     if (vec == null) 0L
     else {
       var sig = 0L
       var j = 0
       while (j < numBits) {
+        val a = ((j + 7L) * 1103515245L + seed * 31L) % MersenneP
+        val b = ((j + 3L) * 1234567891L + seed) % MersenneP
         var dot = 0.0
         var i = 0
         val n = vec.length
-        while (i < n) { dot += vec(i) * planeSign(seed, j, i); i += 1 }
+        while (i < n) {
+          val sign = if (((a * (i + 1L) + b) % MersenneP & 1L) == 1L) 1.0 else -1.0
+          dot += vec(i) * sign
+          i += 1
+        }
         if (dot >= 0) sig |= (1L << j)
         j += 1
       }

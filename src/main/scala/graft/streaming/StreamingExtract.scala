@@ -49,6 +49,10 @@ object StreamingExtract {
     // dropDuplicates("url") would hold every full url string in state
     // forever. The documented tradeoff: a 64-bit collision (~2e-4 expected
     // collisions at 10^9 distinct urls) drops a non-duplicate page.
+    // MIGRATION: checkpoints written by the pre-hash version keyed state
+    // on the raw url STRING; their state-store schema is incompatible with
+    // the LONG key — restart such feeds from a fresh checkpointDir (the
+    // results table is append-only, so already-written rows are kept).
     val pages = if (dedupUrls)
       raw.withColumn("url_h", xxhash64(col("url")))
         .dropDuplicates("url_h").drop("url_h")
@@ -82,13 +86,17 @@ object StreamingExtract {
       srcDir: String,
       watermark: String = "2 hours"): DataFrame = {
     spark.readStream.schema(pageSchema).parquet(srcDir)
-      .withColumn("host", regexp_extract(col("url"), "https?://([^/]+)/", 1))
+      .withColumn("host", regexp_extract(col("url"), HostRe, 1))
       .withWatermark("warc_ts", watermark)
       .groupBy(window(col("warc_ts"), "1 hour"), col("host"))
       .agg(count(lit(1)).as("n_docs"))
       .select(unix_micros(col("window.start")).as("hour_us"),
         col("host"), col("n_docs"))
   }
+
+  /** Host component of a url; no trailing-slash requirement — a path-less
+    * `https://example.com` must not collapse into host "". */
+  private val HostRe = "https?://([^/]+)"
 
   final case class HostSession(
       host: String, first_us: Long, last_us: Long, n_docs: Long)
@@ -113,7 +121,7 @@ object StreamingExtract {
       s
     }
     spark.readStream.schema(pageSchema).parquet(srcDir)
-      .select(regexp_extract(col("url"), "https?://([^/]+)/", 1).as("host"),
+      .select(regexp_extract(col("url"), HostRe, 1).as("host"),
         unix_micros(col("warc_ts")).as("ts_us"))
       .as[(String, Long)]
       .groupByKey(_._1)

@@ -136,6 +136,24 @@ class ExtractJobSpec extends AnyFunSuite {
     assert(!r.markdown.contains("stray wrapper residue"), r.markdown)
   }
 
+  test("depth preference never descends into a partial subtree (boosted comments box)") {
+    // the wrapper holds the article text DIRECTLY plus a content-classed
+    // comments box; the box's boosted score lands within 10% of the
+    // wrapper's, but it carries only ~half the raw content — descending
+    // would silently drop the article
+    val article = (1 to 8).map(i => s"<p>Article sentence $i with plenty of plain words here.</p>").mkString
+    val comments = (1 to 7).map(i => s"<p>Comment number $i says something moderately long.</p>").mkString
+    val html =
+      s"""<html><body><div id="wrap">
+         |$article
+         |<div class="text">$comments</div>
+         |</div></body></html>""".stripMargin
+    val r = HtmlExtractor.extract(html)
+    assert(r.status == "ok")
+    assert(r.markdown.contains("Article sentence 1"), r.markdown)
+    assert(r.markdown.contains("Comment number 1"), r.markdown) // box is still content here
+  }
+
   test("block-level anchor inside content renders as a paragraph (rule 1: all visible text)") {
     val html =
       """<html><body><article>
@@ -229,12 +247,20 @@ class ExtractJobSpec extends AnyFunSuite {
     check("GIF87a".getBytes ++ b(1, 2, 3), "image")
     check("RIFF".getBytes ++ b(8, 0, 0, 0) ++ "WEBPVP8 ".getBytes, "image")
     check("RIFF".getBytes ++ b(8, 0, 0, 0) ++ "WAVEfmt ".getBytes, "media")
-    check("OggS".getBytes ++ b(0, 2), "media")
-    check("ID3".getBytes ++ b(4, 0), "media")
+    check("OggS".getBytes ++ b(0, 2), "media") // version byte 0
+    check("ID3".getBytes ++ b(3, 0, 0, 0, 0, 2, 0), "media") // sync-safe size
     check(b(0, 0, 0, 0x20) ++ "ftypisom".getBytes, "media")
     // malformed non-media bytes still take the html error path
     val e = Extractor.extract("https://h/u.html", b(0xff, 0xfe, 0x00, 0x01, 0x80))
     assert(e.content_type == "html" && e.error == "invalid_utf8")
+    // text payloads that merely START with a short magic string stay text:
+    // structural bytes rule them out (printable text after "ID3 "/"OggS "
+    // fails the size/version checks; lowercase after RIFF fails the 4CC)
+    Seq("ID3 tags explained in this article with more text",
+        "OggS is a container format page",
+        "RIFF file format notes for archivists").foreach { t =>
+      assert(Extractor.sniffMedia(t.getBytes) == null, t)
+    }
     // synth media slice flows through the full kernel with the same labels
     val media = graft.synth.Synth.page(42L, 11L) // i%29==11 → media row
     assert(media.url.contains("/media/"))
