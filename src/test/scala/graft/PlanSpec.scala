@@ -95,6 +95,29 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("cosine near-dup band exchange carries only (id, band, bk), never vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      val df = graft.ops.Similarity.cosineNearDups(emb, "id", "v", threshold = 0.9)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      val bandEx = exchanges.filter(_.outputPartitioning.toString.contains("band"))
+      assert(bandEx.nonEmpty, df.queryExecution.executedPlan.toString)
+      bandEx.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(cols.subsetOf(Set("id", "id_a", "id_b", "band", "bk")), s"band exchange ships $cols")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("extraction runs as the native graft_extract expression inside whole-stage codegen") {
     val pages = graft.synth.Synth.pagesDs(spark, 30L, seed = 42L).toDF()
     val out = graft.extract.ExtractJob.extractedDf(pages)
