@@ -268,7 +268,9 @@ object Queries {
     }),
 
     // ----------------------------------------------------------------
-    // Spark-only (non-SQL-expressible kernels → rows-only driver check)
+    // Pipeline replays: full fuzzy-dedup / ANN pipelines whose kernels
+    // use the portable Carter-Wegman hash family, so the DuckDB oracle
+    // replays signatures → banding → verify bit-for-bit
     // ----------------------------------------------------------------
 
     // MinHash+LSH near-dup (training op): documents ∪ perturbed copies;
@@ -299,6 +301,16 @@ object Queries {
       val emb = embeddings(s, dir)
       graft.ops.Similarity.lshTopK(
         emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+    }),
+
+    // IVF-bucketed ANN (training op): the coarse-quantizer scale path for
+    // q24 — deterministic affine-hash codebook, narrow broadcast-codebook
+    // cell assignment (no corpus shuffle), nProbe-cell probe, exact re-rank
+    "q35_ann_ivf" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      graft.ops.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 10, nCells = 8, nProbe = 2)
     }),
 
     // embedding-cosine near-dup PAIRS (training op): the pairwise dedup
@@ -700,6 +712,57 @@ object Queries {
         |),
         |cand AS (
         |  SELECT DISTINCT query_id, nn_id FROM qb JOIN cb ON qb.band = cb.band AND qb.bk = cb.bk
+        |),
+        |scored AS (
+        |  SELECT query_id, nn_id,
+        |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(nq) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT query_id, nn_id,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS nq,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM cand
+        |    JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = cand.query_id
+        |    JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = cand.nn_id)
+        |)
+        |SELECT query_id, rank, nn_id, round(sim, 6) AS sim FROM (
+        |  SELECT query_id, nn_id, sim,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // q35: independent replay of the IVF pipeline — codebook = the 8
+    // corpus rows with the smallest affine id-hash, cells/probes from a
+    // (sim desc, cid asc) row_number over the corpus×codebook cross join
+    // (the Spark side computes the same argmax in a narrow kernel; both
+    // sides use the sequential-double-fold cosine, so cell choice is
+    // bit-equal), then the q24 cosine re-rank shape over in-cell rows
+    "q35_ann_ivf" ->
+      """WITH centr AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  ORDER BY (CAST(vec_id AS BIGINT) * 1103515245 + 12345) % 2147483647, vec_id
+        |  LIMIT 8
+        |),
+        |sim_all AS (
+        |  SELECT id, cid, CASE WHEN na = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT e.vec_id AS id, ct.cid,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [e.embedding[i]::DOUBLE * ct.cv[i]::DOUBLE FOR i IN range(1, len(e.embedding) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, len(e.embedding) + 1)]), (a, b) -> a + b) AS na,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [ct.cv[i]::DOUBLE * ct.cv[i]::DOUBLE FOR i IN range(1, len(ct.cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM embeddings e CROSS JOIN centr ct)
+        |),
+        |assigned AS (
+        |  SELECT id AS nn_id, cell FROM (
+        |    SELECT id, cid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM sim_all) WHERE rn = 1
+        |),
+        |probes AS (
+        |  SELECT id AS query_id, cell FROM (
+        |    SELECT id, cid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM sim_all WHERE id < 5) WHERE rn <= 2
+        |),
+        |cand AS (
+        |  SELECT p.query_id, a.nn_id FROM probes p JOIN assigned a ON p.cell = a.cell
         |),
         |scored AS (
         |  SELECT query_id, nn_id,

@@ -124,6 +124,89 @@ object Similarity {
       .select(col("id_a"), col("id_b"), round(col("sim"), 6).as("sim"))
   }
 
+  /** Scala twin of [[cosine]]: sequential double fold in index order, so a
+    * cell assignment computed here is bit-equal to one computed by the
+    * Catalyst column (and by the DuckDB oracle's list_reduce replay). */
+  private def cosineKernel(a: Array[Float], b: Array[Float]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val x = a(i).toDouble; val y = b(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  /** The `nProbe` nearest centroid ids for `v`, ordered (sim desc, cid asc)
+    * — the same total order the oracle's row_number window uses. */
+  private def nearestCells(
+      cents: Array[(Long, Array[Float])], v: Array[Float], nProbe: Int): Seq[Long] =
+    cents.map { case (cid, cv) => (cid, cosineKernel(v, cv)) }
+      .sortBy { case (cid, s) => (-s, cid) }
+      .take(nProbe).map(_._1).toSeq
+
+  /** IVF (inverted-file) ANN: the coarse-quantizer scale path for
+    * [[bruteForceTopK]], complementing [[lshTopK]].
+    *
+    *  - Codebook: the `nCells` corpus vectors with the smallest
+    *    Carter-Wegman affine hash of their id (a deterministic
+    *    pseudo-random sample — no iterative k-means, so the DuckDB oracle
+    *    replays centroid choice exactly; ids must stay below ~8.4e9 so the
+    *    64-bit affine transform cannot wrap). Selected via Spark's
+    *    TakeOrdered (top-`nCells`, never a full sort) and broadcast.
+    *  - Assignment: one narrow scan — a per-row argmax over the broadcast
+    *    codebook, NO shuffle (vs the window-over-crossJoin a pure-DSL
+    *    version would need). Each corpus row lands in exactly one cell, so
+    *    candidates need no dedup (an advantage over LSH banding). In a
+    *    real deployment the assigned table is written out partitioned by
+    *    cell and reused across query batches.
+    *  - Search: each query probes its `nProbe` nearest cells; the probe
+    *    list is broadcast, so the corpus side joins without shuffling, and
+    *    only in-cell rows are re-ranked with exact [[cosine]]. The single
+    *    shuffle in the plan is the per-query top-k window, and it carries
+    *    only (query_id, nn_id, sim) — PlanSpec asserts this.
+    *
+    * Recall knob: nProbe/nCells. With nProbe == nCells this degenerates to
+    * an exact full scan and must equal [[bruteForceTopK]] bit-for-bit
+    * (OpsSpec asserts that too). Output schema matches [[bruteForceTopK]];
+    * fewer than k rows per query are possible — ANN. */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      idCol: String,
+      vecCol: String,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4): DataFrame = {
+    require(nCells > 0 && nProbe > 0 && nCells <= 65536, "codebook must stay broadcastable")
+    val vecs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val centroids: Array[(Long, Array[Float])] = vecs
+      .withColumn("h", (col("id") * lit(1103515245L) + lit(12345L)) % lit(MersenneP))
+      .orderBy(col("h"), col("id"))
+      .limit(nCells)
+      .collect() // bounded by nCells — this IS the codebook broadcast
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    val assignUdf = udf { v: Seq[Float] =>
+      if (v == null) -1L else nearestCells(bc.value, v.toArray, 1).head
+    }
+    val probeUdf = udf { v: Seq[Float] =>
+      if (v == null) Seq.empty[Long] else nearestCells(bc.value, v.toArray, nProbe)
+    }
+    val cells = vecs.select(col("id").as("nn_id"), col("v").as("cv"),
+      assignUdf(col("v")).as("cell"))
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"), col(vecCol).as("qv"))
+      .select(col("query_id"), col("qv"), explode(probeUdf(col("qv"))).as("cell"))
+    val cand = cells.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("sim"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("nn_id").asc)
+    cand.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
+  }
+
   /** LSH-bucketed ANN: signatures banded into `bands` chunks; a corpus row
     * is a candidate for a query if ANY band matches (equi-join); candidates
     * are re-ranked with exact cosine. Returns the same schema as

@@ -101,6 +101,33 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.9))
   }
 
+  test("IVF ANN with nProbe == nCells degenerates to the exact brute-force result") {
+    val q = vecsDf.filter($"vec_id".isin(0L, 3L, 6L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val exact = rows(Similarity.bruteForceTopK(q, vecsDf, "vec_id", "embedding", k = 3))
+    val ivf = rows(Similarity.ivfTopK(q, vecsDf, "vec_id", "embedding", k = 3,
+      nCells = 4, nProbe = 4))
+    assert(ivf == exact, s"ivf=$ivf exact=$exact")
+  }
+
+  test("IVF ANN: self-match found at rank 1 with sim 1.0; results stay in-cluster at nProbe 1") {
+    val q = vecsDf.filter($"vec_id".isin(0L, 3L, 6L))
+    val out = Similarity.ivfTopK(q, vecsDf, "vec_id", "embedding", k = 3,
+      nCells = 3, nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // each query's own vector is in its probed cell → rank-1 sim 1.0
+    for (qid <- Seq(0L, 3L, 6L))
+      assert(out.exists(r => r._1 == qid && r._2 == 1 && r._3 == qid && r._4 == 1.0), out.mkString(","))
+    // no (query, nn) pair appears twice (cells partition the corpus)
+    assert(out.map(r => (r._1, r._3)).distinct.length == out.length)
+    // deterministic across runs (codebook choice + assignment are pure)
+    val again = Similarity.ivfTopK(q, vecsDf, "vec_id", "embedding", k = 3,
+      nCells = 3, nProbe = 1).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("fingerprint: pure fold, matches a reference Scala loop; chunk count shift-invariant") {
     val text = "hello world of deterministic rolling hashes"
     def refFp(s: String): Long =

@@ -118,6 +118,24 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN plan: one shuffle total (the top-k window), carrying only (query_id, nn_id, sim)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val df = graft.ops.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 10, nCells = 8, nProbe = 2)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      // the probe join is broadcast (corpus side never shuffles); the only
+      // exchange is the per-query window, and vectors must not ride it
+      assert(exchanges.size == 1, df.queryExecution.executedPlan.toString)
+      val cols = exchanges.head.child.output.map(_.name).toSet
+      assert(cols.subsetOf(Set("query_id", "nn_id", "sim", "cell")), s"window exchange ships $cols")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("extraction runs as the native graft_extract expression inside whole-stage codegen") {
     val pages = graft.synth.Synth.pagesDs(spark, 30L, seed = 42L).toDF()
     val out = graft.extract.ExtractJob.extractedDf(pages)
