@@ -267,6 +267,27 @@ object Queries {
           graft.ops.TextOps.chunkBoundaryCount("t").as("chunks"))
     }),
 
+    // curation (training op): deterministic hash-bucket train/val/test
+    // split — stable across runs/cluster sizes/engines, unlike rand()
+    "q36_hash_split" -> ((s, dir) =>
+      docs(s, dir)
+        .select(graft.ops.Curation.hashSplit(col("doc_id")).as("split"),
+          col("lang"), col("n_chars"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("chars"))),
+
+    // curation (training op): per-domain quota — keep the first 5 docs
+    // per source, then summarize what survived the cap
+    "q37_host_cap" -> ((s, dir) => {
+      val capped = graft.ops.Curation.capPerKey(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "doc_id", n = 5)
+      capped.groupBy(col("source")).agg(
+        count(lit(1)).as("kept"),
+        sum(col("n_chars")).as("kept_chars"),
+        max(col("doc_id")).as("max_kept_id"))
+    }),
+
     // ----------------------------------------------------------------
     // Pipeline replays: full fuzzy-dedup / ANN pipelines whose kernels
     // use the portable Carter-Wegman hash family, so the DuckDB oracle
@@ -396,7 +417,9 @@ object Queries {
         when(xxhash64(col("url")) % 4 === 0,
           regexp_replace(col("markdown"), "the|value|report", "X"))
           .otherwise(col("markdown")))
-      val det = graft.jobs.EvalJob.detail(preds, broadcast(goldens))
+      // no broadcast wrapper here: detail() places its own hints (the
+      // golden side of its left join must never carry a build-left hint)
+      val det = graft.jobs.EvalJob.detail(preds, goldens)
       graft.jobs.EvalJob.summary(det)
     }),
 
@@ -729,6 +752,22 @@ object Queries {
         |  SELECT query_id, nn_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    "q36_hash_split" ->
+      """SELECT split, lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars FROM (
+        |  SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |         lang, n_chars
+        |  FROM (SELECT ((doc_id * 1103515245 + 12345) % 2147483647) % 100 AS b, lang, n_chars
+        |        FROM documents))
+        |GROUP BY split, lang""".stripMargin,
+
+    "q37_host_cap" ->
+      """SELECT source, count(*) AS kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars,
+        |  max(doc_id) AS max_kept_id
+        |FROM (SELECT source, doc_id, n_chars,
+        |        row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |      FROM documents)
+        |WHERE rn <= 5 GROUP BY source""".stripMargin,
 
     // q35: independent replay of the IVF pipeline — codebook = the 8
     // corpus rows with the smallest affine id-hash, cells/probes from a

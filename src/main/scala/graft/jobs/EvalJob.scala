@@ -32,9 +32,13 @@ object EvalJob {
       if (!success || pred == null) Metrics.failedRow
       else Metrics.evaluateOcr(gt, pred)
     }
-    val relevant = results.join(goldens.select(col("url")), Seq("url"), "left_semi")
+    val relevant = results.join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi")
+    // `relevant` is semi-filtered, so it holds ≤ |goldens| rows — always
+    // broadcastable as the BUILD side of this left join (the preserved
+    // golden side can never be the build side: "build left for left outer
+    // join" is unsupported, the hint would be silently dropped with a WARN)
     goldens
-      .join(relevant, Seq("url"), "left")
+      .join(broadcast(relevant), Seq("url"), "left")
       .withColumn("success", coalesce(col("status") === "ok", lit(false)))
       .withColumn("m", evalUdf(col("success"), col("g_markdown"), col("markdown")))
       .select(col("url"), col("success"),
@@ -73,8 +77,8 @@ object EvalJob {
       xlsxPath: String, jsonPath: String): Unit = {
     val r0 = if (results.columns.contains("error")) results
              else results.withColumn("error", lit(null: String))
-    val relevant = r0.join(goldens.select(col("url")), Seq("url"), "left_semi")
-    val rows = goldens.join(relevant, Seq("url"), "left")
+    val relevant = r0.join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi")
+    val rows = goldens.join(broadcast(relevant), Seq("url"), "left")
       .select(col("url"), coalesce(col("status") === "ok", lit(false)).as("ok"),
         col("error"), col("g_markdown"), col("markdown"))
       .orderBy(col("url"))

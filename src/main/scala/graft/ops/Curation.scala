@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators a training-data pipeline needs around the
+  * dedup/similarity family: deterministic split assignment and per-key
+  * quotas. Both are pure relational shapes — no kernels — kept as named
+  * operators so pipelines compose them instead of re-deriving the window
+  * or hash arithmetic (and getting the determinism subtly wrong).
+  */
+object Curation {
+
+  private val MersenneP = 2147483647L
+
+  /** Deterministic train/val/test assignment from a numeric id: the
+    * Carter-Wegman affine hash mod 100 buckets each row stably, so the
+    * same row lands in the same split on every run, at every cluster
+    * size, on every engine (the q36 DuckDB oracle replays the arithmetic
+    * verbatim) — the reproducibility property train/test hygiene needs,
+    * which `rand()`-based splitting does not have. Purely narrow: a
+    * projection, no shuffle, no state. Ids must stay below ~8.4e9 so the
+    * 64-bit affine transform cannot wrap (same bound as the IVF codebook
+    * hash in [[Similarity.ivfTopK]]). */
+  def hashSplit(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    val bucket =
+      ((id.cast("long") * lit(1103515245L) + lit(12345L)) % lit(MersenneP)) % lit(100L)
+    when(bucket < trainPct, lit("train"))
+      .when(bucket < trainPct + valPct, lit("val"))
+      .otherwise(lit("test"))
+  }
+
+  /** Keep at most `n` rows per key — the per-domain quota / crawl-cap
+    * shape ("at most N documents per host"). One shuffle on the key, then
+    * a streaming row_number and filter; `orderCol` must be a total order
+    * within each key (e.g. a unique id) or the kept set is
+    * nondeterministic. Skewed keys are exactly the rows this op discards,
+    * so the post-filter distribution is bounded by n per key — the
+    * output, unlike the input, cannot be skewed. */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String, n: Int): DataFrame = {
+    require(n > 0)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+}

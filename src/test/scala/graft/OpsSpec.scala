@@ -128,6 +128,33 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSet == again.toSet)
   }
 
+  test("hashSplit: matches the affine reference, covers every row, stable across runs") {
+    import graft.ops.Curation
+    val ids = (0L until 500L).toDF("id")
+    val out = ids.select($"id", Curation.hashSplit($"id").as("split"))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    def ref(id: Long): String = {
+      val b = ((id * 1103515245L + 12345L) % 2147483647L) % 100L
+      if (b < 80) "train" else if (b < 90) "val" else "test"
+    }
+    assert(out.forall { case (id, s) => s == ref(id) })
+    assert(out.values.toSet == Set("train", "val", "test")) // all splits hit at n=500
+    val again = ids.select(Curation.hashSplit($"id").as("s")).collect().map(_.getString(0))
+    assert(again.toSeq == (0L until 500L).map(ref)) // deterministic, order-stable projection
+  }
+
+  test("capPerKey keeps the n smallest order values per key, whole groups under the cap") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
+      ("b", 10L), ("b", 11L),
+      ("c", 7L)
+    ).toDF("k", "ord")
+    val kept = Curation.capPerKey(df, "k", "ord", n = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(kept == Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("c", 7L)))
+  }
+
   test("fingerprint: pure fold, matches a reference Scala loop; chunk count shift-invariant") {
     val text = "hello world of deterministic rolling hashes"
     def refFp(s: String): Long =
