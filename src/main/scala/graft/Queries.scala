@@ -778,6 +778,7 @@ object Queries {
     "q35_ann_ivf" ->
       """WITH centr AS (
         |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE embedding IS NOT NULL
         |  ORDER BY (CAST(vec_id AS BIGINT) * 1103515245 + 12345) % 2147483647, vec_id
         |  LIMIT 8
         |),

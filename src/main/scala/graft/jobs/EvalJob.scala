@@ -32,11 +32,15 @@ object EvalJob {
       if (!success || pred == null) Metrics.failedRow
       else Metrics.evaluateOcr(gt, pred)
     }
-    val relevant = results.join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi")
-    // `relevant` is semi-filtered, so it holds ≤ |goldens| rows — always
-    // broadcastable as the BUILD side of this left join (the preserved
+    // semi-filter + per-url dedup bound `relevant` at ≤ |goldens| rows
+    // even when results carries retry/duplicate urls (the reference zips
+    // exactly one prediction per GT row — eval.py:95) — which makes it
+    // always safe as the BUILD side of the left join below (the preserved
     // golden side can never be the build side: "build left for left outer
-    // join" is unsupported, the hint would be silently dropped with a WARN)
+    // join" is unsupported and the hint would be dropped with a WARN)
+    val relevant = results
+      .join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi")
+      .dropDuplicates("url")
     goldens
       .join(broadcast(relevant), Seq("url"), "left")
       .withColumn("success", coalesce(col("status") === "ok", lit(false)))
@@ -78,6 +82,7 @@ object EvalJob {
     val r0 = if (results.columns.contains("error")) results
              else results.withColumn("error", lit(null: String))
     val relevant = r0.join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi")
+      .dropDuplicates("url") // bound the broadcast build side (see detail())
     val rows = goldens.join(broadcast(relevant), Seq("url"), "left")
       .select(col("url"), coalesce(col("status") === "ok", lit(false)).as("ok"),
         col("error"), col("g_markdown"), col("markdown"))

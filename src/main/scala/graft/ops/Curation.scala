@@ -12,38 +12,63 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
-  private val MersenneP = 2147483647L
-
   /** Deterministic train/val/test assignment from a numeric id: the
     * Carter-Wegman affine hash mod 100 buckets each row stably, so the
     * same row lands in the same split on every run, at every cluster
     * size, on every engine (the q36 DuckDB oracle replays the arithmetic
     * verbatim) — the reproducibility property train/test hygiene needs,
     * which `rand()`-based splitting does not have. Purely narrow: a
-    * projection, no shuffle, no state. Ids must stay below ~8.4e9 so the
-    * 64-bit affine transform cannot wrap (same bound as the IVF codebook
-    * hash in [[Similarity.ivfTopK]]). */
+    * projection, no shuffle, no state. `pmod` keeps negative ids in
+    * [0, 100) (plain `%` would funnel them all into 'train'); a NULL id
+    * deterministically lands in 'test' (every `when` is null → otherwise).
+    * |id| must stay below ~8.4e9 so the 64-bit affine transform cannot
+    * wrap (same bound as the IVF codebook hash in [[Similarity.ivfTopK]]). */
   def hashSplit(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
     val bucket =
-      ((id.cast("long") * lit(1103515245L) + lit(12345L)) % lit(MersenneP)) % lit(100L)
+      pmod(pmod(id.cast("long") * lit(1103515245L) + lit(12345L), lit(Dedup.MersenneP)), lit(100L))
     when(bucket < trainPct, lit("train"))
       .when(bucket < trainPct + valPct, lit("val"))
       .otherwise(lit("test"))
   }
 
   /** Keep at most `n` rows per key — the per-domain quota / crawl-cap
-    * shape ("at most N documents per host"). One shuffle on the key, then
-    * a streaming row_number and filter; `orderCol` must be a total order
-    * within each key (e.g. a unique id) or the kept set is
-    * nondeterministic. Skewed keys are exactly the rows this op discards,
-    * so the post-filter distribution is bounded by n per key — the
-    * output, unlike the input, cannot be skewed. */
-  def capPerKey(df: DataFrame, keyCol: String, orderCol: String, n: Int): DataFrame = {
-    require(n > 0)
-    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
-    df.withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") <= n)
-      .drop("__rn")
+    * shape ("at most N documents per host"). `orderCol` must be a total
+    * order within each key (e.g. a unique id) or the kept set is
+    * nondeterministic.
+    *
+    * Skewed keys are exactly the rows this op exists to discard, so a
+    * single `row_number` window would funnel a hot key's entire 10^8 rows
+    * through one reducer just to keep n of them. Instead, two stages:
+    * stage 1 windows over (key, salt) — `saltBuckets` deterministic salt
+    * values from the order column spread a hot key across that many
+    * reducers, each keeping its local smallest n — and stage 2 takes the
+    * exact global top-n per key over the surviving ≤ n × saltBuckets rows
+    * per key. Every row still ships through the stage-1 exchange (true
+    * map-side pruning needs a bounded partial aggregate, which the
+    * Column DSL cannot express), but no reducer ever sorts more than its
+    * salt share, which removes the straggler/spill on hot keys.
+    * `saltBuckets = 1` collapses to the plain single-window shape. */
+  def capPerKey(
+      df: DataFrame, keyCol: String, orderCol: String, n: Int,
+      saltBuckets: Int = 32): DataFrame = {
+    require(n > 0 && saltBuckets > 0)
+    val rn = "__graft_cap_rn"
+    val salt = "__graft_cap_salt"
+    require(!df.columns.contains(rn) && !df.columns.contains(salt),
+      s"input must not carry reserved columns $rn/$salt")
+    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+    val pruned =
+      if (saltBuckets == 1) df
+      else {
+        val w1 = Window.partitionBy(col(keyCol), col(salt)).orderBy(col(orderCol).asc)
+        df.withColumn(salt, pmod(xxhash64(col(orderCol)), lit(saltBuckets.toLong)))
+          .withColumn(rn, row_number().over(w1))
+          .filter(col(rn) <= n)
+          .drop(rn, salt)
+      }
+    pruned.withColumn(rn, row_number().over(w2))
+      .filter(col(rn) <= n)
+      .drop(rn)
   }
 }

@@ -145,6 +145,22 @@ object Similarity {
       .sortBy { case (cid, s) => (-s, cid) }
       .take(nProbe).map(_._1).toSeq
 
+  /** Argmax twin of `nearestCells(_, _, 1)` for the per-corpus-row hot
+    * path: no tuple allocation, no sort. `cents` is sorted by cid asc and
+    * the comparison is strict, so ties keep the lowest cid — the same
+    * (sim desc, cid asc) order the oracle's window replays. */
+  private def assignCell(cents: Array[(Long, Array[Float])], v: Array[Float]): Long = {
+    var best = Long.MinValue
+    var bestSim = Double.NegativeInfinity
+    var i = 0
+    while (i < cents.length) {
+      val s = cosineKernel(v, cents(i)._2)
+      if (s > bestSim) { bestSim = s; best = cents(i)._1 }
+      i += 1
+    }
+    best
+  }
+
   /** IVF (inverted-file) ANN: the coarse-quantizer scale path for
     * [[bruteForceTopK]], complementing [[lshTopK]].
     *
@@ -181,6 +197,7 @@ object Similarity {
     require(nCells > 0 && nProbe > 0 && nCells <= 65536, "codebook must stay broadcastable")
     val vecs = corpus.select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
     val centroids: Array[(Long, Array[Float])] = vecs
+      .filter(col("v").isNotNull) // a null vector cannot anchor a cell
       .withColumn("h", (col("id") * lit(1103515245L) + lit(12345L)) % lit(MersenneP))
       .orderBy(col("h"), col("id"))
       .limit(nCells)
@@ -188,8 +205,11 @@ object Similarity {
       .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
       .sortBy(_._1)
     val bc = corpus.sparkSession.sparkContext.broadcast(centroids)
+    // Long.MinValue sentinel: cell ids are corpus ids, and MinValue cannot
+    // survive the affine codebook hash bound (|id| < ~8.4e9), so a null
+    // vector can never collide with a real cell
     val assignUdf = udf { v: Seq[Float] =>
-      if (v == null) -1L else nearestCells(bc.value, v.toArray, 1).head
+      if (v == null) Long.MinValue else assignCell(bc.value, v.toArray)
     }
     val probeUdf = udf { v: Seq[Float] =>
       if (v == null) Seq.empty[Long] else nearestCells(bc.value, v.toArray, nProbe)

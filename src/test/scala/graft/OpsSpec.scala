@@ -143,16 +143,29 @@ class OpsSpec extends AnyFunSuite {
     assert(again.toSeq == (0L until 500L).map(ref)) // deterministic, order-stable projection
   }
 
-  test("capPerKey keeps the n smallest order values per key, whole groups under the cap") {
+  test("hashSplit: negative ids spread over all splits via pmod, never all-train") {
+    import graft.ops.Curation
+    val splits = (-300L until 0L).toDF("id")
+      .select(Curation.hashSplit($"id").as("s")).collect().map(_.getString(0))
+    assert(splits.toSet == Set("train", "val", "test"), splits.distinct.mkString(","))
+  }
+
+  test("capPerKey keeps the n smallest order values per key; salted and plain paths agree") {
     import graft.ops.Curation
     val df = Seq(
       ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L),
       ("b", 10L), ("b", 11L),
       ("c", 7L)
     ).toDF("k", "ord")
-    val kept = Curation.capPerKey(df, "k", "ord", n = 2)
-      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    assert(kept == Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("c", 7L)))
+    val expect = Set(("a", 1L), ("a", 2L), ("b", 10L), ("b", 11L), ("c", 7L))
+    for (s <- Seq(1, 32)) {
+      val kept = Curation.capPerKey(df, "k", "ord", n = 2, saltBuckets = s)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      assert(kept == expect, s"saltBuckets=$s → $kept")
+    }
+    intercept[IllegalArgumentException] {
+      Curation.capPerKey(df.withColumn("__graft_cap_rn", lit(1)), "k", "ord", n = 2)
+    }
   }
 
   test("fingerprint: pure fold, matches a reference Scala loop; chunk count shift-invariant") {

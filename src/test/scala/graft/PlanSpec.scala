@@ -132,7 +132,7 @@ class PlanSpec extends AnyFunSuite {
       // exchange is the per-query window, and vectors must not ride it
       assert(exchanges.size == 1, df.queryExecution.executedPlan.toString)
       val cols = exchanges.head.child.output.map(_.name).toSet
-      assert(cols.subsetOf(Set("query_id", "nn_id", "sim", "cell")), s"window exchange ships $cols")
+      assert(cols.subsetOf(Set("query_id", "nn_id", "sim")), s"window exchange ships $cols")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
