@@ -37,37 +37,20 @@ object Curation {
     * order within each key (e.g. a unique id) or the kept set is
     * nondeterministic.
     *
-    * Skewed keys are exactly the rows this op exists to discard, so a
-    * single `row_number` window would funnel a hot key's entire 10^8 rows
-    * through one reducer just to keep n of them. Instead, two stages:
-    * stage 1 windows over (key, salt) — `saltBuckets` deterministic salt
-    * values from the order column spread a hot key across that many
-    * reducers, each keeping its local smallest n — and stage 2 takes the
-    * exact global top-n per key over the surviving ≤ n × saltBuckets rows
-    * per key. Every row still ships through the stage-1 exchange (true
-    * map-side pruning needs a bounded partial aggregate, which the
-    * Column DSL cannot express), but no reducer ever sorts more than its
-    * salt share, which removes the straggler/spill on hot keys.
-    * `saltBuckets = 1` collapses to the plain single-window shape. */
-  def capPerKey(
-      df: DataFrame, keyCol: String, orderCol: String, n: Int,
-      saltBuckets: Int = 32): DataFrame = {
-    require(n > 0 && saltBuckets > 0)
+    * Skewed keys are exactly the rows this op exists to discard, and the
+    * declarative `row_number <= n` filter is what lets Catalyst handle
+    * that: Spark inserts a PARTIAL WindowGroupLimit below the exchange
+    * (SPARK-37099), so each map partition ships at most n rows per key
+    * and a hot host's 10^8 rows never reach one reducer — map-side
+    * pruning for free, where a hand-rolled salted two-stage window would
+    * shuffle every row once and add a second exchange. PlanSpec pins the
+    * partial-below-exchange shape so a regression is visible. */
+  def capPerKey(df: DataFrame, keyCol: String, orderCol: String, n: Int): DataFrame = {
+    require(n > 0)
     val rn = "__graft_cap_rn"
-    val salt = "__graft_cap_salt"
-    require(!df.columns.contains(rn) && !df.columns.contains(salt),
-      s"input must not carry reserved columns $rn/$salt")
-    val w2 = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
-    val pruned =
-      if (saltBuckets == 1) df
-      else {
-        val w1 = Window.partitionBy(col(keyCol), col(salt)).orderBy(col(orderCol).asc)
-        df.withColumn(salt, pmod(xxhash64(col(orderCol)), lit(saltBuckets.toLong)))
-          .withColumn(rn, row_number().over(w1))
-          .filter(col(rn) <= n)
-          .drop(rn, salt)
-      }
-    pruned.withColumn(rn, row_number().over(w2))
+    require(!df.columns.contains(rn), s"input must not carry reserved column $rn")
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(orderCol).asc)
+    df.withColumn(rn, row_number().over(w))
       .filter(col(rn) <= n)
       .drop(rn)
   }

@@ -136,6 +136,24 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("capPerKey gets a PARTIAL WindowGroupLimit below the exchange (map-side skew pruning)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val plan = graft.ops.Curation.capPerKey(df, "source", "doc_id", n = 5)
+        .queryExecution.executedPlan.toString
+      // SPARK-37099: the rn<=n filter must prune on the map side — a hot
+      // key ships <= n rows per partition, not its whole row set
+      val lines = plan.linesIterator.toSeq
+      val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+      val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+      assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+        s"partial group limit must sit BELOW the exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("extraction runs as the native graft_extract expression inside whole-stage codegen") {
     val pages = graft.synth.Synth.pagesDs(spark, 30L, seed = 42L).toDF()
     val out = graft.extract.ExtractJob.extractedDf(pages)
