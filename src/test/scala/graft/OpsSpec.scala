@@ -128,6 +128,18 @@ class OpsSpec extends AnyFunSuite {
     assert(out.toSet == again.toSet)
   }
 
+  test("IVF ANN tolerates null vectors: excluded from codebook and results, no NPE") {
+    val withNull = vecsDf.unionByName(
+      Seq((99L, null.asInstanceOf[Seq[Float]])).toDF("vec_id", "embedding"))
+    val q = withNull.filter($"vec_id".isin(0L, 99L))
+    val out = Similarity.ivfTopK(q, withNull, "vec_id", "embedding", k = 3,
+      nCells = 4, nProbe = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2)))
+    assert(out.nonEmpty)
+    assert(!out.exists(_._1 == 99L)) // null query probes nothing
+    assert(!out.exists(_._2 == 99L)) // null corpus row lands in no cell
+  }
+
   test("hashSplit: matches the affine reference, covers every row, stable across runs") {
     import graft.ops.Curation
     val ids = (0L until 500L).toDF("id")
