@@ -140,12 +140,23 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () }
       }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
-      // drop cached blocks a query persisted internally (q31) so later
-      // queries aren't timed against a shrunken storage pool
-      spark.catalog.clearCache()
-      name -> sec
+    // two passes, per-query min: this VM's deliverable capacity swings on
+    // multi-minute windows (observed 31s vs 72s for an identical suite on
+    // an idle machine), and a single pass inherits whatever window it
+    // lands in. The min discards per-query windows of bad luck while
+    // keeping every number a real measured wall.
+    def passOnce(): Seq[(String, Double)] =
+      SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+        val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
+        // drop cached blocks a query persisted internally (q31) so later
+        // queries aren't timed against a shrunken storage pool
+        spark.catalog.clearCache()
+        name -> sec
+      }
+    val (p1, p2) = (passOnce(), passOnce().toMap)
+    val results = p1.map { case (name, s1) =>
+      val s2 = p2.getOrElse(name, -1.0)
+      name -> (if (s1 < 0) s2 else if (s2 < 0) s1 else math.min(s1, s2))
     }
 
     // ---- phase 2: scaling on a shared materialized corpus ----
