@@ -178,6 +178,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("capPerKey equals the in-memory reference on randomized skewed data") {
+    import graft.ops.Curation
+    val rng = new scala.util.Random(7L)
+    // skewed: key 0 holds ~half the rows
+    val rows = (0 until 2000).map { i =>
+      val k = if (rng.nextBoolean()) 0 else rng.nextInt(40)
+      (s"k$k", i.toLong)
+    }
+    // .values first: flatMap directly on the Map would rebuild a Map and
+    // silently collapse to one row per key
+    val expect = rows.groupBy(_._1).values.flatMap(g => g.sortBy(_._2).take(3)).toSet
+    val got = Curation.capPerKey(rows.toDF("k", "ord").repartition(8), "k", "ord", n = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == expect, s"diff: ${(got diff expect) ++ (expect diff got)}")
+  }
+
+  test("hashSplit proportions approximate 80/10/10 over a large id range") {
+    import graft.ops.Curation
+    val counts = (0L until 20000L).toDF("id")
+      .select(Curation.hashSplit($"id").as("s")).groupBy("s").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(math.abs(counts("train") - 16000L) < 800, counts.toString)
+    assert(math.abs(counts("val") - 2000L) < 400, counts.toString)
+    assert(math.abs(counts("test") - 2000L) < 400, counts.toString)
+  }
+
   test("fingerprint: pure fold, matches a reference Scala loop; chunk count shift-invariant") {
     val text = "hello world of deterministic rolling hashes"
     def refFp(s: String): Long =
