@@ -154,6 +154,22 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("no query plan carries a cartesian product, global sort, or undesigned nested-loop join") {
+    // scale guard over the whole inventory: BroadcastNestedLoopJoin is
+    // legitimate ONLY where the design says so — q23's bounded verify
+    // crossJoin and q24's broadcast brute-force baseline
+    val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk")
+    graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
+      val globalSorts = plan.linesIterator.count(l => l.contains("Sort ") && l.contains("true, 0"))
+      assert(globalSorts == 0, s"$name has a global sort:\n$plan")
+      if (!bnljByDesign(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"), s"$name has an undesigned BNLJ:\n$plan")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("extraction runs as the native graft_extract expression inside whole-stage codegen") {
     val pages = graft.synth.Synth.pagesDs(spark, 30L, seed = 42L).toDF()
     val out = graft.extract.ExtractJob.extractedDf(pages)
