@@ -267,6 +267,23 @@ object Queries {
           graft.ops.TextOps.chunkBoundaryCount("t").as("chunks"))
     }),
 
+    // §2.5/§2.10: batch sessionization — Spark's session_window merges a
+    // user's events within a 6h inactivity gap (the batch twin of the
+    // streaming mapGroupsWithState host sessions); session end is
+    // last-event + gap, so the oracle replays it as gaps-and-islands
+    "q38_sessions" -> ((s, dir) =>
+      events(s, dir).filter(col("user_id") < 50)
+        .groupBy(col("user_id"), session_window(col("ts"), "6 hours").as("w"))
+        .agg(count(lit(1)).as("cnt"),
+          round(sum(col("value").cast("decimal(18,6)")), 4).cast("double").as("total"))
+        // ts is TIMESTAMP_NTZ in the fixtures; the session runs in UTC, so
+        // casting the session bounds to TIMESTAMP reinterprets the wall
+        // clock as UTC — the same reading DuckDB's naive epoch_us takes
+        .select(col("user_id"),
+          unix_micros(col("w").getField("start").cast("timestamp")).as("start_us"),
+          unix_micros(col("w").getField("end").cast("timestamp")).as("end_us"),
+          col("cnt"), col("total"))),
+
     // curation (training op): deterministic hash-bucket train/val/test
     // split — stable across runs/cluster sizes/engines, unlike rand()
     "q36_hash_split" -> ((s, dir) =>
@@ -752,6 +769,27 @@ object Queries {
         |  SELECT query_id, nn_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // q38: gaps-and-islands replay of session_window — a session breaks
+    // when the inactivity gap is >= 6h (Spark merges only strictly
+    // overlapping [ts, ts+gap) windows, so an exactly-gap event starts a
+    // new session); end = last event + gap
+    "q38_sessions" ->
+      """WITH b AS (
+        |  SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+        |          OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) >= INTERVAL 6 HOUR
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM events WHERE user_id < 50),
+        |s AS (
+        |  SELECT user_id, ts, value,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM b)
+        |SELECT user_id, epoch_us(min(ts)) AS start_us,
+        |  epoch_us(max(ts) + INTERVAL 6 HOUR) AS end_us,
+        |  count(*) AS cnt,
+        |  CAST(round(sum(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total
+        |FROM s GROUP BY user_id, sid""".stripMargin,
 
     "q36_hash_split" ->
       """SELECT split, lang, count(*) AS cnt, CAST(sum(n_chars) AS BIGINT) AS chars FROM (
