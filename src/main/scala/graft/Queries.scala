@@ -305,6 +305,18 @@ object Queries {
         max(col("doc_id")).as("max_kept_id"))
     }),
 
+    // curation (training op): weighted mix sampling — src0 upweighted 3x,
+    // src1 downweighted to 0.5, everything else weight 1, over a 100k
+    // token budget; summarize what each source kept
+    "q39_mix_sample" -> ((s, dir) => {
+      val kept = graft.ops.Curation.mixSample(
+        docs(s, dir).select(col("doc_id"), col("source"), col("n_chars")),
+        "source", "n_chars", "doc_id",
+        Map("src0" -> 3.0, "src1" -> 0.5), totalTokens = 100000L)
+      kept.groupBy(col("source")).agg(
+        count(lit(1)).as("kept"), sum(col("n_chars")).as("kept_chars"))
+    }),
+
     // ----------------------------------------------------------------
     // Pipeline replays: full fuzzy-dedup / ANN pipelines whose kernels
     // use the portable Carter-Wegman hash family, so the DuckDB oracle
@@ -769,6 +781,26 @@ object Queries {
         |  SELECT query_id, nn_id, sim,
         |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
         |  FROM scored) WHERE rank <= 10""".stripMargin,
+
+    // q39: replay of the mix sampler — same division order as the Spark
+    // plan ((w / wtot) * budget / avail) so fractions are bit-equal;
+    // membership is the affine id-hash bucket strictly under frac * 1e6
+    "q39_mix_sample" ->
+      """WITH avail AS (
+        |  SELECT source, CAST(sum(n_chars) AS DOUBLE) AS av FROM documents GROUP BY source),
+        |w AS (
+        |  SELECT source, av,
+        |    CASE source WHEN 'src0' THEN 3.0 WHEN 'src1' THEN 0.5 ELSE 1.0 END AS wt
+        |  FROM avail),
+        |f AS (
+        |  SELECT source, least(1.0, wt / (SELECT sum(wt) FROM w) * 100000.0 / av) AS frac
+        |  FROM w),
+        |kept AS (
+        |  SELECT d.source, d.n_chars
+        |  FROM documents d JOIN f ON d.source = f.source
+        |  WHERE ((d.doc_id * 1103515245 + 12345) % 2147483647) % 1000000 < frac * 1000000.0)
+        |SELECT source, count(*) AS kept, CAST(sum(n_chars) AS BIGINT) AS kept_chars
+        |FROM kept GROUP BY source""".stripMargin,
 
     // q38: gaps-and-islands replay of session_window — a session breaks
     // when the inactivity gap is >= 6h (Spark merges only strictly

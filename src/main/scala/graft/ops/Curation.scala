@@ -32,6 +32,47 @@ object Curation {
       .otherwise(lit("test"))
   }
 
+  /** Weighted training-mix sampling: downsample each source so kept
+    * tokens approximate `weights`' share of a `totalTokens` budget (the
+    * Pile/Dolma-style mix step). Per source: target = w/Σw × budget,
+    * keep-fraction = min(1, target / available), kept = rows whose
+    * affine id-hash bucket (out of 10^6) falls under the fraction — so
+    * membership is deterministic per row, stable under reruns and
+    * engine changes (the q39 oracle replays it), and growing the corpus
+    * only shrinks fractions, never reshuffles kept ids within a source.
+    *
+    * Fully lazy, no driver collect: available tokens come from one tiny
+    * per-source aggregate; the weight table, the 1-row weight total, and
+    * the per-source fractions are all broadcast back; the final filter is
+    * a narrow projection over the corpus scan. Unlisted sources weigh
+    * `defaultWeight`. */
+  def mixSample(
+      df: DataFrame, sourceCol: String, tokenCol: String, idCol: String,
+      weights: Map[String, Double], totalTokens: Long,
+      defaultWeight: Double = 1.0): DataFrame = {
+    require(totalTokens > 0 && weights.values.forall(_ >= 0) && defaultWeight >= 0)
+    val s = df.sparkSession
+    import s.implicits._
+    val wdf = broadcast(weights.toSeq.toDF("__mix_source", "__mix_w"))
+    val avail = df.groupBy(col(sourceCol))
+      .agg(sum(col(tokenCol)).cast("double").as("__mix_avail"))
+    val withW = avail.join(wdf, col(sourceCol) === col("__mix_source"), "left")
+      .select(col(sourceCol), col("__mix_avail"),
+        coalesce(col("__mix_w"), lit(defaultWeight)).as("__mix_w"))
+    val totDf = withW.agg(sum(col("__mix_w")).as("__mix_wtot"))
+    val frac = withW.crossJoin(broadcast(totDf))
+      .select(col(sourceCol),
+        least(lit(1.0),
+          col("__mix_w") / col("__mix_wtot") * lit(totalTokens.toDouble) / col("__mix_avail"))
+          .as("__mix_frac"))
+    val bucket = pmod(
+      pmod(col(idCol).cast("long") * lit(1103515245L) + lit(12345L), lit(Dedup.MersenneP)),
+      lit(1000000L))
+    df.join(broadcast(frac), Seq(sourceCol))
+      .filter(bucket < col("__mix_frac") * lit(1000000.0))
+      .drop("__mix_frac")
+  }
+
   /** Keep at most `n` rows per key — the per-domain quota / crawl-cap
     * shape ("at most N documents per host"). `orderCol` must be a total
     * order within each key (e.g. a unique id) or the kept set is

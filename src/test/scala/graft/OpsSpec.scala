@@ -194,6 +194,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got == expect, s"diff: ${(got diff expect) ++ (expect diff got)}")
   }
 
+  test("mixSample: weights steer kept-token shares, cap at full source, deterministic") {
+    import graft.ops.Curation
+    val rng = new scala.util.Random(11L)
+    val df = (0 until 3000).map { i =>
+      (i.toLong, s"src${i % 3}", 50L + rng.nextInt(100))
+    }.toDF("doc_id", "source", "n_chars")
+    val kept = Curation.mixSample(df, "source", "n_chars", "doc_id",
+      Map("src0" -> 4.0, "src1" -> 1.0), totalTokens = 60000L)
+    val bysrc = kept.groupBy("source").agg(sum("n_chars").as("t"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // targets: src0 4/6*60000=40000, src1/src2 each 1/6*60000=10000;
+    // hash sampling is approximate — assert ordering and rough shares
+    assert(bysrc("src0") > 2 * bysrc("src1"), bysrc.toString)
+    assert(math.abs(bysrc("src1").toDouble - 10000) < 4000, bysrc.toString)
+    assert(math.abs(bysrc("src2").toDouble - 10000) < 4000, bysrc.toString)
+    // a budget larger than the corpus keeps everything (frac caps at 1)
+    val all = Curation.mixSample(df, "source", "n_chars", "doc_id",
+      Map.empty, totalTokens = 100000000L)
+    assert(all.count() == 3000)
+    // deterministic membership
+    val k1 = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+    val k2 = Curation.mixSample(df, "source", "n_chars", "doc_id",
+      Map("src0" -> 4.0, "src1" -> 1.0), totalTokens = 60000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(k1 == k2)
+  }
+
   test("hashSplit proportions approximate 80/10/10 over a large id range") {
     import graft.ops.Curation
     val counts = (0L until 20000L).toDF("id")

@@ -157,8 +157,9 @@ class PlanSpec extends AnyFunSuite {
   test("no query plan carries a cartesian product, global sort, or undesigned nested-loop join") {
     // scale guard over the whole inventory: BroadcastNestedLoopJoin is
     // legitimate ONLY where the design says so — q23's bounded verify
-    // crossJoin and q24's broadcast brute-force baseline
-    val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk")
+    // crossJoin, q24's broadcast brute-force baseline, and q39's 1-row
+    // weight-total broadcast into the per-source fraction table
+    val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk", "q39_mix_sample")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
