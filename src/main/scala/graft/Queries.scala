@@ -23,6 +23,15 @@ object Queries {
   private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
   private def embeddings(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Whole-token perturbation for the eval-metric queries: every
+    * whitespace-delimited 'value' token becomes 'worth'. See the q21
+    * comment for why this is two regex passes and an explicit boundary
+    * class, and why it makes the closed-form WER oracle exact. */
+  private def perturbValueTokens(text: org.apache.spark.sql.Column) = {
+    val pat = "(^|[ \\t\\n\\r])value([ \\t\\n\\r]|$)"
+    regexp_replace(regexp_replace(text, pat, "$1worth$2"), pat, "$1worth$2")
+  }
+
   // ------------------------------------------------------------------
   // SQL-oracled queries (SURVEY §2.2 P3/P6, §2.4 A1-A3/A7, §2.5, §2.6 O1,
   // §2.3 J1/J3, §2.7, §2.8 N3/N5/N6, + training-pipeline text ops)
@@ -395,10 +404,19 @@ object Queries {
     // N1-N8 full kernel + A7/A8/A4 metrics via UDFs (eval.py:248-267).
     // The real Scala kernels run end-to-end (normalize is identity on the
     // already-clean corpus, which the oracle compare itself proves); the
-    // DuckDB side recomputes CER via levenshtein and WER/word_acc via the
-    // substitution-only closed form: value→worth is a same-length
-    // full-word replacement ('worth' never occurs in ref, 'value' never
-    // in hyp), so token edit distance = #substituted tokens exactly.
+    // DuckDB side recomputes CER via levenshtein over the identically
+    // perturbed hypothesis and WER/word_acc via the substitution-only
+    // closed form: the perturbation replaces ONLY whole whitespace-
+    // delimited 'value' tokens with the same-length 'worth' ('worth'
+    // never occurs in ref), so token edit distance = #'value' tokens
+    // exactly — by construction, not by corpus luck (a bare
+    // regexp_replace(text,'value','worth') would also rewrite substrings
+    // inside longer tokens like 'values'). Two passes because a match
+    // consumes its boundary whitespace: in a run of consecutive 'value'
+    // tokens pass 1 replaces alternating ones (leftmost non-overlapping
+    // scan — identical in Java regex and RE2), leaving no two survivors
+    // adjacent, so pass 2 catches the rest. The boundary class is the
+    // explicit [ \t\n\r] (Java \s and RE2 \s disagree on \x0B).
     // seq_sim (difflib ratio incl. autojunk) is NOT SQL-expressible and
     // lives in q33_seqsim (rows-only; kernel proven against CPython
     // fixtures in SequenceMatcherSpec).
@@ -407,7 +425,7 @@ object Queries {
       val cerUdf = udf((a: String, b: String) => metrics.Metrics.cer(a, b))
       val werUdf = udf((a: String, b: String) => metrics.Metrics.wer(a, b))
       val waUdf = udf((a: String, b: String) => metrics.Metrics.wordAccuracy(a, b))
-      val hyp = regexp_replace(col("text"), "value", "worth") // perturbed hypothesis
+      val hyp = perturbValueTokens(col("text")) // perturbed hypothesis
       docs(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"),
           normUdf(col("text")).as("ref_n"), normUdf(hyp).as("hyp_n"))
@@ -422,7 +440,7 @@ object Queries {
     "q33_seqsim" -> ((s, dir) => {
       val normUdf = udf((t: String) => textnorm.TextNorm.normalize(t))
       val ssUdf = udf((a: String, b: String) => metrics.Metrics.sequenceSimilarity(a, b))
-      val hyp = regexp_replace(col("text"), "value", "worth")
+      val hyp = perturbValueTokens(col("text"))
       docs(s, dir).filter(col("doc_id") < 50)
         .select(col("doc_id"),
           normUdf(col("text")).as("ref_n"), normUdf(hyp).as("hyp_n"))
@@ -435,11 +453,17 @@ object Queries {
     // in for prediction drift) → per-url detail + imputation + summary
     "q31_eval_pipeline" -> ((s, dir) => {
       val pages = graft.synth.Synth.pagesDs(s, 200L, seed = 42L).toDF()
-      // persist: goldens and preds both branch off this frame, and an
-      // unpersisted reference would re-run the extraction UDF per branch
+      // no persist: goldens and preds both branch off this frame, so the
+      // extraction expression runs once per branch — accepted. A persist
+      // here pinned storage blocks that a library caller composing
+      // EvalJob directly never released (Verify/Bench compensated with
+      // clearCache, which is a harness crutch, not a contract). In
+      // production the branches read the MATERIALIZED extraction table
+      // (ExtractJob's resumable sink), so nothing recomputes at scale;
+      // here the recompute is one extra 200-doc narrow map.
       val extracted = graft.extract.ExtractJob.extractedDf(pages).select(
         col("url"), col("extracted.status").as("status"),
-        col("extracted.markdown").as("markdown")).persist()
+        col("extracted.markdown").as("markdown"))
       // golden = clean extraction; prediction = word-perturbed on a slice
       val goldens = extracted.select(col("url"), col("markdown").as("g_markdown"))
       val preds = extracted.withColumn("markdown",
@@ -450,6 +474,37 @@ object Queries {
       // golden side of its left join must never carry a build-left hint)
       val det = graft.jobs.EvalJob.detail(preds, goldens)
       graft.jobs.EvalJob.summary(det)
+    }),
+
+    // §3.3 summary stage, ORACLED (q31's rows-only summary runs over the
+    // non-SQL-expressible extraction kernels; this twin feeds the REAL
+    // EvalJob.summary a detail-shaped frame whose metric values are
+    // SQL-replayable — cer/wer/word_acc from the q21 closed-form shape,
+    // the table/sequence metrics as single-division functions of doc_id,
+    // failed rows imputed with the reference's worst-case values
+    // (eval.py:290-301) — so the success-filtered means + fallbacks
+    // aggregation (eval.py:305-319) is checked bit-for-bit by DuckDB)
+    "q40_eval_summary" -> ((s, dir) => {
+      val toks = split(trim(col("text")), "\\s+")
+      val nTok = size(toks).cast("double")
+      val nVal = size(filter(toks, t => t === "value")).cast("double")
+      val hyp = perturbValueTokens(col("text"))
+      val ok = col("doc_id") % 4 =!= 0
+      def m(mod: Int) = round((col("doc_id") % mod).cast("double") / mod, 6)
+      val detailLike = docs(s, dir).filter(col("doc_id") < 50)
+        .select(
+          concat(lit("u"), col("doc_id")).as("url"),
+          ok.as("success"),
+          when(ok, round(levenshtein(trim(col("text")), trim(hyp)).cast("double")
+            / length(trim(col("text"))), 6)).otherwise(1d).as("cer"),
+          when(ok, round(nVal / nTok, 6)).otherwise(1d).as("wer"),
+          when(ok, round((nTok - nVal) / nTok, 6)).otherwise(0d).as("word_acc"),
+          when(ok, m(7)).otherwise(0d).as("table_acc"),
+          when(ok, m(5)).otherwise(0d).as("seq_sim"),
+          when(ok, m(3)).otherwise(0d).as("row_acc"),
+          when(ok, m(9)).otherwise(0d).as("col_acc"),
+          when(ok, m(11)).otherwise(0d).as("cell_acc"))
+      graft.jobs.EvalJob.summary(detailLike)
     }),
 
     // X5 schema-guided field harvest: markdown + JSON schema → fields
@@ -471,14 +526,22 @@ object Queries {
     // xxhash64 the real ExtractJob lineage uses, so the checksum itself is
     // oracle-verified cross-engine (xxhash64 has no DuckDB equivalent).
     "q22_lineage" -> ((s, dir) => {
-      val textHash = aggregate(
-        transform(split(col("text"), ""), c => ascii(c).cast("long")),
-        lit(0L), (acc, c) => (acc * 131 + c) % 2147483647L)
-      val docHash = (textHash * 1103515245L + col("doc_id")) % 2147483647L
+      // Scala UDF, not a Catalyst HOF fold: aggregate(transform(split))
+      // allocates a per-character array per row and regressed this query
+      // 2.4x (0.40s → 0.97s at sf0.1). The UDF computes the identical
+      // portable base-131 polynomial (codepoint fold — matching the
+      // oracle's split('')+ascii, which yields codepoints), so the DuckDB
+      // replay is unchanged. The real ExtractJob lineage uses xxhash64;
+      // this portable family exists only so the checksum itself is
+      // oracle-verified cross-engine.
+      val docHashUdf = udf { (text: String, docId: Long) =>
+        val th = graft.ops.Dedup.polyHash(if (text == null) "" else text)
+        (th * 1103515245L + docId) % 2147483647L
+      }
       docs(s, dir)
         .withColumn("part_id",
           pmod((col("doc_id") * 1103515245L + 12345L) % 2147483647L, lit(8)).cast("int"))
-        .withColumn("dh", docHash)
+        .withColumn("dh", docHashUdf(col("text"), col("doc_id").cast("long")))
         .groupBy(col("part_id")).agg(
           count(lit(1)).as("row_count"),
           expr("bit_xor(dh)").as("checksum"))
@@ -607,17 +670,62 @@ object Queries {
 
     // q21: real kernels on the Spark side; levenshtein + substitution-only
     // closed form on the DuckDB side (see the query's comment for why the
-    // closed form is exact here)
+    // closed form is exact here). hyp replays the Spark side's two-pass
+    // whole-token perturbation.
     "q21_eval_metrics" ->
-      """SELECT doc_id,
-        |  round(levenshtein(trim(text), trim(replace(text, 'value', 'worth')))::DOUBLE
+      """WITH p AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(
+        |      regexp_replace(text, '(^|[ \t\n\r])value([ \t\n\r]|$)', '\1worth\2', 'g'),
+        |      '(^|[ \t\n\r])value([ \t\n\r]|$)', '\1worth\2', 'g') AS hyp
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id,
+        |  round(levenshtein(trim(text), trim(hyp))::DOUBLE
         |    / length(trim(text)), 6) AS cer,
         |  round(len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'value'))::DOUBLE
         |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS wer,
         |  round((len(regexp_split_to_array(trim(text), '\s+'))
         |         - len(list_filter(regexp_split_to_array(trim(text), '\s+'), t -> t = 'value')))::DOUBLE
         |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS word_acc
-        |FROM documents WHERE doc_id < 50""".stripMargin,
+        |FROM p""".stripMargin,
+
+    // q40: replay of EvalJob.summary — exact decimal sums over the
+    // success rows, one double division each, reference fallbacks when no
+    // row succeeded. Detail metrics replay the q21 closed forms.
+    "q40_eval_summary" -> {
+      val sTok = """regexp_split_to_array(trim(text), '\s+')"""
+      val sVal = s"""len(list_filter($sTok, t -> t = 'value'))"""
+      def mod(m: Int) = s"round((doc_id % $m)::DOUBLE / $m, 6)"
+      def mean(c: String, fb: String) =
+        s"round(coalesce(CAST(sum(CASE WHEN success THEN CAST($c AS DECIMAL(28,6)) END) AS DOUBLE)" +
+          s" / count(CASE WHEN success THEN 1 END), $fb), 6) AS mean_$c"
+      raw"""WITH p AS (
+         |  SELECT doc_id, text, doc_id % 4 <> 0 AS success,
+         |    regexp_replace(
+         |      regexp_replace(text, '(^|[ \t\n\r])value([ \t\n\r]|${"$"})', '\1worth\2', 'g'),
+         |      '(^|[ \t\n\r])value([ \t\n\r]|${"$"})', '\1worth\2', 'g') AS hyp
+         |  FROM documents WHERE doc_id < 50),
+         |d AS (
+         |  SELECT success,
+         |    CASE WHEN success THEN round(levenshtein(trim(text), trim(hyp))::DOUBLE
+         |      / length(trim(text)), 6) ELSE 1.0 END AS cer,
+         |    CASE WHEN success THEN round($sVal::DOUBLE / len($sTok), 6) ELSE 1.0 END AS wer,
+         |    CASE WHEN success THEN round((len($sTok) - $sVal)::DOUBLE / len($sTok), 6) ELSE 0.0 END AS word_acc,
+         |    CASE WHEN success THEN ${mod(7)} ELSE 0.0 END AS table_acc,
+         |    CASE WHEN success THEN ${mod(5)} ELSE 0.0 END AS seq_sim,
+         |    CASE WHEN success THEN ${mod(3)} ELSE 0.0 END AS row_acc,
+         |    CASE WHEN success THEN ${mod(9)} ELSE 0.0 END AS col_acc,
+         |    CASE WHEN success THEN ${mod(11)} ELSE 0.0 END AS cell_acc
+         |  FROM p)
+         |SELECT count(*) AS total,
+         |  count(CASE WHEN success THEN 1 END) AS successes,
+         |  round(count(CASE WHEN success THEN 1 END)::DOUBLE / count(*), 6) AS success_rate,
+         |  ${mean("cer", "1.0")}, ${mean("wer", "1.0")},
+         |  ${mean("word_acc", "0.0")}, ${mean("table_acc", "0.0")},
+         |  ${mean("seq_sim", "0.0")}, ${mean("row_acc", "0.0")},
+         |  ${mean("col_acc", "0.0")}, ${mean("cell_acc", "0.0")}
+         |FROM d""".stripMargin
+    },
 
     // q27: full independent replay of the MinHash LSH pipeline — the
     // Carter-Wegman-mod-(2^31-1) family was chosen so shingle hash,

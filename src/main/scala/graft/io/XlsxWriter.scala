@@ -49,8 +49,13 @@ object XlsxWriter {
     case n: Short => s"""<c r="$ref"><v>$n</v></c>"""
     case n: Int => s"""<c r="$ref"><v>$n</v></c>"""
     case n: Long => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Float => s"""<c r="$ref"><v>$n</v></c>"""
-    case n: Double => s"""<c r="$ref"><v>$n</v></c>"""
+    // NaN/Infinity are invalid inside a numeric <v> (Excel refuses the
+    // whole workbook); eval metrics can go non-finite on degenerate
+    // inputs, so surface them as inline strings instead
+    case n: Float if java.lang.Float.isFinite(n) => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Double if java.lang.Double.isFinite(n) => s"""<c r="$ref"><v>$n</v></c>"""
+    case n: Float => s"""<c r="$ref" t="inlineStr"><is><t>$n</t></is></c>"""
+    case n: Double => s"""<c r="$ref" t="inlineStr"><is><t>$n</t></is></c>"""
     case n: java.math.BigDecimal => s"""<c r="$ref"><v>${n.toPlainString}</v></c>"""
     case b: Boolean => s"""<c r="$ref" t="b"><v>${if (b) 1 else 0}</v></c>"""
     case other => s"""<c r="$ref" t="inlineStr"><is><t xml:space="preserve">${esc(other.toString)}</t></is></c>"""

@@ -17,6 +17,25 @@ import graft.metrics.Metrics
   */
 object EvalJob {
 
+  /** Deterministic one-row-per-url pick over a results frame: a success
+    * always beats a failed retry, then (status, markdown[, error]) break
+    * remaining ties totally — `dropDuplicates("url")` kept an ARBITRARY
+    * row, so a url carrying both a failed retry and a success scored
+    * nondeterministically across runs. The rn=1 filter compiles to a
+    * partial WindowGroupLimit below the exchange (SPARK-37099), so a hot
+    * url ships one row per map partition — same scale shape as the old
+    * dropDuplicates. */
+  private def pickPerUrl(results: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tiebreak = Seq("status", "markdown", "error")
+      .filter(results.columns.contains)
+      .map(c => col(c).asc_nulls_last)
+    val w = Window.partitionBy(col("url"))
+      .orderBy((when(col("status") === "ok", 0).otherwise(1).asc +: tiebreak): _*)
+    results.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Per-document detail table.
     * `results` needs (url, status, markdown); `goldens` needs
     * (url, g_markdown). Output: url, success, 8 metric columns.
@@ -38,9 +57,8 @@ object EvalJob {
     // always safe as the BUILD side of the left join below (the preserved
     // golden side can never be the build side: "build left for left outer
     // join" is unsupported and the hint would be dropped with a WARN)
-    val relevant = results
-      .join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi")
-      .dropDuplicates("url")
+    val relevant = pickPerUrl(results
+      .join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi"))
     goldens
       .join(broadcast(relevant), Seq("url"), "left")
       .withColumn("success", coalesce(col("status") === "ok", lit(false)))
@@ -81,8 +99,8 @@ object EvalJob {
       xlsxPath: String, jsonPath: String): Unit = {
     val r0 = if (results.columns.contains("error")) results
              else results.withColumn("error", lit(null: String))
-    val relevant = r0.join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi")
-      .dropDuplicates("url") // bound the broadcast build side (see detail())
+    val relevant = pickPerUrl( // bound the broadcast build side (see detail())
+      r0.join(broadcast(goldens.select(col("url"))), Seq("url"), "left_semi"))
     val rows = goldens.join(broadcast(relevant), Seq("url"), "left")
       .select(col("url"), coalesce(col("status") === "ok", lit(false)).as("ok"),
         col("error"), col("g_markdown"), col("markdown"))
@@ -115,12 +133,22 @@ object EvalJob {
     * fallbacks when no row succeeded (1.0 for CER/WER, 0.0 for the
     * accuracy/similarity metrics). */
   def summary(detail: DataFrame): DataFrame = {
+    // Exact-sum-then-single-division means: detail metrics are rounded to
+    // 6 decimals, so the decimal(28,6) cast is value-preserving, the sum
+    // is exact (order-free — a plain avg(double) depends on partition
+    // visit order), and the one double division is deterministic across
+    // engines/partitionings. This is what lets q40's DuckDB oracle replay
+    // the summary bit-for-bit.
     def meanOk(c: String, fallback: Double) =
-      round(coalesce(avg(when(col("success"), col(c))), lit(fallback)), 6).as(s"mean_$c")
+      round(coalesce(
+        sum(when(col("success"), col(c)).cast("decimal(28,6)")).cast("double")
+          / count(when(col("success"), 1)),
+        lit(fallback)), 6).as(s"mean_$c")
     detail.agg(
       count(lit(1)).as("total"),
       count(when(col("success"), 1)).as("successes"),
-      round(avg(col("success").cast("double")), 6).as("success_rate"),
+      round(coalesce(count(when(col("success"), 1)).cast("double")
+        / when(count(lit(1)) > 0, count(lit(1))), lit(0d)), 6).as("success_rate"),
       meanOk("cer", 1.0), meanOk("wer", 1.0),
       meanOk("word_acc", 0.0), meanOk("table_acc", 0.0),
       meanOk("seq_sim", 0.0), meanOk("row_acc", 0.0),

@@ -69,11 +69,21 @@ object Dedup {
     * collision odds ~n/2^31, and band keys only need equality. */
   val MersenneP: Long = 2147483647L // 2^31 - 1
 
-  /** Base-131 polynomial hash of a string, mod 2^31-1. */
-  private def polyHash(s: String): Long = {
+  /** Base-131 polynomial hash of a string, mod 2^31-1. Folds Unicode
+    * CODEPOINTS (not UTF-16 code units): the DuckDB oracle replays this as
+    * `split(s,'') + ascii(c)`, which yields codepoints, so a
+    * supplementary-plane character (emoji etc.) folded as two surrogate
+    * units would silently break the cross-engine hash equality that
+    * BMP-only fixtures mask. Identical to the old code-unit fold on BMP
+    * text (one codepoint == one char there). */
+  def polyHash(s: String): Long = {
     var acc = 0L
     var i = 0
-    while (i < s.length) { acc = (acc * 131 + s.charAt(i)) % MersenneP; i += 1 }
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      acc = (acc * 131 + cp) % MersenneP
+      i += Character.charCount(cp)
+    }
     acc
   }
 
@@ -196,8 +206,13 @@ object Dedup {
         while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
         var x = 0L
         var any = false
+        // codepoint fold, like polyHash — keeps the q28 DuckDB replay
+        // (split('') + ascii = codepoints) exact beyond the BMP
         while (i < n && !Character.isWhitespace(text.charAt(i))) {
-          x = (x * 131 + text.charAt(i)) % MersenneP; i += 1; any = true
+          val cp = text.codePointAt(i)
+          x = (x * 131 + cp) % MersenneP
+          i += Character.charCount(cp)
+          any = true
         }
         if (any) {
           var b = 0

@@ -230,7 +230,16 @@ object Similarity {
   /** LSH-bucketed ANN: signatures banded into `bands` chunks; a corpus row
     * is a candidate for a query if ANY band matches (equi-join); candidates
     * are re-ranked with exact cosine. Returns the same schema as
-    * [[bruteForceTopK]] (fewer than k rows per query possible — ANN). */
+    * [[bruteForceTopK]] (fewer than k rows per query possible — ANN).
+    *
+    * Scale shape (mirrors [[cosineNearDups]]): the banded sides and the
+    * candidate dedup carry ONLY (query_id, nn_id, band, bk) — never the
+    * embedding arrays. An earlier version `.distinct()`-ed over
+    * (query_id, nn_id, qv, cv), hashing and shuffling the full query AND
+    * corpus vectors as grouping keys; at 10^9 rows x 1k-dim that exchange
+    * is the whole job's wire cost. Corpus vectors re-join the (small)
+    * deduped candidate list by id; query vectors come from the broadcast
+    * query batch. PlanSpec pins vectors out of the band/dedup exchanges. */
   def lshTopK(
       queries: DataFrame,
       corpus: DataFrame,
@@ -243,21 +252,22 @@ object Similarity {
     require(numBits % bands == 0)
     val r = numBits / bands
     val sigUdf = udf(lshSignature(seed, numBits))
-    def banded(df: DataFrame, id: String, vec: String) =
-      df.select(col(idCol).as(id), col(vecCol).as(vec),
-          sigUdf(col(vecCol)).as("sig"))
-        .select(col(id), col(vec),
+    def banded(df: DataFrame, id: String) =
+      df.select(col(idCol).as(id), sigUdf(col(vecCol)).as("sig"))
+        .select(col(id),
           posexplode(expr(
             s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & ${(1L << r) - 1})"))
             .as(Seq("band", "bk")))
-    val q = banded(queries, "query_id", "qv")
-    val c = banded(corpus, "nn_id", "cv")
-    val cand = c.join(broadcast(q), Seq("band", "bk"))
-      .select(col("query_id"), col("nn_id"), col("qv"), col("cv"))
+    val qv = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val cv = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("cv"))
+    val cand = banded(corpus, "nn_id")
+      .join(broadcast(banded(queries, "query_id")), Seq("band", "bk"))
+      .select(col("query_id"), col("nn_id"))
       .distinct()
+    val scored = cand.join(cv, Seq("nn_id")).join(broadcast(qv), Seq("query_id"))
       .select(col("query_id"), col("nn_id"), cosine(col("qv"), col("cv")).as("sim"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("nn_id").asc)
-    cand.withColumn("rank", row_number().over(w))
+    scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
   }

@@ -37,6 +37,23 @@ class EvalJobSpec extends AnyFunSuite {
     assert((4 to 9).forall(i => failed.getDouble(i) == 0.0)) // imputed accuracies
   }
 
+  test("detail picks deterministically per url: a success always beats a failed retry") {
+    // same url carries a failed retry AND a success — dropDuplicates kept
+    // an arbitrary one; the row_number pick must keep the success
+    val withRetry = Seq(
+      ("u1", "error", null.asInstanceOf[String]),
+      ("u1", "ok", "identical text"),
+      ("u2", "ok", "sume text with drift"),
+      ("u3", "error", null.asInstanceOf[String])
+    ).toDF("url", "status", "markdown")
+    (1 to 3).foreach { _ =>
+      val det = EvalJob.detail(withRetry.repartition(7), goldens).collect()
+        .map(r => r.getString(0) -> r).toMap
+      assert(det("u1").getBoolean(1), "success row must win over the failed retry")
+      assert(det("u1").getDouble(2) == 0.0) // perfect CER from the ok row
+    }
+  }
+
   test("summary: means over successes only; success_rate over all") {
     val s = EvalJob.summary(EvalJob.detail(results, goldens)).collect().head
     assert(s.getLong(0) == 3L && s.getLong(1) == 2L)
@@ -117,6 +134,18 @@ class EvalJobSpec extends AnyFunSuite {
     assert(graft.io.XlsxWriter.colName(0) == "A" && graft.io.XlsxWriter.colName(25) == "Z"
       && graft.io.XlsxWriter.colName(26) == "AA" && graft.io.XlsxWriter.colName(701) == "ZZ"
       && graft.io.XlsxWriter.colName(702) == "AAA")
+    // non-finite doubles/floats: <v>NaN</v> is invalid OOXML (Excel
+    // refuses the workbook) — they must surface as inline strings
+    graft.io.XlsxWriter.write(s"$dir/nan.xlsx", Seq(graft.io.XlsxWriter.Sheet(
+      "S", Seq("c"), Seq(Seq(Double.NaN, 1.5, Double.PositiveInfinity, Float.NaN)))))
+    val zf3 = new java.util.zip.ZipFile(s"$dir/nan.xlsx")
+    try {
+      val x = new String(zf3.getInputStream(
+        zf3.getEntry("xl/worksheets/sheet1.xml")).readAllBytes(), "UTF-8")
+      assert(!x.contains("<v>NaN</v>") && !x.contains("<v>Infinity</v>"), x)
+      assert(x.contains("<v>1.5</v>"), x)
+      assert(x.contains("""t="inlineStr"><is><t>NaN</t>"""), x)
+    } finally zf3.close()
   }
 
   test("prediction-data dump: Overview/Markdown_Data workbook + JSON mirror, FAILED imputed") {

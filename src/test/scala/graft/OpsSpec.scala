@@ -42,6 +42,23 @@ class OpsSpec extends AnyFunSuite {
     assert(Dedup.simhash64(null) == 0L && Dedup.simhash64("") == 0L)
   }
 
+  test("polyHash/simhash fold codepoints, not UTF-16 units (supplementary plane)") {
+    val s = "a😀b" // a😀b — 😀 is two UTF-16 code units, one codepoint
+    val expected = s.codePoints().toArray
+      .foldLeft(0L)((acc, c) => (acc * 131 + c) % 2147483647L)
+    assert(Dedup.polyHash(s) == expected)
+    // the code-unit fold (the old behavior) MUST differ here — it's the
+    // silent cross-engine break the DuckDB split('')+ascii replay exposes
+    val unitFold = s.foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 2147483647L)
+    assert(Dedup.polyHash(s) != unitFold)
+    // BMP text is unchanged by the fix
+    assert(Dedup.polyHash("plain ascii") ==
+      "plain ascii".foldLeft(0L)((acc, c) => (acc * 131 + c.toLong) % 2147483647L))
+    // simhash tokenizes + folds the same way; supplementary tokens hash
+    // identically whether or not BMP neighbors surround them
+    assert(Dedup.simhash64("x 😀 y") == Dedup.simhash64("x  😀  y"))
+  }
+
   test("simhash LSH join surfaces the exact-dup pair") {
     val pairs = Dedup.simhashNearDups(docsDf, "id", "text", maxDist = 3)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))

@@ -118,6 +118,41 @@ class PlanSpec extends AnyFunSuite {
     }
   }
 
+  test("lshTopK band/dedup exchanges carry only ids and band keys, never vectors") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      val df = graft.ops.Similarity.lshTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding", k = 10)
+      val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+      // the candidate-dedup exchange (partitioned on both ids): the round-2
+      // version distinct()-ed over (query_id, nn_id, qv, cv) and shipped
+      // the full query AND corpus embedding arrays as grouping keys
+      val dedupEx = exchanges.filter { e =>
+        val p = e.outputPartitioning.toString
+        p.contains("query_id") && p.contains("nn_id")
+      }
+      assert(dedupEx.nonEmpty, df.queryExecution.executedPlan.toString)
+      dedupEx.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(cols.subsetOf(Set("query_id", "nn_id", "band", "bk")), s"dedup exchange ships $cols")
+      }
+      // query vectors come from the broadcast query batch — they may ride
+      // NO exchange anywhere (corpus vectors ride only the nn_id re-join)
+      exchanges.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(!cols.contains("qv"), s"exchange ships query vectors: $cols")
+      }
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+    }
+  }
+
   test("IVF ANN plan: one shuffle total (the top-k window), carrying only (query_id, nn_id, sim)") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
