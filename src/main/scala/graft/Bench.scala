@@ -21,9 +21,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *     local[4N], each level in its OWN freshly spawned JVM (shared-JVM
   *     measurements carried phase-1 GC/JIT debt and cost ~0.2 efficiency),
   *     shuffle.partitions matched to cores, JIT warmed in-child, wall =
-  *     min of 3 passes. Default pair 4 → 16: probing showed this VM does
-  *     not deliver >16 truly-concurrent cores (32 advertised), so 8 → 32
-  *     would measure hypervisor capacity, not pipeline scaling.
+  *     per-level min across interleaved rounds. Default pair 3 → 12:
+  *     probing showed this VM does not deliver >16 truly-concurrent cores
+  *     (32 advertised), so 8 → 32 would measure hypervisor capacity, not
+  *     pipeline scaling, and a 16-thread high level loses its slack to
+  *     transient host contention.
+  *
+  * Wall-clock governed (SPARK_GRAFT_TIME_BUDGET seconds, default 900):
+  * the mandatory core — one suite pass + one scaling round — always
+  * runs; the optional repetitions (second suite pass, scaling rounds
+  * 2..N, min-of-5 vs min-of-3 child walls) run only while they fit the
+  * budget. BENCH.json is rewritten after every completed phase and each
+  * phase heartbeats elapsed time to stderr, so a harness timeout still
+  * leaves best-so-far numbers on disk and a diagnosable tail.
   */
 object Bench {
 
@@ -57,10 +67,10 @@ object Bench {
 
   /** Child-JVM entry: measure one parallelism level on a corpus.
     * Prints `SCALE_WALL=<min sec>` on stdout. */
-  private def scaleChild(cpus: Int, corpusDir: String): Unit = {
+  private def scaleChild(cpus: Int, corpusDir: String, passes: Int): Unit = {
     val s = session(cpus)
     extractAll(s, corpusDir) // warmup (JIT + scan setup)
-    val walls = (1 to 5).map(_ => time(extractAll(s, corpusDir)))
+    val walls = (1 to passes).map(_ => time(extractAll(s, corpusDir)))
     s.stop()
     System.err.println(s"[bench-child] local[$cpus] walls=${walls.mkString(",")}")
     println(f"SCALE_WALL=${walls.min}%.6f")
@@ -78,7 +88,7 @@ object Bench {
     * Returns (wall, isolated) — isolated=false means the in-process
     * fallback ran, which carries ~0.2 efficiency debt (GC/JIT state from
     * phase 1) and must be visible in the emitted JSON. */
-  private def measureIsolated(cpus: Int, corpusDir: String): (Double, Boolean) = {
+  private def measureIsolated(cpus: Int, corpusDir: String, passes: Int): (Double, Boolean) = {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val cp = System.getProperty("java.class.path")
@@ -89,7 +99,7 @@ object Bench {
       Seq(javaBin) ++ addOpens ++ Seq(
         s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch", // see build.sbt note: stable walls need a fixed pre-touched heap
         "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
-        "-cp", cp, "graft.Bench", "--scale-child", cpus.toString, corpusDir)
+        "-cp", cp, "graft.Bench", "--scale-child", cpus.toString, corpusDir, passes.toString)
     try {
       val pb = new ProcessBuilder(cmd: _*)
       pb.redirectError(ProcessBuilder.Redirect.INHERIT)
@@ -120,17 +130,54 @@ object Bench {
   }
 
   def main(args: Array[String]): Unit = {
-    if (args.length == 3 && args(0) == "--scale-child") {
-      scaleChild(args(1).toInt, args(2))
+    if (args.length >= 3 && args(0) == "--scale-child") {
+      scaleChild(args(1).toInt, args(2), if (args.length > 3) args(3).toInt else 5)
       return
     }
+
+    // ---- time governor ----
+    // Round 2's bench timed out under the driver (rc 124, nothing
+    // emitted): the protocol (2 suite passes + 3 scaling rounds x
+    // min-of-5 walls in 6 child JVMs) had no clock. Now every optional
+    // repetition is gated on a wall-clock budget, BENCH.json is written
+    // INCREMENTALLY (after pass 1, then after every scaling round), and
+    // each phase heartbeats to stderr so a timeout tail shows where the
+    // clock went. The mandatory core (1 suite pass + 1 scaling round)
+    // runs regardless of budget — without it there is no result at all.
+    val t0 = System.nanoTime()
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    // 900s default: round 1's driver bench completed at ~1230s wall, so
+    // 900s of governed measurement + ~60s overhead keeps ~25% margin
+    // under the only driver budget ever observed to pass; in a degraded
+    // host-capacity window (one scaling round was measured at 388s where
+    // a normal window needs ~90s) it still fits phase 1 + 2 rounds
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "900").toDouble
+    def beat(msg: String): Unit = System.err.println(f"[bench] t=$elapsed%.0fs $msg")
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
     // sized so the timed walls are seconds, not scheduler noise
     val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "200000").toLong
 
+    def emit(results: Seq[(String, Double)], scaling: Option[String]): String = {
+      val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+      val total = results.map(_._2).filter(_ >= 0).sum
+      val sc = scaling.getOrElse("null")
+      val line =
+        f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$sc}"""
+      // File-based fallback: round 1's stdout line was eaten by sbt's
+      // "[info] " log prefix. The stdout contract stays primary
+      // (build.sbt forces StdoutOutput), but a BENCH.json in cwd survives
+      // any logging wrapper — and because it is rewritten after every
+      // completed phase, a timeout kill still leaves the best-so-far
+      // numbers on disk instead of nothing.
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
+      catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
+      line
+    }
+
     // ---- phase 1: query suite at local[cpus] ----
+    beat(s"phase 1 start: query suite on $sfDir at local[$cpus], budget=${budget}s")
     val spark = session(cpus)
     // warm the scan infrastructure (parquet footers, codegen of simple
     // plans, JVM) so the alphabetically-first query doesn't absorb the
@@ -140,30 +187,42 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () }
       }
-    // two passes, per-query min: this VM's deliverable capacity swings on
-    // multi-minute windows (observed 31s vs 72s for an identical suite on
-    // an idle machine), and a single pass inherits whatever window it
-    // lands in. The min discards per-query windows of bad luck while
-    // keeping every number a real measured wall.
+    // per-query min over up to two passes: this VM's deliverable capacity
+    // swings on multi-minute windows (observed 31s vs 72s for an
+    // identical suite on an idle machine), and a single pass inherits
+    // whatever window it lands in. The second pass is OPTIONAL — it only
+    // runs when it provably fits the budget alongside phase 2.
     def passOnce(): Seq[(String, Double)] =
       SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
         val sec = try time(force(fn(spark, sfDir))) catch { case _: Throwable => -1.0 }
-        // drop cached blocks a query persisted internally (q31) so later
+        // drop cached blocks a query might persist internally so later
         // queries aren't timed against a shrunken storage pool
         spark.catalog.clearCache()
         name -> sec
       }
-    val (p1, p2) = (passOnce(), passOnce().toMap)
-    val results = p1.map { case (name, s1) =>
-      val s2 = p2.getOrElse(name, -1.0)
-      name -> (if (s1 < 0) s2 else if (s2 < 0) s1 else math.min(s1, s2))
-    }
+    val p1 = passOnce()
+    val p1Wall = p1.map(_._2).filter(_ >= 0).sum
+    var results = p1
+    emit(results, None)
+    beat(f"phase 1 pass 1 done: ${p1Wall}%.1fs over ${p1.size} queries (BENCH.json written)")
+    // the second pass costs ~p1Wall; reserve at least half the budget for
+    // phase 2 (corpus + >=1 scaling round costs far more than a suite pass)
+    if (elapsed + p1Wall * 1.2 < budget * 0.45) {
+      val p2 = passOnce().toMap
+      results = p1.map { case (name, s1) =>
+        val s2 = p2.getOrElse(name, -1.0)
+        name -> (if (s1 < 0) s2 else if (s2 < 0) s1 else math.min(s1, s2))
+      }
+      emit(results, None)
+      beat("phase 1 pass 2 done (per-query min recorded)")
+    } else beat("phase 1 pass 2 SKIPPED (budget)")
 
     // ---- phase 2: scaling on a shared materialized corpus ----
     val corpusDir = java.nio.file.Files.createTempDirectory("graft_bench_pages").toString
     graft.synth.Synth.pagesDs(spark, scaleDocs, seed = 42L, parallelism = 128)
       .write.mode("overwrite").parquet(corpusDir)
     spark.stop()
+    beat(s"phase 2 corpus materialized: $scaleDocs docs")
 
     // 3→12 rather than 4→16: the host advertises 32 CPUs but delivers ~16;
     // a 16-thread high level needs EVERY deliverable core, so any transient
@@ -176,17 +235,45 @@ object Bench {
     // take the per-level min: host capacity on this VM fluctuates on
     // multi-minute windows, so back-to-back single measurements can land
     // one level in a slow window and corrupt the ratio in either
-    // direction. Alternation gives both levels the same exposure.
-    // 3 rounds: with 2, one level can spend BOTH its children in a slow
-    // host window and never record its true capacity; a third alternation
-    // makes that coincidence much rarer (capacity windows are multi-minute)
-    val rounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
-    val walls = (1 to rounds).map { _ =>
-      (measureIsolated(nLow, corpusDir), measureIsolated(nHigh, corpusDir))
+    // direction. Alternation gives both levels the same exposure; later
+    // rounds run only while the budget holds (round 1 always runs).
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    // min-of-5 walls per child when time is ample, min-of-3 when tight —
+    // re-chosen before every round (a slow host window shows up as a big
+    // lastRoundCost, and cheaper rounds let more of them fit, which the
+    // per-level min across rounds rewards more than extra in-round walls)
+    def passesNow: Int = if (budget - elapsed > 300) 5 else 3
+    var passes = passesNow
+    var wallLow = Double.MaxValue
+    var wallHigh = Double.MaxValue
+    var isolated = true
+    var round = 0
+    var lastRoundCost = 0.0
+    def scalingJson(): String = {
+      val thrLow = scaleDocs / wallLow
+      val thrHigh = scaleDocs / wallHigh
+      val eff = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
+      f"""{"docs":$scaleDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
+        f""""wall_low_sec":$wallLow%.2f,"wall_high_sec":$wallHigh%.2f,""" +
+        f""""thr_low_docs_per_sec":$thrLow%.1f,"thr_high_docs_per_sec":$thrHigh%.1f,""" +
+        f""""efficiency":$eff%.3f,"isolated":$isolated,"rounds":$round,"passes":$passes}"""
     }
-    val wallLow = walls.map(_._1._1).min
-    val wallHigh = walls.map(_._2._1).min
-    val isolated = walls.forall { case (a, b) => a._2 && b._2 }
+    while (round < maxRounds &&
+           (round == 0 || elapsed + lastRoundCost * 1.15 < budget)) {
+      val rt0 = elapsed
+      passes = math.min(passes, passesNow) // never re-raise mid-run: keep rounds comparable
+      val (lo, loIso) = measureIsolated(nLow, corpusDir, passes)
+      val (hi, hiIso) = measureIsolated(nHigh, corpusDir, passes)
+      wallLow = math.min(wallLow, lo)
+      wallHigh = math.min(wallHigh, hi)
+      isolated &&= loIso && hiIso
+      round += 1
+      lastRoundCost = elapsed - rt0
+      emit(results, Some(scalingJson()))
+      beat(f"scaling round $round/$maxRounds done in $lastRoundCost%.0fs: " +
+        f"low=$wallLow%.2fs high=$wallHigh%.2fs (BENCH.json updated)")
+    }
+    if (round < maxRounds) beat(s"scaling rounds ${round + 1}..$maxRounds SKIPPED (budget)")
 
     // best-effort cleanup of the materialized corpus
     def rm(f: java.io.File): Unit = {
@@ -195,25 +282,8 @@ object Bench {
     }
     try rm(new java.io.File(corpusDir)) catch { case _: Throwable => () }
 
-    val thrLow = scaleDocs / wallLow
-    val thrHigh = scaleDocs / wallHigh
-    val eff = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
-
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
-    val scaling =
-      f"""{"docs":$scaleDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
-        f""""wall_low_sec":$wallLow%.2f,"wall_high_sec":$wallHigh%.2f,""" +
-        f""""thr_low_docs_per_sec":$thrLow%.1f,"thr_high_docs_per_sec":$thrHigh%.1f,""" +
-        f""""efficiency":$eff%.3f,"isolated":$isolated}"""
-    val line =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""
-    // File-based fallback: round 1's stdout line was eaten by sbt's
-    // "[info] " log prefix (BENCH_r01.json parsed:null). The stdout
-    // contract stays primary (build.sbt now forces StdoutOutput), but a
-    // BENCH.json in cwd survives any logging wrapper.
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get("BENCH.json"), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] BENCH.json write failed: ${e.getMessage}") }
+    val line = emit(results, Some(scalingJson()))
+    beat("done")
     println(line)
   }
 }
