@@ -665,7 +665,44 @@ object PdfParser {
           case _ => Map.empty
         }
         resolve(fd.m.getOrElse("Subtype", PNull)) match {
-          case PName("Type0") => FontDec(twoByte = true, toUni, null)
+          case PName("Type0") =>
+            // CID-keyed embedded /Encoding CMap (the round-3 widened
+            // notch): codespaces drive variable-length code parsing and
+            // cidchar/cidrange map code→CID. Predefined Identity-H/V
+            // names keep the fixed 2-byte code==CID reading.
+            val (spaces, cidChars, cidRanges) =
+              resolve(fd.m.getOrElse("Encoding", PNull)) match {
+                case st: PStream =>
+                  try parseCidCMap(decodeStream(st))
+                  catch { case _: Throwable =>
+                    (Vector.empty[(Int, Int, Int)], Map.empty[Int, Int],
+                      Vector.empty[(Int, Int, Int)]) }
+                case _ =>
+                  (Vector.empty[(Int, Int, Int)], Map.empty[Int, Int],
+                    Vector.empty[(Int, Int, Int)])
+              }
+            // CID-as-codepoint fallback only when no /ToUnicode AND the
+            // descendant declares the Identity ordering (generated PDFs
+            // there commonly index CIDs by Unicode); any other ordering
+            // (Japan1, GB1, ...) stays an honest replacement char — a
+            // registry-ordered CID is a glyph-collection index, not a
+            // codepoint, and faking it would corrupt extraction silently
+            val identityOrdering =
+              resolve(fd.m.getOrElse("DescendantFonts", PNull)) match {
+                case PArr(ds) if ds.nonEmpty => resolve(ds.head) match {
+                  case d: PDict => resolve(d.m.getOrElse("CIDSystemInfo", PNull)) match {
+                    case csi: PDict => resolve(csi.m.getOrElse("Ordering", PNull)) match {
+                      case PStr(b) => new String(b, java.nio.charset.StandardCharsets.ISO_8859_1) == "Identity"
+                      case _       => false
+                    }
+                    case _ => false
+                  }
+                  case _ => false
+                }
+                case _ => false
+              }
+            FontDec(twoByte = true, toUni, null, spaces, cidChars, cidRanges,
+              cidAsUnicode = toUni.isEmpty && identityOrdering)
           case _ =>
             val base: Array[String] = resolve(fd.m.getOrElse("Encoding", PNull)) match {
               case PName("MacRomanEncoding") => macRomanTable.clone()
@@ -931,7 +968,34 @@ object PdfParser {
   private[graft] final case class FontDec(
       twoByte: Boolean,
       toUni: Map[Int, String],
-      simple: Array[String]) {
+      simple: Array[String],
+      // Type0 extras from a CID-keyed /Encoding CMap stream (empty for
+      // the predefined Identity-H/V names, which are code==CID, 2-byte):
+      spaces: Vector[(Int, Int, Int)] = Vector.empty,     // (byteLen, lo, hi)
+      cidChars: Map[Int, Int] = Map.empty,                // code -> CID
+      cidRanges: Vector[(Int, Int, Int)] = Vector.empty,  // (lo, hi, startCid)
+      // /ToUnicode absent + descendant /CIDSystemInfo /Ordering (Identity):
+      // best-effort CID-as-codepoint fallback (generated PDFs under the
+      // Identity ordering commonly index CIDs by Unicode; previously every
+      // such code decoded to the replacement char)
+      cidAsUnicode: Boolean = false) {
+
+    private def cidOf(code: Int): Int =
+      cidChars.getOrElse(code,
+        cidRanges.collectFirst {
+          case (lo, hi, st) if code >= lo && code <= hi => st + code - lo
+        }.getOrElse(code))
+
+    private def unicodeOf(code: Int): String =
+      toUni.getOrElse(code, {
+        if (cidAsUnicode) {
+          val cid = cidOf(code)
+          if (cid >= 0x20 && cid <= 0x10FFFF && !(cid >= 0xD800 && cid <= 0xDFFF))
+            new String(Character.toChars(cid))
+          else "�"
+        } else "�"
+      })
+
     def decode(bytes: Array[Byte]): String = {
       // PDF text strings may themselves carry a UTF-16BE BOM
       if (bytes.length >= 2 && (bytes(0) & 0xff) == 0xfe && (bytes(1) & 0xff) == 0xff)
@@ -939,10 +1003,45 @@ object PdfParser {
       val sb = new StringBuilder(bytes.length)
       if (twoByte) {
         var i = 0
-        while (i + 1 < bytes.length) {
-          val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
-          sb.append(toUni.getOrElse(code, "�"))
-          i += 2
+        if (spaces.isEmpty) {
+          // no embedded CMap: fixed 2-byte codes (Identity-H/V)
+          while (i + 1 < bytes.length) {
+            val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+            sb.append(unicodeOf(code))
+            i += 2
+          }
+        } else {
+          // variable-length codes: match the codespace ranges shortest
+          // first (PDF 9.7.6.2 matches byte-prefix-wise; well-formed
+          // CMaps keep the first byte of each length class disjoint, so
+          // value-in-range per candidate length is equivalent here)
+          val minLen = spaces.map(_._1).min
+          val maxLen = spaces.map(_._1).max
+          def valueAt(pos: Int, len: Int): Int = {
+            var v = 0; var k = 0
+            while (k < len) { v = (v << 8) | (bytes(pos + k) & 0xff); k += 1 }
+            v
+          }
+          while (i < bytes.length) {
+            var code = -1
+            var len = 0
+            var l = minLen
+            while (len == 0 && l <= maxLen) {
+              if (i + l <= bytes.length) {
+                val v = valueAt(i, l)
+                if (spaces.exists(s => s._1 == l && v >= s._2 && v <= s._3)) {
+                  code = v; len = l
+                }
+              }
+              l += 1
+            }
+            if (len == 0) { // outside every codespace: consume minLen bytes
+              val l2 = math.min(minLen, bytes.length - i)
+              code = valueAt(i, l2); len = l2
+            }
+            sb.append(unicodeOf(code))
+            i += len
+          }
         }
       } else {
         var i = 0
@@ -1015,6 +1114,75 @@ object PdfParser {
       }
     } catch { case _: Throwable => () } // lenient: keep whatever parsed
     out.result()
+  }
+
+  /** Parse a CID-keyed /Encoding CMap stream (PDF 9.7.5.3): codespace
+    * ranges (variable byte lengths), cidchar and cidrange sections. The
+    * widened notch over the round-2 fence — previously any Type0 font with
+    * an embedded-CMap encoding decoded every code as 2-byte Identity and
+    * produced replacement chars. Lenient like [[parseCMap]]. Returns
+    * (codespaces as (byteLen, lo, hi), code→CID chars, (lo, hi, startCid)
+    * ranges). */
+  private[graft] def parseCidCMap(
+      data: Array[Byte]): (Vector[(Int, Int, Int)], Map[Int, Int], Vector[(Int, Int, Int)]) = {
+    val spaces = Vector.newBuilder[(Int, Int, Int)]
+    val chars = Map.newBuilder[Int, Int]
+    val ranges = Vector.newBuilder[(Int, Int, Int)]
+    def codeOf(b: Array[Byte]): Int = b.foldLeft(0)((acc, x) => (acc << 8) | (x & 0xff))
+    try {
+      val lx = new Lexer(data)
+      var going = true
+      while (going) {
+        lx.skipWs()
+        if (lx.pos >= lx.n) going = false
+        else {
+          val c = lx.peek
+          if (c == '/' || c == '(' || c == '<' || c == '[' ||
+              (c >= '0' && c <= '9') || c == '-' || c == '+' || c == '.') {
+            lx.obj() // operand of some CMap operator we don't care about
+          } else lx.token() match {
+            case "begincodespacerange" =>
+              var in = true
+              while (in) {
+                lx.skipWs()
+                if (lx.pos >= lx.n) { in = false; going = false }
+                else if (lx.peek == '<') (lx.obj(), lx.obj()) match {
+                  case (PStr(lo), PStr(hi)) if lo.length >= 1 && lo.length <= 4 =>
+                    spaces += ((lo.length, codeOf(lo), codeOf(hi)))
+                  case _ => in = false
+                }
+                else { if (lx.token() != "endcodespacerange") going = false; in = false }
+              }
+            case "begincidchar" =>
+              var in = true
+              while (in) {
+                lx.skipWs()
+                if (lx.pos >= lx.n) { in = false; going = false }
+                else if (lx.peek == '<') (lx.obj(), lx.obj()) match {
+                  case (PStr(src), PNum(cid)) => chars += codeOf(src) -> cid.toInt
+                  case _                      => in = false
+                }
+                else { if (lx.token() != "endcidchar") going = false; in = false }
+              }
+            case "begincidrange" =>
+              var in = true
+              while (in) {
+                lx.skipWs()
+                if (lx.pos >= lx.n) { in = false; going = false }
+                else if (lx.peek == '<') (lx.obj(), lx.obj(), lx.obj()) match {
+                  case (PStr(lo), PStr(hi), PNum(st)) =>
+                    ranges += ((codeOf(lo), codeOf(hi), st.toInt))
+                  case _ => in = false
+                }
+                else { if (lx.token() != "endcidrange") going = false; in = false }
+              }
+            case "" => going = false
+            case _  => () // usecmap, def, endcmap, ...
+          }
+        }
+      }
+    } catch { case _: Throwable => () } // lenient: keep whatever parsed
+    (spaces.result(), chars.result(), ranges.result())
   }
 
   /** Run the text operators of one page's content; emit positioned fragments. */

@@ -75,6 +75,14 @@ object PdfWriter {
   case object Type0Font extends FontFlavor
   case object DifferencesFont extends FontFlavor
 
+  /** Type0 font with an EMBEDDED CID-keyed /Encoding CMap and NO
+    * /ToUnicode (PDF 9.7.5.3): ASCII rides 1-byte codes (cid == code via
+    * cidrange + one cidchar), everything else 2-byte codes 0x8000+cp with
+    * a range-offset cidrange (cid == codepoint). Exercises variable-length
+    * codespaces, cidchar, cidrange, and the parser's Identity-ordering
+    * CID→Unicode fallback — the round-3 widening of the CID fence. */
+  case object CidCMapFont extends FontFlavor
+
   /** Doc-wide font plan: the /F1 body (given the number of the first extra
     * object), extra objects (Left = dict body, Right = stream data), and
     * the per-line text-showing token for content streams. */
@@ -119,6 +127,32 @@ object PdfWriter {
             s"/DescendantFonts [$extraBase 0 R] /ToUnicode ${extraBase + 1} 0 R >>",
         Vector(Left(descendant), Right(cmap)),
         line => line.map(c => f"${order(c)}%04X").mkString("<", "", ">"))
+
+    case CidCMapFont =>
+      val cmap = {
+        val sb = new StringBuilder
+        sb.append("/CIDInit /ProcSet findresource begin\n12 dict begin\nbegincmap\n")
+        sb.append("/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> def\n")
+        sb.append("/CMapName /Synth-Embedded def\n/CMapType 1 def\n")
+        sb.append("2 begincodespacerange\n<20> <7E>\n<8000> <FFFF>\nendcodespacerange\n")
+        sb.append("1 begincidchar\n<7E> 126\nendcidchar\n")
+        sb.append("2 begincidrange\n<20> <7D> 32\n<8000> <FFFF> 0\nendcidrange\n")
+        sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\nend\nend\n")
+        sb.toString.getBytes(ISO_8859_1)
+      }
+      val descendant =
+        "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Synth " +
+          "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> >>"
+      FontPlan(
+        extraBase =>
+          "<< /Type /Font /Subtype /Type0 /BaseFont /Synth " +
+            s"/Encoding $extraBase 0 R /DescendantFonts [${extraBase + 1} 0 R] >>",
+        Vector(Right(cmap), Left(descendant)),
+        line => line.map { c =>
+          if (c >= 0x20 && c <= 0x7e) f"${c.toInt}%02X"
+          else if (c < 0x8000) f"${0x8000 + c.toInt}%04X"
+          else "3F" // '?' for codepoints the 2-byte space can't carry
+        }.mkString("<", "", ">"))
 
     case DifferencesFont =>
       // non-ASCII chars → codes 128.. in first-appearance order ('?' overflow)

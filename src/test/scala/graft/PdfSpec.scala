@@ -192,6 +192,43 @@ class PdfSpec extends AnyFunSuite {
     assert(PdfParser.parse(pdf).map(_.text) == Right(lines.mkString("\n")))
   }
 
+  test("CID-keyed embedded /Encoding CMap (no ToUnicode) round-trips via Identity ordering") {
+    // mixed 1-byte (ASCII codespace) and 2-byte (0x8000+cp cidrange) codes;
+    // CID→Unicode comes from the Identity-ordering fallback, not ToUnicode
+    val lines = Vector("ascii with ~ tilde", "Ωμέγα and 中文 mixed", "é ü ß € punctuation: …")
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(lines))), font = PdfWriter.CidCMapFont)
+    // the document genuinely carries no ToUnicode and a CMap-stream encoding
+    val s = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(!s.contains("/ToUnicode") && s.contains("begincidrange"), "fixture must be CID-keyed")
+    assert(PdfParser.parse(pdf).map(_.text) == Right(lines.mkString("\n")))
+  }
+
+  test("CID-keyed CMap font composes with xref-stream/objstm containers and compression") {
+    val lines = Vector("CID via объект streams — ok")
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(lines), compress = true)),
+      PdfWriter.XrefStream(objStm = true, predictor = true), PdfWriter.CidCMapFont)
+    assert(PdfParser.parse(pdf).map(_.text) == Right(lines.mkString("\n")))
+  }
+
+  test("parseCidCMap: codespaces, cidchar, cidrange; registry ordering stays fenced") {
+    val cmap = ("2 begincodespacerange\n<20> <7E>\n<8000> <FFFF>\nendcodespacerange\n" +
+      "1 begincidchar\n<7E> 126\nendcidchar\n" +
+      "2 begincidrange\n<20> <7D> 32\n<8000> <FFFF> 0\nendcidrange\nendcmap\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val (spaces, chars, ranges) = PdfParser.parseCidCMap(cmap)
+    assert(spaces == Vector((1, 0x20, 0x7e), (2, 0x8000, 0xffff)))
+    assert(chars == Map(0x7e -> 126))
+    assert(ranges == Vector((0x20, 0x7d, 32), (0x8000, 0xffff, 0)))
+    // a NON-Identity ordering must NOT get the CID-as-codepoint fallback:
+    // a registry CID indexes a glyph collection, not Unicode
+    val pdf = PdfWriter.write(Vector(PageSpec(Vector(Vector("AB")))), font = PdfWriter.CidCMapFont)
+    val doctored = new String(pdf, java.nio.charset.StandardCharsets.ISO_8859_1)
+      .replace("(Identity)", "(Japan1.)") // same length keeps offsets valid
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    val txt = PdfParser.parse(doctored).map(_.text)
+    assert(txt.isRight && !txt.toOption.get.contains("AB"), txt.toString)
+  }
+
   test("/Encoding /Differences maps AGL names and uniXXXX back to chars") {
     val lines = Vector("Café — naïve • done", "Ωmega via uni03A9")
     val pdf = PdfWriter.write(Vector(PageSpec(Vector(lines))), font = PdfWriter.DifferencesFont)
