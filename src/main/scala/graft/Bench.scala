@@ -92,9 +92,13 @@ object Bench {
     val javaBin = new java.io.File(
       new java.io.File(System.getProperty("java.home"), "bin"), "java").getAbsolutePath
     val cp = System.getProperty("java.class.path")
-    // honor SPARK_DRIVER_MEM like build.sbt / run_main.sh so the spawn
-    // doesn't fail on a memory-constrained host and silently degrade
-    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")
+    // children default to a SMALLER fixed heap than the parent: the
+    // AlwaysPreTouch tax is proportional to heap size (measured: 8g
+    // pre-touch = 40s of sys time; in a degraded host-capacity window a
+    // child spawn ballooned to ~150s wall, squeezing scaling rounds out
+    // of the budget). 4g is ample for a 200k-doc extraction and halves
+    // the per-spawn tax while keeping walls stable.
+    val heap = sys.env.getOrElse("SPARK_GRAFT_CHILD_MEM", "4g")
     val cmd: Seq[String] =
       Seq(javaBin) ++ addOpens ++ Seq(
         s"-Xms$heap", s"-Xmx$heap", "-XX:+AlwaysPreTouch", // see build.sbt note: stable walls need a fixed pre-touched heap
@@ -146,12 +150,14 @@ object Bench {
     // runs regardless of budget — without it there is no result at all.
     val t0 = System.nanoTime()
     def elapsed: Double = (System.nanoTime() - t0) / 1e9
-    // 900s default: round 1's driver bench completed at ~1230s wall, so
-    // 900s of governed measurement + ~60s overhead keeps ~25% margin
-    // under the only driver budget ever observed to pass; in a degraded
-    // host-capacity window (one scaling round was measured at 388s where
-    // a normal window needs ~90s) it still fits phase 1 + 2 rounds
-    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "900").toDouble
+    // 1050s default: round 1's driver bench completed at ~1230s wall, so
+    // 1050s of governed measurement + ~80s overhead rides just under the
+    // only driver budget ever observed to pass. The margin matters in a
+    // degraded host-capacity window (observed: a scaling round at 384s
+    // where a normal window needs ~90s): at 900s only ONE round fit and
+    // its lone reading was contention garbage (0.425); at 1050s a second
+    // round fits and the per-level min recovers.
+    val budget = sys.env.getOrElse("SPARK_GRAFT_TIME_BUDGET", "1050").toDouble
     def beat(msg: String): Unit = System.err.println(f"[bench] t=$elapsed%.0fs $msg")
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -237,7 +243,10 @@ object Bench {
     // one level in a slow window and corrupt the ratio in either
     // direction. Alternation gives both levels the same exposure; later
     // rounds run only while the budget holds (round 1 always runs).
-    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "3").toInt
+    // 4 budget-gated rounds: in a healthy window (~90s/round) all four fit
+    // comfortably and the per-level min sheds one more bad-luck window; in
+    // a degraded window the governor stops after whatever fits
+    val maxRounds = sys.env.getOrElse("SPARK_GRAFT_SCALE_ROUNDS", "4").toInt
     // min-of-5 walls per child when time is ample, min-of-3 when tight —
     // re-chosen before every round (a slow host window shows up as a big
     // lastRoundCost, and cheaper rounds let more of them fit, which the

@@ -545,8 +545,76 @@ object Queries {
         .groupBy(col("part_id")).agg(
           count(lit(1)).as("row_count"),
           expr("bit_xor(dh)").as("checksum"))
+    }),
+
+    // Embedded-image harvest (scanned-document leg), ORACLED end-to-end:
+    // each doc_id deterministically becomes a real PDF (PdfWriter) whose
+    // image inventory — count, codecs, dimensions, payload sizes — is a
+    // closed-form function of doc_id; the Spark side runs the REAL
+    // write→parse→harvest pipeline (PdfImages.imagesDf over PdfParser
+    // .extractImages) and DuckDB recomputes the same inventory from the
+    // formulas, so any drift in codec classification, filter stripping,
+    // or byte passthrough breaks the hash. Codec payloads (DCT/JPX/CCITT)
+    // must arrive byte-count-identical (shipped undecoded); raw samples
+    // must survive a Flate round-trip at exactly width*height*3 bytes.
+    "q41_pdf_images" -> ((s, dir) => {
+      val build = udf((docId: Long) => syntheticImagePdf(docId))
+      val pages = docs(s, dir).filter(col("doc_id") < 40)
+        .select(col("doc_id"), build(col("doc_id")).as("payload"))
+      graft.extract.PdfImages.imagesDf(pages, urlCol = "doc_id")
+        .select(col("doc_id"), col("page").cast("long"), col("img_name"),
+          col("format"), col("width").cast("long"), col("height").cast("long"),
+          col("color_space"), col("bits").cast("long"),
+          length(col("data")).cast("long").as("nbytes"))
+    }),
+
+    // Scanned-vs-text split, ORACLED: the same synthetic corpus through
+    // the REAL Extractor — text-bearing docs come out status='ok', the
+    // image-only slice (doc_id % 7 == 0) must be labeled pdf_image_only
+    // (routed to the vision/OCR leg), never pdf_no_text or a crash.
+    "q42_scanned_split" -> ((s, dir) => {
+      val build = udf((docId: Long) => syntheticImagePdf(docId))
+      val ext = udf { (payload: Array[Byte]) =>
+        val e = graft.extract.Extractor.extract("synthetic.pdf", payload)
+        (e.status, if (e.error == null) "" else e.error)
+      }
+      docs(s, dir).filter(col("doc_id") < 40)
+        .select(ext(build(col("doc_id"))).as("e"))
+        .groupBy(col("e._1").as("status"), col("e._2").as("error"))
+        .agg(count(lit(1)).as("cnt"))
     })
   )
+
+  /** Deterministic image-bearing PDF for q41/q42: every property of the
+    * embedded images is a closed-form function of doc_id (replayed by the
+    * DuckDB oracles), the container flavor varies (classic / xref-stream /
+    * objstm), and the doc_id % 7 == 0 slice is IMAGE-ONLY (a scanned doc:
+    * no text operators at all). */
+  private def syntheticImagePdf(docId: Long): Array[Byte] = {
+    import graft.pdf.PdfWriter
+    import graft.pdf.PdfWriter._
+    val images = (0 until (docId % 3).toInt + 1).toVector.map { j =>
+      val w = (8 + (docId * 5 + j * 3) % 24).toInt
+      val h = (4 + (docId * 3 + j) % 16).toInt
+      ((docId + j) % 4).toInt match {
+        case 0 => ImageSpec(w, h, DctCodec,
+          graft.synth.Synth.fakeJpeg(docId * 1000 + j, (64 + (docId * 13 + j * 7) % 100).toInt))
+        case 1 => ImageSpec(w, h, RawSamples,
+          graft.synth.Synth.detBytes(docId * 1000 + j, w * h * 3),
+          outerFilters = Vector(FlateF))
+        case 2 => ImageSpec(w, h, JpxCodec,
+          graft.synth.Synth.detBytes(docId * 2000 + j, (32 + (docId * 7 + j) % 64).toInt))
+        case _ => ImageSpec(w, h, CcittCodec,
+          graft.synth.Synth.detBytes(docId * 3000 + j, (16 + (docId * 11 + j * 5) % 32).toInt),
+          colorSpace = "DeviceGray", bitsPerComponent = 1)
+      }
+    }
+    val text: Vector[String] =
+      if (docId % 7 == 0) Vector.empty else Vector(s"synthetic doc $docId")
+    val flavor =
+      if (docId % 3 == 0) XrefStream(objStm = docId % 2 == 0) else Classic
+    PdfWriter.write(Vector(PageSpec(Vector(text), images = images)), flavor)
+  }
 
   /** DuckDB oracles. Keys missing here get the driver's rows-only check. */
   val oracles: Map[String, String] = Map(
@@ -1093,5 +1161,33 @@ object Queries {
         |     FOR i IN range(1, greatest(length(t) - 7, 1) + 1)],
         |    h -> h % 64 = 0))::BIGINT AS chunks
         |FROM (SELECT doc_id, substr(text, 1, 200) AS t FROM documents WHERE doc_id < 200)""".stripMargin,
+
+    // q41: replay the closed-form image inventory (see syntheticImagePdf)
+    "q41_pdf_images" ->
+      """WITH ex AS (
+        |  SELECT doc_id, unnest(generate_series(0, doc_id % 3)) AS j
+        |  FROM documents WHERE doc_id < 40)
+        |SELECT doc_id,
+        |  CAST(0 AS BIGINT) AS page,
+        |  'Im' || CAST(j AS VARCHAR) AS img_name,
+        |  CASE (doc_id + j) % 4 WHEN 0 THEN 'jpeg' WHEN 1 THEN 'raw'
+        |    WHEN 2 THEN 'jp2' ELSE 'ccitt' END AS format,
+        |  8 + (doc_id * 5 + j * 3) % 24 AS width,
+        |  4 + (doc_id * 3 + j) % 16 AS height,
+        |  CASE WHEN (doc_id + j) % 4 = 3 THEN 'DeviceGray' ELSE 'DeviceRGB' END AS color_space,
+        |  CAST(CASE WHEN (doc_id + j) % 4 = 3 THEN 1 ELSE 8 END AS BIGINT) AS bits,
+        |  CAST(CASE (doc_id + j) % 4
+        |    WHEN 0 THEN 64 + (doc_id * 13 + j * 7) % 100
+        |    WHEN 1 THEN (8 + (doc_id * 5 + j * 3) % 24) * (4 + (doc_id * 3 + j) % 16) * 3
+        |    WHEN 2 THEN 32 + (doc_id * 7 + j) % 64
+        |    ELSE 16 + (doc_id * 11 + j * 5) % 32 END AS BIGINT) AS nbytes
+        |FROM ex""".stripMargin,
+
+    // q42: the doc_id % 7 == 0 slice is image-only by construction
+    "q42_scanned_split" ->
+      """SELECT CASE WHEN doc_id % 7 = 0 THEN 'error' ELSE 'ok' END AS status,
+        |  CASE WHEN doc_id % 7 = 0 THEN 'pdf_image_only' ELSE '' END AS error,
+        |  count(*) AS cnt
+        |FROM documents WHERE doc_id < 40 GROUP BY 1, 2""".stripMargin,
   )
 }

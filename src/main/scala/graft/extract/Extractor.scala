@@ -24,8 +24,17 @@ object Extractor {
       else if (PdfParser.isPdf(payload) || urlExt(url) == "pdf") {
         PdfParser.parse(payload) match {
           case Right(r) =>
-            if (r.text.isEmpty) Extracted("error", "pdf", "", Nil, 0, "pdf_no_text")
-            else Extracted("ok", "pdf", r.text, pdfSpans(r.pageTexts), r.pages, null)
+            if (r.text.isEmpty) {
+              // scanned-document split: a text-empty PDF that carries image
+              // XObjects is a SCANNED doc, not a broken one — label it so a
+              // pipeline can route it to PdfImages.imagesDf + a vision/OCR
+              // stage (the reference OCRs these via rasterize+LLM,
+              // pdf_processor.py:35-44) instead of discarding it as error
+              val scanned = PdfParser.extractImages(payload)
+                .map(_.nonEmpty).getOrElse(false)
+              if (scanned) Extracted("error", "pdf", "", Nil, r.pages, "pdf_image_only")
+              else Extracted("error", "pdf", "", Nil, 0, "pdf_no_text")
+            } else Extracted("ok", "pdf", r.text, pdfSpans(r.pageTexts), r.pages, null)
           case Left(err) => Extracted("error", "pdf", "", Nil, 0, err)
         }
       } else {

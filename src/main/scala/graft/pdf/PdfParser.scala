@@ -42,6 +42,18 @@ object PdfParser {
   final case class PStream(dict: PDict, raw: Array[Byte]) extends PObj
 
   final case class Fragment(page: Int, x: Double, y: Double, text: String)
+
+  /** One embedded image XObject reference on a page. `format` names how
+    * `data` is encoded: for the image codecs the engine deliberately does
+    * not decode ("jpeg" = DCTDecode, i.e. a complete JFIF/JPEG file;
+    * "jp2" = JPXDecode; "jbig2"; "ccitt"), `data` is the still-encoded
+    * codec payload with every non-codec filter (Flate etc.) already
+    * stripped — exactly the bytes a downstream vision/OCR stage wants.
+    * "raw" means no image codec was present and `data` is fully decoded
+    * samples (width*height*components at bitsPerComponent). */
+  final case class PdfImage(page: Int, name: String, format: String,
+      width: Int, height: Int, colorSpace: String, bitsPerComponent: Int,
+      data: Array[Byte])
   final case class PageObj(dict: PDict, mediaBox: (Double, Double, Double, Double), rotate: Int,
       resources: Option[PDict] = None)
   final case class ParseResult(pageTexts: Vector[String]) {
@@ -69,6 +81,34 @@ object PdfParser {
         renderPage(doc, pg, i)
       }
       Right(ParseResult(pageTexts))
+    } catch {
+      case PdfError(m)  => Left(m)
+      case e: Throwable => Left("pdf_parse_failed:" + e.getClass.getSimpleName)
+    }
+
+  /** Image-codec /Filter names → the byte format they leave in the stream.
+    * These are the codecs the engine ships UNDECODED (SURVEY §7.4.1: no
+    * raster decode on the extraction path) — a DCTDecode stream IS a
+    * complete JPEG file, a JPXDecode stream a JP2 codestream, so scanned
+    * pages become typed binary rows for a downstream vision/OCR stage
+    * instead of dead error rows (the reference reaches the same data by
+    * rasterizing via MuPDF, pdf_processor.py:35-44). */
+  private val imageCodecs = Map(
+    "DCTDecode" -> "jpeg", "DCT" -> "jpeg",
+    "JPXDecode" -> "jp2",
+    "JBIG2Decode" -> "jbig2",
+    "CCITTFaxDecode" -> "ccitt", "CCF" -> "ccitt")
+
+  /** Extract every embedded image XObject referenced from each page's
+    * resources (recursing through Form XObjects), in deterministic
+    * (page asc, resource name asc) order. A malformed individual image is
+    * skipped; a malformed document yields Left — never throws. */
+  def extractImages(payload: Array[Byte]): Either[String, Vector[PdfImage]] =
+    try {
+      val doc = new Doc(payload)
+      val pages = doc.pages()
+      if (pages.isEmpty) return Left("pdf_no_pages")
+      Right(pages.zipWithIndex.flatMap { case (pg, i) => doc.imagesOf(pg, i) })
     } catch {
       case PdfError(m)  => Left(m)
       case e: Throwable => Left("pdf_parse_failed:" + e.getClass.getSimpleName)
@@ -510,10 +550,9 @@ object PdfParser {
       } else { lx.pos = save; body }
     }
 
-    /** Decode a stream through its filter chain (raw / Flate / ASCIIHex),
-      * honoring per-filter /DecodeParms predictors (TIFF + PNG row
-      * filters — xref streams are almost always Flate + /Predictor 12). */
-    def decodeStream(st: PStream): Array[Byte] = {
+    /** A stream's /Filter chain in decode order, each with its
+      * /DecodeParms (or /DP) entry aligned per the spec's array form. */
+    def filterChain(st: PStream): Vector[(String, Option[PDict])] = {
       val filters: Vector[String] = resolve(st.dict.m.getOrElse("Filter", PNull)) match {
         case PNull        => Vector.empty
         case PName(f)     => Vector(f)
@@ -534,7 +573,17 @@ object PdfParser {
           case _           => Vector.fill(filters.length)(None)
         }
       }
-      filters.zip(parms).foldLeft(st.raw) { case (data, (f, parm)) =>
+      filters.zip(parms)
+    }
+
+    /** Decode a stream through its filter chain (raw / Flate / ASCIIHex),
+      * honoring per-filter /DecodeParms predictors (TIFF + PNG row
+      * filters — xref streams are almost always Flate + /Predictor 12). */
+    def decodeStream(st: PStream): Array[Byte] = applyFilters(st.raw, filterChain(st))
+
+    /** Run a (possibly partial) decode-ordered filter chain. */
+    def applyFilters(raw: Array[Byte], chain: Vector[(String, Option[PDict])]): Array[Byte] =
+      chain.foldLeft(raw) { case (data, (f, parm)) =>
         val decoded = f match {
           case "FlateDecode" | "Fl"     => inflate(data)
           case "ASCIIHexDecode" | "AHx" => asciiHex(data)
@@ -559,7 +608,6 @@ object PdfParser {
           case None => decoded
         }
       }
-    }
 
     /** Walk /Root → /Pages → /Kids with /MediaBox + /Rotate inheritance. */
     def pages(): Vector[PageObj] = {
@@ -628,6 +676,63 @@ object PdfParser {
         parts.foreach { p => out.write(p); out.write('\n') }
         out.toByteArray
       }
+    }
+
+    // ---------------------------------------------------------- images
+
+    /** All image XObjects reachable from a page's /Resources /XObject
+      * dict, recursing through Form XObjects (depth-limited). Name order
+      * within a dict is sorted for determinism; a single broken image is
+      * skipped rather than failing the page. */
+    def imagesOf(pg: PageObj, pageIdx: Int): Vector[PdfImage] = {
+      val out = Vector.newBuilder[PdfImage]
+      def walkRes(res: Option[PDict], depth: Int): Unit = {
+        if (depth > 8) return
+        res.map(r => resolve(r.m.getOrElse("XObject", PNull))) match {
+          case Some(xd: PDict) =>
+            xd.m.toVector.sortBy(_._1).foreach { case (name, ref) =>
+              try resolve(ref) match {
+                case st: PStream =>
+                  resolve(st.dict.m.getOrElse("Subtype", PNull)) match {
+                    case PName("Image") => out += decodeImage(name, st, pageIdx)
+                    case PName("Form") =>
+                      walkRes(resolve(st.dict.m.getOrElse("Resources", PNull)) match {
+                        case d: PDict => Some(d)
+                        case _        => None
+                      }, depth + 1)
+                    case _ => ()
+                  }
+                case _ => ()
+              } catch { case _: Throwable => () } // lenient per image
+            }
+          case _ => ()
+        }
+      }
+      walkRes(pg.resources, 0)
+      out.result()
+    }
+
+    /** Decode one image stream: strip every non-codec filter, stop at the
+      * first image codec (DCT/JPX/JBIG2/CCITT) and label the format. */
+    private def decodeImage(name: String, st: PStream, pageIdx: Int): PdfImage = {
+      def intOf(k: String, dflt: Int) = resolve(st.dict.m.getOrElse(k, PNull)) match {
+        case PNum(v) => v.toInt
+        case _       => dflt
+      }
+      val mask = resolve(st.dict.m.getOrElse("ImageMask", PNull)) == PBool(true)
+      val cs = resolve(st.dict.m.getOrElse("ColorSpace", PNull)) match {
+        case PName(n)                      => n
+        case PArr(items) if items.nonEmpty =>
+          resolve(items.head) match { case PName(n) => n; case _ => "unknown" }
+        case _                             => if (mask) "ImageMask" else "unknown"
+      }
+      val chain = filterChain(st)
+      val codecIdx = chain.indexWhere { case (f, _) => imageCodecs.contains(f) }
+      val (pre, fmt) =
+        if (codecIdx < 0) (chain, "raw")
+        else (chain.take(codecIdx), imageCodecs(chain(codecIdx)._1))
+      PdfImage(pageIdx, name, fmt, intOf("Width", 0), intOf("Height", 0), cs,
+        intOf("BitsPerComponent", if (mask) 1 else 8), applyFilters(st.raw, pre))
     }
 
     // ---------------------------------------------------------- fonts

@@ -23,11 +23,35 @@ object PdfWriter {
   case object RunLengthF extends Filter { val name = "RunLengthDecode" }
   case object LzwF extends Filter { val name = "LZWDecode" }
 
+  /** How an image XObject's payload is stored. The codec filter (if any)
+    * sits LAST in the /Filter chain; the payload bytes are already in
+    * codec form (a DCTDecode payload IS a JPEG file) since this writer —
+    * like the parser — never rasterizes. */
+  sealed trait ImageCodec { def filterName: Option[String] }
+  case object RawSamples extends ImageCodec { val filterName: Option[String] = None }
+  case object DctCodec extends ImageCodec { val filterName: Option[String] = Some("DCTDecode") }
+  case object JpxCodec extends ImageCodec { val filterName: Option[String] = Some("JPXDecode") }
+  case object Jbig2Codec extends ImageCodec { val filterName: Option[String] = Some("JBIG2Decode") }
+  case object CcittCodec extends ImageCodec { val filterName: Option[String] = Some("CCITTFaxDecode") }
+
+  /** One embedded image on a page: `payload` is the codec-form bytes
+    * (raw samples for [[RawSamples]]); `outerFilters` wrap the payload in
+    * additional decode-order filters (e.g. Flate over DCT, as some
+    * generators emit). */
+  final case class ImageSpec(
+      width: Int, height: Int,
+      codec: ImageCodec,
+      payload: Array[Byte],
+      colorSpace: String = "DeviceRGB",
+      bitsPerComponent: Int = 8,
+      outerFilters: Vector[Filter] = Vector.empty)
+
   final case class PageSpec(
       columns: Vector[Vector[String]], // 1 or 2 columns of text lines
       rotate: Int = 0,                 // 0 / 90 / 180 / 270
       compress: Boolean = false,       // legacy shorthand for Vector(FlateF)
-      filters: Vector[Filter] = Vector.empty) {
+      filters: Vector[Filter] = Vector.empty,
+      images: Vector[ImageSpec] = Vector.empty) {
     def effectiveFilters: Vector[Filter] =
       if (filters.nonEmpty) filters else if (compress) Vector(FlateF) else Vector.empty
   }
@@ -174,7 +198,8 @@ object PdfWriter {
         })
   }
 
-  private def contentStream(spec: PageSpec, encLine: String => String): Array[Byte] = {
+  private def contentStream(spec: PageSpec, encLine: String => String,
+      trailerOps: String = ""): Array[Byte] = {
     val sb = new StringBuilder
     val colX = if (spec.columns.length == 2) Vector(margin, pageW / 2 + 18) else Vector(margin)
     spec.columns.zipWithIndex.foreach { case (lines, ci) =>
@@ -187,6 +212,7 @@ object PdfWriter {
       }
       sb.append("ET\n")
     }
+    sb.append(trailerOps)
     val raw = sb.toString.getBytes(ISO_8859_1)
     encodeFilters(raw, spec.effectiveFilters)
   }
@@ -358,12 +384,21 @@ object PdfWriter {
 
     // object numbering: 1 catalog, 2 pages, 3 font,
     // per page i: obj 4+2i page, obj 5+2i content; font extras appended;
-    // with formXObject, one form object per page after the extras
+    // with formXObject, one form object per page after the extras; image
+    // XObjects last, flattened in (page, image) order
     val nPages = pages.length
     val plan = planFont(pages, font)
     val extraBase = 3 + 2 * nPages + 1
     val formBase = extraBase + plan.extras.length
-    val total = 3 + 2 * nPages + plan.extras.length + (if (formXObject) nPages else 0)
+    val imgBase = formBase + (if (formXObject) nPages else 0)
+    val allImages: Vector[(Int, Int, ImageSpec)] =
+      pages.zipWithIndex.flatMap { case (p, i) =>
+        p.images.zipWithIndex.map { case (im, j) => (i, j, im) }
+      }
+    val imgObjNum: Map[(Int, Int), Int] =
+      allImages.zipWithIndex.map { case ((i, j, _), k) => (i, j) -> (imgBase + k) }.toMap
+    val total = 3 + 2 * nPages + plan.extras.length +
+      (if (formXObject) nPages else 0) + allImages.length
 
     val catalogBody = "<< /Type /Catalog /Pages 2 0 R >>"
     val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
@@ -372,19 +407,39 @@ object PdfWriter {
     val fontBody = plan.fontBody(extraBase)
     def pageBody(spec: PageSpec, contObj: Int, pageIdx: Int): String = {
       val rot = if (spec.rotate != 0) s" /Rotate ${spec.rotate}" else ""
-      val res =
-        if (formXObject) s"<< /XObject << /FX0 ${formBase + pageIdx} 0 R >> >>"
-        else "<< /Font << /F1 3 0 R >> >>"
-      s"<< /Type /Page /Parent 2 0 R /Resources $res /Contents $contObj 0 R$rot >>"
+      val imgEntries = spec.images.indices
+        .map(j => s"/Im$j ${imgObjNum((pageIdx, j))} 0 R").mkString(" ")
+      val xobjEntries =
+        ((if (formXObject) Seq(s"/FX0 ${formBase + pageIdx} 0 R") else Nil) ++
+          (if (imgEntries.nonEmpty) Seq(imgEntries) else Nil)).mkString(" ")
+      val fontPart = if (formXObject) "" else "/Font << /F1 3 0 R >> "
+      val xobjPart = if (xobjEntries.nonEmpty) s"/XObject << $xobjEntries >> " else ""
+      s"<< /Type /Page /Parent 2 0 R /Resources << $fontPart$xobjPart>> /Contents $contObj 0 R$rot >>"
     }
+    // images painted after the text: unit square scaled to w x h (PDF 8.9.4)
+    def imageOps(spec: PageSpec): String =
+      spec.images.zipWithIndex.map { case (im, j) =>
+        s"q ${im.width} 0 0 ${im.height} $margin ${margin + 8 * j} cm /Im$j Do Q\n"
+      }.mkString
     // with forms: the page stream is a stub `Do`; the form holds the text,
     // its own font resources, and a translation matrix (offset exercised)
-    val formStub = "q /FX0 Do Q\n".getBytes(ISO_8859_1)
     def formDictExtra(filters: Vector[Filter]): String =
       s" /Type /XObject /Subtype /Form /Matrix [1 0 0 1 6 -8] /BBox [0 0 $pageW $pageH]" +
         s" /Resources << /Font << /F1 3 0 R >> >>${filterEntry(filters)}"
     def pageData(spec: PageSpec): Array[Byte] =
-      if (formXObject) formStub else contentStream(spec, plan.encLine)
+      if (formXObject) ("q /FX0 Do Q\n" + imageOps(spec)).getBytes(ISO_8859_1)
+      else contentStream(spec, plan.encLine, imageOps(spec))
+    def imageDictExtra(im: ImageSpec): String = {
+      val names = im.outerFilters.map(_.name) ++ im.codec.filterName
+      val f = names match {
+        case Seq()  => ""
+        case Seq(n) => s" /Filter /$n"
+        case ns     => ns.map("/" + _).mkString(" /Filter [", " ", "]")
+      }
+      s" /Type /XObject /Subtype /Image /Width ${im.width} /Height ${im.height}" +
+        s" /ColorSpace /${im.colorSpace} /BitsPerComponent ${im.bitsPerComponent}$f"
+    }
+    def imageData(im: ImageSpec): Array[Byte] = encodeFilters(im.payload, im.outerFilters)
 
     flavor match {
       case Classic =>
@@ -418,6 +473,13 @@ object PdfWriter {
           beginObj(formBase + i)
           val data = contentStream(spec, plan.encLine)
           w(s"<< /Length ${data.length}${formDictExtra(spec.effectiveFilters)} >>\nstream\n")
+          out.write(data)
+          w("\nendstream\nendobj\n")
+        }
+        allImages.zipWithIndex.foreach { case ((_, _, im), k) =>
+          beginObj(imgBase + k)
+          val data = imageData(im)
+          w(s"<< /Length ${data.length}${imageDictExtra(im)} >>\nstream\n")
           out.write(data)
           w("\nendstream\nendobj\n")
         }
@@ -478,6 +540,9 @@ object PdfWriter {
         if (formXObject) pages.zipWithIndex.foreach { case (spec, i) =>
           val data = contentStream(spec, plan.encLine)
           streamObj(formBase + i, formDictExtra(spec.effectiveFilters), data)
+        }
+        allImages.zipWithIndex.foreach { case ((_, _, im), k) =>
+          streamObj(imgBase + k, imageDictExtra(im), imageData(im))
         }
 
         // the xref stream object: W [1 4 2], entries 0..xrefNum

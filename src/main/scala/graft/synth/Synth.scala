@@ -234,6 +234,32 @@ object Synth {
     }
   }
 
+  /** Deterministic opaque bytes: xorshift body between an optional magic
+    * prefix/suffix, padded to exactly `len` (or the magic length if larger).
+    * Seeded per call — safe to regenerate independently on any executor. */
+  def detBytes(seed: Long, len: Int,
+      prefix: Array[Byte] = Array.emptyByteArray,
+      suffix: Array[Byte] = Array.emptyByteArray): Array[Byte] = {
+    val out = new Array[Byte](math.max(len, prefix.length + suffix.length))
+    System.arraycopy(prefix, 0, out, 0, prefix.length)
+    System.arraycopy(suffix, 0, out, out.length - suffix.length, suffix.length)
+    var x = seed | 1L
+    var i = prefix.length
+    while (i < out.length - suffix.length) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      out(i) = (x & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  /** Deterministic fake JPEG: real SOI/APP0 + EOI markers around seeded
+    * filler — enough structure for magic-byte sniffing, zero codec work. */
+  def fakeJpeg(seed: Long, len: Int): Array[Byte] =
+    detBytes(seed, len,
+      Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte),
+      Array(0xff, 0xd9).map(_.toByte))
+
   /** Materialize [0, n) as a distributed Dataset — generation happens on the
     * executors (each row independently seeded), so corpus size is bounded by
     * cluster storage, not driver memory. */

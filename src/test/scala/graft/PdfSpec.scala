@@ -229,6 +229,94 @@ class PdfSpec extends AnyFunSuite {
     assert(txt.isRight && !txt.toOption.get.contains("AB"), txt.toString)
   }
 
+  // deterministic fake JPEG: real SOI/APP0 + EOI magic around seeded bytes
+  private def fakeJpeg(seed: Long, len: Int): Array[Byte] = {
+    val out = new Array[Byte](math.max(len, 8))
+    val magic = Array(0xff, 0xd8, 0xff, 0xe0).map(_.toByte)
+    System.arraycopy(magic, 0, out, 0, 4)
+    var x = seed | 1L
+    var i = 4
+    while (i < out.length - 2) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      out(i) = (x & 0xff).toByte
+      i += 1
+    }
+    out(out.length - 2) = 0xff.toByte; out(out.length - 1) = 0xd9.toByte
+    out
+  }
+
+  test("embedded images round-trip: DCT bytes ship undecoded, raw samples fully decoded") {
+    val jpeg = fakeJpeg(7L, 300)
+    val samples = Array.tabulate(16 * 8 * 3)(i => (i * 31 & 0xff).toByte)
+    val page = PageSpec(Vector(Vector("text above a figure")), images = Vector(
+      PdfWriter.ImageSpec(40, 30, PdfWriter.DctCodec, jpeg),
+      // raw samples stored Flate-compressed: parser must fully decode
+      PdfWriter.ImageSpec(16, 8, PdfWriter.RawSamples, samples,
+        outerFilters = Vector(PdfWriter.FlateF))))
+    val pdf = PdfWriter.write(Vector(page))
+    // text extraction is unaffected by the images
+    assert(PdfParser.parse(pdf).map(_.text) == Right("text above a figure"))
+    val imgs = PdfParser.extractImages(pdf).toOption.get
+    assert(imgs.map(i => (i.page, i.name, i.format, i.width, i.height, i.colorSpace, i.bitsPerComponent)) ==
+      Vector((0, "Im0", "jpeg", 40, 30, "DeviceRGB", 8), (0, "Im1", "raw", 16, 8, "DeviceRGB", 8)))
+    assert(java.util.Arrays.equals(imgs(0).data, jpeg), "DCT payload must pass through byte-identical")
+    assert(java.util.Arrays.equals(imgs(1).data, samples), "flate-wrapped raw samples must decode")
+  }
+
+  test("Flate-over-DCT chain strips the outer filter and keeps the JPEG bytes") {
+    val jpeg = fakeJpeg(11L, 220)
+    val page = PageSpec(Vector(Vector("x")), images = Vector(
+      PdfWriter.ImageSpec(20, 20, PdfWriter.DctCodec, jpeg,
+        outerFilters = Vector(PdfWriter.FlateF))))
+    val imgs = PdfParser.extractImages(PdfWriter.write(Vector(page))).toOption.get
+    assert(imgs.map(_.format) == Vector("jpeg"))
+    assert(java.util.Arrays.equals(imgs(0).data, jpeg))
+  }
+
+  test("jp2/jbig2/ccitt payloads are classified and shipped undecoded") {
+    val p1 = Array.tabulate(64)(i => (i * 7).toByte)
+    val p2 = Array.tabulate(48)(i => (i * 11).toByte)
+    val p3 = Array.tabulate(32)(i => (i * 13).toByte)
+    val page = PageSpec(Vector(Vector("x")), images = Vector(
+      PdfWriter.ImageSpec(10, 10, PdfWriter.JpxCodec, p1),
+      PdfWriter.ImageSpec(12, 6, PdfWriter.Jbig2Codec, p2, colorSpace = "DeviceGray",
+        bitsPerComponent = 1),
+      PdfWriter.ImageSpec(8, 4, PdfWriter.CcittCodec, p3, colorSpace = "DeviceGray",
+        bitsPerComponent = 1)))
+    val imgs = PdfParser.extractImages(PdfWriter.write(Vector(page))).toOption.get
+    assert(imgs.map(i => (i.format, i.colorSpace, i.bitsPerComponent)) ==
+      Vector(("jp2", "DeviceRGB", 8), ("jbig2", "DeviceGray", 1), ("ccitt", "DeviceGray", 1)))
+    assert(java.util.Arrays.equals(imgs(0).data, p1))
+    assert(java.util.Arrays.equals(imgs(1).data, p2))
+    assert(java.util.Arrays.equals(imgs(2).data, p3))
+  }
+
+  test("images compose with xref-stream/objstm containers and form-XObject pages") {
+    val jpeg = fakeJpeg(13L, 150)
+    val pages = Vector(
+      PageSpec(Vector(Vector("page one")), images = Vector(
+        PdfWriter.ImageSpec(30, 20, PdfWriter.DctCodec, jpeg))),
+      PageSpec(Vector(Vector("page two no images"))))
+    for (flavor <- Seq(PdfWriter.Classic, PdfWriter.XrefStream(objStm = true, predictor = true));
+         form <- Seq(false, true)) {
+      val pdf = PdfWriter.write(pages, flavor, PdfWriter.WinAnsiFont, formXObject = form)
+      assert(PdfParser.parse(pdf).map(_.text) == Right("page one\n\npage two no images"),
+        s"text under $flavor form=$form")
+      val imgs = PdfParser.extractImages(pdf).toOption.get
+      assert(imgs.map(i => (i.page, i.format)) == Vector((0, "jpeg")), s"imgs under $flavor form=$form")
+      assert(java.util.Arrays.equals(imgs(0).data, jpeg))
+    }
+  }
+
+  test("text-empty PDF with images is labeled pdf_image_only (scanned), not pdf_no_text") {
+    val scanned = PdfWriter.write(Vector(PageSpec(Vector(Vector()), images = Vector(
+      PdfWriter.ImageSpec(612, 792, PdfWriter.DctCodec, fakeJpeg(5L, 400))))))
+    val ext = graft.extract.Extractor.extract("scan.pdf", scanned)
+    assert(ext.status == "error" && ext.error == "pdf_image_only" && ext.pages == 1)
+    val blank = PdfWriter.write(Vector(PageSpec(Vector(Vector()))))
+    assert(graft.extract.Extractor.extract("blank.pdf", blank).error == "pdf_no_text")
+  }
+
   test("/Encoding /Differences maps AGL names and uniXXXX back to chars") {
     val lines = Vector("Café — naïve • done", "Ωmega via uni03A9")
     val pdf = PdfWriter.write(Vector(PageSpec(Vector(lines))), font = PdfWriter.DifferencesFont)
