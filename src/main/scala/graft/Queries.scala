@@ -568,6 +568,55 @@ object Queries {
           length(col("data")).cast("long").as("nbytes"))
     }),
 
+    // Gopher-style repetition filters (Rae et al. 2021 §A1.1), ORACLED:
+    // the multi-line view is constructed identically on both sides (line 1
+    // repeated doc_id%3 extra times), then BOTH engines compute the stats
+    // GENERICALLY — distinct-line counting, per-gram grouping, top-gram
+    // tiebreak (count desc, gram asc) — so the kernel is checked against
+    // an independent SQL implementation, not a closed form. Narrow per-row
+    // kernel: no shuffle at any scale.
+    "q43_repetition" -> ((s, dir) => {
+      val rep = udf((ld: String, t: String) => graft.ops.TextOps.repetitionStats(ld, t))
+      val l1 = substring(col("text"), 1, 60)
+      val l2 = substring(col("text"), 61, 60)
+      val rep1 = concat(l1, lit("\n"))
+      val extra = when(col("doc_id") % 3 === 1, rep1)
+        .when(col("doc_id") % 3 === 2, concat(rep1, rep1))
+        .otherwise(lit(""))
+      val ld = concat(l1, lit("\n"), l2, lit("\n"), extra)
+      docs(s, dir).filter(col("doc_id") < 60)
+        .select(col("doc_id"), rep(ld, col("text")).as("r"))
+        .select(col("doc_id"), col("r.dup_line_frac"), col("r.dup_line_char_frac"),
+          col("r.top_2gram_frac"), col("r.top_3gram_frac"),
+          (col("r.dup_line_frac") <= 0.3 && col("r.top_2gram_frac") <= 0.2 &&
+            col("r.top_3gram_frac") <= 0.18).as("gopher_pass"))
+    }),
+
+    // PII redaction (C4/RefinedWeb-style), ORACLED: PII is injected
+    // deterministically on both sides (emails/phone/IPv4, multiplicity and
+    // a clean slice varying by doc_id), then both engines redact with the
+    // same RE2-safe patterns and count matches. Pure codegen'd
+    // regexp_replace chain — no UDF, no shuffle.
+    "q44_pii_redact" -> ((s, dir) => {
+      val base = substring(col("text"), 1, 40)
+      val em = concat(lit(" mail user"), col("doc_id").cast("string"), lit("@ex"),
+        (col("doc_id") % 5).cast("string"), lit(".com"))
+      val ph = concat(lit(" tel 555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"))
+      val ip = concat(lit(" ip 10."), (col("doc_id") % 256).cast("string"), lit(".0."),
+        (col("doc_id") % 100).cast("string"))
+      val injected = when(col("doc_id") % 5 === 0, base)
+        .otherwise(concat(base, em,
+          when(col("doc_id") % 2 === 1, em).otherwise(lit("")),
+          ph, ip, lit(" end")))
+      docs(s, dir).filter(col("doc_id") < 80)
+        .select(col("doc_id"), injected.as("t"))
+        .select(col("doc_id"),
+          graft.ops.TextOps.redactPii(col("t")).as("redacted"),
+          graft.ops.TextOps.piiCounts(col("t")).as("p"))
+        .select(col("doc_id"), col("redacted"),
+          col("p.n_emails"), col("p.n_phones"), col("p.n_ips"))
+    }),
+
     // Scanned-vs-text split, ORACLED: the same synthetic corpus through
     // the REAL Extractor — text-bearing docs come out status='ok', the
     // image-only slice (doc_id % 7 == 0) must be labeled pdf_image_only
@@ -1182,6 +1231,72 @@ object Queries {
         |    WHEN 2 THEN 32 + (doc_id * 7 + j) % 64
         |    ELSE 16 + (doc_id * 11 + j * 5) % 32 END AS BIGINT) AS nbytes
         |FROM ex""".stripMargin,
+
+    // q43: independent generic SQL implementation of the repetition stats
+    "q43_repetition" ->
+      """WITH base AS (
+        |  SELECT doc_id, trim(text) AS t,
+        |    substr(text, 1, 60) || chr(10) || substr(text, 61, 60) || chr(10) ||
+        |      repeat(substr(text, 1, 60) || chr(10), CAST(doc_id % 3 AS INT)) AS ld
+        |  FROM documents WHERE doc_id < 60),
+        |lc AS (
+        |  SELECT doc_id, line, count(*) AS cnt FROM (
+        |    SELECT doc_id, unnest(list_filter(split(ld, chr(10)), l -> l <> '')) AS line
+        |    FROM base)
+        |  GROUP BY 1, 2),
+        |ls AS (
+        |  SELECT doc_id,
+        |    round(1 - count(*)::DOUBLE / sum(cnt), 6) AS dup_line_frac,
+        |    round(sum((cnt - 1) * length(line))::DOUBLE / sum(cnt * length(line)), 6) AS dup_line_char_frac
+        |  FROM lc GROUP BY doc_id),
+        |w AS (SELECT doc_id, t, regexp_split_to_array(t, '[ \t\n\r]+') AS ws FROM base),
+        |g2 AS (
+        |  SELECT doc_id, round(cnt * length(g)::DOUBLE / length(t), 6) AS f FROM (
+        |    SELECT doc_id, t, g, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM (SELECT doc_id, t, unnest([ws[i] || ' ' || ws[i+1] FOR i IN range(1, len(ws))]) AS g
+        |          FROM w WHERE len(ws) >= 2)
+        |    GROUP BY doc_id, t, g) WHERE rn = 1),
+        |g3 AS (
+        |  SELECT doc_id, round(cnt * length(g)::DOUBLE / length(t), 6) AS f FROM (
+        |    SELECT doc_id, t, g, count(*) AS cnt,
+        |      row_number() OVER (PARTITION BY doc_id ORDER BY count(*) DESC, g ASC) AS rn
+        |    FROM (SELECT doc_id, t,
+        |            unnest([ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] FOR i IN range(1, len(ws) - 1)]) AS g
+        |          FROM w WHERE len(ws) >= 3)
+        |    GROUP BY doc_id, t, g) WHERE rn = 1)
+        |SELECT b.doc_id, ls.dup_line_frac, ls.dup_line_char_frac,
+        |  coalesce(g2.f, 0) AS top_2gram_frac, coalesce(g3.f, 0) AS top_3gram_frac,
+        |  (ls.dup_line_frac <= 0.3 AND coalesce(g2.f, 0) <= 0.2
+        |    AND coalesce(g3.f, 0) <= 0.18) AS gopher_pass
+        |FROM base b
+        |JOIN ls ON b.doc_id = ls.doc_id
+        |LEFT JOIN g2 ON b.doc_id = g2.doc_id
+        |LEFT JOIN g3 ON b.doc_id = g3.doc_id""".stripMargin,
+
+    // q44: identical injection + RE2 redaction with the 'g' flag
+    "q44_pii_redact" ->
+      """WITH base AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 0 THEN substr(text, 1, 40)
+        |    ELSE substr(text, 1, 40)
+        |      || ' mail user' || doc_id || '@ex' || (doc_id % 5) || '.com'
+        |      || CASE WHEN doc_id % 2 = 1
+        |           THEN ' mail user' || doc_id || '@ex' || (doc_id % 5) || '.com'
+        |           ELSE '' END
+        |      || ' tel 555-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        |      || ' ip 10.' || (doc_id % 256) || '.0.' || (doc_id % 100)
+        |      || ' end' END AS t
+        |  FROM documents WHERE doc_id < 80)
+        |SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(t,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{3}-\d{4}\b', '<PHONE>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted,
+        |  len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        |  len(regexp_extract_all(t, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phones,
+        |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips
+        |FROM base""".stripMargin,
 
     // q42: the doc_id % 7 == 0 slice is image-only by construction
     "q42_scanned_split" ->

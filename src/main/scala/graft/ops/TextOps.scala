@@ -76,6 +76,75 @@ object TextOps {
     size(filter(hashes, h => pmod(h, lit(mask + 1)) === 0L)).cast("long")
   }
 
+  /** Gopher-style repetition statistics (Rae et al. 2021 §A1.1, public):
+    * duplicate-line fraction, duplicate-line CHARACTER fraction, and the
+    * fraction of characters covered by the single most frequent word
+    * 2-/3-gram. One pass per document in a Scala kernel (the grouping a
+    * top-n-gram needs makes this a multi-pass HOF — the measured
+    * Catalyst-HOF re-evaluation hazard, see CLAUDE.md — while the kernel
+    * is narrow per-row work: no shuffle, scale-free). Word boundary is
+    * the explicit [ \t\n\r] class and the top gram ties break (count
+    * desc, gram asc) so the DuckDB replay is exact; fixture corpora are
+    * ASCII, where Java UTF-16 and DuckDB codepoint lengths agree. */
+  final case class RepStats(dup_line_frac: Double, dup_line_char_frac: Double,
+      top_2gram_frac: Double, top_3gram_frac: Double)
+
+  def repetitionStats(linesDoc: String, text: String): RepStats = {
+    // half-up like Spark/DuckDB round() (rint would round half-to-even)
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val lines = (if (linesDoc == null) "" else linesDoc).split('\n').filter(_.nonEmpty)
+    val (dlf, dlcf) =
+      if (lines.isEmpty) (0.0, 0.0)
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        lines.foreach(l => counts(l) = counts.getOrElse(l, 0) + 1)
+        val totalChars = lines.iterator.map(_.length.toLong).sum
+        val dupChars = counts.iterator.map { case (l, c) => (c - 1).toLong * l.length }.sum
+        (r6(1.0 - counts.size.toDouble / lines.length),
+          r6(dupChars.toDouble / totalChars))
+      }
+    val t = (if (text == null) "" else text).trim
+    val ws = if (t.isEmpty) Array.empty[String] else t.split("[ \t\n\r]+")
+    def topFrac(n: Int): Double =
+      if (ws.length < n) 0.0
+      else {
+        val counts = scala.collection.mutable.HashMap.empty[String, Int]
+        var i = 0
+        while (i + n <= ws.length) {
+          val g = ws.slice(i, i + n).mkString(" ")
+          counts(g) = counts.getOrElse(g, 0) + 1
+          i += 1
+        }
+        val (g, c) = counts.minBy { case (g, c) => (-c, g) }
+        r6(c.toDouble * g.length / t.length)
+      }
+    RepStats(dlf, dlcf, topFrac(2), topFrac(3))
+  }
+
+  // PII patterns chosen to behave identically under Java regex (Spark)
+  // and RE2 (DuckDB): character classes, bounded repetition, \b only.
+  private val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val phoneRe = "\\b\\d{3}-\\d{4}\\b"
+  private val ipRe = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** PII redaction (C4/RefinedWeb-style): emails, phone numbers, IPv4
+    * addresses → typed placeholder tokens. Pure Column DSL — three
+    * codegen'd regexp_replace passes, no UDF, no shuffle. Order matters:
+    * emails first (their domains contain dots that the IP pattern could
+    * otherwise nibble). */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        phoneRe, "<PHONE>"),
+      ipRe, "<IP>")
+
+  /** Per-category PII match counts (audit trail for the redaction). */
+  def piiCounts(text: Column): Column = struct(
+    size(regexp_extract_all(text, lit(emailRe), lit(0))).cast("long").as("n_emails"),
+    size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
+    size(regexp_extract_all(text, lit(ipRe), lit(0))).cast("long").as("n_ips"))
+
   /** Stopword-profile language id over a fixed public stopword table.
     * Scores = occurrence counts of per-language marker words; argmax with
     * a deterministic preference order on ties. */

@@ -288,6 +288,39 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(1) > r.getLong(0)) // punctuation splits add tokens
   }
 
+  test("repetitionStats: hand-computed fractions, tie-break, degenerate inputs") {
+    // lines: a,b,a,a  → 4 lines, 2 distinct → dup_line_frac = 0.5;
+    // dup chars = 2 extra copies of "aa" (2 chars) = 4 of total 2+3+2+2=9
+    val r = TextOps.repetitionStats("aa\nbbb\naa\naa", "x y x y x z")
+    assert(r.dup_line_frac == 0.5)
+    assert(r.dup_line_char_frac == math.floor(4.0 / 9 * 1e6 + 0.5) / 1e6)
+    // 2-grams: "x y"x2, "y x"x2, "y x"... text = "x y x y x z": grams
+    // x y, y x, x y, y x, x z → top by (cnt desc, gram asc) = "x y" (2)
+    // frac = 2*3/11
+    assert(r.top_2gram_frac == math.floor(6.0 / 11 * 1e6 + 0.5) / 1e6)
+    // 3-grams: "x y x"x2, "y x y", "y x z" → top "x y x" frac 2*5/11
+    assert(r.top_3gram_frac == math.floor(10.0 / 11 * 1e6 + 0.5) / 1e6)
+    val e = TextOps.repetitionStats("", "")
+    assert(e == TextOps.RepStats(0, 0, 0, 0))
+    assert(TextOps.repetitionStats(null, null) == TextOps.RepStats(0, 0, 0, 0))
+    // fewer words than n → 0
+    assert(TextOps.repetitionStats("one", "word").top_2gram_frac == 0.0)
+  }
+
+  test("redactPii replaces all occurrences and piiCounts matches") {
+    val t = "write a@b.com or c.d+x@e-f.org, call 555-0199 or 555-0200, host 10.0.0.1 done 1.2.3.4"
+    val row = Seq(Tuple1(t)).toDF("t")
+      .select(TextOps.redactPii($"t").as("r"), TextOps.piiCounts($"t").as("p"))
+      .select($"r", $"p.n_emails", $"p.n_phones", $"p.n_ips").collect().head
+    assert(row.getString(0) ==
+      "write <EMAIL> or <EMAIL>, call <PHONE> or <PHONE>, host <IP> done <IP>")
+    assert((row.getLong(1), row.getLong(2), row.getLong(3)) == ((2L, 2L, 2L)))
+    // no PII → unchanged
+    val clean = Seq(Tuple1("plain words only")).toDF("t")
+      .select(TextOps.redactPii($"t")).collect().head.getString(0)
+    assert(clean == "plain words only")
+  }
+
   test("multimodal: decode round-trips header, malformed rows are error-data, frames sample") {
     val media = Multimodal.mediaDs(spark, 60L)
     val feats = Multimodal.decodeFeatures(media).collect()
