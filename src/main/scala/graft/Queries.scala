@@ -617,6 +617,42 @@ object Queries {
           col("p.n_emails"), col("p.n_phones"), col("p.n_ips"))
     }),
 
+    // As-of join (temporal operator Spark lacks natively), ORACLED against
+    // DuckDB's native ASOF JOIN — a genuinely independent implementation.
+    // Spark shape: union-tag + ONE window pass per key (one shuffle, no
+    // range/theta join, no pair blowup) — the log-merge formulation that
+    // survives 10^9 rows; fixture has no (user_id, ts) dups so the match
+    // is deterministic on both engines.
+    "q45_asof" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("user_id"), col("ts"),
+          col("event_id").as("prior_event_id"), col("value").as("prior_value"))
+      graft.ops.Temporal.asOfJoin(clicks, views, "user_id", "ts",
+          Seq("prior_event_id", "prior_value"))
+        .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts").cast("timestamp")).as("ts_us"), // NTZ fixture, UTC session
+          col("asof_prior_event_id").as("prior_event_id"),
+          col("asof_prior_value").as("prior_value"))
+    }),
+
+    // Range-join count, ORACLED against a plain DuckDB range join: for
+    // each error event, purchases by the same user within ±10 minutes.
+    // Spark shape: tolerance-width time bins + 3-bin probe EQUI-join +
+    // exact predicate — one hash-join shuffle, never a nested loop.
+    "q46_range_join" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val errors = ev.where(col("event_type") === "error")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"))
+      graft.ops.Temporal.rangeJoinCount(errors, purchases, "user_id", "ts",
+          600000000L) // 10 min in micros
+        .select(col("event_id"), col("user_id"), col("cnt"))
+    }),
+
     // Scanned-vs-text split, ORACLED: the same synthetic corpus through
     // the REAL Extractor — text-bearing docs come out status='ok', the
     // image-only slice (doc_id % 7 == 0) must be labeled pdf_image_only
@@ -1297,6 +1333,24 @@ object Queries {
         |  len(regexp_extract_all(t, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phones,
         |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips
         |FROM base""".stripMargin,
+
+    // q45: DuckDB's native ASOF JOIN as the independent implementation
+    "q45_asof" ->
+      """SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us,
+        |  r.prior_event_id, r.prior_value
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') l
+        |ASOF JOIN (SELECT user_id, ts, event_id AS prior_event_id, value AS prior_value
+        |           FROM events WHERE event_type = 'view') r
+        |ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // q46: plain range join (fine at oracle scale; the Spark side must
+    // reach the same counts via the binned equi-join)
+    "q46_range_join" ->
+      """SELECT l.event_id, l.user_id, count(r.user_id)::BIGINT AS cnt
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'error') l
+        |LEFT JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') r
+        |  ON l.user_id = r.user_id AND abs(epoch_us(l.ts) - epoch_us(r.ts)) <= 600000000
+        |GROUP BY l.event_id, l.user_id""".stripMargin,
 
     // q42: the doc_id % 7 == 0 slice is image-only by construction
     "q42_scanned_split" ->

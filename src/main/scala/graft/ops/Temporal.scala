@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins Spark lacks as built-ins, in their scale-correct
+  * shapes. Both avoid the naive range/theta join (which Catalyst executes
+  * as a nested-loop or cartesian — unusable at 10⁹ rows):
+  *
+  *  - as-of join: union-tag both sides and take one window pass per key
+  *    (the standard log-merge formulation). ONE shuffle total, on the key;
+  *    wire cost is the two inputs, never a pair blowup.
+  *  - range join: quantize timestamps to tolerance-width bins, probe the
+  *    three adjacent bins with an EQUI-join, then apply the exact
+  *    predicate. One hash-join shuffle; each (left,right) pair is seen
+  *    exactly once (a right row lands in one bin, probed by one of the
+  *    left row's three bins).
+  */
+object Temporal {
+
+  /** Left as-of join: for each left row, the latest right row with
+    * `right.ts <= left.ts` for the same key (DuckDB `ASOF JOIN`
+    * semantics). Right rows must carry `keyCol`/`tsCol` under the same
+    * names; their `rightCols` come back prefixed `asof_` (null when
+    * nothing precedes). Ties at identical (key, ts): right side wins over
+    * left (<= semantics), equal-ts right rows break by struct field
+    * order, greatest last. */
+  def asOfJoinLeft(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame = {
+    val lStruct = struct(left.columns.toSeq.map(col): _*)
+    val rStruct = struct(rightCols.map(col): _*)
+    val lType = left.select(lStruct).schema.head.dataType
+    val rType = right.select(rStruct).schema.head.dataType
+    val lU = left.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lStruct.as("__l"), lit(null).cast(rType).as("__r"), lit(1).as("__side"))
+    val rU = right.select(col(keyCol).as("__k"), col(tsCol).as("__ts"),
+      lit(null).cast(lType).as("__l"), rStruct.as("__r"), lit(0).as("__side"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__r"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .where(col("__side") === 1)
+      .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)) ++
+        rightCols.map(c => col(s"__m.$c").as(s"asof_$c")): _*)
+  }
+
+  /** Inner as-of join: left rows with no preceding right row drop out. */
+  def asOfJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, rightCols: Seq[String]): DataFrame =
+    asOfJoinLeft(left, right, keyCol, tsCol, rightCols)
+      .where(col(s"asof_${rightCols.head}").isNotNull)
+
+  /** Range-join count: for each left row, how many right rows share the
+    * key and sit within `tolUs` microseconds of its timestamp (inclusive
+    * both ends). Zero-match left rows are kept with cnt 0. */
+  def rangeJoinCount(left: DataFrame, right: DataFrame, keyCol: String,
+      tsCol: String, tolUs: Long): DataFrame = {
+    require(tolUs > 0, "tolerance must be positive")
+    // cast covers TIMESTAMP_NTZ fixtures: with a UTC session the cast
+    // reinterprets the wall clock as UTC (exact, same reading DuckDB takes)
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val lBin = floor(us(col(tsCol)) / tolUs)
+    val l = left.select(col(keyCol).as("__k"), us(col(tsCol)).as("__lus"),
+        struct(left.columns.toSeq.map(col): _*).as("__l"),
+        explode(array(lBin - 1, lBin, lBin + 1)).as("__bin"))
+    val r = right.select(col(keyCol).as("__rk"), us(col(tsCol)).as("__rus"),
+        floor(us(col(tsCol)) / tolUs).as("__rbin"))
+    l.join(r, l("__k") === r("__rk") && l("__bin") === r("__rbin"), "left_outer")
+      .groupBy(col("__l"))
+      .agg(sum(when(col("__rus").isNotNull &&
+        abs(col("__rus") - col("__lus")) <= tolUs, 1L).otherwise(0L)).as("cnt"))
+      .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)) :+ col("cnt"): _*)
+  }
+}

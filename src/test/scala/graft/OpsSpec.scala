@@ -321,6 +321,44 @@ class OpsSpec extends AnyFunSuite {
     assert(clean == "plain words only")
   }
 
+  test("asOfJoin: latest-preceding match per key, <= tie, null/no-match semantics") {
+    import graft.ops.Temporal
+    import java.sql.Timestamp
+    def t(ms: Long) = new Timestamp(ms)
+    val left = Seq((1L, 10L, t(1000)), (2L, 10L, t(2000)), (3L, 10L, t(500)),
+      (4L, 20L, t(5000))).toDF("id", "k", "ts")
+    val right = Seq((100L, 10L, t(1000), 1.5), (101L, 10L, t(1500), 2.5),
+      (102L, 30L, t(100), 9.9)).toDF("rid", "k", "ts", "v")
+      .select($"k", $"ts", $"rid", $"v")
+    val out = Temporal.asOfJoinLeft(left, right, "k", "ts", Seq("rid", "v"))
+      .collect().map(r => r.getLong(0) -> (Option(r.get(3)), Option(r.get(4)))).toMap
+    assert(out(1L) == ((Some(100L), Some(1.5)))) // equal ts matches (<=)
+    assert(out(2L) == ((Some(101L), Some(2.5)))) // latest preceding wins
+    assert(out(3L) == ((None, None)))            // nothing precedes
+    assert(out(4L) == ((None, None)))            // key has no right rows
+    val inner = Temporal.asOfJoin(left, right, "k", "ts", Seq("rid", "v"))
+    assert(inner.select("id").as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("rangeJoinCount: inclusive tolerance, zero-match rows kept, no double count") {
+    import graft.ops.Temporal
+    import java.sql.Timestamp
+    def t(us: Long) = new Timestamp(us / 1000) // ms precision is enough here
+    val tol = 1000000L // 1s in micros
+    val left = Seq((1L, 10L, t(10000000L)), (2L, 10L, t(50000000L)),
+      (3L, 20L, t(10000000L))).toDF("id", "k", "ts")
+    val right = Seq(
+      (10L, t(9000000L)),  // exactly -tol from left 1 → inclusive
+      (10L, t(10999000L)), // just inside +tol
+      (10L, t(11001000L)), // just outside
+      (10L, t(10000000L)), // exact match
+      (20L, t(20000000L))  // far from left 3
+    ).toDF("k", "ts")
+    val out = Temporal.rangeJoinCount(left, right, "k", "ts", tol)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
+  }
+
   test("multimodal: decode round-trips header, malformed rows are error-data, frames sample") {
     val media = Multimodal.mediaDs(spark, 60L)
     val feats = Multimodal.decodeFeatures(media).collect()
