@@ -617,6 +617,34 @@ object Queries {
           col("p.n_emails"), col("p.n_phones"), col("p.n_ips"))
     }),
 
+    // Near-dup cluster resolution, ORACLED: connected components over a
+    // deterministic pair graph (7-id stars bridged into longer chains by
+    // every-13th edges) — Spark computes them by iterative min-label
+    // propagation, DuckDB INDEPENDENTLY by a recursive-CTE transitive
+    // closure; matching (id, component) for every node proves convergence
+    // to the true components, not just a fixpoint of the iteration.
+    "q47_components" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select(col("doc_id"))
+      val star = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - col("doc_id") % 7).as("dst"))
+      val bridge = d.filter(col("doc_id") % 13 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      graft.ops.Curation.connectedComponents(star.union(bridge))
+        .select(col("id"), col("comp").as("component"))
+    }),
+
+    // Context-window chunking, ORACLED: 40-token chunks with 8-token
+    // overlap; DuckDB replays the slicing arithmetic over the same
+    // whitespace tokens. Narrow: split + transform + explode, no shuffle.
+    "q48_chunking" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 60)
+        .withColumn("ws", split(trim(col("text")), "[ \t\n\r]+"))
+        .select(col("doc_id"),
+          explode(graft.ops.TextOps.chunkTokens(col("ws"), 40, 8)).as("c"))
+        .select(col("doc_id"), col("c.chunk_idx").cast("long").as("chunk_idx"),
+          col("c.n_tokens"), col("c.chunk_text"))
+    }),
+
     // As-of join (temporal operator Spark lacks natively), ORACLED against
     // DuckDB's native ASOF JOIN — a genuinely independent implementation.
     // Spark shape: union-tag + ONE window pass per key (one shuffle, no
@@ -1333,6 +1361,37 @@ object Queries {
         |  len(regexp_extract_all(t, '\b\d{3}-\d{4}\b'))::BIGINT AS n_phones,
         |  len(regexp_extract_all(t, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))::BIGINT AS n_ips
         |FROM base""".stripMargin,
+
+    // q47: transitive closure via recursive CTE — an independent CC
+    // algorithm (the Spark side iterates min-label propagation)
+    "q47_components" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 200),
+        |ed AS (
+        |  SELECT doc_id AS src, doc_id - doc_id % 7 AS dst FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id - 1 FROM base WHERE doc_id % 13 = 0 AND doc_id > 0),
+        |e AS (SELECT src AS a, dst AS b FROM ed UNION SELECT dst, src FROM ed),
+        |reach AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b)
+        |SELECT id, min(r) AS component FROM reach GROUP BY id""".stripMargin,
+
+    // q48: same slicing arithmetic over the same whitespace tokens
+    "q48_chunking" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_split_to_array(trim(text), '[ \t\n\r]+') AS ws
+        |  FROM documents WHERE doc_id < 60),
+        |x AS (
+        |  SELECT doc_id, ws, len(ws) AS n,
+        |    unnest(range(CASE WHEN len(ws) <= 40 THEN 1
+        |      ELSE CAST(ceil((len(ws) - 40)::DOUBLE / 32) AS INT) + 1 END)) AS ci
+        |  FROM w)
+        |SELECT doc_id, ci::BIGINT AS chunk_idx,
+        |  least(40, n - ci * 32)::BIGINT AS n_tokens,
+        |  array_to_string(ws[ci * 32 + 1 : least(ci * 32 + 40, n)], ' ') AS chunk_text
+        |FROM x""".stripMargin,
 
     // q45: DuckDB's native ASOF JOIN as the independent implementation
     "q45_asof" ->

@@ -95,4 +95,57 @@ object Curation {
       .filter(col(rn) <= n)
       .drop(rn)
   }
+
+  /** Connected components over an undirected pair graph — the cluster-
+    * resolution step after near-dup pair mining (T2/T3/T17 emit pairs;
+    * keeping ONE canonical doc per duplicate cluster needs the
+    * components). Returns (id, component) for every node appearing in an
+    * edge, component = min node id in the component.
+    *
+    * Shape: iterative min-label propagation — each round one equi-join
+    * (neighbor labels) + one aggregate, converging in O(graph diameter)
+    * rounds; near-dup cluster graphs have tiny diameters. This is the
+    * standard large-scale Spark CC formulation (GraphX/GraphFrames use
+    * the same join-aggregate skeleton): per-round wire cost is the edge
+    * list, never a pair blowup, and the only driver-side value is the
+    * per-round convergence count. The q47 oracle recomputes components
+    * INDEPENDENTLY via a DuckDB recursive-CTE transitive closure. */
+  def connectedComponents(pairs: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst", maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+    val edges = fwd.union(fwd.select(col("b").as("a"), col("a").as("b")))
+      .where(col("a").isNotNull && col("b").isNotNull)
+      .distinct()
+      .persist()
+    // each round persists its frame and the previous round's is dropped:
+    // without the persist the lineage re-executes every prior join each
+    // round (quadratic blowup — the classic iterative-Spark pitfall)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp"))
+      .persist()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("bcomp")), "b")
+        .groupBy(col("a").as("id")).agg(min(col("bcomp")).as("nmin"))
+      val next = labels.select(col("id"), col("comp").as("old"))
+        .join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("old"),
+          least(col("old"), coalesce(col("nmin"), col("old"))).as("comp"))
+        .persist()
+      converged = next.where(col("comp") =!= col("old")).isEmpty // materializes next
+      labels.unpersist()
+      labels = next // keep persisted; extra `old` col dropped on return
+      iter += 1
+    }
+    // truncate the iterative lineage and release every loop block, so the
+    // caller gets a self-contained frame with NO pinned storage from the
+    // loop (the EvalJob round-2 lesson: library ops must not rely on a
+    // harness clearCache to free what they persisted)
+    val result = labels.select("id", "comp").localCheckpoint(true)
+    labels.unpersist()
+    edges.unpersist()
+    result
+  }
 }

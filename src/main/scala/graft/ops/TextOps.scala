@@ -145,6 +145,26 @@ object TextOps {
     size(regexp_extract_all(text, lit(phoneRe), lit(0))).cast("long").as("n_phones"),
     size(regexp_extract_all(text, lit(ipRe), lit(0))).cast("long").as("n_ips"))
 
+  /** Token-bounded chunking with overlap — the context-window packing
+    * step of a training pipeline (long doc → maxTokens-token chunks, each
+    * overlapping the previous by `overlap` tokens). Pure Column DSL: one
+    * split, then a transform over chunk INDICES (cheap attribute refs
+    * inside the lambda — not the nested-HOF hazard) building
+    * (chunk_idx, n_tokens, chunk_text) structs; the caller explodes.
+    * A doc with ≤ maxTokens tokens yields exactly one chunk. */
+  def chunkTokens(tokens: Column, maxTokens: Int, overlap: Int): Column = {
+    require(maxTokens > 0 && overlap >= 0 && overlap < maxTokens,
+      "need 0 <= overlap < maxTokens")
+    val stride = maxTokens - overlap
+    val n = size(tokens)
+    val nChunks = when(n <= maxTokens, 1)
+      .otherwise(ceil((n - maxTokens).cast("double") / stride).cast("int") + 1)
+    transform(sequence(lit(0), nChunks - 1), ci => struct(
+      ci.as("chunk_idx"),
+      least(lit(maxTokens), n - ci * stride).cast("long").as("n_tokens"),
+      array_join(slice(tokens, ci * stride + 1, lit(maxTokens)), " ").as("chunk_text")))
+  }
+
   /** Stopword-profile language id over a fixed public stopword table.
     * Scores = occurrence counts of per-language marker words; argmax with
     * a deterministic preference order on ties. */

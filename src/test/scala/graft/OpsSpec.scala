@@ -359,6 +359,43 @@ class OpsSpec extends AnyFunSuite {
     assert(out == Map(1L -> 3L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("connectedComponents: chains, rings, isolated edges; min-id labels; no pinned blocks") {
+    import graft.ops.Curation
+    // components: chain 1-2-3-4 (comp 1), ring 10-11-12-10 (comp 10),
+    // lone edge 20-21 (comp 20); duplicate + reversed edges tolerated
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L), (11L, 12L),
+      (12L, 10L), (21L, 20L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val got = Curation.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+    // library hygiene: every LOOP intermediate is unpersisted — only the
+    // localCheckpoint backing the self-contained result may remain
+    val persisted = spark.sparkContext.getPersistentRDDs.size
+    assert(persisted <= 1, s"loop blocks stayed pinned: $persisted persistent RDDs")
+  }
+
+  test("chunkTokens: overlap arithmetic, single-chunk short docs, exact boundaries") {
+    import graft.ops.TextOps
+    val toks = (1 to 100).map("t" + _)
+    val df = Seq(Tuple1(toks)).toDF("ws")
+      .select(explode(TextOps.chunkTokens($"ws", 40, 8)).as("c"))
+      .select($"c.chunk_idx", $"c.n_tokens", $"c.chunk_text")
+    val rows = df.collect().map(r => (r.getInt(0), r.getLong(1), r.getString(2)))
+    // stride 32: starts 0,32,64 → ceil((100-40)/32)+1 = 3 chunks
+    assert(rows.map(_._1).toSeq == Seq(0, 1, 2))
+    assert(rows.map(_._2).toSeq == Seq(40L, 40L, 36L))
+    assert(rows(0)._3.startsWith("t1 t2 ") && rows(0)._3.endsWith(" t40"))
+    assert(rows(1)._3.startsWith("t33 ") && rows(1)._3.endsWith(" t72")) // 8-token overlap
+    assert(rows(2)._3.startsWith("t65 ") && rows(2)._3.endsWith(" t100"))
+    // short doc → exactly one chunk, exact-boundary doc (40 tokens) → one chunk
+    for (n <- Seq(5, 40)) {
+      val one = Seq(Tuple1((1 to n).map("x" + _))).toDF("ws")
+        .select(explode(TextOps.chunkTokens($"ws", 40, 8)).as("c")).collect()
+      assert(one.length == 1)
+    }
+  }
+
   test("multimodal: decode round-trips header, malformed rows are error-data, frames sample") {
     val media = Multimodal.mediaDs(spark, 60L)
     val feats = Multimodal.decodeFeatures(media).collect()
