@@ -171,6 +171,47 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("PdfImages harvest is purely narrow: no exchange anywhere in the plan") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val pages = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id").as("url"), col("text").cast("binary").as("payload"))
+    val df = graft.extract.PdfImages.imagesDf(pages)
+    val exchanges = df.queryExecution.executedPlan.collect { case e: ShuffleExchangeExec => e }
+    assert(exchanges.isEmpty, df.queryExecution.executedPlan.toString)
+  }
+
+  test("asOfJoin plan: exactly one exchange (the per-key window), no join operator at all") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val ev = spark.read.parquet(s"$sf/events.parquet")
+      val df = graft.ops.Temporal.asOfJoinLeft(
+        ev.where(col("event_type") === "click").select("event_id", "user_id", "ts"),
+        ev.where(col("event_type") === "view")
+          .select(col("user_id"), col("ts"), col("event_id").as("rid")),
+        "user_id", "ts", Seq("rid"))
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1, plan.toString)
+      // the log-merge formulation replaces the join: a range/theta join
+      // here would mean the pair-blowup shape snuck back in
+      assert(!plan.toString.contains("Join"), plan.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("rangeJoinCount plan: hash equi-join on (key, bin), never BNLJ/cartesian") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+    val df = graft.ops.Temporal.rangeJoinCount(
+      ev.where(col("event_type") === "error").select("event_id", "user_id", "ts"),
+      ev.where(col("event_type") === "purchase").select("user_id", "ts"),
+      "user_id", "ts", 600000000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"), plan)
+  }
+
   test("capPerKey gets a PARTIAL WindowGroupLimit below the exchange (map-side skew pruning)") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
