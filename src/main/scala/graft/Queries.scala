@@ -695,6 +695,73 @@ object Queries {
         .select(ext(build(col("doc_id"))).as("e"))
         .groupBy(col("e._1").as("status"), col("e._2").as("error"))
         .agg(count(lit(1)).as("cnt"))
+    }),
+
+    // Benchmark decontamination, ORACLED: the doc_id % 17 == 0 slice
+    // plays the eval benchmark; every other doc is checked for shared
+    // word 5-grams. Scale shape (asserted in PlanSpec): the corpus is
+    // never shuffled — benchmark n-gram hashes are broadcast, the only
+    // exchange is the per-doc hit-count aggregate over hits.
+    "q49_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val corpus = d.filter(col("doc_id") % 17 =!= 0)
+      val bench = d.filter(col("doc_id") % 17 === 0)
+      val hits = graft.ops.Curation.contaminationHits(
+        corpus, "doc_id", "text", bench, "text", k = 5)
+      corpus.select(col("doc_id"))
+        .join(hits.select(col("id").as("doc_id"), col("n_hits")), Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)) === 0L).as("kept"))
+    }),
+
+    // Greedy sequence packing, ORACLED: docs packed into 1200-char
+    // context windows across 8 deterministic hash streams; DuckDB replays
+    // the entire greedy fold with a recursive CTE (an independent
+    // sequential formulation of the same policy).
+    "q50_packing" -> ((s, dir) => {
+      graft.ops.Curation.packGreedy(
+          docs(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", capacity = 1200L, streams = 8)
+        .select(col("id").as("doc_id"), col("stream").cast("long").as("stream"),
+          col("pack_seq"), col("pack_pos"), col("n_tokens"))
+    }),
+
+    // KMV distinct sketch, ORACLED: per-source distinct-token estimate
+    // from the 64 minimum Carter-Wegman hash values — the SQL-replayable
+    // stand-in for HLL corpus profiling. DuckDB recomputes hash → distinct
+    // → rank ≤ k → (k-1)·p/h_k independently.
+    "q51_kmv" -> ((s, dir) => {
+      val hashUdf = udf((t: String) => graft.ops.Dedup.polyHash(t))
+      val toks = docs(s, dir)
+        .select(col("source"),
+          explode(split(trim(col("text")), "[ \\t\\n\\r]+")).as("tok"))
+        .filter(col("tok") =!= "")
+        .select(col("source"), hashUdf(col("tok")).as("h"))
+      graft.ops.Sketches.kmvDistinct(toks, "source", col("h"), k = 64)
+    }),
+
+    // URL/domain curation ops, ORACLED: deterministic urls built from
+    // doc_id (same CASE arithmetic in DuckDB), then host extraction,
+    // registrable-domain grouping (incl. co.uk/com.au multi-part
+    // suffixes), and path depth — all pure codegen'd Column DSL.
+    "q52_domains" -> ((s, dir) => {
+      import graft.ops.WebOps
+      val host = when(col("doc_id") % 6 === 0, lit("www.example.com"))
+        .when(col("doc_id") % 6 === 1, lit("news.bbc.co.uk"))
+        .when(col("doc_id") % 6 === 2, lit("example.com"))
+        .when(col("doc_id") % 6 === 3, lit("a.b.site.org"))
+        .when(col("doc_id") % 6 === 4, lit("shop.example.com.au"))
+        .otherwise(lit("cdn.example.net"))
+      val url = concat(lit("https://"), host,
+        expr("repeat('/seg', cast(doc_id % 4 as int))"),
+        when(col("doc_id") % 5 === 0, lit("?q=1")).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), url.as("url"))
+        .select(
+          WebOps.registrableDomain(WebOps.urlHost(col("url"))).as("domain"),
+          WebOps.pathDepth(col("url")).as("depth"))
+        .groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("depth")).cast("long").as("total_depth"))
     })
   )
 
@@ -1417,5 +1484,115 @@ object Queries {
         |  CASE WHEN doc_id % 7 = 0 THEN 'pdf_image_only' ELSE '' END AS error,
         |  count(*) AS cnt
         |FROM documents WHERE doc_id < 40 GROUP BY 1, 2""".stripMargin,
+
+    // q49: same 5-gram shingling + base-131 polynomial hash + benchmark
+    // membership, replayed independently (the q27 shingle/hash SQL family)
+    "q49_decontam" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+        |bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+        |cw AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM corpus),
+        |bw AS (SELECT
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM bench),
+        |csh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i : i + 4], ' ') FOR i IN range(1, len(w) - 3)]
+        |    END) AS sh FROM cw),
+        |bsh AS (SELECT list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i : i + 4], ' ') FOR i IN range(1, len(w) - 3)]
+        |    END) AS sh FROM bw),
+        |bh AS (SELECT DISTINCT
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS ngh
+        |  FROM (SELECT unnest(sh) AS sg FROM bsh)),
+        |ch AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS ngh
+        |  FROM (SELECT doc_id, unnest(sh) AS sg FROM csh)),
+        |hits AS (SELECT doc_id, count(*)::BIGINT AS n_hits FROM ch JOIN bh USING (ngh)
+        |  GROUP BY doc_id)
+        |SELECT c.doc_id, coalesce(h.n_hits, 0)::BIGINT AS n_hits,
+        |  coalesce(h.n_hits, 0) = 0 AS kept
+        |FROM corpus c LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    // q50: the identical greedy fold, as a sequential recursive CTE per
+    // stream — an independent formulation of the same packing policy
+    "q50_packing" ->
+      """WITH RECURSIVE d AS (
+        |  SELECT doc_id, n_chars,
+        |    ((doc_id * 1103515245 + 12345) % 2147483647) % 8 AS stream,
+        |    (doc_id * 1234567891 + 987654321) % 2147483647 AS ord
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars, stream, ord,
+        |    row_number() OVER (PARTITION BY stream ORDER BY ord, doc_id) AS rn
+        |  FROM d),
+        |p AS (
+        |  SELECT doc_id, n_chars, stream, rn,
+        |    0::BIGINT AS pack_seq, 0::BIGINT AS pack_pos, n_chars AS used
+        |  FROM r WHERE rn = 1
+        |  UNION ALL
+        |  SELECT r.doc_id, r.n_chars, r.stream, r.rn,
+        |    CASE WHEN p.used + r.n_chars > 1200 THEN p.pack_seq + 1 ELSE p.pack_seq END,
+        |    CASE WHEN p.used + r.n_chars > 1200 THEN 0::BIGINT ELSE p.pack_pos + 1 END,
+        |    CASE WHEN p.used + r.n_chars > 1200 THEN r.n_chars ELSE p.used + r.n_chars END
+        |  FROM r JOIN p ON r.stream = p.stream AND r.rn = p.rn + 1)
+        |SELECT doc_id, stream::BIGINT AS stream, pack_seq, pack_pos,
+        |  n_chars::BIGINT AS n_tokens
+        |FROM p""".stripMargin,
+
+    // q51: hash → distinct → rank ≤ k → (k-1)·p/h_k, all in signed-64 SQL
+    "q51_kmv" ->
+      """WITH toks AS (
+        |  SELECT source, unnest(list_filter(
+        |    regexp_split_to_array(trim(text), '[ \t\n\r]+'), x -> x <> '')) AS tok
+        |  FROM documents),
+        |h AS (SELECT source,
+        |    (list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(tok, '')]),
+        |       (acc, c) -> (acc * 131 + c) % 2147483647)
+        |     * 1103515245 + 12345) % 2147483647 AS kh
+        |  FROM toks),
+        |d AS (SELECT DISTINCT source, kh FROM h),
+        |rk AS (SELECT source, kh,
+        |    row_number() OVER (PARTITION BY source ORDER BY kh) AS rn FROM d)
+        |SELECT source, count(*)::BIGINT AS n_kept, max(kh) AS kth_hash,
+        |  CASE WHEN count(*) < 64 THEN count(*)::DOUBLE
+        |       ELSE floor(63.0 * 2147483647.0 / max(kh) * 1e6 + 0.5) / 1e6 END AS est_distinct
+        |FROM rk WHERE rn <= 64 GROUP BY source""".stripMargin,
+
+    // q52: same deterministic url construction, then independent
+    // host/domain/depth parsing with DuckDB string/list functions
+    "q52_domains" ->
+      """WITH u AS (
+        |  SELECT doc_id, 'https://' ||
+        |    CASE CAST(doc_id % 6 AS INT)
+        |      WHEN 0 THEN 'www.example.com' WHEN 1 THEN 'news.bbc.co.uk'
+        |      WHEN 2 THEN 'example.com' WHEN 3 THEN 'a.b.site.org'
+        |      WHEN 4 THEN 'shop.example.com.au' ELSE 'cdn.example.net' END ||
+        |    repeat('/seg', CAST(doc_id % 4 AS INT)) ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '?q=1' ELSE '' END AS url
+        |  FROM documents),
+        |p AS (
+        |  SELECT lower(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host,
+        |    len(list_filter(string_split(regexp_extract(url,
+        |      '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?', 1), '/'), x -> x <> '')) AS depth
+        |  FROM u),
+        |d2 AS (
+        |  SELECT CASE WHEN len(string_split(host, '.')) <= 2 THEN host
+        |    WHEN (string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1]) IN
+        |      ('co.uk','org.uk','ac.uk','gov.uk','com.au','net.au','org.au','co.jp',
+        |       'ne.jp','or.jp','com.br','com.cn','com.mx','co.in','co.kr','co.za')
+        |    THEN string_split(host, '.')[-3] || '.' || string_split(host, '.')[-2]
+        |         || '.' || string_split(host, '.')[-1]
+        |    ELSE string_split(host, '.')[-2] || '.' || string_split(host, '.')[-1] END AS domain,
+        |    depth
+        |  FROM p)
+        |SELECT domain, count(*) AS n_docs, sum(depth)::BIGINT AS total_depth
+        |FROM d2 GROUP BY domain""".stripMargin,
   )
 }

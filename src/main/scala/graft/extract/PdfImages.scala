@@ -20,7 +20,11 @@ import graft.pdf.PdfParser
   */
 object PdfImages {
 
-  private case class ImgRow(page: Int, img_name: String, format: String,
+  /** Public (not private): the UDF's result serializer is codegen'd, and
+    * Janino cannot call accessors on a private nested class — Spark then
+    * silently falls back to interpreted serialization for every row
+    * (observed as a CodeGenerator ERROR + stack trace per Verify run). */
+  case class ImgRow(page: Int, img_name: String, format: String,
       width: Int, height: Int, color_space: String, bits: Int,
       data: Array[Byte])
 

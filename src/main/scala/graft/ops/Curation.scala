@@ -148,4 +148,107 @@ object Curation {
     edges.unpersist()
     result
   }
+
+  /** Benchmark decontamination hit counts: for every corpus document, how
+    * many of its distinct word `k`-grams appear anywhere in `benchmark`
+    * (the test-set-leakage check every serious training-data pipeline
+    * runs before training — the reference's eval-vs-train hygiene,
+    * promoted to a corpus operator). Returns (id, n_hits) with n_hits ≥ 1
+    * — i.e. only contaminated ids; [[decontaminate]] is the anti-join on
+    * top.
+    *
+    * Scale shape: the CORPUS IS NEVER SHUFFLED. Benchmark n-grams are a
+    * small-by-definition set (eval suites are ~10^6-10^7 n-grams at 100 TB
+    * corpus scale): hashed, deduped, and broadcast; the corpus side
+    * explodes its distinct shingle hashes in place (narrow) and the
+    * broadcast hash join keeps it that way. The only exchange in the
+    * whole op is the per-doc hit count aggregate, which carries just
+    * (id, partial count) for docs that HIT — a set about the size of the
+    * benchmark, not the corpus. N-gram hashing is the same
+    * SQL-replayable base-131 polynomial as the MinHash family
+    * ([[Dedup.polyHash]]), so the q49 DuckDB oracle replays shingle →
+    * hash → membership → count bit-for-bit. */
+  def contaminationHits(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
+    val shingleUdf = udf(Dedup.wordShinglesKernel(k))
+    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val bm = benchmark
+      .select(explode(shingleUdf(col(benchTextCol))).as("sg"))
+      .select(hashUdf(col("sg")).as("ngh"))
+      .distinct()
+    corpus
+      .select(col(idCol).as("id"), explode(shingleUdf(col(textCol))).as("sg"))
+      .select(col("id"), hashUdf(col("sg")).as("ngh"))
+      .join(broadcast(bm), Seq("ngh")) // inner: non-hits never leave the map side
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_hits"))
+  }
+
+  /** Drop every corpus document sharing at least one word `k`-gram with
+    * `benchmark`. The contaminated-id set is benchmark-sized, so the
+    * final anti-join broadcasts it — the corpus stays unshuffled end to
+    * end. */
+  def decontaminate(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
+    val hits = contaminationHits(corpus, idCol, textCol, benchmark, benchTextCol, k)
+      .select(col("id").as(s"__graft_contam_id"))
+    corpus.join(broadcast(hits),
+      col(idCol) === col("__graft_contam_id"), "left_anti")
+  }
+
+  /** Greedy sequence packing: place documents into fixed-capacity context
+    * windows ("packs"), filling each pack in order until the next
+    * document would overflow it — the sample-packing step that turns a
+    * curated corpus into dense training sequences. Documents are first
+    * assigned to one of `streams` independent pack streams by a
+    * deterministic affine id-hash and ordered within each stream by a
+    * second affine hash (a reproducible pseudo-random training order), so
+    * the result is identical at every parallelism and on every engine —
+    * the q50 DuckDB oracle replays the whole fold via a recursive CTE.
+    *
+    * Scale shape: ONE shuffle (hash-partition by stream) + an in-order
+    * per-partition fold with O(1) state — never a collect_list, so a
+    * stream of any length packs in constant memory. Each stream lives
+    * wholly in one partition and the fold resets at stream boundaries,
+    * which makes the output invariant to how many streams share a
+    * partition (i.e. to cluster size). With `streams` ~ 100× cores, skew
+    * is bounded by the hash and stragglers amortize.
+    *
+    * Output: (id, stream, pack_seq, pack_pos, n_tokens) — pack_seq is the
+    * pack's index within its stream, pack_pos the document's position
+    * within the pack. A document larger than `capacity` gets a pack of
+    * its own (the standard rule: packs never split a document). */
+  def packGreedy(
+      df: DataFrame, idCol: String, tokensCol: String,
+      capacity: Long, streams: Int = 1024): DataFrame = {
+    require(capacity > 0 && streams > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = Dedup.MersenneP
+    val prepared = df.select(
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("toks"))
+      .withColumn("stream",
+        pmod(pmod(col("id") * lit(1103515245L) + lit(12345L), lit(p)), lit(streams.toLong))
+          .cast("int"))
+      .withColumn("ord", pmod(col("id") * lit(1234567891L) + lit(987654321L), lit(p)))
+      .repartition(col("stream"))
+      .sortWithinPartitions(col("stream"), col("ord"), col("id"))
+      .as[(Long, Long, Int, Long)]
+    prepared.mapPartitions { it =>
+      var curStream = Int.MinValue
+      var used = 0L
+      var seq = -1L
+      var pos = -1L
+      it.map { case (id, toks, stream, _) =>
+        if (stream != curStream) { curStream = stream; used = 0L; seq = -1L }
+        if (seq < 0 || used + toks > capacity) { seq += 1; used = 0L; pos = -1L }
+        used += toks
+        pos += 1
+        (id, stream, seq, pos, toks)
+      }
+    }.toDF("id", "stream", "pack_seq", "pack_pos", "n_tokens")
+  }
 }

@@ -1,0 +1,53 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** URL structure operators for web-corpus curation: host extraction,
+  * registrable-domain grouping, path depth. Domain-level statistics and
+  * caps (blocklists, per-site quotas via [[Curation.capPerKey]], domain
+  * mix reporting) all key on the REGISTRABLE domain, not the raw host —
+  * `news.bbc.co.uk` and `www.bbc.co.uk` are one site.
+  *
+  * Everything is pure Column DSL (regexp + list ops, codegen'd, no UDF,
+  * no shuffle) and deliberately simple enough to replay in ANSI SQL: the
+  * q52 DuckDB oracle recomputes host/domain/depth independently. The
+  * multi-part-suffix table is a small embedded subset of the public
+  * suffix list (the full PSL is a data file a production deployment
+  * swaps in; the operator shape — last-2-vs-last-3-label selection — is
+  * identical).
+  */
+object WebOps {
+
+  /** Lowercased host of a URL: text between `scheme://` (skipping any
+    * userinfo) and the first `/ : ? #`. Unparseable urls yield ''. */
+  def urlHost(url: Column): Column =
+    lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
+
+  /** Multi-part public suffixes recognized by [[registrableDomain]]. */
+  val MultiPartSuffixes: Seq[String] = Seq(
+    "co.uk", "org.uk", "ac.uk", "gov.uk",
+    "com.au", "net.au", "org.au",
+    "co.jp", "ne.jp", "or.jp",
+    "com.br", "com.cn", "com.mx", "co.in", "co.kr", "co.za")
+
+  /** Registrable domain of a lowercased host: the last two labels, or the
+    * last three when the last two form a multi-part public suffix
+    * (`co.uk` etc.). Hosts with ≤ 2 labels pass through unchanged. */
+  def registrableDomain(host: Column): Column = {
+    val parts = split(host, "\\.")
+    val last2 = concat_ws(".", element_at(parts, -2), element_at(parts, -1))
+    val last3 = concat_ws(".",
+      element_at(parts, -3), element_at(parts, -2), element_at(parts, -1))
+    when(size(parts) <= 2, host)
+      .when(last2.isin(MultiPartSuffixes: _*), last3)
+      .otherwise(last2)
+  }
+
+  /** Number of non-empty path segments of a URL (query/fragment
+    * excluded): `https://a.com/x/y?q=1` → 2, `https://a.com/` → 0. */
+  def pathDepth(url: Column): Column = {
+    val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
+    size(filter(split(path, "/"), seg => seg =!= lit("")))
+  }
+}

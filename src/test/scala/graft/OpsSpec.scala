@@ -375,6 +375,100 @@ class OpsSpec extends AnyFunSuite {
     assert(persisted <= 1, s"loop blocks stayed pinned: $persisted persistent RDDs")
   }
 
+  test("contaminationHits/decontaminate: planted 5-gram overlap, whole-text short docs") {
+    import graft.ops.Curation
+    val bench = Seq(
+      (100L, "alpha beta gamma delta epsilon zeta"), // 5-grams: a..e, b..z
+      (101L, "tiny doc") // < 5 words → single whole-text shingle
+    ).toDF("id", "text")
+    val corpus = Seq(
+      (1L, "prefix alpha beta gamma delta epsilon suffix"), // shares 'alpha..epsilon'
+      (2L, "beta gamma delta epsilon zeta trailing words"), // shares 'beta..zeta'
+      (3L, "no shared phrases whatsoever in this one"),
+      (4L, "tiny doc"), // whole-text match with bench 101
+      (5L, "alpha beta gamma delta epsilon zeta") // shares BOTH bench-100 5-grams
+    ).toDF("id", "text")
+    val hits = Curation.contaminationHits(corpus, "id", "text", bench, "text")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hits == Map(1L -> 1L, 2L -> 1L, 4L -> 1L, 5L -> 2L))
+    val kept = Curation.decontaminate(corpus, "id", "text", bench, "text")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(3L))
+  }
+
+  test("packGreedy matches an in-memory greedy reference; oversized docs get own packs") {
+    import graft.ops.Curation
+    val p = Dedup.MersenneP
+    val rnd = new scala.util.Random(7)
+    // sizes straddle the capacity: some oversized (> 100), some tiny
+    val rows = (0L until 300L).map(id => (id, 1L + rnd.nextInt(140).toLong))
+    val got = Curation.packGreedy(rows.toDF("id", "toks"), "id", "toks",
+        capacity = 100L, streams = 5)
+      .collect().map(r => (r.getLong(0), (r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    // reference: same affine stream/order assignment, sequential greedy fold
+    val expect = rows.groupBy { case (id, _) => ((id * 1103515245L + 12345L) % p % 5L).toInt }
+      .flatMap { case (stream, docs) =>
+        val ordered = docs.sortBy { case (id, _) => ((id * 1234567891L + 987654321L) % p, id) }
+        var used = 0L; var seq = -1L; var pos = -1L
+        ordered.map { case (id, toks) =>
+          if (seq < 0 || used + toks > 100L) { seq += 1; used = 0L; pos = -1L }
+          used += toks; pos += 1
+          id -> ((stream, seq, pos, toks))
+        }
+      }
+    assert(got == expect)
+    // a doc larger than capacity is alone in its pack
+    val oversized = rows.filter(_._2 > 100L).map(_._1).toSet
+    assert(oversized.nonEmpty)
+    val byPack = got.toSeq.groupBy { case (_, (st, seq, _, _)) => (st, seq) }
+    for (id <- oversized) {
+      val (st, seq, _, _) = got(id)
+      assert(byPack((st, seq)).size == 1, s"oversized doc $id shared a pack")
+    }
+    // exact fit stays in the pack (boundary is strict >)
+    val fit = Curation.packGreedy(Seq((1L, 60L), (2L, 40L)).toDF("id", "toks"),
+      "id", "toks", capacity = 100L, streams = 1).collect()
+    assert(fit.map(_.getLong(2)).distinct.length == 1) // one pack_seq
+  }
+
+  test("kmvDistinct: exact below k, calibrated estimate above k") {
+    import graft.ops.Sketches
+    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    // group 'small': 10 distinct values (< k) → exact; 'big': 3000 distinct
+    val rows = (1 to 10).map(i => ("small", s"v$i")) ++
+      (1 to 9000).map(i => ("big", s"w${i % 3000}"))
+    val out = Sketches.kmvDistinct(
+        rows.toDF("g", "v").select($"g", hashUdf($"v").as("h")), "g", $"h", k = 64)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(out("small") == ((10L, 10.0)))
+    val (kept, est) = out("big")
+    assert(kept == 64L)
+    assert(math.abs(est - 3000.0) / 3000.0 < 0.3, s"estimate $est off >30% from 3000")
+  }
+
+  test("WebOps: host, registrable domain (multi-part suffixes), path depth") {
+    import graft.ops.WebOps
+    val urls = Seq(
+      "https://www.Example.COM/a/b/c?q=1",
+      "http://user:pw@news.bbc.co.uk:8080/x",
+      "https://example.com",
+      "https://shop.example.com.au/p/",
+      "ftp://cdn.example.net/#frag",
+      "not a url")
+    val out = urls.toDF("url").select(
+      WebOps.urlHost($"url").as("h"),
+      WebOps.registrableDomain(WebOps.urlHost($"url")).as("d"),
+      WebOps.pathDepth($"url").as("n")).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(out(0) == (("www.example.com", "example.com", 3)))
+    assert(out(1) == (("news.bbc.co.uk", "bbc.co.uk", 1)))
+    assert(out(2) == (("example.com", "example.com", 0)))
+    assert(out(3) == (("shop.example.com.au", "example.com.au", 1)))
+    assert(out(4) == (("cdn.example.net", "example.net", 0)))
+    assert(out(5) == (("", "", 0)))
+  }
+
   test("chunkTokens: overlap arithmetic, single-chunk short docs, exact boundaries") {
     import graft.ops.TextOps
     val toks = (1 to 100).map("t" + _)

@@ -230,6 +230,63 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("decontamination never shuffles the corpus: broadcast joins, id-only exchanges") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val corpus = d.filter(col("doc_id") % 17 =!= 0)
+      val bench = d.filter(col("doc_id") % 17 === 0)
+      val df = graft.ops.Curation.decontaminate(corpus, "doc_id", "text", bench, "text")
+      val plan = df.queryExecution.executedPlan
+      // both the n-gram membership join and the final anti-join must be
+      // broadcasts — a sort-merge join would shuffle the corpus
+      assert(!plan.toString.contains("SortMergeJoin"), plan.toString)
+      // the only shuffles are benchmark-side or id-sized: no text bodies
+      // and no shingle strings may ride any exchange
+      plan.collect { case e: ShuffleExchangeExec => e }.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(!cols.contains("text") && !cols.contains("sg"),
+          s"corpus-width exchange ships $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("packGreedy plan: exactly one exchange (the stream repartition), fold stays narrow") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val df = graft.ops.Curation.packGreedy(
+        spark.read.parquet(s"$sf/documents.parquet").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", capacity = 1200L, streams = 8)
+      val exchanges = df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.size == 1, df.queryExecution.executedPlan.toString)
+      assert(exchanges.head.outputPartitioning.toString.contains("stream"))
+      // no collect_list anywhere: the greedy fold must be the O(1)-state
+      // per-partition iterator, not a grouped array materialization
+      assert(!df.queryExecution.executedPlan.toString.contains("collect_list"))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("kmvDistinct gets a PARTIAL WindowGroupLimit below its rank exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val obs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("source"), xxhash64(col("text")).as("h"))
+      val plan = graft.ops.Sketches.kmvDistinct(obs, "source", col("h"), k = 64)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+      val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+      assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+        s"a 10^9-value group must ship only k hashes per map partition:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no query plan carries a cartesian product, global sort, or undesigned nested-loop join") {
     // scale guard over the whole inventory: BroadcastNestedLoopJoin is
     // legitimate ONLY where the design says so — q23's bounded verify
