@@ -762,6 +762,59 @@ object Queries {
         .groupBy(col("domain"))
         .agg(count(lit(1)).as("n_docs"),
           sum(col("depth")).cast("long").as("total_depth"))
+    }),
+
+    // Model-based quality scoring, ORACLED: fastText-style linear
+    // classifier over the quality-feature block — logit (not sigmoid) so
+    // the arithmetic replays bit-for-bit; keep = logit ≥ 0. Purely
+    // narrow, codegen'd.
+    "q53_classifier" -> ((s, dir) => {
+      docs(s, dir).filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          graft.ops.TextOps.classifierLogit(col("text")).as("logit"))
+        .withColumn("keep", col("logit") >= 0d)
+    }),
+
+    // Duplicated-passage detection, ORACLED: per-doc fraction of distinct
+    // word 5-grams occurring in ≥ 1 other document (the corpus-internal
+    // exact-substring-dedup signal, Lee et al. 2022). DuckDB replays
+    // shingle → hash → per-gram doc count → per-doc roll-up independently.
+    "q54_dup_passages" -> ((s, dir) => {
+      graft.ops.Curation.dupPassageStats(
+          docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text", k = 5)
+        .select(col("id").as("doc_id"), col("n_ngrams"), col("n_dup"),
+          col("dup_frac"))
+    }),
+
+    // CCNet paragraph dedup, ORACLED on the REWRITTEN TEXT BYTES: every
+    // repeated non-empty line corpus-wide is dropped except its first
+    // (doc_id, pos) occurrence; docs reassemble from surviving lines.
+    // Fixture texts are single-line, so the slice is line-ified first by
+    // a deterministic literal replace (' the ' → '\n') both engines run
+    // identically — which also plants genuinely repeated cross-doc lines.
+    "q55_paragraph_dedup" -> ((s, dir) => {
+      graft.ops.Curation.dedupParagraphs(
+          docs(s, dir).filter(col("doc_id") < 120)
+            .withColumn("text", expr("replace(text, ' the ', '\n')")),
+          "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text"), col("n_kept"))
+    }),
+
+    // Crawl snapshot delta, ORACLED: deterministic old/new slices of the
+    // corpus (doc_id mod 3 / mod 5, content perturbed on mod 7) diffed by
+    // md5 digest into added/removed/changed/unchanged.
+    "q56_snapshot_delta" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val oldSnap = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 0,
+              md5(concat(col("text"), lit("v2")).cast("binary")))
+            .otherwise(md5(col("text").cast("binary"))).as("digest"))
+      graft.ops.Curation.snapshotDelta(oldSnap, newSnap, "doc_id", "digest")
+        .select(col("key").as("doc_id"), col("status"),
+          col("old_digest"), col("new_digest"))
     })
   )
 
@@ -1594,5 +1647,75 @@ object Queries {
         |  FROM p)
         |SELECT domain, count(*) AS n_docs, sum(depth)::BIGINT AS total_depth
         |FROM d2 GROUP BY domain""".stripMargin,
+
+    // q53: same rounded features as q25, then the identical fixed-order
+    // dot product (left-assoc sums, multiplication first) rounded to 6dp
+    "q53_classifier" ->
+      """WITH f AS (SELECT doc_id,
+        |    least(len(regexp_split_to_array(trim(text), '\s+'))::DOUBLE, 500.0) / 500 AS len_f,
+        |    round(length(text)::DOUBLE / len(regexp_split_to_array(trim(text), '\s+')), 4) AS mwl,
+        |    round((length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 6) AS punct,
+        |    round((length(text) - length(regexp_replace(text, '[A-Z]', '', 'g')))::DOUBLE
+        |      / greatest(length(text), 1), 6) AS upper
+        |  FROM documents WHERE doc_id < 200),
+        |l AS (SELECT doc_id,
+        |    round(-2.2 + len_f * 3.0 + mwl * 0.35 + punct * -9.0 + upper * -7.0, 6) AS logit
+        |  FROM f)
+        |SELECT doc_id, logit, logit >= 0 AS keep FROM l""".stripMargin,
+
+    // q54: shingle → hash → per-gram doc count → per-doc roll-up, the
+    // q49 SQL shingle/hash family turned corpus-internal
+    "q54_dup_passages" ->
+      """WITH cw AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i : i + 4], ' ') FOR i IN range(1, len(w) - 3)]
+        |    END) AS sh FROM cw),
+        |ng AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS ngh
+        |  FROM (SELECT doc_id, unnest(sh) AS sg FROM sh)),
+        |cnt AS (SELECT ngh, count(*)::BIGINT AS ndocs FROM ng GROUP BY ngh)
+        |SELECT doc_id, count(*)::BIGINT AS n_ngrams,
+        |  sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::BIGINT AS n_dup,
+        |  round(sum(CASE WHEN ndocs > 1 THEN 1 ELSE 0 END)::DOUBLE / count(*), 6) AS dup_frac
+        |FROM ng JOIN cnt USING (ngh) GROUP BY doc_id""".stripMargin,
+
+    // q55: line explode → polyHash → global first-occurrence window →
+    // ordered reassembly; the rewritten text is byte-compared
+    "q55_paragraph_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    string_split(replace(text, ' the ', chr(10)), chr(10)) AS ls
+        |  FROM documents WHERE doc_id < 120),
+        |l AS (SELECT doc_id, unnest(range(1, len(ls) + 1)) AS pos, ls FROM d),
+        |ne AS (SELECT doc_id, pos, ls[pos] AS line FROM l WHERE ls[pos] <> ''),
+        |h AS (SELECT doc_id, pos, line,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(line, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS ph
+        |  FROM ne),
+        |k AS (SELECT doc_id, pos, line,
+        |    row_number() OVER (PARTITION BY ph ORDER BY doc_id, pos) AS rn FROM h)
+        |SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text,
+        |  count(*)::BIGINT AS n_kept
+        |FROM k WHERE rn = 1 GROUP BY doc_id""".stripMargin,
+
+    // q56: digest diff of two deterministic snapshot slices
+    "q56_snapshot_delta" ->
+      """WITH o AS (SELECT doc_id, md5(text) AS old_digest
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |n AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN md5(text || 'v2') ELSE md5(text) END AS new_digest
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |  CASE WHEN o.doc_id IS NULL THEN 'added'
+        |       WHEN n.doc_id IS NULL THEN 'removed'
+        |       WHEN old_digest = new_digest THEN 'unchanged'
+        |       ELSE 'changed' END AS status,
+        |  old_digest, new_digest
+        |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
   )
 }

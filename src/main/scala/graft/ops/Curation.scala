@@ -251,4 +251,110 @@ object Curation {
       }
     }.toDF("id", "stream", "pack_seq", "pack_pos", "n_tokens")
   }
+
+  /** Cross-document duplicated-passage statistics: for each document, how
+    * many of its distinct word `k`-grams occur in at least one OTHER
+    * document, and the duplicated fraction. This is the corpus-internal
+    * twin of [[contaminationHits]] and the practical stand-in for exact
+    * substring deduplication (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — their suffix-array pass finds
+    * verbatim repeated spans; shared k-grams are the bucketable
+    * approximation of the same signal): docs whose text is mostly
+    * passages seen elsewhere (mirrors, boilerplate, quote farms) get a
+    * high `dup_frac` and are dropped or trimmed downstream.
+    *
+    * Scale shape: unlike decontamination there is no small side — both
+    * sides are the corpus — so the op is honestly wide, but every
+    * exchange carries only 16-byte (id, ngh) or (ngh, count) rows, never
+    * text or shingle strings (asserted in PlanSpec): (1) the (id, ngh)
+    * join probe, (2) the per-n-gram doc count (map-side partial combine,
+    * so a hot boilerplate n-gram shared by millions of docs ships ONE
+    * partial per map task, not one row per occurrence), (3) the per-doc
+    * roll-up of (id, partial counts). The ngh-keyed join joins two frames
+    * already partitioned the same way, adding no extra corpus pass; its
+    * residual hot-key skew (the count side is tiny per key — one row —
+    * but probe-side buckets can be hot) is AQE skew-split territory, same
+    * as the LSH band joins. */
+  def dupPassageStats(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val shingleUdf = udf(Dedup.wordShinglesKernel(k))
+    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val docNg = df
+      .select(col(idCol).as("id"), explode(shingleUdf(col(textCol))).as("sg"))
+      .select(col("id"), hashUdf(col("sg")).as("ngh"))
+    val counts = docNg.groupBy("ngh").agg(count(lit(1)).as("ndocs"))
+    docNg.join(counts, Seq("ngh"))
+      .groupBy(col("id"))
+      .agg(
+        count(lit(1)).as("n_ngrams"),
+        sum(when(col("ndocs") > 1L, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        round(col("n_dup").cast("double") / col("n_ngrams"), 6))
+  }
+
+  /** Corpus-wide paragraph-level exact deduplication (the CCNet pass,
+    * Wenzek et al. 2020 §3.1: hash every paragraph, drop repeats across
+    * the whole corpus — kills boilerplate headers/footers/cookie banners
+    * that survive document-level dedup because every COPY lives in an
+    * otherwise-unique page). A paragraph here is a non-empty line; the
+    * first occurrence corpus-wide (ordered by (id, position) — total and
+    * engine-independent) is kept, every later copy dropped, and each
+    * document's text is reassembled from its surviving lines in original
+    * order. Returns (id, text, n_kept); the rewritten text is
+    * byte-compared against the DuckDB replay (q55). Documents whose every
+    * line was seen earlier disappear (CCNet semantics: nothing left).
+    *
+    * Scale shape: paragraph text itself must move — that IS the op's data
+    * (the keep/drop decision is global) — but it moves as individual
+    * lines, never whole documents, and only twice: the first-occurrence
+    * window hash-partitions (ph, id, pos, line) by paragraph hash, and
+    * the reassembly groups the KEPT lines by id. The window is rank-1 per
+    * hash, so SPARK-37099 inserts a PARTIAL WindowGroupLimit below the
+    * exchange: a boilerplate line repeated 10^8 times ships one candidate
+    * row per map partition, not 10^8 — the hot-key story is handled
+    * before the wire, same as [[capPerKey]]. */
+  def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val lines = df
+      .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+      .filter(col("line") =!= "")
+      .withColumn("ph", hashUdf(col("line")))
+    val w = Window.partitionBy(col("ph")).orderBy(col("id"), col("pos"))
+    lines
+      .withColumn("__rn", row_number().over(w))
+      // <= 1 (not === 1): the spelling InferWindowGroupLimit (SPARK-37099)
+      // pattern-matches, so the rank-1 filter prunes map-side
+      .filter(col("__rn") <= 1)
+      .groupBy(col("id"))
+      .agg(
+        array_join(transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          p => p.getField("line")), "\n").as("text"),
+        count(lit(1)).as("n_kept"))
+  }
+
+  /** Crawl snapshot delta: classify every url across two snapshots of a
+    * recurring dump (Common Crawl monthlies) as added / removed / changed
+    * / unchanged by content digest — the incremental-processing primitive
+    * that lets a 100-TB pipeline re-extract only what changed. Returns
+    * (key, status, old_digest, new_digest).
+    *
+    * Scale shape: one full-outer equi-join on the key, carrying only
+    * (key, digest) — never page bodies; callers join the delta back to
+    * the new snapshot to fetch content for the added/changed slice. On a
+    * real deployment both snapshots are bucketed by url so the join is
+    * co-located (zero exchange); unbucketed, it is a single SMJ whose
+    * wire cost is two digest columns, and AQE handles hot-host url skew. */
+  def snapshotDelta(
+      oldSnap: DataFrame, newSnap: DataFrame,
+      keyCol: String, digestCol: String): DataFrame = {
+    val o = oldSnap.select(col(keyCol).as("key"), col(digestCol).as("old_digest"))
+    val n = newSnap.select(col(keyCol).as("key"), col(digestCol).as("new_digest"))
+    o.join(n, Seq("key"), "full_outer")
+      .withColumn("status",
+        when(col("old_digest").isNull, "added")
+          .when(col("new_digest").isNull, "removed")
+          .when(col("old_digest") === col("new_digest"), "unchanged")
+          .otherwise("changed"))
+      .select(col("key"), col("status"), col("old_digest"), col("new_digest"))
+  }
 }

@@ -53,6 +53,35 @@ object TextOps {
     round((lenScore + wlScore + punctScore) / 3d, 6)
   }
 
+  /** Linear quality classifier: the fastText-style model-based scoring
+    * stage (Brown et al. 2020 §A; CCNet; DCLM) that sits between the
+    * cheap heuristic filters and mix sampling in every production
+    * curation pipeline. A real deployment loads trained coefficients; the
+    * operator SHAPE is what matters at scale — a broadcast-free,
+    * codegen'd dot product over the [[qualityFeatures]] block, purely
+    * narrow — so the weights are parameters with documented defaults.
+    *
+    * Returns the LOGIT (w·f + b), not the sigmoid: every term is one
+    * IEEE-754 multiply of a rounded feature by a literal, summed in fixed
+    * left-to-right order, then rounded — bit-replayable in ANSI SQL,
+    * which `exp` is not guaranteed to be across engines. `keep` decisions
+    * threshold the logit at 0 (≡ probability 0.5). The length feature is
+    * saturating-rational, `least(n_words, 500)/500`, rather than the
+    * conventional log(n_words) for the same cross-engine reason. */
+  def classifierLogit(text: Column,
+      wLen: Double = 3.0, wWordLen: Double = 0.35, wPunct: Double = -9.0,
+      wUpper: Double = -7.0, bias: Double = -2.2): Column = {
+    val f = qualityFeatures(text)
+    val lenF = least(f.getField("n_words").cast("double"), lit(500d)) / 500d
+    round(
+      lit(bias)
+        + lenF * wLen
+        + f.getField("mean_word_len") * wWordLen
+        + f.getField("punct_ratio") * wPunct
+        + f.getField("upper_ratio") * wUpper,
+      6)
+  }
+
   /** Polynomial rolling-hash fingerprint of the full text:
     * h = fold(chars, h*31 + code) mod 1e9+7. Modulus keeps every
     * intermediate < 2^63 (31 * (1e9+7) + 127 << Long.Max), so the fold is

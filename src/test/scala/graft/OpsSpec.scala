@@ -510,6 +510,65 @@ class OpsSpec extends AnyFunSuite {
     assert(rows.map(_.getString(0)).toSet == Set("image", "audio", "video"))
   }
 
+  test("classifierLogit: fixed-order dot product over the rounded features") {
+    // "the cat sat on the mat": 6 words, 22 chars, mwl=round(22/6,4)=3.6667,
+    // punct=0, upper=0 → logit = round(-2.2 + (6/500)*3 + 3.6667*0.35, 6)
+    val df = Seq(
+      (1L, "the cat sat on the mat"),
+      (2L, ("w " * 599).trim),          // 599 1-char words: long + clean → keep
+      (3L, "!! ?? !! ?? !! ?? !! ??")   // punctuation soup → strongly negative
+    ).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.classifierLogit($"text").as("logit"))
+      .withColumn("keep", $"logit" >= 0d)
+      .collect().map(r => r.getLong(0) -> (r.getDouble(1), r.getBoolean(2))).toMap
+    val expected1 = BigDecimal(-2.2 + (6d / 500d) * 3.0 + 3.6667 * 0.35)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(out(1L)._1 == expected1 && !out(1L)._2)
+    assert(out(2L)._2, s"long clean doc must pass: ${out(2L)}")
+    assert(out(3L)._1 < -5d && !out(3L)._2, s"soup must fail hard: ${out(3L)}")
+  }
+
+  test("dupPassageStats: identical docs fully duplicated, unique doc untouched") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "a b c d e f g h"),
+      (2L, "a b c d e f g h"), // verbatim mirror of 1
+      (3L, "z y x w v u t s"), // unique
+      (4L, "a b c d e q r s t")// shares exactly its first 5-gram with 1/2
+    ).toDF("doc_id", "text")
+    val out = Curation.dupPassageStats(df, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out(1L) == ((4L, 4L, 1.0))) // 8 words → 4 shingles, all shared with doc 2
+    assert(out(2L) == ((4L, 4L, 1.0)))
+    assert(out(3L) == ((4L, 0L, 0.0)))
+    assert(out(4L) == ((5L, 1L, 0.2))) // 9 words → 5 shingles, one ("a b c d e") shared
+  }
+
+  test("dedupParagraphs: first corpus-wide occurrence survives, docs reassemble in order") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "alpha one\nshared banner\nalpha two"),
+      (2L, "shared banner\nbeta one\n\nbeta two"), // banner repeat + empty line
+      (3L, "shared banner")                        // nothing unique → disappears
+    ).toDF("doc_id", "text")
+    val out = Curation.dedupParagraphs(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out(1L) == (("alpha one\nshared banner\nalpha two", 3L)))
+    assert(out(2L) == (("beta one\nbeta two", 2L))) // banner deduped, blank dropped
+    assert(!out.contains(3L))
+  }
+
+  test("snapshotDelta classifies added/removed/changed/unchanged by digest") {
+    import graft.ops.Curation
+    val oldSnap = Seq(("u1", "d1"), ("u2", "d2"), ("u3", "d3")).toDF("url", "dg")
+    val newSnap = Seq(("u2", "d2"), ("u3", "d3x"), ("u4", "d4")).toDF("url", "dg")
+    val out = Curation.snapshotDelta(oldSnap, newSnap, "url", "dg")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("u1" -> "removed", "u2" -> "unchanged",
+      "u3" -> "changed", "u4" -> "added"))
+  }
+
   test("langid column agrees with doc lang on clean stopword-marked text") {
     val df = Seq(
       ("en", "we saw the cat and the dog and the end"),

@@ -287,6 +287,48 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("dedupParagraphs first-occurrence window gets a PARTIAL WindowGroupLimit (hot boilerplate pruned map-side)") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val plan = graft.ops.Curation.dedupParagraphs(d, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+      val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+      assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+        s"a 10^8-copy boilerplate line must ship one candidate per map partition:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("classifier scoring is purely narrow: no exchange anywhere in the plan") {
+    val df = SparkEntry.queries("q53_classifier")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("dup-passage exchanges carry only ids, hashes, and counts — never text or shingles") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val df = graft.ops.Curation.dupPassageStats(d, "doc_id", "text", k = 5)
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name).toSet
+      }
+      // the honest cost: (id,ngh) probe + per-ngh partial counts + per-doc
+      // roll-up — three exchanges of ≤24-byte rows, nothing corpus-width
+      assert(exchanges.nonEmpty && exchanges.size <= 3, plan.toString)
+      exchanges.foreach { cols =>
+        assert(!cols.contains("text") && !cols.contains("sg"),
+          s"corpus-width exchange ships $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no query plan carries a cartesian product, global sort, or undesigned nested-loop join") {
     // scale guard over the whole inventory: BroadcastNestedLoopJoin is
     // legitimate ONLY where the design says so — q23's bounded verify
