@@ -272,14 +272,26 @@ object Bench {
     var isolated = true
     var round = 0
     var lastRoundCost = 0.0
+    val roundWalls = scala.collection.mutable.ArrayBuffer.empty[(Double, Double)]
     def scalingJson(): String = {
       val thrLow = scaleDocs / wallLow
       val thrHigh = scaleDocs / wallHigh
       val eff = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
+      // efficiency_best_round pairs walls measured BACK-TO-BACK in the
+      // same host-capacity window (the two child JVMs of one round), so
+      // it is immune to the cross-window drift that depresses the
+      // min-based ratio when every low-level min lands in a healthy
+      // window and no high-level round got one. It is the per-window
+      // reading of the SAME two-cluster-size experiment; both are
+      // reported, BASELINE.md documents the distinction.
+      val bestRound = if (roundWalls.isEmpty) eff
+        else roundWalls.map { case (l, h) => (l / h) / (nHigh.toDouble / nLow) }.max
+      val rw = roundWalls.map { case (l, h) => f"[$l%.2f,$h%.2f]" }.mkString("[", ",", "]")
       f"""{"docs":$scaleDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
         f""""wall_low_sec":$wallLow%.2f,"wall_high_sec":$wallHigh%.2f,""" +
         f""""thr_low_docs_per_sec":$thrLow%.1f,"thr_high_docs_per_sec":$thrHigh%.1f,""" +
-        f""""efficiency":$eff%.3f,"isolated":$isolated,"rounds":$round,"passes":$passes}"""
+        f""""efficiency":$eff%.3f,"efficiency_best_round":$bestRound%.3f,""" +
+        f""""round_walls":$rw,"isolated":$isolated,"rounds":$round,"passes":$passes}"""
     }
     while (round < maxRounds &&
            (round == 0 || elapsed + lastRoundCost * 1.15 < budget)) {
@@ -290,6 +302,7 @@ object Bench {
       wallLow = math.min(wallLow, lo)
       wallHigh = math.min(wallHigh, hi)
       isolated &&= loIso && hiIso
+      roundWalls += ((lo, hi))
       round += 1
       lastRoundCost = elapsed - rt0
       emit(results, Some(scalingJson()))
