@@ -115,9 +115,11 @@ object HtmlExtractor {
   }
 
   private def isBoilerplateClass(el: Elem): Boolean = {
-    val marker = (el.attr("class") + " " + el.attr("id") + " " + el.attr("role"))
-      .toLowerCase(java.util.Locale.ROOT)
-    marker.trim.nonEmpty && dropClassRe.findFirstIn(" " + marker + " ").isDefined
+    if (el.attrs.isEmpty) return false // hot path: most elements carry no attrs
+    val cls = el.attr("class"); val id = el.attr("id"); val role = el.attr("role")
+    if (cls.isEmpty && id.isEmpty && role.isEmpty) return false
+    val marker = (cls + " " + id + " " + role).toLowerCase(java.util.Locale.ROOT)
+    dropClassRe.findFirstIn(" " + marker + " ").isDefined
   }
 
   // ------------------------------------------------------------- scoring
@@ -129,7 +131,7 @@ object HtmlExtractor {
     var anchor = 0L
     e.children.foreach {
       case t: TextN =>
-        val len = t.data.count(!_.isWhitespace).toLong
+        val len = countNonWs(t.data)
         chars += len
         if (underA) anchor += len
       case el: Elem =>
@@ -137,6 +139,12 @@ object HtmlExtractor {
         chars += c; anchor += a
     }
     (chars, anchor)
+  }
+
+  private def countNonWs(s: String): Long = {
+    var n = 0; var i = 0
+    while (i < s.length) { if (!s.charAt(i).isWhitespace) n += 1; i += 1 }
+    n.toLong
   }
 
   /** id/class tokens that mark the main content container (Readability's
@@ -147,9 +155,11 @@ object HtmlExtractor {
       "(?:$|[\\s_-])").r
 
   private def hasContentClass(el: Elem): Boolean = {
-    val marker = (el.attr("class") + " " + el.attr("id"))
-      .toLowerCase(java.util.Locale.ROOT)
-    marker.trim.nonEmpty && contentClassRe.findFirstIn(" " + marker + " ").isDefined
+    if (el.attrs.isEmpty) return false
+    val cls = el.attr("class"); val id = el.attr("id")
+    if (cls.isEmpty && id.isEmpty) return false
+    val marker = (cls + " " + id).toLowerCase(java.util.Locale.ROOT)
+    contentClassRe.findFirstIn(" " + marker + " ").isDefined
   }
 
   /** Pick the content root: <main> if present, else <article>, else the
@@ -157,20 +167,33 @@ object HtmlExtractor {
     * ×2 for content-marked id/class, ties broken by document order). */
   private def selectContent(root: Elem): Elem = {
     root.findFirst("main").orElse(root.findFirst("article")).getOrElse {
-      // (elem, boosted score, raw score, depth): boosted picks the winner,
-      // raw decides whether a deeper candidate is a thin-wrapper strip
-      val candidates = ArrayBuffer.empty[(Elem, Double, Double, Int)]
-      def walk(e: Elem, depth: Int): Unit = {
-        if (e.tag == "div" || e.tag == "section" || e.tag == "body" || e.tag == "td") {
-          val (c, a) = charCounts(e)
-          if (c > 0) {
-            val ld = if (c == 0) 0.0 else a.toDouble / c
-            val raw = c * (1.0 - ld) * (1.0 - ld)
-            val boost = if (hasContentClass(e)) 2.0 else 1.0
-            candidates += ((e, raw * boost, raw, depth))
-          }
+      // (elem, boosted score, raw score, depth, pre-order idx): boosted picks
+      // the winner, raw decides whether a deeper candidate is a thin-wrapper
+      // strip. Counts come from ONE bottom-up pass (walk returns its
+      // subtree's (chars, anchor-chars)) so deeply nested div soups stay
+      // O(n) instead of O(depth*n); tie-breaks use the pre-order index so
+      // selection order is identical to the old pre-order walk.
+      val candidates = ArrayBuffer.empty[(Elem, Double, Double, Int, Int)]
+      var preIdx = 0
+      def walk(e: Elem, depth: Int): (Long, Long) = {
+        val myIdx = preIdx
+        preIdx += 1
+        var chars = 0L; var anchor = 0L
+        e.children.foreach {
+          case t: TextN => chars += countNonWs(t.data)
+          case el: Elem =>
+            val (c, a) = walk(el, depth + 1)
+            chars += c
+            anchor += (if (el.tag == "a") c else a)
         }
-        e.children.foreach { case el: Elem => walk(el, depth + 1); case _ => }
+        if ((e.tag == "div" || e.tag == "section" || e.tag == "body" || e.tag == "td")
+            && chars > 0) {
+          val ld = anchor.toDouble / chars
+          val raw = chars * (1.0 - ld) * (1.0 - ld)
+          val boost = if (hasContentClass(e)) 2.0 else 1.0
+          candidates += ((e, raw * boost, raw, depth, myIdx))
+        }
+        (chars, anchor)
       }
       walk(root, 0)
       if (candidates.isEmpty) root
@@ -182,8 +205,10 @@ object HtmlExtractor {
         // Raw (unboosted) mass is the subset test on purpose: a
         // content-classed comments box holding 45% of the page would pass
         // a boosted-score comparison and silently drop the article.
-        val maxScore = candidates.map(_._2).max
-        val top = candidates.find(_._2 == maxScore).get
+        var top = candidates.head
+        candidates.foreach { c =>
+          if (c._2 > top._2 || (c._2 == top._2 && c._5 < top._5)) top = c
+        }
         val inTop = java.util.Collections.newSetFromMap(
           new java.util.IdentityHashMap[Elem, java.lang.Boolean]())
         def mark(e: Elem): Unit = {
@@ -191,8 +216,9 @@ object HtmlExtractor {
           e.children.foreach { case el: Elem => mark(el); case _ => }
         }
         mark(top._1)
+        // deepest qualifying candidate, doc-order-first on depth ties
         candidates.filter(c => inTop.contains(c._1) && c._3 >= top._3 * 0.9)
-          .maxBy(_._4)._1
+          .maxBy(c => (c._4, -c._5))._1
       }
     }
   }

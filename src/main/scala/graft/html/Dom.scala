@@ -98,7 +98,7 @@ object TreeBuilder {
   private val closeBarrier = Set("table", "ul", "ol", "div", "section", "article",
     "body", "html", "aside", "nav", "header", "footer", "blockquote", "td", "th")
 
-  def build(tokens: Vector[Token]): Elem = {
+  def build(tokens: scala.collection.Seq[Token]): Elem = {
     val root = new Elem("#root", Map.empty)
     val stack = ArrayBuffer[Elem](root)
     def top = stack.last
@@ -133,5 +133,5 @@ object TreeBuilder {
     root
   }
 
-  def parse(html: String): Elem = build(Tokenizer.tokenize(html))
+  def parse(html: String): Elem = build(Tokenizer.tokenizeBuf(html))
 }

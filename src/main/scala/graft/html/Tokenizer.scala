@@ -26,7 +26,10 @@ object Tokenizer {
 
   private def isAsciiLetter(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
 
-  def tokenize(input: String): Vector[Token] = {
+  def tokenize(input: String): Vector[Token] = tokenizeBuf(input).toVector
+
+  /** Tokenize without the defensive Vector copy — the parse hot path. */
+  private[graft] def tokenizeBuf(input: String): ArrayBuffer[Token] = {
     val out = ArrayBuffer.empty[Token]
     val n = input.length
     var i = 0
@@ -94,7 +97,7 @@ object Tokenizer {
       }
     }
     flushText()
-    out.toVector
+    out
   }
 
   /** Find `</name` followed by optional junk then '>'. Returns (startIdx, idxAfterGt). */
@@ -133,10 +136,15 @@ object Tokenizer {
   private def isNameChar(c: Char): Boolean =
     isAsciiLetter(c) || Character.isDigit(c) || c == '-' || c == '_' || c == ':'
 
-  /** Lower-cased name slice; skips the StringBuilder when already lower. */
+  /** Lower-cased name slice; skips the StringBuilder when already lower.
+    * Non-ASCII falls through to the slow path so unicode case mapping
+    * matches a plain per-char Character.toLowerCase loop. */
   private def lowerName(input: String, from: Int, until: Int): String = {
     var k = from
-    while (k < until && !(input.charAt(k) >= 'A' && input.charAt(k) <= 'Z')) k += 1
+    while (k < until && {
+      val c = input.charAt(k)
+      !((c >= 'A' && c <= 'Z') || c >= 0x80)
+    }) k += 1
     if (k == until) input.substring(from, until)
     else {
       val sb = new java.lang.StringBuilder(until - from)
@@ -164,31 +172,30 @@ object Tokenizer {
         if (i + 1 < n && input.charAt(i + 1) == '>') { selfClosing = true; i += 2; done = true }
         else i += 1
       } else {
-        // attribute name
-        val an = new StringBuilder
+        // attribute name: bulk-scan to the next delimiter, lower-case lazily
+        val anStart = i
         while (i < n && !Character.isWhitespace(input.charAt(i)) &&
-               input.charAt(i) != '=' && input.charAt(i) != '>' && input.charAt(i) != '/') {
-          an.append(Character.toLowerCase(input.charAt(i))); i += 1
-        }
+               input.charAt(i) != '=' && input.charAt(i) != '>' && input.charAt(i) != '/') i += 1
+        val an = lowerName(input, anStart, i)
         while (i < n && Character.isWhitespace(input.charAt(i))) i += 1
         if (i < n && input.charAt(i) == '=') {
           i += 1
           while (i < n && Character.isWhitespace(input.charAt(i))) i += 1
           if (i >= n) return None
           val q = input.charAt(i)
-          val av = new StringBuilder
+          var av: String = null
           if (q == '"' || q == '\'') {
-            i += 1
-            while (i < n && input.charAt(i) != q) { av.append(input.charAt(i)); i += 1 }
-            if (i >= n) return None
-            i += 1
+            val close = input.indexOf(q, i + 1)
+            if (close < 0) return None
+            av = input.substring(i + 1, close)
+            i = close + 1
           } else {
-            while (i < n && !Character.isWhitespace(input.charAt(i)) && input.charAt(i) != '>') {
-              av.append(input.charAt(i)); i += 1
-            }
+            val avStart = i
+            while (i < n && !Character.isWhitespace(input.charAt(i)) && input.charAt(i) != '>') i += 1
+            av = input.substring(avStart, i)
           }
-          if (an.nonEmpty) attrs += an.toString -> Entities.decode(av.toString)
-        } else if (an.nonEmpty) attrs += an.toString -> ""
+          if (an.nonEmpty) attrs += an -> Entities.decode(av)
+        } else if (an.nonEmpty) attrs += an -> ""
       }
     }
     Some((StartTag(tagName, attrs.result(), selfClosing), i))
