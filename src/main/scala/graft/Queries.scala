@@ -815,6 +815,31 @@ object Queries {
       graft.ops.Curation.snapshotDelta(oldSnap, newSnap, "doc_id", "digest")
         .select(col("key").as("doc_id"), col("status"),
           col("old_digest"), col("new_digest"))
+    }),
+
+    // BM25 query relevance, ORACLED: every document scored against a
+    // 4-term query (the targeted-corpus-selection step). The corpus never
+    // shuffles raw text — only matched (id, term) rows ride the tf
+    // exchange; df/idf and the 1-row (N, avgdl) stats are broadcast.
+    // Per-term contributions round to 6dp and sum as exact decimals, so
+    // DuckDB replays the ranking bit-for-bit.
+    "q57_bm25" -> ((s, dir) => {
+      graft.ops.Retrieval.bm25Scores(docs(s, dir), "doc_id", "text",
+          Seq("data", "spark", "query", "merge"))
+        .select(col("id").as("doc_id"), col("n_terms"), col("score"))
+    }),
+
+    // Bigram-LM scoring, ORACLED: docs scored by add-alpha bigram
+    // negative log-likelihood under a model estimated from the
+    // doc_id % 13 == 0 reference slice (the CCNet perplexity-filter
+    // shape). N-grams are hashed before every exchange (8-byte keys);
+    // DuckDB replays hash → counts → smoothed logprob independently.
+    "q58_lm_score" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Retrieval.lmNegLogLik(
+          d.filter(col("doc_id") % 13 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 13 === 0), "text", alpha = 0.1)
+        .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"), col("avg_nll"))
     })
   )
 
@@ -1717,5 +1742,61 @@ object Queries {
         |       ELSE 'changed' END AS status,
         |  old_digest, new_digest
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
+
+    // q57: independent BM25 — token explode, tf/df over the query terms,
+    // Lucene idf, 6dp-rounded per-term scores summed as exact decimals
+    "q57_bm25" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\r]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM d),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM b),
+        |t AS (SELECT doc_id, dl, unnest(w) AS tok FROM b),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+        |  FROM t WHERE tok IN ('data','spark','query','merge') GROUP BY doc_id, tok),
+        |idf AS (SELECT tok, round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+        |  FROM (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), stats),
+        |sc AS (SELECT doc_id,
+        |    round(idf * (tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |      (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)), 6) AS s
+        |  FROM tf JOIN idf USING (tok), stats)
+        |SELECT doc_id, count(*)::BIGINT AS n_terms,
+        |  sum(CAST(s AS DECIMAL(28,6)))::DOUBLE AS score
+        |FROM sc GROUP BY doc_id""".stripMargin,
+
+    // q58: independent bigram-LM replay — the same base-131 hash family
+    // over tokens and "w1 w2" bigrams, reference counts, add-0.1
+    // smoothing, 6dp logprobs summed as exact decimals
+    "q58_lm_score" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\r]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |ref AS (SELECT w FROM d WHERE doc_id % 13 = 0),
+        |corp AS (SELECT doc_id, w FROM d WHERE doc_id % 13 <> 0),
+        |c1 AS (SELECT h1, count(*)::BIGINT AS c1 FROM (
+        |    SELECT list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(tok, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h1
+        |    FROM (SELECT unnest(w) AS tok FROM ref)) GROUP BY h1),
+        |v AS (SELECT count(*)::BIGINT AS v FROM c1),
+        |c12 AS (SELECT h12, count(*)::BIGINT AS c12 FROM (
+        |    SELECT list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(bg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h12
+        |    FROM (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        |          FROM ref)) GROUP BY h12),
+        |cb AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+        |  FROM corp),
+        |ch AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(split_part(bg, ' ', 1), '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h1,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(bg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h12
+        |  FROM cb),
+        |lp AS (SELECT doc_id,
+        |    round(-ln((coalesce(c12, 0) + 0.1::DOUBLE) / (coalesce(c1, 0) + 0.1::DOUBLE * v)), 6) AS lp
+        |  FROM ch LEFT JOIN c12 USING (h12) LEFT JOIN c1 USING (h1), v)
+        |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+        |  sum(CAST(lp AS DECIMAL(28,6)))::DOUBLE AS nll,
+        |  round(sum(CAST(lp AS DECIMAL(28,6)))::DOUBLE / count(*), 6) AS avg_nll
+        |FROM lp GROUP BY doc_id""".stripMargin,
   )
 }

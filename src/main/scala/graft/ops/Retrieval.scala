@@ -1,0 +1,151 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Corpus relevance / likelihood scoring for training-data curation:
+  *
+  *  - [[bm25Scores]]: BM25 (Robertson/Sparck Jones probabilistic ranking,
+  *    the Lucene `(k1, b)` formulation) of every document against a small
+  *    query-term set — the "select documents like THIS domain" step of
+  *    targeted corpus construction.
+  *  - [[lmNegLogLik]]: add-alpha-smoothed bigram language-model scoring
+  *    against a reference corpus — the CCNet/DCLM-style "perplexity
+  *    versus a clean reference" quality signal (Wenzek et al. 2020 use
+  *    KenLM; the bigram model here is the same shape with an exactly
+  *    SQL-replayable estimator).
+  *
+  * Scale shapes (both asserted in PlanSpec):
+  *  - BM25: the corpus is never shuffled raw — only (id, matched-term)
+  *    rows ride the tf exchange, and the df/idf tables (bounded by the
+  *    query vocabulary) plus the 1-row (N, avgdl) stats frame are
+  *    broadcast back.
+  *  - LM: n-grams are HASHED before any exchange (the hash-kernel LM
+  *    trick), so the count-join shuffles carry only (id, 8-byte hash)
+  *    rows — never token or bigram strings. The reference-side count
+  *    tables shuffle once on the hash to aggregate, and at production
+  *    scale would be bucket-materialized once and reused per scoring run.
+  *
+  * Float determinism protocol (the oracle contract): every per-term /
+  * per-bigram contribution is rounded to 6 dp and summed as
+  * decimal(28,6) — exact, order-independent — then cast back to double.
+  */
+object Retrieval {
+
+  /** Whitespace-token array of `textCol` (empty tokens dropped) — the
+    * same tokenization every curation op in this library uses. */
+  private def tokensCol(text: Column): Column =
+    filter(split(trim(text), "[ \\t\\n\\r]+"), t => t =!= "")
+
+  /** BM25 score of every matching document against `queryTerms`.
+    *
+    * Output: (id, n_terms, score) — one row per document containing at
+    * least one query term; `score` is the BM25 sum over matched terms
+    * with idf = ln(1 + (N - df + 0.5)/(df + 0.5)) (Lucene's non-negative
+    * variant), tf saturation `k1` and length normalization `b`.
+    */
+  def bm25Scores(
+      corpus: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(queryTerms.nonEmpty, "queryTerms must be non-empty")
+    val base = corpus.select(
+      col(idCol).cast("long").as("id"),
+      tokensCol(col(textCol)).as("__toks"))
+      .select(col("id"), col("__toks"),
+        size(col("__toks")).cast("long").as("dl"))
+    // 1-row global stats: corpus size and average document length
+    val stats = base.agg(
+      count(lit(1)).as("n_docs"),
+      round(avg(col("dl")), 6).as("avgdl"))
+    // narrow: explode then keep only query-term hits; the tf aggregate is
+    // the first (and only corpus-side) exchange, carrying (id, tok, dl)
+    val tf = base
+      .select(col("id"), col("dl"), explode(col("__toks")).as("tok"))
+      .filter(col("tok").isin(queryTerms: _*))
+      .groupBy(col("id"), col("tok"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    // df over the matched set only (one row per (id, term) already):
+    // bounded by |queryTerms|, broadcast back with idf attached
+    val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(stats))
+      .select(col("tok"),
+        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
+          .as("idf"))
+    tf.join(broadcast(idf), Seq("tok"))
+      .crossJoin(broadcast(stats))
+      .select(col("id"),
+        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6)
+          .as("__s"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("__s").cast("decimal(28,6)")).cast("double").as("score"))
+  }
+
+  /** Per-bigram (h(w1), h("w1 w2")) hash pairs of a text — one pass, no
+    * HOF (multi-pass array kernels degenerate under Catalyst lambda
+    * re-evaluation; see CLAUDE.md). Hash = [[Dedup.polyHash]], the
+    * SQL-replayable base-131 mod 2^31-1 family. */
+  private[ops] val bigramHashKernel: String => Array[Array[Long]] = { text =>
+    if (text == null) Array.empty
+    else {
+      val w = text.trim.split("[ \t\n\r]+").filter(_.nonEmpty)
+      if (w.length < 2) Array.empty
+      else {
+        val out = new Array[Array[Long]](w.length - 1)
+        var i = 0
+        while (i < w.length - 1) {
+          out(i) = Array(Dedup.polyHash(w(i)), Dedup.polyHash(w(i) + " " + w(i + 1)))
+          i += 1
+        }
+        out
+      }
+    }
+  }
+
+  /** Bigram-LM negative log-likelihood of every corpus document under an
+    * add-alpha-smoothed model estimated from `reference`:
+    *
+    *   P(w2 | w1) = (c(w1 w2) + alpha) / (c(w1) + alpha * V)
+    *
+    * with V = reference unigram vocabulary size. Output: (id, n_bigrams,
+    * nll, avg_nll) for every document with >= 2 tokens; `avg_nll` is the
+    * length-normalized score the CCNet perplexity filter thresholds on
+    * (low = reference-like, high = junk). Documents whose n-grams never
+    * occur in the reference still score finitely (alpha floor). */
+  def lmNegLogLik(
+      corpus: DataFrame, idCol: String, textCol: String,
+      reference: DataFrame, refTextCol: String,
+      alpha: Double = 0.1): DataFrame = {
+    require(alpha > 0, "alpha must be positive (unsmoothed zeros diverge)")
+    val hashUdf = udf((t: String) => Dedup.polyHash(t))
+    val bgUdf = udf(bigramHashKernel)
+    // reference unigram counts + vocabulary size (hash-keyed)
+    val c1 = reference
+      .select(explode(tokensCol(col(refTextCol))).as("__t"))
+      .select(hashUdf(col("__t")).as("h1"))
+      .groupBy(col("h1")).agg(count(lit(1)).as("c1"))
+    val vocab = c1.agg(count(lit(1)).as("v"))
+    // reference bigram counts (hash-keyed; multiplicity preserved)
+    val c12 = reference
+      .select(explode(bgUdf(col(refTextCol))).as("__bg"))
+      .select(col("__bg").getItem(1).as("h12"))
+      .groupBy(col("h12")).agg(count(lit(1)).as("c12"))
+    // corpus side: only (id, h1, h12) ever rides an exchange
+    corpus
+      .select(col(idCol).cast("long").as("id"),
+        explode(bgUdf(col(textCol))).as("__bg"))
+      .select(col("id"), col("__bg").getItem(0).as("h1"), col("__bg").getItem(1).as("h12"))
+      .join(c12, Seq("h12"), "left")
+      .join(c1, Seq("h1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("id"),
+        round(-log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
+            (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))), 6)
+          .as("__lp"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("__lp").cast("decimal(28,6)")).cast("double").as("nll"))
+      .withColumn("avg_nll", round(col("nll") / col("n_bigrams"), 6))
+  }
+}

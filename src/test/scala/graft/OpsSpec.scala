@@ -569,6 +569,50 @@ class OpsSpec extends AnyFunSuite {
       "u3" -> "changed", "u4" -> "added"))
   }
 
+  test("bm25Scores: closed-form score on a 2-doc corpus, absent docs omitted") {
+    import graft.ops.Retrieval
+    val corpus = Seq(
+      (1L, "data data model"),        // tf(data)=2, dl=3
+      (2L, "data pipeline and more"), // tf(data)=1, dl=4
+      (3L, "nothing relevant here")   // no query term -> omitted
+    ).toDF("doc_id", "text")
+    val out = Retrieval.bm25Scores(corpus, "doc_id", "text", Seq("data"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 1 && out(2L)._1 == 1)
+    // closed form (unrounded; the op rounds idf/score to 6dp, so compare
+    // with 2e-6 slack): N=3, df=2, idf=ln(1+(3-2+0.5)/2.5), avgdl=10/3
+    val idf = math.log(1.0 + 1.5 / 2.5)
+    def s(tf: Long, dl: Long): Double = {
+      val avgdl = 10.0 / 3.0
+      idf * (tf * 2.2) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    }
+    assert(math.abs(out(1L)._2 - s(2, 3)) < 2e-6, out(1L).toString)
+    assert(math.abs(out(2L)._2 - s(1, 4)) < 2e-6, out(2L).toString)
+    // more occurrences at equal length rank higher
+    assert(out(1L)._2 > out(2L)._2)
+  }
+
+  test("lmNegLogLik: reference-like text scores lower than junk; alpha floors unseen") {
+    import graft.ops.Retrieval
+    val ref = Seq((100L, "the cat sat on the mat"), (101L, "the cat ran on the mat"))
+      .toDF("doc_id", "text")
+    val corpus = Seq(
+      (1L, "the cat sat on the mat"),   // every bigram seen in ref
+      (2L, "zz qq xx vv ww yy"),        // no bigram or unigram seen
+      (3L, "x")                          // < 2 tokens -> omitted
+    ).toDF("doc_id", "text")
+    val out = Retrieval.lmNegLogLik(corpus, "doc_id", "text", ref, "text")
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out.keySet == Set(1L, 2L))
+    assert(out(1L)._1 == 5 && out(2L)._1 == 5)
+    // reference-like text is far more probable than unseen junk
+    assert(out(1L)._3 < out(2L)._3)
+    // unseen-everything logprob = -ln(alpha / (alpha * V)); V = 6 ('the'
+    // 'cat' 'sat' 'ran' 'on' 'mat'), so each bigram costs ~ln(6)
+    assert(math.abs(out(2L)._3 - math.log(6.0)) < 2e-6, out(2L).toString)
+  }
+
   test("langid column agrees with doc lang on clean stopword-marked text") {
     val df = Seq(
       ("en", "we saw the cat and the dog and the end"),

@@ -329,12 +329,60 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("bm25 exchanges never carry raw text — only matched (id, term) rows and tiny stats") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val df = graft.ops.Retrieval.bm25Scores(d, "doc_id", "text",
+        Seq("data", "spark", "query", "merge"))
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name).toSet
+      }
+      exchanges.foreach { cols =>
+        assert(!cols.contains("text") && !cols.exists(_.contains("__toks")),
+          s"corpus-width exchange ships $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("lm scoring exchanges carry only ids, 8-byte hashes, and counts — never tokens") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val df = graft.ops.Retrieval.lmNegLogLik(
+        d.filter(col("doc_id") % 13 =!= 0), "doc_id", "text",
+        d.filter(col("doc_id") % 13 === 0), "text")
+      val plan = df.queryExecution.executedPlan
+      val exchanges = plan.collect {
+        case e: ShuffleExchangeExec => e.child.output.map(_.name).toSet
+      }
+      assert(exchanges.nonEmpty, plan.toString)
+      exchanges.foreach { cols =>
+        assert(cols.forall(c => c == "id" || c == "h1" || c == "h12" ||
+            c.startsWith("c1") || c.startsWith("c12") || c == "v" ||
+            c.startsWith("count") || c.startsWith("__lp") || c.startsWith("sum") ||
+            c == "isEmpty" || c.startsWith("n_")),
+          s"lm exchange ships unexpected columns: $cols")
+        assert(!cols.contains("text") && !cols.exists(_.contains("__t")) &&
+            !cols.exists(_.contains("__bg")),
+          s"lm exchange ships token/bigram strings: $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("no query plan carries a cartesian product, global sort, or undesigned nested-loop join") {
     // scale guard over the whole inventory: BroadcastNestedLoopJoin is
     // legitimate ONLY where the design says so — q23's bounded verify
-    // crossJoin, q24's broadcast brute-force baseline, and q39's 1-row
-    // weight-total broadcast into the per-source fraction table
-    val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk", "q39_mix_sample")
+    // crossJoin, q24's broadcast brute-force baseline, q39's 1-row
+    // weight-total broadcast into the per-source fraction table, and the
+    // 1-row global-stats broadcasts of q57 (N, avgdl) / q58 (vocab size)
+    val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk", "q39_mix_sample",
+      "q57_bm25", "q58_lm_score")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
