@@ -244,12 +244,15 @@ object Bench {
     spark.stop()
     beat(s"phase 2 corpus materialized: $scaleDocs docs")
 
-    // 3→12 rather than 4→16: the host advertises 32 CPUs but delivers ~16;
-    // a 16-thread high level needs EVERY deliverable core, so any transient
-    // host contention directly cuts its throughput and corrupts the ratio
-    // (measured 0.72–0.98 run-to-run at 4→16, vs 0.91 at 3→12 in the same
-    // noisy window). 12 threads keep slack while preserving the 4× ratio.
-    val Array(nLow, nHigh) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "3,12")
+    // 2→8 rather than 4→16 or 3→12: the host advertises 32 CPUs but
+    // delivers ~16 concurrently, and the faster the kernel gets, the
+    // harder a 12-thread high level presses against that ceiling (r3
+    // kernel: 12 threads want ~190k docs/s nominal but the VM delivers
+    // ~148k — the ratio then gauges the hypervisor, not the pipeline;
+    // measured 0.72–0.98 at 4→16 and 0.62–0.97 at 3→12 across windows).
+    // 8 threads keep ~2x slack under deliverable capacity while
+    // preserving the 4x cluster-size ratio of the north rule.
+    val Array(nLow, nHigh) = sys.env.getOrElse("SPARK_GRAFT_SCALE_LEVELS", "2,8")
       .split(",").map(_.trim.toInt)
     // Interleave the levels across rounds of alternating child JVMs and
     // take the per-level min: host capacity on this VM fluctuates on
@@ -281,11 +284,17 @@ object Bench {
       // same host-capacity window (the two child JVMs of one round), so
       // it is immune to the cross-window drift that depresses the
       // min-based ratio when every low-level min lands in a healthy
-      // window and no high-level round got one. It is the per-window
-      // reading of the SAME two-cluster-size experiment; both are
-      // reported, BASELINE.md documents the distinction.
-      val bestRound = if (roundWalls.isEmpty) eff
-        else roundWalls.map { case (l, h) => (l / h) / (nHigh.toDouble / nLow) }.max
+      // window and no high-level round got one. Only rounds whose LOW
+      // wall is within 10% of the best low wall qualify: a contended low
+      // level inflates l/h and can fake a >1 "efficiency", so the best
+      // paired ratio is only meaningful where the low level held its
+      // cores. Both numbers are reported; BASELINE.md documents the
+      // distinction.
+      val bestRound = {
+        val healthy = roundWalls.filter(_._1 <= wallLow * 1.10)
+        if (healthy.isEmpty) eff
+        else healthy.map { case (l, h) => (l / h) / (nHigh.toDouble / nLow) }.max
+      }
       val rw = roundWalls.map { case (l, h) => f"[$l%.2f,$h%.2f]" }.mkString("[", ",", "]")
       f"""{"docs":$scaleDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
         f""""wall_low_sec":$wallLow%.2f,"wall_high_sec":$wallHigh%.2f,""" +
