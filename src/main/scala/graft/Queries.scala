@@ -821,8 +821,9 @@ object Queries {
     // 4-term query (the targeted-corpus-selection step). The corpus never
     // shuffles raw text — only matched (id, term) rows ride the tf
     // exchange; df/idf and the 1-row (N, avgdl) stats are broadcast.
-    // Per-term contributions round to 6dp and sum as exact decimals, so
-    // DuckDB replays the ranking bit-for-bit.
+    // Per-term contributions quantize to integer micro-units (pure-IEEE
+    // floor(x*1e6+0.5)) and sum exactly, so DuckDB replays the ranking
+    // bit-for-bit at any corpus scale.
     "q57_bm25" -> ((s, dir) => {
       graft.ops.Retrieval.bm25Scores(docs(s, dir), "doc_id", "text",
           Seq("data", "spark", "query", "merge"))
@@ -1744,7 +1745,10 @@ object Queries {
         |FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id""".stripMargin,
 
     // q57: independent BM25 — token explode, tf/df over the query terms,
-    // Lucene idf, 6dp-rounded per-term scores summed as exact decimals
+    // Lucene idf; per-term scores quantized to integer micro-units via
+    // floor(x*1e6 + 0.5) (pure IEEE, replays on any engine — unlike
+    // round(double, 6), whose HALF_UP-vs-float boundary behavior differs
+    // between Spark and DuckDB) and summed exactly
     "q57_bm25" ->
       """WITH d AS (SELECT doc_id,
         |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\r]+'), x -> x <> '') AS w
@@ -1754,14 +1758,15 @@ object Queries {
         |t AS (SELECT doc_id, dl, unnest(w) AS tok FROM b),
         |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
         |  FROM t WHERE tok IN ('data','spark','query','merge') GROUP BY doc_id, tok),
-        |idf AS (SELECT tok, round(ln(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf
+        |idf AS (SELECT tok,
+        |    floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5) / 1e6 AS idf
         |  FROM (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), stats),
         |sc AS (SELECT doc_id,
-        |    round(idf * (tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
-        |      (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl)), 6) AS s
+        |    CAST(floor(idf * (tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |      (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+        |      * 1e6 + 0.5) AS BIGINT) AS sm
         |  FROM tf JOIN idf USING (tok), stats)
-        |SELECT doc_id, count(*)::BIGINT AS n_terms,
-        |  sum(CAST(s AS DECIMAL(28,6)))::DOUBLE AS score
+        |SELECT doc_id, count(*)::BIGINT AS n_terms, sum(sm) / 1e6 AS score
         |FROM sc GROUP BY doc_id""".stripMargin,
 
     // q58: independent bigram-LM replay — the same base-131 hash family
@@ -1792,11 +1797,12 @@ object Queries {
         |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h12
         |  FROM cb),
         |lp AS (SELECT doc_id,
-        |    round(-ln((coalesce(c12, 0) + 0.1::DOUBLE) / (coalesce(c1, 0) + 0.1::DOUBLE * v)), 6) AS lp
+        |    CAST(floor(-ln((coalesce(c12, 0) + 0.1::DOUBLE) /
+        |      (coalesce(c1, 0) + 0.1::DOUBLE * v)) * 1e6 + 0.5) AS BIGINT) AS lpm
         |  FROM ch LEFT JOIN c12 USING (h12) LEFT JOIN c1 USING (h1), v)
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
-        |  sum(CAST(lp AS DECIMAL(28,6)))::DOUBLE AS nll,
-        |  round(sum(CAST(lp AS DECIMAL(28,6)))::DOUBLE / count(*), 6) AS avg_nll
+        |  sum(lpm) / 1e6 AS nll,
+        |  floor(sum(lpm) / count(*) + 0.5) / 1e6 AS avg_nll
         |FROM lp GROUP BY doc_id""".stripMargin,
   )
 }

@@ -27,8 +27,14 @@ import org.apache.spark.sql.functions._
   *    scale would be bucket-materialized once and reused per scoring run.
   *
   * Float determinism protocol (the oracle contract): every per-term /
-  * per-bigram contribution is rounded to 6 dp and summed as
-  * decimal(28,6) — exact, order-independent — then cast back to double.
+  * per-bigram contribution is quantized to integer micro-units via
+  * `floor(x * 1e6 + 0.5)` — pure IEEE ops, so ANY engine computing the
+  * same expression tree lands on the same long — summed exactly as
+  * integers, and divided back to a double only at the end. (A
+  * `round(double, 6)` here would NOT replay: Spark rounds through the
+  * binary double's exact decimal expansion with HALF_UP while DuckDB
+  * rounds in floating point, and they disagree on ...5-boundary values —
+  * observed once per ~5k docs on the sf0.1 corpus.)
   */
 object Retrieval {
 
@@ -69,17 +75,17 @@ object Retrieval {
     val idf = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
       .crossJoin(broadcast(stats))
       .select(col("tok"),
-        round(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))), 6)
-          .as("idf"))
+        (floor(log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+          * lit(1e6) + lit(0.5)) / lit(1e6)).as("idf"))
     tf.join(broadcast(idf), Seq("tok"))
       .crossJoin(broadcast(stats))
       .select(col("id"),
-        round(col("idf") * (col("tf") * lit(k1 + 1.0)) /
-            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl"))), 6)
-          .as("__s"))
+        floor(col("idf") * (col("tf") * lit(k1 + 1.0)) /
+            (col("tf") + lit(k1) * (lit(1.0) - lit(b) + lit(b) * col("dl") / col("avgdl")))
+          * lit(1e6) + lit(0.5)).as("__sm"))
       .groupBy(col("id"))
       .agg(count(lit(1)).as("n_terms"),
-        sum(col("__s").cast("decimal(28,6)")).cast("double").as("score"))
+        (sum(col("__sm")) / lit(1e6)).as("score"))
   }
 
   /** Per-bigram (h(w1), h("w1 w2")) hash pairs of a text — one pass, no
@@ -140,12 +146,13 @@ object Retrieval {
       .join(c1, Seq("h1"), "left")
       .crossJoin(broadcast(vocab))
       .select(col("id"),
-        round(-log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
-            (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))), 6)
-          .as("__lp"))
+        floor(-log((coalesce(col("c12"), lit(0L)) + lit(alpha)) /
+            (coalesce(col("c1"), lit(0L)) + lit(alpha) * col("v"))) * lit(1e6) + lit(0.5))
+          .as("__lpm"))
       .groupBy(col("id"))
-      .agg(count(lit(1)).as("n_bigrams"),
-        sum(col("__lp").cast("decimal(28,6)")).cast("double").as("nll"))
-      .withColumn("avg_nll", round(col("nll") / col("n_bigrams"), 6))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__lpm")).as("__nllm"))
+      .select(col("id"), col("n_bigrams"),
+        (col("__nllm") / lit(1e6)).as("nll"),
+        (floor(col("__nllm") / col("n_bigrams") + lit(0.5)) / lit(1e6)).as("avg_nll"))
   }
 }
