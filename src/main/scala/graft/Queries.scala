@@ -841,6 +841,20 @@ object Queries {
           d.filter(col("doc_id") % 13 =!= 0), "doc_id", "text",
           d.filter(col("doc_id") % 13 === 0), "text", alpha = 0.1)
         .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"), col("avg_nll"))
+    }),
+
+    // PageRank, ORACLED: 10 fixed iterations over a deterministic
+    // 3-out-edges-per-doc link graph, ranks kept as integer micro-units
+    // (every contribution floor(d*r/deg + 0.5)-quantized) so DuckDB
+    // replays the whole power iteration bit-for-bit as unrolled CTEs.
+    // One shuffle pair per iteration, 8-byte rank rows only.
+    "q59_pagerank" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300).select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"), ((col("doc_id") * 31 + 7) % 211).as("dst"))
+        .union(d.select(col("doc_id").as("src"), ((col("doc_id") * 17 + 3) % 211).as("dst")))
+        .union(d.select(col("doc_id").as("src"), ((col("doc_id") * 13 + 11) % 97).as("dst")))
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 10)
+        .select(col("id").as("doc_id"), col("rank_micro"), col("rank"))
     })
   )
 
@@ -1804,5 +1818,32 @@ object Queries {
         |  sum(lpm) / 1e6 AS nll,
         |  floor(sum(lpm) / count(*) + 0.5) / 1e6 AS avg_nll
         |FROM lp GROUP BY doc_id""".stripMargin,
+
+    // q59: the same 10 power iterations unrolled as chained CTEs —
+    // integer micro-unit ranks make every iteration exactly replayable
+    "q59_pagerank" -> {
+      val iters = (1 to 10).map { k =>
+        s"""pr$k AS (SELECT nd.id,
+           |    CAST(floor((1 - 0.85::DOUBLE) * 1e6 / n + 0.5) AS BIGINT)
+           |      + coalesce(c.contrib, 0) AS r
+           |  FROM nodes nd CROSS JOIN cnt LEFT JOIN (
+           |    SELECT e.dst AS id,
+           |      CAST(sum(CAST(floor(0.85::DOUBLE * p.r / deg + 0.5) AS BIGINT)) AS BIGINT) AS contrib
+           |    FROM e JOIN deg USING (src) JOIN pr${k - 1} p ON p.id = e.src
+           |    GROUP BY e.dst) c ON c.id = nd.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT doc_id AS src, (doc_id * 31 + 7) % 211 AS dst FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 17 + 3) % 211 FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 13 + 11) % 97 FROM documents WHERE doc_id < 300),
+         |deg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
+         |pr0 AS (SELECT id, CAST(floor(1e6 / n + 0.5) AS BIGINT) AS r FROM nodes CROSS JOIN cnt),
+         |$iters
+         |SELECT id AS doc_id, r AS rank_micro, r / 1e6 AS rank FROM pr10""".stripMargin
+    },
   )
 }

@@ -613,6 +613,29 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(out(2L)._3 - math.log(6.0)) < 2e-6, out(2L).toString)
   }
 
+  test("pageRank: symmetric cycle is uniform, star center dominates, mass conserved") {
+    import graft.ops.Graph
+    // 2-cycle: perfectly symmetric, both nodes stay at 1/2
+    val cyc = Seq((1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val rc = Graph.pageRank(cyc, "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rc(1L) == 500000L && rc(2L) == 500000L, rc.toString)
+    // star: spokes all point at the hub; hub links back to spoke 2. The
+    // 9<->2 loop oscillates with period 2 (undamped until convergence),
+    // so assert only phase-stable facts: both loop members dominate the
+    // pure spokes (base-rank only), and symmetric spokes tie exactly.
+    val star = Seq((1L, 9L), (2L, 9L), (3L, 9L), (9L, 2L)).toDF("src", "dst")
+    val rs = Graph.pageRank(star, "src", "dst", iterations = 10)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rs(9L) > rs(1L) && rs(2L) > rs(1L), rs.toString)
+    assert(rs(1L) == rs(3L)) // symmetric spokes tie exactly
+    assert(rs(1L) == 37500L) // pure spoke = base rank floor(0.15e6/4 + 0.5)
+    // no dangling nodes here: the 1e6-micro-unit total mass is conserved
+    // up to one rounding unit per (node, iteration)
+    val total = rs.values.sum
+    assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
+  }
+
   test("langid column agrees with doc lang on clean stopword-marked text") {
     val df = Seq(
       ("en", "we saw the cat and the dog and the end"),
