@@ -855,6 +855,37 @@ object Queries {
         .union(d.select(col("doc_id").as("src"), ((col("doc_id") * 13 + 11) % 97).as("dst")))
       graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 10)
         .select(col("id").as("doc_id"), col("rank_micro"), col("rank"))
+    }),
+
+    // URL canonicalization, ORACLED: deterministic messy urls (mixed-case
+    // scheme/host, default + non-default ports, tracking params in
+    // varying order, fragments, trailing slashes) canonicalized by the
+    // pure-Column-DSL kernel; DuckDB rebuilds the urls and canonicalizes
+    // INDEPENDENTLY with its own regexp/list functions — byte-compared.
+    "q60_url_canon" -> ((s, dir) => {
+      val host = when(col("doc_id") % 4 === 0, lit("WWW.Example.COM"))
+        .when(col("doc_id") % 4 === 1, lit("news.site.org"))
+        .when(col("doc_id") % 4 === 2, lit("Shop.Example.com"))
+        .otherwise(lit("a.b.c.net"))
+      val scheme = when(col("doc_id") % 3 === 0, lit("http://"))
+        .when(col("doc_id") % 3 === 1, lit("https://"))
+        .otherwise(lit("HTTP://"))
+      val port = when(col("doc_id") % 3 === 0, lit(":80"))
+        .when(col("doc_id") % 3 === 1, lit(":443"))
+        .otherwise(lit(":8080"))
+      val path = concat(expr("repeat('/Seg', cast(doc_id % 3 as int))"),
+        when(col("doc_id") % 2 === 0, lit("/")).otherwise(lit("")))
+      val query = when(col("doc_id") % 5 === 0, lit("?utm_source=x&b=2&a=1"))
+        .when(col("doc_id") % 5 === 1, lit("?a=1&utm_campaign=z"))
+        .when(col("doc_id") % 5 === 2, lit("?gclid=g"))
+        .when(col("doc_id") % 5 === 3, lit("?b=2&a=1"))
+        .otherwise(lit(""))
+      val frag = when(col("doc_id") % 7 === 0, lit("#frag")).otherwise(lit(""))
+      docs(s, dir)
+        .select(col("doc_id"),
+          concat(scheme, host, port, path, query, frag).as("url"))
+        .select(col("doc_id"), col("url"),
+          graft.ops.WebOps.canonicalizeUrl(col("url")).as("canon"))
     })
   )
 
@@ -1845,5 +1876,42 @@ object Queries {
          |$iters
          |SELECT id AS doc_id, r AS rank_micro, r / 1e6 AS rank FROM pr10""".stripMargin
     },
+
+    // q60: same deterministic url construction, then an INDEPENDENT
+    // canonicalization with DuckDB regexp/list functions
+    "q60_url_canon" ->
+      """WITH u AS (SELECT doc_id,
+        |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'http://' WHEN 1 THEN 'https://' ELSE 'HTTP://' END) ||
+        |    (CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'WWW.Example.COM' WHEN 1 THEN 'news.site.org'
+        |      WHEN 2 THEN 'Shop.Example.com' ELSE 'a.b.c.net' END) ||
+        |    (CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN ':80' WHEN 1 THEN ':443' ELSE ':8080' END) ||
+        |    repeat('/Seg', CAST(doc_id % 3 AS INT)) ||
+        |    (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END) ||
+        |    (CASE CAST(doc_id % 5 AS INT) WHEN 0 THEN '?utm_source=x&b=2&a=1'
+        |      WHEN 1 THEN '?a=1&utm_campaign=z' WHEN 2 THEN '?gclid=g'
+        |      WHEN 3 THEN '?b=2&a=1' ELSE '' END) ||
+        |    (CASE WHEN doc_id % 7 = 0 THEN '#frag' ELSE '' END) AS url
+        |  FROM documents),
+        |c AS (SELECT doc_id, url,
+        |    lower(regexp_extract(url, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+        |    regexp_extract(url, '\?([^#]*)', 1) AS rawq
+        |  FROM u),
+        |c2 AS (SELECT doc_id, url, scheme,
+        |    CASE WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+        |         WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+        |         ELSE hostport END AS host,
+        |    CASE WHEN regexp_replace(rawpath, '/+$', '') = '' THEN '/'
+        |         ELSE regexp_replace(rawpath, '/+$', '') END AS path,
+        |    list_sort(list_filter(string_split(rawq, '&'), p -> p <> '' AND
+        |      NOT regexp_matches(p, '^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)='))) AS kept
+        |  FROM c)
+        |SELECT doc_id, url,
+        |  CASE WHEN scheme = '' THEN ''
+        |       ELSE scheme || '://' || host || path ||
+        |         (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
+        |  END AS canon
+        |FROM c2""".stripMargin,
   )
 }

@@ -50,4 +50,40 @@ object WebOps {
     val path = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*(/[^?#]*)?", 1)
     size(filter(split(path, "/"), seg => seg =!= lit("")))
   }
+
+  /** Query parameters dropped by [[canonicalizeUrl]]: click/campaign
+    * trackers that fragment otherwise-identical URLs across a crawl. */
+  val TrackingParamRe = "^(utm_[a-z0-9_]+|gclid|fbclid|msclkid|ref)="
+
+  /** Canonical form of a URL — the dedup-by-URL key every crawl pipeline
+    * needs before exact content dedup:
+    *
+    *  1. scheme and host lowercased (paths stay case-sensitive);
+    *  2. default ports dropped (`:80` for http, `:443` for https);
+    *  3. fragment stripped;
+    *  4. tracking query params dropped ([[TrackingParamRe]]), survivors
+    *     SORTED (binary order) so param order never splits a URL;
+    *  5. trailing path slashes trimmed, empty path normalized to `/`.
+    *
+    * Pure codegen'd Column DSL (regexp + list ops, no UDF, no shuffle),
+    * RE2-safe patterns — the q60 DuckDB oracle replays it byte-for-byte.
+    * Duplicate in-path slashes and userinfo are preserved (out of
+    * contract). Unparseable urls (no `scheme://`) yield ''. */
+  def canonicalizeUrl(url: Column): Column = {
+    val scheme = lower(regexp_extract(url, "^([A-Za-z][A-Za-z0-9+.-]*)://", 1))
+    val hostport = lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)", 1))
+    val host = when(scheme === "http", regexp_replace(hostport, ":80$", ""))
+      .when(scheme === "https", regexp_replace(hostport, ":443$", ""))
+      .otherwise(hostport)
+    val rawPath = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    val path = when(regexp_replace(rawPath, "/+$", "") === "", lit("/"))
+      .otherwise(regexp_replace(rawPath, "/+$", ""))
+    val rawQuery = regexp_extract(url, "\\?([^#]*)", 1)
+    val kept = array_sort(filter(split(rawQuery, "&"),
+      p => p =!= lit("") && !p.rlike(TrackingParamRe)))
+    val query = when(size(kept) > 0, concat(lit("?"), array_join(kept, "&")))
+      .otherwise(lit(""))
+    when(scheme === "", lit(""))
+      .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
 }

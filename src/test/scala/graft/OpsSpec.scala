@@ -636,6 +636,22 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("canonicalizeUrl: case, default ports, fragments, tracking params, param order") {
+    import graft.ops.WebOps
+    val cases = Seq(
+      ("HTTP://WWW.Ex.COM:80/A/b/?b=2&utm_source=x&a=1#f", "http://www.ex.com/A/b?a=1&b=2"),
+      ("https://ex.com:443/", "https://ex.com/"),
+      ("https://ex.com:8443/p", "https://ex.com:8443/p"), // non-default port kept
+      ("http://ex.com:8080", "http://ex.com:8080/"),      // :80 only stripped exactly
+      ("https://ex.com/p/?gclid=g", "https://ex.com/p"),
+      ("https://ex.com/p?fbclid=1&ref=z", "https://ex.com/p"),
+      ("not a url", "")
+    ).toDF("url", "want")
+    val got = cases.select($"url", $"want", WebOps.canonicalizeUrl($"url").as("canon"))
+      .collect()
+    got.foreach(r => assert(r.getString(2) == r.getString(1), r.toString))
+  }
+
   test("langid column agrees with doc lang on clean stopword-marked text") {
     val df = Seq(
       ("en", "we saw the cat and the dog and the end"),
