@@ -843,17 +843,20 @@ object Queries {
         .select(col("id").as("doc_id"), col("n_bigrams"), col("nll"), col("avg_nll"))
     }),
 
-    // PageRank, ORACLED: 10 fixed iterations over a deterministic
+    // PageRank, ORACLED: 5 fixed iterations over a deterministic
     // 3-out-edges-per-doc link graph, ranks kept as integer micro-units
     // (every contribution floor(d*r/deg + 0.5)-quantized) so DuckDB
     // replays the whole power iteration bit-for-bit as unrolled CTEs.
-    // One shuffle pair per iteration, 8-byte rank rows only.
+    // One shuffle pair per iteration, 8-byte rank rows only. (5, not the
+    // op's default 10, purely to bound the tiny-input suite wall — each
+    // iteration costs fixed per-stage overhead at local[32]; bit-exact
+    // replay is what the oracle proves, not the iteration count.)
     "q59_pagerank" -> ((s, dir) => {
       val d = docs(s, dir).filter(col("doc_id") < 300).select(col("doc_id"))
       val edges = d.select(col("doc_id").as("src"), ((col("doc_id") * 31 + 7) % 211).as("dst"))
         .union(d.select(col("doc_id").as("src"), ((col("doc_id") * 17 + 3) % 211).as("dst")))
         .union(d.select(col("doc_id").as("src"), ((col("doc_id") * 13 + 11) % 97).as("dst")))
-      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 10)
+      graft.ops.Graph.pageRank(edges, "src", "dst", iterations = 5)
         .select(col("id").as("doc_id"), col("rank_micro"), col("rank"))
     }),
 
@@ -1850,10 +1853,10 @@ object Queries {
         |  floor(sum(lpm) / count(*) + 0.5) / 1e6 AS avg_nll
         |FROM lp GROUP BY doc_id""".stripMargin,
 
-    // q59: the same 10 power iterations unrolled as chained CTEs —
+    // q59: the same 5 power iterations unrolled as chained CTEs —
     // integer micro-unit ranks make every iteration exactly replayable
     "q59_pagerank" -> {
-      val iters = (1 to 10).map { k =>
+      val iters = (1 to 5).map { k =>
         s"""pr$k AS (SELECT nd.id,
            |    CAST(floor((1 - 0.85::DOUBLE) * 1e6 / n + 0.5) AS BIGINT)
            |      + coalesce(c.contrib, 0) AS r
@@ -1874,7 +1877,7 @@ object Queries {
          |cnt AS (SELECT count(*)::BIGINT AS n FROM nodes),
          |pr0 AS (SELECT id, CAST(floor(1e6 / n + 0.5) AS BIGINT) AS r FROM nodes CROSS JOIN cnt),
          |$iters
-         |SELECT id AS doc_id, r AS rank_micro, r / 1e6 AS rank FROM pr10""".stripMargin
+         |SELECT id AS doc_id, r AS rank_micro, r / 1e6 AS rank FROM pr5""".stripMargin
     },
 
     // q60: same deterministic url construction, then an INDEPENDENT
