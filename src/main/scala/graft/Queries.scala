@@ -889,6 +889,19 @@ object Queries {
           concat(scheme, host, port, path, query, frag).as("url"))
         .select(col("doc_id"), col("url"),
           graft.ops.WebOps.canonicalizeUrl(col("url")).as("canon"))
+    }),
+
+    // k-means embedding clustering (SemDeDup stage), ORACLED: vectors
+    // quantized once to integer micro-units, after which every distance
+    // is EXACT 64-bit integer arithmetic and every centroid update an
+    // exact integer sum + one floor-quantized division — 3 Lloyd rounds
+    // replay bit-for-bit as unrolled DuckDB CTEs. Centroids are a k-row
+    // broadcast each round (the IVF probe pattern); exchanges carry only
+    // (id, cid, d2) and (cid, dim, partial-sum) cells.
+    "q61_kmeans" -> ((s, dir) => {
+      graft.ops.Clustering.kmeansAssign(
+          embeddings(s, dir), "vec_id", "embedding", k = 8, iterations = 3)
+        .select(col("id").as("vec_id"), col("cid"), col("d2"))
     })
   )
 
@@ -1916,5 +1929,34 @@ object Queries {
         |         (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&') ELSE '' END)
         |  END AS canon
         |FROM c2""".stripMargin,
+
+    // q61: the same 3 Lloyd rounds unrolled — micro-unit integer vectors
+    // make distances and centroid updates exact on any engine
+    "q61_kmeans" -> {
+      val rounds = (1 to 3).map { i =>
+        val dist =
+          s"""s$i AS (SELECT v.id, c.cid,
+             |    CAST(list_sum([ (vm[j] - cm[j]) * (vm[j] - cm[j]) FOR j IN range(1, len(vm) + 1) ]) AS BIGINT) AS d2
+             |  FROM v CROSS JOIN c${i - 1} c),
+             |a$i AS (SELECT id, cid, d2 FROM (
+             |    SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+             |    FROM s$i) WHERE rn = 1)""".stripMargin
+        val update = if (i < 3)
+          s""",
+             |u$i AS (SELECT a.cid, t.j AS dim, CAST(sum(vm[t.j]) AS BIGINT) AS sx, count(*) AS cnt
+             |  FROM a$i a JOIN v USING (id) CROSS JOIN range(1, 65) t(j)
+             |  GROUP BY a.cid, t.j),
+             |c$i AS (SELECT cid, list(CAST(floor(sx / cnt + 0.5) AS BIGINT) ORDER BY dim) AS cm
+             |  FROM u$i GROUP BY cid)""".stripMargin
+        else ""
+        dist + update
+      }.mkString(",\n")
+      s"""WITH v AS (SELECT vec_id AS id,
+         |    [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN embedding] AS vm
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |c0 AS (SELECT id AS cid, vm AS cm FROM v ORDER BY id LIMIT 8),
+         |$rounds
+         |SELECT id AS vec_id, cid, d2 FROM a3""".stripMargin
+    },
   )
 }

@@ -636,6 +636,26 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("kmeansAssign: planted clusters recovered, labels are seed ids, runs are identical") {
+    import graft.ops.Clustering
+    val pts = Seq(
+      (1L, Array(0.0f, 0.0f)), (2L, Array(10.0f, 10.0f)),
+      (3L, Array(0.1f, 0.0f)), (4L, Array(10.1f, 10.0f)),
+      (5L, Array(0.0f, 0.2f)), (6L, Array(9.9f, 10.1f))
+    ).toDF("vec_id", "embedding")
+    def run() = Clustering.kmeansAssign(pts, "vec_id", "embedding", k = 2, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = run()
+    val byId = a.map(r => r._1 -> r._2).toMap
+    // seeds are the two smallest ids, so labels are exactly {1, 2}
+    assert(byId.values.toSet == Set(1L, 2L), a.mkString(","))
+    assert(byId(3L) == byId(1L) && byId(5L) == byId(1L))
+    assert(byId(4L) == byId(2L) && byId(6L) == byId(2L))
+    // exact integer determinism: a second run is bit-identical incl. d2
+    assert(a.sameElements(run()))
+    assert(a.forall(_._3 >= 0L))
+  }
+
   test("canonicalizeUrl: case, default ports, fragments, tracking params, param order") {
     import graft.ops.WebOps
     val cases = Seq(

@@ -382,7 +382,7 @@ class PlanSpec extends AnyFunSuite {
     // weight-total broadcast into the per-source fraction table, and the
     // 1-row global-stats broadcasts of q57 (N, avgdl) / q58 (vocab size)
     val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk", "q39_mix_sample",
-      "q57_bm25", "q58_lm_score", "q59_pagerank")
+      "q57_bm25", "q58_lm_score", "q59_pagerank", "q61_kmeans")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
