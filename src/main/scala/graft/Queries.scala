@@ -902,6 +902,17 @@ object Queries {
       graft.ops.Clustering.kmeansAssign(
           embeddings(s, dir), "vec_id", "embedding", k = 8, iterations = 3)
         .select(col("id").as("vec_id"), col("cid"), col("d2"))
+    }),
+
+    // Exact per-source length quantiles, ORACLED: the profiling step
+    // that picks filter thresholds. Type-1 quantile at rank
+    // floor((n-1)q)+1 under a total (value, doc_id) order — exact and
+    // deterministic, unlike percentile_approx. One key exchange, then
+    // partition-LOCAL sorts only.
+    "q62_length_quantiles" -> ((s, dir) => {
+      graft.ops.Curation.exactQuantiles(
+          docs(s, dir), "source", "n_chars", "doc_id")
+        .select(col("key").as("source"), col("q"), col("value"))
     })
   )
 
@@ -1958,5 +1969,16 @@ object Queries {
          |$rounds
          |SELECT id AS vec_id, cid, d2 FROM a3""".stripMargin
     },
+
+    // q62: same type-1 quantile arithmetic over the same total order
+    "q62_length_quantiles" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |e AS (SELECT source, n_chars, rn, n,
+        |    unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS q FROM r)
+        |SELECT source, q, n_chars AS value FROM e
+        |WHERE rn = floor((n - 1) * q) + 1""".stripMargin,
   )
 }

@@ -370,4 +370,32 @@ object Curation {
           .otherwise("changed"))
       .select(col("key"), col("status"), col("old_digest"), col("new_digest"))
   }
+
+  /** EXACT per-key quantiles of a numeric column — the corpus profiling
+    * step that picks filter thresholds (length floors, outlier caps).
+    * Returns (key, q, value) with value = the type-1 (lower) quantile:
+    * the element at rank floor((n-1)·q)+1 under (value, tiebreak) order.
+    * Fully deterministic and SQL-replayable (q62), unlike
+    * `percentile_approx`.
+    *
+    * Scale shape: one exchange on the key, then a partition-LOCAL sort
+    * (never global; both window functions reuse the same partitioning).
+    * Exact quantiles inherently sort each key group — right for
+    * per-source profiling where groups are bounded; a 100-TB single-group
+    * quantile should use a sketch instead (see [[Sketches]]). */
+  def exactQuantiles(
+      df: DataFrame, keyCol: String, valueCol: String, tiebreakCol: String,
+      qs: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0)): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1))
+    val w = Window.partitionBy(col("key")).orderBy(col("value"), col(tiebreakCol))
+    val wAll = Window.partitionBy(col("key"))
+    df.select(col(keyCol).as("key"), col(valueCol).as("value"), col(tiebreakCol))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .select(col("key"), col("value"), col("__rn"), col("__n"),
+        explode(array(qs.map(lit(_)): _*)).as("q"))
+      .filter(col("__rn") === floor((col("__n") - 1) * col("q")) + 1)
+      .select(col("key"), col("q"), col("value"))
+  }
 }

@@ -656,6 +656,19 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(_._3 >= 0L))
   }
 
+  test("exactQuantiles: type-1 ranks on a known distribution, single-row groups") {
+    import graft.ops.Curation
+    val d = (1L to 9L).map(i => ("a", i * 10, i)) :+ (("b", 7L, 99L))
+    val df = d.toDF("src", "v", "id")
+    val out = Curation.exactQuantiles(df, "src", "v", "id")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) -> r.getLong(2)).toMap
+    // n=9: ranks floor(8q)+1 = 1,3,5,7,9 -> values 10,30,50,70,90
+    assert(out(("a", 0.0)) == 10L && out(("a", 0.25)) == 30L &&
+      out(("a", 0.5)) == 50L && out(("a", 0.75)) == 70L && out(("a", 1.0)) == 90L, out.toString)
+    // single-row group: every quantile is that row
+    assert(Seq(0.0, 0.25, 0.5, 0.75, 1.0).forall(q => out(("b", q)) == 7L))
+  }
+
   test("canonicalizeUrl: case, default ports, fragments, tracking params, param order") {
     import graft.ops.WebOps
     val cases = Seq(
