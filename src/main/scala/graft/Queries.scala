@@ -913,6 +913,49 @@ object Queries {
       graft.ops.Curation.exactQuantiles(
           docs(s, dir), "source", "n_chars", "doc_id")
         .select(col("key").as("source"), col("q"), col("value"))
+    }),
+
+    // Integer-exact TF-IDF keyword extraction, ORACLED: top-3 terms per
+    // document under the rational RSJ idf core — the whole score is one
+    // BIGINT division, so DuckDB lands on the identical longs (no ln).
+    "q63_tfidf" -> ((s, dir) => {
+      graft.ops.Retrieval.tfidfTopTerms(docs(s, dir), "doc_id", "text", topK = 3)
+        .select(col("id").as("doc_id"), col("term"), col("tf"), col("score_micro"))
+    }),
+
+    // Bloom-filter decontamination, ORACLED: the fixed-memory scale path
+    // for q49's exact broadcast set. The filter geometry is deliberately
+    // tight at this SF (8192 bits) so FALSE POSITIVES actually occur and
+    // the oracle proves they replay deterministically — DuckDB rebuilds
+    // the bitset as a position-set join with the same Carter-Wegman
+    // constants and must agree on every over-dropped document.
+    "q64_bloom_decontam" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Curation.bloomContamination(
+          d.filter(col("doc_id") % 17 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 17 === 0), "text",
+          k = 5, numHashes = 3, bits = 8192)
+        .select(col("id").as("doc_id"), col("n_shingles"), col("n_maybe"), col("kept"))
+    }),
+
+    // Hash-based importance resampling (DSIR-style), ORACLED: the weight
+    // is an all-integer micro-unit quality score (length saturation +
+    // word-length band + punctuation band, each a pure integer
+    // comparison — no rounded ratios anywhere), and acceptance is
+    // ticket = polyHash('rs:' || id) mod 1e6 < weight. Every row's
+    // decision replays bit-for-bit in DuckDB.
+    "q65_resample" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("__c"),
+        size(split(trim(col("text")), "[ \\t\\n\\r]+")).cast("long").as("__w"),
+        (length(col("text")) -
+          length(regexp_replace(col("text"), "[.,;:!?]", ""))).cast("long").as("__p"))
+        .withColumn("__wm", expr(
+          """(least(__w * 20000, 1000000)
+            | + (case when __w * 3 <= __c and __c <= __w * 10 then 1000000 else 500000 end)
+            | + (case when __p * 10 <= __c then 1000000 else 500000 end)) div 3""".stripMargin))
+      graft.ops.Curation.importanceResample(base, "doc_id", col("__wm"), salt = "rs:")
+        .select(col("doc_id"), col("weight_micro"), col("ticket"), col("accepted"))
     })
   )
 
@@ -1980,5 +2023,94 @@ object Queries {
         |    unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS q FROM r)
         |SELECT source, q, n_chars AS value FROM e
         |WHERE rn = floor((n - 1) * q) + 1""".stripMargin,
+
+    // q63: the identical rational-idf BIGINT arithmetic — `//` is
+    // DuckDB's integer division, matching Spark's `div` on positives
+    "q63_tfidf" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |n AS (SELECT count(*)::BIGINT AS n FROM toks WHERE len(w) > 0),
+        |tf AS (SELECT id, tok AS term, count(*)::BIGINT AS tf
+        |  FROM (SELECT id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+        |df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+        |scored AS (SELECT id, term, tf,
+        |    (tf * (2 * n.n - 2 * df.df + 1) * 1000000) // (2 * df.df + 1) AS score_micro
+        |  FROM tf JOIN df USING (term) CROSS JOIN n),
+        |ranked AS (SELECT *, row_number()
+        |    OVER (PARTITION BY id ORDER BY score_micro DESC, term ASC) AS rn
+        |  FROM scored)
+        |SELECT id AS doc_id, term, tf, CAST(score_micro AS BIGINT) AS score_micro
+        |FROM ranked WHERE rn <= 3""".stripMargin,
+
+    // q64: independent bitset rebuild — positions from the same affine
+    // constants; a shingle is a "maybe" iff all 3 of its j-rows find
+    // their position in the benchmark's position set (duplicate
+    // positions within a shingle each match independently, mirroring
+    // the per-j membership test in the Scala kernel)
+    "q64_bloom_decontam" ->
+      """WITH corpus AS (SELECT doc_id, text FROM documents WHERE doc_id % 17 <> 0),
+        |bench AS (SELECT text FROM documents WHERE doc_id % 17 = 0),
+        |cw AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM corpus),
+        |bw AS (SELECT
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM bench),
+        |csh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i : i + 4], ' ') FOR i IN range(1, len(w) - 3)]
+        |    END) AS sh FROM cw),
+        |bsh AS (SELECT list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i : i + 4], ' ') FOR i IN range(1, len(w) - 3)]
+        |    END) AS sh FROM bw),
+        |hj AS (SELECT j,
+        |    ((j + 1) * 1103515245 + 12345) % 2147483647 AS a,
+        |    ((j + 1) * 1234567891 + 987654321) % 2147483647 AS b
+        |  FROM range(3) t(j)),
+        |bh AS (SELECT DISTINCT
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS ngh
+        |  FROM (SELECT unnest(sh) AS sg FROM bsh)),
+        |bloom AS (SELECT DISTINCT ((a * ngh + b) % 2147483647) % 8192 AS pos
+        |  FROM bh CROSS JOIN hj),
+        |ch AS (SELECT doc_id, sg,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS ngh
+        |  FROM (SELECT doc_id, unnest(sh) AS sg FROM csh)),
+        |cpos AS (SELECT doc_id, sg, ((a * ngh + b) % 2147483647) % 8192 AS pos
+        |  FROM ch CROSS JOIN hj),
+        |sgm AS (SELECT doc_id, sg, count(*) AS m
+        |  FROM cpos JOIN bloom USING (pos) GROUP BY 1, 2),
+        |maybe AS (SELECT doc_id, count(*)::BIGINT AS n_maybe FROM sgm
+        |  WHERE m = 3 GROUP BY 1)
+        |SELECT c.doc_id, len(s.sh)::BIGINT AS n_shingles,
+        |  coalesce(m.n_maybe, 0)::BIGINT AS n_maybe,
+        |  coalesce(m.n_maybe, 0) = 0 AS kept
+        |FROM corpus c JOIN csh s USING (doc_id)
+        |LEFT JOIN maybe m USING (doc_id)""".stripMargin,
+
+    // q65: all-integer weight + the shared base-131 ticket hash
+    "q65_resample" ->
+      """WITH f AS (SELECT doc_id,
+        |    length(text)::BIGINT AS c,
+        |    len(regexp_split_to_array(trim(text), '\s+'))::BIGINT AS w,
+        |    (length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')))::BIGINT AS p
+        |  FROM documents),
+        |wt AS (SELECT doc_id,
+        |    (least(w * 20000, 1000000)
+        |     + (CASE WHEN w * 3 <= c AND c <= w * 10 THEN 1000000 ELSE 500000 END)
+        |     + (CASE WHEN p * 10 <= c THEN 1000000 ELSE 500000 END)) // 3 AS weight_micro
+        |  FROM f),
+        |tk AS (SELECT doc_id, weight_micro,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(ch)::BIGINT FOR ch IN split('rs:' || doc_id, '')]),
+        |      (acc, ch) -> (acc * 131 + ch) % 2147483647) % 1000000 AS ticket
+        |  FROM wt)
+        |SELECT doc_id, CAST(weight_micro AS BIGINT) AS weight_micro,
+        |  CAST(ticket AS BIGINT) AS ticket, ticket < weight_micro AS accepted
+        |FROM tk""".stripMargin,
   )
 }

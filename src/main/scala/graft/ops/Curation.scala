@@ -211,6 +211,102 @@ object Curation {
       col(idCol) === col("__graft_contam_id"), "left_anti")
   }
 
+  /** Bloom-filter positions of one n-gram hash: `numHashes` affine
+    * transforms of the base polynomial hash, each reduced mod `bits` —
+    * the same Carter-Wegman family as MinHash ([[Dedup.aCoef]]), so the
+    * DuckDB oracle replays position arithmetic with literal constants. */
+  private[ops] def bloomPositions(ngh: Long, numHashes: Int, bits: Int): Array[Int] = {
+    val out = new Array[Int](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      out(j) = (((Dedup.aCoef(j) * ngh + Dedup.bCoef(j)) % Dedup.MersenneP) % bits).toInt
+      j += 1
+    }
+    out
+  }
+
+  /** The 100 TB scale path for decontamination: a BLOOM FILTER of the
+    * benchmark's word `k`-grams instead of the exact broadcast hash set
+    * that [[contaminationHits]] ships. At production scale the benchmark
+    * union is 10^7-10^8 n-grams; the exact set broadcasts hundreds of MB
+    * per executor, while the Bloom bitset is `bits/8` bytes FIXED
+    * (e.g. 256 MiB for 2^31 bits at a ~1e-4 false-positive rate with
+    * numHashes=3) — and a false POSITIVE only ever over-drops a training
+    * document, never leaks eval data, so the one-sided error is the safe
+    * direction for this op.
+    *
+    * Returns (id, n_shingles, n_maybe, kept) for EVERY corpus document:
+    * `n_maybe` counts distinct k-grams whose `numHashes` positions are all
+    * set in the benchmark filter, `kept = (n_maybe == 0)`.
+    *
+    * Scale shape: the corpus side is COMPLETELY NARROW — no exchange at
+    * all (asserted in PlanSpec). The benchmark side aggregates its
+    * position set (bounded by `bits`) and the bitset rides to executors
+    * as a UDF-closure broadcast, exactly the IVF-codebook pattern. The
+    * whole pipeline (shingle → hash → positions → membership → count) is
+    * integer arithmetic replayed bit-for-bit by the q64 DuckDB oracle,
+    * INCLUDING any false positives — they are deterministic, not noise. */
+  def bloomContamination(
+      corpus: DataFrame, idCol: String, textCol: String,
+      benchmark: DataFrame, benchTextCol: String,
+      k: Int = 5, numHashes: Int = 3, bits: Int = 8192): DataFrame = {
+    require(numHashes >= 1 && bits >= 64, "degenerate bloom geometry")
+    val shingleUdf = udf(Dedup.wordShinglesKernel(k))
+    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val posUdf = udf((ngh: Long) => bloomPositions(ngh, numHashes, bits))
+    // benchmark → distinct set positions (≤ bits rows by construction —
+    // THE bounded collect of the bloom design, like the IVF codebook)
+    val setPositions = benchmark
+      .select(explode(shingleUdf(col(benchTextCol))).as("sg"))
+      .select(explode(posUdf(hashUdf(col("sg")))).as("pos"))
+      .distinct()
+      .collect().map(_.getInt(0))
+    val bitset = new java.util.BitSet(bits)
+    setPositions.foreach(bitset.set)
+    val countMaybe = udf { (shingles: Seq[String]) =>
+      var n = 0
+      shingles.foreach { sg =>
+        val ps = bloomPositions(Dedup.polyHash(sg), numHashes, bits)
+        var all = true
+        var j = 0
+        while (j < ps.length) { if (!bitset.get(ps(j))) all = false; j += 1 }
+        if (all) n += 1
+      }
+      n.toLong
+    }
+    corpus
+      .select(col(idCol).as("id"), shingleUdf(col(textCol)).as("__sh"))
+      .select(col("id"),
+        size(col("__sh")).cast("long").as("n_shingles"),
+        countMaybe(col("__sh")).as("n_maybe"))
+      .withColumn("kept", col("n_maybe") === 0L)
+  }
+
+  /** Deterministic hash-based importance resampling (the DSIR-style
+    * "sample proportionally to a per-document weight" stage, Xie et al.
+    * 2023): a document is accepted iff
+    *
+    *   ticket(id) = polyHash(salt || id) mod 1e6  <  weight_micro
+    *
+    * with `weight_micro` clamped to [0, 1e6]. Expected acceptance rate of
+    * a document equals its weight as a probability, yet the decision is a
+    * pure function of (salt, id, weight) — identical at every parallelism,
+    * on every engine, and on reruns (the resume property every curation
+    * pipeline needs from its sampling stage; same contract as
+    * [[sampleMix]] / [[hashSplit]]).
+    *
+    * Scale shape: purely narrow — one projection, no exchange, no RNG
+    * state (asserted in PlanSpec). */
+  def importanceResample(
+      df: DataFrame, idCol: String, weightMicro: Column,
+      salt: String = "rs:"): DataFrame = {
+    val ticketUdf = udf((id: Long) => Dedup.polyHash(salt + id) % 1000000L)
+    val w = greatest(lit(0L), least(lit(1000000L), weightMicro.cast("long")))
+    df.withColumn("weight_micro", w)
+      .withColumn("ticket", ticketUdf(col(idCol).cast("long")))
+      .withColumn("accepted", col("ticket") < col("weight_micro"))
+  }
+
   /** Greedy sequence packing: place documents into fixed-capacity context
     * windows ("packs"), filling each pack in order until the next
     * document would overflow it — the sample-packing step that turns a

@@ -87,9 +87,11 @@ object Dedup {
     acc
   }
 
-  /** Affine coefficients for hash function h (fixed pseudo-random, < p). */
-  @inline private def aCoef(h: Int): Long = ((h + 1L) * 1103515245L + 12345L) % MersenneP
-  @inline private def bCoef(h: Int): Long = ((h + 1L) * 1234567891L + 987654321L) % MersenneP
+  /** Affine coefficients for hash function h (fixed pseudo-random, < p).
+    * Shared with the Bloom-filter positions in [[Curation]] so one DuckDB
+    * replay formula covers both families. */
+  @inline private[ops] def aCoef(h: Int): Long = ((h + 1L) * 1103515245L + 12345L) % MersenneP
+  @inline private[ops] def bCoef(h: Int): Long = ((h + 1L) * 1234567891L + 987654321L) % MersenneP
 
   /** MinHash band keys from a shingle set: signature of `numHashes` mins
     * (one affine transform per seed of the per-shingle polynomial hash),

@@ -88,6 +88,50 @@ object Retrieval {
         (sum(col("__sm")) / lit(1e6)).as("score"))
   }
 
+  /** Integer-exact TF-IDF keyword extraction: the top-`topK` terms of
+    * every document by `tf * (N - df + 0.5) / (df + 0.5)` — the
+    * Robertson/Sparck-Jones idf core kept RATIONAL (no `ln`), so the
+    * whole score is one BIGINT expression
+    *
+    *   score_micro = (tf * (2N - 2df + 1) * 1e6) div (2df + 1)
+    *
+    * that any engine computes identically (`ln`/`log` are not correctly
+    * rounded across libms; integer division is exact everywhere).
+    *
+    * Output: (id, term, tf, score_micro), ≤ topK rows per document under
+    * the total order (score_micro desc, term asc).
+    *
+    * Scale shape: the corpus text never rides an exchange — the explode
+    * is narrow and the first shuffle is the map-side-combined (id, term)
+    * tf aggregate; df aggregates the one-row-per-(id, term) tf output on
+    * term; N is a 1-row broadcast; the rank filter compiles to a PARTIAL
+    * WindowGroupLimit so hot documents prune map-side. */
+  def tfidfTopTerms(
+      corpus: DataFrame, idCol: String, textCol: String, topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = corpus
+      .select(col(idCol).cast("long").as("id"),
+        explode(tokensCol(col(textCol))).as("term"))
+      .groupBy(col("id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // docs with >= 1 token — exactly the ids present in tf, computed as a
+    // narrow rescan + 1-row aggregate instead of a distinct over tf
+    val n = corpus
+      .select(tokensCol(col(textCol)).as("__t"))
+      .filter(size(col("__t")) > 0)
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("id"))
+      .orderBy(col("score_micro").desc, col("term").asc)
+    tf.join(dfT, Seq("term"))
+      .crossJoin(broadcast(n))
+      .withColumn("score_micro",
+        expr("(tf * (2*n - 2*df + 1) * 1000000) div (2*df + 1)"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= topK)
+      .select(col("id"), col("term"), col("tf"), col("score_micro"))
+  }
+
   /** Per-bigram (h(w1), h("w1 w2")) hash pairs of a text — one pass, no
     * HOF (multi-pass array kernels degenerate under Catalyst lambda
     * re-evaluation; see CLAUDE.md). Hash = [[Dedup.polyHash]], the

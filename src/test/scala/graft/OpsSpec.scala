@@ -694,4 +694,73 @@ class OpsSpec extends AnyFunSuite {
     val preds = df.select($"lang", TextOps.langId($"text").as("p")).collect()
     preds.foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
   }
+
+  test("tfidfTopTerms: hand-checked rational-idf scores, tie broken by term") {
+    import graft.ops.Retrieval
+    val corpus = Seq(
+      (1L, "a b a"),
+      (2L, "a c"),
+      (3L, "c c d")
+    ).toDF("id", "text")
+    // N=3; df: a=2, b=1, c=2, d=1
+    // score_micro = (tf * (2N-2df+1) * 1e6) div (2df+1)
+    val got = Retrieval.tfidfTopTerms(corpus, "id", "text", topK = 3)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, "a")) == ((2L, 1200000L)))  // (2*3*1e6)/5
+    assert(got((1L, "b")) == ((1L, 1666666L)))  // (1*5*1e6)/3 floored
+    assert(got((2L, "a")) == ((1L, 600000L)))
+    assert(got((2L, "c")) == ((1L, 600000L)))   // tie with 'a' — both in top-3
+    assert(got((3L, "c")) == ((2L, 1200000L)))
+    assert(got((3L, "d")) == ((1L, 1666666L)))
+    assert(got.size == 6)
+  }
+
+  test("tfidfTopTerms: topK truncates under (score desc, term asc) total order") {
+    import graft.ops.Retrieval
+    val corpus = Seq((1L, "w x y z w x y w x w")).toDF("id", "text")
+    // single doc: every term has df=1, so score orders by tf: w(4) x(3) y(2) z(1)
+    val got = Retrieval.tfidfTopTerms(corpus, "id", "text", topK = 2)
+      .collect().map(_.getString(1)).toSet
+    assert(got == Set("w", "x"))
+  }
+
+  test("bloomContamination: superset of exact hits (no false negatives), kept is sound") {
+    import graft.ops.Curation
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),       // shares a 5-gram with bench
+      (2L, "totally clean document nothing shared here at all"),
+      (3L, "alpha beta gamma delta epsilon different tail")
+    ).toDF("id", "text")
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta")).toDF("text")
+    val bloom = Curation.bloomContamination(corpus, "id", "text", bench, "text",
+        k = 5, numHashes = 3, bits = 8192)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    val exact = Curation.contaminationHits(corpus, "id", "text", bench, "text", k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Bloom membership is one-sided: every exact hit is a bloom maybe
+    corpus.select($"id").as[Long].collect().foreach { id =>
+      val (nSh, nMaybe, kept) = bloom(id)
+      assert(nMaybe >= exact.getOrElse(id, 0L), s"doc $id lost an exact hit")
+      assert(nMaybe <= nSh)
+      if (kept) assert(exact.getOrElse(id, 0L) == 0L, s"kept doc $id is exactly contaminated")
+    }
+    assert(bloom(1L)._2 >= 2L) // both 5-grams of doc 1 are in the benchmark
+    assert(!bloom(1L)._3 && !bloom(3L)._3)
+  }
+
+  test("importanceResample: boundary weights, clamping, and the stable ticket hash") {
+    import graft.ops.Curation
+    val df = Seq((1L, 0L), (2L, 1000000L), (3L, 5000000L), (4L, -7L))
+      .toDF("id", "w")
+    val got = Curation.importanceResample(df, "id", col("w"))
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    got.foreach { case (id, (wm, ticket, acc)) =>
+      assert(ticket == Dedup.polyHash("rs:" + id) % 1000000L)
+      assert(acc == (ticket < wm))
+    }
+    assert(got(1L)._1 == 0L && !got(1L)._3)            // weight 0: never accepted
+    assert(got(2L)._1 == 1000000L && got(2L)._3)       // weight 1e6: always accepted
+    assert(got(3L)._1 == 1000000L)                     // clamped from above
+    assert(got(4L)._1 == 0L && !got(4L)._3)            // clamped from below
+  }
 }

@@ -302,6 +302,44 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("tfidf exchanges never carry raw text; the top-k prunes map-side") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val plan = graft.ops.Retrieval.tfidfTopTerms(d, "doc_id", "text", topK = 3)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      // text is exploded to terms BEFORE the first exchange — full bodies
+      // never ride a shuffle
+      lines.filter(_.contains("Exchange")).foreach(l =>
+        assert(!l.contains("text#"), l))
+      // SPARK-37099: the rn <= topK filter prunes each document's term
+      // list map-side, so a hot document ships <= topK rows per partition
+      val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+      assert(partialIdx >= 0, s"expected a partial WindowGroupLimit:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("bloom decontamination corpus side is purely narrow: no exchange at all") {
+    import spark.implicits._
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val bench = Seq(Tuple1("alpha beta gamma delta epsilon zeta")).toDF("text")
+    // the benchmark bitset is built eagerly (bounded collect, the IVF
+    // codebook pattern); the RETURNED corpus plan must carry no exchange
+    val plan = graft.ops.Curation.bloomContamination(
+        d, "doc_id", "text", bench, "text", k = 5, numHashes = 3, bits = 8192)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("importance resampling is purely narrow: no exchange, no RNG node") {
+    val df = SparkEntry.queries("q65_resample")(spark, sf)
+    val plan = physicalPlan(df)
+    assert(!plan.contains("Exchange"), plan)
+    assert(!plan.toLowerCase.contains("rand"), plan)
+  }
+
   test("classifier scoring is purely narrow: no exchange anywhere in the plan") {
     val df = SparkEntry.queries("q53_classifier")(spark, sf)
     val plan = physicalPlan(df)
@@ -381,8 +419,9 @@ class PlanSpec extends AnyFunSuite {
     // crossJoin, q24's broadcast brute-force baseline, q39's 1-row
     // weight-total broadcast into the per-source fraction table, and the
     // 1-row global-stats broadcasts of q57 (N, avgdl) / q58 (vocab size)
+    // / q63 (corpus size N for the rational idf)
     val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk", "q39_mix_sample",
-      "q57_bm25", "q58_lm_score", "q59_pagerank", "q61_kmeans")
+      "q57_bm25", "q58_lm_score", "q59_pagerank", "q61_kmeans", "q63_tfidf")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
