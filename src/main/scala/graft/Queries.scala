@@ -956,6 +956,26 @@ object Queries {
             | + (case when __p * 10 <= __c then 1000000 else 500000 end)) div 3""".stripMargin))
       graft.ops.Curation.importanceResample(base, "doc_id", col("__wm"), salt = "rs:")
         .select(col("doc_id"), col("weight_micro"), col("ticket"), col("accepted"))
+    }),
+
+    // Capped inverted index, ORACLED: per-term df + top-5 postings under
+    // (tf desc, id asc) — hot terms capped at the source, one exchange
+    // total (tf agg, rank, df count, and the fold share the term
+    // partitioning; PlanSpec-pinned).
+    "q66_inverted_index" -> ((s, dir) => {
+      graft.ops.Retrieval.invertedIndex(docs(s, dir), "doc_id", "text", maxPostings = 5)
+        .select(col("term"), col("df"), col("top_ids"))
+    }),
+
+    // Exact-proportion stratified split, ORACLED: per-source rank under a
+    // deterministic affine-hash order, integer rank·100 ≤ n·pct
+    // thresholds — exactly floor(n·80%) train rows per stratum where q36's
+    // hash split is only exact in expectation.
+    "q67_stratified_split" -> ((s, dir) => {
+      graft.ops.Curation.stratifiedSplit(
+          docs(s, dir).select(col("doc_id"), col("source")), "source", "doc_id")
+        .select(col("doc_id"), col("source"),
+          col("rank").cast("long").as("rank"), col("split"))
     })
   )
 
@@ -2112,5 +2132,34 @@ object Queries {
         |SELECT doc_id, CAST(weight_micro AS BIGINT) AS weight_micro,
         |  CAST(ticket AS BIGINT) AS ticket, ticket < weight_micro AS accepted
         |FROM tk""".stripMargin,
+
+    // q66: same rank/df window pass, postings re-joined as an ordered
+    // string aggregate
+    "q66_inverted_index" ->
+      """WITH toks AS (SELECT doc_id AS id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |tf AS (SELECT id, tok AS term, count(*)::BIGINT AS tf
+        |  FROM (SELECT id, unnest(w) AS tok FROM toks) GROUP BY 1, 2),
+        |r AS (SELECT term, id,
+        |    row_number() OVER (PARTITION BY term ORDER BY tf DESC, id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY term) AS df
+        |  FROM tf)
+        |SELECT term, CAST(max(df) AS BIGINT) AS df,
+        |  string_agg(id::VARCHAR, ',' ORDER BY rn) AS top_ids
+        |FROM r WHERE rn <= 5 GROUP BY term""".stripMargin,
+
+    // q67: identical affine order + integer thresholds per stratum
+    "q67_stratified_split" ->
+      """WITH r AS (SELECT doc_id, source,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY (doc_id * 1234567891 + 987654321) % 2147483647, doc_id) AS rank,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT doc_id, source, CAST(rank AS BIGINT) AS rank,
+        |  CASE WHEN rank * 100 <= n * 80 THEN 'train'
+        |       WHEN rank * 100 <= n * 90 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM r""".stripMargin,
   )
 }

@@ -32,6 +32,42 @@ object Curation {
       .otherwise(lit("test"))
   }
 
+  /** Stratified train/val/test split with EXACT per-stratum proportions:
+    * within every `stratumCol` group, rows are ranked by a deterministic
+    * affine hash of the id (a reproducible shuffle order) and the split
+    * boundary is a rank threshold — so a 1000-row stratum puts EXACTLY
+    * floor(1000·80%) rows in train, where [[hashSplit]] only hits 80% in
+    * expectation (±sqrt-n noise that matters for small strata and for
+    * low-resource languages in a mix). Thresholds compare `rank·100 ≤
+    * n·pct` in integers — no float boundary to disagree on. Adds `rank`
+    * (1-based within stratum) and `split`.
+    *
+    * Scale shape: one exchange (hash-partition by stratum); the rank and
+    * the stratum count share the same window pass. Exact proportions
+    * INHERENTLY need a full per-stratum rank — there is no map-side
+    * group-limit shortcut here, which is the price of exactness over
+    * [[hashSplit]]'s narrow projection; strata are corpus sources or
+    * languages (thousands at most), so per-stratum sort spill is the
+    * bounded, well-understood kind. */
+  def stratifiedSplit(
+      df: DataFrame, stratumCol: String, idCol: String,
+      trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct < 100)
+    import org.apache.spark.sql.expressions.Window
+    val ord = pmod(col(idCol).cast("long") * lit(1234567891L) + lit(987654321L),
+      lit(Dedup.MersenneP))
+    val w = Window.partitionBy(col(stratumCol))
+    val ranked = df
+      .withColumn("rank", row_number().over(w.orderBy(ord, col(idCol))))
+      .withColumn("__n", count(lit(1)).over(w))
+    ranked
+      .withColumn("split",
+        when(col("rank") * 100 <= col("__n") * trainPct, lit("train"))
+          .when(col("rank") * 100 <= col("__n") * (trainPct + valPct), lit("val"))
+          .otherwise(lit("test")))
+      .drop("__n")
+  }
+
   /** Weighted training-mix sampling: downsample each source so kept
     * tokens approximate `weights`' share of a `totalTokens` budget (the
     * Pile/Dolma-style mix step). Per source: target = w/Σw × budget,

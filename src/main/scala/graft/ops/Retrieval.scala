@@ -132,6 +132,47 @@ object Retrieval {
       .select(col("id"), col("term"), col("tf"), col("score_micro"))
   }
 
+  /** Capped inverted index: one row per term with its document frequency
+    * and the top-`maxPostings` posting ids under (tf desc, id asc) — the
+    * index-build step behind corpus search/BM25 serving, with the hot-term
+    * problem handled at the source: a stopword's posting list is CAPPED,
+    * not collected (an uncapped `collect_list` on "the" at 10^9 docs is an
+    * executor OOM, not an index).
+    *
+    * Output: (term, df, top_ids) with `top_ids` a comma-joined id string
+    * (a stable cross-engine surface for the capped list).
+    *
+    * Scale shape: TWO exchanges, both compact (asserted in PlanSpec) —
+    * the map-side-combined (term, id) tf aggregate (within-doc token
+    * repeats collapse before the wire), then the re-key to term for the
+    * window, carrying only (term, id, tf) rows; the rank, the df count,
+    * and the final fold all share that term partitioning. Raw text never
+    * shuffles. No map-side WindowGroupLimit here BY DESIGN: df must count
+    * every posting before the cap, so the count shares the rank's window
+    * pass; what the cap bounds is the collect — the per-term fold only
+    * ever materializes `maxPostings` rows. */
+  def invertedIndex(
+      corpus: DataFrame, idCol: String, textCol: String,
+      maxPostings: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("term"))
+    val tf = corpus
+      .select(col(idCol).cast("long").as("id"),
+        explode(tokensCol(col(textCol))).as("term"))
+      .groupBy(col("term"), col("id"))
+      .agg(count(lit(1)).as("tf"))
+    tf.withColumn("rn",
+        row_number().over(w.orderBy(col("tf").desc, col("id").asc)))
+      .withColumn("df", count(lit(1)).over(w))
+      .filter(col("rn") <= maxPostings)
+      .groupBy(col("term"))
+      .agg(max(col("df")).as("df"),
+        array_join(
+          transform(sort_array(collect_list(struct(col("rn"), col("id")))),
+            x => x.getField("id").cast("string")),
+          ",").as("top_ids"))
+  }
+
   /** Per-bigram (h(w1), h("w1 w2")) hash pairs of a text — one pass, no
     * HOF (multi-pass array kernels degenerate under Catalyst lambda
     * re-evaluation; see CLAUDE.md). Hash = [[Dedup.polyHash]], the

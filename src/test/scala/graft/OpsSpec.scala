@@ -748,6 +748,46 @@ class OpsSpec extends AnyFunSuite {
     assert(!bloom(1L)._3 && !bloom(3L)._3)
   }
 
+  test("invertedIndex: df counts all postings, cap keeps top-(tf desc, id asc)") {
+    import graft.ops.Retrieval
+    val corpus = Seq(
+      (1L, "a b a"),
+      (2L, "a c"),
+      (3L, "c c d")
+    ).toDF("id", "text")
+    val full = Retrieval.invertedIndex(corpus, "id", "text", maxPostings = 5)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(full("a") == ((2L, "1,2"))) // tf 2 in doc 1 beats tf 1 in doc 2
+    assert(full("b") == ((1L, "1")))
+    assert(full("c") == ((2L, "3,2"))) // tf 2 in doc 3 first
+    assert(full("d") == ((1L, "3")))
+    val capped = Retrieval.invertedIndex(corpus, "id", "text", maxPostings = 1)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(capped("a") == ((2L, "1"))) // df still counts BOTH postings
+    assert(capped("c") == ((2L, "3")))
+  }
+
+  test("stratifiedSplit: exact per-stratum proportions and a full 1..n rank") {
+    import graft.ops.Curation
+    val df = ((1L to 10L).map(i => (i, "s1")) ++ (100L to 102L).map(i => (i, "s2")))
+      .toDF("id", "stratum")
+    val got = Curation.stratifiedSplit(df, "stratum", "id", trainPct = 80, valPct = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    val s1 = got.filter(_._2 == "s1")
+    // 10 rows: rank*100 <= 1000*0.8 → exactly 8 train, 1 val, 1 test
+    assert(s1.count(_._4 == "train") == 8 && s1.count(_._4 == "val") == 1
+      && s1.count(_._4 == "test") == 1)
+    assert(s1.map(_._3).sorted.toSeq == (1 to 10))
+    val s2 = got.filter(_._2 == "s2")
+    // 3 rows: floor boundaries → 2 train (2*100 <= 240), 0 val (3*100 > 270), 1 test
+    assert(s2.count(_._4 == "train") == 2 && s2.count(_._4 == "val") == 0
+      && s2.count(_._4 == "test") == 1)
+    // deterministic: a rerun assigns identically
+    val again = Curation.stratifiedSplit(df, "stratum", "id", trainPct = 80, valPct = 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getString(3)))
+    assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
+  }
+
   test("importanceResample: boundary weights, clamping, and the stable ticket hash") {
     import graft.ops.Curation
     val df = Seq((1L, 0L), (2L, 1000000L), (3L, 5000000L), (4L, -7L))

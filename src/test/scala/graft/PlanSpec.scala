@@ -333,6 +333,38 @@ class PlanSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), plan)
   }
 
+  test("inverted index: two compact exchanges, never raw text; rank/df/fold share term keying") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val plan = graft.ops.Retrieval.invertedIndex(d, "doc_id", "text", maxPostings = 5)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      // exchange 1: map-combined (term,id) tf agg; exchange 2: re-key to
+      // term for the shared rank+df window pass — and nothing else (the
+      // per-term fold reuses the window's partitioning)
+      assert(lines.count(_.contains("Exchange")) == 2, plan)
+      lines.filter(_.contains("Exchange")).foreach(l => assert(!l.contains("text#"), l))
+      // the tf agg combines map-side before its shuffle
+      val aggIdx = lines.indexWhere(_.contains("partial_count"))
+      val exIdx = lines.indexWhere(_.contains("Exchange"))
+      assert(aggIdx >= 0 && aggIdx > exIdx, s"tf agg must partial-combine below its exchange:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("stratified split is one exchange: rank and count share the stratum window") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      val plan = graft.ops.Curation.stratifiedSplit(d, "source", "doc_id")
+        .queryExecution.executedPlan.toString
+      assert(plan.linesIterator.count(_.contains("Exchange")) == 1, plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("importance resampling is purely narrow: no exchange, no RNG node") {
     val df = SparkEntry.queries("q65_resample")(spark, sf)
     val plan = physicalPlan(df)
