@@ -976,6 +976,22 @@ object Queries {
           docs(s, dir).select(col("doc_id"), col("source")), "source", "doc_id")
         .select(col("doc_id"), col("source"),
           col("rank").cast("long").as("rank"), col("split"))
+    }),
+
+    // Token-budget quality take, ORACLED: keep the highest-quality docs
+    // (quality = n_chars) until 40% of the corpus token total is filled —
+    // an exact global prefix sum with NO global sort (bucketed offsets
+    // collected bounded + broadcast back; PlanSpec-pinned). Budget is
+    // integer 2/5 of the total so both engines floor identically.
+    "q68_budget_take" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        col("n_chars").cast("long").as("q"))
+      val budget = base.agg(sum(col("toks"))).head.getLong(0) * 2 / 5
+      graft.ops.Curation.budgetTake(base, "doc_id", "toks", "q", budget = budget)
+        .select(col("id").as("doc_id"), col("quality"), col("n_tokens"),
+          col("cum_tokens"), col("kept"))
     })
   )
 
@@ -2161,5 +2177,22 @@ object Queries {
         |       WHEN rank * 100 <= n * 90 THEN 'val'
         |       ELSE 'test' END AS split
         |FROM r""".stripMargin,
+
+    // q68: the buckets are internal — the oracle is the straight global
+    // running sum under the same (quality desc, id asc) total order,
+    // budget = floor(total·2/5) in integers on both engines
+    "q68_budget_take" ->
+      """WITH t AS (SELECT doc_id,
+        |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tokens,
+        |    CAST(n_chars AS BIGINT) AS quality
+        |  FROM documents),
+        |b AS (SELECT CAST(sum(n_tokens) AS BIGINT) * 2 // 5 AS budget FROM t),
+        |c AS (SELECT doc_id, quality, n_tokens,
+        |    sum(n_tokens) OVER (ORDER BY quality DESC, doc_id ASC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM t)
+        |SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
+        |  cum <= (SELECT budget FROM b) AS kept
+        |FROM c""".stripMargin,
   )
 }

@@ -503,6 +503,59 @@ object Curation {
       .select(col("key"), col("status"), col("old_digest"), col("new_digest"))
   }
 
+  /** Token-budget quality take: keep the highest-`quality` documents until
+    * a global `budget` of tokens is filled — the "train on the best N
+    * tokens" selection step (FineWeb/Dolma-style curation: score
+    * everything, take the top slice by token budget, not by row count).
+    * A document is kept iff the INCLUSIVE running token sum, in
+    * (quality desc, id asc) order, is ≤ budget — a total order, so the
+    * kept set is exact and identical on every engine and at every
+    * parallelism. Returns (id, quality, n_tokens, cum_tokens, kept).
+    * `quality` must be integral (micro-units upstream of this op) — float
+    * quality reintroduces the cross-engine rounding boundary (CLAUDE.md).
+    *
+    * Scale shape: a global ordered prefix sum WITHOUT a global sort.
+    * Rows bucket by `floor(quality / bucketWidth)` (monotone in quality,
+    * so bucket order extends the global order); per-bucket token totals
+    * are a tiny map-combined aggregate whose result — bounded by the
+    * quality domain over `bucketWidth`, ≤65536 enforced — is collected
+    * and turned into exclusive per-bucket offsets on the driver (the IVF
+    * codebook / Bloom bitset pattern: THE bounded collect of the design),
+    * then broadcast back. The corpus itself moves exactly once: one
+    * exchange keyed by bucket for the within-bucket running-sum window;
+    * raw text never rides it (asserted in PlanSpec). The single-partition
+    * sort a naive `Window.orderBy(quality)` global cumsum would plan is
+    * exactly what this shape exists to avoid. */
+  def budgetTake(
+      df: DataFrame, idCol: String, tokensCol: String, qualityCol: String,
+      budget: Long, bucketWidth: Long = 256L): DataFrame = {
+    require(budget >= 0 && bucketWidth > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(
+        col(idCol).cast("long").as("id"),
+        col(tokensCol).cast("long").as("n_tokens"),
+        col(qualityCol).cast("long").as("quality"))
+      // floor division via pmod so negative qualities bucket correctly
+      .withColumn("__b",
+        ((col("quality") - pmod(col("quality"), lit(bucketWidth))) / bucketWidth).cast("long"))
+    val totals = base.groupBy(col("__b")).agg(sum(col("n_tokens")).as("__bt"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    require(totals.length <= 65536,
+      s"bucketWidth=$bucketWidth yields ${totals.length} buckets; widen it (bounded-collect contract)")
+    // exclusive prefix sums in descending bucket (= descending quality) order
+    var acc = 0L
+    val offsets = totals.sortBy(-_._1).map { case (b, t) => val o = acc; acc += t; (b, o) }
+    val offDf = broadcast(offsets.toSeq.toDF("__b", "__off"))
+    val wIn = Window.partitionBy(col("__b"))
+      .orderBy(col("quality").desc, col("id").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base.join(offDf, Seq("__b"))
+      .withColumn("cum_tokens", col("__off") + sum(col("n_tokens")).over(wIn))
+      .withColumn("kept", col("cum_tokens") <= budget)
+      .select(col("id"), col("quality"), col("n_tokens"), col("cum_tokens"), col("kept"))
+  }
+
   /** EXACT per-key quantiles of a numeric column — the corpus profiling
     * step that picks filter thresholds (length floors, outlier caps).
     * Returns (key, q, value) with value = the type-1 (lower) quantile:

@@ -788,6 +788,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("budgetTake: exact boundary, bucket-width invariance, determinism") {
+    import graft.ops.Curation
+    // (quality desc, id asc) order: 3 (cum 5), 1 (cum 9), 2 (cum 12), 4 (cum 14)
+    val df = Seq((1L, 4L, 20L), (2L, 3L, 20L), (3L, 5L, 30L), (4L, 2L, 5L))
+      .toDF("id", "toks", "q")
+    def run(budget: Long, width: Long) =
+      Curation.budgetTake(df, "id", "toks", "q", budget, width)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    val got = run(12L, 256L)
+    assert(got == Map(3L -> ((5L, true)), 1L -> ((9L, true)),
+      2L -> ((12L, true)), 4L -> ((14L, false))))
+    // inclusive boundary: budget 11 excludes the doc that crosses it
+    assert(run(11L, 256L)(2L) == ((12L, false)))
+    // buckets are internal: any width gives the identical global cumsum
+    assert(run(12L, 1L) == got && run(12L, 1000000L) == got)
+    // ties on quality break by id: 1 (id asc) accumulates before 2
+    assert(got(1L)._1 < got(2L)._1)
+  }
+
   test("importanceResample: boundary weights, clamping, and the stable ticket hash") {
     import graft.ops.Curation
     val df = Seq((1L, 0L), (2L, 1000000L), (3L, 5000000L), (4L, -7L))

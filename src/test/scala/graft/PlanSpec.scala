@@ -365,6 +365,25 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("budget take: one corpus shuffle keyed by bucket, no global sort, no text on the wire") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet").select(
+        col("doc_id"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("toks"),
+        col("n_chars").cast("long").as("q"))
+      val plan = graft.ops.Curation.budgetTake(d, "doc_id", "toks", "q", budget = 100000L)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      // exactly one shuffle (hash by bucket for the running-sum window);
+      // the offsets side is a broadcast, never a single-partition sort
+      assert(lines.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange")) == 1, plan)
+      assert(!plan.contains("SinglePartition"), plan)
+      lines.filter(_.contains("Exchange")).foreach(l => assert(!l.contains("text#"), l))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("importance resampling is purely narrow: no exchange, no RNG node") {
     val df = SparkEntry.queries("q65_resample")(spark, sf)
     val plan = physicalPlan(df)
