@@ -992,6 +992,22 @@ object Queries {
       graft.ops.Curation.budgetTake(base, "doc_id", "toks", "q", budget = budget)
         .select(col("id").as("doc_id"), col("quality"), col("n_tokens"),
           col("cum_tokens"), col("kept"))
+    }),
+
+    // Count-min sketch frequency estimation, ORACLED: depth-3 width-16
+    // CMS over the token stream (width deliberately tight so collisions
+    // fire), estimates probed per term against exact counts — est ≥ exact
+    // everywhere, and every collision is deterministic integer arithmetic
+    // both engines land on (no RNG in the sketch).
+    "q69_countmin" -> ((s, dir) => {
+      val hashUdf = udf((t: String) => graft.ops.Dedup.polyHash(t))
+      val obs = docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .withColumn("h", hashUdf(col("term")))
+      val sketch = graft.ops.Sketches.countMin(obs, col("h"), lit(1L), depth = 3, width = 16)
+      val q = obs.groupBy(col("term")).agg(count(lit(1)).as("exact"), max(col("h")).as("__h"))
+      graft.ops.Sketches.countMinEstimate(sketch, q, col("__h"), depth = 3, width = 16)
+        .select(col("term"), col("exact"), col("est"))
     })
   )
 
@@ -2194,5 +2210,27 @@ object Queries {
         |SELECT doc_id, quality, n_tokens, CAST(cum AS BIGINT) AS cum_tokens,
         |  cum <= (SELECT budget FROM b) AS kept
         |FROM c""".stripMargin,
+
+    // q69: rebuild the sketch cells as (row, pos) sums and probe the min —
+    // the same Carter-Wegman constants as the Bloom/MinHash replays
+    "q69_countmin" ->
+      """WITH toks AS (SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+        |  FROM documents),
+        |th AS (SELECT term, count(*)::BIGINT AS exact,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(term, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+        |  FROM toks GROUP BY term),
+        |hj AS (SELECT j,
+        |    ((j + 1) * 1103515245 + 12345) % 2147483647 AS a,
+        |    ((j + 1) * 1234567891 + 987654321) % 2147483647 AS b
+        |  FROM range(3) t(j)),
+        |cells AS (SELECT hj.j AS row, ((hj.a * th.h + hj.b) % 2147483647) % 16 AS pos,
+        |    sum(th.exact) AS cnt
+        |  FROM th CROSS JOIN hj GROUP BY 1, 2)
+        |SELECT th.term, th.exact, CAST(min(c.cnt) AS BIGINT) AS est
+        |FROM th CROSS JOIN hj
+        |JOIN cells c ON c.row = hj.j
+        |  AND c.pos = ((hj.a * th.h + hj.b) % 2147483647) % 16
+        |GROUP BY th.term, th.exact""".stripMargin,
   )
 }

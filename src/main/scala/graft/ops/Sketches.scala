@@ -40,6 +40,63 @@ object Sketches {
     * and a 10^9-token group costs the wire the same k rows as a tiny one.
     * Estimates are rounded to 6dp (floor(x·10^6 + 0.5)/10^6) so the
     * cross-engine float representation is stable. */
+  /** Count-min sketch cells over a stream of (pre-hashed value, weight)
+    * observations (Cormode & Muthukrishnan 2005): `depth` Carter-Wegman
+    * rows (the SAME affine family as MinHash/Bloom, so one DuckDB formula
+    * replays all three), each `width` counters; cell (r, pos) sums the
+    * weights of every value whose row-r position lands on pos. Unlike
+    * Misra-Gries the sketch is pure sums — identical under any insertion
+    * or merge order, i.e. at any parallelism. Returns (row, pos, cnt),
+    * ≤ depth·width rows by construction.
+    *
+    * Scale shape: ONE exchange, carrying (row, pos, partial sum) — the
+    * map-side combine bounds each task's shuffle write at depth·width
+    * cells no matter how many observations it saw (asserted in PlanSpec).
+    * This is the fixed-memory frequency profile for a vocabulary too big
+    * to count exactly; [[countMinEstimate]] reads it back. */
+  def countMin(df: DataFrame, hashCol: Column, weightCol: Column,
+      depth: Int = 3, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    df.select(hashCol.as("__cms_h"), weightCol.cast("long").as("__cms_w"))
+      .select(explode(array((0 until depth).map(r =>
+          struct(lit(r).as("row"), cmsPos(r, col("__cms_h"), width).as("pos"))): _*)).as("c"),
+        col("__cms_w"))
+      .groupBy(col("c.row").as("row"), col("c.pos").as("pos"))
+      .agg(sum(col("__cms_w")).as("cnt"))
+  }
+
+  /** Point-estimate the total weight of each query row's hash against a
+    * built [[countMin]] sketch: est = min over rows of the addressed cell
+    * — never an underestimate (the CMS one-sided error), exactly the
+    * inserted total when no collision touched any of the value's cells.
+    * Keeps every `queries` column and appends `est`.
+    *
+    * Scale shape: the sketch is ≤ depth·width rows by construction, so it
+    * broadcasts; the probe side explodes its `depth` positions in place
+    * and aggregates back by the query's own columns — no corpus-sized
+    * exchange beyond that bounded per-query regroup. */
+  def countMinEstimate(sketch: DataFrame, queries: DataFrame, hashCol: Column,
+      depth: Int = 3, width: Int = 64): DataFrame = {
+    require(depth >= 1 && width >= 2)
+    val keep = queries.columns.map(col)
+    val probe = queries.withColumn("__cms_h", hashCol)
+      .select(keep :+ explode(array((0 until depth).map(r =>
+        struct(lit(r).as("__row"), cmsPos(r, col("__cms_h"), width).as("__pos"))): _*)).as("__c"): _*)
+      .select(keep :+ col("__c.__row").as("__row") :+ col("__c.__pos").as("__pos"): _*)
+    probe
+      .join(broadcast(sketch.select(
+          col("row").as("__row"), col("pos").as("__pos"), col("cnt"))),
+        Seq("__row", "__pos"), "left")
+      .groupBy(keep: _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
+  }
+
+  /** Row-r counter index of a hash: affine transform mod p, then mod
+    * width — non-negative inputs, so plain `%` replays in ANSI SQL. */
+  private def cmsPos(r: Int, h: Column, width: Int): Column =
+    pmod(pmod(lit(Dedup.aCoef(r)) * h + lit(Dedup.bCoef(r)), lit(Dedup.MersenneP)),
+      lit(width.toLong)).cast("int")
+
   def kmvDistinct(df: DataFrame, groupCol: String, hashCol: Column, k: Int = 64): DataFrame = {
     require(k >= 2)
     val w = Window.partitionBy(col(groupCol)).orderBy(col("__kmv_h").asc)

@@ -788,6 +788,33 @@ class OpsSpec extends AnyFunSuite {
     assert(got.sortBy(_._1).toSeq == again.sortBy(_._1).toSeq)
   }
 
+  test("countMin: bounded pure-sum sketch, one-sided estimates, weights respected") {
+    import graft.ops.{Dedup, Sketches}
+    val hashUdf = udf((t: String) => Dedup.polyHash(t))
+    val obs = Seq("a", "a", "a", "b", "b", "c").toDF("term")
+      .withColumn("h", hashUdf(col("term")))
+    val q = obs.groupBy("term").agg(count(lit(1)).as("exact"), max(col("h")).as("__h"))
+    // tight geometry: collisions certain to be possible, error one-sided
+    val tight = Sketches.countMin(obs, col("h"), lit(1L), depth = 2, width = 2)
+    assert(tight.count() <= 4)
+    val estT = Sketches.countMinEstimate(tight, q, col("__h"), depth = 2, width = 2)
+      .select("term", "exact", "est")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    estT.values.foreach { case (exact, est) => assert(est >= exact) }
+    // wide geometry: these three hashes land collision-free → est == exact
+    val wide = Sketches.countMin(obs, col("h"), lit(1L), depth = 3, width = 1024)
+    val estW = Sketches.countMinEstimate(wide, q, col("__h"), depth = 3, width = 1024)
+      .select("term", "exact", "est")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(estW == Map("a" -> ((3L, 3L)), "b" -> ((2L, 2L)), "c" -> ((1L, 1L))))
+    // weights are summed, not counted
+    val weighted = Sketches.countMin(obs, col("h"), lit(10L), depth = 3, width = 1024)
+    val estX = Sketches.countMinEstimate(weighted, q, col("__h"), depth = 3, width = 1024)
+      .select("term", "est")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(estX == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
+  }
+
   test("budgetTake: exact boundary, bucket-width invariance, determinism") {
     import graft.ops.Curation
     // (quality desc, id asc) order: 3 (cum 5), 1 (cum 9), 2 (cum 12), 4 (cum 14)

@@ -365,6 +365,31 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("count-min build is one map-combined exchange; probe joins the sketch by broadcast") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val hashUdf = udf((t: String) => graft.ops.Dedup.polyHash(t))
+      val obs = spark.read.parquet(s"$sf/documents.parquet")
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .withColumn("h", hashUdf(col("term")))
+      val build = graft.ops.Sketches.countMin(obs, col("h"), lit(1L))
+        .queryExecution.executedPlan.toString
+      val bLines = build.linesIterator.toSeq
+      // one shuffle, carrying (row, pos, partial sum) — each task writes at
+      // most depth*width cells regardless of how many tokens it scanned
+      assert(bLines.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange")) == 1, build)
+      assert(bLines.indexWhere(_.contains("partial_sum")) >
+        bLines.indexWhere(_.contains("Exchange")), build)
+      bLines.filter(_.contains("Exchange")).foreach(l =>
+        assert(!l.contains("term#") && !l.contains("text#"), l))
+      // the probe side broadcasts the bounded sketch
+      val probe = SparkEntry.queries("q69_countmin")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(probe.contains("BroadcastHashJoin"), probe)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("budget take: one corpus shuffle keyed by bucket, no global sort, no text on the wire") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
