@@ -1008,6 +1008,21 @@ object Queries {
       val q = obs.groupBy(col("term")).agg(count(lit(1)).as("exact"), max(col("h")).as("__h"))
       graft.ops.Sketches.countMinEstimate(sketch, q, col("__h"), depth = 3, width = 16)
         .select(col("term"), col("exact"), col("est"))
+    }),
+
+    // Classifier threshold sweep, ORACLED: precision/recall/kept-fraction
+    // at every observed score cutoff (score = n_chars, label = contains
+    // 'the'), all ratios exact integer micro-units — the operating-curve
+    // profile that picks a quality filter's threshold. Corpus collapses
+    // to per-score rows first; cumulatives reuse the q68 bucketed
+    // prefix-sum shape (no global sort; PlanSpec-pinned).
+    "q70_threshold_sweep" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        col("n_chars").cast("long").as("score"),
+        col("text").contains("the").as("label"))
+      graft.ops.Curation.thresholdSweep(base, "score", "label")
+        .select(col("threshold"), col("n_kept"), col("tp"),
+          col("precision_micro"), col("recall_micro"), col("kept_micro"))
     })
   )
 
@@ -2232,5 +2247,30 @@ object Queries {
         |JOIN cells c ON c.row = hj.j
         |  AND c.pos = ((hj.a * th.h + hj.b) % 2147483647) % 16
         |GROUP BY th.term, th.exact""".stripMargin,
+
+    // q70: straight descending-cumulative counts per observed score, the
+    // same `// 10^6` integer micro-unit ratios
+    "q70_threshold_sweep" ->
+      """WITH d AS (SELECT CAST(n_chars AS BIGINT) AS score,
+        |    contains(text, 'the') AS label FROM documents),
+        |ps AS (SELECT score, count(*)::BIGINT AS n,
+        |    CAST(sum(CASE WHEN label THEN 1 ELSE 0 END) AS BIGINT) AS np
+        |  FROM d GROUP BY score),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS n_total,
+        |    CAST(sum(np) AS BIGINT) AS pos_total FROM ps),
+        |c AS (SELECT score,
+        |    sum(n) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_kept,
+        |    sum(np) OVER (ORDER BY score DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS tp
+        |  FROM ps)
+        |SELECT score AS threshold, CAST(n_kept AS BIGINT) AS n_kept,
+        |  CAST(tp AS BIGINT) AS tp,
+        |  CAST(tp * 1000000 // n_kept AS BIGINT) AS precision_micro,
+        |  CAST(CASE WHEN (SELECT pos_total FROM t) > 0
+        |    THEN tp * 1000000 // (SELECT pos_total FROM t) ELSE 0 END AS BIGINT)
+        |    AS recall_micro,
+        |  CAST(n_kept * 1000000 // (SELECT n_total FROM t) AS BIGINT) AS kept_micro
+        |FROM c""".stripMargin,
   )
 }

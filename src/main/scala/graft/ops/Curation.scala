@@ -556,6 +556,63 @@ object Curation {
       .select(col("id"), col("quality"), col("n_tokens"), col("cum_tokens"), col("kept"))
   }
 
+  /** Classifier threshold sweep: for every OBSERVED score s (each a
+    * candidate cutoff), the keep-everything-scoring-≥-s operating point —
+    * n_kept, true positives, and precision / recall / kept-fraction — the
+    * profiling step that picks a quality-classifier threshold before a
+    * filter runs over the corpus. Scores must be integral (micro-units
+    * upstream); the three ratios are exact integer micro-units
+    * (`x·10^6 div y`), so there is no float boundary for engines to
+    * disagree on (CLAUDE.md). Returns
+    * (threshold, n_kept, tp, precision_micro, recall_micro, kept_micro).
+    *
+    * Scale shape: the corpus collapses FIRST — one map-combined exchange
+    * to per-score (n, n_pos) rows, bounded by the score domain, never the
+    * corpus. The descending-cumulative counts then reuse the
+    * [[budgetTake]] prefix-sum shape: monotone score buckets, per-bucket
+    * totals bounded-collected into exclusive offsets (also yielding the
+    * grand totals for free — no second aggregate), one bucket-keyed
+    * exchange for the within-bucket running sums. No global sort
+    * anywhere. */
+  def thresholdSweep(
+      df: DataFrame, scoreCol: String, labelCol: String,
+      bucketWidth: Long = 256L): DataFrame = {
+    require(bucketWidth > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val perScore = df.select(
+        col(scoreCol).cast("long").as("score"),
+        col(labelCol).cast("boolean").as("__pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(col("__pos"), 1L).otherwise(0L)).as("__np"))
+      .withColumn("__b",
+        ((col("score") - pmod(col("score"), lit(bucketWidth))) / bucketWidth).cast("long"))
+    val totals = perScore.groupBy(col("__b"))
+      .agg(sum(col("__n")).as("__bn"), sum(col("__np")).as("__bp"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    require(totals.length <= 65536,
+      s"bucketWidth=$bucketWidth yields ${totals.length} buckets; widen it (bounded-collect contract)")
+    val nTotal = totals.map(_._2).sum
+    val posTotal = totals.map(_._3).sum
+    var accN = 0L
+    var accP = 0L
+    val offsets = totals.sortBy(-_._1).map { case (b, n, p) =>
+      val o = (b, accN, accP); accN += n; accP += p; o
+    }
+    val offDf = broadcast(offsets.toSeq.toDF("__b", "__offn", "__offp"))
+    val wIn = Window.partitionBy(col("__b")).orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    perScore.join(offDf, Seq("__b"))
+      .withColumn("n_kept", col("__offn") + sum(col("__n")).over(wIn))
+      .withColumn("tp", col("__offp") + sum(col("__np")).over(wIn))
+      .select(col("score").as("threshold"), col("n_kept"), col("tp"),
+        expr("tp * 1000000 div n_kept").as("precision_micro"),
+        (if (posTotal > 0) expr(s"tp * 1000000 div ${posTotal}L")
+         else lit(0L)).as("recall_micro"),
+        expr(s"n_kept * 1000000 div ${nTotal max 1L}L").as("kept_micro"))
+  }
+
   /** EXACT per-key quantiles of a numeric column — the corpus profiling
     * step that picks filter thresholds (length floors, outlier caps).
     * Returns (key, q, value) with value = the type-1 (lower) quantile:

@@ -815,6 +815,25 @@ class OpsSpec extends AnyFunSuite {
     assert(estX == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
   }
 
+  test("thresholdSweep: operating points exact at every observed cutoff") {
+    import graft.ops.Curation
+    val df = Seq((10L, true), (10L, false), (20L, false), (30L, true))
+      .toDF("score", "label")
+    def run(width: Long) = Curation.thresholdSweep(df, "score", "label", width)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))).toMap
+    val got = run(256L)
+    // threshold 30: keep {30} → 1 row, 1 tp, prec 1.0, recall 1/2, kept 1/4
+    assert(got(30L) == ((1L, 1L, 1000000L, 500000L, 250000L)))
+    // threshold 20: keep {20,30} → prec 1/2, recall 1/2, kept 1/2
+    assert(got(20L) == ((2L, 1L, 500000L, 500000L, 500000L)))
+    // threshold 10: keep all → prec 2/4, recall 1.0, kept 1.0
+    assert(got(10L) == ((4L, 2L, 500000L, 1000000L, 1000000L)))
+    // buckets are internal
+    assert(run(1L) == got && run(1000000L) == got)
+  }
+
   test("budgetTake: exact boundary, bucket-width invariance, determinism") {
     import graft.ops.Curation
     // (quality desc, id asc) order: 3 (cum 5), 1 (cum 9), 2 (cum 12), 4 (cum 14)

@@ -390,6 +390,26 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("threshold sweep: corpus collapses to per-score rows before any cumsum; no global sort") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet").select(
+        col("n_chars").cast("long").as("score"),
+        col("text").contains("the").as("label"))
+      val plan = graft.ops.Curation.thresholdSweep(d, "score", "label")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      // two shuffles: the map-combined per-score aggregate, then the
+      // bucket-keyed window; offsets arrive by broadcast
+      assert(lines.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange")) == 2, plan)
+      assert(!plan.contains("SinglePartition"), plan)
+      lines.filter(_.contains("Exchange")).foreach(l => assert(!l.contains("text#"), l))
+      assert(lines.indexWhere(_.contains("partial_count")) >
+        lines.indexWhere(_.contains("Exchange")), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("budget take: one corpus shuffle keyed by bucket, no global sort, no text on the wire") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
