@@ -1023,6 +1023,17 @@ object Queries {
       graft.ops.Curation.thresholdSweep(base, "score", "label")
         .select(col("threshold"), col("n_kept"), col("tp"),
           col("precision_micro"), col("recall_micro"), col("kept_micro"))
+    }),
+
+    // N-gram novelty scoring, ORACLED: per-doc fraction of distinct word
+    // 5-grams first seen in this doc (no smaller doc_id contains them) —
+    // the marginal-contribution signal; first-occurrence window prunes
+    // map-side (rank-1 WindowGroupLimit), ratios exact micro-units.
+    "q71_novelty" -> ((s, dir) => {
+      graft.ops.Curation.noveltyStats(
+          docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text", k = 5)
+        .select(col("id").as("doc_id"), col("n_ngrams"), col("n_novel"),
+          col("novelty_micro"))
     })
   )
 
@@ -2272,5 +2283,28 @@ object Queries {
         |    AS recall_micro,
         |  CAST(n_kept * 1000000 // (SELECT n_total FROM t) AS BIGINT) AS kept_micro
         |FROM c""".stripMargin,
+
+    // q71: the q64 shingle/hash family, min-id first occurrence per hash,
+    // per-doc roll-up with the `// 10^6` ratio
+    "q71_novelty" ->
+      """WITH cw AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i : i + 4], ' ') FOR i IN range(1, len(w) - 3)]
+        |    END) AS sh FROM cw),
+        |ng AS (SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS ngh
+        |  FROM (SELECT doc_id, unnest(sh) AS sg FROM sh)),
+        |f AS (SELECT ngh, min(doc_id) AS fid FROM ng GROUP BY ngh),
+        |nov AS (SELECT fid AS doc_id, count(*)::BIGINT AS n_novel FROM f GROUP BY fid),
+        |tot AS (SELECT doc_id, count(*)::BIGINT AS n_ngrams FROM ng GROUP BY doc_id)
+        |SELECT t.doc_id, t.n_ngrams,
+        |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
+        |  CAST(coalesce(n.n_novel, 0) * 1000000 // t.n_ngrams AS BIGINT) AS novelty_micro
+        |FROM tot t LEFT JOIN nov n USING (doc_id)""".stripMargin,
   )
 }

@@ -437,6 +437,41 @@ object Curation {
         round(col("n_dup").cast("double") / col("n_ngrams"), 6))
   }
 
+  /** Per-document n-gram novelty: how many of a document's distinct word
+    * `k`-grams appear in NO document with a smaller id — the marginal-
+    * contribution signal (a doc that is mostly re-statements of earlier
+    * corpus content scores near 0; the corpus-growth twin of
+    * [[dupPassageStats]], which is order-free). Returns (id, n_ngrams,
+    * n_novel, novelty_micro) with novelty_micro the exact integer
+    * micro-unit ratio.
+    *
+    * Scale shape: every exchange carries 16-byte (id, ngh) or count rows,
+    * never text. The first-occurrence window is rank-1 per n-gram hash, so
+    * SPARK-37099 inserts a PARTIAL WindowGroupLimit below its exchange — a
+    * boilerplate n-gram in 10^8 docs ships one candidate per map
+    * partition, exactly the [[dedupParagraphs]] hot-key story. */
+  def noveltyStats(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
+    val shingleUdf = udf(Dedup.wordShinglesKernel(k))
+    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val docNg = df
+      .select(col(idCol).cast("long").as("id"), explode(shingleUdf(col(textCol))).as("sg"))
+      .select(col("id"), hashUdf(col("sg")).as("ngh"))
+      .distinct()
+    val w = Window.partitionBy(col("ngh")).orderBy(col("id"))
+    val novel = docNg
+      .withColumn("__rn", row_number().over(w))
+      // <= 1 (not === 1) so InferWindowGroupLimit pattern-matches
+      .filter(col("__rn") <= 1)
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_novel"))
+    docNg.groupBy(col("id")).agg(count(lit(1)).as("n_ngrams"))
+      .join(novel, Seq("id"), "left")
+      .select(col("id"), col("n_ngrams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"))
+      .withColumn("novelty_micro", expr("n_novel * 1000000 div n_ngrams"))
+  }
+
   /** Corpus-wide paragraph-level exact deduplication (the CCNet pass,
     * Wenzek et al. 2020 §3.1: hash every paragraph, drop repeats across
     * the whole corpus — kills boilerplate headers/footers/cookie banners

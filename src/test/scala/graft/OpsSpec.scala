@@ -815,6 +815,25 @@ class OpsSpec extends AnyFunSuite {
     assert(estX == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
   }
 
+  test("noveltyStats: first doc owns shared k-grams, later copies score zero") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "a b c d e f"), // 6 words → 2 shingles, both first-seen here
+      (2L, "a b c d e f"), // identical → 0 novel
+      (3L, "x y z w v")    // ≤5 words → 1 whole-text shingle, novel
+    ).toDF("id", "text")
+    val got = Curation.noveltyStats(df, "id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((2L, 2L, 1000000L)))
+    assert(got(2L) == ((2L, 0L, 0L)))
+    assert(got(3L) == ((1L, 1L, 1000000L)))
+    // partial overlap: doc 4 shares one shingle with 1, adds one new
+    val df2 = df.union(Seq((4L, "b c d e f g")).toDF("id", "text"))
+    val g2 = Curation.noveltyStats(df2, "id", "text", k = 5)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(g2(4L) == ((2L, 1L))) // "b c d e f" owned by doc 1; "c d e f g" novel
+  }
+
   test("thresholdSweep: operating points exact at every observed cutoff") {
     import graft.ops.Curation
     val df = Seq((10L, true), (10L, false), (20L, false), (30L, true))

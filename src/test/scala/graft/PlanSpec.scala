@@ -390,6 +390,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("novelty: exchanges carry only ids/hashes/counts; first-occurrence prunes map-side") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 300)
+      val plan = graft.ops.Curation.noveltyStats(d, "doc_id", "text", k = 5)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      lines.filter(_.contains("Exchange")).foreach(l =>
+        assert(!l.contains("text#") && !l.contains("sg#"), l))
+      val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+      val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+      assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+        s"a 10^8-copy boilerplate n-gram must ship one candidate per map partition:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("threshold sweep: corpus collapses to per-score rows before any cumsum; no global sort") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
