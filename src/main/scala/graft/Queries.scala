@@ -1034,6 +1034,15 @@ object Queries {
           docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text", k = 5)
         .select(col("id").as("doc_id"), col("n_ngrams"), col("n_novel"),
           col("novelty_micro"))
+    }),
+
+    // Cross-source vocabulary overlap, ORACLED: exact pairwise Jaccard of
+    // per-source distinct-token sets (the mix-design redundancy matrix) —
+    // corpus collapses to the distinct (source, token-hash) frame before
+    // anything pairwise; ratios exact micro-units.
+    "q72_source_overlap" -> ((s, dir) => {
+      graft.ops.Curation.sourceOverlap(docs(s, dir), "source", "text")
+        .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard_micro"))
     })
   )
 
@@ -2306,5 +2315,24 @@ object Queries {
         |  CAST(coalesce(n.n_novel, 0) AS BIGINT) AS n_novel,
         |  CAST(coalesce(n.n_novel, 0) * 1000000 // t.n_ngrams AS BIGINT) AS novelty_micro
         |FROM tot t LEFT JOIN nov n USING (doc_id)""".stripMargin,
+
+    // q72: distinct (source, token-hash) sets self-joined on the hash,
+    // sizes joined back, the same `// 10^6` ratio
+    "q72_source_overlap" ->
+      """WITH st AS (SELECT DISTINCT source,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(term, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS th
+        |  FROM (SELECT source,
+        |      unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS term
+        |    FROM documents)),
+        |sz AS (SELECT source, count(*)::BIGINT AS n FROM st GROUP BY source),
+        |i AS (SELECT a.source AS src_a, b.source AS src_b, count(*)::BIGINT AS n_common
+        |  FROM st a JOIN st b ON a.th = b.th AND a.source < b.source
+        |  GROUP BY 1, 2)
+        |SELECT i.src_a, i.src_b, i.n_common,
+        |  CAST(i.n_common * 1000000 // (sa.n + sb.n - i.n_common) AS BIGINT) AS jaccard_micro
+        |FROM i
+        |JOIN sz sa ON sa.source = i.src_a
+        |JOIN sz sb ON sb.source = i.src_b""".stripMargin,
   )
 }

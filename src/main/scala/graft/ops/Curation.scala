@@ -437,6 +437,39 @@ object Curation {
         round(col("n_dup").cast("double") / col("n_ngrams"), 6))
   }
 
+  /** Cross-source vocabulary overlap: exact Jaccard between every pair of
+    * sources' distinct-token sets — the redundancy matrix behind mix
+    * design (two crawls of the same sites waste their combined weight;
+    * a low-overlap source adds coverage). Returns
+    * (src_a, src_b, n_common, jaccard_micro) for pairs sharing ≥1 token
+    * (zero-overlap pairs are absent by construction), src_a < src_b.
+    *
+    * Scale shape: the corpus collapses to the distinct (source, token
+    * hash) frame first — THE map-combined exchange; everything after is
+    * vocabulary-sized, not corpus-sized. The self-join on token hash
+    * reuses that frame's partitioning (no extra corpus pass) and fans out
+    * at most |sources|² rows per token; per-source sizes broadcast back.
+    * Ratios are exact integer micro-units. */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
+    val hashUdf = udf((t: String) => Dedup.polyHash(t))
+    val st = df
+      .select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), "[ \\t\\n\\r]+")).as("term"))
+      .filter(col("term") =!= "")
+      .select(col("source"), hashUdf(col("term")).as("th"))
+      .distinct()
+    val sizes = st.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    st.select(col("source").as("src_a"), col("th"))
+      .join(st.select(col("source").as("src_b"), col("th")), Seq("th"))
+      .filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_common"))
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n").as("__na"))), Seq("src_a"))
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n").as("__nb"))), Seq("src_b"))
+      .withColumn("jaccard_micro", expr("n_common * 1000000 div (__na + __nb - n_common)"))
+      .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard_micro"))
+  }
+
   /** Per-document n-gram novelty: how many of a document's distinct word
     * `k`-grams appear in NO document with a smaller id — the marginal-
     * contribution signal (a doc that is mostly re-statements of earlier

@@ -815,6 +815,22 @@ class OpsSpec extends AnyFunSuite {
     assert(estX == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
   }
 
+  test("sourceOverlap: exact pairwise jaccard, zero-overlap pairs absent") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("s1", "a b c"), ("s1", "c a"),     // vocab {a,b,c}
+      ("s2", "b c d"),                    // vocab {b,c,d}
+      ("s3", "x y")                       // vocab {x,y} — disjoint
+    ).toDF("source", "text")
+    val got = Curation.sourceOverlap(df, "source", "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // |{b,c}| = 2, union 4 → 0.5
+    assert(got == Map(("s1", "s2") -> ((2L, 500000L))))
+    // order canonical: src_a < src_b always
+    assert(!got.contains(("s2", "s1")))
+  }
+
   test("noveltyStats: first doc owns shared k-grams, later copies score zero") {
     import graft.ops.Curation
     val df = Seq(

@@ -390,6 +390,20 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("source overlap: term strings never shuffle; sizes broadcast back") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val plan = graft.ops.Curation.sourceOverlap(d, "source", "text")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      lines.filter(_.contains("Exchange")).foreach(l =>
+        assert(!l.contains("term#") && !l.contains("text#"), l))
+      assert(plan.contains("BroadcastHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("novelty: exchanges carry only ids/hashes/counts; first-occurrence prunes map-side") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
