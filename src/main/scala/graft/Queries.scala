@@ -1043,6 +1043,33 @@ object Queries {
     "q72_source_overlap" -> ((s, dir) => {
       graft.ops.Curation.sourceOverlap(docs(s, dir), "source", "text")
         .select(col("src_a"), col("src_b"), col("n_common"), col("jaccard_micro"))
+    }),
+
+    // Asymmetric containment re-score, ORACLED: |A∩B|/|A| and /|B| over
+    // distinct word 3-gram sets for adjacent-id candidate pairs — the
+    // quote-inclusion signal symmetric Jaccard dilutes; ratios exact
+    // micro-units, gram fan-out candidate-bounded.
+    "q73_containment" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300)
+      val pairs = d.select(col("doc_id").as("id_a"))
+        .join(d.select(col("doc_id").as("id_b")), col("id_b") === col("id_a") + 1)
+      graft.ops.Dedup.containmentStats(d, "doc_id", "text", pairs, k = 3)
+        .select(col("id_a"), col("id_b"), col("n_common"),
+          col("containment_a_micro"), col("containment_b_micro"), col("jaccard_micro"))
+    }),
+
+    // Domain blocklist filtering, ORACLED: suffix-match host blocking
+    // (an `example.com` entry catches every subdomain) over the q60
+    // deterministic host mix — purely narrow, the list rides as a
+    // closure set, no shuffle anywhere.
+    "q74_blocklist" -> ((s, dir) => {
+      val host = lower(when(col("doc_id") % 4 === 0, lit("WWW.Example.COM"))
+        .when(col("doc_id") % 4 === 1, lit("news.site.org"))
+        .when(col("doc_id") % 4 === 2, lit("Shop.Example.com"))
+        .otherwise(lit("a.b.c.net")))
+      docs(s, dir).select(col("doc_id"), host.as("host"))
+        .withColumn("blocked",
+          graft.ops.WebOps.domainBlocked(col("host"), Seq("example.com", "c.net")))
     })
   )
 
@@ -2334,5 +2361,52 @@ object Queries {
         |FROM i
         |JOIN sz sa ON sa.source = i.src_a
         |JOIN sz sb ON sb.source = i.src_b""".stripMargin,
+
+    // q73: 3-gram variant of the q64/q71 shingle CTE, intersection via
+    // hash equi-join per adjacent pair, all three `// 10^6` ratios
+    "q73_containment" ->
+      """WITH cw AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents WHERE doc_id < 300),
+        |sh AS (SELECT doc_id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |         ELSE [array_to_string(w[i : i + 2], ' ') FOR i IN range(1, len(w) - 1)]
+        |    END) AS sh FROM cw),
+        |ng AS (SELECT DISTINCT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS ngh
+        |  FROM (SELECT doc_id, unnest(sh) AS sg FROM sh)),
+        |sz AS (SELECT doc_id, count(*)::BIGINT AS n FROM ng GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM cw a JOIN cw b ON b.doc_id = a.doc_id + 1),
+        |i AS (SELECT p.id_a, p.id_b, count(*)::BIGINT AS n_common
+        |  FROM p JOIN ng na ON na.doc_id = p.id_a
+        |         JOIN ng nb ON nb.doc_id = p.id_b AND nb.ngh = na.ngh
+        |  GROUP BY 1, 2)
+        |SELECT p.id_a, p.id_b,
+        |  CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+        |  CAST(coalesce(i.n_common, 0) * 1000000 // sa.n AS BIGINT) AS containment_a_micro,
+        |  CAST(coalesce(i.n_common, 0) * 1000000 // sb.n AS BIGINT) AS containment_b_micro,
+        |  CAST(coalesce(i.n_common, 0) * 1000000 // (sa.n + sb.n - coalesce(i.n_common, 0))
+        |    AS BIGINT) AS jaccard_micro
+        |FROM p
+        |JOIN sz sa ON sa.doc_id = p.id_a
+        |JOIN sz sb ON sb.doc_id = p.id_b
+        |LEFT JOIN i ON i.id_a = p.id_a AND i.id_b = p.id_b""".stripMargin,
+
+    // q74: suffix list per host, membership against the same two entries
+    "q74_blocklist" ->
+      """WITH h AS (SELECT doc_id,
+        |    lower(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'WWW.Example.COM'
+        |      WHEN 1 THEN 'news.site.org' WHEN 2 THEN 'Shop.Example.com'
+        |      ELSE 'a.b.c.net' END) AS host
+        |  FROM documents),
+        |s AS (SELECT doc_id, host,
+        |    [array_to_string(parts[i :], '.') FOR i IN range(1, len(parts) + 1)] AS sfx
+        |  FROM (SELECT doc_id, host, string_split(host, '.') AS parts FROM h))
+        |SELECT doc_id, host,
+        |  len(list_intersect(sfx, ['example.com', 'c.net'])) > 0 AS blocked
+        |FROM s""".stripMargin,
   )
 }

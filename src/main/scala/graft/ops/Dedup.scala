@@ -251,4 +251,47 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxDist)
   }
+
+  /** Asymmetric containment re-score of candidate pairs (Broder 1997's
+    * second resemblance measure): containment_a = |A∩B| / |A| over the
+    * docs' distinct word `k`-gram sets — near 10^6 micro-units when doc A
+    * is QUOTED WHOLESALE inside a larger doc B, a relationship symmetric
+    * Jaccard dilutes toward 0 as B grows (the quote-farm / aggregator-page
+    * case document-level near-dup misses). Returns one row per candidate
+    * pair: (id_a, id_b, n_common, containment_a_micro,
+    * containment_b_micro, jaccard_micro), all ratios exact integer
+    * micro-units; pairs where either side has zero shingles are dropped.
+    *
+    * Scale shape: `pairs` is a CANDIDATE set (LSH output or an
+    * adjacency heuristic), so the gram fan-out — (id_a, id_b, ngh) rows,
+    * |A| per pair — is candidate-bounded, the same contract as the q23
+    * re-score stage; exchanges never carry text or shingle strings. The
+    * per-doc gram frame and its sizes are computed once and reused for
+    * both sides. */
+  def containmentStats(
+      corpus: DataFrame, idCol: String, textCol: String,
+      pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
+      k: Int = 3): DataFrame = {
+    val shingleUdf = udf(wordShinglesKernel(k))
+    val hashUdf = udf((s: String) => polyHash(s))
+    val ng = corpus
+      .select(col(idCol).cast("long").as("__cid"), explode(shingleUdf(col(textCol))).as("sg"))
+      .select(col("__cid"), hashUdf(col("sg")).as("ngh"))
+      .distinct()
+    val sizes = ng.groupBy(col("__cid")).agg(count(lit(1)).as("n"))
+    val p = pairs.select(col(aCol).cast("long").as("id_a"), col(bCol).cast("long").as("id_b"))
+    val inter = p
+      .join(ng.select(col("__cid").as("id_a"), col("ngh")), Seq("id_a"))
+      .join(ng.select(col("__cid").as("id_b"), col("ngh")), Seq("id_b", "ngh"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_common"))
+    p.join(sizes.select(col("__cid").as("id_a"), col("n").as("__na")), Seq("id_a"))
+      .join(sizes.select(col("__cid").as("id_b"), col("n").as("__nb")), Seq("id_b"))
+      .join(inter, Seq("id_a", "id_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .select(col("id_a"), col("id_b"), col("n_common"),
+        expr("n_common * 1000000 div __na").as("containment_a_micro"),
+        expr("n_common * 1000000 div __nb").as("containment_b_micro"),
+        expr("n_common * 1000000 div (__na + __nb - n_common)").as("jaccard_micro"))
+  }
 }

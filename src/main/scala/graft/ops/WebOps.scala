@@ -44,6 +44,31 @@ object WebOps {
       .otherwise(last2)
   }
 
+  /** Every dot-suffix of a host, most-specific first:
+    * `a.b.c.net` → [a.b.c.net, b.c.net, c.net, net]. Pure Column DSL. */
+  def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)),
+      i => array_join(slice(parts, i, size(parts)), "."))
+  }
+
+  /** Blocklist verdict: true iff the host or ANY parent domain appears in
+    * `blocklist` — the suffix-match semantics URL filter lists (UT1 and
+    * kin) specify, so `ads.tracker.example.com` is caught by an
+    * `example.com` entry. Hosts are lowercased first; entries must be.
+    *
+    * Scale shape: purely narrow — a projection, no shuffle. The list
+    * rides to executors once per task as a UDF-closure set (the Bloom
+    * bitset pattern): production lists are ~10^6 entries, which a literal
+    * `array_intersect` would re-materialize per ROW in codegen, and a
+    * broadcast join would pay an explode + regroup exchange for. */
+  def domainBlocked(host: Column, blocklist: Seq[String]): Column = {
+    val set = blocklist.map(_.toLowerCase).toSet
+    val hit = udf((suffixes: Seq[String]) =>
+      suffixes != null && suffixes.exists(set.contains))
+    hit(hostSuffixes(lower(host)))
+  }
+
   /** Number of non-empty path segments of a URL (query/fragment
     * excluded): `https://a.com/x/y?q=1` → 2, `https://a.com/` → 0. */
   def pathDepth(url: Column): Column = {

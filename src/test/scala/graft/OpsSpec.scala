@@ -815,6 +815,34 @@ class OpsSpec extends AnyFunSuite {
     assert(estX == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
   }
 
+  test("containmentStats: wholesale quote scores full containment, jaccard dilutes") {
+    import graft.ops.Dedup
+    val corpus = Seq(
+      (1L, "a b c d"),                 // 3-grams {abc, bcd}
+      (2L, "a b c d e f g h i j"),     // contains ALL of doc 1's grams + 6 more
+      (3L, "x y z")                    // disjoint single whole-text gram
+    ).toDF("id", "text")
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.containmentStats(corpus, "id", "text", pairs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // doc 1 fully inside doc 2: containment_a = 1.0 while jaccard = 2/8
+    assert(got((1L, 2L)) == ((2L, 1000000L, 250000L, 250000L)))
+    // disjoint pair present with zeros (left join keeps the candidate)
+    assert(got((1L, 3L)) == ((0L, 0L, 0L, 0L)))
+  }
+
+  test("domainBlocked: suffix semantics — parent-domain entries catch subdomains") {
+    import graft.ops.WebOps
+    val df = Seq("ads.tracker.EXAMPLE.com", "example.com", "news.site.org",
+      "notexample.com", "a.b.c.net").toDF("host")
+      .withColumn("blocked", WebOps.domainBlocked(col("host"), Seq("example.com", "c.net")))
+    val got = df.collect().map(r => r.getString(0) -> r.getBoolean(1)).toMap
+    assert(got("ads.tracker.EXAMPLE.com") && got("example.com") && got("a.b.c.net"))
+    // suffix match is LABEL-wise: notexample.com must NOT match example.com
+    assert(!got("notexample.com") && !got("news.site.org"))
+  }
+
   test("sourceOverlap: exact pairwise jaccard, zero-overlap pairs absent") {
     import graft.ops.Curation
     val df = Seq(

@@ -390,6 +390,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("blocklist filtering is purely narrow: no exchange in the plan") {
+    val df = SparkEntry.queries("q74_blocklist")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("containment: exchanges carry only ids and hashes, never text or shingles") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q73_containment")(spark, sf)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+        assert(!l.contains("text#") && !l.contains("sg#"), l))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("source overlap: term strings never shuffle; sizes broadcast back") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
