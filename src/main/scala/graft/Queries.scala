@@ -1070,6 +1070,30 @@ object Queries {
       docs(s, dir).select(col("doc_id"), host.as("host"))
         .withColumn("blocked",
           graft.ops.WebOps.domainBlocked(col("host"), Seq("example.com", "c.net")))
+    }),
+
+    // Winnowing fingerprints, ORACLED: every 5-window of char-4-gram
+    // hashes selects its (hash, pos)-min — guaranteed shared fingerprints
+    // on any matching span ≥ 8 chars, alignment-free (MOSS). The packed
+    // integer key makes the tie rule identical across engines.
+    "q75_winnow" -> ((s, dir) => {
+      graft.ops.TextOps.winnowFingerprints(
+          docs(s, dir).filter(col("doc_id") < 120), "doc_id", "text", k = 4, w = 5)
+        .select(col("id").as("doc_id"), col("fp_hash"), col("fp_pos"))
+    }),
+
+    // Corpus profile cube, ORACLED: doc counts + token totals at every
+    // (lang, source) granularity in one pass — Spark's Expand-based CUBE
+    // against DuckDB's GROUP BY CUBE, roll-up cells labeled 'ALL'.
+    "q76_profile_cube" -> ((s, dir) => {
+      docs(s, dir)
+        .select(col("lang"), col("source"),
+          size(split(trim(col("text")), "\\s+")).cast("long").as("toks"))
+        .cube(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"))
+        .select(coalesce(col("lang"), lit("ALL")).as("lang"),
+          coalesce(col("source"), lit("ALL")).as("source"),
+          col("n_docs"), col("n_tokens"))
     })
   )
 
@@ -2408,5 +2432,34 @@ object Queries {
         |SELECT doc_id, host,
         |  len(list_intersect(sfx, ['example.com', 'c.net'])) > 0 AS blocked
         |FROM s""".stripMargin,
+
+    // q75: per-position substr-fold hashes, packed-key sliding min over
+    // full windows, distinct — the identical integer tie rule
+    "q75_winnow" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |p AS (SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text) - 4 + 1, 0) + 1)) AS pos
+        |  FROM d),
+        |h AS (SELECT doc_id, pos,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        [ascii(c)::BIGINT FOR c IN split(substr(text, pos, 4), '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) * 1048576 + pos AS key
+        |  FROM p),
+        |m AS (SELECT doc_id, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS npos
+        |  FROM h)
+        |SELECT DISTINCT doc_id, CAST(wmin // 1048576 AS BIGINT) AS fp_hash,
+        |  CAST(wmin % 1048576 AS BIGINT) AS fp_pos
+        |FROM m WHERE pos <= greatest(npos - 4, 1)""".stripMargin,
+
+    // q76: GROUP BY CUBE with the same 'ALL' labels
+    "q76_profile_cube" ->
+      """SELECT coalesce(lang, 'ALL') AS lang, coalesce(source, 'ALL') AS source,
+        |  count(*)::BIGINT AS n_docs,
+        |  CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
+        |FROM documents
+        |GROUP BY CUBE(lang, source)""".stripMargin,
   )
 }

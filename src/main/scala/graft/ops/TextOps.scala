@@ -1,6 +1,7 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data curation: quality scoring,
@@ -95,6 +96,62 @@ object TextOps {
   /** Shift-invariant content-defined chunk count (rolling-hash chunking à
     * la rsync/CDC): number of positions whose 8-char rolling hash hits a
     * boundary mask — the building block for fuzzy dedup of big documents. */
+  /** Per-position character `k`-gram hashes of a text (codepoint-exact:
+    * position i hashes codepoints [i, i+k) with the shared base-131
+    * polynomial, so DuckDB's `substr` + split-fold replays it). Texts
+    * shorter than k yield no positions. */
+  def winnowHashesKernel(k: Int): String => Array[Long] = { text =>
+    if (text == null) Array.empty
+    else {
+      val cps = text.codePoints().toArray
+      val n = cps.length - k + 1
+      if (n <= 0) Array.empty[Long]
+      else Array.tabulate(n) { i =>
+        var acc = 0L
+        var j = 0
+        while (j < k) { acc = (acc * 131 + cps(i + j)) % Dedup.MersenneP; j += 1 }
+        acc
+      }
+    }
+  }
+
+  /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
+    * the MOSS scheme): every window of `w` consecutive character-`k`-gram
+    * hashes contributes its minimum, selected fingerprints deduped — the
+    * guarantee is one fingerprint per w-window, so matching spans of
+    * length ≥ w+k-1 ALWAYS share a fingerprint regardless of alignment
+    * (the property plain every-nth sampling lacks). Tie rule: minimum of
+    * the packed (hash, position) key — i.e. leftmost-of-equal-hashes —
+    * which is deterministic and engine-replayable where the paper's
+    * stateful rightmost rule is not a pure window function. Positions
+    * must fit 2^20 (documents are chunked upstream long before 10^6
+    * chars). Returns (id, fp_hash, fp_pos).
+    *
+    * Scale shape: one exchange keyed by doc id for the sliding-min window
+    * (partition-local sort, never global); the distinct reuses id-keyed
+    * rows of 16 bytes. Text leaves the scan as per-position hashes, never
+    * as strings. */
+  def winnowFingerprints(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5): DataFrame = {
+    require(k >= 1 && w >= 1)
+    val hUdf = udf(winnowHashesKernel(k))
+    val wAll = Window.partitionBy(col("id"))
+    val wWin = wAll.orderBy(col("pos")).rowsBetween(Window.currentRow, w - 1)
+    df.select(col(idCol).cast("long").as("id"),
+        posexplode(hUdf(col(textCol))).as(Seq("pos0", "h")))
+      .select(col("id"), (col("pos0") + 1).cast("long").as("pos"), col("h"))
+      .withColumn("__key", col("h") * lit(1048576L) + col("pos"))
+      .withColumn("__wmin", min(col("__key")).over(wWin))
+      .withColumn("__npos", count(lit(1)).over(wAll))
+      // only FULL windows select (tail stubs are subsets of earlier
+      // windows); a doc shorter than w hashes is one whole-doc window
+      .filter(col("pos") <= greatest(col("__npos") - (w - 1), lit(1L)))
+      .select(col("id"), expr("__wmin div 1048576").as("fp_hash"),
+        pmod(col("__wmin"), lit(1048576L)).as("fp_pos"))
+      .distinct()
+  }
+
   def chunkBoundaryCount(textCol: String, mask: Int = 63): Column = {
     // 8-gram hashes via substr inside a HOF (SQL form: the Scala
     // substring() overload only takes literal positions).

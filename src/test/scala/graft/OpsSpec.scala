@@ -815,6 +815,28 @@ class OpsSpec extends AnyFunSuite {
     assert(estX == Map("a" -> 30L, "b" -> 20L, "c" -> 10L))
   }
 
+  test("winnowFingerprints: shared spans of w+k-1 chars always share a hash") {
+    import graft.ops.TextOps
+    val common = "abcdefgh" // 8 chars = w+k-1 at k=4, w=5
+    val df = Seq((1L, "xx" + common + "qq"), (2L, "zzzzz" + common)).toDF("id", "text")
+    val fps = TextOps.winnowFingerprints(df, "id", "text", k = 4, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val h1 = fps.filter(_._1 == 1L).map(_._2).toSet
+    val h2 = fps.filter(_._1 == 2L).map(_._2).toSet
+    assert((h1 intersect h2).nonEmpty, s"h1=$h1 h2=$h2")
+    // shorter than k → no positions; exactly k → the one whole-doc window
+    val tiny = TextOps.winnowFingerprints(
+        Seq((3L, "abc"), (4L, "abcd")).toDF("id", "text"), "id", "text", k = 4, w = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    assert(!tiny.exists(_._1 == 3L))
+    assert(tiny.filter(_._1 == 4L).toSeq == Seq((4L, 1L)))
+    // far fewer fingerprints than positions (the point of winnowing)
+    val dense = TextOps.winnowFingerprints(
+        Seq((5L, "the quick brown fox jumps over the lazy dog")).toDF("id", "text"),
+        "id", "text", k = 4, w = 5).count()
+    assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
+  }
+
   test("containmentStats: wholesale quote scores full containment, jaccard dilutes") {
     import graft.ops.Dedup
     val corpus = Seq(

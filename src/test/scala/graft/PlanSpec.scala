@@ -390,6 +390,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("winnowing: text leaves the scan as per-position hashes, never shuffles as strings") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet").filter(col("doc_id") < 120)
+      val plan = graft.ops.TextOps.winnowFingerprints(d, "doc_id", "text")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      lines.filter(_.contains("Exchange")).foreach(l => assert(!l.contains("text#"), l))
+      assert(!plan.contains("SinglePartition"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("blocklist filtering is purely narrow: no exchange in the plan") {
     val df = SparkEntry.queries("q74_blocklist")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
