@@ -1094,6 +1094,16 @@ object Queries {
         .select(coalesce(col("lang"), lit("ALL")).as("lang"),
           coalesce(col("source"), lit("ALL")).as("source"),
           col("n_docs"), col("n_tokens"))
+    }),
+
+    // Winnowing pair mining, ORACLED: docs sharing surviving fingerprint
+    // hashes (buckets wider than 25 docs dropped as boilerplate — the
+    // explicit, replayable hot-bucket cap) with shared-hash counts.
+    "q77_winnow_pairs" -> ((s, dir) => {
+      graft.ops.TextOps.winnowPairs(
+          docs(s, dir).filter(col("doc_id") < 120), "doc_id", "text",
+          k = 4, w = 5, maxBucket = 25)
+        .select(col("id_a"), col("id_b"), col("n_shared"))
     })
   )
 
@@ -2461,5 +2471,29 @@ object Queries {
         |  CAST(sum(length(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens
         |FROM documents
         |GROUP BY CUBE(lang, source)""".stripMargin,
+
+    // q77: the q75 fingerprint CTE, distinct (id, hash), df cap, self-join
+    "q77_winnow_pairs" ->
+      """WITH d AS (SELECT doc_id, text FROM documents WHERE doc_id < 120),
+        |p AS (SELECT doc_id, text,
+        |    unnest(range(1, greatest(length(text) - 4 + 1, 0) + 1)) AS pos
+        |  FROM d),
+        |h AS (SELECT doc_id, pos,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        [ascii(c)::BIGINT FOR c IN split(substr(text, pos, 4), '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) * 1048576 + pos AS key
+        |  FROM p),
+        |m AS (SELECT doc_id, pos,
+        |    min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        |      ROWS BETWEEN CURRENT ROW AND 4 FOLLOWING) AS wmin,
+        |    count(*) OVER (PARTITION BY doc_id) AS npos
+        |  FROM h),
+        |fp AS (SELECT DISTINCT doc_id, wmin // 1048576 AS fh
+        |  FROM m WHERE pos <= greatest(npos - 4, 1)),
+        |keep AS (SELECT fh FROM fp GROUP BY fh HAVING count(*) <= 25)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_shared
+        |FROM fp a JOIN keep USING (fh) JOIN fp b
+        |  ON b.fh = a.fh AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
   )
 }

@@ -37,3 +37,31 @@ final class ParquetTableIO(warehouse: String) extends TableIO {
   override def tableExists(spark: SparkSession, name: String): Boolean =
     new java.io.File(path(name)).exists()
 }
+
+/** Bucketed-table layout for the recurring-join workloads (SURVEY §2's
+  * snapshot delta, golden joins, resume anti-joins): writing both sides
+  * bucketed (and sorted) BY THE JOIN KEY makes every later join
+  * co-located — the scan itself satisfies the join's distribution
+  * requirement, so the plan has ZERO shuffle exchanges (asserted in
+  * PlanSpec). At 100 TB this converts the monthly snapshot-delta from
+  * two full-corpus shuffles into a pure streaming merge; the write-side
+  * cost (one clustering shuffle at ingest) is paid once and amortized
+  * over every downstream join. Tables are EXTERNAL (explicit `path`), so
+  * the catalog entry is metadata only — the same parquet is readable
+  * without the catalog, minus the bucketing guarantee. */
+object BucketedTableIO {
+  /** Write `df` as an external bucketed table, replacing any previous
+    * catalog entry. `numBuckets` must match across tables that will join
+    * (Spark only elides the exchange on equal bucket counts). */
+  def writeBucketed(
+      df: DataFrame, name: String, dir: String,
+      bucketCol: String, numBuckets: Int): Unit = {
+    df.sparkSession.sql(s"DROP TABLE IF EXISTS $name")
+    df.write.mode("overwrite")
+      .format("parquet")
+      .option("path", s"$dir/$name")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(name)
+  }
+}

@@ -152,6 +152,36 @@ object TextOps {
       .distinct()
   }
 
+  /** Candidate near-dup pairs from shared winnowing fingerprints: docs
+    * sharing ≥1 surviving fingerprint hash, with the count of shared
+    * hashes as the match strength — the pair-mining stage between
+    * [[winnowFingerprints]] and an exact re-score
+    * ([[Dedup.containmentStats]]). Fingerprint hashes carried by more
+    * than `maxBucket` documents are DROPPED first (a 10^6-doc boilerplate
+    * gram is a stopword, not a match signal — and its bucket would emit
+    * 10^12 pairs); the cap is the same hot-bucket suppression the LSH
+    * band joins rely on, here made explicit and replayable.
+    *
+    * Scale shape: all exchanges carry (hash, id) or (id, id) rows. The
+    * per-hash document count and the self-join key on the same hash
+    * partitioning; the pair aggregate is the only id-pair-keyed
+    * exchange, bounded by the capped buckets (≤ maxBucket² pairs per
+    * surviving hash). */
+  def winnowPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      k: Int = 4, w: Int = 5, maxBucket: Int = 50): DataFrame = {
+    require(maxBucket >= 2)
+    val fps = winnowFingerprints(df, idCol, textCol, k, w)
+      .select(col("id"), col("fp_hash")).distinct()
+    val df_ = fps.groupBy(col("fp_hash")).agg(count(lit(1)).as("__df"))
+    val kept = fps.join(df_, Seq("fp_hash")).filter(col("__df") <= maxBucket)
+    kept.select(col("fp_hash"), col("id").as("id_a"))
+      .join(kept.select(col("fp_hash"), col("id").as("id_b")), Seq("fp_hash"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def chunkBoundaryCount(textCol: String, mask: Int = 63): Column = {
     // 8-gram hashes via substr inside a HOF (SQL form: the Scala
     // substring() overload only takes literal positions).

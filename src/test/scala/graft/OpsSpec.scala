@@ -837,6 +837,20 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("winnowPairs: shared spans surface as pairs; hot buckets suppressed by the cap") {
+    import graft.ops.TextOps
+    val span = "qwertyui" // every doc ends with " qwertyui" → shared grams have df=3
+    val df = Seq((1L, "aa1 " + span), (2L, "bb22 " + span), (3L, "cc333 " + span))
+      .toDF("id", "text")
+    val open = TextOps.winnowPairs(df, "id", "text", k = 4, w = 5, maxBucket = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(open.map(p => (p._1, p._2)).toSet == Set((1L, 2L), (1L, 3L), (2L, 3L)), open.toSeq)
+    assert(open.forall(_._3 >= 1))
+    // cap 2: every shared gram is carried by all 3 docs → dropped → no pairs
+    val capped = TextOps.winnowPairs(df, "id", "text", k = 4, w = 5, maxBucket = 2)
+    assert(capped.isEmpty)
+  }
+
   test("containmentStats: wholesale quote scores full containment, jaccard dilutes") {
     import graft.ops.Dedup
     val corpus = Seq(

@@ -390,6 +390,39 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("bucketed snapshot delta joins co-located: ZERO shuffle exchanges in the plan") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    val dir = SparkTestBase.tempDir("bucketed")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val oldSnap = d.filter(col("doc_id") % 3 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      val newSnap = d.filter(col("doc_id") % 5 =!= 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("digest"))
+      graft.io.BucketedTableIO.writeBucketed(oldSnap, "snap_old", dir, "doc_id", 4)
+      graft.io.BucketedTableIO.writeBucketed(newSnap, "snap_new", dir, "doc_id", 4)
+      val delta = graft.ops.Curation.snapshotDelta(
+        spark.table("snap_old"), spark.table("snap_new"), "doc_id", "digest")
+      val plan = delta.queryExecution.executedPlan.toString
+      // the scans satisfy the full-outer SMJ's distribution: no exchange
+      assert(!plan.contains("Exchange"), plan)
+      assert(plan.contains("SortMergeJoin"), plan)
+      assert(plan.contains("Bucketed: true"), plan)
+      // and the result is still correct
+      assert(delta.filter(col("status") === "unchanged").count() > 0)
+      assert(delta.filter(col("status") === "added").count() > 0)
+      assert(delta.filter(col("status") === "removed").count() > 0)
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS snap_old")
+      spark.sql("DROP TABLE IF EXISTS snap_new")
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
   test("winnowing: text leaves the scan as per-position hashes, never shuffles as strings") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
