@@ -1104,6 +1104,26 @@ object Queries {
           docs(s, dir).filter(col("doc_id") < 120), "doc_id", "text",
           k = 4, w = 5, maxBucket = 25)
         .select(col("id_a"), col("id_b"), col("n_shared"))
+    }),
+
+    // Composed curation pipeline, ORACLED end-to-end: blocklist →
+    // token-length floor → deterministic split → per-source cap, four
+    // operators chained and the WHOLE composition replayed — proof the
+    // ops compose without losing exactness (narrow → narrow → narrow →
+    // one map-pruned window; still no wide corpus shuffle before the cap).
+    "q78_pipeline" -> ((s, dir) => {
+      val host = lower(when(col("doc_id") % 4 === 0, lit("WWW.Example.COM"))
+        .when(col("doc_id") % 4 === 1, lit("news.site.org"))
+        .when(col("doc_id") % 4 === 2, lit("Shop.Example.com"))
+        .otherwise(lit("a.b.c.net")))
+      val d = docs(s, dir)
+        .select(col("doc_id"), col("source"), col("text"), host.as("host"))
+        .filter(!graft.ops.WebOps.domainBlocked(col("host"), Seq("example.com")))
+        .withColumn("toks", size(split(trim(col("text")), "\\s+")).cast("long"))
+        .filter(col("toks") >= 5)
+        .withColumn("split", graft.ops.Curation.hashSplit(col("doc_id")))
+      graft.ops.Curation.capPerKey(d, "source", "doc_id", n = 15)
+        .select(col("doc_id"), col("source"), col("host"), col("toks"), col("split"))
     })
   )
 
@@ -2495,5 +2515,30 @@ object Queries {
         |FROM fp a JOIN keep USING (fh) JOIN fp b
         |  ON b.fh = a.fh AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // q78: the whole pipeline replayed stage by stage — q74's suffix
+    // blocklist, the token floor, q36's split arithmetic, q37's rank cap
+    "q78_pipeline" ->
+      """WITH h AS (SELECT doc_id, source, text,
+        |    lower(CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'WWW.Example.COM'
+        |      WHEN 1 THEN 'news.site.org' WHEN 2 THEN 'Shop.Example.com'
+        |      ELSE 'a.b.c.net' END) AS host
+        |  FROM documents),
+        |unblocked AS (SELECT doc_id, source, text, host FROM (
+        |    SELECT *, string_split(host, '.') AS parts FROM h)
+        |  WHERE len(list_intersect(
+        |    [array_to_string(parts[i :], '.') FOR i IN range(1, len(parts) + 1)],
+        |    ['example.com'])) = 0),
+        |floored AS (SELECT doc_id, source, host,
+        |    CAST(length(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS toks
+        |  FROM unblocked
+        |  WHERE length(regexp_split_to_array(trim(text), '\s+')) >= 5),
+        |split AS (SELECT doc_id, source, host, toks,
+        |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+        |  FROM (SELECT *, ((doc_id * 1103515245 + 12345) % 2147483647) % 100 AS b
+        |        FROM floored)),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM split)
+        |SELECT doc_id, source, host, toks, split FROM ranked WHERE rn <= 15""".stripMargin,
   )
 }
