@@ -94,6 +94,25 @@ object StreamingExtract {
         col("host"), col("n_docs"))
   }
 
+  /** Streaming count-min sketch over the drop-box token stream (§2.10 +
+    * T51): the frequency profile updates per micro-batch with state
+    * BOUNDED at depth×width cells — no watermark needed, because the
+    * sketch never grows with the stream (the property that makes CMS the
+    * streaming frequency structure). Pure sums commute with micro-batch
+    * boundaries, so after draining, the streamed cells equal the batch
+    * [[graft.ops.Sketches.countMin]] over the same files EXACTLY
+    * (asserted in StreamingSpec). Complete output mode: the whole
+    * (bounded) sketch re-emits per batch. */
+  def streamingCountMin(
+      spark: SparkSession, srcDir: String,
+      depth: Int = 3, width: Int = 64): DataFrame = {
+    val hashUdf = udf((t: String) => graft.ops.Dedup.polyHash(t))
+    val toks = spark.readStream.schema(pageSchema).parquet(srcDir)
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(hashUdf(col("term")).as("h"))
+    graft.ops.Sketches.countMin(toks, col("h"), lit(1L), depth, width)
+  }
+
   /** Host component of a url; no trailing-slash requirement — a path-less
     * `https://example.com` must not collapse into host "". */
   private val HostRe = "https?://([^/]+)"

@@ -44,6 +44,36 @@ class StreamingSpec extends AnyFunSuite {
     assert(joined.filter(!($"markdown" <=> $"b_markdown")).count() == 0)
   }
 
+  test("streaming count-min equals the batch sketch exactly after draining") {
+    import org.apache.spark.sql.streaming.Trigger
+    val src = SparkTestBase.tempDir("cms_src")
+    val ckpt = SparkTestBase.tempDir("cms_ckpt")
+    writeBatch(src, 0 until 30, "a")
+    val q = StreamingExtract.streamingCountMin(spark, src, depth = 3, width = 32)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .outputMode("complete")
+      .format("memory")
+      .queryName("cms_stream")
+      .start()
+    q.awaitTermination()
+    val streamed = spark.table("cms_stream")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // pure sums commute with micro-batch boundaries: exact batch equality
+    val hashUdf = udf((t: String) => graft.ops.Dedup.polyHash(t))
+    val batchToks = spark.createDataset((0 until 30).map(i => graft.synth.Synth.page(42L, i.toLong)))
+      .toDF()
+      .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      .select(hashUdf(col("term")).as("h"))
+    val batch = graft.ops.Sketches.countMin(batchToks, col("h"), lit(1L), depth = 3, width = 32)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(streamed == batch)
+    // the state is the bounded sketch: never more than depth*width cells
+    assert(streamed.size <= 96)
+    spark.sql("DROP VIEW IF EXISTS cms_stream")
+  }
+
   test("stateful url dedup: re-fetched urls in later batches are dropped") {
     val src = SparkTestBase.tempDir("dedup_src")
     val wh = SparkTestBase.tempDir("dedup_wh")
