@@ -1124,6 +1124,18 @@ object Queries {
         .withColumn("split", graft.ops.Curation.hashSplit(col("doc_id")))
       graft.ops.Curation.capPerKey(d, "source", "doc_id", n = 15)
         .select(col("doc_id"), col("source"), col("host"), col("toks"), col("split"))
+    }),
+
+    // Deterministic weighted per-source sampling, ORACLED: exactly 10
+    // rows per source win a ticket·10^6 div weight race (weight from
+    // n_chars) — exact-k weighted selection as a pure function of
+    // (salt, id, weight); rank prunes map-side.
+    "q79_weighted_sample" -> ((s, dir) => {
+      val base = docs(s, dir).select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("__wm", least(col("n_chars").cast("long") * 2000L, lit(1000000L)))
+      graft.ops.Curation.weightedSamplePerKey(base, "source", "doc_id", col("__wm"), k = 10)
+        .select(col("doc_id"), col("source"), col("weight_micro"), col("priority"),
+          col("rank").cast("long").as("rank"))
     })
   )
 
@@ -2540,5 +2552,24 @@ object Queries {
         |ranked AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
         |  FROM split)
         |SELECT doc_id, source, host, toks, split FROM ranked WHERE rn <= 15""".stripMargin,
+
+    // q79: the q65 ticket hash, clamped weight, linear race, rank cap
+    "q79_weighted_sample" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    greatest(1, least(1000000, CAST(n_chars AS BIGINT) * 2000)) AS weight_micro
+        |  FROM documents),
+        |t AS (SELECT doc_id, source, weight_micro,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        [ascii(ch)::BIGINT FOR ch IN split('ws:' || doc_id, '')]),
+        |      (acc, ch) -> (acc * 131 + ch) % 2147483647) % 1000000 AS ticket
+        |  FROM b),
+        |r AS (SELECT doc_id, source, weight_micro,
+        |    ticket * 1000000 // weight_micro AS priority
+        |  FROM t)
+        |SELECT doc_id, source, CAST(weight_micro AS BIGINT) AS weight_micro,
+        |  CAST(priority AS BIGINT) AS priority, CAST(rank AS BIGINT) AS rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |    ORDER BY priority, doc_id) AS rank FROM r)
+        |WHERE rank <= 10""".stripMargin,
   )
 }

@@ -343,6 +343,37 @@ object Curation {
       .withColumn("accepted", col("ticket") < col("weight_micro"))
   }
 
+  /** Deterministic weighted sample of at most `k` rows per key: each row
+    * races with priority = ticket·10^6 div weight (ticket = the
+    * [[importanceResample]] salt-hash in [0, 10^6)), and the k smallest
+    * priorities per key win — a higher weight divides the ticket down,
+    * so inclusion odds scale with weight, yet the sample is a pure
+    * function of (salt, id, weight): identical on reruns, engines, and
+    * cluster sizes. This is the exact-k complement of
+    * [[importanceResample]]'s accept/reject (which cannot hit a target
+    * count); the linear ticket/weight race replaces Efraimidis-Spirtes'
+    * exponential race because `ln`/`pow` do not replay across libms —
+    * the tradeoff is documented bias, not nondeterminism. Weights clamp
+    * to [1, 10^6]. Adds (weight_micro, priority, rank).
+    *
+    * Scale shape: one exchange; the declarative rank-≤-k filter gets the
+    * SPARK-37099 PARTIAL WindowGroupLimit below it, so a hot key ships k
+    * candidates per map partition (asserted in PlanSpec). */
+  def weightedSamplePerKey(
+      df: DataFrame, keyCol: String, idCol: String, weightMicro: Column,
+      k: Int, salt: String = "ws:"): DataFrame = {
+    require(k > 0)
+    val ticketUdf = udf((id: Long) => Dedup.polyHash(salt + id) % 1000000L)
+    val w = greatest(lit(1L), least(lit(1000000L), weightMicro.cast("long")))
+    val win = Window.partitionBy(col(keyCol)).orderBy(col("priority").asc, col(idCol).asc)
+    df.withColumn("weight_micro", w)
+      .withColumn("__ticket", ticketUdf(col(idCol).cast("long")))
+      .withColumn("priority", expr("__ticket * 1000000 div weight_micro"))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= k)
+      .drop("__ticket")
+  }
+
   /** Greedy sequence packing: place documents into fixed-capacity context
     * windows ("packs"), filling each pack in order until the next
     * document would overflow it — the sample-packing step that turns a

@@ -837,6 +837,33 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("weightedSamplePerKey: exact k, deterministic, weight-monotone priorities") {
+    import graft.ops.Curation
+    val df = (1L to 40L).map(i => (i, if (i <= 25) "s1" else "s2", 500000L))
+      .toDF("id", "key", "wm")
+    def run() = Curation.weightedSamplePerKey(df, "key", "id", col("wm"), k = 7)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(4), r.getInt(5)))
+    val got = run()
+    // exactly min(k, n) per key, ranks 1..k
+    assert(got.count(_._2 == "s1") == 7 && got.count(_._2 == "s2") == 7)
+    assert(got.filter(_._2 == "s1").map(_._4).sorted.toSeq == (1 to 7))
+    // pure function of (salt, id, weight): reruns identical
+    assert(run().sortBy(_._1).toSeq == got.sortBy(_._1).toSeq)
+    // doubling a row's weight never raises its priority (same ticket)
+    val pLow = Curation.weightedSamplePerKey(
+        Seq((9L, "k", 200000L)).toDF("id", "key", "wm"), "key", "id", col("wm"), k = 1)
+      .collect().head.getLong(4)
+    val pHigh = Curation.weightedSamplePerKey(
+        Seq((9L, "k", 400000L)).toDF("id", "key", "wm"), "key", "id", col("wm"), k = 1)
+      .collect().head.getLong(4)
+    assert(pHigh <= pLow)
+    // weights clamp to [1, 1e6] — zero/negative weights don't divide by zero
+    val clamped = Curation.weightedSamplePerKey(
+        Seq((1L, "k", 0L), (2L, "k", -5L)).toDF("id", "key", "wm"), "key", "id", col("wm"), k = 2)
+      .collect().map(_.getLong(3))
+    assert(clamped.forall(_ == 1L))
+  }
+
   test("winnowPairs: shared spans surface as pairs; hot buckets suppressed by the cap") {
     import graft.ops.TextOps
     val span = "qwertyui" // every doc ends with " qwertyui" → shared grams have df=3

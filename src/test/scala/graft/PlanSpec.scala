@@ -390,6 +390,23 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("weighted sample gets a PARTIAL WindowGroupLimit below its exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("__wm", least(col("n_chars").cast("long") * 2000L, lit(1000000L)))
+      val plan = graft.ops.Curation.weightedSamplePerKey(d, "source", "doc_id", col("__wm"), k = 10)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      val partialIdx = lines.indexWhere(l => l.contains("WindowGroupLimit") && l.contains("Partial"))
+      val exchangeIdx = lines.indexWhere(_.contains("Exchange"))
+      assert(partialIdx >= 0 && exchangeIdx >= 0 && partialIdx > exchangeIdx,
+        s"a hot key must ship only k candidates per map partition:\n$plan")
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bucketed snapshot delta joins co-located: ZERO shuffle exchanges in the plan") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
