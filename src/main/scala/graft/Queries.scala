@@ -1136,6 +1136,18 @@ object Queries {
       graft.ops.Curation.weightedSamplePerKey(base, "source", "doc_id", col("__wm"), k = 10)
         .select(col("doc_id"), col("source"), col("weight_micro"), col("priority"),
           col("rank").cast("long").as("rank"))
+    }),
+
+    // Bloom semi-join flag, ORACLED: every doc flagged possibly-in a
+    // priority-id set (doc_id % 17 = 0) through a 1024-bit filter —
+    // deliberately tight so deterministic false positives fire and the
+    // oracle replays them; the corpus side is completely narrow.
+    "q80_bloom_semijoin" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val keys = d.filter(col("doc_id") % 17 === 0).select(col("doc_id"))
+      graft.ops.Curation.bloomSemiFlag(d, "doc_id", keys, "doc_id",
+          numHashes = 3, bits = 1024)
+        .select(col("doc_id"), col("in_filter"))
     })
   )
 
@@ -2571,5 +2583,21 @@ object Queries {
         |FROM (SELECT *, row_number() OVER (PARTITION BY source
         |    ORDER BY priority, doc_id) AS rank FROM r)
         |WHERE rank <= 10""".stripMargin,
+
+    // q80: position set rebuilt from the key slice, per-doc 3-position
+    // membership — false positives replay deterministically
+    "q80_bloom_semijoin" ->
+      """WITH hj AS (SELECT j,
+        |    ((j + 1) * 1103515245 + 12345) % 2147483647 AS a,
+        |    ((j + 1) * 1234567891 + 987654321) % 2147483647 AS b
+        |  FROM range(3) t(j)),
+        |setpos AS (SELECT DISTINCT ((hj.a * k.doc_id + hj.b) % 2147483647) % 1024 AS pos
+        |  FROM (SELECT doc_id FROM documents WHERE doc_id % 17 = 0) k CROSS JOIN hj),
+        |probe AS (SELECT d.doc_id,
+        |    ((hj.a * d.doc_id + hj.b) % 2147483647) % 1024 AS pos
+        |  FROM documents d CROSS JOIN hj)
+        |SELECT p.doc_id, count(s.pos) = 3 AS in_filter
+        |FROM probe p LEFT JOIN setpos s ON s.pos = p.pos
+        |GROUP BY p.doc_id""".stripMargin,
   )
 }

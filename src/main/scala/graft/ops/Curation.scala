@@ -318,6 +318,43 @@ object Curation {
       .withColumn("kept", col("n_maybe") === 0L)
   }
 
+  /** Fixed-memory Bloom semi-join flag: mark every row of `df` whose
+    * long key is POSSIBLY in `keys` — the join-pushdown primitive for
+    * "filter a corpus by another table's ids" when the key set is too
+    * big to broadcast exactly but the corpus is far too big to shuffle
+    * (10^9 ids → a 2^31-bit filter is 256 MiB per executor regardless).
+    * Membership errors are one-sided and DETERMINISTIC: `in_filter` may
+    * be true for a non-member (and replays identically in the oracle),
+    * never false for a member — so `filter(in_filter)` keeps a superset
+    * (safe semi-join prefilter) and `filter(!in_filter)` drops a superset
+    * complement (exact anti-join NEGATIVE side: rows flagged false are
+    * guaranteed non-members). Same Carter-Wegman positions as
+    * [[bloomContamination]].
+    *
+    * Scale shape: the corpus side is COMPLETELY narrow (no exchange —
+    * PlanSpec-pinned); the keys side reduces to its ≤`bits` distinct
+    * positions, bounded-collected into the closure bitset. */
+  def bloomSemiFlag(
+      df: DataFrame, keyCol: String, keys: DataFrame, keysKeyCol: String,
+      numHashes: Int = 3, bits: Int = 8192): DataFrame = {
+    require(numHashes >= 1 && bits >= 64, "degenerate bloom geometry")
+    val posUdf = udf((v: Long) => bloomPositions(v, numHashes, bits))
+    val setPositions = keys
+      .select(explode(posUdf(col(keysKeyCol).cast("long"))).as("pos"))
+      .distinct()
+      .collect().map(_.getInt(0))
+    val bitset = new java.util.BitSet(bits)
+    setPositions.foreach(bitset.set)
+    val maybe = udf { (v: Long) =>
+      val ps = bloomPositions(v, numHashes, bits)
+      var all = true
+      var j = 0
+      while (j < ps.length) { if (!bitset.get(ps(j))) all = false; j += 1 }
+      all
+    }
+    df.withColumn("in_filter", maybe(col(keyCol).cast("long")))
+  }
+
   /** Deterministic hash-based importance resampling (the DSIR-style
     * "sample proportionally to a per-document weight" stage, Xie et al.
     * 2023): a document is accepted iff

@@ -837,6 +837,22 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("bloomSemiFlag: members always flagged, non-members drop with wide filters") {
+    import graft.ops.Curation
+    val corpus = (1L to 200L).map(i => (i, s"row$i")).toDF("id", "payload")
+    val keys = Seq(3L, 50L, 199L).toDF("k")
+    // wide geometry → no false positives for this tiny key set
+    val wide = Curation.bloomSemiFlag(corpus, "id", keys, "k", numHashes = 3, bits = 8192)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(wide(3L) && wide(50L) && wide(199L))
+    assert(wide.count(_._2) == 3) // exactly the members at this geometry
+    // one-sided: members are flagged at ANY geometry, however tight
+    val tight = Curation.bloomSemiFlag(corpus, "id", keys, "k", numHashes = 2, bits = 64)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(tight(3L) && tight(50L) && tight(199L))
+    assert(tight.count(_._2) >= 3) // false positives only ADD rows
+  }
+
   test("weightedSamplePerKey: exact k, deterministic, weight-monotone priorities") {
     import graft.ops.Curation
     val df = (1L to 40L).map(i => (i, if (i <= 25) "s1" else "s2", 500000L))

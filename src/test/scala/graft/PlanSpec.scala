@@ -390,6 +390,12 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("bloom semi-join flag keeps the corpus side completely narrow") {
+    val df = SparkEntry.queries("q80_bloom_semijoin")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("weighted sample gets a PARTIAL WindowGroupLimit below its exchange") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
