@@ -1148,6 +1148,21 @@ object Queries {
       graft.ops.Curation.bloomSemiFlag(d, "doc_id", keys, "doc_id",
           numHashes = 3, bits = 1024)
         .select(col("doc_id"), col("in_filter"))
+    }),
+
+    // Int8 scalar quantization + code-space search, ORACLED: per-dim
+    // min/max affine codes (exact integer arithmetic on micro-unit
+    // floats), then top-10 by integer L2 in CODE space against vec 0 —
+    // the 4x-compressed search path; corpus vectors never shuffle.
+    "q81_int8_quant" -> ((s, dir) => {
+      val codes = graft.ops.Similarity.scalarQuantizeCodes(
+        embeddings(s, dir), "vec_id", "embedding")
+      val q = codes.filter(col("id") === 0L).select(col("dim"), col("code").as("qc"))
+      codes.join(broadcast(q), Seq("dim"))
+        .groupBy(col("id"))
+        .agg(sum((col("code") - col("qc")) * (col("code") - col("qc"))).as("dist_q"))
+        .orderBy(col("dist_q").asc, col("id").asc).limit(10)
+        .select(col("id").as("vec_id"), col("dist_q"))
     })
   )
 
@@ -2599,5 +2614,24 @@ object Queries {
         |SELECT p.doc_id, count(s.pos) = 3 AS in_filter
         |FROM probe p LEFT JOIN setpos s ON s.pos = p.pos
         |GROUP BY p.doc_id""".stripMargin,
+
+    // q81: the q61 micro-unit vector CTE, per-dim min/max affine codes,
+    // integer L2 in code space, total-ordered top-10
+    "q81_int8_quant" ->
+      """WITH v AS (SELECT vec_id AS id,
+        |    [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN embedding] AS vm
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |cells AS (SELECT id, t.j - 1 AS dim, vm[t.j] AS mv
+        |  FROM v CROSS JOIN range(1, 65) t(j)),
+        |st AS (SELECT dim, min(mv) AS lo, max(mv) AS hi FROM cells GROUP BY dim),
+        |codes AS (SELECT c.id, c.dim,
+        |    ((c.mv - st.lo) * 255) // greatest(st.hi - st.lo, 1) AS code
+        |  FROM cells c JOIN st USING (dim)),
+        |q AS (SELECT dim, code AS qc FROM codes WHERE id = 0),
+        |d AS (SELECT c.id, CAST(sum((c.code - q.qc) * (c.code - q.qc)) AS BIGINT) AS dist_q
+        |  FROM codes c JOIN q USING (dim) GROUP BY c.id)
+        |SELECT id AS vec_id, dist_q FROM (
+        |  SELECT id, dist_q, row_number() OVER (ORDER BY dist_q, id) AS rn FROM d)
+        |WHERE rn <= 10""".stripMargin,
   )
 }

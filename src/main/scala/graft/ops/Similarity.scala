@@ -271,4 +271,30 @@ object Similarity {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("nn_id"), round(col("sim"), 6).as("sim"))
   }
+
+  /** Per-dimension int8 scalar quantization of an embedding column — the
+    * standard 4× memory compression for billion-vector search (each
+    * float32 dimension becomes one byte; search runs on the codes, exact
+    * re-score on the survivors). Floats are micro-unit-quantized FIRST
+    * (the q57-q59 IEEE rule), then mapped to [0, 255] by per-dimension
+    * min/max affine integer arithmetic — every code is exact and
+    * engine-replayable; a constant dimension codes to 0. Returns one
+    * (id, dim, code) row per cell; callers fold codes back to arrays or
+    * compute distances directly on the cells (q81 does asymmetric-style
+    * integer L2 on codes).
+    *
+    * Scale shape: the per-dimension min/max is a bounded aggregate (dims
+    * rows) broadcast back; the corpus side is one narrow explode+project
+    * pass — vectors never shuffle (asserted in PlanSpec). */
+  def scalarQuantizeCodes(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val cells = df
+      .filter(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), posexplode(col(vecCol)).as(Seq("dim", "v")))
+      .select(col("id"), col("dim"),
+        floor(col("v").cast("double") * 1e6 + 0.5).cast("long").as("vm"))
+    val stats = cells.groupBy(col("dim")).agg(min(col("vm")).as("lo"), max(col("vm")).as("hi"))
+    cells.join(broadcast(stats), Seq("dim"))
+      .select(col("id"), col("dim"),
+        expr("((vm - lo) * 255) div greatest(hi - lo, 1)").as("code"))
+  }
 }

@@ -837,6 +837,27 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("scalarQuantizeCodes: endpoints hit 0/255, constant dims code to 0, order preserved") {
+    import graft.ops.Similarity
+    val df = Seq(
+      (1L, Seq(0.0f, 5.0f, 1.0f)),
+      (2L, Seq(1.0f, 5.0f, 2.0f)),
+      (3L, Seq(0.5f, 5.0f, 3.0f))
+    ).toDF("id", "vec")
+    val got = Similarity.scalarQuantizeCodes(df, "id", "vec")
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    // dim 0: min 0.0 → 0, max 1.0 → 255, midpoint → floor(127.5) = 127
+    assert(got((1L, 0)) == 0L && got((2L, 0)) == 255L && got((3L, 0)) == 127L)
+    // dim 1 constant → all 0 (no division by zero)
+    assert(Seq(1L, 2L, 3L).forall(i => got((i, 1)) == 0L))
+    // dim 2 monotone in the input: 1.0 < 2.0 < 3.0
+    assert(got((1L, 2)) < got((2L, 2)) && got((2L, 2)) < got((3L, 2)))
+    // null vectors are dropped, not NPE'd
+    val withNull = df.union(Seq((4L, null.asInstanceOf[Seq[Float]])).toDF("id", "vec"))
+    assert(Similarity.scalarQuantizeCodes(withNull, "id", "vec")
+      .filter(col("id") === 4L).isEmpty)
+  }
+
   test("bloomSemiFlag: members always flagged, non-members drop with wide filters") {
     import graft.ops.Curation
     val corpus = (1L to 200L).map(i => (i, s"row$i")).toDF("id", "payload")

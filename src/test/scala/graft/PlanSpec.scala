@@ -390,6 +390,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("int8 quantization: vectors never shuffle — only bounded per-dim stats and code cells") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q81_int8_quant")(spark, sf)
+        .queryExecution.executedPlan.toString
+      plan.linesIterator.filter(_.contains("Exchange")).foreach(l =>
+        assert(!l.contains("embedding#") && !l.contains("v#"), l))
+      // the final top-10 is TakeOrdered, not a global sort
+      assert(plan.contains("TakeOrderedAndProject"), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("bloom semi-join flag keeps the corpus side completely narrow") {
     val df = SparkEntry.queries("q80_bloom_semijoin")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString
