@@ -1163,6 +1163,16 @@ object Queries {
         .agg(sum((col("code") - col("qc")) * (col("code") - col("qc"))).as("dist_q"))
         .orderBy(col("dist_q").asc, col("id").asc).limit(10)
         .select(col("id").as("vec_id"), col("dist_q"))
+    }),
+
+    // Product quantization encode, ORACLED: 2 subspaces × 4 centroids × 2
+    // exact-integer Lloyd rounds — per-vector per-subspace nearest
+    // sub-centroid codes + quantization error, every subspace's rounds
+    // unrolled independently in the oracle.
+    "q82_pq_codes" -> ((s, dir) => {
+      graft.ops.Clustering.pqCodes(embeddings(s, dir), "vec_id", "embedding",
+          dims = 64, m = 2, k = 4, iterations = 2)
+        .select(col("id").as("vec_id"), col("sub"), col("cid"), col("d2"))
     })
   )
 
@@ -2633,5 +2643,42 @@ object Queries {
         |SELECT id AS vec_id, dist_q FROM (
         |  SELECT id, dist_q, row_number() OVER (ORDER BY dist_q, id) AS rn FROM d)
         |WHERE rn <= 10""".stripMargin,
+
+    // q82: the q61 Lloyd unroll, once per subspace over its vector slice
+    "q82_pq_codes" -> {
+      val subs = (0 until 2).map { s =>
+        val lo = s * 32 + 1
+        val hi = (s + 1) * 32
+        val p = s"s${s}_"
+        val rounds = (1 to 2).map { i =>
+          val dist =
+            s"""${p}d$i AS (SELECT v.id, c.cid,
+               |    CAST(list_sum([ (vm[j] - cm[j]) * (vm[j] - cm[j]) FOR j IN range(1, 33) ]) AS BIGINT) AS d2
+               |  FROM ${p}v v CROSS JOIN ${p}c${i - 1} c),
+               |${p}a$i AS (SELECT id, cid, d2 FROM (
+               |    SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+               |    FROM ${p}d$i) WHERE rn = 1)""".stripMargin
+          val update = if (i < 2)
+            s""",
+               |${p}u$i AS (SELECT a.cid, t.j AS dim, CAST(sum(vm[t.j]) AS BIGINT) AS sx, count(*) AS cnt
+               |  FROM ${p}a$i a JOIN ${p}v USING (id) CROSS JOIN range(1, 33) t(j)
+               |  GROUP BY a.cid, t.j),
+               |${p}c$i AS (SELECT cid, list(CAST(floor(sx / cnt + 0.5) AS BIGINT) ORDER BY dim) AS cm
+               |  FROM ${p}u$i GROUP BY cid)""".stripMargin
+          else ""
+          dist + update
+        }.mkString(",\n")
+        s"""${p}v AS (SELECT id, vmfull[$lo:$hi] AS vm FROM base),
+           |${p}c0 AS (SELECT id AS cid, vm AS cm FROM ${p}v ORDER BY id LIMIT 4),
+           |$rounds""".stripMargin
+      }.mkString(",\n")
+      s"""WITH base AS (SELECT vec_id AS id,
+         |    [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN embedding] AS vmfull
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |$subs
+         |SELECT id AS vec_id, 0 AS sub, cid, d2 FROM s0_a2
+         |UNION ALL
+         |SELECT id AS vec_id, 1 AS sub, cid, d2 FROM s1_a2""".stripMargin
+    },
   )
 }

@@ -71,4 +71,31 @@ object Clustering {
     v.unpersist()
     out
   }
+
+  /** Product-quantization encode (Jégou et al. 2011): split every vector
+    * into `m` contiguous subspaces of `dims / m` dimensions, Lloyd-cluster
+    * each subspace INDEPENDENTLY with [[kmeansAssign]]'s exact-integer
+    * protocol, and emit one row per (vector, subspace): the nearest
+    * sub-centroid id (the PQ code — log2(k) bits per subspace instead of
+    * 32·dims/m float bits) and the exact micro-unit quantization error.
+    * Codes are seed vector ids, so the whole code table replays
+    * bit-for-bit (the q82 oracle unrolls every subspace's Lloyd rounds).
+    * Returns (id, sub, cid, d2).
+    *
+    * Scale shape: m independent kmeans jobs, each inheriting
+    * [[kmeansAssign]]'s shape — k-row centroid broadcasts, narrow
+    * distance passes, (cid, dim) update cells; the union is lazy, no
+    * extra exchange. */
+  def pqCodes(
+      emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      m: Int = 2, k: Int = 4, iterations: Int = 2): DataFrame = {
+    require(m >= 1 && dims % m == 0, s"dims=$dims must split evenly into m=$m subspaces")
+    val sublen = dims / m
+    (0 until m).map { s =>
+      val sub = emb.where(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), slice(col(vecCol), s * sublen + 1, sublen).as("v"))
+      kmeansAssign(sub, "id", "v", k, iterations)
+        .select(col("id"), lit(s).as("sub"), col("cid"), col("d2"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -837,6 +837,35 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("pqCodes: per-subspace codes are independent; identical subvectors share codes") {
+    import graft.ops.Clustering
+    // 4-dim vectors, 2 subspaces of 2 dims. Seeds are the two smallest
+    // ids (1, 2) — they differ in BOTH subspaces, and the groupings
+    // disagree across subspaces: {1,3}/{2,4} in sub 0, {1,4}/{2,3} in sub 1
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f, 9.0f, 9.0f)),
+      (2L, Seq(-1.0f, -1.0f, -9.0f, -9.0f)),
+      (3L, Seq(1.0f, 1.0f, -9.0f, -9.0f)),
+      (4L, Seq(-1.0f, -1.0f, 9.0f, 9.0f))
+    ).toDF("id", "vec")
+    val got = Clustering.pqCodes(df, "id", "vec", dims = 4, m = 2, k = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 8) // 4 vectors x 2 subspaces
+    // same subvector → same code and error
+    assert(got((1L, 0)) == got((3L, 0)))
+    assert(got((2L, 0)) == got((4L, 0)))
+    assert(got((1L, 1)) == got((4L, 1)))
+    assert(got((2L, 1)) == got((3L, 1)))
+    // the two groups in each subspace get DIFFERENT codes (k=2 separates
+    // them), and the groupings are INDEPENDENT across subspaces
+    assert(got((1L, 0))._1 != got((2L, 0))._1)
+    assert(got((1L, 1))._1 != got((2L, 1))._1)
+    assert(got((3L, 0))._1 != got((3L, 1))._1 || got((3L, 0))._1 == got((1L, 0))._1)
+    // exact-integer protocol: centroids converge onto the duplicated
+    // subvectors, so the final quantization error is exactly 0
+    assert(got.values.forall(_._2 == 0L))
+  }
+
   test("scalarQuantizeCodes: endpoints hit 0/255, constant dims code to 0, order preserved") {
     import graft.ops.Similarity
     val df = Seq(
