@@ -1173,6 +1173,15 @@ object Queries {
       graft.ops.Clustering.pqCodes(embeddings(s, dir), "vec_id", "embedding",
           dims = 64, m = 2, k = 4, iterations = 2)
         .select(col("id").as("vec_id"), col("sub"), col("cid"), col("d2"))
+    }),
+
+    // Global exact quantiles, ORACLED: corpus-wide n_chars percentiles
+    // WITHOUT a global sort — bucket counts locate each rank's bucket,
+    // only target buckets sort (the 100-TB exact-percentile shape);
+    // same type-1 definition as q62, oracle is a straight global rank.
+    "q83_global_quantiles" -> ((s, dir) => {
+      graft.ops.Curation.globalQuantiles(docs(s, dir), "n_chars", "doc_id")
+        .select(col("q"), col("value"))
     })
   )
 
@@ -2680,5 +2689,15 @@ object Queries {
          |UNION ALL
          |SELECT id AS vec_id, 1 AS sub, cid, d2 FROM s1_a2""".stripMargin
     },
+
+    // q83: the buckets are internal — a straight global type-1 rank
+    "q83_global_quantiles" ->
+      """WITH r AS (SELECT CAST(n_chars AS BIGINT) AS value,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER () AS n
+        |  FROM documents),
+        |e AS (SELECT value, rn, n,
+        |    unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS q FROM r)
+        |SELECT q, value FROM e WHERE rn = floor((n - 1) * q) + 1""".stripMargin,
   )
 }

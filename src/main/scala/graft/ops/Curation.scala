@@ -639,6 +639,55 @@ object Curation {
       .select(col("key"), col("status"), col("old_digest"), col("new_digest"))
   }
 
+  /** EXACT GLOBAL quantiles of an integral column WITHOUT a global sort —
+    * the corpus-wide percentile (p50/p99 length, quality cutoffs) done the
+    * way a 100-TB job must: phase 1 counts rows per fixed-width value
+    * bucket (one map-combined aggregate, bounded output ≤65536 buckets,
+    * collected — the T50 pattern); the driver locates, for each requested
+    * `q`, the bucket containing global rank floor((n−1)·q)+1 and the rank
+    * WITHIN that bucket; phase 2 sorts ONLY the target buckets
+    * (partition-local, tiny) and picks the ranked rows. Same type-1
+    * quantile definition and (value, tiebreak) total order as
+    * [[exactQuantiles]], so the DuckDB oracle is a straight global rank.
+    * Returns (q, value). */
+  def globalQuantiles(
+      df: DataFrame, valueCol: String, tiebreakCol: String,
+      qs: Seq[Double] = Seq(0.0, 0.25, 0.5, 0.75, 1.0),
+      bucketWidth: Long = 256L): DataFrame = {
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1) && bucketWidth > 0)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val base = df.select(col(valueCol).cast("long").as("value"),
+        col(tiebreakCol).cast("long").as("tb"))
+      .withColumn("__b",
+        ((col("value") - pmod(col("value"), lit(bucketWidth))) / bucketWidth).cast("long"))
+    val counts = base.groupBy(col("__b")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    require(counts.length <= 65536,
+      s"bucketWidth=$bucketWidth yields ${counts.length} buckets; widen it (bounded-collect contract)")
+    val n = counts.map(_._2).sum
+    require(n > 0, "globalQuantiles over an empty frame")
+    val targets = qs.map { q =>
+      val rank = math.floor((n - 1) * q).toLong + 1
+      var cum = 0L
+      var found: (Double, Long, Long) = null
+      val it = counts.iterator
+      while (found == null && it.hasNext) {
+        val (b, c) = it.next()
+        if (cum + c >= rank) found = (q, b, rank - cum) else cum += c
+      }
+      found
+    }
+    val tDf = broadcast(targets.toDF("q", "__b", "__rw"))
+    val w = Window.partitionBy(col("__b")).orderBy(col("value"), col("tb"))
+    // bucket prune as a literal isin — pushes into the scan, no join
+    base.filter(col("__b").isin(targets.map(_._2).distinct: _*))
+      .withColumn("__rn", row_number().over(w))
+      .join(tDf, Seq("__b"))
+      .filter(col("__rn") === col("__rw"))
+      .select(col("q"), col("value"))
+  }
+
   /** Token-budget quality take: keep the highest-`quality` documents until
     * a global `budget` of tokens is filled — the "train on the best N
     * tokens" selection step (FineWeb/Dolma-style curation: score

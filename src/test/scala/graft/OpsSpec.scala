@@ -837,6 +837,25 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("globalQuantiles: exact type-1 ranks, bucket-width invariant") {
+    import graft.ops.Curation
+    // values 10..109 (n=100): q=0 → rank 1 → 10; q=0.5 → rank 50 → 59;
+    // q=1 → rank 100 → 109; q=0.25 → rank floor(99*.25)+1=25 → 34
+    val df = (10L to 109L).map(v => (v, v * 7)).toDF("v", "tb")
+    def run(width: Long) = Curation.globalQuantiles(df, "v", "tb",
+        qs = Seq(0.0, 0.25, 0.5, 1.0), bucketWidth = width)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    val got = run(16L)
+    assert(got == Map(0.0 -> 10L, 0.25 -> 34L, 0.5 -> 59L, 1.0 -> 109L))
+    // buckets are internal
+    assert(run(1L) == got && run(1000000L) == got)
+    // ties: duplicated values resolve by tiebreak, still rank-exact
+    val dup = Seq((5L, 1L), (5L, 2L), (5L, 3L), (9L, 4L)).toDF("v", "tb")
+    val g2 = Curation.globalQuantiles(dup, "v", "tb", qs = Seq(0.5, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(g2 == Map(0.5 -> 5L, 1.0 -> 9L)) // rank floor(3*.5)+1 = 2 → 5
+  }
+
   test("pqCodes: per-subspace codes are independent; identical subvectors share codes") {
     import graft.ops.Clustering
     // 4-dim vectors, 2 subspaces of 2 dims. Seeds are the two smallest

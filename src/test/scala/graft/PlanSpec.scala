@@ -390,6 +390,19 @@ class PlanSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
   }
 
+  test("global quantiles never plan a global sort: target buckets only, broadcast ranks") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val plan = SparkEntry.queries("q83_global_quantiles")(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("SinglePartition"), plan)
+      // one shuffle: the bucket-keyed window over the PRUNED rows
+      assert(plan.linesIterator.count(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")) == 1, plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("int8 quantization: vectors never shuffle — only bounded per-dim stats and code cells") {
     val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
