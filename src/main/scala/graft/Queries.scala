@@ -1182,6 +1182,17 @@ object Queries {
     "q83_global_quantiles" -> ((s, dir) => {
       graft.ops.Curation.globalQuantiles(docs(s, dir), "n_chars", "doc_id")
         .select(col("q"), col("value"))
+    }),
+
+    // Token-rate divergence, ORACLED: per-source distribution drift
+    // between the q56 snapshot slices, a chi-square-style statistic kept
+    // in exact integer micro-units (divergence 0 ⇔ identical rates).
+    "q84_rate_divergence" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Curation.rateDivergence(
+          d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 5 =!= 0),
+          "source", "text")
+        .select(col("key").as("source"), col("n_terms"), col("divergence"))
     })
   )
 
@@ -2699,5 +2710,28 @@ object Queries {
         |e AS (SELECT value, rn, n,
         |    unnest([0.0, 0.25, 0.5, 0.75, 1.0]) AS q FROM r)
         |SELECT q, value FROM e WHERE rn = floor((n - 1) * q) + 1""".stripMargin,
+
+    // q84: per-slice micro-unit token rates, full-outer vocab join, the
+    // same per-term floored integer statistic
+    "q84_rate_divergence" ->
+      """WITH tok AS (SELECT doc_id, source,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS term
+        |  FROM documents),
+        |h AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(term, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS th
+        |  FROM tok),
+        |o AS (SELECT source, th, count(*)::BIGINT AS c FROM h WHERE doc_id % 3 <> 0 GROUP BY 1, 2),
+        |n AS (SELECT source, th, count(*)::BIGINT AS c FROM h WHERE doc_id % 5 <> 0 GROUP BY 1, 2),
+        |ot AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM o GROUP BY source),
+        |nt AS (SELECT source, CAST(sum(c) AS BIGINT) AS t FROM n GROUP BY source),
+        |orate AS (SELECT o.source, o.th, o.c * 1000000 // ot.t AS r FROM o JOIN ot USING (source)),
+        |nrate AS (SELECT n.source, n.th, n.c * 1000000 // nt.t AS r FROM n JOIN nt USING (source)),
+        |j AS (SELECT coalesce(a.source, b.source) AS source,
+        |    coalesce(a.r, 0) AS r1, coalesce(b.r, 0) AS r2
+        |  FROM orate a FULL OUTER JOIN nrate b ON a.source = b.source AND a.th = b.th)
+        |SELECT source, count(*)::BIGINT AS n_terms,
+        |  CAST(sum(((r1 - r2) * (r1 - r2)) // (r1 + r2 + 1)) AS BIGINT) AS divergence
+        |FROM j GROUP BY source""".stripMargin,
   )
 }

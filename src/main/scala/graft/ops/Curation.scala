@@ -613,6 +613,44 @@ object Curation {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Token-rate divergence between two corpus slices, per key — the drift
+    * monitor that answers "did this source's content distribution shift
+    * between crawls" (a mirror gone spammy, a template change) before the
+    * shift poisons a training mix. Per (key, token-hash): the token's
+    * micro-unit rate in each slice (count·10^6 div slice total); the
+    * divergence is Σ (r1−r2)² div (r1+r2+1) — a χ²-style rate statistic
+    * kept in EXACT integer arithmetic (the principled G-test needs `ln`,
+    * which does not replay across libms; the tradeoff is the statistic's
+    * family, never its determinism). Returns (key, n_terms, divergence);
+    * divergence 0 ⇔ identical rate vectors.
+    *
+    * Scale shape: each slice collapses map-combined to (key, hash, count)
+    * rows — text never shuffles; per-key totals broadcast back; the
+    * full-outer join keys both vocab frames identically. */
+  def rateDivergence(
+      oldDf: DataFrame, newDf: DataFrame,
+      keyCol: String, textCol: String): DataFrame = {
+    val hashUdf = udf((t: String) => Dedup.polyHash(t))
+    def rates(df: DataFrame) = {
+      val tf = df
+        .select(col(keyCol).as("key"),
+          explode(split(trim(col(textCol)), "[ \\t\\n\\r]+")).as("term"))
+        .filter(col("term") =!= "")
+        .select(col("key"), hashUdf(col("term")).as("th"))
+        .groupBy(col("key"), col("th")).agg(count(lit(1)).as("c"))
+      val tot = tf.groupBy(col("key")).agg(sum(col("c")).as("t"))
+      tf.join(broadcast(tot), Seq("key"))
+        .select(col("key"), col("th"), expr("c * 1000000 div t").as("r"))
+    }
+    rates(oldDf).withColumnRenamed("r", "r1")
+      .join(rates(newDf).withColumnRenamed("r", "r2"), Seq("key", "th"), "full_outer")
+      .select(col("key"), col("th"),
+        coalesce(col("r1"), lit(0L)).as("r1"), coalesce(col("r2"), lit(0L)).as("r2"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(expr("((r1 - r2) * (r1 - r2)) div (r1 + r2 + 1)")).as("divergence"))
+  }
+
   /** Crawl snapshot delta: classify every url across two snapshots of a
     * recurring dump (Common Crawl monthlies) as added / removed / changed
     * / unchanged by content digest — the incremental-processing primitive

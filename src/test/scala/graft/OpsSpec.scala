@@ -837,6 +837,24 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("rateDivergence: zero iff rate vectors identical; drift raises the statistic") {
+    import graft.ops.Curation
+    val a = Seq(("s1", "x x y"), ("s2", "p q")).toDF("key", "text")
+    // identical slices → divergence exactly 0 everywhere
+    val same = Curation.rateDivergence(a, a, "key", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(same == Map("s1" -> ((2L, 0L)), "s2" -> ((2L, 0L))))
+    // s1 shifts (y disappears), s2 unchanged
+    val b = Seq(("s1", "x x x"), ("s2", "p q")).toDF("key", "text")
+    val drift = Curation.rateDivergence(a, b, "key", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(drift("s1") > 0L && drift("s2") == 0L)
+    // deterministic
+    val again = Curation.rateDivergence(a, b, "key", "text")
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(again == drift)
+  }
+
   test("globalQuantiles: exact type-1 ranks, bucket-width invariant") {
     import graft.ops.Curation
     // values 10..109 (n=100): q=0 → rank 1 → 10; q=0.5 → rank 50 → 59;
