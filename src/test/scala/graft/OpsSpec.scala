@@ -837,6 +837,56 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("budgetTake matches a brute-force reference on seeded random data") {
+    import graft.ops.Curation
+    val rng = new scala.util.Random(13L)
+    val rows = (1L to 300L).map(i => (i, rng.nextInt(50) + 1L, rng.nextInt(5000).toLong))
+    val df = rows.toDF("id", "toks", "q")
+    val budget = rows.map(_._2).sum * 3 / 10
+    // reference: sort by (quality desc, id asc), inclusive cumsum <= budget
+    var cum = 0L
+    val expect = rows.sortBy(t => (-t._3, t._1)).map { case (id, toks, _) =>
+      cum += toks; id -> (cum, cum <= budget)
+    }.toMap
+    val got = Curation.budgetTake(df, "id", "toks", "q", budget, bucketWidth = 64L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+    assert(got == expect)
+  }
+
+  test("globalQuantiles matches a brute-force reference on seeded random data") {
+    import graft.ops.Curation
+    val rng = new scala.util.Random(29L)
+    val rows = (1L to 500L).map(i => (i, rng.nextInt(1000).toLong))
+    val df = rows.map { case (i, v) => (v, i) }.toDF("v", "tb")
+    val qs = Seq(0.0, 0.1, 0.37, 0.5, 0.99, 1.0)
+    val sorted = rows.map { case (i, v) => (v, i) }.sortBy(identity)
+    val expect = qs.map { q =>
+      q -> sorted(math.floor((sorted.length - 1) * q).toInt)._1
+    }.toMap
+    val got = Curation.globalQuantiles(df, "v", "tb", qs, bucketWidth = 32L)
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    assert(got == expect)
+  }
+
+  test("thresholdSweep matches a brute-force reference on seeded random data") {
+    import graft.ops.Curation
+    val rng = new scala.util.Random(31L)
+    val rows = (1 to 400).map(_ => (rng.nextInt(60).toLong, rng.nextBoolean()))
+    val df = rows.toDF("score", "label")
+    val nTotal = rows.length.toLong
+    val posTotal = rows.count(_._2).toLong
+    val expect = rows.map(_._1).distinct.map { s =>
+      val kept = rows.filter(_._1 >= s)
+      val tp = kept.count(_._2).toLong
+      val n = kept.length.toLong
+      s -> ((n, tp, tp * 1000000L / n, tp * 1000000L / posTotal, n * 1000000L / nTotal))
+    }.toMap
+    val got = Curation.thresholdSweep(df, "score", "label", bucketWidth = 16L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == expect)
+  }
+
   test("rateDivergence: zero iff rate vectors identical; drift raises the statistic") {
     import graft.ops.Curation
     val a = Seq(("s1", "x x y"), ("s2", "p q")).toDF("key", "text")
