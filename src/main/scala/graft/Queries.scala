@@ -27,6 +27,36 @@ object Queries {
     * whitespace-delimited 'value' token becomes 'worth'. See the q21
     * comment for why this is two regex passes and an explicit boundary
     * class, and why it makes the closed-form WER oracle exact. */
+  /** Shared q82/q85 oracle fragment: per-subspace Lloyd chains (2
+    * subspaces of dims 1-32/33-64, 4 seeds, 2 rounds) over `base`'s
+    * micro-unit vectors — `s{N}_v/c0/d1/a1/u1/c1/d2/a2` CTEs. */
+  private lazy val pqLloydCtes: String = (0 until 2).map { s =>
+    val lo = s * 32 + 1
+    val hi = (s + 1) * 32
+    val p = s"s${s}_"
+    val rounds = (1 to 2).map { i =>
+      val dist =
+        s"""${p}d$i AS (SELECT v.id, c.cid,
+           |    CAST(list_sum([ (vm[j] - cm[j]) * (vm[j] - cm[j]) FOR j IN range(1, 33) ]) AS BIGINT) AS d2
+           |  FROM ${p}v v CROSS JOIN ${p}c${i - 1} c),
+           |${p}a$i AS (SELECT id, cid, d2 FROM (
+           |    SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           |    FROM ${p}d$i) WHERE rn = 1)""".stripMargin
+      val update = if (i < 2)
+        s""",
+           |${p}u$i AS (SELECT a.cid, t.j AS dim, CAST(sum(vm[t.j]) AS BIGINT) AS sx, count(*) AS cnt
+           |  FROM ${p}a$i a JOIN ${p}v USING (id) CROSS JOIN range(1, 33) t(j)
+           |  GROUP BY a.cid, t.j),
+           |${p}c$i AS (SELECT cid, list(CAST(floor(sx / cnt + 0.5) AS BIGINT) ORDER BY dim) AS cm
+           |  FROM ${p}u$i GROUP BY cid)""".stripMargin
+      else ""
+      dist + update
+    }.mkString(",\n")
+    s"""${p}v AS (SELECT id, vmfull[$lo:$hi] AS vm FROM base),
+       |${p}c0 AS (SELECT id AS cid, vm AS cm FROM ${p}v ORDER BY id LIMIT 4),
+       |$rounds""".stripMargin
+  }.mkString(",\n")
+
   private def perturbValueTokens(text: org.apache.spark.sql.Column) = {
     val pat = "(^|[ \\t\\n\\r])value([ \\t\\n\\r]|$)"
     regexp_replace(regexp_replace(text, pat, "$1worth$2"), pat, "$1worth$2")
@@ -1193,6 +1223,16 @@ object Queries {
           d.filter(col("doc_id") % 3 =!= 0), d.filter(col("doc_id") % 5 =!= 0),
           "source", "text")
         .select(col("key").as("source"), col("n_terms"), col("divergence"))
+    }),
+
+    // PQ asymmetric-distance search, ORACLED: the query's exact micro
+    // slices probe a k×m lookup table against each corpus vector's code
+    // centroids — top-10 without touching a single corpus float at query
+    // time; every centroid, code, and LUT cell replays.
+    "q85_pq_adc" -> ((s, dir) => {
+      graft.ops.Clustering.pqAdcTopK(embeddings(s, dir), "vec_id", "embedding",
+          dims = 64, queryId = 0L, topK = 10, m = 2, k = 4, iterations = 2)
+        .select(col("vec_id"), col("est_d2"))
     })
   )
 
@@ -2665,40 +2705,41 @@ object Queries {
         |WHERE rn <= 10""".stripMargin,
 
     // q82: the q61 Lloyd unroll, once per subspace over its vector slice
-    "q82_pq_codes" -> {
-      val subs = (0 until 2).map { s =>
-        val lo = s * 32 + 1
-        val hi = (s + 1) * 32
+    "q82_pq_codes" ->
+      s"""WITH base AS (SELECT vec_id AS id,
+         |    [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN embedding] AS vmfull
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |$pqLloydCtes
+         |SELECT id AS vec_id, 0 AS sub, cid, d2 FROM s0_a2
+         |UNION ALL
+         |SELECT id AS vec_id, 1 AS sub, cid, d2 FROM s1_a2""".stripMargin,
+
+    // q85: the same per-subspace Lloyd chain, then the ADC probe — the
+    // query's exact slice against each FINAL sub-centroid (c1 when
+    // iterations = 2), summed per corpus vector via the code table
+    "q85_pq_adc" -> {
+      val luts = (0 until 2).map { s =>
         val p = s"s${s}_"
-        val rounds = (1 to 2).map { i =>
-          val dist =
-            s"""${p}d$i AS (SELECT v.id, c.cid,
-               |    CAST(list_sum([ (vm[j] - cm[j]) * (vm[j] - cm[j]) FOR j IN range(1, 33) ]) AS BIGINT) AS d2
-               |  FROM ${p}v v CROSS JOIN ${p}c${i - 1} c),
-               |${p}a$i AS (SELECT id, cid, d2 FROM (
-               |    SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-               |    FROM ${p}d$i) WHERE rn = 1)""".stripMargin
-          val update = if (i < 2)
-            s""",
-               |${p}u$i AS (SELECT a.cid, t.j AS dim, CAST(sum(vm[t.j]) AS BIGINT) AS sx, count(*) AS cnt
-               |  FROM ${p}a$i a JOIN ${p}v USING (id) CROSS JOIN range(1, 33) t(j)
-               |  GROUP BY a.cid, t.j),
-               |${p}c$i AS (SELECT cid, list(CAST(floor(sx / cnt + 0.5) AS BIGINT) ORDER BY dim) AS cm
-               |  FROM ${p}u$i GROUP BY cid)""".stripMargin
-          else ""
-          dist + update
-        }.mkString(",\n")
-        s"""${p}v AS (SELECT id, vmfull[$lo:$hi] AS vm FROM base),
-           |${p}c0 AS (SELECT id AS cid, vm AS cm FROM ${p}v ORDER BY id LIMIT 4),
-           |$rounds""".stripMargin
+        s"""${p}q AS (SELECT vm FROM ${p}v WHERE id = 0),
+           |${p}l AS (SELECT c.cid,
+           |    CAST(list_sum([ (q.vm[j] - c.cm[j]) * (q.vm[j] - c.cm[j]) FOR j IN range(1, 33) ]) AS BIGINT) AS qd2
+           |  FROM ${p}c1 c CROSS JOIN ${p}q q)""".stripMargin
       }.mkString(",\n")
       s"""WITH base AS (SELECT vec_id AS id,
          |    [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN embedding] AS vmfull
          |  FROM embeddings WHERE embedding IS NOT NULL),
-         |$subs
-         |SELECT id AS vec_id, 0 AS sub, cid, d2 FROM s0_a2
-         |UNION ALL
-         |SELECT id AS vec_id, 1 AS sub, cid, d2 FROM s1_a2""".stripMargin
+         |$pqLloydCtes,
+         |$luts,
+         |est AS (SELECT a.id, CAST(sum(l.qd2) AS BIGINT) AS est_d2
+         |  FROM (SELECT id, cid, 0 AS sub FROM s0_a2
+         |        UNION ALL SELECT id, cid, 1 AS sub FROM s1_a2) a
+         |  JOIN (SELECT cid, qd2, 0 AS sub FROM s0_l
+         |        UNION ALL SELECT cid, qd2, 1 AS sub FROM s1_l) l
+         |    ON l.sub = a.sub AND l.cid = a.cid
+         |  GROUP BY a.id)
+         |SELECT id AS vec_id, est_d2 FROM (
+         |  SELECT id, est_d2, row_number() OVER (ORDER BY est_d2, id) AS rn FROM est)
+         |WHERE rn <= 10""".stripMargin
     },
 
     // q83: the buckets are internal — a straight global type-1 rank

@@ -32,7 +32,17 @@ object Clustering {
     * counts assignment rounds; centroids update between rounds. */
   def kmeansAssign(
       emb: DataFrame, idCol: String, vecCol: String,
-      k: Int = 8, iterations: Int = 3): DataFrame = {
+      k: Int = 8, iterations: Int = 3): DataFrame =
+    kmeansFit(emb, idCol, vecCol, k, iterations)._1
+
+  /** [[kmeansAssign]] plus the FINAL centroid table (cid, cm) the
+    * assignment ran against — what a codebook consumer (PQ asymmetric
+    * distance, IVF-style probing) needs. The centroid frame is LAZY and
+    * ≤ k rows: callers that ignore it (kmeansAssign) pay nothing; callers
+    * that use it typically `collect()` it into a lookup structure. */
+  def kmeansFit(
+      emb: DataFrame, idCol: String, vecCol: String,
+      k: Int = 8, iterations: Int = 3): (DataFrame, DataFrame) = {
     require(k >= 1 && iterations >= 1)
     val v = emb
       .where(col(vecCol).isNotNull)
@@ -68,8 +78,57 @@ object Clustering {
       }
     }
     val out = asg.localCheckpoint(true)
+    // cents stays lazy: materializing it after unpersist recomputes the
+    // quantization pass once — only paid by callers that actually read it
     v.unpersist()
-    out
+    (out, cents)
+  }
+
+  /** Asymmetric-distance (ADC) top-`topK` search over PQ codes (Jégou et
+    * al. 2011 §III): the query keeps its EXACT micro-unit subvectors; each
+    * corpus vector is approximated by its per-subspace code centroid, so
+    * the distance estimate is one k×m lookup-table probe per corpus row —
+    * the search mode that makes PQ usable at 10^10 vectors (no float
+    * vector is ever touched at query time). Returns (vec_id, est_d2)
+    * top-`topK` under (est_d2 asc, id asc).
+    *
+    * Scale shape: the LUT is k·m rows built from two bounded collects
+    * (centroids + the query's slices — the IVF codebook pattern) and
+    * broadcast; the corpus side is its code table (one narrow pass per
+    * subspace from [[pqCodes]]' shape) → broadcast LUT join → one
+    * id-keyed map-combined aggregate → TakeOrdered. */
+  def pqAdcTopK(
+      emb: DataFrame, idCol: String, vecCol: String, dims: Int,
+      queryId: Long, topK: Int = 10,
+      m: Int = 2, k: Int = 4, iterations: Int = 2): DataFrame = {
+    require(m >= 1 && dims % m == 0 && topK >= 1)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val sublen = dims / m
+    val parts = (0 until m).map { s =>
+      val sub = emb.where(col(vecCol).isNotNull)
+        .select(col(idCol).as("id"), slice(col(vecCol), s * sublen + 1, sublen).as("v"))
+      val (asg, cents) = kmeansFit(sub, "id", "v", k, iterations)
+      // exact query slice in the same micro-unit quantization (Spark's
+      // floor() is LongType, so centroid vectors are integer arrays)
+      val qm = sub.where(col("id") === queryId).head.getSeq[Float](1)
+        .map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong).toArray
+      val lut = cents.collect().map { r =>
+        val cm = r.getSeq[Long](1)
+        var d2 = 0L
+        var j = 0
+        while (j < qm.length) { val d = qm(j) - cm(j); d2 += d * d; j += 1 }
+        (s, r.getLong(0), d2)
+      }
+      (asg.select(col("id"), lit(s).as("sub"), col("cid")), lut)
+    }
+    val codes = parts.map(_._1).reduce(_ unionByName _)
+    val lutDf = broadcast(parts.flatMap(_._2).toDF("sub", "cid", "qd2"))
+    codes.join(lutDf, Seq("sub", "cid"))
+      .groupBy(col("id"))
+      .agg(sum(col("qd2")).as("est_d2"))
+      .orderBy(col("est_d2").asc, col("id").asc).limit(topK)
+      .select(col("id").as("vec_id"), col("est_d2"))
   }
 
   /** Product-quantization encode (Jégou et al. 2011): split every vector

@@ -924,6 +924,27 @@ class OpsSpec extends AnyFunSuite {
     assert(g2 == Map(0.5 -> 5L, 1.0 -> 9L)) // rank floor(3*.5)+1 = 2 → 5
   }
 
+  test("pqAdcTopK: the query's own cluster ranks first; estimates are code-exact") {
+    import graft.ops.Clustering
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f, 9.0f, 9.0f)),
+      (2L, Seq(-1.0f, -1.0f, -9.0f, -9.0f)),
+      (3L, Seq(1.0f, 1.0f, -9.0f, -9.0f)),
+      (4L, Seq(-1.0f, -1.0f, 9.0f, 9.0f))
+    ).toDF("id", "vec")
+    val got = Clustering.pqAdcTopK(df, "id", "vec", dims = 4, queryId = 1L,
+        topK = 4, m = 2, k = 2, iterations = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // centroids converge exactly onto the duplicated subvectors, so ADC
+    // against query 1 is exact: itself at 0; 3 shares sub 0, 4 shares sub 1
+    assert(got.head == ((1L, 0L)))
+    val m = got.toMap
+    // sub distances: (1,1) vs (-1,-1) = 2*(2e6)^2 = 8e12; (9,9) vs (-9,-9) = 2*(18e6)^2
+    assert(m(3L) == 2L * 18000000L * 18000000L)
+    assert(m(4L) == 8000000000000L)
+    assert(m(2L) == m(3L) + m(4L))
+  }
+
   test("pqCodes: per-subspace codes are independent; identical subvectors share codes") {
     import graft.ops.Clustering
     // 4-dim vectors, 2 subspaces of 2 dims. Seeds are the two smallest
