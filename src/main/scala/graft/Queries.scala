@@ -1233,6 +1233,17 @@ object Queries {
       graft.ops.Clustering.pqAdcTopK(embeddings(s, dir), "vec_id", "embedding",
           dims = 64, queryId = 0L, topK = 10, m = 2, k = 4, iterations = 2)
         .select(col("vec_id"), col("est_d2"))
+    }),
+
+    // Source language-consistency profile, ORACLED: per-source majority
+    // PREDICTED language (the q18 heuristic) + mixed fraction in exact
+    // micro-units — the label-purity check before trusting a source's
+    // declared language in a mix.
+    "q86_lang_consistency" -> ((s, dir) => {
+      graft.ops.Curation.majorityStats(
+          docs(s, dir), "source", graft.ops.TextOps.langId(col("text")))
+        .select(col("key").as("source"), col("majority"), col("n_total"),
+          col("n_majority"), col("mixed_micro"))
     })
   )
 
@@ -2774,5 +2785,32 @@ object Queries {
         |SELECT source, count(*)::BIGINT AS n_terms,
         |  CAST(sum(((r1 - r2) * (r1 - r2)) // (r1 + r2 + 1)) AS BIGINT) AS divergence
         |FROM j GROUP BY source""".stripMargin,
+
+    // q86: the q18 predictor per doc, then per-source majority + purity
+    "q86_lang_consistency" ->
+      """WITH sc AS (SELECT source,
+        |    (length(text) - length(replace(text, ' the ', ''))) // 5
+        |      + (length(text) - length(replace(text, ' and ', ''))) // 5 AS s_en,
+        |    (length(text) - length(replace(text, ' der ', ''))) // 5
+        |      + (length(text) - length(replace(text, ' und ', ''))) // 5 AS s_de,
+        |    (length(text) - length(replace(text, ' los ', ''))) // 5
+        |      + (length(text) - length(replace(text, ' las ', ''))) // 5 AS s_es,
+        |    (length(text) - length(replace(text, ' les ', ''))) // 5
+        |      + (length(text) - length(replace(text, ' des ', ''))) // 5 AS s_fr
+        |  FROM documents),
+        |p AS (SELECT source, CASE
+        |    WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+        |    WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+        |    WHEN s_es >= s_fr THEN 'es'
+        |    ELSE 'fr' END AS label
+        |  FROM sc),
+        |c AS (SELECT source, label, count(*)::BIGINT AS c FROM p GROUP BY 1, 2),
+        |r AS (SELECT source, label, c,
+        |    row_number() OVER (PARTITION BY source ORDER BY c DESC, label ASC) AS rn,
+        |    CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS n_total
+        |  FROM c)
+        |SELECT source, label AS majority, n_total, c AS n_majority,
+        |  CAST((n_total - c) * 1000000 // n_total AS BIGINT) AS mixed_micro
+        |FROM r WHERE rn = 1""".stripMargin,
   )
 }

@@ -613,6 +613,31 @@ object Curation {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Per-key majority label + consistency: for every key, the most common
+    * label (ties break to the lexicographically smallest), how many rows
+    * carry it, and the mixed fraction in exact micro-units — the
+    * label-purity profile behind source-language consistency checks (a
+    * crawl source claiming English that is 30% other languages), license
+    * homogeneity, format drift. Returns
+    * (key, majority, n_total, n_majority, mixed_micro).
+    *
+    * Scale shape: the corpus collapses map-combined to (key, label,
+    * count) rows first; the majority window and the total run over
+    * label-cardinality rows per key, never corpus rows. */
+  def majorityStats(df: DataFrame, keyCol: String, labelCol: Column): DataFrame = {
+    val counts = df.select(col(keyCol).as("key"), labelCol.as("label"))
+      .groupBy(col("key"), col("label"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("key")).orderBy(col("c").desc, col("label").asc)
+    counts
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_total", sum(col("c")).over(Window.partitionBy(col("key"))))
+      .filter(col("__rn") <= 1)
+      .select(col("key"), col("label").as("majority"), col("n_total"),
+        col("c").as("n_majority"),
+        expr("(n_total - c) * 1000000 div n_total").as("mixed_micro"))
+  }
+
   /** Token-rate divergence between two corpus slices, per key — the drift
     * monitor that answers "did this source's content distribution shift
     * between crawls" (a mirror gone spammy, a template change) before the

@@ -837,6 +837,19 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("majorityStats: majority, deterministic ties, exact mixed fraction") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("s1", "en"), ("s1", "en"), ("s1", "en"), ("s1", "de"),
+      ("s2", "fr"), ("s2", "de") // tie → lexicographically smallest wins
+    ).toDF("key", "lab")
+    val got = Curation.majorityStats(df, "key", col("lab"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got("s1") == (("en", 4L, 3L, 250000L)))
+    assert(got("s2") == (("de", 2L, 1L, 500000L)))
+  }
+
   test("budgetTake matches a brute-force reference on seeded random data") {
     import graft.ops.Curation
     val rng = new scala.util.Random(13L)
