@@ -1244,6 +1244,24 @@ object Queries {
           docs(s, dir), "source", graft.ops.TextOps.langId(col("text")))
         .select(col("key").as("source"), col("majority"), col("n_total"),
           col("n_majority"), col("mixed_micro"))
+    }),
+
+    // Incremental dedup against an existing index, ORACLED: a "new
+    // snapshot" (perturbed copies of 40 index docs + 50 fresh docs)
+    // MinHash-deduped against the index — only new×index pairs mined,
+    // never historical ones; full SQL replay of both signature chains.
+    "q87_incremental_dedup" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val idx = d.filter(col("doc_id") < 100)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val perturbed = d.filter(col("doc_id") < 40)
+        .select((col("doc_id").cast("long") + 20000L).as("id"),
+          regexp_replace(col("text"), "^(\\S+) (\\S+)", "changed prefix").as("text"))
+      val fresh = d.filter(col("doc_id") >= 100 && col("doc_id") < 150)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      graft.ops.Dedup.minhashNearDupsAgainst(
+          perturbed.unionByName(fresh), idx, "id", "text")
+        .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6).as("jaccard"))
     })
   )
 
@@ -2812,5 +2830,53 @@ object Queries {
         |SELECT source, label AS majority, n_total, c AS n_majority,
         |  CAST((n_total - c) * 1000000 // n_total AS BIGINT) AS mixed_micro
         |FROM r WHERE rn = 1""".stripMargin,
+
+    // q87: the q27 signature chain duplicated per side, new×index band
+    // join, same exact-Jaccard verify
+    "q87_incremental_dedup" -> {
+      def chain(p: String, src: String) =
+        s"""${p}words AS (SELECT id, list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '') AS w FROM $src),
+           |${p}sh AS (SELECT id, list_distinct(
+           |    CASE WHEN len(w) = 0 THEN []
+           |         WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+           |         ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+           |    END) AS shingles FROM ${p}words),
+           |${p}ph AS (SELECT id, shingles,
+           |    [list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+           |       (acc, c) -> (acc * 131 + c) % 2147483647) FOR sg IN shingles] AS hb FROM ${p}sh),
+           |${p}sigs AS (SELECT id, shingles,
+           |    [CASE WHEN len(hb) = 0 THEN 2147483647::BIGINT
+           |          ELSE list_min([((((h+1) * 1103515245 + 12345) % 2147483647) * x
+           |                          + (((h+1) * 1234567891 + 987654321) % 2147483647)) % 2147483647
+           |                         FOR x IN hb]) END
+           |     FOR h IN range(0, 32)] AS sig FROM ${p}ph),
+           |${p}keyed AS (SELECT id, shingles,
+           |    [list_reduce(list_prepend((b+1)::BIGINT, [sig[4*b + j] FOR j IN range(1, 5)]),
+           |       (acc, s) -> (acc * 131071 + s) % 2147483647) FOR b IN range(0, 8)] AS keys FROM ${p}sigs),
+           |${p}buckets AS (SELECT id, unnest([{'band': b, 'key': keys[b + 1]} FOR b IN range(0, 8)], recursive := true) FROM ${p}keyed)""".stripMargin
+      s"""WITH idx AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents WHERE doc_id < 100),
+         |newc AS (
+         |  SELECT CAST(doc_id AS BIGINT) + 20000 AS id,
+         |         regexp_replace(text, '^(\\S+) (\\S+)', 'changed prefix') AS text
+         |  FROM documents WHERE doc_id < 40
+         |  UNION ALL
+         |  SELECT CAST(doc_id AS BIGINT) AS id, text
+         |  FROM documents WHERE doc_id >= 100 AND doc_id < 150
+         |),
+         |${chain("i_", "idx")},
+         |${chain("n_", "newc")},
+         |cand AS (SELECT DISTINCT n.id AS new_id, i.id AS idx_id
+         |  FROM n_buckets n JOIN i_buckets i ON n.band = i.band AND n.key = i.key),
+         |verified AS (SELECT new_id, idx_id,
+         |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE AS inter,
+         |    (len(sa.shingles) + len(sb.shingles))::DOUBLE AS stot
+         |  FROM cand
+         |  JOIN n_sh sa ON sa.id = cand.new_id
+         |  JOIN i_sh sb ON sb.id = cand.idx_id)
+         |SELECT new_id, idx_id,
+         |  round(CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END, 6) AS jaccard
+         |FROM verified
+         |WHERE (CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) >= 0.5""".stripMargin
+    },
   )
 }

@@ -179,6 +179,44 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Incremental near-dup detection of NEW documents against an EXISTING
+    * index — the ingestion-time shape: a monthly snapshot dedups against
+    * the corpus already curated, not against itself (self-dedup of the
+    * union re-mines every historical pair every month; this mines only
+    * new×index pairs). Same signature family, banding, and exact-Jaccard
+    * verify as [[minhashNearDups]]; candidates are (new, index) pairs,
+    * no ordering constraint needed because the sides are disjoint tables.
+    * Returns (new_id, idx_id, jaccard ≥ threshold).
+    *
+    * Scale shape identical to the self-join variant — band exchanges
+    * carry only (id, band, key), shingles re-join by id — with the added
+    * asymmetry win: at steady state the new side is a tiny fraction of
+    * the index, so the candidate set (and the verify stage's wire cost)
+    * scales with the DELTA, not the corpus. */
+  def minhashNearDupsAgainst(
+      newDf: DataFrame, indexDf: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val shingleUdf = udf(wordShinglesKernel(shingleK))
+    val bandUdf = udf(bandKeysKernel(numHashes, bands))
+    def sig(df: DataFrame) =
+      df.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
+    def buckets(s: DataFrame) =
+      s.select(col("id"), posexplode(bandUdf(col("sh"))).as(Seq("band", "key")))
+    val sigNew = sig(newDf)
+    val sigIdx = sig(indexDf)
+    val cand = buckets(sigNew).select(col("band"), col("key"), col("id").as("new_id"))
+      .join(buckets(sigIdx).select(col("band"), col("key"), col("id").as("idx_id")),
+        Seq("band", "key"))
+      .select(col("new_id"), col("idx_id"))
+      .distinct()
+    cand
+      .join(sigNew.select(col("id").as("new_id"), col("sh").as("sh_a")), Seq("new_id"))
+      .join(sigIdx.select(col("id").as("idx_id"), col("sh").as("sh_b")), Seq("idx_id"))
+      .select(col("new_id"), col("idx_id"), jaccardSets(col("sh_a"), col("sh_b")).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** 60-bit SimHash of whitespace tokens (Charikar 2002): bit j of the
     * fingerprint is the sign of Σ_tokens (±1 by the parity of an affine
     * transform of the token's polynomial hash). Like the MinHash family

@@ -837,6 +837,24 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("minhashNearDupsAgainst: delta finds its index near-dup, fresh docs stay clean") {
+    import graft.ops.Dedup
+    val idx = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "completely different content about spark catalyst optimizer internals")
+    ).toDF("id", "text")
+    val delta = Seq(
+      (10L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near-dup of 1
+      (11L, "another unrelated document mentioning parquet columnar storage formats")
+    ).toDF("id", "text")
+    val got = Dedup.minhashNearDupsAgainst(delta, idx, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.contains((10L, 1L)))
+    assert(!got.exists(_._1 == 11L))
+    // only new-by-index pairs exist — never index-internal or delta-internal
+    assert(got.forall { case (n, i) => n >= 10L && i < 10L })
+  }
+
   test("majorityStats: majority, deterministic ties, exact mixed fraction") {
     import graft.ops.Curation
     val df = Seq(
