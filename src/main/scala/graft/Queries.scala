@@ -1262,6 +1262,14 @@ object Queries {
       graft.ops.Dedup.minhashNearDupsAgainst(
           perturbed.unionByName(fresh), idx, "id", "text")
         .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
+    // Collocation mining, ORACLED: top-20 adjacent token pairs by integer
+    // lift (the word2vec phrase-merge statistic), support-filtered at
+    // count ≥ 5 before any join — hapax bigrams die map-side.
+    "q88_collocations" -> ((s, dir) => {
+      graft.ops.Retrieval.collocations(docs(s, dir), "text", minCount = 5L, topK = 20)
+        .select(col("w1"), col("w2"), col("c_ab"), col("lift_micro"))
     })
   )
 
@@ -2878,5 +2886,25 @@ object Queries {
          |FROM verified
          |WHERE (CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) >= 0.5""".stripMargin
     },
+
+    // q88: 1-based adjacent pairs, unigram joins, the same single-floor
+    // integer lift, total-ordered top-20
+    "q88_collocations" ->
+      """WITH toks AS (SELECT
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |bi AS (SELECT w1, w2, count(*)::BIGINT AS c_ab FROM (
+        |    SELECT w[i] AS w1, w[i + 1] AS w2
+        |    FROM (SELECT w, unnest(range(1, len(w))) AS i FROM toks WHERE len(w) >= 2))
+        |  GROUP BY 1, 2 HAVING count(*) >= 5),
+        |uni AS (SELECT t, count(*)::BIGINT AS c
+        |  FROM (SELECT unnest(w) AS t FROM toks) GROUP BY t),
+        |nn AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+        |s AS (SELECT b.w1, b.w2, b.c_ab,
+        |    CAST(b.c_ab * 1000000 * (SELECT n FROM nn) // (ua.c * ub.c) AS BIGINT) AS lift_micro
+        |  FROM bi b JOIN uni ua ON ua.t = b.w1 JOIN uni ub ON ub.t = b.w2)
+        |SELECT w1, w2, c_ab, lift_micro FROM (
+        |  SELECT *, row_number() OVER (ORDER BY lift_micro DESC, w1, w2) AS rn FROM s)
+        |WHERE rn <= 20""".stripMargin,
   )
 }

@@ -173,6 +173,44 @@ object Retrieval {
           ",").as("top_ids"))
   }
 
+  /** Collocation (phrase) mining by bigram lift: for every adjacent token
+    * pair seen ≥ `minCount` times, lift = P(w1 w2) / (P(w1)·P(w2))
+    * computed as the single-floor integer `c_ab·10^6·N div (c_a·c_b)` —
+    * the word2vec phrase-merge statistic (Mikolov et al. 2013 §4) kept
+    * engine-exact (valid while N·10^6 < 2^63, i.e. ~9·10^12 tokens; above
+    * that, rescale the micro factor). Returns the top-`topK` by
+    * (lift desc, w1, w2) — a total order. Output
+    * (w1, w2, c_ab, lift_micro).
+    *
+    * Scale shape: one map-combined bigram aggregate and one unigram
+    * aggregate; unigram counts are vocabulary-sized and join back
+    * twice; min-count pruning kills the hapax tail BEFORE the joins
+    * (Zipf: most distinct bigrams are singletons); final top-k is
+    * TakeOrdered, never a global sort. */
+  def collocations(
+      corpus: DataFrame, textCol: String,
+      minCount: Long = 5L, topK: Int = 20): DataFrame = {
+    require(minCount >= 1 && topK >= 1)
+    val toks = corpus.select(tokensCol(col(textCol)).as("w"))
+    // struct pairs via an index transform — exploding (pos, token) and
+    // re-carrying the whole array would be O(len²) per document
+    val bi = toks.filter(size(col("w")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(2, size(w)), i -> struct(w[i-2] AS w1, w[i-1] AS w2))")).as("p"))
+      .select(col("p.w1"), col("p.w2"))
+      .groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= minCount)
+    val uni = toks.select(explode(col("w")).as("t"))
+      .groupBy(col("t")).agg(count(lit(1)).as("c"))
+    val n = uni.agg(sum(col("c"))).head.getLong(0)
+    bi.join(uni.select(col("t").as("w1"), col("c").as("__ca")), Seq("w1"))
+      .join(uni.select(col("t").as("w2"), col("c").as("__cb")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c_ab"),
+        expr(s"c_ab * 1000000 * ${n}L div (__ca * __cb)").as("lift_micro"))
+      .orderBy(col("lift_micro").desc, col("w1").asc, col("w2").asc)
+      .limit(topK)
+  }
+
   /** Per-bigram (h(w1), h("w1 w2")) hash pairs of a text — one pass, no
     * HOF (multi-pass array kernels degenerate under Catalyst lambda
     * re-evaluation; see CLAUDE.md). Hash = [[Dedup.polyHash]], the

@@ -837,6 +837,25 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("collocations: glued pairs score high lift, independent pairs low, support filter holds") {
+    import graft.ops.Retrieval
+    // "new york" always adjacent (5x); "a b" co-occur but also apart
+    val df = Seq(
+      "new york a b", "new york b a", "new york a c", "new york c a", "new york b c"
+    ).toDF("text")
+    val got = Retrieval.collocations(df, "text", minCount = 5L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // c(new york)=5, c(new)=5, c(york)=5, N=20 → lift = 5*1e6*20/(25) = 4e6
+    assert(got(("new", "york")) == 4000000L)
+    // every other bigram occurs < 5 times → filtered
+    assert(got.size == 1)
+    val loose = Retrieval.collocations(df, "text", minCount = 1L, topK = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(3)).toMap
+    // "york a" (2x), c(york)=5, c(a)=4: lift = 2*1e6*20/(5*4) = 2e6 < 4e6
+    assert(loose(("york", "a")) == 2000000L)
+    assert(loose(("new", "york")) > loose(("york", "a")))
+  }
+
   test("minhashNearDupsAgainst: delta finds its index near-dup, fresh docs stay clean") {
     import graft.ops.Dedup
     val idx = Seq(
