@@ -27,6 +27,30 @@ class PlanSpec extends AnyFunSuite {
     assert(!readSchema.contains("text"), readSchema)
   }
 
+  test("hive-partitioned tables prune partitions at the scan: one directory read, not all") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val wh = SparkTestBase.tempDir("prune_wh")
+      val io = new graft.io.ParquetTableIO(wh)
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), col("n_chars"), col("source"))
+      io.overwritePartitions(d, "pt", "source")
+      val pruned = spark.read.parquet(s"$wh/pt").filter(col("source") === "src1")
+      val plan = physicalPlan(pruned)
+      // the partition predicate lands in PartitionFilters, not a post-scan Filter
+      val scanLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+      assert(scanLine.contains("source"), plan)
+      // and the job physically touches ONLY the matching directory — at
+      // 100 TB this is the difference between one day-partition and the corpus
+      assert(pruned.collect().nonEmpty)
+      import org.apache.spark.sql.execution.FileSourceScanExec
+      val scan = pruned.queryExecution.executedPlan
+        .collectFirst { case s: FileSourceScanExec => s }.get
+      assert(scan.metrics("numFiles").value == 1, scan.metrics("numFiles").value.toString)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
   test("extraction pipeline plan: no shuffle beyond the explicit salted repartition") {
     val pages = graft.synth.Synth.pagesDs(spark, 50L, seed = 42L).toDF()
       .repartition(8, pmod(xxhash64(col("url")), lit(8)))
