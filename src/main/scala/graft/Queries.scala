@@ -1270,6 +1270,17 @@ object Queries {
     "q88_collocations" -> ((s, dir) => {
       graft.ops.Retrieval.collocations(docs(s, dir), "text", minCount = 5L, topK = 20)
         .select(col("w1"), col("w2"), col("c_ab"), col("lift_micro"))
+    }),
+
+    // Length-bucketed batching, ORACLED: deterministic batch assignment
+    // within n_chars buckets (the dynamic-batching prep — peers within
+    // one bucket width, so padding waste is bounded by construction).
+    "q89_length_batches" -> ((s, dir) => {
+      graft.ops.Curation.batchByLength(
+          docs(s, dir).select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", batchSize = 16, bucketWidth = 128L)
+        .select(col("doc_id"), col("n_chars"), col("bucket"),
+          col("batch_seq"), col("batch_pos"))
     })
   )
 
@@ -2906,5 +2917,18 @@ object Queries {
         |SELECT w1, w2, c_ab, lift_micro FROM (
         |  SELECT *, row_number() OVER (ORDER BY lift_micro DESC, w1, w2) AS rn FROM s)
         |WHERE rn <= 20""".stripMargin,
+
+    // q89: same bucket arithmetic, same (length, id) rank, div/mod split
+    "q89_length_batches" ->
+      """WITH b AS (SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+        |    CAST(n_chars AS BIGINT) // 128 AS bucket
+        |  FROM documents),
+        |r AS (SELECT doc_id, n_chars, bucket,
+        |    row_number() OVER (PARTITION BY bucket ORDER BY n_chars, doc_id) - 1 AS rn
+        |  FROM b)
+        |SELECT doc_id, n_chars, bucket,
+        |  CAST(rn // 16 AS BIGINT) AS batch_seq,
+        |  CAST(rn % 16 AS BIGINT) AS batch_pos
+        |FROM r""".stripMargin,
   )
 }

@@ -411,6 +411,33 @@ object Curation {
       .drop("__ticket")
   }
 
+  /** Length-bucketed batch assignment: group rows of similar `lengthCol`
+    * into fixed-size batches (the dynamic-batching prep for inference and
+    * padded training — batching a 10-token doc with a 4000-token doc pads
+    * 99% waste; batching within a length bucket pads almost none). Rows
+    * rank within their `floor(length / bucketWidth)` bucket under a
+    * deterministic (length, id) order; batch id = (bucket, rank div
+    * batchSize), position = rank mod batchSize. Fully deterministic at
+    * any parallelism. Adds (bucket, batch_seq, batch_pos).
+    *
+    * Scale shape: one exchange (hash by bucket) + a partition-local sort;
+    * bucket widths bound intra-batch padding waste by construction
+    * (every batch member is within `bucketWidth` tokens of its peers,
+    * except the bucket's last partial batch). */
+  def batchByLength(
+      df: DataFrame, idCol: String, lengthCol: String,
+      batchSize: Int, bucketWidth: Long = 64L): DataFrame = {
+    require(batchSize >= 1 && bucketWidth > 0)
+    val w = Window.partitionBy(col("bucket"))
+      .orderBy(col(lengthCol).asc, col(idCol).asc)
+    df.withColumn("bucket",
+        ((col(lengthCol) - pmod(col(lengthCol), lit(bucketWidth))) / bucketWidth).cast("long"))
+      .withColumn("__rn", row_number().over(w) - 1)
+      .withColumn("batch_seq", expr(s"__rn div $batchSize"))
+      .withColumn("batch_pos", pmod(col("__rn"), lit(batchSize.toLong)))
+      .drop("__rn")
+  }
+
   /** Greedy sequence packing: place documents into fixed-capacity context
     * windows ("packs"), filling each pack in order until the next
     * document would overflow it — the sample-packing step that turns a

@@ -837,6 +837,22 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("batchByLength: peers stay within one bucket width, batches fill in length order") {
+    import graft.ops.Curation
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 130L), (4L, 140L), (5L, 15L))
+      .toDF("id", "len")
+    val got = Curation.batchByLength(df, "id", "len", batchSize = 2, bucketWidth = 128L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bucket 0 holds 10/15/20 → batch 0 = (10, 15), batch 1 = (20)
+    assert(got(1L) == ((0L, 0L, 0L)) && got(5L) == ((0L, 0L, 1L)) && got(2L) == ((0L, 1L, 0L)))
+    // bucket 1 holds 130/140 in one batch
+    assert(got(3L) == ((1L, 0L, 0L)) && got(4L) == ((1L, 0L, 1L)))
+    // bounded padding: every batch's members share a bucket by construction
+    val batches = Curation.batchByLength(df, "id", "len", batchSize = 2, bucketWidth = 128L)
+      .groupBy("bucket", "batch_seq").count().collect()
+    assert(batches.forall(_.getLong(2) <= 2))
+  }
+
   test("collocations: glued pairs score high lift, independent pairs low, support filter holds") {
     import graft.ops.Retrieval
     // "new york" always adjacent (5x); "a b" co-occur but also apart
