@@ -837,6 +837,52 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("winnowFingerprints matches a brute-force reference on seeded random text") {
+    import graft.ops.{Dedup, TextOps}
+    val rng = new scala.util.Random(43L)
+    val alpha = "ab "
+    val rows = (1L to 40L).map(i =>
+      (i, (0 until (rng.nextInt(30) + 1)).map(_ => alpha(rng.nextInt(alpha.length))).mkString))
+    val k = 4; val w = 5
+    val expect = rows.flatMap { case (id, text) =>
+      val cps = text.codePoints().toArray
+      val n = cps.length - k + 1
+      if (n <= 0) Seq.empty
+      else {
+        val keys = Array.tabulate(n) { i =>
+          var acc = 0L; var j = 0
+          while (j < k) { acc = (acc * 131 + cps(i + j)) % Dedup.MersenneP; j += 1 }
+          acc * 1048576L + (i + 1)
+        }
+        val full = math.max(n - w + 1, 1)
+        (0 until full).map(j => keys.slice(j, math.min(j + w, n)).min)
+          .distinct.map(key => (id, key / 1048576L, key % 1048576L))
+      }
+    }.toSet
+    val got = TextOps.winnowFingerprints(rows.toDF("id", "text"), "id", "text", k, w)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == expect)
+  }
+
+  test("collocations matches a brute-force reference on seeded random token streams") {
+    import graft.ops.Retrieval
+    val rng = new scala.util.Random(47L)
+    val vocab = Vector("x", "y", "z", "w")
+    val rows = (1 to 60).map(_ =>
+      (0 until (rng.nextInt(12) + 2)).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+    val toks = rows.map(_.split(" ").toSeq)
+    val uni = toks.flatten.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val n = toks.map(_.size.toLong).sum
+    val bi = toks.flatMap(ws => ws.zip(ws.tail)).groupBy(identity)
+      .view.mapValues(_.size.toLong).filter(_._2 >= 3L).toMap
+    val expect = bi.map { case ((a, b), c) =>
+      (a, b) -> (c, c * 1000000L * n / (uni(a) * uni(b)))
+    }
+    val got = Retrieval.collocations(rows.toDF("text"), "text", minCount = 3L, topK = 1000)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect.map { case (k, (c, l)) => k -> ((c, l)) })
+  }
+
   test("batchByLength: peers stay within one bucket width, batches fill in length order") {
     import graft.ops.Curation
     val df = Seq((1L, 10L), (2L, 20L), (3L, 130L), (4L, 140L), (5L, 15L))
