@@ -1281,6 +1281,18 @@ object Queries {
           "doc_id", "n_chars", batchSize = 16, bucketWidth = 128L)
         .select(col("doc_id"), col("n_chars"), col("bucket"),
           col("batch_seq"), col("batch_pos"))
+    }),
+
+    // Data-quality gate, ORACLED: Deequ-style constraint report (null
+    // checks, ranges, enums, id uniqueness) in ONE corpus aggregate —
+    // null predicate results count as violations, never as passes.
+    "q90_quality_gate" -> ((s, dir) => {
+      graft.ops.Curation.qualityReport(docs(s, dir), "doc_id", Seq(
+          "doc_id_nonnull" -> col("doc_id").isNotNull,
+          "n_chars_nonneg" -> (col("n_chars") >= 0),
+          "lang_enum" -> col("lang").isin("en", "de", "es", "fr", "zh"),
+          "source_nonempty" -> (col("source").isNotNull && col("source") =!= "")))
+        .select(col("check_name"), col("violations"), col("pass"))
     })
   )
 
@@ -2930,5 +2942,24 @@ object Queries {
         |  CAST(rn // 16 AS BIGINT) AS batch_seq,
         |  CAST(rn % 16 AS BIGINT) AS batch_pos
         |FROM r""".stripMargin,
+
+    // q90: the same null-is-violation counts plus the uniqueness delta
+    "q90_quality_gate" ->
+      """WITH a AS (SELECT
+        |    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+        |    CAST(sum(CASE WHEN n_chars >= 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+        |    CAST(sum(CASE WHEN lang IN ('en', 'de', 'es', 'fr', 'zh') THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v2,
+        |    CAST(sum(CASE WHEN source IS NOT NULL AND source <> '' THEN 0 ELSE 1 END)
+        |      AS BIGINT) AS v3,
+        |    count(*)::BIGINT AS n,
+        |    CAST(count(DISTINCT doc_id) AS BIGINT) AS d
+        |  FROM documents)
+        |SELECT check_name, violations, violations = 0 AS pass FROM (
+        |  SELECT 'doc_id_nonnull' AS check_name, v0 AS violations FROM a
+        |  UNION ALL SELECT 'n_chars_nonneg', v1 FROM a
+        |  UNION ALL SELECT 'lang_enum', v2 FROM a
+        |  UNION ALL SELECT 'source_nonempty', v3 FROM a
+        |  UNION ALL SELECT 'unique:doc_id', n - d FROM a)""".stripMargin,
   )
 }

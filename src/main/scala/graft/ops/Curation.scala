@@ -640,6 +640,36 @@ object Curation {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Data-quality gate (the Deequ-style constraint report): violation
+    * counts for a set of named row-level pass predicates, plus a
+    * uniqueness check on the id column — the validation step that runs
+    * before a corpus snapshot is allowed to feed training. A NULL
+    * predicate result counts as a VIOLATION (a null lang fails `lang IN
+    * (...)` rather than slipping past it). Returns one row per
+    * constraint: (check_name, violations, pass).
+    *
+    * Scale shape: ONE map-combined aggregate over the corpus computes
+    * every predicate's violation count and the row count; the id
+    * uniqueness check is the only distinct (Expand over the id column
+    * alone). The report stays a lazy 1-row frame exploded to
+    * constraint rows — composable into gates (`.filter(!pass)` non-empty
+    * ⇒ abort the pipeline). */
+  def qualityReport(
+      df: DataFrame, idCol: String, checks: Seq[(String, Column)]): DataFrame = {
+    require(checks.nonEmpty)
+    val aggs = checks.zipWithIndex.map { case ((_, c), i) =>
+      sum(when(coalesce(c, lit(false)), 0L).otherwise(1L)).as(s"__v$i")
+    } ++ Seq(count(lit(1)).as("__n"), countDistinct(col(idCol)).as("__d"))
+    val entries = checks.zipWithIndex.map { case ((n, _), i) =>
+      struct(lit(n).as("check_name"), col(s"__v$i").as("violations"))
+    } :+ struct(lit(s"unique:$idCol").as("check_name"),
+      (col("__n") - col("__d")).as("violations"))
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.check_name").as("check_name"), col("e.violations").as("violations"))
+      .withColumn("pass", col("violations") === 0L)
+  }
+
   /** Per-key majority label + consistency: for every key, the most common
     * label (ties break to the lexicographically smallest), how many rows
     * carry it, and the mixed fraction in exact micro-units — the

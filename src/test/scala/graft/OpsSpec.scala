@@ -837,6 +837,28 @@ class OpsSpec extends AnyFunSuite {
     assert(dense > 0 && dense <= 41) // 41 positions; selection must not exceed them
   }
 
+  test("qualityReport: null predicate results are violations; uniqueness counts dups") {
+    import graft.ops.Curation
+    val df = Seq(
+      (java.lang.Long.valueOf(1L), "en", java.lang.Long.valueOf(10L)),
+      (java.lang.Long.valueOf(1L), "xx", java.lang.Long.valueOf(-5L)), // dup id, bad lang, bad range
+      (java.lang.Long.valueOf(2L), null, java.lang.Long.valueOf(3L))   // null lang → enum violation
+    ).toDF("id", "lang", "n")
+    val got = Curation.qualityReport(df, "id", Seq(
+        "lang_enum" -> col("lang").isin("en", "de"),
+        "n_nonneg" -> (col("n") >= 0)))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got("lang_enum") == ((2L, false))) // 'xx' AND the null both fail
+    assert(got("n_nonneg") == ((1L, false)))
+    assert(got("unique:id") == ((1L, false))) // 3 rows, 2 distinct ids
+    // a clean frame passes everything
+    val clean = Curation.qualityReport(
+        Seq((1L, "en", 1L), (2L, "de", 2L)).toDF("id", "lang", "n"), "id",
+        Seq("lang_enum" -> col("lang").isin("en", "de"), "n_nonneg" -> (col("n") >= 0)))
+      .collect()
+    assert(clean.forall(_.getBoolean(2)))
+  }
+
   test("winnowFingerprints matches a brute-force reference on seeded random text") {
     import graft.ops.{Dedup, TextOps}
     val rng = new scala.util.Random(43L)
