@@ -1293,6 +1293,22 @@ object Queries {
           "lang_enum" -> col("lang").isin("en", "de", "es", "fr", "zh"),
           "source_nonempty" -> (col("source").isNotNull && col("source") =!= "")))
         .select(col("check_name"), col("violations"), col("pass"))
+    }),
+
+    // SemDeDup (training op, Abbas et al. 2023), ORACLED: exact-integer
+    // k-means clusters, then within-cluster cosine dedup against lower-id
+    // mates. Planted near-dups are 1.001-scaled copies — double-multiply
+    // then float-round is the same IEEE operation on both engines — so
+    // unlike q34's x2 copies they sit 0.1% away in L2 and CO-CLUSTER with
+    // their originals, exercising the dedup path, not just the join.
+    "q91_semdedup" -> ((s, dir) => {
+      val base = embeddings(s, dir).filter(col("vec_id") < 100)
+        .select(col("vec_id").cast("long").as("id"), col("embedding").as("v"))
+      val near = base.select((col("id") + 10000L).as("id"),
+        transform(col("v"), x => (x.cast("double") * lit(1.001)).cast("float")).as("v"))
+      graft.ops.Clustering.semDedup(base.unionByName(near), "id", "v",
+          threshold = 0.95, k = 8, iterations = 3)
+        .select(col("id").as("vec_id"), col("cid"), col("keep"))
     })
   )
 
@@ -2961,5 +2977,51 @@ object Queries {
         |  UNION ALL SELECT 'lang_enum', v2 FROM a
         |  UNION ALL SELECT 'source_nonempty', v3 FROM a
         |  UNION ALL SELECT 'unique:doc_id', n - d FROM a)""".stripMargin,
+
+    // q91: the q61 Lloyd unroll over the planted corpus, then every
+    // within-cluster lower-id pair re-scored with the q34 list_reduce
+    // cosine replay — the keep bit is a pure function of both
+    "q91_semdedup" -> {
+      val rounds = (1 to 3).map { i =>
+        val dist =
+          s"""s$i AS (SELECT v.id, c.cid,
+             |    CAST(list_sum([ (vm[j] - cm[j]) * (vm[j] - cm[j]) FOR j IN range(1, len(vm) + 1) ]) AS BIGINT) AS d2
+             |  FROM v CROSS JOIN c${i - 1} c),
+             |a$i AS (SELECT id, cid, d2 FROM (
+             |    SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+             |    FROM s$i) WHERE rn = 1)""".stripMargin
+        val update = if (i < 3)
+          s""",
+             |u$i AS (SELECT a.cid, t.j AS dim, CAST(sum(vm[t.j]) AS BIGINT) AS sx, count(*) AS cnt
+             |  FROM a$i a JOIN v USING (id) CROSS JOIN range(1, 65) t(j)
+             |  GROUP BY a.cid, t.j),
+             |c$i AS (SELECT cid, list(CAST(floor(sx / cnt + 0.5) AS BIGINT) ORDER BY dim) AS cm
+             |  FROM u$i GROUP BY cid)""".stripMargin
+        else ""
+        dist + update
+      }.mkString(",\n")
+      s"""WITH corpus AS (
+         |  SELECT CAST(vec_id AS BIGINT) AS id, embedding AS ve
+         |  FROM embeddings WHERE vec_id < 100
+         |  UNION ALL
+         |  SELECT CAST(vec_id AS BIGINT) + 10000 AS id,
+         |    [CAST(x::DOUBLE * 1.001 AS REAL) FOR x IN embedding] AS ve
+         |  FROM embeddings WHERE vec_id < 100),
+         |v AS (SELECT id, [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN ve] AS vm
+         |  FROM corpus WHERE ve IS NOT NULL),
+         |c0 AS (SELECT id AS cid, vm AS cm FROM v ORDER BY id LIMIT 8),
+         |$rounds,
+         |m AS (SELECT a3.id, a3.cid, corpus.ve FROM a3 JOIN corpus USING (id)),
+         |pairs AS (
+         |  SELECT a.id AS id_a,
+         |    list_reduce(list_prepend(0.0::DOUBLE, [a.ve[i]::DOUBLE * b.ve[i]::DOUBLE FOR i IN range(1, len(a.ve) + 1)]), (x, y) -> x + y) AS dot,
+         |    list_reduce(list_prepend(0.0::DOUBLE, [a.ve[i]::DOUBLE * a.ve[i]::DOUBLE FOR i IN range(1, len(a.ve) + 1)]), (x, y) -> x + y) AS na,
+         |    list_reduce(list_prepend(0.0::DOUBLE, [b.ve[i]::DOUBLE * b.ve[i]::DOUBLE FOR i IN range(1, len(b.ve) + 1)]), (x, y) -> x + y) AS nb
+         |  FROM m a JOIN m b ON a.cid = b.cid AND b.id < a.id),
+         |dups AS (SELECT DISTINCT id_a AS id FROM pairs
+         |  WHERE (CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END) >= 0.95)
+         |SELECT a3.id AS vec_id, a3.cid, CAST(d.id IS NULL AS BIGINT) AS keep
+         |FROM a3 LEFT JOIN dups d USING (id)""".stripMargin
+    },
   )
 }

@@ -157,4 +157,41 @@ object Clustering {
         .select(col("id"), lit(s).as("sub"), col("cid"), col("d2"))
     }.reduce(_ unionByName _)
   }
+
+  /** SemDeDup (Abbas et al. 2023 §3): cluster embeddings with the
+    * exact-integer k-means above, then within each cluster DROP every
+    * vector that has a lower-id cluster-mate with cosine ≥ `threshold`
+    * — the deterministic keep-first-occurrence rule, so reruns, engines,
+    * and cluster sizes all agree on which copy survives. Pairs that LSH
+    * banding would have to hash for, clustering localizes instead: the
+    * pairwise pass is quadratic only WITHIN a cluster, and the paper's
+    * design point is that k grows with the corpus so cluster sizes stay
+    * bounded (|c| ≈ n/k rows each, scored independently in parallel).
+    *
+    * Returns (id, cid, keep): keep = 1 iff no lower-id near-dup mate.
+    * Near-dups in DIFFERENT clusters are not compared — the documented
+    * recall tradeoff that makes SemDeDup feasible at 10^9+ vectors.
+    *
+    * Scale shape: the pair stage is a cid equi-join (never a cartesian);
+    * vectors ride that exchange once per side — unavoidable, the score
+    * needs them — but the dup-id aggregate and the final keep decision
+    * re-join by 8-byte ids only. Cosine is [[Similarity.cosine]]'s
+    * sequential double fold, so the q91 DuckDB oracle replays every
+    * decision bit-for-bit on top of the q61 Lloyd unroll. */
+  def semDedup(
+      emb: DataFrame, idCol: String, vecCol: String,
+      threshold: Double, k: Int = 8, iterations: Int = 3): DataFrame = {
+    val asg = kmeansAssign(emb, idCol, vecCol, k, iterations)
+    val vecs = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
+    val m = asg.select("id", "cid").join(vecs, Seq("id"))
+    val dups = m.select(col("cid"), col("id").as("id_a"), col("v").as("va"))
+      .join(m.select(col("cid"), col("id").as("id_b"), col("v").as("vb")), Seq("cid"))
+      .filter(col("id_b") < col("id_a") &&
+        Similarity.cosine(col("va"), col("vb")) >= lit(threshold))
+      .select(col("id_a").as("id"))
+      .distinct()
+    asg.join(dups.withColumn("__dup", lit(1)), Seq("id"), "left")
+      .select(col("id"), col("cid"), col("__dup").isNull.cast("long").as("keep"))
+  }
 }

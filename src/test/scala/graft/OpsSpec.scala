@@ -656,6 +656,31 @@ class OpsSpec extends AnyFunSuite {
     assert(a.forall(_._3 >= 0L))
   }
 
+  test("semDedup: within-cluster lower-id near-dups dropped, orthogonal mates kept") {
+    import graft.ops.Clustering
+    // two planted clusters (seeds = ids 1, 2); 3/4/6 are near-parallel
+    // to a lower-id cluster-mate, 5 is orthogonal to everything in its
+    // cluster and must survive
+    val pts = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(8.0f, 8.0f)),
+      (3L, Array(1.001f, 0.0001f)), (4L, Array(8.1f, 8.1f)),
+      (5L, Array(0.0f, 1.0f)), (6L, Array(7.9f, 8.05f))
+    ).toDF("vec_id", "embedding")
+    def run() = Clustering.semDedup(pts, "vec_id", "embedding",
+        threshold = 0.99, k = 2, iterations = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    val a = run()
+    val keep = a.map(r => r._1 -> r._3).toMap
+    assert(keep == Map(1L -> 1L, 2L -> 1L, 3L -> 0L, 4L -> 0L, 5L -> 1L, 6L -> 0L),
+      a.mkString(","))
+    // cluster labels are the seed ids; dup decisions stay inside clusters
+    val cid = a.map(r => r._1 -> r._2).toMap
+    assert(cid(3L) == cid(1L) && cid(5L) == cid(1L) &&
+      cid(4L) == cid(2L) && cid(6L) == cid(2L), a.mkString(","))
+    // deterministic: a second run is bit-identical
+    assert(a.sameElements(run()))
+  }
+
   test("exactQuantiles: type-1 ranks on a known distribution, single-row groups") {
     import graft.ops.Curation
     val d = (1L to 9L).map(i => ("a", i * 10, i)) :+ (("b", 7L, 99L))
