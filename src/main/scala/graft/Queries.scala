@@ -1309,6 +1309,21 @@ object Queries {
       graft.ops.Clustering.semDedup(base.unionByName(near), "id", "v",
           threshold = 0.95, k = 8, iterations = 3)
         .select(col("id").as("vec_id"), col("cid"), col("keep"))
+    }),
+
+    // Filter-funnel report, ORACLED: per-stage survival counts through
+    // an ordered filter cascade in ONE corpus scan — the complement of
+    // q90's constraint gate (q90 says what's broken; q92 says which gate
+    // of the recipe eats how much of the corpus).
+    "q92_funnel" -> ((s, dir) => {
+      graft.ops.Curation.funnelReport(docs(s, dir), Seq(
+          "text_nonnull" -> col("text").isNotNull,
+          "min_length" -> (col("n_chars") >= 100L),
+          "max_length" -> (col("n_chars") <= 50000L),
+          "lang_allowed" -> col("lang").isin("en", "de", "fr"),
+          "source_known" -> (col("source").isNotNull && col("source") =!= "")))
+        .select(col("stage"), col("stage_name"), col("rows_in"),
+          col("rows_out"), col("dropped"))
     })
   )
 
@@ -3023,5 +3038,28 @@ object Queries {
          |SELECT a3.id AS vec_id, a3.cid, CAST(d.id IS NULL AS BIGINT) AS keep
          |FROM a3 LEFT JOIN dups d USING (id)""".stripMargin
     },
+
+    // q92: the same cumulative conditional sums (NULL predicate -> ELSE
+    // branch -> dropped, matching the Spark side's coalesce(pred, false))
+    "q92_funnel" ->
+      """WITH a AS (SELECT
+        |    count(*)::BIGINT AS n,
+        |    CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s0,
+        |    CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+        |    CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100 AND n_chars <= 50000
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+        |    CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100 AND n_chars <= 50000
+        |      AND lang IN ('en', 'de', 'fr') THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+        |    CAST(sum(CASE WHEN text IS NOT NULL AND n_chars >= 100 AND n_chars <= 50000
+        |      AND lang IN ('en', 'de', 'fr') AND source IS NOT NULL AND source <> ''
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS s4
+        |  FROM documents)
+        |SELECT stage, stage_name, rows_in, rows_out, rows_in - rows_out AS dropped FROM (
+        |  SELECT 1::BIGINT AS stage, 'text_nonnull' AS stage_name, n AS rows_in, s0 AS rows_out FROM a
+        |  UNION ALL SELECT 2, 'min_length', s0, s1 FROM a
+        |  UNION ALL SELECT 3, 'max_length', s1, s2 FROM a
+        |  UNION ALL SELECT 4, 'lang_allowed', s2, s3 FROM a
+        |  UNION ALL SELECT 5, 'source_known', s3, s4 FROM a)""".stripMargin,
   )
 }

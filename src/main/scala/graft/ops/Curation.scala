@@ -670,6 +670,39 @@ object Curation {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /** Filter-funnel report: survival counts through an ORDERED filter
+    * cascade — the "which gate ate my corpus" profile that runs before
+    * committing to a filter recipe (RefinedWeb/DCLM-style cascades
+    * routinely drop 90%+ of a crawl; knowing WHERE matters more than the
+    * final count). Stage i counts rows passing predicates 1..i, so
+    * `rows_in` of stage i equals `rows_out` of stage i−1 and the report
+    * reads as a funnel. A NULL predicate result drops the row — the same
+    * null-never-passes stance as [[qualityReport]]. Returns one row per
+    * stage: (stage, stage_name, rows_in, rows_out, dropped).
+    *
+    * Scale shape: ONE map-combined aggregate evaluates every cumulative
+    * predicate in a single corpus scan — profiling a 6-stage cascade the
+    * naive way (count after each filter) scans 100 TB six times. The
+    * report stays a lazy 1-row frame exploded to stage rows. */
+  def funnelReport(df: DataFrame, stages: Seq[(String, Column)]): DataFrame = {
+    require(stages.nonEmpty)
+    val cums = stages
+      .scanLeft(lit(true): Column)((acc, s) => acc && coalesce(s._2, lit(false))).tail
+    val aggs = count(lit(1)).as("__n") +: cums.zipWithIndex.map { case (c, i) =>
+      sum(when(c, 1L).otherwise(0L)).as(s"__s$i")
+    }
+    val entries = stages.zipWithIndex.map { case ((n, _), i) =>
+      val prev = if (i == 0) col("__n") else col(s"__s${i - 1}")
+      struct(lit((i + 1).toLong).as("stage"), lit(n).as("stage_name"),
+        prev.as("rows_in"), col(s"__s$i").as("rows_out"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.stage").as("stage"), col("e.stage_name").as("stage_name"),
+        col("e.rows_in").as("rows_in"), col("e.rows_out").as("rows_out"))
+      .withColumn("dropped", col("rows_in") - col("rows_out"))
+  }
+
   /** Per-key majority label + consistency: for every key, the most common
     * label (ties break to the lexicographically smallest), how many rows
     * carry it, and the mixed fraction in exact micro-units — the

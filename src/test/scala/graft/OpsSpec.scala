@@ -681,6 +681,30 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(run()))
   }
 
+  test("funnelReport: cumulative stage survival, null predicate drops, chain invariant") {
+    import graft.ops.Curation
+    // (text, len): row 1 fails stage 1, row 2 has NULL len (must DROP at
+    // stage 2, not pass), rows 3-4 survive stage 2, row 4 fails stage 3
+    val df = Seq(
+      (Option.empty[String], Option(5L)),
+      (Option("a"), Option.empty[Long]),
+      (Option("bb"), Option(10L)),
+      (Option("cc"), Option(999L))
+    ).toDF("text", "len")
+    val got = Curation.funnelReport(df, Seq(
+        "nonnull" -> col("text").isNotNull,
+        "min_len" -> (col("len") >= 2L),
+        "max_len" -> (col("len") <= 100L)))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "nonnull", 4L, 3L, 1L),
+      (2L, "min_len", 3L, 2L, 1L),   // the NULL-len row dropped here
+      (3L, "max_len", 2L, 1L, 1L)), got.mkString(","))
+    // funnel invariant: rows_in(i) == rows_out(i-1)
+    got.sliding(2).foreach { case Array(p, c) => assert(c._3 == p._4) }
+  }
+
   test("exactQuantiles: type-1 ranks on a known distribution, single-row groups") {
     import graft.ops.Curation
     val d = (1L to 9L).map(i => ("a", i * 10, i)) :+ (("b", 7L, 99L))
