@@ -23,6 +23,16 @@ object Queries {
   private def customer(s: SparkSession, dir: String) = s.read.parquet(s"$dir/customer.parquet")
   private def embeddings(s: SparkSession, dir: String) = s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** q93's WordPiece vocab — shared VERBATIM by the Spark kernel and the
+    * DuckDB oracle so both engines tokenize against the same table.
+    * Lowercase letters + digits as start and continuation singles (every
+    * clean lowercase word encodes), plus a few multi-char pieces that
+    * exercise longest-match; capitalized or punctuated words hit [UNK]. */
+  private val wpVocab: Seq[String] =
+    ('a' to 'z').map(_.toString) ++ ('a' to 'z').map("##" + _) ++
+    ('0' to '9').map(_.toString) ++ ('0' to '9').map("##" + _) ++
+    Seq("the", "an", "in", "re", "on", "##ing", "##ed", "##er", "##tion", "##and", "##ent")
+
   /** Whole-token perturbation for the eval-metric queries: every
     * whitespace-delimited 'value' token becomes 'worth'. See the q21
     * comment for why this is two regex passes and an explicit boundary
@@ -1324,6 +1334,24 @@ object Queries {
           "source_known" -> (col("source").isNotNull && col("source") =!= "")))
         .select(col("stage"), col("stage_name"), col("rows_in"),
           col("rows_out"), col("dropped"))
+    }),
+
+    // WordPiece subword tokenization, ORACLED: greedy longest-match
+    // encoding against the shared vocab (the REAL per-doc token budget —
+    // q11's whitespace count underestimates subword counts models
+    // actually pay for). The oracle precomputes a longest-match table
+    // and replays the greedy walk as a recursive CTE. The fixture corpus
+    // is clean lowercase (zero natural [UNK]s), so two planted tokens
+    // exercise the dead-end and >100-char-cap paths cross-engine.
+    "q93_wordpiece" -> ((s, dir) => {
+      val kernel = graft.ops.TextOps.wordpieceCountsKernel(wpVocab)
+      val f = udf((t: String) => kernel(t))
+      val t = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" x.y!")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" " + "a" * 101)).otherwise(lit("")))
+      docs(s, dir).select(col("doc_id"), f(t).as("e"))
+        .select(col("doc_id"), col("e._1").as("n_words"),
+          col("e._2").as("n_pieces"), col("e._3").as("n_unk"))
     })
   )
 
@@ -3061,5 +3089,54 @@ object Queries {
         |  UNION ALL SELECT 3, 'max_length', s1, s2 FROM a
         |  UNION ALL SELECT 4, 'lang_allowed', s2, s3 FROM a
         |  UNION ALL SELECT 5, 'source_known', s3, s4 FROM a)""".stripMargin,
+
+    // q93: longest-match table (pos x vocab max) + recursive-CTE walk —
+    // the greedy path is unique, so a word is [UNK] iff its walk never
+    // reaches i = length(w); per-doc totals weight distinct words by count
+    "q93_wordpiece" -> {
+      val vlist = wpVocab.map(p => s"'$p'").mkString(", ")
+      s"""WITH RECURSIVE
+         |vocab AS (SELECT unnest([$vlist]) AS piece),
+         |docp AS (SELECT doc_id, text
+         |    || (CASE WHEN doc_id % 5 = 0 THEN ' x.y!' ELSE '' END)
+         |    || (CASE WHEN doc_id % 11 = 0 THEN ' ' || repeat('a', 101) ELSE '' END) AS text
+         |  FROM documents),
+         |words AS (SELECT doc_id,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+         |  FROM docp),
+         |wc AS (SELECT doc_id, w, count(*)::BIGINT AS cnt FROM words GROUP BY 1, 2),
+         |uw AS (SELECT DISTINCT w FROM wc),
+         |pos AS (SELECT w, t.j AS i FROM uw, range(0, 100) t(j)
+         |  WHERE length(w) <= 100 AND t.j < length(w)),
+         |lm AS (SELECT p.w, p.i,
+         |    max(CASE WHEN p.i = 0 THEN length(v.piece) ELSE length(v.piece) - 2 END)::BIGINT AS l
+         |  FROM pos p JOIN vocab v ON (
+         |    (p.i = 0 AND v.piece NOT LIKE '##%'
+         |      AND substr(p.w, 1, length(v.piece)) = v.piece)
+         |    OR (p.i > 0 AND v.piece LIKE '##%' AND length(v.piece) > 2
+         |      AND substr(p.w, p.i + 1, length(v.piece) - 2) = substr(v.piece, 3)))
+         |  GROUP BY 1, 2),
+         |walk(w, i, pieces) AS (
+         |  SELECT w, 0::BIGINT, 0::BIGINT FROM uw WHERE length(w) BETWEEN 1 AND 100
+         |  UNION ALL
+         |  SELECT k.w, k.i + lm.l, k.pieces + 1 FROM walk k
+         |  JOIN lm ON lm.w = k.w AND lm.i = k.i
+         |  WHERE k.i < length(k.w)),
+         |done AS (SELECT w, min(pieces)::BIGINT AS pieces FROM walk
+         |  WHERE i = length(w) GROUP BY 1),
+         |encw AS (SELECT uw.w, coalesce(d.pieces, 1)::BIGINT AS pieces,
+         |    (CASE WHEN d.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS unk
+         |  FROM uw LEFT JOIN done d ON d.w = uw.w),
+         |agg AS (SELECT wc.doc_id,
+         |    CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+         |    CAST(sum(wc.cnt * e.pieces) AS BIGINT) AS n_pieces,
+         |    CAST(sum(wc.cnt * e.unk) AS BIGINT) AS n_unk
+         |  FROM wc JOIN encw e ON e.w = wc.w GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(g.n_words, 0)::BIGINT AS n_words,
+         |  coalesce(g.n_pieces, 0)::BIGINT AS n_pieces,
+         |  coalesce(g.n_unk, 0)::BIGINT AS n_unk
+         |FROM documents d LEFT JOIN agg g ON g.doc_id = d.doc_id""".stripMargin
+    },
   )
 }

@@ -115,6 +115,64 @@ object TextOps {
     }
   }
 
+  /** Greedy longest-match-first WordPiece encoding counts (Wu et al.
+    * 2016; the BERT tokenizer): each whitespace word is peeled into the
+    * LONGEST vocab piece at every position (continuation pieces carry the
+    * "##" prefix); any unmatched position — or a word over `maxWordChars`
+    * codepoints, BERT's max_input_chars_per_word guard — encodes the
+    * WHOLE word as one [UNK]. Greedy is the spec, not a shortcut: "abc"
+    * against {"ab","a","##bc"} is [UNK] even though a+##bc would cover
+    * it. Codepoint-exact (DuckDB substr semantics), so the q93 oracle
+    * replays every decision via a precomputed longest-match table and a
+    * recursive-CTE walk. Returns per text: (n_words, n_pieces, n_unk);
+    * an UNK word contributes exactly 1 piece.
+    *
+    * The returned closure is driver-built once (vocab bucketed by first
+    * codepoint, longest first) and shipped to executors inside the UDF —
+    * the broadcast-vocab pattern; per-position work is one bucket probe,
+    * not a vocab scan. */
+  def wordpieceCountsKernel(vocab: Seq[String], maxWordChars: Int = 100)
+      : String => (Long, Long, Long) = {
+    def buckets(ps: Seq[String]): Map[Int, Array[Array[Int]]] = ps
+      .map(_.codePoints().toArray).filter(_.nonEmpty).distinct
+      .groupBy(_.head)
+      .map { case (c0, g) => c0 -> g.sortBy(-_.length).toArray }
+    val starts = buckets(vocab.filterNot(_.startsWith("##")))
+    val conts = buckets(vocab.filter(_.startsWith("##")).map(_.substring(2)))
+    text => {
+      if (text == null) (0L, 0L, 0L)
+      else {
+        var nw = 0L; var np = 0L; var nu = 0L
+        for (w <- text.trim.split("\\s+") if w.nonEmpty) {
+          nw += 1
+          val cps = w.codePoints().toArray
+          var pieces = 0L
+          var ok = cps.length <= maxWordChars
+          var i = 0
+          while (i < cps.length && ok) {
+            val cands = (if (i == 0) starts else conts).getOrElse(cps(i), null)
+            var best = 0
+            if (cands != null) {
+              var c = 0
+              while (c < cands.length && best == 0) {
+                val p = cands(c)
+                if (i + p.length <= cps.length) {
+                  var j = 1 // bucket key already matched position 0
+                  while (j < p.length && p(j) == cps(i + j)) j += 1
+                  if (j == p.length) best = p.length
+                }
+                c += 1
+              }
+            }
+            if (best == 0) ok = false else { pieces += 1; i += best }
+          }
+          if (ok) np += pieces else { nu += 1; np += 1 }
+        }
+        (nw, np, nu)
+      }
+    }
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS scheme): every window of `w` consecutive character-`k`-gram
     * hashes contributes its minimum, selected fingerprints deduped — the

@@ -681,6 +681,19 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(run()))
   }
 
+  test("wordpieceCountsKernel: greedy longest match, UNK word, char cap, greedy-failure case") {
+    import graft.ops.TextOps
+    val k = TextOps.wordpieceCountsKernel(
+      Seq("t", "h", "e", "b", "the", "ab", "a", "##a", "##h", "##e", "##ing", "##bc"))
+    assert(k("the") == (1L, 1L, 0L))          // longest match: one piece, not t+##h+##e
+    assert(k("th the bing") == (3L, 5L, 0L))  // t+##h, the, b+##ing
+    assert(k("bx xyz") == (2L, 2L, 2L))       // dead end mid-word + no start piece
+    assert(k("abc") == (1L, 1L, 1L))          // GREEDY spec: "ab" first, then no ##c
+    assert(k("a" * 101) == (1L, 1L, 1L))      // BERT max_input_chars_per_word
+    assert(k("a" * 100) == (1L, 100L, 0L))
+    assert(k(null) == (0L, 0L, 0L) && k("  \t ") == (0L, 0L, 0L))
+  }
+
   test("funnelReport: cumulative stage survival, null predicate drops, chain invariant") {
     import graft.ops.Curation
     // (text, len): row 1 fails stage 1, row 2 has NULL len (must DROP at
