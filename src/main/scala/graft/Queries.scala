@@ -1352,6 +1352,20 @@ object Queries {
       docs(s, dir).select(col("doc_id"), f(t).as("e"))
         .select(col("doc_id"), col("e._1").as("n_words"),
           col("e._2").as("n_pieces"), col("e._3").as("n_unk"))
+    }),
+
+    // Within-doc line dedup, ORACLED ON REWRITTEN BYTES: q55's corpus-
+    // level pass has an intra-doc sibling — repeated lines INSIDE one
+    // page (nav, footers) keep only their first occurrence, empty lines
+    // survive. Lines planted via q55's ' the '→'\n' literal replace plus
+    // a repeated footer block (with blank lines) on the mod-3 slice.
+    "q94_linededup" -> ((s, dir) => {
+      val t = concat(expr("replace(text, ' the ', '\n')"),
+        when(col("doc_id") % 3 === 0,
+          lit("\nfooter\n\nmenu\n\nfooter")).otherwise(lit("")))
+      graft.ops.Curation.dedupLinesInDoc(
+          docs(s, dir).withColumn("text", t), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("text"), col("n_lines"), col("n_kept"))
     })
   )
 
@@ -3138,5 +3152,21 @@ object Queries {
          |  coalesce(g.n_unk, 0)::BIGINT AS n_unk
          |FROM documents d LEFT JOIN agg g ON g.doc_id = d.doc_id""".stripMargin
     },
+
+    // q94: list_position gives the first-occurrence index directly, so
+    // the keep rule replays without recursion; text BYTE-compared
+    "q94_linededup" ->
+      """WITH p AS (SELECT doc_id, replace(text, ' the ', chr(10))
+        |    || (CASE WHEN doc_id % 3 = 0
+        |        THEN chr(10) || 'footer' || chr(10) || chr(10) || 'menu' || chr(10) || chr(10) || 'footer'
+        |        ELSE '' END) AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p),
+        |k AS (SELECT doc_id, ls,
+        |    list_filter(ls, (x, i) -> x = '' OR list_position(ls, x) = i) AS ks
+        |  FROM l)
+        |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        |  len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept
+        |FROM k""".stripMargin,
   )
 }

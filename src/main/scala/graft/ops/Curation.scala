@@ -640,6 +640,26 @@ object Curation {
         count(lit(1)).as("n_kept"))
   }
 
+  /** Within-document exact line dedup — the CCNet intra-doc pass (nav
+    * menus and footers repeat INSIDE a page long before they repeat
+    * across pages): every repeated non-empty line keeps only its FIRST
+    * occurrence, empty lines survive (they are paragraph structure, not
+    * content), and the document reassembles in original order. The
+    * corpus-wide sibling is [[dedupParagraphs]]; this one is PURELY
+    * NARROW — zero exchanges, codegen-friendly Column DSL, no UDF. The
+    * per-doc first-occurrence scan is O(lines²) worst case, bounded by
+    * document length, never by corpus size. The lines array is bound to
+    * a column ONCE so the lambda references an attribute, not a
+    * re-evaluated split (the Catalyst HOF re-evaluation hazard).
+    * Returns (id, text, n_lines, n_kept). */
+  def dedupLinesInDoc(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__ls"))
+      .withColumn("__ks", filter(col("__ls"), (x, i) =>
+        (x === lit("")) || (array_position(col("__ls"), x) === i.cast("long") + 1L)))
+      .select(col("id"), array_join(col("__ks"), "\n").as("text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__ks")).cast("long").as("n_kept"))
+
   /** Data-quality gate (the Deequ-style constraint report): violation
     * counts for a set of named row-level pass predicates, plus a
     * uniqueness check on the id column — the validation step that runs

@@ -681,6 +681,24 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(run()))
   }
 
+  test("dedupLinesInDoc: first occurrence kept in order, empties survive, per-doc scope") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "nav\nbody one\nnav\n\nbody two\n\nnav"),
+      (2L, "nav"), // same line in ANOTHER doc is untouched (intra-doc scope)
+      (3L, null.asInstanceOf[String])
+    ).toDF("doc_id", "text")
+    val got = Curation.dedupLinesInDoc(df, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toMap
+    // kept = [nav, body one, "", body two, ""]: dup 'nav's dropped, empties kept
+    assert(got(1L) == "nav\nbody one\n\nbody two\n", got(1L))
+    assert(got(2L) == "nav")
+    assert(got(3L) == null)
+    val counts = Curation.dedupLinesInDoc(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.get(2), r.get(3))).toMap
+    assert(counts(1L) == ((7L, 5L)) && counts(2L) == ((1L, 1L)), counts.toString)
+  }
+
   test("wordpieceCountsKernel: greedy longest match, UNK word, char cap, greedy-failure case") {
     import graft.ops.TextOps
     val k = TextOps.wordpieceCountsKernel(
