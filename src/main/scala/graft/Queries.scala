@@ -1366,7 +1366,17 @@ object Queries {
       graft.ops.Curation.dedupLinesInDoc(
           docs(s, dir).withColumn("text", t), "doc_id", "text")
         .select(col("id").as("doc_id"), col("text"), col("n_lines"), col("n_kept"))
-    })
+    }),
+
+    // BPE merge learning, ORACLED: the 3 highest-count adjacent-symbol
+    // merges learned from the corpus (T76 encodes with a GIVEN vocab;
+    // this LEARNS one). Every round — weighted pair counts over the
+    // distinct-word vocabulary, argmax under (count desc, pair asc),
+    // left-to-right non-overlapping rewrite — replays as unrolled CTEs
+    // with a recursive merge walk.
+    "q95_bpe_learn" -> ((s, dir) =>
+      graft.ops.TextOps.bpeLearn(docs(s, dir), "text", k = 3)
+        .select(col("rank"), col("l_sym"), col("r_sym"), col("pair_count")))
   )
 
   /** Deterministic image-bearing PDF for q41/q42: every property of the
@@ -3168,5 +3178,44 @@ object Queries {
         |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
         |  len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept
         |FROM k""".stripMargin,
+
+    // q95: 3 unrolled BPE rounds — weighted pair counts over the
+    // distinct-word vocabulary, argmax under (count desc, pair asc),
+    // then a recursive-CTE merge walk that reproduces the kernel's
+    // left-to-right non-overlapping pairing exactly
+    "q95_bpe_learn" -> {
+      val rounds = (1 to 3).map { i =>
+        val src = s"s${i - 1}"
+        val pair =
+          s"""p$i AS (SELECT syms[t.j] AS l, syms[t.j + 1] AS r, CAST(sum(cnt) AS BIGINT) AS c
+             |  FROM $src CROSS JOIN range(1, 64) t(j)
+             |  WHERE t.j <= len(syms) - 1 GROUP BY 1, 2),
+             |b$i AS (SELECT l, r, c FROM p$i ORDER BY c DESC, l, r LIMIT 1)""".stripMargin
+        val merge = if (i < 3)
+          s""",
+             |m$i(w, i, out) AS (
+             |  SELECT w, 1::BIGINT, CAST([] AS VARCHAR[]) FROM $src
+             |  UNION ALL
+             |  SELECT m.w,
+             |    CASE WHEN m.i < len(s.syms) AND s.syms[m.i] = b.l AND s.syms[m.i + 1] = b.r
+             |      THEN m.i + 2 ELSE m.i + 1 END,
+             |    CASE WHEN m.i < len(s.syms) AND s.syms[m.i] = b.l AND s.syms[m.i + 1] = b.r
+             |      THEN list_append(m.out, b.l || b.r) ELSE list_append(m.out, s.syms[m.i]) END
+             |  FROM m$i m JOIN $src s ON s.w = m.w, b$i b WHERE m.i <= len(s.syms)),
+             |s$i AS (SELECT m.w, s.cnt, m.out AS syms FROM m$i m JOIN $src s ON s.w = m.w
+             |  WHERE m.i > len(s.syms))""".stripMargin
+        else ""
+        pair + merge
+      }.mkString(",\n")
+      s"""WITH RECURSIVE
+         |w0 AS (SELECT w, count(*)::BIGINT AS cnt FROM (
+         |    SELECT unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+         |    FROM documents) GROUP BY 1 HAVING len(w) <= 64),
+         |s0 AS (SELECT w, cnt, [substr(w, i, 1) FOR i IN range(1, len(w) + 1)] AS syms FROM w0),
+         |$rounds
+         |SELECT 1::BIGINT AS rank, l AS l_sym, r AS r_sym, c AS pair_count FROM b1
+         |UNION ALL SELECT 2, l, r, c FROM b2
+         |UNION ALL SELECT 3, l, r, c FROM b3""".stripMargin
+    },
   )
 }

@@ -173,6 +173,76 @@ object TextOps {
     }
   }
 
+  /** BPE merge learning (Sennrich, Haddow & Birch 2016 §3.2): learn the
+    * `k` highest-count adjacent-symbol merges from a whitespace-word
+    * corpus — the vocabulary-construction side of [[wordpieceCountsKernel]]'s
+    * encoding side. Each round counts adjacent symbol pairs over the
+    * DISTINCT-word vocabulary weighted by word frequency (the classic
+    * BPE-training trick: the corpus is scanned ONCE for frequencies;
+    * every round after that runs over vocabulary-sized data), takes the
+    * argmax under the total order (count desc, left asc, right asc), and
+    * rewrites every word with ONE left-to-right non-overlapping merge
+    * pass: "aaa" under merge (a,a) becomes [aa, a], never [a, aa] — the
+    * same pairing the q95 oracle's recursive walk replays.
+    *
+    * Words longer than `maxWordChars` codeunits are skipped entirely
+    * (the standard trainer cap; both engines apply it identically).
+    *
+    * Scale shape: per round, ONE map-combined (pair → weighted count)
+    * aggregate + a TakeOrdered(1) argmax; the driver holds only the k
+    * learned rules — a bounded collect by construction (BPE training is
+    * inherently sequential in k: rule r parameterizes round r+1; this is
+    * the codebook pattern, not a driver-side data loop). Each round's
+    * rewritten vocabulary is persisted and the parent unpersisted, so
+    * lineage stays k-deep on vocabulary-sized frames.
+    * Returns the merge table: (rank, l_sym, r_sym, pair_count). */
+  def bpeLearn(df: DataFrame, textCol: String, k: Int, maxWordChars: Int = 64): DataFrame = {
+    require(k >= 1)
+    val sp = df.sparkSession
+    val mergeUdf = udf((syms: Seq[String], a: String, b: String) => {
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) { out += (a + b); i += 2 }
+        else { out += syms(i); i += 1 }
+      }
+      out.toSeq
+    })
+    var cur = df
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "" && length(col("w")) <= maxWordChars)
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+      .select(col("cnt"), filter(split(col("w"), ""), x => x =!= "").as("syms"))
+      .persist()
+    val rules = Seq.newBuilder[(Long, String, String, Long)]
+    for (r <- 1 to k) {
+      val best = cur
+        .filter(size(col("syms")) >= 2)
+        .select(col("cnt"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> struct(element_at(syms, j) AS l, element_at(syms, j + 1) AS r))")).as("p"))
+        .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(col("c").desc, col("l").asc, col("r").asc)
+        .limit(1)
+        .collect()
+      require(best.nonEmpty, s"corpus exhausted before $k merges (round $r)")
+      val (l, rr, c) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+      rules += ((r.toLong, l, rr, c))
+      if (r < k) {
+        val next = cur
+          .select(col("cnt"), mergeUdf(col("syms"), lit(l), lit(rr)).as("syms"))
+          .persist()
+        next.count() // materialize before releasing the parent
+        cur.unpersist()
+        cur = next
+      }
+    }
+    cur.unpersist()
+    import sp.implicits._
+    rules.result().toDF("rank", "l_sym", "r_sym", "pair_count")
+  }
+
   /** Winnowing fingerprints (Schleimer, Wilkerson & Aiken, SIGMOD 2003 —
     * the MOSS scheme): every window of `w` consecutive character-`k`-gram
     * hashes contributes its minimum, selected fingerprints deduped — the

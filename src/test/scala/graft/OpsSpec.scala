@@ -681,6 +681,20 @@ class OpsSpec extends AnyFunSuite {
     assert(a.sameElements(run()))
   }
 
+  test("bpeLearn: weighted pair argmax, left-to-right merge pairing, lex tiebreak") {
+    import graft.ops.TextOps
+    // aaab(x2), ab(x1): r1 (a,a)=4 beats (a,b)=3; merge gives [aa,a,b]
+    // (left-to-right pairing, NOT [a,aa]); r2 (a,b)=3; r3 (aa,ab)=2
+    val got = TextOps.bpeLearn(Seq("aaab aaab", "ab").toDF("text"), "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(got.toSeq == Seq(
+      (1L, "a", "a", 4L), (2L, "a", "b", 3L), (3L, "aa", "ab", 2L)), got.mkString(","))
+    // equal counts break to the lexicographically smallest pair
+    val tie = TextOps.bpeLearn(Seq("xy yx xy yx").toDF("text"), "text", k = 1).collect()(0)
+    assert((tie.getString(1), tie.getString(2), tie.getLong(3)) == (("x", "y", 2L)))
+  }
+
   test("dedupLinesInDoc: first occurrence kept in order, empties survive, per-doc scope") {
     import graft.ops.Curation
     val df = Seq(
