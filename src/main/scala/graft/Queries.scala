@@ -1376,7 +1376,24 @@ object Queries {
     // with a recursive merge walk.
     "q95_bpe_learn" -> ((s, dir) =>
       graft.ops.TextOps.bpeLearn(docs(s, dir), "text", k = 3)
-        .select(col("rank"), col("l_sym"), col("r_sym"), col("pair_count")))
+        .select(col("rank"), col("l_sym"), col("r_sym"), col("pair_count"))),
+
+    // Per-SOURCE boilerplate line strip, ORACLED ON REWRITTEN BYTES: the
+    // RefinedWeb template pass — a line repeating in >=5 distinct docs of
+    // one source is nav/footer, not content. Footer lines planted on the
+    // mod-2 slice (well over threshold per source), a mod-97 "rare" line
+    // stays under it, and q94's ' the '→'\n' literal replace provides the
+    // natural-line background.
+    "q96_boilerplate_strip" -> ((s, dir) => {
+      val t = concat(expr("replace(text, ' the ', '\n')"),
+        when(col("doc_id") % 2 === 0,
+          concat(lit("\n(c) "), col("source"), lit("\nhome | about | contact")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 97 === 0, lit("\nrare footer line")).otherwise(lit("")))
+      graft.ops.Curation.stripBoilerplateLines(
+          docs(s, dir).withColumn("text", t), "doc_id", "source", "text", minDocs = 5)
+        .select(col("id").as("doc_id"), col("text"), col("n_lines"), col("n_kept"))
+    })
   )
 
   /** Deterministic image-bearing PDF for q41/q42: every property of the
@@ -3217,5 +3234,29 @@ object Queries {
          |UNION ALL SELECT 2, l, r, c FROM b2
          |UNION ALL SELECT 3, l, r, c FROM b3""".stripMargin
     },
+
+    // q96: the per-source template set is tiny, so the replay groups raw
+    // lines directly; the keep rule is a membership lambda over a
+    // coalesced (possibly absent) per-source list; text BYTE-compared
+    "q96_boilerplate_strip" ->
+      """WITH p AS (SELECT doc_id, source, replace(text, ' the ', chr(10))
+        |    || (CASE WHEN doc_id % 2 = 0
+        |        THEN chr(10) || '(c) ' || source || chr(10) || 'home | about | contact'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 97 = 0 THEN chr(10) || 'rare footer line' ELSE '' END)
+        |    AS text
+        |  FROM documents),
+        |l AS (SELECT doc_id, source, string_split(text, chr(10)) AS ls FROM p),
+        |e AS (SELECT DISTINCT doc_id, source, line FROM
+        |    (SELECT doc_id, source, unnest(ls) AS line FROM l) WHERE line <> ''),
+        |c AS (SELECT source, line FROM e GROUP BY 1, 2 HAVING count(*) >= 5),
+        |b AS (SELECT source, list(line) AS bl FROM c GROUP BY 1),
+        |k AS (SELECT l.doc_id, l.ls,
+        |    list_filter(l.ls, x -> x = '' OR
+        |      NOT list_contains(coalesce(b.bl, CAST([] AS VARCHAR[])), x)) AS ks
+        |  FROM l LEFT JOIN b ON b.source = l.source)
+        |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        |  len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept
+        |FROM k""".stripMargin,
   )
 }

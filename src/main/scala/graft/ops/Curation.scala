@@ -998,4 +998,52 @@ object Curation {
       .filter(col("__rn") === floor((col("__n") - 1) * col("q")) + 1)
       .select(col("key"), col("q"), col("value"))
   }
+
+  /** Per-group boilerplate line removal — the CCNet/RefinedWeb template
+    * strip (Wenzek et al. 2020 §3.1 dedups repeated paragraphs corpus-wide;
+    * Penedo et al. 2023 §3.2 strips lines that repeat across many pages of
+    * the SAME host: nav menus, cookie banners, copyright footers). A
+    * non-empty line appearing in >= `minDocs` DISTINCT documents of one
+    * group is template, not content, and is removed from every document of
+    * that group; empty lines survive as paragraph structure and documents
+    * reassemble in original order.
+    *
+    * Scale shape — two passes so raw line text never rides a corpus-sized
+    * exchange (the re-join-by-id discipline of [[Dedup.minhashLsh]]):
+    * pass 1 counts distinct docs per (group, xxhash64(line)) — only 8-byte
+    * keys shuffle, and map-side combine collapses the very repetition that
+    * makes a line boilerplate; pass 2 semi-joins the surviving hashes back
+    * to fetch raw text for the (tiny by construction: each survivor repeats
+    * >= minDocs times) template set, which broadcasts to a purely NARROW
+    * rewrite — no per-document re-aggregation exchange at all. The final
+    * membership test compares RAW strings, so a hash collision can only add
+    * a pass-2 candidate, never wrongly strip a line (and the q96 DuckDB
+    * replay byte-compares the rewritten text). Returns
+    * (id, text, n_lines, n_kept). */
+  def stripBoilerplateLines(
+      df: DataFrame, idCol: String, groupCol: String, textCol: String,
+      minDocs: Int): DataFrame = {
+    require(minDocs >= 2, "a line seen once is content, not template")
+    val base = df.select(col(idCol).as("id"), col(groupCol).as("grp"),
+      split(col(textCol), "\n").as("__ls"))
+    val lines = base
+      .select(col("grp"), col("id"), explode(col("__ls")).as("line"))
+      .filter(col("line") =!= "")
+    val hot = lines
+      .select(col("grp"), xxhash64(col("line")).as("lh"), col("id")).distinct()
+      .groupBy(col("grp"), col("lh")).agg(count(lit(1)).as("dc"))
+      .filter(col("dc") >= minDocs)
+    val template = lines
+      .withColumn("lh", xxhash64(col("line")))
+      .join(hot, Seq("grp", "lh"), "left_semi")
+      .select(col("grp"), col("line")).distinct()
+      .groupBy(col("grp")).agg(collect_list(col("line")).as("__bl"))
+    base.join(broadcast(template), Seq("grp"), "left")
+      .withColumn("__bl", coalesce(col("__bl"), array().cast("array<string>")))
+      .withColumn("__ks", filter(col("__ls"), x =>
+        (x === lit("")) || !array_contains(col("__bl"), x)))
+      .select(col("id"), array_join(col("__ks"), "\n").as("text"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(col("__ks")).cast("long").as("n_kept"))
+  }
 }

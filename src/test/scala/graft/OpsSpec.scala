@@ -713,6 +713,30 @@ class OpsSpec extends AnyFunSuite {
     assert(counts(1L) == ((7L, 5L)) && counts(2L) == ((1L, 1L)), counts.toString)
   }
 
+  test("stripBoilerplateLines: per-group threshold, raw-string final check, order kept") {
+    import graft.ops.Curation
+    // host A: 'footer' in 3 distinct docs (>= minDocs=3, also repeated
+    // WITHIN doc 1 — distinct-doc counting must not double count);
+    // 'menu' in only 2 docs (under threshold); host B: its own 'footer'
+    // appears once — per-group scope keeps it
+    val df = Seq(
+      (1L, "A", "body one\nfooter\n\nmenu\nfooter"),
+      (2L, "A", "footer\nbody two\nmenu"),
+      (3L, "A", "body three\nfooter"),
+      (4L, "B", "footer\nbody four")
+    ).toDF("doc_id", "host", "text")
+    val got = Curation.stripBoilerplateLines(df, "doc_id", "host", "text", minDocs = 3)
+      .collect().map(r => (r.getLong(0), (r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == (("body one\n\nmenu", 5L, 3L)), got(1L))
+    assert(got(2L) == (("body two\nmenu", 3L, 2L)))
+    assert(got(3L) == (("body three", 2L, 1L)))
+    assert(got(4L) == (("footer\nbody four", 2L, 2L)))
+    // threshold 2 takes 'menu' too; empties always survive
+    val t2 = Curation.stripBoilerplateLines(df, "doc_id", "host", "text", minDocs = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(t2(1L) == "body one\n" && t2(2L) == "body two", t2.toString)
+  }
+
   test("wordpieceCountsKernel: greedy longest match, UNK word, char cap, greedy-failure case") {
     import graft.ops.TextOps
     val k = TextOps.wordpieceCountsKernel(
