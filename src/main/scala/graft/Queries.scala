@@ -1393,6 +1393,21 @@ object Queries {
       graft.ops.Curation.stripBoilerplateLines(
           docs(s, dir).withColumn("text", t), "doc_id", "source", "text", minDocs = 5)
         .select(col("id").as("doc_id"), col("text"), col("n_lines"), col("n_kept"))
+    }),
+
+    // HITS hubs/authorities, ORACLED: 3 fixed iterations over a
+    // deterministic link graph (different constants than q59's so the two
+    // graph queries don't share a topology), scores L1-normalized in
+    // integer micro-units each half-iteration so DuckDB replays the whole
+    // mutual recursion bit-for-bit as unrolled CTEs.
+    "q97_hits" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 300).select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"), ((col("doc_id") * 29 + 5) % 223).as("dst"))
+        .union(d.select(col("doc_id").as("src"), ((col("doc_id") * 19 + 2) % 223).as("dst")))
+        .union(d.select(col("doc_id").as("src"), ((col("doc_id") * 11 + 13) % 89).as("dst")))
+      graft.ops.Graph.hits(edges, "src", "dst", iterations = 3)
+        .select(col("id").as("doc_id"), col("auth_micro"), col("hub_micro"),
+          col("auth"), col("hub"))
     })
   )
 
@@ -3258,5 +3273,37 @@ object Queries {
         |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
         |  len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept
         |FROM k""".stripMargin,
+
+    // q97: the same 3 HITS iterations unrolled — each half-iteration is a
+    // propagate-sum + an L1 total + a floor-quantized renormalize, all in
+    // integer micro-units, so the mutual recursion replays exactly
+    "q97_hits" -> {
+      val iters = (1 to 3).map { k =>
+        s"""ar$k AS (SELECT e.dst AS id, CAST(sum(h.v) AS BIGINT) AS s
+           |  FROM e JOIN h${k - 1} h ON h.id = e.src GROUP BY 1),
+           |at$k AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM ar$k),
+           |a$k AS (SELECT nd.id,
+           |    CAST(floor(coalesce(r.s, 0) * 1e6 / t.t + 0.5) AS BIGINT) AS v
+           |  FROM nodes nd CROSS JOIN at$k t LEFT JOIN ar$k r ON r.id = nd.id),
+           |hr$k AS (SELECT e.src AS id, CAST(sum(a.v) AS BIGINT) AS s
+           |  FROM e JOIN a$k a ON a.id = e.dst GROUP BY 1),
+           |ht$k AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM hr$k),
+           |h$k AS (SELECT nd.id,
+           |    CAST(floor(coalesce(r.s, 0) * 1e6 / t.t + 0.5) AS BIGINT) AS v
+           |  FROM nodes nd CROSS JOIN ht$k t LEFT JOIN hr$k r ON r.id = nd.id)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e AS (
+         |  SELECT doc_id AS src, (doc_id * 29 + 5) % 223 AS dst FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 19 + 2) % 223 FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id * 11 + 13) % 89 FROM documents WHERE doc_id < 300),
+         |nodes AS (SELECT src AS id FROM e UNION SELECT dst FROM e),
+         |h0 AS (SELECT id, 1000000::BIGINT AS v FROM nodes),
+         |$iters
+         |SELECT a3.id AS doc_id, a3.v AS auth_micro, h3.v AS hub_micro,
+         |  a3.v / 1e6 AS auth, h3.v / 1e6 AS hub
+         |FROM a3 JOIN h3 ON h3.id = a3.id""".stripMargin
+    },
   )
 }

@@ -63,4 +63,58 @@ object Graph {
     nodes.unpersist()
     out
   }
+
+  /** HITS hubs & authorities (Kleinberg 1999) — the complementary
+    * authority signal to [[pageRank]]: a page is a good AUTHORITY if good
+    * hubs link to it, a good HUB if it links to good authorities (link
+    * directories vs linked-to content — crawl seeding wants both lists).
+    *
+    * Same determinism contract as [[pageRank]]: scores live in integer
+    * micro-units, and each half-iteration L1-normalizes with
+    * `floor(raw * 1e6 / total + 0.5)` (L1, not the textbook L2 — sqrt is
+    * transcendental and NOT bit-replayable cross-engine; L1 preserves the
+    * same ordering and fixed point direction). Raw sums must stay below
+    * 2^53/1e6 for the double math to be exact — at web scale, normalize
+    * more often or widen to nano-units.
+    *
+    * Scale shape: per iteration TWO shuffle pairs (auth pass keyed on
+    * dst, hub pass keyed on src; only 8-byte micro-scores ride them) plus
+    * two 1-row total aggregates that broadcast back — no driver collect.
+    * Returns (id, auth_micro, hub_micro, auth, hub) for every node. */
+  def hits(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 8): DataFrame = {
+    require(iterations >= 1)
+    val e = edges.select(
+        col(srcCol).cast("long").as("src"), col(dstCol).cast("long").as("dst"))
+      .where(col("src").isNotNull && col("dst").isNotNull).persist()
+    val nodes = e.select(col("src").as("id"))
+      .union(e.select(col("dst").as("id")))
+      .distinct().persist()
+    // propagate scores across edges from `fromCol` endpoints to `toCol`
+    // endpoints, then L1-normalize back to ~1e6 total micro-units
+    def prop(x: DataFrame, fromCol: String, toCol: String): DataFrame = {
+      val raw = e.join(x.select(col("id").as(fromCol), col("v")), Seq(fromCol))
+        .groupBy(col(toCol).as("id")).agg(sum(col("v")).as("raw"))
+      val tot = broadcast(raw.agg(sum(col("raw")).as("t")))
+      nodes.join(raw, Seq("id"), "left").crossJoin(tot)
+        .select(col("id"),
+          floor(coalesce(col("raw"), lit(0L)) * lit(1e6) / col("t") + lit(0.5)).as("v"))
+    }
+    var h = nodes.select(col("id"), lit(1000000L).as("v"))
+    var a = h
+    for (_ <- 1 to iterations) {
+      a = prop(h, "src", "dst")
+      h = prop(a, "dst", "src")
+    }
+    val out = a.select(col("id"), col("v").as("auth_micro"))
+      .join(h.select(col("id"), col("v").as("hub_micro")), Seq("id"))
+      .select(col("id"), col("auth_micro"), col("hub_micro"),
+        (col("auth_micro") / lit(1e6)).as("auth"),
+        (col("hub_micro") / lit(1e6)).as("hub"))
+      .localCheckpoint(true)
+    e.unpersist()
+    nodes.unpersist()
+    out
+  }
 }

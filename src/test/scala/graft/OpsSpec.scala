@@ -636,6 +636,27 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("hits: hub/authority separation on a directory graph, L1 mass conserved") {
+    import graft.ops.Graph
+    // 1 and 2 are pure hubs (link out to 8/9), 8 and 9 pure authorities;
+    // 5 is isolated-ish: links once to a non-authority
+    val g = Seq((1L, 8L), (1L, 9L), (2L, 8L), (2L, 9L), (5L, 6L)).toDF("src", "dst")
+    val r = Graph.hits(g, "src", "dst", iterations = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // authorities: 8/9 tie exactly (symmetric) and dominate 6
+    assert(r(8L)._1 == r(9L)._1 && r(8L)._1 > r(6L)._1, r.toString)
+    // hubs: 1/2 tie exactly and dominate 5; pure authorities have 0 hub
+    assert(r(1L)._2 == r(2L)._2 && r(1L)._2 > r(5L)._2, r.toString)
+    assert(r(8L)._2 == 0L && r(9L)._2 == 0L && r(8L)._1 > 0L)
+    // L1 normalization holds each side to ~1e6 total micro-units
+    assert(math.abs(r.values.map(_._1).sum - 1000000L) <= 10L)
+    assert(math.abs(r.values.map(_._2).sum - 1000000L) <= 10L)
+    // fixed iteration count is deterministic across runs
+    val r2 = Graph.hits(g, "src", "dst", iterations = 4)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    assert(r2 == r)
+  }
+
   test("kmeansAssign: planted clusters recovered, labels are seed ids, runs are identical") {
     import graft.ops.Clustering
     val pts = Seq(
