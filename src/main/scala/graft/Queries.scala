@@ -1408,8 +1408,29 @@ object Queries {
       graft.ops.Graph.hits(edges, "src", "dst", iterations = 3)
         .select(col("id").as("doc_id"), col("auth_micro"), col("hub_micro"),
           col("auth"), col("hub"))
+    }),
+
+    // Content-defined chunking dedup, ORACLED: boundaries from a
+    // window-8 polynomial hash (mod-64 gate), so the syndicated block
+    // planted at DIFFERENT offsets (after each doc's unique prefix) still
+    // chunks identically — the shared-run signal fixed-size blocking
+    // can't see. The oracle recomputes boundaries, chunks, and shared
+    // counts with list comprehensions over the same integer hash family.
+    "q98_cdc_dedup" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 4 === 0, lit(" " + q98Block)).otherwise(lit("")))
+      graft.ops.Dedup.cdcDedupStats(
+          docs(s, dir).withColumn("text", t), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_chunks"), col("n_distinct"), col("n_shared"))
     })
   )
+
+  /** q98's planted syndicated block — long enough (~330 codepoints vs the
+    * 64-codepoint expected chunk length) that several boundaries land
+    * inside it with near-certainty, making its interior chunks identical
+    * across every doc_id % 4 == 0 document. */
+  private val q98Block =
+    "syndicated wire story body repeated verbatim across mirror sites " * 5
 
   /** Deterministic image-bearing PDF for q41/q42: every property of the
     * embedded images is a closed-form function of doc_id (replayed by the
@@ -3304,6 +3325,42 @@ object Queries {
          |SELECT a3.id AS doc_id, a3.v AS auth_micro, h3.v AS hub_micro,
          |  a3.v / 1e6 AS auth, h3.v / 1e6 AS hub
          |FROM a3 JOIN h3 ON h3.id = a3.id""".stripMargin
+    },
+
+    // q98: boundaries, chunks, and shared-chunk counts recomputed with
+    // list comprehensions over the same window-8 mod-(2^31-1) hash family
+    // (coefficients interpolated from the Scala kernel's own table)
+    "q98_cdc_dedup" -> {
+      val cs = graft.ops.Dedup.cdcCoefs(8)
+      val terms = (0 until 8).map(j => s"cps[i - $j] * ${cs(j)}").mkString(" + ")
+      val st = "CASE WHEN k = 1 THEN 1 ELSE es[k - 1] + 1 END"
+      s"""WITH p AS (SELECT doc_id,
+         |    text || (CASE WHEN doc_id % 4 = 0 THEN ' $q98Block' ELSE '' END) AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, text,
+         |    [ascii(c)::BIGINT FOR c IN string_split(text, '')] AS cps FROM p),
+         |b AS (SELECT doc_id, text, len(cps) AS n,
+         |    [i FOR i IN range(8, len(cps) + 1)
+         |      IF ($terms) % 2147483647 % 64 = 0] AS bs
+         |  FROM l),
+         |c0 AS (SELECT doc_id, text,
+         |    CASE WHEN len(bs) > 0 AND bs[-1] = n
+         |      THEN bs ELSE list_append(bs, n) END AS es
+         |  FROM b),
+         |c AS (SELECT doc_id,
+         |    [substr(text, $st, es[k] - ($st) + 1)
+         |      FOR k IN range(1, len(es) + 1)] AS chunks
+         |  FROM c0),
+         |d AS (SELECT DISTINCT doc_id, md5(ch) AS h FROM
+         |    (SELECT doc_id, unnest(chunks) AS ch FROM c)),
+         |hot AS (SELECT h FROM d GROUP BY h HAVING count(*) >= 2),
+         |sh AS (SELECT doc_id, count(*) AS n_shared FROM d JOIN hot USING (h) GROUP BY 1),
+         |dn AS (SELECT doc_id, count(*) AS n_distinct FROM d GROUP BY 1)
+         |SELECT c.doc_id, len(c.chunks)::BIGINT AS n_chunks,
+         |  coalesce(dn.n_distinct, 0)::BIGINT AS n_distinct,
+         |  coalesce(sh.n_shared, 0)::BIGINT AS n_shared
+         |FROM c LEFT JOIN dn ON dn.doc_id = c.doc_id
+         |LEFT JOIN sh ON sh.doc_id = c.doc_id""".stripMargin
     },
   )
 }

@@ -332,4 +332,90 @@ object Dedup {
         expr("n_common * 1000000 div __nb").as("containment_b_micro"),
         expr("n_common * 1000000 div (__na + __nb - n_common)").as("jaccard_micro"))
   }
+
+  /** Powers of the CDC window-hash base mod 2^31-1, exposed so the q98
+    * DuckDB replay embeds the SAME constants it computes from. */
+  private[graft] val CdcBase = 257L
+  private[graft] def cdcCoefs(window: Int): Vector[Long] =
+    Vector.iterate(1L, window)(c => c * CdcBase % MersenneP)
+
+  /** Content-defined chunking (the FastCDC/LBFS family, Muthitacharoen
+    * et al. 2001): a chunk boundary falls after codepoint i whenever the
+    * polynomial hash of the trailing `window` codepoints ≡ 0 mod
+    * `divisor` — so boundaries move WITH the content, and two documents
+    * sharing a long run (a syndicated paragraph, a quoted block) produce
+    * identical chunks there even at different byte offsets, which
+    * fixed-size blocking never does. Stateless variant: no min/max chunk
+    * clamp, so every boundary decision is position-local and the q98
+    * DuckDB oracle replays it with a list comprehension instead of a
+    * per-character recursion. Expected chunk length = `divisor`
+    * codepoints. Positions count CODEPOINTS (the [[polyHash]]
+    * discipline); offsets map back to UTF-16 for the substring. */
+  def cdcChunks(s: String, window: Int = 8, divisor: Long = 64L): Array[String] = {
+    if (s == null) return Array.empty
+    if (s.isEmpty) return Array("")
+    val cs = cdcCoefs(window)
+    // codepoints + the UTF-16 offset where each begins (offs(n) = s.length)
+    val n0 = s.codePointCount(0, s.length)
+    val cps = new Array[Long](n0)
+    val offs = new Array[Int](n0 + 1)
+    var i = 0; var k = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      cps(k) = cp; offs(k) = i
+      i += Character.charCount(cp); k += 1
+    }
+    offs(n0) = s.length
+    val out = Vector.newBuilder[String]
+    var start = 0 // codepoint index of current chunk start
+    var p = window - 1
+    while (p < n0) {
+      var h = 0L; var j = 0
+      while (j < window) { h += cps(p - j) * cs(j); j += 1 }
+      if (h % MersenneP % divisor == 0L) {
+        out += s.substring(offs(start), offs(p + 1))
+        start = p + 1
+      }
+      p += 1
+    }
+    if (start < n0) out += s.substring(offs(start), offs(n0))
+    out.result().toArray
+  }
+
+  /** Corpus-wide CDC dedup profile: chunk every document with
+    * [[cdcChunks]], md5 each chunk, and report per document how much of
+    * it is SHARED — distinct chunks that also appear in at least one
+    * other document (the crawl-syndication / boilerplate-block signal
+    * exact whole-doc dedup misses and MinHash only scores pairwise).
+    * Returns (id, n_chunks, n_distinct, n_shared).
+    *
+    * Scale shape: the chunking kernel is purely NARROW (one UDF pass per
+    * row); only (id, 16-byte md5) pairs ride the two exchanges — the
+    * within-doc distinct and the chunk-frequency aggregate (map-side
+    * combined; repeated chunks collapse before the wire, and chunk TEXT
+    * never shuffles at all). The shared set joins back by digest. */
+  def cdcDedupStats(
+      df: DataFrame, idCol: String, textCol: String,
+      window: Int = 8, divisor: Long = 64L): DataFrame = {
+    val chunksUdf = udf((s: String) => cdcChunks(s, window, divisor))
+    val base = df.select(col(idCol).cast("long").as("id"),
+        chunksUdf(col(textCol)).as("__cs"))
+      .select(col("id"), size(col("__cs")).cast("long").as("n_chunks"),
+        col("__cs"))
+    val d = base
+      .select(col("id"), explode(col("__cs")).as("__c"))
+      .select(col("id"), md5(col("__c")).as("h"))
+      .distinct()
+    val hot = d.groupBy(col("h")).agg(count(lit(1)).as("__dc"))
+      .filter(col("__dc") >= 2).select(col("h"))
+    val shared = d.join(hot, Seq("h"), "left_semi")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    val distinctN = d.groupBy(col("id")).agg(count(lit(1)).as("n_distinct"))
+    base.select(col("id"), col("n_chunks"))
+      .join(distinctN, Seq("id"), "left")
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), col("n_chunks"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"))
+  }
 }

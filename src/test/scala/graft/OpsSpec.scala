@@ -636,6 +636,40 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("cdcChunks: lossless, offset-shift invariant interior chunks, edge cases") {
+    import graft.ops.Dedup
+    val block = "syndicated wire story body repeated verbatim across mirror sites " * 5
+    val a = Dedup.cdcChunks("unique prefix alpha. " + block)
+    val b = Dedup.cdcChunks("a much longer and entirely different unique prefix beta beta. " + block)
+    // chunking is lossless: concatenation reproduces the input
+    assert(a.mkString == "unique prefix alpha. " + block)
+    // the shared block yields shared interior chunks despite different
+    // offsets (the CDC property) — at least one chunk in common
+    val common = a.toSet.intersect(b.toSet)
+    assert(common.nonEmpty, s"no shared chunks: ${a.toSeq} vs ${b.toSeq}")
+    // short strings (< window) are one chunk; empty/null degenerate
+    assert(Dedup.cdcChunks("tiny").toSeq == Seq("tiny"))
+    assert(Dedup.cdcChunks("").toSeq == Seq(""))
+    assert(Dedup.cdcChunks(null).isEmpty)
+    // deterministic
+    assert(Dedup.cdcChunks(block).toSeq == Dedup.cdcChunks(block).toSeq)
+  }
+
+  test("cdcDedupStats: shared planted block counted, unique docs report zero shared") {
+    import graft.ops.Dedup
+    val block = "common syndicated paragraph shared by two documents word " * 6
+    val df = Seq(
+      (1L, "doc one opening sentence. " + block),
+      (2L, "an unrelated second opener entirely. " + block),
+      (3L, "totally standalone content with nothing repeated anywhere at all")
+    ).toDF("doc_id", "text")
+    val got = Dedup.cdcDedupStats(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(got(1L)._3 > 0 && got(2L)._3 > 0, got.toString) // shared interior chunks
+    assert(got(3L)._3 == 0L, got.toString)
+    assert(got.values.forall { case (nc, nd, ns) => nd <= nc && ns <= nd })
+  }
+
   test("hits: hub/authority separation on a directory graph, L1 mass conserved") {
     import graft.ops.Graph
     // 1 and 2 are pure hubs (link out to 8/9), 8 and 9 pure authorities;
