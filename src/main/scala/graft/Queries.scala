@@ -1422,7 +1422,28 @@ object Queries {
       graft.ops.Dedup.cdcDedupStats(
           docs(s, dir).withColumn("text", t), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_chunks"), col("n_distinct"), col("n_shared"))
-    })
+    }),
+
+    // Label propagation communities, ORACLED: 3 synchronous self-voting
+    // rounds over 8 planted hub-and-ring clusters (star to the class hub
+    // + ring within the class) — the min tie-break pulls every member to
+    // its hub's label in round 1 and holds it, and the whole schedule
+    // replays as unrolled CTEs because nothing is randomized.
+    "q99_label_prop" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 240).select(col("doc_id"))
+      val edges = d.select(col("doc_id").as("src"), (col("doc_id") % 8).as("dst"))
+        .union(d.select(col("doc_id").as("src"), ((col("doc_id") + 8) % 240).as("dst")))
+      graft.ops.Graph.labelPropagation(edges, "src", "dst", iterations = 3)
+        .select(col("id").as("doc_id"), col("community"))
+    }),
+
+    // Temperature-scaled mixing weights, ORACLED: α=1/2 per-source
+    // sampling weights — sqrt is the one sublinear power IEEE requires
+    // correctly rounded, so DuckDB recomputes every weight bit-for-bit;
+    // quantize-then-sum keeps the total order-independent.
+    "q100_mix_weights" -> ((s, dir) =>
+      graft.ops.Curation.temperatureMixWeights(docs(s, dir), "source")
+        .select(col("source"), col("n_docs"), col("w_micro"), col("weight")))
   )
 
   /** q98's planted syndicated block — long enough (~330 codepoints vs the
@@ -3362,5 +3383,40 @@ object Queries {
          |FROM c LEFT JOIN dn ON dn.doc_id = c.doc_id
          |LEFT JOIN sh ON sh.doc_id = c.doc_id""".stripMargin
     },
+
+    // q99: the same 3 self-voting synchronous rounds unrolled — votes =
+    // neighbor labels UNION ALL own label, winner = (count desc, label
+    // asc) rank 1
+    "q99_label_prop" -> {
+      val rounds = (1 to 3).map { k =>
+        s"""l$k AS (SELECT id, lbl FROM (
+           |  SELECT id, lbl, row_number() OVER
+           |      (PARTITION BY id ORDER BY count(*) DESC, lbl) AS rn
+           |  FROM (SELECT e.a AS id, l.lbl FROM e JOIN l${k - 1} l ON l.id = e.b
+           |        UNION ALL SELECT id, lbl FROM l${k - 1})
+           |  GROUP BY id, lbl) WHERE rn = 1)""".stripMargin
+      }.mkString(",\n")
+      s"""WITH e0 AS (
+         |  SELECT doc_id AS a, doc_id % 8 AS b FROM documents WHERE doc_id < 240
+         |  UNION ALL
+         |  SELECT doc_id, (doc_id + 8) % 240 FROM documents WHERE doc_id < 240),
+         |e AS (SELECT a, b FROM e0 UNION ALL SELECT b, a FROM e0),
+         |l0 AS (SELECT DISTINCT a AS id, a AS lbl FROM e),
+         |$rounds
+         |SELECT id AS doc_id, lbl AS community FROM l3""".stripMargin
+    },
+
+    // q100: sqrt is correctly rounded by IEEE-754 in both engines;
+    // quantize each sqrt to micro-units, sum the BIGINTs exactly, one
+    // floor-quantized division back
+    "q100_mix_weights" ->
+      """WITH c AS (SELECT source, count(*)::BIGINT AS n_docs FROM documents GROUP BY 1),
+        |q AS (SELECT source, n_docs,
+        |    CAST(floor(sqrt(n_docs) * 1e6 + 0.5) AS BIGINT) AS s FROM c),
+        |t AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM q)
+        |SELECT source, n_docs,
+        |  CAST(floor(s * 1e6 / t.t + 0.5) AS BIGINT) AS w_micro,
+        |  CAST(floor(s * 1e6 / t.t + 0.5) AS BIGINT) / 1e6 AS weight
+        |FROM q CROSS JOIN t""".stripMargin,
   )
 }

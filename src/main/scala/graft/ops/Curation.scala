@@ -999,6 +999,34 @@ object Curation {
       .select(col("key"), col("q"), col("value"))
   }
 
+  /** Temperature-scaled source mixing weights — the multilingual /
+    * multi-source sampling trick (Devlin et al. 2019 mBERT; Conneau &
+    * Lample 2019 XLM): sample source s with probability ∝ n_s^α, α < 1,
+    * so head sources stop drowning the tail without the tail being
+    * oversampled to noise. α is fixed at 1/2 because `sqrt` is the ONE
+    * sublinear power IEEE-754 requires to be correctly rounded — a
+    * general `pow(n, 0.7)` is NOT bit-replayable across engines, sqrt is
+    * (the q100 DuckDB oracle recomputes every weight independently).
+    * Each sqrt is quantized to integer micro-units BEFORE the cross-
+    * source total (summing raw doubles would be order-dependent); the
+    * weight is one more exact floor-quantized division. Feeds
+    * [[sampleMix]] as its per-source fraction table. Returns
+    * (source, n_docs, w_micro, weight) with Σ weight ≈ 1.
+    *
+    * Scale shape: one map-combined count aggregate over the corpus, a
+    * 1-row total that broadcasts back, and a narrow projection — the
+    * source table itself is tiny by definition. */
+  def temperatureMixWeights(df: DataFrame, sourceCol: String): DataFrame = {
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("__s", floor(sqrt(col("n_docs")) * lit(1e6) + lit(0.5)))
+    val tot = broadcast(counts.agg(sum(col("__s")).as("__t")))
+    counts.crossJoin(tot)
+      .select(col("source"), col("n_docs"),
+        floor(col("__s") * lit(1e6) / col("__t") + lit(0.5)).as("w_micro"))
+      .withColumn("weight", col("w_micro") / lit(1e6))
+  }
+
   /** Per-group boilerplate line removal — the CCNet/RefinedWeb template
     * strip (Wenzek et al. 2020 §3.1 dedups repeated paragraphs corpus-wide;
     * Penedo et al. 2023 §3.2 strips lines that repeat across many pages of

@@ -117,4 +117,48 @@ object Graph {
     nodes.unpersist()
     out
   }
+
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the (undirected) link graph: each round every node
+    * adopts the most frequent label among its neighbors AND itself, ties
+    * breaking to the smallest label. The self-vote keeps the synchronous
+    * schedule from oscillating on bipartite subgraphs (the classic LPA
+    * failure mode) and, with the min tie-break, makes a fixed round count
+    * fully deterministic — no random visit order, so the q99 DuckDB
+    * oracle replays every round exactly. Communities ≈ domains/mirror
+    * clusters; coarser than [[pageRank]] scores, finer than connected
+    * components (a bridge edge does not merge two dense clusters).
+    *
+    * Scale shape: per round, one join keyed on the neighbor endpoint and
+    * one (node, label) count aggregate (map-side combined) topped by a
+    * rank-1 window filter that Catalyst rewrites to a map-side
+    * WindowGroupLimit (SPARK-37099) — only (id, label, count) triples
+    * ride any exchange. The symmetrized edge frame persists across
+    * rounds. Returns (id, community). */
+  def labelPropagation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(iterations >= 1)
+    val e0 = edges.select(
+        col(srcCol).cast("long").as("a"), col(dstCol).cast("long").as("b"))
+      .where(col("a").isNotNull && col("b").isNotNull)
+    val e = e0.union(e0.select(col("b").as("a"), col("a").as("b"))).persist()
+    var lbl = e.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl"))
+    val w = Window.partitionBy(col("id")).orderBy(col("c").desc, col("lbl"))
+    for (_ <- 1 to iterations) {
+      val votes = e.join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
+        .select(col("a").as("id"), col("lbl"))
+        .union(lbl)
+      lbl = votes.groupBy(col("id"), col("lbl")).agg(count(lit(1)).as("c"))
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") <= 1) // <= 1: the InferWindowGroupLimit spelling
+        .select(col("id"), col("lbl"))
+    }
+    val out = lbl.select(col("id"), col("lbl").as("community"))
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
 }

@@ -691,6 +691,36 @@ class OpsSpec extends AnyFunSuite {
     assert(r2 == r)
   }
 
+  test("labelPropagation: two planted cliques resolve, bridge edge does not merge them") {
+    import graft.ops.Graph
+    // clique {1,2,3}, clique {10,11,12}, one bridge 3-10
+    val cl = Seq((1L, 2L), (1L, 3L), (2L, 3L), (10L, 11L), (10L, 12L), (11L, 12L), (3L, 10L))
+      .toDF("src", "dst")
+    val r = Graph.labelPropagation(cl, "src", "dst", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(2L) && r(2L) == r(3L), r.toString)
+    assert(r(10L) == r(11L) && r(11L) == r(12L), r.toString)
+    assert(r(1L) != r(10L), s"bridge merged the cliques: $r") // unlike components
+    // deterministic across runs (no random visit order)
+    val r2 = Graph.labelPropagation(cl, "src", "dst", iterations = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r2 == r)
+  }
+
+  test("temperatureMixWeights: sqrt flattening, exact micro totals, head/tail order kept") {
+    import graft.ops.Curation
+    val df = (Seq.fill(64)("head") ++ Seq.fill(16)("mid") ++ Seq.fill(4)("tail"))
+      .zipWithIndex.map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "source")
+    val r = Curation.temperatureMixWeights(df, "source")
+      .collect().map(x => x.getString(0) -> (x.getLong(1), x.getLong(2))).toMap
+    // sqrt ratios 8:4:2 exactly; weights in micro-units
+    assert(r("head")._2 == 571429L && r("mid")._2 == 285714L && r("tail")._2 == 142857L,
+      r.toString)
+    // linear share of head would be 64/84 = 76%; sqrt flattens it to 57%
+    assert(r("head")._1 == 64L && r("head")._2 < 640000L)
+    assert(math.abs(r.values.map(_._2).sum - 1000000L) <= 2L)
+  }
+
   test("kmeansAssign: planted clusters recovered, labels are seed ids, runs are identical") {
     import graft.ops.Clustering
     val pts = Seq(
