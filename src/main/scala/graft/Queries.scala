@@ -1443,7 +1443,32 @@ object Queries {
     // quantize-then-sum keeps the total order-independent.
     "q100_mix_weights" -> ((s, dir) =>
       graft.ops.Curation.temperatureMixWeights(docs(s, dir), "source")
-        .select(col("source"), col("n_docs"), col("w_micro"), col("weight")))
+        .select(col("source"), col("n_docs"), col("w_micro"), col("weight"))),
+
+    // Edit-distance near-dup pairs, ORACLED vs DuckDB's NATIVE
+    // levenshtein: typo'd title copies planted as extra rows (id+100000,
+    // one char rewritten past the blocking prefix) must pair with their
+    // originals at dist<=2; the prefix-block + length-band candidate
+    // generation replays as an equi-join, never a cartesian.
+    "q101_edit_pairs" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 300)
+        .select(col("doc_id").as("id"), substring(col("text"), 1, 40).as("title"))
+      val typo = base.filter(col("id") % 6 === 0)
+        .select((col("id") + 100000L).as("id"),
+          concat(substring(col("title"), 1, 19), lit("z"),
+            substring(col("title"), 21, 20)).as("title"))
+      graft.ops.Dedup.editDistancePairs(base.union(typo), "id", "title",
+          maxDist = 2, blockPrefix = 4)
+        .select(col("id_a"), col("id_b"), col("dist"))
+    }),
+
+    // Vocabulary growth (exact Heaps curve), ORACLED: tokens + distinct
+    // words of each corpus prefix id < T, computed in ONE pass via
+    // per-word (min id, prefix counts) instead of |T| rescans.
+    "q102_vocab_growth" -> ((s, dir) =>
+      graft.ops.TextOps.vocabularyGrowth(docs(s, dir), "doc_id", "text",
+          thresholds = Seq(50L, 100L, 200L, 400L))
+        .select(col("threshold"), col("n_tokens"), col("vocab")))
   )
 
   /** q98's planted syndicated block — long enough (~330 codepoints vs the
@@ -3418,5 +3443,35 @@ object Queries {
         |  CAST(floor(s * 1e6 / t.t + 0.5) AS BIGINT) AS w_micro,
         |  CAST(floor(s * 1e6 / t.t + 0.5) AS BIGINT) / 1e6 AS weight
         |FROM q CROSS JOIN t""".stripMargin,
+
+    // q101: DuckDB's native levenshtein is the independent verifier; the
+    // same prefix-block + length-band candidates, exact distance filter
+    "q101_edit_pairs" ->
+      """WITH base AS (SELECT doc_id AS id, substr(text, 1, 40) AS title
+        |  FROM documents WHERE doc_id < 300),
+        |typo AS (SELECT id + 100000 AS id,
+        |    substr(title, 1, 19) || 'z' || substr(title, 21, 20) AS title
+        |  FROM base WHERE id % 6 = 0),
+        |t AS (SELECT * FROM base UNION ALL SELECT * FROM typo)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  CAST(levenshtein(a.title, b.title) AS BIGINT) AS dist
+        |FROM t a JOIN t b
+        |  ON substr(a.title, 1, 4) = substr(b.title, 1, 4)
+        |  AND a.id < b.id
+        |  AND abs(len(a.title) - len(b.title)) <= 2
+        |WHERE levenshtein(a.title, b.title) <= 2""".stripMargin,
+
+    // q102: per-word min(id) + conditional prefix counts, one aggregate
+    // per side — same one-pass shape as the Spark plan
+    "q102_vocab_growth" ->
+      """WITH w AS (SELECT doc_id AS id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |t(threshold) AS (VALUES (50), (100), (200), (400)),
+        |pw AS (SELECT w, min(id) AS first_id FROM w GROUP BY w)
+        |SELECT t.threshold::BIGINT AS threshold,
+        |  (SELECT count(*) FROM w WHERE w.id < t.threshold)::BIGINT AS n_tokens,
+        |  (SELECT count(*) FROM pw WHERE pw.first_id < t.threshold)::BIGINT AS vocab
+        |FROM t""".stripMargin,
   )
 }

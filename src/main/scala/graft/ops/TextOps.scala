@@ -424,4 +424,37 @@ object TextOps {
       .when(sEs >= sFr, "es")
       .otherwise("fr")
   }
+
+  /** Vocabulary-growth profile (the Heaps-law curve, measured exactly):
+    * for each id threshold T, the token count and DISTINCT-word count of
+    * the corpus prefix id < T — the diminishing-returns signal that sizes
+    * "how much more crawl is worth deduping/buying" (a flattening curve
+    * means new data is mostly old words). Thresholds are data (one row
+    * each), not separate scans.
+    *
+    * Scale shape: ONE corpus pass — per-word (min id, per-threshold
+    * occurrence counts) via a map-combined word aggregate (the skew is
+    * the head of the Zipf curve, exactly what partial aggregation
+    * flattens); vocab(T) then counts words with min id < T in a second
+    * tiny aggregate over the threshold table. The naive per-threshold
+    * `filter(id < T).distinct().count()` rescans the corpus |T| times.
+    * Returns (threshold, n_tokens, vocab). */
+  def vocabularyGrowth(
+      df: DataFrame, idCol: String, textCol: String,
+      thresholds: Seq[Long]): DataFrame = {
+    require(thresholds.nonEmpty)
+    val words = df
+      .select(col(idCol).cast("long").as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val perWord = words.groupBy(col("w")).agg(
+      min(col("id")).as("first_id"),
+      (thresholds.map(t => sum(when(col("id") < t, 1L).otherwise(0L)).as(s"__n$t")): _*))
+    val entries = thresholds.map(t => struct(lit(t).as("threshold"),
+      col(s"__n$t").as("n"), when(col("first_id") < t, 1L).otherwise(0L).as("v")))
+    perWord
+      .select(explode(array(entries: _*)).as("e"))
+      .groupBy(col("e.threshold").as("threshold"))
+      .agg(sum(col("e.n")).as("n_tokens"), sum(col("e.v")).as("vocab"))
+  }
 }

@@ -636,6 +636,38 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("editDistancePairs: typo pairs found, blocking bounds respected, symmetric ids") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "the catalyst optimizer guide"),
+      (2L, "the catalyst optimizer guidz"),   // dist 1 from 1
+      (3L, "the cztalyst optimizer guide"),   // dist 1 from 1 BUT same block prefix "the "
+      (4L, "completely different title here"),
+      (5L, "xhe catalyst optimizer guide"),   // dist 1 from 1, but prefix block differs -> missed (documented)
+      (6L, "the catalyst optimizer guide and much more appended")  // length band excludes
+    ).toDF("id", "title")
+    val got = Dedup.editDistancePairs(df, "id", "title", maxDist = 2, blockPrefix = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.contains((1L, 2L, 1L)) && got.contains((1L, 3L, 1L)), got.toString)
+    assert(got.contains((2L, 3L, 2L)), got.toString)
+    assert(!got.exists(p => p._1 == 4L || p._2 == 4L))
+    assert(!got.exists(p => p._1 == 5L || p._2 == 5L)) // prefix-edit recall bound
+    assert(!got.exists(p => p._1 == 6L || p._2 == 6L)) // length band
+    assert(got.forall(p => p._1 < p._2))
+  }
+
+  test("vocabularyGrowth: exact prefix vocab/token counts match brute force") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "a b c"), (2L, "a b d d"), (3L, "e"), (4L, "a e f g")
+    ).toDF("doc_id", "text")
+    val got = TextOps.vocabularyGrowth(df, "doc_id", "text", Seq(2L, 3L, 5L))
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(2L) == ((3L, 3L)), got.toString)  // docs {1}: a b c
+    assert(got(3L) == ((7L, 4L)), got.toString)  // + doc 2: a b d d
+    assert(got(5L) == ((12L, 7L)), got.toString) // all: abcddeaefg -> vocab {a..g}
+  }
+
   test("cdcChunks: lossless, offset-shift invariant interior chunks, edge cases") {
     import graft.ops.Dedup
     val block = "syndicated wire story body repeated verbatim across mirror sites " * 5
