@@ -1468,7 +1468,30 @@ object Queries {
     "q102_vocab_growth" -> ((s, dir) =>
       graft.ops.TextOps.vocabularyGrowth(docs(s, dir), "doc_id", "text",
           thresholds = Seq(50L, 100L, 200L, 400L))
-        .select(col("threshold"), col("n_tokens"), col("vocab")))
+        .select(col("threshold"), col("n_tokens"), col("vocab"))),
+
+    // Positional phrase search, ORACLED: the 3-term phrase is planted
+    // once on the mod-9 slice and TWICE on mod-18 ("catalyst"/"optimizer"
+    // are outside the synth vocabulary, so every match is planted and
+    // n_matches is 1 or 2 by construction); the oracle recounts with a
+    // position-list comprehension instead of adjacency joins.
+    "q103_phrase_search" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 9 === 0, lit(" spark catalyst optimizer")).otherwise(lit("")),
+        when(col("doc_id") % 18 === 0, lit(" spark catalyst optimizer")).otherwise(lit("")))
+      graft.ops.Retrieval.phraseSearch(
+          docs(s, dir).withColumn("text", t), "doc_id", "text",
+          Seq("spark", "catalyst", "optimizer"))
+        .select(col("id").as("doc_id"), col("n_matches"))
+    }),
+
+    // Feature-hashing embeddings, ORACLED: signed 32-bucket word sums on
+    // the shared polyHash family — every (doc, dim, value) cell is exact
+    // integer arithmetic DuckDB recomputes from the characters up.
+    "q104_hash_embed" -> ((s, dir) =>
+      graft.ops.TextOps.hashEmbedding(
+          docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text", dims = 32)
+        .select(col("id").as("doc_id"), col("dim"), col("value")))
   )
 
   /** q98's planted syndicated block — long enough (~330 codepoints vs the
@@ -3473,5 +3496,37 @@ object Queries {
         |  (SELECT count(*) FROM w WHERE w.id < t.threshold)::BIGINT AS n_tokens,
         |  (SELECT count(*) FROM pw WHERE pw.first_id < t.threshold)::BIGINT AS vocab
         |FROM t""".stripMargin,
+
+    // q103: recount phrase occurrences with a position-list comprehension
+    // over the same whitespace tokenization — independent of the
+    // adjacency-join machinery
+    "q103_phrase_search" ->
+      """WITH p AS (SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 9 = 0 THEN ' spark catalyst optimizer' ELSE '' END)
+        |    || (CASE WHEN doc_id % 18 = 0 THEN ' spark catalyst optimizer' ELSE '' END) AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS ws
+        |  FROM p),
+        |m AS (SELECT doc_id,
+        |    len([i FOR i IN range(1, greatest(len(ws) - 1, 1))
+        |      IF ws[i] = 'spark' AND ws[i + 1] = 'catalyst' AND ws[i + 2] = 'optimizer'])::BIGINT
+        |      AS n_matches
+        |  FROM w)
+        |SELECT doc_id, n_matches FROM m WHERE n_matches >= 1""".stripMargin,
+
+    // q104: the polyHash fold, bucket, sign, and signed sum all
+    // recomputed from the characters up
+    "q104_hash_embed" ->
+      """WITH w AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents WHERE doc_id < 100),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(w, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+        |  FROM w)
+        |SELECT doc_id, h % 32 AS dim,
+        |  CAST(sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS value
+        |FROM h GROUP BY 1, 2""".stripMargin,
   )
 }

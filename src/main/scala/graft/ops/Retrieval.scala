@@ -278,4 +278,36 @@ object Retrieval {
         (col("__nllm") / lit(1e6)).as("nll"),
         (floor(col("__nllm") / col("n_bigrams") + lit(0.5)) / lit(1e6)).as("avg_nll"))
   }
+
+  /** Exact phrase search via positional postings intersection — the
+    * retrieval primitive BM25 (bag-of-words) cannot express: the terms
+    * must occur CONSECUTIVELY. Tokens are (id, position, word); the
+    * phrase's first term anchors, and each later term joins back on
+    * (id, pos − i) — the classic positional-index adjacency walk
+    * (Manning et al., IIR §2.4.2). Returns (id, n_matches) for documents
+    * with at least one occurrence; overlapping occurrences each count.
+    *
+    * Scale shape: the corpus prunes NARROWLY to phrase-term postings
+    * (an `isin` over the handful of phrase words, pushed into the scan
+    * projection side) before anything shuffles; the adjacency joins are
+    * equi-joins on (id, pos) carrying 12-byte rows — intersection cost
+    * scales with the RAREST term's posting list, never the corpus. At
+    * index-serving scale the postings would be bucket-materialized by
+    * term; here they stream from the scan. */
+  def phraseSearch(
+      df: DataFrame, idCol: String, textCol: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "single-term phrase is a plain term filter")
+    val toks = df
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(trim(col(textCol)), "\\s+")).as(Seq("pos", "w")))
+      .filter(col("w").isin(phrase.distinct: _*))
+    var m = toks.filter(col("w") === phrase.head).select(col("id"), col("pos"))
+    for (i <- 1 until phrase.size) {
+      val ti = toks.filter(col("w") === phrase(i))
+        .select(col("id"), (col("pos") - i).as("pos"))
+      m = m.join(ti, Seq("id", "pos"))
+    }
+    m.groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
+  }
 }

@@ -425,6 +425,33 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Feature-hashing document embeddings (the hashing trick, Weinberger
+    * et al. 2009): each word hashes to one of `dims` buckets with a ±1
+    * sign bit, and the document's vector is the signed bucket sum — a
+    * vocabulary-free, training-free embedding whose inner products
+    * approximate bag-of-words kernels, good enough to feed the ANN/
+    * near-dup ladder (T5/T6/T18) when no learned embeddings exist. All
+    * EXACT integer arithmetic on the shared [[Dedup.polyHash]] family,
+    * so the q104 DuckDB oracle replays every cell. Long format
+    * (id, dim, value) — only touched dims appear.
+    *
+    * Scale shape: narrow explode+hash (raw words never shuffle — the
+    * hash is in the projection), then ONE map-combined (id, dim)
+    * aggregate whose key space is bounded by dims per document. */
+  def hashEmbedding(
+      df: DataFrame, idCol: String, textCol: String, dims: Int = 32): DataFrame = {
+    require(dims >= 2)
+    val hashUdf = udf((w: String) => Dedup.polyHash(w))
+    df.select(col(idCol).cast("long").as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+      .select(col("id"), hashUdf(col("w")).as("__h"))
+      .select(col("id"), pmod(col("__h"), lit(dims.toLong)).as("dim"),
+        when(expr(s"(__h div $dims) % 2") === 0L, 1L).otherwise(-1L).as("__s"))
+      .groupBy(col("id"), col("dim"))
+      .agg(sum(col("__s")).as("value"))
+  }
+
   /** Vocabulary-growth profile (the Heaps-law curve, measured exactly):
     * for each id threshold T, the token count and DISTINCT-word count of
     * the corpus prefix id < T — the diminishing-returns signal that sizes

@@ -636,6 +636,38 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("phraseSearch: consecutive-only matches, overlap counting, repeated terms") {
+    import graft.ops.Retrieval
+    val df = Seq(
+      (1L, "a spark catalyst optimizer guide"),
+      (2L, "spark catalyst optimizer twice here spark catalyst optimizer"),
+      (3L, "spark optimizer catalyst"),          // right words, wrong order
+      (4L, "spark catalyst"),                    // incomplete
+      (5L, "sparkx catalyst optimizer")          // token boundary respected
+    ).toDF("doc_id", "text")
+    val got = Retrieval.phraseSearch(df, "doc_id", "text",
+        Seq("spark", "catalyst", "optimizer"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 2L), got.toString)
+    // repeated-term phrase: overlapping "b b b" has two "b b" matches
+    val rep = Retrieval.phraseSearch(Seq((7L, "a b b b c")).toDF("doc_id", "text"),
+      "doc_id", "text", Seq("b", "b")).collect()
+    assert(rep.length == 1 && rep(0).getLong(1) == 2L, rep.mkString)
+  }
+
+  test("hashEmbedding: exact signed bucket sums, repeated words accumulate") {
+    import graft.ops.{Dedup, TextOps}
+    val df = Seq((1L, "alpha alpha beta"), (2L, "alpha")).toDF("doc_id", "text")
+    val got = TextOps.hashEmbedding(df, "doc_id", "text", dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ha = Dedup.polyHash("alpha"); val hb = Dedup.polyHash("beta")
+    val (da, sa) = (ha % 8, if ((ha / 8) % 2 == 0) 1L else -1L)
+    val (db, sb) = (hb % 8, if ((hb / 8) % 2 == 0) 1L else -1L)
+    assert(got((2L, da)) == sa, got.toString)
+    if (da == db) assert(got((1L, da)) == 2 * sa + sb)
+    else { assert(got((1L, da)) == 2 * sa); assert(got((1L, db)) == sb) }
+  }
+
   test("editDistancePairs: typo pairs found, blocking bounds respected, symmetric ids") {
     import graft.ops.Dedup
     val df = Seq(
