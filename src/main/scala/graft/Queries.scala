@@ -1491,7 +1491,41 @@ object Queries {
     "q104_hash_embed" -> ((s, dir) =>
       graft.ops.TextOps.hashEmbedding(
           docs(s, dir).filter(col("doc_id") < 100), "doc_id", "text", dims = 32)
-        .select(col("id").as("doc_id"), col("dim"), col("value")))
+        .select(col("id").as("doc_id"), col("dim"), col("value"))),
+
+    // Classifier calibration report, ORACLED: planted integer scores with
+    // labels drawn so P(label|score) ≈ score — every bin statistic
+    // (observed rate, mean confidence, Brier contribution) is exact
+    // integer micro-unit arithmetic DuckDB recomputes independently.
+    "q105_calibration" -> ((s, dir) => {
+      val p = pmod(col("doc_id") * 37 + 11, lit(1001L)) * lit(1000L)
+      val y = (pmod(col("doc_id") * 53 + 7, lit(1000L)) * lit(1000L)) < p
+      graft.ops.Curation.calibrationReport(
+          docs(s, dir).select(p.as("score_micro"), y.as("label")),
+          "score_micro", "label", bins = 10)
+        .select(col("bin"), col("n"), col("n_pos"),
+          col("conf_micro"), col("acc_micro"), col("brier_micro"))
+    }),
+
+    // Deterministic training-order shuffle, ORACLED: an exact pseudo-
+    // random permutation with NO global sort on the Spark side (bucket
+    // offsets + partition-local ranks); the oracle just total-orders by
+    // the same (bucket, key, id) — two different plans, one permutation.
+    "q106_shuffle_order" -> ((s, dir) =>
+      graft.ops.Curation.deterministicShuffle(docs(s, dir), "doc_id", buckets = 32)
+        .select(col("id").as("doc_id"), col("bucket"), col("pos"))),
+
+    // Per-source signature terms, ORACLED: a marker word planted on half
+    // of each source's docs must top that source's lift ranking; every
+    // lift is exact integer micro-units, the top-5 order is total.
+    "q107_signature_terms" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 2 === 0, concat(lit(" sig_"), col("source")))
+          .otherwise(lit("")))
+      graft.ops.Retrieval.signatureTerms(
+          docs(s, dir).withColumn("text", t), "source", "text", k = 5, minCount = 5L)
+        .select(col("source"), col("word"), col("n"), col("lift_micro"), col("rank"))
+    })
   )
 
   /** q98's planted syndicated block — long enough (~330 codepoints vs the
@@ -3528,5 +3562,56 @@ object Queries {
         |SELECT doc_id, h % 32 AS dim,
         |  CAST(sum(CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS value
         |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // q105: all-positive integer arithmetic, so DuckDB's floor-div `//`
+    // and Spark's truncating `div` agree; sums CAST from HUGEINT
+    "q105_calibration" ->
+      """WITH s AS (SELECT
+        |    ((doc_id * 37 + 11) % 1001) * 1000 AS p,
+        |    CASE WHEN ((doc_id * 53 + 7) % 1000) * 1000
+        |      < ((doc_id * 37 + 11) % 1001) * 1000 THEN 1 ELSE 0 END AS y
+        |  FROM documents)
+        |SELECT least((p * 10) // 1000000, 9)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n,
+        |  CAST(sum(y) AS BIGINT) AS n_pos,
+        |  CAST(sum(p) // count(*) AS BIGINT) AS conf_micro,
+        |  CAST(sum(y) * 1000000 // count(*) AS BIGINT) AS acc_micro,
+        |  CAST(sum((p - y * 1000000) * (p - y * 1000000)) // (count(*) * 1000000) AS BIGINT)
+        |    AS brier_micro
+        |FROM s GROUP BY 1""".stripMargin,
+
+    // q106: the oracle may simply total-order by the same (bucket, key,
+    // id) — the Spark side proves the same permutation emerges from
+    // bucket offsets + local ranks without any SinglePartition
+    "q106_shuffle_order" ->
+      """WITH k AS (SELECT doc_id,
+        |    (doc_id * 1103515245 + 12345) % 2147483647 AS k
+        |  FROM documents)
+        |SELECT doc_id, k % 32 AS bucket,
+        |  row_number() OVER (ORDER BY k % 32, k, doc_id) - 1 AS pos
+        |FROM k""".stripMargin,
+
+    // q107: identical integer lift and total tiebreak order, HUGEINT
+    // sums cast back, floor-div on all-positive terms
+    "q107_signature_terms" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    text || (CASE WHEN doc_id % 2 = 0 THEN ' sig_' || source ELSE '' END) AS text
+        |  FROM documents),
+        |w AS (SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+        |  FROM p),
+        |sw AS (SELECT source, w, count(*)::BIGINT AS n FROM w GROUP BY 1, 2),
+        |cw AS (SELECT w, CAST(sum(n) AS BIGINT) AS cw FROM sw GROUP BY 1),
+        |ns AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns FROM sw GROUP BY 1),
+        |nt AS (SELECT CAST(sum(n) AS BIGINT) AS N FROM sw),
+        |l AS (SELECT sw.source, sw.w, sw.n,
+        |    CAST((sw.n * nt.N * 1000000) // (cw.cw * ns.ns) AS BIGINT) AS lift_micro
+        |  FROM sw JOIN cw USING (w) JOIN ns USING (source) CROSS JOIN nt
+        |  WHERE sw.n >= 5),
+        |r AS (SELECT *, row_number() OVER
+        |    (PARTITION BY source ORDER BY lift_micro DESC, n DESC, w ASC) AS rank
+        |  FROM l)
+        |SELECT source, w AS word, n, lift_micro, rank::BIGINT AS rank
+        |FROM r WHERE rank <= 5""".stripMargin,
   )
 }

@@ -914,6 +914,76 @@ object Curation {
       .select(col("id"), col("quality"), col("n_tokens"), col("cum_tokens"), col("kept"))
   }
 
+  /** Deterministic training-order shuffle WITHOUT a global sort: every
+    * row gets an exact position in a pseudorandom permutation — the
+    * "shuffle the corpus before epoch 0" step, reproducible across runs,
+    * engines, and cluster sizes (a `rand()` sort is none of these). The
+    * permutation is lexicographic in (bucket, key, id) where key is the
+    * Carter-Wegman affine hash of the id and bucket = key mod `buckets`;
+    * both are hash-derived, so the order decorrelates from ingest order
+    * while staying a pure function of ids.
+    *
+    * Scale shape: the [[budgetTake]]/globalQuantiles offset pattern —
+    * per-bucket counts bounded-collected (≤ `buckets` ≤ 65536 rows) into
+    * exclusive prefix offsets, broadcast back, ONE bucket-keyed exchange
+    * whose partition-local rank adds to the offset. No SinglePartition
+    * anywhere; a 10^12-row corpus never total-orders. Returns
+    * (id, bucket, pos) with pos a 0-based exact permutation index. */
+  def deterministicShuffle(
+      df: DataFrame, idCol: String, buckets: Int = 1024): DataFrame = {
+    require(buckets >= 1 && buckets <= 65536)
+    val spark = df.sparkSession
+    import spark.implicits._
+    val keyed = df.select(col(idCol).cast("long").as("id"))
+      .withColumn("__k",
+        pmod(col("id") * lit(1103515245L) + lit(12345L), lit(Dedup.MersenneP)))
+      .withColumn("bucket", pmod(col("__k"), lit(buckets.toLong)))
+    val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("__n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    var acc = 0L
+    val offsets = counts.sortBy(_._1).map { case (b, n) => val o = acc; acc += n; (b, o) }
+    val offDf = broadcast(offsets.toSeq.toDF("bucket", "__off"))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__k"), col("id"))
+    keyed.join(offDf, Seq("bucket"))
+      .withColumn("pos", col("__off") + row_number().over(w) - 1L)
+      .select(col("id"), col("bucket"), col("pos"))
+  }
+
+  /** Classifier calibration report (reliability diagram + Brier score,
+    * the companion diagnostic to [[thresholdSweep]]): a quality
+    * classifier whose 0.9 bucket is right 60% of the time quietly skews
+    * every downstream mix — DCLM-style pipelines check calibration before
+    * trusting scores as sampling weights. Scores are micro-unit
+    * probabilities in [0, 1e6]; bin b covers [b·1e6/bins, (b+1)·1e6/bins)
+    * with the top edge folded into the last bin. Per bin:
+    * n, n_pos, observed rate and mean confidence (exact integer
+    * micro-units, `x·10^6 div y` — no float boundary), and the bin's
+    * Brier contribution `Σ(p − y·10^6)² div (n·10^6)` (micro-unit mean
+    * squared error; per-row squares ≤ 10^12, so corpora beyond ~9·10^6
+    * rows per bin should pre-scale — documented bound, same family as
+    * [[hashSplit]]'s). Returns
+    * (bin, n, n_pos, conf_micro, acc_micro, brier_micro).
+    *
+    * Scale shape: ONE map-combined aggregate keyed on the bin (key space
+    * = `bins`), nothing else — the corpus never shuffles. */
+  def calibrationReport(
+      df: DataFrame, scoreMicroCol: String, labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2)
+    val p = col(scoreMicroCol).cast("long")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val bin = least(expr(s"($scoreMicroCol * $bins) div 1000000"), lit(bins - 1L))
+    val sq = (p - y * lit(1000000L)) * (p - y * lit(1000000L))
+    df.select(bin.cast("long").as("bin"), p.as("__p"), y.as("__y"), sq.as("__sq"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("n_pos"),
+        sum(col("__p")).as("__sp"), sum(col("__sq")).as("__ssq"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("__sp div n").as("conf_micro"),
+        expr("n_pos * 1000000 div n").as("acc_micro"),
+        expr("__ssq div (n * 1000000)").as("brier_micro"))
+  }
+
   /** Classifier threshold sweep: for every OBSERVED score s (each a
     * candidate cutoff), the keep-everything-scoring-≥-s operating point —
     * n_kept, true positives, and precision / recall / kept-fraction — the

@@ -279,6 +279,48 @@ object Retrieval {
         (floor(col("__nllm") / col("n_bigrams") + lit(0.5)) / lit(1e6)).as("avg_nll"))
   }
 
+  /** Per-source signature terms by integer lift: the words a source uses
+    * far MORE than the corpus baseline (observed/expected frequency
+    * ratio) — the quick "what is this source actually about / is it a
+    * spam farm" profile read before assigning mix weights. Lift is kept
+    * exact-integer: `c_sw · N · 10^6 div (c_w · n_s)` micro-units (no
+    * log-PMI — `ln` does not replay across libms; the RANKING is the
+    * deliverable and lift orders identically). `minCount` floors support
+    * so one-off typos can't top the list. Top `k` per source under the
+    * total order (lift desc, count desc, word asc).
+    *
+    * Scale shape: one map-combined (source, word) aggregate (Zipf head
+    * collapses map-side), a word-marginal aggregate JOINED back by word,
+    * 1-row corpus totals broadcast, and a per-source rank window that
+    * SPARK-37099 prunes map-side to k candidates per partition. The
+    * numerator product needs c_sw · N · 10^6 < 2^63 — beyond ~10^11
+    * tokens pre-divide by gcd or drop to 10^3 units (documented bound).
+    * Returns (source, word, n, lift_micro, rank). */
+  def signatureTerms(
+      df: DataFrame, sourceCol: String, textCol: String,
+      k: Int = 5, minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && minCount >= 1)
+    val words = df.select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val sw = words.groupBy(col("source"), col("w")).agg(count(lit(1)).as("n"))
+    val wTot = sw.groupBy(col("w")).agg(sum(col("n")).as("__cw"))
+    val sTot = sw.groupBy(col("source")).agg(sum(col("n")).as("__ns"))
+    val nTot = broadcast(sw.agg(sum(col("n")).as("__N")))
+    val rw = Window.partitionBy(col("source"))
+      .orderBy(col("lift_micro").desc, col("n").desc, col("w").asc)
+    sw.filter(col("n") >= minCount)
+      .join(wTot, Seq("w"))
+      .join(broadcast(sTot), Seq("source"))
+      .crossJoin(nTot)
+      .withColumn("lift_micro", expr("n * __N * 1000000 div (__cw * __ns)"))
+      .withColumn("rank", row_number().over(rw))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("w").as("word"), col("n"),
+        col("lift_micro"), col("rank").cast("long").as("rank"))
+  }
+
   /** Exact phrase search via positional postings intersection — the
     * retrieval primitive BM25 (bag-of-words) cannot express: the terms
     * must occur CONSECUTIVELY. Tokens are (id, position, word); the

@@ -636,6 +636,57 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("deterministicShuffle: exact permutation, brute-force order match, reproducible") {
+    import graft.ops.Curation
+    val df = (0L until 200L).toDF("doc_id")
+    val got = Curation.deterministicShuffle(df, "doc_id", buckets = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // positions are an exact permutation of 0..n-1
+    assert(got.map(_._3).sorted.toSeq == (0L until 200L).toSeq)
+    // brute force: global lexicographic (bucket, key, id) order
+    val p = 2147483647L
+    val brute = (0L until 200L).map { id =>
+      val k = (id * 1103515245L + 12345L) % p; (k % 8, k, id)
+    }.sorted.zipWithIndex.map { case ((_, _, id), i) => id -> i.toLong }.toMap
+    assert(got.forall { case (id, _, pos) => brute(id) == pos },
+      got.filterNot { case (id, _, pos) => brute(id) == pos }.take(3).mkString)
+    // decorrelated from ingest order: not the identity permutation
+    assert(got.count { case (id, _, pos) => id == pos } < 20)
+  }
+
+  test("signatureTerms: planted marker tops its source, support floor, total order") {
+    import graft.ops.Retrieval
+    val rows = (0 until 40).map { i =>
+      val src = if (i % 2 == 0) "a" else "b"
+      val marker = if (src == "a") " appleword" else " bananaword"
+      (src, "common words everywhere shared" + marker)
+    } :+ (("a", "rare typoword here"))
+    val df = rows.toDF("source", "text")
+    val got = Retrieval.signatureTerms(df, "source", "text", k = 2, minCount = 5L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(4)))
+    val top = got.filter(_._3 == 1L).map(t => t._1 -> t._2).toMap
+    assert(top("a") == "appleword" && top("b") == "bananaword", got.mkString(","))
+    // the single-occurrence typo never appears (support floor)
+    assert(!got.exists(_._2 == "typoword"))
+  }
+
+  test("calibrationReport: bin edges, exact rates, Brier of perfect and inverted scores") {
+    import graft.ops.Curation
+    val df = Seq(
+      (0L, false), (999999L, true),          // bins 0 and 9, both "right"
+      (1000000L, true),                      // top edge folds into bin 9
+      (500000L, true), (500000L, false),     // bin 5: half right
+      (100000L, true)                        // bin 1: confident-wrong-direction
+    ).toDF("score_micro", "label")
+    val r = Curation.calibrationReport(df, "score_micro", "label", bins = 10)
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5))).toMap
+    assert(r(0L) == ((1L, 0L, 0L, 0L, 0L)), r.toString)          // p=0,y=0: brier 0
+    assert(r(9L) == ((2L, 2L, 999999L, 1000000L, 0L)), r.toString) // (999999+1e6) div 2
+    assert(r(5L) == ((2L, 1L, 500000L, 500000L, 250000L)))       // brier .25
+    assert(r(1L) == ((1L, 1L, 100000L, 1000000L, 810000L)))      // (0.1-1)^2 = .81
+  }
+
   test("phraseSearch: consecutive-only matches, overlap counting, repeated terms") {
     import graft.ops.Retrieval
     val df = Seq(

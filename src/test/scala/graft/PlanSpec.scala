@@ -682,9 +682,11 @@ class PlanSpec extends AnyFunSuite {
     // crossJoin, q24's broadcast brute-force baseline, q39's 1-row
     // weight-total broadcast into the per-source fraction table, and the
     // 1-row global-stats broadcasts of q57 (N, avgdl) / q58 (vocab size)
-    // / q63 (corpus size N for the rational idf)
+    // / q63 (corpus size N for the rational idf) / q97 (HITS L1 totals)
+    // / q100 (sqrt-weight total) / q107 (corpus token total)
     val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk", "q39_mix_sample",
-      "q57_bm25", "q58_lm_score", "q59_pagerank", "q61_kmeans", "q63_tfidf")
+      "q57_bm25", "q58_lm_score", "q59_pagerank", "q61_kmeans", "q63_tfidf",
+      "q97_hits", "q100_mix_weights", "q107_signature_terms")
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
