@@ -1525,6 +1525,36 @@ object Queries {
       graft.ops.Retrieval.signatureTerms(
           docs(s, dir).withColumn("text", t), "source", "text", k = 5, minCount = 5L)
         .select(col("source"), col("word"), col("n"), col("lift_micro"), col("rank"))
+    }),
+
+    // Encoding-junk profile, ORACLED: replacement chars, C0 controls, and
+    // UTF-8-as-Latin-1 'Ã' artifacts planted on disjoint residue slices;
+    // counts and the micro-unit junk rate replay via the same
+    // translate/regexp length diffs.
+    "q108_encoding_junk" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit("��")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\u0007")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("Ã©Ã¨")).otherwise(lit("")))
+      graft.ops.TextOps.encodingJunk(
+          docs(s, dir).withColumn("text", t), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_repl"), col("n_ctrl"),
+          col("n_moji"), col("junk_micro"))
+    }),
+
+    // Interval overlap join, ORACLED vs DuckDB's native range join: event
+    // intervals (ts, ts + (id%30+1) minutes) per user — the bin-tiled
+    // equi-join with report-once dedup must produce exactly the pairs the
+    // oracle's theta join finds.
+    "q109_interval_overlap" -> ((s, dir) => {
+      val iv = events(s, dir).filter(col("event_id") < 2000)
+        .select(col("user_id"), col("event_id"),
+          unix_micros(col("ts").cast("timestamp")).as("s_us"))
+        .withColumn("e_us",
+          col("s_us") + (pmod(col("event_id"), lit(30L)) + 1L) * lit(60000000L))
+      graft.ops.Temporal.intervalOverlapPairs(iv, "user_id", "event_id",
+          "s_us", "e_us", binUs = 1800000000L) // 30-min bins
+        .select(col("key").as("user_id"), col("id_a"), col("id_b"), col("overlap_us"))
     })
   )
 
@@ -3613,5 +3643,38 @@ object Queries {
         |  FROM l)
         |SELECT source, w AS word, n, lift_micro, rank::BIGINT AS rank
         |FROM r WHERE rank <= 5""".stripMargin,
+
+    // q108: chr() literals keep the SQL ASCII-clean; same length-diff
+    // counting, same control-class regexp, floor-div on non-negatives
+    "q108_encoding_junk" ->
+      """WITH p AS (SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(65533) || chr(65533) ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |        THEN chr(195) || chr(169) || chr(195) || chr(168) ELSE '' END) AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    (len(text) - len(replace(text, chr(65533), '')))::BIGINT AS n_repl,
+        |    (len(text) - len(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')))::BIGINT AS n_ctrl,
+        |    (len(text) - len(replace(text, chr(195), '')))::BIGINT AS n_moji,
+        |    len(text)::BIGINT AS l
+        |  FROM p)
+        |SELECT doc_id, n_repl, n_ctrl, n_moji,
+        |  CAST((n_repl + n_ctrl + n_moji) * 1000000 // greatest(l, 1) AS BIGINT)
+        |    AS junk_micro
+        |FROM c""".stripMargin,
+
+    // q109: DuckDB's native theta range join is the independent verifier
+    // for the bin-tiled equi-join + report-once dedup
+    "q109_interval_overlap" ->
+      """WITH iv AS (SELECT user_id, event_id,
+        |    epoch_us(ts) AS s, epoch_us(ts) + ((event_id % 30) + 1) * 60000000 AS e
+        |  FROM events WHERE event_id < 2000)
+        |SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+        |  least(a.e, b.e) - greatest(a.s, b.s) AS overlap_us
+        |FROM iv a JOIN iv b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        |  AND a.s <= b.e AND b.s <= a.e""".stripMargin,
   )
 }

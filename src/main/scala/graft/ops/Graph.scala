@@ -104,8 +104,14 @@ object Graph {
     var h = nodes.select(col("id"), lit(1000000L).as("v"))
     var a = h
     for (_ <- 1 to iterations) {
-      a = prop(h, "src", "dst")
-      h = prop(a, "dst", "src")
+      // each half-iteration references its input TWICE (the L1 total and
+      // the propagate join) — without truncating lineage the plan DOUBLES
+      // per half-iteration and execution goes exponential in `iterations`
+      // (measured: 45s for 3 iterations on 300 nodes). An eager
+      // localCheckpoint of the tiny (id, v) frame keeps both planning and
+      // execution linear, like pageRank's single-reference chain.
+      a = prop(h, "src", "dst").localCheckpoint(true)
+      h = prop(a, "dst", "src").localCheckpoint(true)
     }
     val out = a.select(col("id"), col("v").as("auth_micro"))
       .join(h.select(col("id"), col("v").as("hub_micro")), Seq("id"))
@@ -151,10 +157,13 @@ object Graph {
       val votes = e.join(lbl.select(col("id").as("b"), col("lbl")), Seq("b"))
         .select(col("a").as("id"), col("lbl"))
         .union(lbl)
+      // two references per round (neighbor join + self-vote union): eager
+      // checkpoint keeps the round chain linear (see hits)
       lbl = votes.groupBy(col("id"), col("lbl")).agg(count(lit(1)).as("c"))
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") <= 1) // <= 1: the InferWindowGroupLimit spelling
         .select(col("id"), col("lbl"))
+        .localCheckpoint(true)
     }
     val out = lbl.select(col("id"), col("lbl").as("community"))
       .localCheckpoint(true)

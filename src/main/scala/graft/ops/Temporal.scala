@@ -73,4 +73,45 @@ object Temporal {
         abs(col("__rus") - col("__lus")) <= tolUs, 1L).otherwise(0L)).as("cnt"))
       .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)) :+ col("cnt"): _*)
   }
+
+  /** Interval overlap self-join: all same-key pairs whose [start, end]
+    * ranges intersect (session collision / concurrent-visit mining) —
+    * the two-sided generalization of [[rangeJoinCount]]'s point-
+    * tolerance probe. Time tiles into `binUs` bins; each interval
+    * replicates to the bins it touches, pairs meet in an EQUI-join on
+    * (key, bin), and the exact predicate prunes after. A pair spanning
+    * several shared bins is emitted ONCE without any distinct exchange:
+    * only the bin containing `greatest(start_a, start_b)` reports (for
+    * an overlapping pair that bin lies in both intervals' ranges, so
+    * exactly one joined row satisfies the equality — the standard
+    * report-at-first-overlap dedup). Replication per interval is
+    * span/binUs + 1 bins — size `binUs` to the TYPICAL span (clamp
+    * outliers upstream); timestamps must be non-negative µs (integer
+    * `div` = floor there). Returns (key, id_a, id_b, overlap_us) with
+    * id_a < id_b and overlap_us ≥ 0 (touching endpoints = 0).
+    *
+    * Scale shape: one hash-join exchange on (key, bin) carrying
+    * (id, start, end) triples; never a theta join, never a cartesian,
+    * no post-join distinct. Skewed keys split under AQE. */
+  def intervalOverlapPairs(
+      df: DataFrame, keyCol: String, idCol: String,
+      startUsCol: String, endUsCol: String, binUs: Long): DataFrame = {
+    require(binUs > 0)
+    val b = df.select(col(keyCol).as("__k"), col(idCol).cast("long").as("__id"),
+        col(startUsCol).cast("long").as("__s"), col(endUsCol).cast("long").as("__e"))
+      .where(col("__s") <= col("__e") && col("__s") >= 0L)
+      .withColumn("__bin",
+        explode(sequence(expr(s"__s div ${binUs}L"), expr(s"__e div ${binUs}L"))))
+    val a = b.select(col("__k"), col("__bin"), col("__id").as("id_a"),
+      col("__s").as("__sa"), col("__e").as("__ea"))
+    val c = b.select(col("__k"), col("__bin"), col("__id").as("id_b"),
+      col("__s").as("__sb"), col("__e").as("__eb"))
+    a.join(c, Seq("__k", "__bin"))
+      .where(col("id_a") < col("id_b") &&
+        col("__sa") <= col("__eb") && col("__sb") <= col("__ea") &&
+        col("__bin") === expr(s"greatest(__sa, __sb) div ${binUs}L"))
+      .select(col("__k").as("key"), col("id_a"), col("id_b"),
+        (least(col("__ea"), col("__eb")) - greatest(col("__sa"), col("__sb")))
+          .as("overlap_us"))
+  }
 }

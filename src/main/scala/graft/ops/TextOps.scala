@@ -425,6 +425,30 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Encoding-junk profile — the mojibake/corruption gate a crawl corpus
+    * runs before any text op trusts the bytes: counts of U+FFFD
+    * replacement characters (a decoder already gave up), C0 control
+    * characters other than tab/newline/CR (binary-in-text leakage), and
+    * 'Ã' occurrences (the classic UTF-8-read-as-Latin-1 artifact — every
+    * mangled two-byte sequence starts with one), plus their per-character
+    * rate in exact integer micro-units. Pure codegen'd Column DSL —
+    * `translate` length-diffs for the single chars, one regexp class for
+    * the control range; no UDF, no shuffle. Returns
+    * (id, n_repl, n_ctrl, n_moji, junk_micro). */
+  def encodingJunk(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def gone(c: String) = length(t) - length(translate(t, c, ""))
+    df.select(col(idCol).as("id"),
+        gone("�").cast("long").as("n_repl"),
+        (length(t) - length(regexp_replace(t,
+          "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F]", ""))).cast("long").as("n_ctrl"),
+        gone("Ã").cast("long").as("n_moji"),
+        length(t).cast("long").as("__len"))
+      .withColumn("junk_micro",
+        expr("(n_repl + n_ctrl + n_moji) * 1000000 div greatest(__len, 1)"))
+      .select(col("id"), col("n_repl"), col("n_ctrl"), col("n_moji"), col("junk_micro"))
+  }
+
   /** Feature-hashing document embeddings (the hashing trick, Weinberger
     * et al. 2009): each word hashes to one of `dims` buckets with a ±1
     * sign bit, and the document's vector is the signed bucket sum — a

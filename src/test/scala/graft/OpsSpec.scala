@@ -636,6 +636,46 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("encodingJunk: replacement/control/mojibake counted, tab and newline exempt") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "clean text with\ttabs and\nnewlines"),
+      (2L, "bad �� bytes"),
+      (3L, "bell\u0007 and esc\u001b chars"),
+      (4L, "cafÃ© mojibake"),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val r = TextOps.encodingJunk(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) ->
+        (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r(1L) == ((0L, 0L, 0L, 0L)), r.toString)
+    assert(r(2L)._1 == 2L && r(2L)._4 == 2L * 1000000L / 12L, r.toString)
+    assert(r(3L) == ((0L, 2L, 0L, 2L * 1000000L / 20L)), r.toString)
+    assert(r(4L)._3 == 1L, r.toString)
+    assert(r(5L) == ((0L, 0L, 0L, 0L)), r.toString) // len 0 guarded
+  }
+
+  test("intervalOverlapPairs: exact pairs vs brute force, once per pair, key scoped") {
+    import graft.ops.Temporal
+    // key 1: intervals engineered to span bins (binUs=100): overlaps that
+    // share multiple bins must still emit once
+    val iv = Seq(
+      (1L, 10L, 0L, 250L), (1L, 11L, 200L, 500L), (1L, 12L, 240L, 260L),
+      (1L, 13L, 600L, 700L),                    // touches nobody
+      (2L, 20L, 0L, 250L)                       // other key: no cross-key pairs
+    ).toDF("k", "id", "s", "e")
+    val got = Temporal.intervalOverlapPairs(iv, "k", "id", "s", "e", binUs = 100L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val brute = for {
+      Seq((k1, i1, s1, e1), (k2, i2, s2, e2)) <-
+        Seq((1L, 10L, 0L, 250L), (1L, 11L, 200L, 500L), (1L, 12L, 240L, 260L),
+          (1L, 13L, 600L, 700L), (2L, 20L, 0L, 250L)).combinations(2).toSeq
+      if k1 == k2 && s1 <= e2 && s2 <= e1
+    } yield (k1, math.min(i1, i2), math.max(i1, i2), math.min(e1, e2) - math.max(s1, s2))
+    assert(got.sorted.toSeq == brute.sorted, s"got ${got.toSeq} want $brute")
+    assert(got.length == got.distinct.length) // report-once: no dup pairs
+  }
+
   test("deterministicShuffle: exact permutation, brute-force order match, reproducible") {
     import graft.ops.Curation
     val df = (0L until 200L).toDF("doc_id")
