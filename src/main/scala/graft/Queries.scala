@@ -1555,8 +1555,32 @@ object Queries {
       graft.ops.Temporal.intervalOverlapPairs(iv, "user_id", "event_id",
           "s_us", "e_us", binUs = 1800000000L) // 30-min bins
         .select(col("key").as("user_id"), col("id_a"), col("id_b"), col("overlap_us"))
-    })
+    }),
+
+    // HyperLogLog registers over the word-BIGRAM stream (cardinality in
+    // the hundreds — raw HLL's valid regime; the ~30-word unigram vocab
+    // would sit in the small-range zone the op documents away), ORACLED:
+    // every register is exact integer arithmetic on the mixed polyHash.
+    "q110_hll_registers" -> ((s, dir) =>
+      graft.ops.Sketches.hllRegisters(hllBigrams(docs(s, dir)), "w")
+        .select(col("bucket"), col("register"))),
+
+    // HLL raw estimate, ORACLED: the 2^(26-reg) sum stays exact-integer;
+    // the single α·m²·2²⁶/S float division is identical IEEE order in
+    // both engines, quantized to milli-units.
+    "q111_hll_estimate" -> ((s, dir) =>
+      graft.ops.Sketches.hllEstimate(
+          graft.ops.Sketches.hllRegisters(hllBigrams(docs(s, dir)), "w"))
+        .select(col("m"), col("n_buckets"), col("s_scaled"), col("est_milli")))
   )
+
+  /** q110/q111 item stream: consecutive word bigrams (zip_with over the
+    * 1-shifted slice — no descending-sequence edge case on 1-word docs). */
+  private def hllBigrams(d: DataFrame): DataFrame =
+    d.select(split(trim(col("text")), "\\s+").as("__ws"))
+      .select(explode(expr(
+        """zip_with(slice(__ws, 1, size(__ws) - 1), slice(__ws, 2, size(__ws) - 1),
+          |(a, b) -> concat(a, ' ', b))""".stripMargin)).as("w"))
 
   /** q98's planted syndicated block — long enough (~330 codepoints vs the
     * 64-codepoint expected chunk length) that several boundaries land
@@ -3676,5 +3700,42 @@ object Queries {
         |FROM iv a JOIN iv b
         |  ON a.user_id = b.user_id AND a.event_id < b.event_id
         |  AND a.s <= b.e AND b.s <= a.e""".stripMargin,
+
+    // q110/q111: polyHash fold shared with q104 + the Carter-Wegman mix;
+    // bit length via printf('%b') — exact integers, no log2 float boundary
+    "q110_hll_registers" ->
+      s"""WITH $hllRegisterCtes
+         |SELECT bucket, CAST(max(rank) AS BIGINT) AS register
+         |FROM r GROUP BY 1""".stripMargin,
+
+    "q111_hll_estimate" ->
+      s"""WITH $hllRegisterCtes,
+         |reg AS (SELECT bucket, CAST(max(rank) AS BIGINT) AS register
+         |  FROM r GROUP BY 1),
+         |a AS (SELECT count(*)::BIGINT AS n_buckets,
+         |    CAST(sum(1::BIGINT << CAST(26 - register AS INT)) AS BIGINT) AS sp
+         |  FROM reg)
+         |SELECT 64::BIGINT AS m, n_buckets,
+         |  sp + (64 - n_buckets) * 67108864 AS s_scaled,
+         |  CAST(floor(0.709::DOUBLE * 4096.0 * 67108864.0
+         |    / (sp + (64 - n_buckets) * 67108864) * 1000.0 + 0.5) AS BIGINT) AS est_milli
+         |FROM a""".stripMargin,
   )
+
+  /** Shared CTE block for q110/q111: bigram stream → mixed polyHash →
+    * (bucket, rank) rows. (A def, not a val: the oracles map interpolates
+    * it and object vals initialize in declaration order.) */
+  private def hllRegisterCtes: String =
+    """b AS (SELECT regexp_split_to_array(trim(text), '\s+') AS ws FROM documents),
+      |w AS (SELECT unnest([ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))]) AS w
+      |  FROM b),
+      |h0 AS (SELECT
+      |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(w, '')]),
+      |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h0
+      |  FROM w),
+      |h AS (SELECT (h0 * 1103515245 + 12345) % 2147483647 AS h FROM h0),
+      |r AS (SELECT h % 64 AS bucket,
+      |    CASE WHEN h // 64 = 0 THEN 26
+      |      ELSE 26 - len(printf('%b', h // 64)) END AS rank
+      |  FROM h)""".stripMargin
 }

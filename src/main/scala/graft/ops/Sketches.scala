@@ -111,4 +111,55 @@ object Sketches {
         when(col("n_kept") < k, col("n_kept").cast("double"))
           .otherwise(floor(est * lit(1e6) + lit(0.5)) / lit(1e6)))
   }
+
+  /** HyperLogLog registers (Flajolet et al. 2007) over the 31-bit
+    * [[Dedup.polyHash]] family, m = 64 buckets: bucket = h mod 64,
+    * rank = leading zeros of the remaining 25-bit suffix + 1 (suffix 0 →
+    * the max rank 26). Bit length comes from `length(bin(x))` — exact
+    * integer both engines, no log2 float boundary. Completes the sketch
+    * family: KMV (T33) estimates per-group cardinality, count-min (T52)
+    * frequencies; HLL is the fixed-64-register global-cardinality shape
+    * whose registers MERGE by max — the property that lets one reducer
+    * combine per-partition sketches of a 10^12-row corpus.
+    *
+    * Scale shape: narrow hash/bucket/rank projection, ONE map-combined
+    * max aggregate over at most 64 keys. Returns (bucket, register) for
+    * non-empty buckets. */
+  def hllRegisters(df: DataFrame, itemCol: String): DataFrame = {
+    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    // polyHash alone CANNOT feed leading-zero ranks: base 131 diffuses
+    // upward too slowly, so same-length shared-prefix keys ("item_1",
+    // "item_2", …) collapse to one high-bit pattern and every register
+    // reads the same rank (measured: E=363 on 5000 such keys). The
+    // Carter-Wegman affine mix (the family's aCoef/bCoef constants)
+    // spreads the high bits; E=4875 on the same keys.
+    df.select(hashUdf(col(itemCol).cast("string")).as("__h0"))
+      .select(pmod(col("__h0") * lit(1103515245L) + lit(12345L),
+        lit(Dedup.MersenneP)).as("__h"))
+      .select(pmod(col("__h"), lit(64L)).as("bucket"),
+        expr("__h div 64").as("__sfx"))
+      .select(col("bucket"),
+        when(col("__sfx") === 0L, lit(26L))
+          .otherwise(lit(26L) - length(bin(col("__sfx")))).as("__rank"))
+      .groupBy(col("bucket")).agg(max(col("__rank")).as("register"))
+  }
+
+  /** Raw HLL cardinality estimate from [[hllRegisters]] output:
+    * E = α₆₄·m² / Σ 2^(−reg) with empty buckets contributing 2⁰. The sum
+    * is kept EXACT-integer as S = Σ 2^(26−reg) (so Σ2^(−reg) = S/2²⁶,
+    * each term a `shiftleft` — no float accumulation order to disagree
+    * on); the one float step is the final α·m²·2²⁶/S division, identical
+    * IEEE left-to-right in both engines, quantized to milli-units. Raw
+    * estimator only (no small/large-range correction — T33's KMV is the
+    * production cardinality path; this completes the HLL shape). Returns
+    * one row (m, n_buckets, s_scaled, est_milli). */
+  def hllEstimate(registers: DataFrame): DataFrame =
+    registers
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(expr("shiftleft(1L, cast(26 - register as int))")).as("__sp"))
+      .select(lit(64L).as("m"), col("n_buckets"),
+        (col("__sp") + (lit(64L) - col("n_buckets")) * lit(67108864L)).as("s_scaled"))
+      .withColumn("est_milli",
+        floor(lit(0.709) * lit(4096.0) * lit(67108864.0) / col("s_scaled") * lit(1000.0)
+          + lit(0.5)).cast("long"))
 }

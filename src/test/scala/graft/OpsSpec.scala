@@ -636,6 +636,29 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("hllRegisters/hllEstimate: registers match brute force, estimate within HLL error") {
+    import graft.ops.{Dedup, Sketches}
+    val items = (0 until 5000).map(i => s"item_$i")
+    val df = (items ++ items).toDF("w") // duplicates must not move registers
+    val regs = Sketches.hllRegisters(df, "w")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // shared-prefix keys are the adversarial case the affine mix exists
+    // for (unmixed polyHash reads every register as 3 here)
+    val brute = items
+      .map(s => (Dedup.polyHash(s) * 1103515245L + 12345L) % Dedup.MersenneP)
+      .groupBy(_ % 64).map { case (b, hs) =>
+        b -> hs.map { h =>
+          val sfx = h / 64; if (sfx == 0) 26L else 26L - java.lang.Long.toBinaryString(sfx).length
+        }.max
+      }
+    assert(regs == brute, s"registers diverge: ${regs.toSeq.sorted} vs ${brute.toSeq.sorted}")
+    val est = Sketches.hllEstimate(Sketches.hllRegisters(df, "w")).collect()(0)
+    val estVal = est.getLong(3) / 1000.0
+    // raw HLL on m=64: relative error ~1.04/sqrt(64) = 13%; allow 3 sigma
+    assert(math.abs(estVal - 5000.0) / 5000.0 < 0.4, s"estimate $estVal vs 5000")
+    assert(est.getLong(0) == 64L && est.getLong(1) <= 64L)
+  }
+
   test("encodingJunk: replacement/control/mojibake counted, tab and newline exempt") {
     import graft.ops.TextOps
     val df = Seq(
