@@ -1571,7 +1571,24 @@ object Queries {
     "q111_hll_estimate" -> ((s, dir) =>
       graft.ops.Sketches.hllEstimate(
           graft.ops.Sketches.hllRegisters(hllBigrams(docs(s, dir)), "w"))
-        .select(col("m"), col("n_buckets"), col("s_scaled"), col("est_milli")))
+        .select(col("m"), col("n_buckets"), col("s_scaled"), col("est_milli"))),
+
+    // Sparse random projection, ORACLED: 64-dim embeddings → 8 signed
+    // micro-unit sums under a matrix-free ±1 hash — every output cell is
+    // exact integer arithmetic DuckDB recomputes per coordinate pair.
+    "q112_random_projection" -> ((s, dir) =>
+      graft.ops.Similarity.randomProjection(
+          embeddings(s, dir).filter(col("vec_id") < 200), "vec_id", "embedding",
+          outDims = 8)
+        .select(col("id").as("vec_id"), col("dim"), col("value"))),
+
+    // MAD outlier gate, ORACLED: per-source robust length trim — both
+    // exact medians, the deviation, and every flag replay bit-for-bit
+    // (type-1 quantile under the (value, doc_id) total order).
+    "q113_mad_outliers" -> ((s, dir) =>
+      graft.ops.Curation.madOutliers(docs(s, dir), "source", "n_chars", "doc_id", k = 3)
+        .select(col("id").as("doc_id"), col("key").as("source"),
+          col("value").as("n_chars"), col("med"), col("mad"), col("is_outlier")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -3720,6 +3737,38 @@ object Queries {
          |  CAST(floor(0.709::DOUBLE * 4096.0 * 67108864.0
          |    / (sp + (64 - n_buckets) * 67108864) * 1000.0 + 0.5) AS BIGINT) AS est_milli
          |FROM a""".stripMargin,
+
+    // q112: per-coordinate ±1 hash and signed micro-unit sums recomputed
+    // independently (q95's range-join indexing pattern)
+    "q112_random_projection" ->
+      """WITH q AS (SELECT vec_id,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) FOR x IN embedding] AS q
+        |  FROM embeddings WHERE vec_id < 200),
+        |e AS (SELECT vec_id, t.i, q[t.i] AS qi
+        |  FROM q CROSS JOIN range(1, 65) t(i) WHERE t.i <= len(q))
+        |SELECT vec_id, j.j AS dim,
+        |  CAST(sum(CASE WHEN (((t.i - 1) * 131071 + j.j * 524287) % 2147483647) % 2 = 0
+        |    THEN qi ELSE -qi END) AS BIGINT) AS value
+        |FROM e t CROSS JOIN range(0, 8) j(j)
+        |GROUP BY 1, 2""".stripMargin,
+
+    // q113: the q62 rank-arithmetic median replayed twice (values, then
+    // absolute deviations), flags integer-compared
+    "q113_mad_outliers" ->
+      """WITH r AS (SELECT doc_id, source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |med AS (SELECT source, n_chars AS med FROM r WHERE rn = floor((n - 1) / 2) + 1),
+        |d AS (SELECT doc_id, source, n_chars, med, abs(n_chars - med) AS dev
+        |  FROM documents JOIN med USING (source)),
+        |r2 AS (SELECT source, dev,
+        |    row_number() OVER (PARTITION BY source ORDER BY dev, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM d),
+        |mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = floor((n - 1) / 2) + 1)
+        |SELECT doc_id, source, n_chars, med, mad, dev > mad * 3 AS is_outlier
+        |FROM d JOIN mad USING (source)""".stripMargin,
   )
 
   /** Shared CTE block for q110/q111: bigram stream → mixed polyHash →

@@ -914,6 +914,47 @@ object Curation {
       .select(col("id"), col("quality"), col("n_tokens"), col("cum_tokens"), col("kept"))
   }
 
+  /** Robust per-key outlier gate by median absolute deviation: a row is
+    * an outlier when |value − median| > k·MAD — the robust cousin of the
+    * z-score cut (mean/stddev move with the very outliers being hunted;
+    * median/MAD have a 50% breakdown point), the standard way to trim
+    * length-freak documents per source without hand-picked thresholds.
+    * Both medians are the exact type-1 quantile under a total (value,
+    * tiebreak) order ([[exactQuantiles]]'s definition), so every flag is
+    * integer-exact and engine-independent — no `percentile_approx`
+    * nondeterminism deciding which documents survive. `k` is integral
+    * (default 3); an all-identical group has MAD 0 and flags any
+    * deviation, matching the robust-statistics convention.
+    *
+    * Scale shape: two window passes over the SAME key partitioning (one
+    * per median — the second over the derived deviations) plus a
+    * broadcast join of the two tiny per-key median tables back to the
+    * rows; groups sort partition-locally, never globally. Returns
+    * (id, key, value, med, mad, is_outlier). */
+  def madOutliers(
+      df: DataFrame, keyCol: String, valueCol: String, tiebreakCol: String,
+      k: Int = 3): DataFrame = {
+    require(k >= 1)
+    val base = df.select(col(keyCol).as("key"),
+      col(valueCol).cast("long").as("value"), col(tiebreakCol).as("__tb"))
+    def medians(d: DataFrame, vCol: String): DataFrame = {
+      val w = Window.partitionBy(col("key")).orderBy(col(vCol), col("__tb"))
+      val wAll = Window.partitionBy(col("key"))
+      d.withColumn("__rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(wAll))
+        .filter(col("__rn") === floor((col("__n") - 1) / 2) + 1)
+        .select(col("key"), col(vCol).as("__m"))
+    }
+    val med = medians(base, "value").withColumnRenamed("__m", "med")
+    val withMed = base.join(broadcast(med), Seq("key"))
+      .withColumn("__dev", abs(col("value") - col("med")))
+    val mad = medians(withMed.select(col("key"), col("__dev"), col("__tb")), "__dev")
+      .withColumnRenamed("__m", "mad")
+    withMed.join(broadcast(mad), Seq("key"))
+      .select(col("__tb").as("id"), col("key"), col("value"), col("med"), col("mad"),
+        (col("__dev") > col("mad") * k).as("is_outlier"))
+  }
+
   /** Deterministic training-order shuffle WITHOUT a global sort: every
     * row gets an exact position in a pseudorandom permutation — the
     * "shuffle the corpus before epoch 0" step, reproducible across runs,

@@ -297,4 +297,36 @@ object Similarity {
       .select(col("id"), col("dim"),
         expr("((vm - lo) * 255) div greatest(hi - lo, 1)").as("code"))
   }
+
+  /** Sparse random projection (Achlioptas 2003): compress vectors to
+    * `outDims` dimensions with a ±1 sign matrix — the JL-lemma
+    * dimensionality reducer that front-ends LSH/IVF when the input
+    * dimension is itself the cost (pairwise distances are preserved
+    * within 1±ε at outDims = O(log n / ε²)). The sign matrix is never
+    * materialized: sign(i, j) is a pure hash of the coordinate pair, so
+    * every engine, executor, and rerun agrees on it (the same
+    * matrix-free trick as T19's hash split). Inputs quantize to exact
+    * integer micro-units first ([[Clustering]]'s protocol), making every
+    * output cell exact-integer and the q112 replay bit-for-bit.
+    *
+    * Scale shape: PURELY NARROW — the quantized vector and its index zip
+    * are bound to attributes once, and the `outDims` signed sums are
+    * single-pass `aggregate` folds (no per-element re-evaluation hazard,
+    * no exchange at all). Returns long-format (id, dim, value). */
+  def randomProjection(
+      df: DataFrame, idCol: String, vecCol: String, outDims: Int = 8): DataFrame = {
+    require(outDims >= 1)
+    val base = df.select(col(idCol).cast("long").as("id"),
+      transform(col(vecCol), x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("__q"))
+    val withZ = base.withColumn("__z",
+      expr("zip_with(__q, sequence(0, size(__q) - 1), (q, i) -> struct(q AS q, i AS i))"))
+    val dims = (0 until outDims).map { j =>
+      struct(lit(j.toLong).as("dim"),
+        expr(s"""aggregate(__z, 0L, (acc, s) -> acc +
+                |(CASE WHEN ((s.i * 131071 + $j * 524287) % 2147483647) % 2 = 0
+                |  THEN s.q ELSE -s.q END))""".stripMargin).as("value"))
+    }
+    withZ.select(col("id"), explode(array(dims: _*)).as("e"))
+      .select(col("id"), col("e.dim").as("dim"), col("e.value").as("value"))
+  }
 }

@@ -636,6 +636,43 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("randomProjection: exact signed sums vs brute force, distance preservation trend") {
+    import graft.ops.Similarity
+    val vecs = (1L to 40L).map(i =>
+      (i, Array.tabulate(16)(d => ((i * 7 + d * 13) % 29).toFloat / 29f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val got = Similarity.randomProjection(df, "vec_id", "embedding", outDims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def sign(i: Int, j: Int): Long =
+      if (((i.toLong * 131071 + j.toLong * 524287) % 2147483647L) % 2 == 0) 1L else -1L
+    val brute = (for {
+      (id, v) <- vecs; j <- 0 until 4
+      q = v.map(x => math.floor(x.toDouble * 1e6 + 0.5).toLong)
+    } yield (id, j.toLong) -> q.zipWithIndex.map { case (x, i) => sign(i, j) * x }.sum).toMap
+    assert(got == brute, got.toSeq.sorted.take(3).toString + " vs " +
+      brute.toSeq.sortBy(_._1).take(3))
+    // identical inputs project identically; different inputs (almost surely) differ
+    assert(got((1L, 0L)) == brute((1L, 0L)) && got.values.toSet.size > 1)
+  }
+
+  test("madOutliers: robust flags, per-key scope, all-identical group has MAD 0") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("a", 100L, 1L), ("a", 102L, 2L), ("a", 98L, 3L), ("a", 101L, 4L),
+      ("a", 5000L, 5L), // the length freak
+      ("b", 7L, 6L), ("b", 7L, 7L), ("b", 7L, 8L), ("b", 9L, 9L)
+    ).toDF("src", "len", "id")
+    val r = Curation.madOutliers(df, "src", "len", "id", k = 3)
+      .collect().map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4), x.getBoolean(5))).toMap
+    // key a: sorted lens (98,100,101,102,5000), median = 101 (rank 3);
+    // devs sorted (0,1,1,3,4899) -> MAD 1; dev 3 is NOT > 3*1, only the
+    // freak flags
+    assert(r(5L) == ((101L, 1L, true)), r.toString)
+    assert(Seq(1L, 2L, 3L, 4L).forall(!r(_)._3), r.toString)
+    // key b: median 7, MAD 0 -> any deviation flags (robust convention)
+    assert(r(9L) == ((7L, 0L, true)) && !r(6L)._3, r.toString)
+  }
+
   test("hllRegisters/hllEstimate: registers match brute force, estimate within HLL error") {
     import graft.ops.{Dedup, Sketches}
     val items = (0 until 5000).map(i => s"item_$i")
