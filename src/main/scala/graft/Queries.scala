@@ -1588,7 +1588,21 @@ object Queries {
     "q113_mad_outliers" -> ((s, dir) =>
       graft.ops.Curation.madOutliers(docs(s, dir), "source", "n_chars", "doc_id", k = 3)
         .select(col("id").as("doc_id"), col("key").as("source"),
-          col("value").as("n_chars"), col("med"), col("mad"), col("is_outlier")))
+          col("value").as("n_chars"), col("med"), col("mad"), col("is_outlier"))),
+
+    // MinHash fidelity audit, ORACLED: q27's corpus slice (originals +
+    // prefix-changed near-dups) paired exhaustively — signature estimate
+    // vs exact Jaccard vs absolute error, every cell integer-exact on the
+    // production T2 kernels.
+    "q114_minhash_fidelity" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 30)
+      val corpus = base.select(col("doc_id").cast("long").as("id"), col("text"))
+        .union(base.select((col("doc_id") + 10000L).as("id"),
+          regexp_replace(col("text"), "^(\\S+) (\\S+)", "changed prefix").as("text")))
+      graft.ops.Dedup.minhashFidelity(corpus, "id", "text")
+        .select(col("id_a"), col("id_b"), col("sig_match_micro"),
+          col("jaccard_micro"), col("abs_err_micro"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -3769,6 +3783,60 @@ object Queries {
         |mad AS (SELECT source, dev AS mad FROM r2 WHERE rn = floor((n - 1) / 2) + 1)
         |SELECT doc_id, source, n_chars, med, mad, dev > mad * 3 AS is_outlier
         |FROM d JOIN mad USING (source)""".stripMargin,
+
+    // q114: q27's shingle/signature replay to the raw 32-hash signature,
+    // then exhaustive pairs with position-match counting and exact
+    // set Jaccard
+    "q114_minhash_fidelity" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents WHERE doc_id < 30
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 10000 AS id,
+        |         regexp_replace(text, '^(\S+) (\S+)', 'changed prefix') AS text
+        |  FROM documents WHERE doc_id < 30
+        |),
+        |words AS (
+        |  SELECT id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM corpus
+        |),
+        |sh AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |         ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+        |    END) AS shingles
+        |  FROM words
+        |),
+        |ph AS (
+        |  SELECT id, shingles,
+        |    [list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |       (acc, c) -> (acc * 131 + c) % 2147483647) FOR sg IN shingles] AS hb
+        |  FROM sh
+        |),
+        |sigs AS (
+        |  SELECT id, shingles,
+        |    [CASE WHEN len(hb) = 0 THEN 2147483647::BIGINT
+        |          ELSE list_min([((((h+1) * 1103515245 + 12345) % 2147483647) * x
+        |                          + (((h+1) * 1234567891 + 987654321) % 2147483647)) % 2147483647
+        |                         FOR x IN hb]) END
+        |     FOR h IN range(0, 32)] AS sig
+        |  FROM ph
+        |),
+        |p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    CAST(len([i FOR i IN range(1, 33) IF a.sig[i] = b.sig[i]]) * 1000000 // 32
+        |      AS BIGINT) AS sig_match_micro,
+        |    len(list_intersect(a.shingles, b.shingles))::BIGINT AS i,
+        |    (len(a.shingles) + len(b.shingles)
+        |      - len(list_intersect(a.shingles, b.shingles)))::BIGINT AS u
+        |  FROM sigs a JOIN sigs b ON a.id < b.id
+        |)
+        |SELECT id_a, id_b, sig_match_micro,
+        |  CASE WHEN u = 0 THEN 1000000 ELSE CAST(i * 1000000 // u AS BIGINT) END
+        |    AS jaccard_micro,
+        |  abs(sig_match_micro - (CASE WHEN u = 0 THEN 1000000
+        |    ELSE CAST(i * 1000000 // u AS BIGINT) END)) AS abs_err_micro
+        |FROM p""".stripMargin,
   )
 
   /** Shared CTE block for q110/q111: bigram stream → mixed polyHash →

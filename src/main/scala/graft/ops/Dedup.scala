@@ -97,13 +97,15 @@ object Dedup {
     * (one affine transform per seed of the per-shingle polynomial hash),
     * then each of `bands` contiguous signature slices folded to one key
     * (base-131071 polynomial fold, also mod p). */
-  def bandKeysKernel(numHashes: Int, bands: Int): Array[String] => Array[Long] = { shingles =>
-    val r = numHashes / bands
+  /** Raw MinHash signature of a shingle set: `numHashes` column-wise
+    * mins over the Carter-Wegman permutations of the per-shingle
+    * polynomial hash. p itself is the empty-set sentinel: every real
+    * hash is < p, and it keeps the band fold inside 64-bit range (no
+    * silent wraparound). */
+  def minhashSignatureKernel(numHashes: Int): Array[String] => Array[Long] = { shingles =>
     val base = new Array[Long](shingles.length)
     var i = 0
     while (i < shingles.length) { base(i) = polyHash(shingles(i)); i += 1 }
-    // p itself is the empty-set sentinel: every real hash is < p, and it
-    // keeps the band fold inside 64-bit range (no silent wraparound)
     val sig = new Array[Long](numHashes)
     java.util.Arrays.fill(sig, MersenneP)
     var h = 0
@@ -118,6 +120,12 @@ object Dedup {
       }
       h += 1
     }
+    sig
+  }
+
+  def bandKeysKernel(numHashes: Int, bands: Int): Array[String] => Array[Long] = { shingles =>
+    val r = numHashes / bands
+    val sig = minhashSignatureKernel(numHashes)(shingles)
     val keys = new Array[Long](bands)
     var b = 0
     while (b < bands) {
@@ -367,6 +375,46 @@ object Dedup {
       .withColumn("dist", levenshtein(col("fa"), col("fb")))
       .where(col("dist") <= maxDist)
       .select(col("id_a"), col("id_b"), col("dist").cast("long").as("dist"))
+  }
+
+  /** MinHash fidelity audit: for every pair in a BOUNDED document set,
+    * the signature-agreement fraction (the sketch's Jaccard estimate —
+    * P[minhash collision] = Jaccard, Broder 1997) next to the EXACT
+    * shingle-set Jaccard and their absolute error, all in integer
+    * micro-units. This is the calibration step that picks `numHashes`
+    * and the LSH band/row split empirically (expected |error| ≈
+    * 1/√numHashes ≈ 177k micro at 32 hashes) instead of trusting the
+    * asymptotics — the sketch-QA twin of T88's classifier calibration.
+    *
+    * Scale shape: a deliberately BOUNDED audit (crossJoin over a sampled
+    * slice, like q23's re-score stage — whitelisted by design); the
+    * signature and shingle kernels are the production T2 kernels, so the
+    * audit measures exactly what the LSH pipeline ships. Returns
+    * (id_a, id_b, sig_match_micro, jaccard_micro, abs_err_micro). */
+  def minhashFidelity(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleK: Int = 3, numHashes: Int = 32): DataFrame = {
+    val shUdf = udf(wordShinglesKernel(shingleK))
+    val sigUdf = udf(minhashSignatureKernel(numHashes))
+    val base = df.select(col(idCol).cast("long").as("id"),
+        shUdf(col(textCol)).as("__sh"))
+      .withColumn("__sig", sigUdf(col("__sh")))
+    val a = base.select(col("id").as("id_a"), col("__sh").as("__sha"),
+      col("__sig").as("__siga"))
+    val b = base.select(col("id").as("id_b"), col("__sh").as("__shb"),
+      col("__sig").as("__sigb"))
+    a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .withColumn("sig_match_micro", expr(
+        s"""aggregate(zip_with(__siga, __sigb, (x, y) -> IF(x = y, 1L, 0L)),
+           |0L, (acc, m) -> acc + m) * 1000000 div $numHashes""".stripMargin))
+      .withColumn("__i", size(array_intersect(col("__sha"), col("__shb"))).cast("long"))
+      .withColumn("__u",
+        size(col("__sha")).cast("long") + size(col("__shb")) - col("__i"))
+      .withColumn("jaccard_micro",
+        when(col("__u") === 0L, lit(1000000L))
+          .otherwise(expr("__i * 1000000 div __u")))
+      .select(col("id_a"), col("id_b"), col("sig_match_micro"), col("jaccard_micro"),
+        abs(col("sig_match_micro") - col("jaccard_micro")).as("abs_err_micro"))
   }
 
   /** Powers of the CDC window-hash base mod 2^31-1, exposed so the q98

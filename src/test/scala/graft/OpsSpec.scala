@@ -636,6 +636,28 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("minhashFidelity: identical docs read 1.0/1.0, estimate tracks exact Jaccard") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again today"), // exact dup
+      (3L, "the quick brown fox jumps over the lazy dog again and again tomorrow"), // near dup
+      (4L, "completely different content about spark catalyst optimizer internals today")
+    ).toDF("id", "text")
+    val r = Dedup.minhashFidelity(df, "id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        (x.getLong(2), x.getLong(3), x.getLong(4))).toMap
+    assert(r((1L, 2L)) == ((1000000L, 1000000L, 0L)), r.toString) // identical: both 1.0
+    val (est, exact, err) = r((1L, 3L))
+    assert(exact > 500000L && exact < 1000000L, r.toString)       // near dup
+    assert(err == math.abs(est - exact))
+    // 32 hashes: std error ~ sqrt(j(1-j)/32) <= 88k micro; allow 4 sigma
+    assert(err < 360000L, s"estimate $est way off exact $exact")
+    val (estFar, exactFar, _) = r((1L, 4L))
+    assert(exactFar < 200000L && estFar < 500000L, r.toString)    // unrelated stays low
+    assert(r.size == 6)
+  }
+
   test("randomProjection: exact signed sums vs brute force, distance preservation trend") {
     import graft.ops.Similarity
     val vecs = (1L to 40L).map(i =>

@@ -686,7 +686,8 @@ class PlanSpec extends AnyFunSuite {
     // / q100 (sqrt-weight total) / q107 (corpus token total)
     val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk", "q39_mix_sample",
       "q57_bm25", "q58_lm_score", "q59_pagerank", "q61_kmeans", "q63_tfidf",
-      "q97_hits", "q100_mix_weights", "q107_signature_terms")
+      "q97_hits", "q100_mix_weights", "q107_signature_terms",
+      "q114_minhash_fidelity") // bounded sketch-calibration crossJoin (q23's shape)
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
