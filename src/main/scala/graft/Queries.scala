@@ -1602,7 +1602,22 @@ object Queries {
       graft.ops.Dedup.minhashFidelity(corpus, "id", "text")
         .select(col("id_a"), col("id_b"), col("sig_match_micro"),
           col("jaccard_micro"), col("abs_err_micro"))
-    })
+    }),
+
+    // Key-skew profile, ORACLED: top-10 sources by weight with exact
+    // micro-unit corpus shares and the cumulative curve — the total
+    // (count desc, key) order makes every rank and cumsum replayable.
+    "q115_skew_profile" -> ((s, dir) =>
+      graft.ops.Curation.skewProfile(docs(s, dir), "source", topK = 10)
+        .select(col("rank"), col("key").as("source"), col("n"),
+          col("share_micro"), col("cum_share_micro"))),
+
+    // Fixed-width histogram, ORACLED: n_chars in 200-char buckets with
+    // exact micro-unit shares and CDF.
+    "q116_histogram" -> ((s, dir) =>
+      graft.ops.Curation.histogram(docs(s, dir), "n_chars", width = 200L)
+        .select(col("bucket"), col("lo"), col("n"),
+          col("share_micro"), col("cum_share_micro")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -3837,6 +3852,33 @@ object Queries {
         |  abs(sig_match_micro - (CASE WHEN u = 0 THEN 1000000
         |    ELSE CAST(i * 1000000 // u AS BIGINT) END)) AS abs_err_micro
         |FROM p""".stripMargin,
+
+    // q115: the same total (count desc, key) order drives rank, share,
+    // and the running cumulative sum
+    "q115_skew_profile" ->
+      """WITH c AS (SELECT source AS key, count(*)::BIGINT AS n FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |r AS (SELECT key, n,
+        |    row_number() OVER (ORDER BY n DESC, key) AS rank,
+        |    CAST(sum(n) OVER (ORDER BY n DESC, key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT rank::BIGINT AS rank, key AS source, n,
+        |  CAST(n * 1000000 // t.t AS BIGINT) AS share_micro,
+        |  CAST(cum * 1000000 // t.t AS BIGINT) AS cum_share_micro
+        |FROM r CROSS JOIN t WHERE rank <= 10""".stripMargin,
+
+    // q116: bucket arithmetic + running CDF, all integer-exact
+    "q116_histogram" ->
+      """WITH c AS (SELECT n_chars // 200 AS bucket, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1),
+        |t AS (SELECT CAST(sum(n) AS BIGINT) AS t FROM c),
+        |r AS (SELECT bucket, n,
+        |    CAST(sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |  FROM c)
+        |SELECT bucket, bucket * 200 AS lo, n,
+        |  CAST(n * 1000000 // t.t AS BIGINT) AS share_micro,
+        |  CAST(cum * 1000000 // t.t AS BIGINT) AS cum_share_micro
+        |FROM r CROSS JOIN t""".stripMargin,
   )
 
   /** Shared CTE block for q110/q111: bigram stream → mixed polyHash →

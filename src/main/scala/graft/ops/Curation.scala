@@ -914,6 +914,58 @@ object Curation {
       .select(col("id"), col("quality"), col("n_tokens"), col("cum_tokens"), col("kept"))
   }
 
+  /** Key-skew profile: the top-k heaviest keys with their corpus share
+    * and the cumulative share curve — the "which host IS the crawl"
+    * report read before choosing salting factors, per-key quotas (T20),
+    * and AQE skew thresholds; at web scale a handful of hosts routinely
+    * carry double-digit percentages and every downstream shuffle
+    * inherits that skew unseen. Shares are exact integer micro-units.
+    *
+    * Scale shape: one map-combined key count (the skew itself is what
+    * partial aggregation flattens), a 1-row total broadcast, and a
+    * TakeOrderedAndProject top-k — never a global sort; the rank and
+    * cumulative-share windows run on the ≤k-row frame AFTER the take
+    * (their sort is partition-local on k rows). Returns
+    * (rank, key, n, share_micro, cum_share_micro). */
+  def skewProfile(df: DataFrame, keyCol: String, topK: Int = 10): DataFrame = {
+    require(topK >= 1)
+    val counts = df.groupBy(col(keyCol).as("key")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(counts.agg(sum(col("n")).as("__t")))
+    val w = Window.orderBy(col("n").desc, col("key"))
+    counts.orderBy(col("n").desc, col("key")).limit(topK)
+      .crossJoin(tot)
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .withColumn("share_micro", expr("n * 1000000 div __t"))
+      .withColumn("cum_share_micro",
+        expr("sum(n) OVER (ORDER BY n DESC, key ROWS UNBOUNDED PRECEDING) * 1000000 div __t"))
+      .select(col("rank"), col("key"), col("n"), col("share_micro"), col("cum_share_micro"))
+  }
+
+  /** Fixed-width value histogram with the cumulative distribution in
+    * exact micro-units — the length/score profile read before picking
+    * filter cutoffs (the quantile ops T44/T66 answer "what value sits at
+    * p99"; the histogram answers "what does the whole shape look like").
+    * Buckets are `value div width` (non-negative values; floor there).
+    *
+    * Scale shape: one map-combined bucket aggregate (key space =
+    * value-range/width, never the corpus), a 1-row total broadcast, and
+    * rank/cumulative windows over the small bucket frame (partition-
+    * local sort on bucket count rows). Returns
+    * (bucket, lo, n, share_micro, cum_share_micro). */
+  def histogram(df: DataFrame, valueCol: String, width: Long): DataFrame = {
+    require(width > 0)
+    val counts = df
+      .select(expr(s"cast($valueCol as long) div ${width}L").as("bucket"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+    val tot = broadcast(counts.agg(sum(col("n")).as("__t")))
+    counts.crossJoin(tot)
+      .withColumn("lo", col("bucket") * width)
+      .withColumn("share_micro", expr("n * 1000000 div __t"))
+      .withColumn("cum_share_micro",
+        expr("sum(n) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) * 1000000 div __t"))
+      .select(col("bucket"), col("lo"), col("n"), col("share_micro"), col("cum_share_micro"))
+  }
+
   /** Robust per-key outlier gate by median absolute deviation: a row is
     * an outlier when |value − median| > k·MAD — the robust cousin of the
     * z-score cut (mean/stddev move with the very outliers being hunted;

@@ -636,6 +636,26 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("skewProfile: exact shares, rank order, cumulative curve, top-k bound") {
+    import graft.ops.Curation
+    val df = (Seq.fill(60)("big") ++ Seq.fill(30)("mid") ++ Seq.fill(10)("small"))
+      .toDF("host")
+    val r = Curation.skewProfile(df, "host", topK = 2)
+      .collect().map(x => (x.getLong(0), x.getString(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    assert(r.toSeq == Seq((1L, "big", 60L, 600000L, 600000L),
+      (2L, "mid", 30L, 300000L, 900000L)), r.mkString(","))
+  }
+
+  test("histogram: bucket edges, shares, CDF reaches 1.0") {
+    import graft.ops.Curation
+    val df = Seq(0L, 5L, 199L, 200L, 201L, 999L).toDF("v")
+    val r = Curation.histogram(df, "v", width = 200L)
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(4))).toMap
+    assert(r(0L) == ((0L, 3L, 500000L)), r.toString)
+    assert(r(1L) == ((200L, 2L, 833333L)), r.toString)
+    assert(r(4L) == ((800L, 1L, 1000000L)), r.toString) // CDF closes at 1.0
+  }
+
   test("minhashFidelity: identical docs read 1.0/1.0, estimate tracks exact Jaccard") {
     import graft.ops.Dedup
     val df = Seq(

@@ -687,7 +687,8 @@ class PlanSpec extends AnyFunSuite {
     val bnljByDesign = Set("q23_ngram_jaccard", "q24_cosine_topk", "q39_mix_sample",
       "q57_bm25", "q58_lm_score", "q59_pagerank", "q61_kmeans", "q63_tfidf",
       "q97_hits", "q100_mix_weights", "q107_signature_terms",
-      "q114_minhash_fidelity") // bounded sketch-calibration crossJoin (q23's shape)
+      "q114_minhash_fidelity", // bounded sketch-calibration crossJoin (q23's shape)
+      "q115_skew_profile", "q116_histogram") // 1-row total broadcasts
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
