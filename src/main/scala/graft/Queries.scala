@@ -1617,7 +1617,28 @@ object Queries {
     "q116_histogram" -> ((s, dir) =>
       graft.ops.Curation.histogram(docs(s, dir), "n_chars", width = 200L)
         .select(col("bucket"), col("lo"), col("n"),
-          col("share_micro"), col("cum_share_micro")))
+          col("share_micro"), col("cum_share_micro"))),
+
+    // Reciprocal-rank fusion, ORACLED: the hybrid-search combiner over a
+    // lexical top-50 (q57's BM25, TakeOrdered then ranked) and a semantic
+    // top-50 (q24's cosine for query vector 0, with vec_id ≡ doc_id) —
+    // every reciprocal is integer micro-units, the fused order total.
+    "q117_rrf_hybrid" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = graft.ops.Retrieval.bm25Scores(docs(s, dir), "doc_id", "text",
+          Seq("data", "spark", "query", "merge"))
+        .orderBy(col("score").desc, col("id")).limit(50)
+      val lexRanked = lex.withColumn("rank",
+        row_number().over(Window.orderBy(col("score").desc, col("id"))))
+      val emb = embeddings(s, dir)
+      val sem = graft.ops.Similarity.bruteForceTopK(
+          emb.filter(col("vec_id") === 0), emb, "vec_id", "embedding", k = 50)
+        .select(col("nn_id").as("id"), col("rank"))
+      graft.ops.Retrieval.rrfFuse(lexRanked.select(col("id"), col("rank")), sem,
+          k = 60, topK = 20)
+        .select(col("id").as("doc_id"), col("rank_a"), col("rank_b"),
+          col("score_micro"), col("rank"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -3866,6 +3887,54 @@ object Queries {
         |  CAST(n * 1000000 // t.t AS BIGINT) AS share_micro,
         |  CAST(cum * 1000000 // t.t AS BIGINT) AS cum_share_micro
         |FROM r CROSS JOIN t WHERE rank <= 10""".stripMargin,
+
+    // q117: q57's BM25 replay and q24's cosine replay feed the same
+    // integer-reciprocal fusion and total (score desc, id) order
+    "q117_rrf_hybrid" ->
+      """WITH d AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\r]+'), x -> x <> '') AS w
+        |  FROM documents),
+        |b AS (SELECT doc_id, len(w)::BIGINT AS dl, w FROM d),
+        |stats AS (SELECT count(*)::BIGINT AS n_docs, round(avg(dl), 6) AS avgdl FROM b),
+        |t AS (SELECT doc_id, dl, unnest(w) AS tok FROM b),
+        |tf AS (SELECT doc_id, tok, count(*)::BIGINT AS tf, max(dl) AS dl
+        |  FROM t WHERE tok IN ('data','spark','query','merge') GROUP BY doc_id, tok),
+        |idf AS (SELECT tok,
+        |    floor(ln(1 + (n_docs - df + 0.5) / (df + 0.5)) * 1e6 + 0.5) / 1e6 AS idf
+        |  FROM (SELECT tok, count(*)::BIGINT AS df FROM tf GROUP BY tok), stats),
+        |sc AS (SELECT doc_id,
+        |    CAST(floor(idf * (tf * (1.2::DOUBLE + 1.0::DOUBLE)) /
+        |      (tf + 1.2::DOUBLE * (1.0::DOUBLE - 0.75::DOUBLE + 0.75::DOUBLE * dl / avgdl))
+        |      * 1e6 + 0.5) AS BIGINT) AS sm
+        |  FROM tf JOIN idf USING (tok), stats),
+        |lexs AS (SELECT doc_id AS id, sum(sm) / 1e6 AS score FROM sc GROUP BY doc_id),
+        |lex AS (SELECT id, rank FROM (SELECT id,
+        |    row_number() OVER (ORDER BY score DESC, id) AS rank FROM lexs)
+        |  WHERE rank <= 50),
+        |q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+        |semscored AS (
+        |  SELECT nn_id, CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(nq) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT c.vec_id AS nn_id,
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        [qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        [qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS nq,
+        |      list_reduce(list_prepend(0.0::DOUBLE,
+        |        [cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM q, (SELECT vec_id, embedding AS cv FROM embeddings) c)),
+        |sem AS (SELECT nn_id AS id, rank FROM (SELECT nn_id,
+        |    row_number() OVER (ORDER BY sim DESC, nn_id ASC) AS rank FROM semscored)
+        |  WHERE rank <= 50),
+        |fused AS (SELECT coalesce(lex.id, sem.id) AS doc_id,
+        |    lex.rank AS rank_a, sem.rank AS rank_b,
+        |    coalesce(1000000 // (60 + lex.rank), 0)
+        |      + coalesce(1000000 // (60 + sem.rank), 0) AS score_micro
+        |  FROM lex FULL OUTER JOIN sem ON sem.id = lex.id)
+        |SELECT doc_id, rank_a::BIGINT AS rank_a, rank_b::BIGINT AS rank_b,
+        |  CAST(score_micro AS BIGINT) AS score_micro, rank::BIGINT AS rank
+        |FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
+        |  FROM fused) WHERE rank <= 20""".stripMargin,
 
     // q116: bucket arithmetic + running CDF, all integer-exact
     "q116_histogram" ->

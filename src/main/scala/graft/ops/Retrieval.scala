@@ -321,6 +321,34 @@ object Retrieval {
         col("lift_micro"), col("rank").cast("long").as("rank"))
   }
 
+  /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
+    * search combiner: two ranked lists (lexical BM25 and semantic ANN,
+    * classically) merge by score Σ 1/(k + rank), which needs no score
+    * normalization because it consumes only RANKS — exactly why it wins
+    * over score interpolation across incomparable scorers. Kept exact:
+    * each reciprocal is `10^6 div (k + rank)` integer micro-units, so
+    * the fused order (with the id tiebreak) replays bit-for-bit. A doc
+    * absent from one list contributes 0 from it (the convention).
+    *
+    * Scale shape: inputs are ALREADY top-k lists (bounded by contract —
+    * fusing full corpora rank-wise is meaningless), so the full-outer id
+    * join and the final rank window run on ≤ |a|+|b| rows. Returns
+    * (id, rank_a, rank_b, score_micro, rank) for the fused top `topK`. */
+  def rrfFuse(a: DataFrame, b: DataFrame, k: Int = 60, topK: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1 && topK >= 1)
+    val fa = a.select(col("id"), col("rank").cast("long").as("rank_a"))
+    val fb = b.select(col("id"), col("rank").cast("long").as("rank_b"))
+    val w = Window.orderBy(col("score_micro").desc, col("id"))
+    fa.join(fb, Seq("id"), "full_outer")
+      .withColumn("score_micro",
+        coalesce(expr(s"1000000 div ($k + rank_a)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($k + rank_b)"), lit(0L)))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("id"), col("rank_a"), col("rank_b"), col("score_micro"), col("rank"))
+  }
+
   /** Exact phrase search via positional postings intersection — the
     * retrieval primitive BM25 (bag-of-words) cannot express: the terms
     * must occur CONSECUTIVELY. Tokens are (id, position, word); the

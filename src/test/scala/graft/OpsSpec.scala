@@ -636,6 +636,20 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("rrfFuse: agreement wins, one-list docs contribute one reciprocal, exact scores") {
+    import graft.ops.Retrieval
+    val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
+    val b = Seq((20L, 1L), (10L, 2L), (40L, 3L)).toDF("id", "rank")
+    val r = Retrieval.rrfFuse(a, b, k = 60, topK = 10)
+      .collect().map(x => x.getLong(0) -> (x.getLong(3), x.getLong(4))).toMap
+    // 10: 1e6/61 + 1e6/62 = 16393 + 16129 = 32522; 20: 1e6/62 + 1e6/61 same
+    assert(r(10L)._1 == 1000000L / 61 + 1000000L / 62, r.toString)
+    assert(r(10L)._1 == r(20L)._1 && r(10L)._2 == 1L && r(20L)._2 == 2L) // tie -> id order
+    // single-list docs score one reciprocal; 30 (rank 3 in a) ties 40 (rank 3 in b)
+    assert(r(30L)._1 == 1000000L / 63 && r(40L)._1 == 1000000L / 63)
+    assert(r(30L)._2 == 3L && r(40L)._2 == 4L)
+  }
+
   test("skewProfile: exact shares, rank order, cumulative curve, top-k bound") {
     import graft.ops.Curation
     val df = (Seq.fill(60)("big") ++ Seq.fill(30)("mid") ++ Seq.fill(10)("small"))
