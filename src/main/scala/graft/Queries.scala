@@ -1638,6 +1638,19 @@ object Queries {
           k = 60, topK = 20)
         .select(col("id").as("doc_id"), col("rank_a"), col("rank_b"),
           col("score_micro"), col("rank"))
+    }),
+
+    // Dataset card, ORACLED: the one-row corpus datasheet — exact dups
+    // planted by duplicating the mod-50 slice so the duplicate-rate
+    // figure is exercised, every figure exact-integer.
+    "q118_dataset_card" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val corpus = base.select(col("doc_id"), col("text"), col("source"), col("lang"))
+        .union(base.filter(col("doc_id") % 50 === 0)
+          .select(col("doc_id") + 100000L, col("text"), col("source"), col("lang")))
+      graft.ops.Curation.datasetCard(corpus, "doc_id", "text", "source", "lang")
+        .select(col("n_docs"), col("n_sources"), col("n_langs"), col("n_unique_texts"),
+          col("n_tokens"), col("n_chars"), col("dup_rate_micro"), col("mean_doc_chars"))
     })
   )
 
@@ -3935,6 +3948,25 @@ object Queries {
         |  CAST(score_micro AS BIGINT) AS score_micro, rank::BIGINT AS rank
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
         |  FROM fused) WHERE rank <= 20""".stripMargin,
+
+    // q118: every card figure recomputed exactly; the planted mod-50
+    // duplicate slice exercises the dup-rate arithmetic
+    "q118_dataset_card" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text, source, lang FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text, source, lang FROM documents WHERE doc_id % 50 = 0),
+        |a AS (SELECT count(*)::BIGINT AS n_docs,
+        |    count(DISTINCT source)::BIGINT AS n_sources,
+        |    count(DISTINCT lang)::BIGINT AS n_langs,
+        |    count(DISTINCT md5(text))::BIGINT AS n_unique_texts,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT) AS n_tokens,
+        |    CAST(sum(len(text)) AS BIGINT) AS n_chars
+        |  FROM corpus)
+        |SELECT n_docs, n_sources, n_langs, n_unique_texts, n_tokens, n_chars,
+        |  CAST((n_docs - n_unique_texts) * 1000000 // n_docs AS BIGINT) AS dup_rate_micro,
+        |  CAST(n_chars // n_docs AS BIGINT) AS mean_doc_chars
+        |FROM a""".stripMargin,
 
     // q116: bucket arithmetic + running CDF, all integer-exact
     "q116_histogram" ->

@@ -914,6 +914,36 @@ object Curation {
       .select(col("id"), col("quality"), col("n_tokens"), col("cum_tokens"), col("kept"))
   }
 
+  /** Dataset card — the one-row datasheet (Gebru et al. 2021) a corpus
+    * snapshot publishes alongside itself: document/source/language
+    * counts, token and character totals, exact whole-text duplicate
+    * rate, and mean document length, every figure exact-integer. The
+    * companion to [[qualityReport]] (which gates) and [[funnelReport]]
+    * (which attributes) — this one DESCRIBES.
+    *
+    * Scale shape: ONE aggregate pass; the three exact count-distincts
+    * (source, lang, md5(text)) share a single Expand — a 3× scan-row
+    * multiplier that is the documented price of exact figures on a
+    * card produced once per snapshot; the digest is in the scan
+    * projection so raw text never rides the Expand. Returns one row. */
+  def datasetCard(
+      df: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, langCol: String): DataFrame =
+    df.select(col(idCol).as("__id"), col(sourceCol).as("__src"),
+        col(langCol).as("__lang"), md5(col(textCol)).as("__dig"),
+        length(col(textCol)).cast("long").as("__chars"),
+        size(split(trim(col(textCol)), "\\s+")).cast("long").as("__toks"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("__src")).as("n_sources"),
+        countDistinct(col("__lang")).as("n_langs"),
+        countDistinct(col("__dig")).as("n_unique_texts"),
+        sum(col("__toks")).as("n_tokens"),
+        sum(col("__chars")).as("n_chars"))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("n_unique_texts"), col("n_tokens"), col("n_chars"),
+        expr("(n_docs - n_unique_texts) * 1000000 div n_docs").as("dup_rate_micro"),
+        expr("n_chars div n_docs").as("mean_doc_chars"))
+
   /** Key-skew profile: the top-k heaviest keys with their corpus share
     * and the cumulative share curve — the "which host IS the crawl"
     * report read before choosing salting factors, per-key quotas (T20),

@@ -636,6 +636,21 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("datasetCard: exact counts, dup rate from whole-text digests") {
+    import graft.ops.Curation
+    val df = Seq(
+      (1L, "alpha beta", "s1", "en"),
+      (2L, "alpha beta", "s1", "en"),  // exact dup text
+      (3L, "gamma", "s2", "de"),
+      (4L, "delta eps zeta", "s1", "en")
+    ).toDF("doc_id", "text", "source", "lang")
+    val r = Curation.datasetCard(df, "doc_id", "text", "source", "lang").collect()(0)
+    assert(r.getLong(0) == 4L && r.getLong(1) == 2L && r.getLong(2) == 2L, r.toString)
+    assert(r.getLong(3) == 3L, r.toString)                 // unique texts
+    assert(r.getLong(4) == 2L + 2L + 1L + 3L)              // tokens
+    assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
+  }
+
   test("rrfFuse: agreement wins, one-list docs contribute one reciprocal, exact scores") {
     import graft.ops.Retrieval
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
