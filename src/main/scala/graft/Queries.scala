@@ -1651,7 +1651,34 @@ object Queries {
       graft.ops.Curation.datasetCard(corpus, "doc_id", "text", "source", "lang")
         .select(col("n_docs"), col("n_sources"), col("n_langs"), col("n_unique_texts"),
           col("n_tokens"), col("n_chars"), col("dup_rate_micro"), col("mean_doc_chars"))
-    })
+    }),
+
+    // Pivot (source × lang count matrix), ORACLED: the wide-format corpus
+    // mix report — Spark's groupBy().pivot() with an explicit value list
+    // (never a collect-driven inferred one) vs conditional sums.
+    "q119_pivot_matrix" -> ((s, dir) =>
+      docs(s, dir).groupBy(col("source"))
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh")).count()
+        .select(col("source"),
+          coalesce(col("de"), lit(0L)).as("de"), coalesce(col("en"), lit(0L)).as("en"),
+          coalesce(col("es"), lit(0L)).as("es"), coalesce(col("fr"), lit(0L)).as("fr"),
+          coalesce(col("zh"), lit(0L)).as("zh"))),
+
+    // Rollup (source, lang) with grouping flags, ORACLED: the OLAP
+    // subtotal lattice — per (source, lang), per source, grand total.
+    "q120_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup(col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          grouping(col("source")).cast("long").as("g_source"),
+          grouping(col("lang")).cast("long").as("g_lang"))
+        .select(col("source"), col("lang"), col("n_docs"), col("g_source"), col("g_lang"))),
+
+    // Retention cohorts, ORACLED: users cohorted by first-activity day ×
+    // day offset, distinct-user counts — exact datediff arithmetic.
+    "q121_retention" -> ((s, dir) =>
+      graft.ops.Temporal.retentionCohorts(events(s, dir), "user_id", "ts")
+        .select(col("cohort_day").cast("string").as("cohort_day"),
+          col("day_offset"), col("n_users")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -3948,6 +3975,33 @@ object Queries {
         |  CAST(score_micro AS BIGINT) AS score_micro, rank::BIGINT AS rank
         |FROM (SELECT *, row_number() OVER (ORDER BY score_micro DESC, doc_id) AS rank
         |  FROM fused) WHERE rank <= 20""".stripMargin,
+
+    // q119: conditional sums — the long-format dual of the pivot
+    "q119_pivot_matrix" ->
+      """SELECT source,
+        |  CAST(sum(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS BIGINT) AS de,
+        |  CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS en,
+        |  CAST(sum(CASE WHEN lang = 'es' THEN 1 ELSE 0 END) AS BIGINT) AS es,
+        |  CAST(sum(CASE WHEN lang = 'fr' THEN 1 ELSE 0 END) AS BIGINT) AS fr,
+        |  CAST(sum(CASE WHEN lang = 'zh' THEN 1 ELSE 0 END) AS BIGINT) AS zh
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q120: DuckDB's native ROLLUP + GROUPING is the independent verifier
+    "q120_rollup" ->
+      """SELECT source, lang, count(*)::BIGINT AS n_docs,
+        |  CAST(GROUPING(source) AS BIGINT) AS g_source,
+        |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
+        |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q121: min-date cohorting + datediff recounted (dates rendered as
+    // ISO strings so the cross-engine date type never disagrees)
+    "q121_retention" ->
+      """WITH a AS (SELECT user_id AS u, CAST(ts AS DATE) AS d FROM events),
+        |f AS (SELECT u, min(d) AS c FROM a GROUP BY u),
+        |x AS (SELECT DISTINCT c, d - c AS o, a.u FROM a JOIN f USING (u))
+        |SELECT CAST(c AS VARCHAR) AS cohort_day, CAST(o AS BIGINT) AS day_offset,
+        |  count(*)::BIGINT AS n_users
+        |FROM x GROUP BY 1, 2""".stripMargin,
 
     // q118: every card figure recomputed exactly; the planted mod-50
     // duplicate slice exercises the dup-rate arithmetic

@@ -74,6 +74,28 @@ object Temporal {
       .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)) :+ col("cnt"): _*)
   }
 
+  /** Retention cohort matrix: users grouped by FIRST-activity day, then
+    * for each (cohort day, day offset) the count of distinct users active
+    * that many days later — the standard "does the crawl/user base come
+    * back" triangle. Deterministic end to end (min-date cohorting, exact
+    * datediff, distinct counts).
+    *
+    * Scale shape: one map-combined (user → first day) aggregate, a join
+    * back on the user key (bucket-co-locatable), a distinct on (cohort,
+    * offset, user) — 12-byte rows — and the final count aggregate.
+    * Returns (cohort_day, day_offset, n_users). */
+  def retentionCohorts(df: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val acts = df.select(col(keyCol).as("__u"),
+      to_date(col(tsCol).cast("timestamp")).as("__d"))
+    val first = acts.groupBy(col("__u")).agg(min(col("__d")).as("__c"))
+    acts.join(first, Seq("__u"))
+      .select(col("__c").as("cohort_day"),
+        datediff(col("__d"), col("__c")).cast("long").as("day_offset"), col("__u"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Interval overlap self-join: all same-key pairs whose [start, end]
     * ranges intersect (session collision / concurrent-visit mining) —
     * the two-sided generalization of [[rangeJoinCount]]'s point-

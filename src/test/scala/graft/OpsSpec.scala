@@ -636,6 +636,22 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("retentionCohorts: min-day cohorting, distinct users per offset, no false offsets") {
+    import graft.ops.Temporal
+    import java.sql.Timestamp
+    val df = Seq(
+      (1L, Timestamp.valueOf("2024-01-01 10:00:00")),
+      (1L, Timestamp.valueOf("2024-01-01 15:00:00")), // same day twice -> one distinct
+      (1L, Timestamp.valueOf("2024-01-03 09:00:00")),
+      (2L, Timestamp.valueOf("2024-01-01 08:00:00")),
+      (3L, Timestamp.valueOf("2024-01-02 12:00:00"))
+    ).toDF("user_id", "ts")
+    val r = Temporal.retentionCohorts(df, "user_id", "ts")
+      .collect().map(x => (x.getDate(0).toString, x.getLong(1)) -> x.getLong(2)).toMap
+    assert(r == Map(("2024-01-01", 0L) -> 2L, ("2024-01-01", 2L) -> 1L,
+      ("2024-01-02", 0L) -> 1L), r.toString)
+  }
+
   test("datasetCard: exact counts, dup rate from whole-text digests") {
     import graft.ops.Curation
     val df = Seq(
