@@ -1678,7 +1678,15 @@ object Queries {
     "q121_retention" -> ((s, dir) =>
       graft.ops.Temporal.retentionCohorts(events(s, dir), "user_id", "ts")
         .select(col("cohort_day").cast("string").as("cohort_day"),
-          col("day_offset"), col("n_users")))
+          col("day_offset"), col("n_users"))),
+
+    // Ordered funnel, ORACLED: signup → view → click → purchase, each
+    // stage strictly after the user's previous-stage first event — the
+    // earliest-qualifying-event frontier replays as chained min-joins.
+    "q122_funnel_sequence" -> ((s, dir) =>
+      graft.ops.Temporal.orderedFunnel(events(s, dir), "user_id", "ts", "event_type",
+          Seq("signup", "view", "click", "purchase"))
+        .select(col("stage"), col("stage_name"), col("n_users")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -3992,6 +4000,22 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q122: the same earliest-qualifying-event frontier as chained
+    // min-joins with strict time inequalities
+    "q122_funnel_sequence" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'signup' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+        |s4 AS (SELECT e.user_id, min(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+        |SELECT 1::BIGINT AS stage, 'signup' AS stage_name, count(*)::BIGINT AS n_users FROM s1
+        |UNION ALL SELECT 2, 'view', count(*) FROM s2
+        |UNION ALL SELECT 3, 'click', count(*) FROM s3
+        |UNION ALL SELECT 4, 'purchase', count(*) FROM s4""".stripMargin,
 
     // q121: min-date cohorting + datediff recounted (dates rendered as
     // ISO strings so the cross-engine date type never disagrees)

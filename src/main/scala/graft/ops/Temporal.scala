@@ -74,6 +74,46 @@ object Temporal {
       .select(left.columns.toSeq.map(c => col(s"__l.$c").as(c)) :+ col("cnt"): _*)
   }
 
+  /** Strict ordered-funnel conversion: how many users performed the
+    * stage-1 event, then a stage-2 event STRICTLY AFTER their first
+    * stage-1 event, then stage-3 after that, … — the sequence-matching
+    * report [[graft.ops.Curation.funnelReport]]'s row-predicate cascade
+    * cannot express (order between events matters, not row membership).
+    * Frontier semantics: each stage keeps the EARLIEST qualifying event
+    * after the user's previous-stage time, so conversion is maximal
+    * (first-opportunity) and deterministic.
+    *
+    * Scale shape: per stage, one narrow type filter + one user-keyed
+    * join to the (user, time) frontier + a min aggregate — all on the
+    * same user key (bucket-co-locatable); frontiers are eagerly
+    * checkpointed (tiny: one row per surviving user) so the per-stage
+    * count branches don't multiply the join chain (the HITS lesson).
+    * Returns (stage, stage_name, n_users). */
+  def orderedFunnel(
+      df: DataFrame, userCol: String, tsCol: String, typeCol: String,
+      stages: Seq[String]): DataFrame = {
+    require(stages.size >= 2)
+    def us(c: org.apache.spark.sql.Column) = unix_micros(c.cast("timestamp"))
+    val ev = df.select(col(userCol).as("__u"), us(col(tsCol)).as("__t"),
+      col(typeCol).as("__ty"))
+    var frontier = ev.filter(col("__ty") === stages.head)
+      .groupBy(col("__u")).agg(min(col("__t")).as("__ft"))
+      .localCheckpoint(true)
+    var counts = frontier.agg(count(lit(1)).as("n_users"))
+      .select(lit(1L).as("stage"), lit(stages.head).as("stage_name"), col("n_users"))
+    for (k <- 1 until stages.size) {
+      frontier = ev.filter(col("__ty") === stages(k))
+        .join(frontier.select(col("__u"), col("__ft")), Seq("__u"))
+        .where(col("__t") > col("__ft"))
+        .groupBy(col("__u")).agg(min(col("__t")).as("__ft"))
+        .localCheckpoint(true)
+      counts = counts.union(frontier.agg(count(lit(1)).as("n_users"))
+        .select(lit((k + 1).toLong).as("stage"), lit(stages(k)).as("stage_name"),
+          col("n_users")))
+    }
+    counts
+  }
+
   /** Retention cohort matrix: users grouped by FIRST-activity day, then
     * for each (cohort day, day offset) the count of distinct users active
     * that many days later — the standard "does the crawl/user base come

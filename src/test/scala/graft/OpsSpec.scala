@@ -636,6 +636,29 @@ class OpsSpec extends AnyFunSuite {
     assert(math.abs(total - 1000000L) <= 50L, s"mass drifted: $total")
   }
 
+  test("orderedFunnel: strict order enforced, first-opportunity frontier, monotone counts") {
+    import graft.ops.Temporal
+    import java.sql.Timestamp
+    def t(s: String) = Timestamp.valueOf(s)
+    val df = Seq(
+      // user 1 converts fully in order
+      (1L, t("2024-01-01 10:00:00"), "signup"), (1L, t("2024-01-01 11:00:00"), "view"),
+      (1L, t("2024-01-01 12:00:00"), "click"), (1L, t("2024-01-01 13:00:00"), "purchase"),
+      // user 2: view BEFORE signup only -> stops at signup
+      (2L, t("2024-01-02 09:00:00"), "view"), (2L, t("2024-01-02 10:00:00"), "signup"),
+      // user 3: signup+view, click equal-time to view (NOT strictly after)
+      (3L, t("2024-01-03 10:00:00"), "signup"), (3L, t("2024-01-03 11:00:00"), "view"),
+      (3L, t("2024-01-03 11:00:00"), "click"),
+      // user 4 never signs up
+      (4L, t("2024-01-04 10:00:00"), "purchase")
+    ).toDF("user_id", "ts", "event_type")
+    val r = Temporal.orderedFunnel(df, "user_id", "ts", "event_type",
+        Seq("signup", "view", "click", "purchase"))
+      .collect().map(x => x.getLong(0) -> (x.getString(1), x.getLong(2))).toMap
+    assert(r == Map(1L -> ("signup", 3L), 2L -> ("view", 2L),
+      3L -> ("click", 1L), 4L -> ("purchase", 1L)), r.toString)
+  }
+
   test("retentionCohorts: min-day cohorting, distinct users per offset, no false offsets") {
     import graft.ops.Temporal
     import java.sql.Timestamp
