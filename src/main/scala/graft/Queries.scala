@@ -1686,7 +1686,31 @@ object Queries {
     "q122_funnel_sequence" -> ((s, dir) =>
       graft.ops.Temporal.orderedFunnel(events(s, dir), "user_id", "ts", "event_type",
           Seq("signup", "view", "click", "purchase"))
-        .select(col("stage"), col("stage_name"), col("n_users")))
+        .select(col("stage"), col("stage_name"), col("n_users"))),
+
+    // Per-source corpus-health rollup, ORACLED: T91's junk profile (with
+    // q108's planted junk) aggregated per source — affected-doc counts
+    // per junk class and the source-level junk rate, the table that
+    // decides which FEEDS get re-crawled rather than which docs get
+    // dropped. Composition query: encodingJunk → join source → one agg.
+    "q123_source_health" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit("��")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit("\u0007")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("Ã©Ã¨")).otherwise(lit("")))
+      val d = docs(s, dir).withColumn("text", t)
+      graft.ops.TextOps.encodingJunk(d, "doc_id", "text")
+        .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_repl") > 0, 1L).otherwise(0L)).as("docs_repl"),
+          sum(when(col("n_ctrl") > 0, 1L).otherwise(0L)).as("docs_ctrl"),
+          sum(when(col("n_moji") > 0, 1L).otherwise(0L)).as("docs_moji"),
+          sum(when(col("junk_micro") > 0, 1L).otherwise(0L)).as("docs_junk"))
+        .withColumn("junk_rate_micro", expr("docs_junk * 1000000 div n_docs"))
+        .select(col("source"), col("n_docs"), col("docs_repl"), col("docs_ctrl"),
+          col("docs_moji"), col("docs_junk"), col("junk_rate_micro"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4000,6 +4024,34 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q123: q108's junk counting grouped per source
+    "q123_source_health" ->
+      """WITH p AS (SELECT doc_id, source, text
+        |    || (CASE WHEN doc_id % 5 = 0 THEN chr(65533) || chr(65533) ELSE '' END)
+        |    || (CASE WHEN doc_id % 7 = 0 THEN chr(7) ELSE '' END)
+        |    || (CASE WHEN doc_id % 11 = 0
+        |        THEN chr(195) || chr(169) || chr(195) || chr(168) ELSE '' END) AS text
+        |  FROM documents),
+        |c AS (SELECT doc_id, source,
+        |    (len(text) - len(replace(text, chr(65533), '')))::BIGINT AS n_repl,
+        |    (len(text) - len(regexp_replace(text,
+        |      '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g')))::BIGINT AS n_ctrl,
+        |    (len(text) - len(replace(text, chr(195), '')))::BIGINT AS n_moji,
+        |    len(text)::BIGINT AS l
+        |  FROM p),
+        |j AS (SELECT doc_id, source, n_repl, n_ctrl, n_moji,
+        |    CAST((n_repl + n_ctrl + n_moji) * 1000000 // greatest(l, 1) AS BIGINT) AS jm
+        |  FROM c),
+        |a AS (SELECT source, count(*)::BIGINT AS n_docs,
+        |    CAST(sum(CASE WHEN n_repl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_repl,
+        |    CAST(sum(CASE WHEN n_ctrl > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_ctrl,
+        |    CAST(sum(CASE WHEN n_moji > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_moji,
+        |    CAST(sum(CASE WHEN jm > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_junk
+        |  FROM j GROUP BY 1)
+        |SELECT source, n_docs, docs_repl, docs_ctrl, docs_moji, docs_junk,
+        |  CAST(docs_junk * 1000000 // n_docs AS BIGINT) AS junk_rate_micro
+        |FROM a""".stripMargin,
 
     // q122: the same earliest-qualifying-event frontier as chained
     // min-joins with strict time inequalities
