@@ -1147,6 +1147,33 @@ class OpsSpec extends AnyFunSuite {
     assert(t2(1L) == "body one\n" && t2(2L) == "body two", t2.toString)
   }
 
+  test("stripBoilerplateLines: randomized cross-check against a brute-force reference") {
+    import graft.ops.Curation
+    val rnd = new scala.util.Random(20260818L)
+    val lines = Vector("nav", "footer", "menu", "body one", "body two", "unique",
+      "", "cookie banner", "search", "about us")
+    val rows = (0 until 120).map { i =>
+      val grp = s"h${i % 4}"
+      val doc = Vector.fill(2 + rnd.nextInt(6))(lines(rnd.nextInt(lines.size)))
+      (i.toLong, grp, doc.mkString("\n"))
+    }
+    val minDocs = 3
+    // brute force: per group, non-empty lines in >= minDocs distinct docs
+    val template: Map[String, Set[String]] = rows.groupBy(_._2).map { case (g, rs) =>
+      g -> rs.flatMap { case (id, _, t) => t.split("\n", -1).filter(_.nonEmpty).distinct.map(l => (l, id)) }
+        .groupBy(_._1).filter(_._2.map(_._2).distinct.size >= minDocs).keySet
+    }
+    val expect = rows.map { case (id, g, t) =>
+      val keep = t.split("\n", -1).filter(l => l.isEmpty || !template(g).contains(l))
+      id -> (keep.mkString("\n"), t.split("\n", -1).length.toLong, keep.length.toLong)
+    }.toMap
+    val got = Curation.stripBoilerplateLines(
+        rows.toDF("doc_id", "host", "text"), "doc_id", "host", "text", minDocs)
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, got.toSeq.sortBy(_._1).zip(expect.toSeq.sortBy(_._1))
+      .filter(p => p._1 != p._2).take(3).mkString("; "))
+  }
+
   test("wordpieceCountsKernel: greedy longest match, UNK word, char cap, greedy-failure case") {
     import graft.ops.TextOps
     val k = TextOps.wordpieceCountsKernel(
