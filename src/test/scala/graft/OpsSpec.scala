@@ -961,6 +961,47 @@ class OpsSpec extends AnyFunSuite {
     assert(got(5L) == ((12L, 7L)), got.toString) // all: abcddeaefg -> vocab {a..g}
   }
 
+  test("cdcDedupStats: randomized cross-check against a brute-force reference") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(20260819L)
+    val frags = Vector("alpha beta gamma ", "shared syndicated paragraph body ",
+      "delta epsilon ", "zeta eta theta iota kappa ")
+    val rows = (0 until 40).map { i =>
+      (i.toLong, Vector.fill(1 + rnd.nextInt(4))(frags(rnd.nextInt(frags.size))).mkString)
+    }
+    // brute force over the SAME kernel (kernel itself is brute-checked in
+    // its own spec); this pins the distributed shared-counting logic
+    val chunks = rows.map { case (id, t) => id -> Dedup.cdcChunks(t).toVector }.toMap
+    val docsPerChunk = chunks.toSeq.flatMap { case (id, cs) => cs.distinct.map(c => (c, id)) }
+      .groupBy(_._1).map { case (c, xs) => c -> xs.map(_._2).distinct.size }
+    val expect = rows.map { case (id, _) =>
+      val cs = chunks(id)
+      id -> ((cs.size.toLong, cs.distinct.size.toLong,
+        cs.distinct.count(c => docsPerChunk(c) >= 2).toLong))
+    }.toMap
+    val got = Dedup.cdcDedupStats(rows.toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expect, got.toSeq.sortBy(_._1).take(3).toString)
+  }
+
+  test("phraseSearch: randomized cross-check against a sliding-window brute force") {
+    import graft.ops.Retrieval
+    val rnd = new scala.util.Random(20260820L)
+    val vocab = Vector("a", "b", "c", "spark")
+    val phrase = Seq("a", "b", "a")
+    val rows = (0 until 60).map { i =>
+      (i.toLong, Vector.fill(3 + rnd.nextInt(20))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val expect = rows.flatMap { case (id, t) =>
+      val ws = t.split(" ").toVector
+      val n = ws.sliding(3).count(_ == phrase.toVector)
+      if (n > 0) Some(id -> n.toLong) else None
+    }.toMap
+    val got = Retrieval.phraseSearch(rows.toDF("doc_id", "text"), "doc_id", "text", phrase)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expect, s"got ${got.toSeq.sorted.take(5)} want ${expect.toSeq.sorted.take(5)}")
+  }
+
   test("cdcChunks: lossless, offset-shift invariant interior chunks, edge cases") {
     import graft.ops.Dedup
     val block = "syndicated wire story body repeated verbatim across mirror sites " * 5
