@@ -1710,6 +1710,19 @@ object Queries {
         .withColumn("junk_rate_micro", expr("docs_junk * 1000000 div n_docs"))
         .select(col("source"), col("n_docs"), col("docs_repl"), col("docs_ctrl"),
           col("docs_moji"), col("docs_junk"), col("junk_rate_micro"))
+    }),
+
+    // Per-source OOV rate, ORACLED: a tail word ("oovword_<source>") is
+    // planted on the mod-6 slice so rates separate; the 20-word head
+    // vocabulary is a total (count desc, word) order both engines agree
+    // on, and every rate is integer micro-units.
+    "q124_oov_rate" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 6 === 0, concat(lit(" oovword_"), col("source")))
+          .otherwise(lit("")))
+      graft.ops.Retrieval.oovRate(
+          docs(s, dir).withColumn("text", t), "source", "text", vocabSize = 20)
+        .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_micro"))
     })
   )
 
@@ -4024,6 +4037,23 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q124: the same total-ordered head vocabulary and membership flags
+    "q124_oov_rate" ->
+      """WITH p AS (SELECT source,
+        |    text || (CASE WHEN doc_id % 6 = 0 THEN ' oovword_' || source ELSE '' END) AS text
+        |  FROM documents),
+        |w AS (SELECT source,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+        |  FROM p),
+        |h AS (SELECT w FROM (SELECT w, row_number() OVER
+        |    (ORDER BY count(*) DESC, w) AS rn FROM w GROUP BY w) WHERE rn <= 20),
+        |a AS (SELECT source, count(*)::BIGINT AS n_tokens,
+        |    CAST(sum(CASE WHEN h.w IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+        |  FROM w LEFT JOIN h ON h.w = w.w GROUP BY source)
+        |SELECT source, n_tokens, n_oov,
+        |  CAST(n_oov * 1000000 // n_tokens AS BIGINT) AS oov_micro
+        |FROM a""".stripMargin,
 
     // q123: q108's junk counting grouped per source
     "q123_source_health" ->

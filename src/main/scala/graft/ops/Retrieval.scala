@@ -321,6 +321,36 @@ object Retrieval {
         col("lift_micro"), col("rank").cast("long").as("rank"))
   }
 
+  /** Per-source out-of-vocabulary rate against the corpus-wide head
+    * vocabulary: the fraction of a source's tokens falling outside the
+    * global top-`vocabSize` words — high OOV marks feeds full of tail
+    * weirdness (boilerplate IDs, encoding soup, other languages) that
+    * perplexity filters flag one document at a time; this flags the
+    * FEED. Rates in exact integer micro-units.
+    *
+    * Scale shape: one map-combined word count, a TakeOrderedAndProject
+    * head vocabulary (never a global sort) that BROADCASTS into a narrow
+    * membership flag, then one (source) aggregate. The head vocab is
+    * driver-bounded by `vocabSize` — the same bounded-broadcast contract
+    * as the IVF codebook. Returns (source, n_tokens, n_oov, oov_micro). */
+  def oovRate(
+      df: DataFrame, sourceCol: String, textCol: String,
+      vocabSize: Int = 100): DataFrame = {
+    require(vocabSize >= 1)
+    val words = df.select(col(sourceCol).as("source"),
+        explode(split(trim(col(textCol)), "\\s+")).as("w"))
+      .filter(col("w") =!= "")
+    val head = words.groupBy(col("w")).agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("w")).limit(vocabSize)
+      .select(col("w"), lit(true).as("__in"))
+    words.join(broadcast(head), Seq("w"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__in").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_micro", expr("n_oov * 1000000 div n_tokens"))
+      .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_micro"))
+  }
+
   /** Reciprocal-rank fusion (Cormack et al. 2009) — the standard hybrid-
     * search combiner: two ranked lists (lexical BM25 and semantic ANN,
     * classically) merge by score Σ 1/(k + rank), which needs no score

@@ -690,6 +690,19 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("oovRate: head vocab bounds, ties break by word, exact per-source rates") {
+    import graft.ops.Retrieval
+    val df = Seq(
+      ("a", "the the the cat"),   // 'the' (3) and 'cat'(1) vs 'ant'(1): tie at 1 -> 'ant' wins by word order
+      ("b", "the ant zzz")
+    ).toDF("source", "text")
+    val r = Retrieval.oovRate(df, "source", "text", vocabSize = 2)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    // counts: the=4, ant=1, cat=1, zzz=1 -> head = {the, ant} (tie 1 breaks to 'ant')
+    assert(r("a") == ((4L, 1L, 250000L)), r.toString) // cat is OOV
+    assert(r("b") == ((3L, 1L, 333333L)), r.toString) // zzz is OOV, ant is head
+  }
+
   test("rrfFuse: agreement wins, one-list docs contribute one reciprocal, exact scores") {
     import graft.ops.Retrieval
     val a = Seq((10L, 1L), (20L, 2L), (30L, 3L)).toDF("id", "rank")
