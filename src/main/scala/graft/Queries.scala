@@ -1723,6 +1723,18 @@ object Queries {
       graft.ops.Retrieval.oovRate(
           docs(s, dir).withColumn("text", t), "source", "text", vocabSize = 20)
         .select(col("source"), col("n_tokens"), col("n_oov"), col("oov_micro"))
+    }),
+
+    // Benchmark coverage, ORACLED: an eval set made of real corpus docs
+    // (mod-17 slice — fully covered) plus one unseen sentence (never
+    // covered) must land strictly between 0 and 1; gram hashing and the
+    // distinct-coverage count replay on the shared shingle family.
+    "q125_benchmark_coverage" -> ((s, dir) => {
+      val bench = docs(s, dir).filter(col("doc_id") % 17 === 0).select(col("text"))
+        .union(s.range(1).select(
+          lit("entirely unseen benchmark sentence with outside vocabulary tokens").as("text")))
+      graft.ops.Curation.benchmarkCoverage(docs(s, dir), "text", bench, "text", k = 5)
+        .select(col("n_eval_grams"), col("n_covered"), col("coverage_micro"))
     })
   )
 
@@ -4037,6 +4049,35 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q125: q27's shingle/hash replay for k=5 on both sides; coverage =
+    // distinct benchmark hashes found among distinct corpus hashes
+    "q125_benchmark_coverage" ->
+      """WITH bm0 AS (SELECT text FROM documents WHERE doc_id % 17 = 0
+        |  UNION ALL SELECT 'entirely unseen benchmark sentence with outside vocabulary tokens'),
+        |bw AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM bm0),
+        |bsh AS (SELECT unnest(CASE WHEN len(w) = 0 THEN []
+        |    WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |      FOR i IN range(1, len(w) - 3)] END) AS sg FROM bw),
+        |bh AS (SELECT DISTINCT
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h FROM bsh),
+        |cw AS (SELECT list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM documents),
+        |csh AS (SELECT unnest(CASE WHEN len(w) = 0 THEN []
+        |    WHEN len(w) <= 5 THEN [array_to_string(w, ' ')]
+        |    ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' || w[i+4]
+        |      FOR i IN range(1, len(w) - 3)] END) AS sg FROM cw),
+        |ch AS (SELECT DISTINCT
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h FROM csh),
+        |n AS (SELECT count(*)::BIGINT AS n_eval_grams FROM bh),
+        |cov AS (SELECT count(*)::BIGINT AS n_covered FROM bh JOIN ch USING (h))
+        |SELECT n_eval_grams, n_covered,
+        |  CAST(n_covered * 1000000 // greatest(n_eval_grams, 1) AS BIGINT) AS coverage_micro
+        |FROM n CROSS JOIN cov""".stripMargin,
 
     // q124: the same total-ordered head vocabulary and membership flags
     "q124_oov_rate" ->

@@ -234,6 +234,39 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Benchmark n-gram COVERAGE — the measurement complement of
+    * [[contaminationHits]]: what fraction of the benchmark's distinct
+    * word k-grams appear ANYWHERE in the corpus. Decontamination asks
+    * "which corpus docs leak the eval"; coverage asks "how much of the
+    * eval was already leaked" — the number that decides whether an eval
+    * is still meaningful against this corpus at all. Exact micro-units.
+    *
+    * Scale shape: the benchmark gram set is bounded and broadcasts; the
+    * corpus pass is NARROW (explode + hash + broadcast-inner-join — non-
+    * hits never leave the map side), and only the small hit set rides
+    * the one distinct exchange before a 1-row count. Returns one row
+    * (n_eval_grams, n_covered, coverage_micro). */
+  def benchmarkCoverage(
+      corpus: DataFrame, textCol: String,
+      benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
+    val shingleUdf = udf(Dedup.wordShinglesKernel(k))
+    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val bm = benchmark
+      .select(explode(shingleUdf(col(benchTextCol))).as("sg"))
+      .select(hashUdf(col("sg")).as("ngh"))
+      .distinct()
+    val nEval = broadcast(bm.agg(count(lit(1)).as("n_eval_grams")))
+    val covered = corpus
+      .select(explode(shingleUdf(col(textCol))).as("sg"))
+      .select(hashUdf(col("sg")).as("ngh"))
+      .join(broadcast(bm), Seq("ngh"))
+      .distinct()
+      .agg(count(lit(1)).as("n_covered"))
+    covered.crossJoin(nEval)
+      .select(col("n_eval_grams"), col("n_covered"),
+        expr("n_covered * 1000000 div greatest(n_eval_grams, 1)").as("coverage_micro"))
+  }
+
   /** Drop every corpus document sharing at least one word `k`-gram with
     * `benchmark`. The contaminated-id set is benchmark-sized, so the
     * final anti-join broadcasts it — the corpus stays unshuffled end to

@@ -690,6 +690,22 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("benchmarkCoverage: covered slice counts, unseen grams don't, exact rate") {
+    import graft.ops.Curation
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    // eval: first corpus doc verbatim (2 distinct 5-grams, both covered)
+    // + an unseen sentence (3 distinct 5-grams, none covered)
+    val bench = Seq("alpha beta gamma delta epsilon zeta",
+      "unseen tokens q w e r t y u").toDF("text")
+    val r = Curation.benchmarkCoverage(corpus, "text", bench, "text", k = 5).collect()(0)
+    assert(r.getLong(0) == 7L, r.toString) // 2 + 5 distinct eval grams
+    assert(r.getLong(1) == 2L, r.toString)
+    assert(r.getLong(2) == 2L * 1000000L / 7L, r.toString)
+  }
+
   test("oovRate: head vocab bounds, ties break by word, exact per-source rates") {
     import graft.ops.Retrieval
     val df = Seq(
