@@ -1735,6 +1735,20 @@ object Queries {
           lit("entirely unseen benchmark sentence with outside vocabulary tokens").as("text")))
       graft.ops.Curation.benchmarkCoverage(docs(s, dir), "text", bench, "text", k = 5)
         .select(col("n_eval_grams"), col("n_covered"), col("coverage_micro"))
+    }),
+
+    // Multi-class confusion stats, ORACLED: a deterministic router
+    // misclassifies the mod-4 slice one language "to the right" — per-
+    // class TP/FP/FN and micro-unit precision/recall/F1 replay exactly.
+    "q126_confusion" -> ((s, dir) => {
+      val shifted = when(col("lang") === "en", "de").when(col("lang") === "de", "es")
+        .when(col("lang") === "es", "fr").when(col("lang") === "fr", "zh")
+        .otherwise("en")
+      val d = docs(s, dir).select(col("lang").as("label"),
+        when(col("doc_id") % 4 === 0, shifted).otherwise(col("lang")).as("pred"))
+      graft.ops.Curation.confusionStats(d, "label", "pred")
+        .select(col("clazz"), col("tp"), col("fp"), col("fn"),
+          col("precision_micro"), col("recall_micro"), col("f1_micro"))
     })
   )
 
@@ -4049,6 +4063,38 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q126: the k² matrix and every per-class figure recomputed
+    "q126_confusion" ->
+      """WITH d AS (SELECT lang AS label,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es' WHEN 'es' THEN 'fr'
+        |        WHEN 'fr' THEN 'zh' ELSE 'en' END
+        |    ELSE lang END AS pred
+        |  FROM documents),
+        |m AS (SELECT label, pred, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
+        |cl AS (SELECT DISTINCT label AS clazz FROM m
+        |  UNION SELECT DISTINCT pred FROM m),
+        |tp AS (SELECT label AS clazz, n AS tp FROM m WHERE label = pred),
+        |fp AS (SELECT pred AS clazz, CAST(sum(n) AS BIGINT) AS fp FROM m
+        |  WHERE label <> pred GROUP BY 1),
+        |fn AS (SELECT label AS clazz, CAST(sum(n) AS BIGINT) AS fn FROM m
+        |  WHERE label <> pred GROUP BY 1),
+        |j AS (SELECT cl.clazz, coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
+        |    coalesce(fn.fn, 0) AS fn
+        |  FROM cl LEFT JOIN tp USING (clazz) LEFT JOIN fp USING (clazz)
+        |  LEFT JOIN fn USING (clazz)),
+        |pr AS (SELECT clazz, tp, fp, fn,
+        |    CASE WHEN tp + fp = 0 THEN 0
+        |      ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_micro,
+        |    CASE WHEN tp + fn = 0 THEN 0
+        |      ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_micro
+        |  FROM j)
+        |SELECT clazz, tp, fp, fn, precision_micro, recall_micro,
+        |  CASE WHEN precision_micro + recall_micro = 0 THEN 0
+        |    ELSE CAST(2 * precision_micro * recall_micro
+        |      // (precision_micro + recall_micro) AS BIGINT) END AS f1_micro
+        |FROM pr""".stripMargin,
 
     // q125: q27's shingle/hash replay for k=5 on both sides; coverage =
     // distinct benchmark hashes found among distinct corpus hashes

@@ -1140,6 +1140,48 @@ object Curation {
         expr("__ssq div (n * 1000000)").as("brier_micro"))
   }
 
+  /** Multi-class confusion statistics: per class, TP/FP/FN with exact
+    * micro-unit precision / recall / F1 — the language-id or topic-
+    * router scorecard ([[thresholdSweep]] sweeps binary cutoffs,
+    * [[calibrationReport]] checks probabilities; this grades a hard
+    * multiclass decision). F1 is computed from the micro-unit precision
+    * and recall with one more exact integer division (`2·p·r div
+    * (p+r)`), so there is no harmonic-mean float boundary. Zero-support
+    * guards: an unpredicted class has precision 0, an absent class
+    * recall 0, and p+r=0 gives F1 0. Returns
+    * (class, tp, fp, fn, precision_micro, recall_micro, f1_micro).
+    *
+    * Scale shape: ONE map-combined (label, pred) aggregate — the corpus
+    * collapses to a k² matrix before anything else happens; the per-
+    * class rollup runs on that tiny frame. */
+  def confusionStats(df: DataFrame, labelCol: String, predCol: String): DataFrame = {
+    val m = df.groupBy(col(labelCol).as("__l"), col(predCol).as("__p"))
+      .agg(count(lit(1)).as("__n"))
+    val classes = m.select(col("__l").as("clazz"))
+      .union(m.select(col("__p"))).distinct()
+    val tp = m.filter(col("__l") === col("__p"))
+      .select(col("__l").as("clazz"), col("__n").as("tp"))
+    val fp = m.filter(col("__l") =!= col("__p"))
+      .groupBy(col("__p").as("clazz")).agg(sum(col("__n")).as("fp"))
+    val fn = m.filter(col("__l") =!= col("__p"))
+      .groupBy(col("__l").as("clazz")).agg(sum(col("__n")).as("fn"))
+    classes
+      .join(tp, Seq("clazz"), "left").join(fp, Seq("clazz"), "left")
+      .join(fn, Seq("clazz"), "left")
+      .select(col("clazz"), coalesce(col("tp"), lit(0L)).as("tp"),
+        coalesce(col("fp"), lit(0L)).as("fp"), coalesce(col("fn"), lit(0L)).as("fn"))
+      .withColumn("precision_micro",
+        when(col("tp") + col("fp") === 0L, 0L)
+          .otherwise(expr("tp * 1000000 div (tp + fp)")))
+      .withColumn("recall_micro",
+        when(col("tp") + col("fn") === 0L, 0L)
+          .otherwise(expr("tp * 1000000 div (tp + fn)")))
+      .withColumn("f1_micro",
+        when(col("precision_micro") + col("recall_micro") === 0L, 0L)
+          .otherwise(expr(
+            "2 * precision_micro * recall_micro div (precision_micro + recall_micro)")))
+  }
+
   /** Classifier threshold sweep: for every OBSERVED score s (each a
     * candidate cutoff), the keep-everything-scoring-≥-s operating point —
     * n_kept, true positives, and precision / recall / kept-fraction — the

@@ -690,6 +690,24 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("confusionStats: per-class TP/FP/FN, zero-support guards, exact F1") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"),   // en: tp 2, fn 1
+      ("de", "de"),                               // de: tp 1, fp 1 (from en)
+      ("fr", "en")                                // fr never predicted: recall/precision 0
+    ).toDF("label", "pred")
+    val r = Curation.confusionStats(df, "label", "pred")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    // en: tp 2, fp 1 (fr->en), fn 1; p = 2/3, r = 2/3, f1 = 2pr/(p+r)
+    val p = 2L * 1000000L / 3L
+    assert(r("en") == ((2L, 1L, 1L, p, p, 2 * p * p / (p + p))), r.toString)
+    assert(r("de") == ((1L, 1L, 0L, 500000L, 1000000L, 2L * 500000L * 1000000L / 1500000L)))
+    assert(r("fr") == ((0L, 0L, 1L, 0L, 0L, 0L)), r.toString)
+    assert(r.size == 3)
+  }
+
   test("benchmarkCoverage: covered slice counts, unseen grams don't, exact rate") {
     import graft.ops.Curation
     val corpus = Seq(
