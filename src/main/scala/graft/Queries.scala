@@ -1749,6 +1749,21 @@ object Queries {
       graft.ops.Curation.confusionStats(d, "label", "pred")
         .select(col("clazz"), col("tp"), col("fp"), col("fn"),
           col("precision_micro"), col("recall_micro"), col("f1_micro"))
+    }),
+
+    // Macro/micro confusion summary, ORACLED: the one-row scorecard over
+    // q126's per-class table — macro-F1 as the exact per-class mean,
+    // micro metrics from global TP/FP/FN.
+    "q127_confusion_summary" -> ((s, dir) => {
+      val shifted = when(col("lang") === "en", "de").when(col("lang") === "de", "es")
+        .when(col("lang") === "es", "fr").when(col("lang") === "fr", "zh")
+        .otherwise("en")
+      val d = docs(s, dir).select(col("lang").as("label"),
+        when(col("doc_id") % 4 === 0, shifted).otherwise(col("lang")).as("pred"))
+      graft.ops.Curation.confusionSummary(
+          graft.ops.Curation.confusionStats(d, "label", "pred"))
+        .select(col("n_classes"), col("macro_f1_micro"),
+          col("micro_precision_micro"), col("micro_recall_micro"), col("micro_f1_micro"))
     })
   )
 
@@ -4066,35 +4081,29 @@ object Queries {
 
     // q126: the k² matrix and every per-class figure recomputed
     "q126_confusion" ->
-      """WITH d AS (SELECT lang AS label,
-        |    CASE WHEN doc_id % 4 = 0 THEN
-        |      CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es' WHEN 'es' THEN 'fr'
-        |        WHEN 'fr' THEN 'zh' ELSE 'en' END
-        |    ELSE lang END AS pred
-        |  FROM documents),
-        |m AS (SELECT label, pred, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
-        |cl AS (SELECT DISTINCT label AS clazz FROM m
-        |  UNION SELECT DISTINCT pred FROM m),
-        |tp AS (SELECT label AS clazz, n AS tp FROM m WHERE label = pred),
-        |fp AS (SELECT pred AS clazz, CAST(sum(n) AS BIGINT) AS fp FROM m
-        |  WHERE label <> pred GROUP BY 1),
-        |fn AS (SELECT label AS clazz, CAST(sum(n) AS BIGINT) AS fn FROM m
-        |  WHERE label <> pred GROUP BY 1),
-        |j AS (SELECT cl.clazz, coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
-        |    coalesce(fn.fn, 0) AS fn
-        |  FROM cl LEFT JOIN tp USING (clazz) LEFT JOIN fp USING (clazz)
-        |  LEFT JOIN fn USING (clazz)),
-        |pr AS (SELECT clazz, tp, fp, fn,
-        |    CASE WHEN tp + fp = 0 THEN 0
-        |      ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_micro,
-        |    CASE WHEN tp + fn = 0 THEN 0
-        |      ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_micro
-        |  FROM j)
-        |SELECT clazz, tp, fp, fn, precision_micro, recall_micro,
-        |  CASE WHEN precision_micro + recall_micro = 0 THEN 0
-        |    ELSE CAST(2 * precision_micro * recall_micro
-        |      // (precision_micro + recall_micro) AS BIGINT) END AS f1_micro
-        |FROM pr""".stripMargin,
+      s"""WITH $confusionCtes
+         |SELECT clazz, tp, fp, fn, precision_micro, recall_micro, f1_micro
+         |FROM f""".stripMargin,
+
+    // q127: one aggregate over the same per-class table; micro p/r
+    // staged in a CTE so the F1 expression stays readable
+    "q127_confusion_summary" ->
+      s"""WITH $confusionCtes,
+         |s AS (SELECT count(*)::BIGINT AS n_classes,
+         |    CAST(sum(f1_micro) // count(*) AS BIGINT) AS macro_f1_micro,
+         |    CASE WHEN sum(tp) + sum(fp) = 0 THEN 0
+         |      ELSE CAST(sum(tp) * 1000000 // (sum(tp) + sum(fp)) AS BIGINT)
+         |    END AS micro_precision_micro,
+         |    CASE WHEN sum(tp) + sum(fn) = 0 THEN 0
+         |      ELSE CAST(sum(tp) * 1000000 // (sum(tp) + sum(fn)) AS BIGINT)
+         |    END AS micro_recall_micro
+         |  FROM f)
+         |SELECT n_classes, macro_f1_micro, micro_precision_micro, micro_recall_micro,
+         |  CASE WHEN micro_precision_micro + micro_recall_micro = 0 THEN 0
+         |    ELSE CAST(2 * micro_precision_micro * micro_recall_micro
+         |      // (micro_precision_micro + micro_recall_micro) AS BIGINT)
+         |  END AS micro_f1_micro
+         |FROM s""".stripMargin,
 
     // q125: q27's shingle/hash replay for k=5 on both sides; coverage =
     // distinct benchmark hashes found among distinct corpus hashes
@@ -4228,6 +4237,41 @@ object Queries {
         |  CAST(cum * 1000000 // t.t AS BIGINT) AS cum_share_micro
         |FROM r CROSS JOIN t""".stripMargin,
   )
+
+  /** Shared CTE block for q126/q127: deterministic router predictions →
+    * k² matrix → per-class TP/FP/FN + precision/recall/F1 as table `f`.
+    * (A def, not a val: the oracles map interpolates it and object vals
+    * initialize in declaration order.) */
+  private def confusionCtes: String =
+    """d AS (SELECT lang AS label,
+      |    CASE WHEN doc_id % 4 = 0 THEN
+      |      CASE lang WHEN 'en' THEN 'de' WHEN 'de' THEN 'es' WHEN 'es' THEN 'fr'
+      |        WHEN 'fr' THEN 'zh' ELSE 'en' END
+      |    ELSE lang END AS pred
+      |  FROM documents),
+      |m AS (SELECT label, pred, count(*)::BIGINT AS n FROM d GROUP BY 1, 2),
+      |cl AS (SELECT DISTINCT label AS clazz FROM m
+      |  UNION SELECT DISTINCT pred FROM m),
+      |tp AS (SELECT label AS clazz, n AS tp FROM m WHERE label = pred),
+      |fp AS (SELECT pred AS clazz, CAST(sum(n) AS BIGINT) AS fp FROM m
+      |  WHERE label <> pred GROUP BY 1),
+      |fn AS (SELECT label AS clazz, CAST(sum(n) AS BIGINT) AS fn FROM m
+      |  WHERE label <> pred GROUP BY 1),
+      |j AS (SELECT cl.clazz, coalesce(tp.tp, 0) AS tp, coalesce(fp.fp, 0) AS fp,
+      |    coalesce(fn.fn, 0) AS fn
+      |  FROM cl LEFT JOIN tp USING (clazz) LEFT JOIN fp USING (clazz)
+      |  LEFT JOIN fn USING (clazz)),
+      |pr AS (SELECT clazz, tp, fp, fn,
+      |    CASE WHEN tp + fp = 0 THEN 0
+      |      ELSE CAST(tp * 1000000 // (tp + fp) AS BIGINT) END AS precision_micro,
+      |    CASE WHEN tp + fn = 0 THEN 0
+      |      ELSE CAST(tp * 1000000 // (tp + fn) AS BIGINT) END AS recall_micro
+      |  FROM j),
+      |f AS (SELECT clazz, tp, fp, fn, precision_micro, recall_micro,
+      |    CASE WHEN precision_micro + recall_micro = 0 THEN 0
+      |      ELSE CAST(2 * precision_micro * recall_micro
+      |        // (precision_micro + recall_micro) AS BIGINT) END AS f1_micro
+      |  FROM pr)""".stripMargin
 
   /** Shared CTE block for q110/q111: bigram stream → mixed polyHash →
     * (bucket, rank) rows. (A def, not a val: the oracles map interpolates

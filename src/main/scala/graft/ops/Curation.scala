@@ -1182,6 +1182,33 @@ object Curation {
             "2 * precision_micro * recall_micro div (precision_micro + recall_micro)")))
   }
 
+  /** Macro/micro summary over [[confusionStats]] output: macro-F1 (the
+    * unweighted per-class mean — the number actually reported for
+    * imbalanced routers, where micro metrics are dominated by the head
+    * class) and micro precision/recall/F1 from the global TP/FP/FN
+    * totals. All exact integer micro-units; the macro mean is one
+    * integer division of the exact per-class sum. Returns one row
+    * (n_classes, macro_f1_micro, micro_precision_micro,
+    * micro_recall_micro, micro_f1_micro).
+    *
+    * Scale shape: one aggregate over the k-row class table. */
+  def confusionSummary(stats: DataFrame): DataFrame =
+    stats.agg(count(lit(1)).as("n_classes"),
+        sum(col("f1_micro")).as("__sf1"),
+        sum(col("tp")).as("__tp"), sum(col("fp")).as("__fp"),
+        sum(col("fn")).as("__fn"))
+      .select(col("n_classes"),
+        expr("__sf1 div n_classes").as("macro_f1_micro"),
+        when(col("__tp") + col("__fp") === 0L, 0L)
+          .otherwise(expr("__tp * 1000000 div (__tp + __fp)")).as("micro_precision_micro"),
+        when(col("__tp") + col("__fn") === 0L, 0L)
+          .otherwise(expr("__tp * 1000000 div (__tp + __fn)")).as("micro_recall_micro"))
+      .withColumn("micro_f1_micro",
+        when(col("micro_precision_micro") + col("micro_recall_micro") === 0L, 0L)
+          .otherwise(expr(
+            """2 * micro_precision_micro * micro_recall_micro
+              |div (micro_precision_micro + micro_recall_micro)""".stripMargin)))
+
   /** Classifier threshold sweep: for every OBSERVED score s (each a
     * candidate cutoff), the keep-everything-scoring-≥-s operating point —
     * n_kept, true positives, and precision / recall / kept-fraction — the

@@ -706,6 +706,13 @@ class OpsSpec extends AnyFunSuite {
     assert(r("de") == ((1L, 1L, 0L, 500000L, 1000000L, 2L * 500000L * 1000000L / 1500000L)))
     assert(r("fr") == ((0L, 0L, 1L, 0L, 0L, 0L)), r.toString)
     assert(r.size == 3)
+    // summary: macro = mean of per-class F1s; micro from global totals
+    // (tp 3, fp 2, fn 2 -> micro p = r = f1 = 600000)
+    val s = Curation.confusionSummary(Curation.confusionStats(df, "label", "pred"))
+      .collect()(0)
+    val macroExpect = (r.values.map(_._6).sum) / 3L
+    assert(s.getLong(0) == 3L && s.getLong(1) == macroExpect, s.toString)
+    assert(s.getLong(2) == 600000L && s.getLong(3) == 600000L && s.getLong(4) == 600000L)
   }
 
   test("benchmarkCoverage: covered slice counts, unseen grams don't, exact rate") {
