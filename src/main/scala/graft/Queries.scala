@@ -1764,7 +1764,14 @@ object Queries {
           graft.ops.Curation.confusionStats(d, "label", "pred"))
         .select(col("n_classes"), col("macro_f1_micro"),
           col("micro_precision_micro"), col("micro_recall_micro"), col("micro_f1_micro"))
-    })
+    }),
+
+    // Token-budget truncation, ORACLED ON REWRITTEN BYTES: clip every doc
+    // to its first 50 whitespace tokens (tokenizer-canonical single-space
+    // rejoin) — the context-window preprocessing cut.
+    "q128_truncate" -> ((s, dir) =>
+      graft.ops.TextOps.truncateTokens(docs(s, dir), "doc_id", "text", maxTokens = 50)
+        .select(col("id").as("doc_id"), col("text"), col("n_tokens"), col("truncated")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4078,6 +4085,15 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q128: the same slice/rejoin over the same tokenization; text
+    // BYTE-compared
+    "q128_truncate" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws FROM documents)
+        |SELECT doc_id, array_to_string(ws[1:50], ' ') AS text,
+        |  len(ws)::BIGINT AS n_tokens, len(ws) > 50 AS truncated
+        |FROM w""".stripMargin,
 
     // q126: the k² matrix and every per-class figure recomputed
     "q126_confusion" ->

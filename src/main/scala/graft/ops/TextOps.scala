@@ -425,6 +425,27 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Token-budget truncation — the "max sequence length" preprocessing
+    * cut (documents enter training clipped to the model's context
+    * window; T30 chunks with overlap for RAG, this CLIPS for pretraining
+    * where one window per doc is the budget). Output text is the first
+    * `maxTokens` whitespace tokens rejoined with single spaces — the
+    * tokenizer-canonical form (runs of whitespace do not survive any
+    * tokenizer, so nothing meaningful is lost and the rewrite is exactly
+    * replayable). PURELY NARROW: the token array binds to a column once,
+    * then slice/join/size are codegen'd Column ops. Returns
+    * (id, text, n_tokens, truncated). */
+  def truncateTokens(
+      df: DataFrame, idCol: String, textCol: String, maxTokens: Int): DataFrame = {
+    require(maxTokens >= 1)
+    df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .select(col("id"),
+        array_join(slice(col("__ws"), 1, maxTokens), " ").as("text"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        (size(col("__ws")) > maxTokens).as("truncated"))
+  }
+
   /** Encoding-junk profile — the mojibake/corruption gate a crawl corpus
     * runs before any text op trusts the bytes: counts of U+FFFD
     * replacement characters (a decoder already gave up), C0 control
