@@ -1771,7 +1771,24 @@ object Queries {
     // rejoin) — the context-window preprocessing cut.
     "q128_truncate" -> ((s, dir) =>
       graft.ops.TextOps.truncateTokens(docs(s, dir), "doc_id", "text", maxTokens = 50)
-        .select(col("id").as("doc_id"), col("text"), col("n_tokens"), col("truncated")))
+        .select(col("id").as("doc_id"), col("text"), col("n_tokens"), col("truncated"))),
+
+    // Keep-best cluster resolution, ORACLED: q47's components re-resolved
+    // by QUALITY (longest n_chars, ties to min id) instead of min id —
+    // the production keep rule; the replay recomputes the closure and the
+    // argmax under the same total order.
+    "q129_keep_best" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select(col("doc_id"))
+      val star = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - col("doc_id") % 7).as("dst"))
+      val bridge = d.filter(col("doc_id") % 13 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      val comps = graft.ops.Curation.connectedComponents(star.union(bridge))
+      graft.ops.Curation.keepBestPerCluster(comps,
+          docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
+        .select(col("comp").as("component"), col("keep_id"),
+          col("keep_quality").as("keep_n_chars"), col("n_members"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4085,6 +4102,30 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q129: q47's recursive-CTE closure + an argmax under
+    // (n_chars desc, id asc)
+    "q129_keep_best" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 200),
+        |ed AS (
+        |  SELECT doc_id AS src, doc_id - doc_id % 7 AS dst FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id - 1 FROM base WHERE doc_id % 13 = 0 AND doc_id > 0),
+        |e AS (SELECT src AS a, dst AS b FROM ed UNION SELECT dst, src FROM ed),
+        |reach AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |comps AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |j AS (SELECT c.component, c.id, d.n_chars,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY d.n_chars DESC, c.id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY c.component) AS n_members
+        |  FROM comps c JOIN documents d ON d.doc_id = c.id)
+        |SELECT component, id AS keep_id, n_chars AS keep_n_chars,
+        |  n_members::BIGINT AS n_members
+        |FROM j WHERE rn = 1""".stripMargin,
 
     // q128: the same slice/rejoin over the same tokenization; text
     // BYTE-compared

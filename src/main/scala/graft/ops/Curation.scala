@@ -234,6 +234,34 @@ object Curation {
       .agg(count(lit(1)).as("n_hits"))
   }
 
+  /** Keep-best canonical selection per duplicate cluster: given cluster
+    * membership ((id, comp), typically [[connectedComponents]] output)
+    * and a quality attribute, keep the member with the HIGHEST quality
+    * (ties to the smallest id) — production dedup keeps the longest /
+    * highest-quality copy, not the arbitrary min-id one, because mirror
+    * copies routinely differ (truncation, boilerplate, encoding damage).
+    * Fully deterministic under the (quality desc, id asc) total order.
+    *
+    * Scale shape: one equi-join on the id key to attach quality, then a
+    * rank-1 window per component that SPARK-37099 prunes to one
+    * candidate per map partition — a billion-copy boilerplate cluster
+    * ships ≤1 row per partition; the member count shares the same
+    * partitioning. Returns (comp, keep_id, keep_quality, n_members). */
+  def keepBestPerCluster(
+      members: DataFrame, attrs: DataFrame, idCol: String,
+      qualityCol: String): DataFrame = {
+    val w = Window.partitionBy(col("comp"))
+      .orderBy(col("__q").desc, col("id").asc)
+    val wAll = Window.partitionBy(col("comp"))
+    members.select(col("id"), col("comp"))
+      .join(attrs.select(col(idCol).as("id"), col(qualityCol).as("__q")), Seq("id"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(wAll))
+      .filter(col("__rn") <= 1)
+      .select(col("comp"), col("id").as("keep_id"), col("__q").as("keep_quality"),
+        col("n_members"))
+  }
+
   /** Benchmark n-gram COVERAGE — the measurement complement of
     * [[contaminationHits]]: what fraction of the benchmark's distinct
     * word k-grams appear ANYWHERE in the corpus. Decontamination asks

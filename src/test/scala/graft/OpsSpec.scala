@@ -690,6 +690,16 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("keepBestPerCluster: quality argmax with id tiebreak, member counts") {
+    import graft.ops.Curation
+    val members = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L)).toDF("id", "comp")
+    val attrs = Seq((1L, 100L), (2L, 300L), (3L, 300L), (4L, 50L)).toDF("doc_id", "len")
+    val r = Curation.keepBestPerCluster(members, attrs, "doc_id", "len")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(10L) == ((2L, 300L, 3L)), r.toString) // tie 2 vs 3 -> min id
+    assert(r(40L) == ((4L, 50L, 1L)), r.toString)  // singleton keeps itself
+  }
+
   test("confusionStats: per-class TP/FP/FN, zero-support guards, exact F1") {
     import graft.ops.Curation
     val df = Seq(
