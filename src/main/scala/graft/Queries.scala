@@ -1788,6 +1788,21 @@ object Queries {
           docs(s, dir).select(col("doc_id"), col("n_chars")), "doc_id", "n_chars")
         .select(col("comp").as("component"), col("keep_id"),
           col("keep_quality").as("keep_n_chars"), col("n_members"))
+    }),
+
+    // Outlink profile, ORACLED: planted link-farm tails (two urls to one
+    // host + one to another, case-varied) — url counts, distinct hosts,
+    // and the heaviest-host count replay via the same anchored regexp.
+    "q130_outlinks" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 8 === 0,
+          lit(" see http://spamfarm.example/a https://Other.Site/x http://SpamFarm.example/b"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 16 === 0, lit(" http://spamfarm.example/c"))
+          .otherwise(lit("")))
+      graft.ops.TextOps.outlinkStats(
+          docs(s, dir).withColumn("text", t), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_urls"), col("n_hosts"), col("max_host_urls"))
     })
   )
 
@@ -4102,6 +4117,25 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q130: same anchored regexp, lowercased hosts, list arithmetic
+    "q130_outlinks" ->
+      """WITH p AS (SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 8 = 0
+        |        THEN ' see http://spamfarm.example/a https://Other.Site/x http://SpamFarm.example/b'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 16 = 0 THEN ' http://spamfarm.example/c' ELSE '' END)
+        |    AS text
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, 'https?://([^/\s]+)', 1),
+        |      x -> lower(x)) AS hl
+        |  FROM p)
+        |SELECT doc_id, len(hl)::BIGINT AS n_urls,
+        |  len(list_distinct(hl))::BIGINT AS n_hosts,
+        |  coalesce(list_max([len(list_filter(hl, x -> x = hh))
+        |    FOR hh IN list_distinct(hl)]), 0)::BIGINT AS max_host_urls
+        |FROM h""".stripMargin,
 
     // q129: q47's recursive-CTE closure + an argmax under
     // (n_chars desc, id asc)

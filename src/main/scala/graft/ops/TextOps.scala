@@ -425,6 +425,27 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Outlink profile: URLs mentioned in the text and their distinct
+    * hosts — link-farm pages carry dozens of outlinks to a handful of
+    * hosts, and link-STUFFED spam carries hundreds (C4 drops pages by
+    * brace/link density; this is the link half). Purely narrow —
+    * `regexp_extract_all` + list ops, no UDF, no shuffle; host matching
+    * is the scheme-anchored `https?://` form (markdown/bare-word links
+    * are a rendering concern, not a crawl-text one). Returns
+    * (id, n_urls, n_hosts, max_host_urls). */
+  def outlinkStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol).as("id"),
+        expr(s"""regexp_extract_all($textCol, 'https?://([^/\\\\s]+)', 1)""").as("__h"))
+      .withColumn("__hl", expr("transform(__h, x -> lower(x))"))
+      .select(col("id"),
+        size(col("__h")).cast("long").as("n_urls"),
+        size(array_distinct(col("__hl"))).cast("long").as("n_hosts"),
+        coalesce(expr(
+          """array_max(transform(array_distinct(__hl),
+            |h -> size(filter(__hl, x -> x = h))))""".stripMargin).cast("long"),
+          lit(0L)).as("max_host_urls"))
+  }
+
   /** Token-budget truncation — the "max sequence length" preprocessing
     * cut (documents enter training clipped to the model's context
     * window; T30 chunks with overlap for RAG, this CLIPS for pretraining

@@ -690,6 +690,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("outlinkStats: anchored extraction, case-folded hosts, heaviest-host count") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "plain text with no links at all"),
+      (2L, "see http://a.example/x and https://A.Example/y plus http://b.org/z"),
+      (3L, "scheme-less www.c.com is not counted; ftp://d.io neither")
+    ).toDF("doc_id", "text")
+    val r = TextOps.outlinkStats(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((0L, 0L, 0L)), r.toString)
+    assert(r(2L) == ((3L, 2L, 2L)), r.toString) // a.example twice (case-folded), b.org once
+    assert(r(3L) == ((0L, 0L, 0L)), r.toString)
+  }
+
   test("keepBestPerCluster: quality argmax with id tiebreak, member counts") {
     import graft.ops.Curation
     val members = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L)).toDF("id", "comp")
