@@ -1803,6 +1803,19 @@ object Queries {
       graft.ops.TextOps.outlinkStats(
           docs(s, dir).withColumn("text", t), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_urls"), col("n_hosts"), col("max_host_urls"))
+    }),
+
+    // Code-line profile, ORACLED: a code block (indent/brace/keyword
+    // lines) planted on the mod-10 slice via the ' the '→'\n' line trick;
+    // the SAME pattern string drives both engines (escaping per dialect).
+    "q131_code_lines" -> ((s, dir) => {
+      val t = concat(expr("replace(text, ' the ', '\n')"),
+        when(col("doc_id") % 10 === 0,
+          lit("\ndef main() {\n    return 42;\n}\n// done")).otherwise(lit("")))
+      graft.ops.TextOps.codeLineStats(
+          docs(s, dir).withColumn("text", t), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n_lines"), col("n_code_lines"),
+          col("code_micro"))
     })
   )
 
@@ -4117,6 +4130,24 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q131: the shared pattern interpolated verbatim (DuckDB literals
+    // keep backslashes); list_filter + regexp_matches per line
+    "q131_code_lines" -> {
+      val pat = graft.ops.TextOps.CodeLinePattern
+      s"""WITH p AS (SELECT doc_id, replace(text, ' the ', chr(10))
+         |    || (CASE WHEN doc_id % 10 = 0
+         |        THEN chr(10) || 'def main() {' || chr(10) || '    return 42;'
+         |          || chr(10) || '}' || chr(10) || '// done'
+         |        ELSE '' END) AS text
+         |  FROM documents),
+         |l AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM p)
+         |SELECT doc_id, len(ls)::BIGINT AS n_lines,
+         |  len(list_filter(ls, x -> regexp_matches(x, '$pat')))::BIGINT AS n_code_lines,
+         |  CAST(len(list_filter(ls, x -> regexp_matches(x, '$pat'))) * 1000000
+         |    // greatest(len(ls), 1) AS BIGINT) AS code_micro
+         |FROM l""".stripMargin
+    },
 
     // q130: same anchored regexp, lowercased hosts, list arithmetic
     "q130_outlinks" ->

@@ -425,6 +425,33 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Line pattern for [[codeLineStats]], shared verbatim with the q131
+    * DuckDB replay (RE2 and java.util.regex agree on this subset):
+    * leading tab / 4-space indent / comment heads (`//`, `#`, `*`) /
+    * keyword heads / markdown blockquote, or brace/semicolon line ends.
+    * NOTE on embedding: DuckDB string literals keep backslashes verbatim
+    * (interpolate as-is); Spark SQL literals process them (double first,
+    * as the op below does). */
+  val CodeLinePattern: String =
+    "^(\\t|    |\\s*(//|#|\\*)|\\s*(import|def|class|function|return) |>)|[{};]\\s*$"
+
+  /** Code/markup line profile: per document, how many lines look like
+    * source code or markup (see [[CodeLinePattern]]) and the micro-unit
+    * rate — the router signal that decides whether a page feeds the CODE
+    * mix or the TEXT mix (StarCoder-style pipelines split here before
+    * any language-specific tooling runs). One anchored regexp per line
+    * over a bound lines array — purely narrow. Returns
+    * (id, n_lines, n_code_lines, code_micro). */
+  def codeLineStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pat = CodeLinePattern.replace("\\", "\\\\")
+    df.select(col(idCol).as("id"), split(col(textCol), "\n").as("__ls"))
+      .select(col("id"),
+        size(col("__ls")).cast("long").as("n_lines"),
+        size(expr(s"filter(__ls, l -> l rlike '$pat')")).cast("long").as("n_code_lines"))
+      .withColumn("code_micro",
+        expr("n_code_lines * 1000000 div greatest(n_lines, 1)"))
+  }
+
   /** Outlink profile: URLs mentioned in the text and their distinct
     * hosts — link-farm pages carry dozens of outlinks to a handful of
     * hosts, and link-STUFFED spam carries hundreds (C4 drops pages by

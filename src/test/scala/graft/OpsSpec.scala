@@ -690,6 +690,20 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("codeLineStats: indent/comment/keyword/brace lines flagged, prose is not") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "plain prose line\nanother ordinary sentence"),
+      (2L, "def main() {\n    return 42;\n}\n// done\nprose between\t"),
+      (3L, "> quoted reply\n# heading or comment\nimport os")
+    ).toDF("doc_id", "text")
+    val r = TextOps.codeLineStats(df, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r(1L) == ((2L, 0L, 0L)), r.toString)
+    assert(r(2L) == ((5L, 4L, 800000L)), r.toString)
+    assert(r(3L) == ((3L, 3L, 1000000L)), r.toString)
+  }
+
   test("outlinkStats: anchored extraction, case-folded hosts, heaviest-host count") {
     import graft.ops.TextOps
     val df = Seq(
