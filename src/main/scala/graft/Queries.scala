@@ -1816,7 +1816,15 @@ object Queries {
           docs(s, dir).withColumn("text", t), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n_lines"), col("n_code_lines"),
           col("code_micro"))
-    })
+    }),
+
+    // Centroid similarity matrix, ORACLED: per-label embedding centroids
+    // under the exact-integer protocol, all 45 label pairs' cosines in
+    // micro-units — one float step, same IEEE order both engines.
+    "q132_centroid_sim" -> ((s, dir) =>
+      graft.ops.Clustering.centroidSimilarity(embeddings(s, dir), "label", "embedding")
+        .select(col("key_a").cast("long").as("label_a"),
+          col("key_b").cast("long").as("label_b"), col("sim_micro")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4130,6 +4138,35 @@ object Queries {
         |  CAST(GROUPING(source) AS BIGINT) AS g_source,
         |  CAST(GROUPING(lang) AS BIGINT) AS g_lang
         |FROM documents GROUP BY ROLLUP (source, lang)""".stripMargin,
+
+    // q132: quantize → per-dim centroid → ordered centroid arrays →
+    // pair cosines, every integer step exact, one IEEE division
+    "q132_centroid_sim" ->
+      """WITH q AS (SELECT label AS key,
+        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) FOR x IN embedding] AS vm
+        |  FROM embeddings),
+        |e AS (SELECT key, t.i AS dim, vm[t.i] AS v
+        |  FROM q CROSS JOIN range(1, 65) t(i) WHERE t.i <= len(vm)),
+        |c AS (SELECT key, dim,
+        |    CAST(floor(CAST(sum(v) AS BIGINT) / count(*) + 0.5) AS BIGINT) AS c
+        |  FROM e GROUP BY 1, 2),
+        |cent AS (SELECT key, list(c ORDER BY dim) AS cv FROM c GROUP BY key),
+        |p AS (SELECT a.key AS label_a, b.key AS label_b,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [a.cv[i] * b.cv[i] FOR i IN range(1, len(a.cv) + 1)]),
+        |      (x, y) -> x + y) AS dot,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [a.cv[i] * a.cv[i] FOR i IN range(1, len(a.cv) + 1)]),
+        |      (x, y) -> x + y) AS na,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |      [b.cv[i] * b.cv[i] FOR i IN range(1, len(b.cv) + 1)]),
+        |      (x, y) -> x + y) AS nb
+        |  FROM cent a JOIN cent b ON a.key < b.key)
+        |SELECT CAST(label_a AS BIGINT) AS label_a, CAST(label_b AS BIGINT) AS label_b,
+        |  CASE WHEN na = 0 OR nb = 0 THEN 0
+        |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
+        |  END AS sim_micro
+        |FROM p""".stripMargin,
 
     // q131: the shared pattern interpolated verbatim (DuckDB literals
     // keep backslashes); list_filter + regexp_matches per line

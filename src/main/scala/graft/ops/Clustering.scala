@@ -194,4 +194,45 @@ object Clustering {
     asg.join(dups.withColumn("__dup", lit(1)), Seq("id"), "left")
       .select(col("id"), col("cid"), col("__dup").isNull.cast("long").as("keep"))
   }
+
+  /** Pairwise cosine similarity between per-key embedding CENTROIDS —
+    * "how close are these sources/classes semantically", the matrix that
+    * drives mix design (near-identical sources get merged weights) and
+    * label sanity checks (two classes whose centroids cosine at 0.99
+    * are one class). Exact protocol: vectors quantize to integer
+    * micro-units, per-dim centroid = floor(sum/n + 0.5) (exact double
+    * division of exact integers), dot/norms are EXACT LONG sums (64
+    * dims × 10^12/cell ≈ 6·10^13 < 2^53), and the one float step —
+    * dot / (√na·√nb), correctly-rounded sqrts — quantizes to micro.
+    *
+    * Scale shape: one map-combined (key, dim) sum, centroids assembled
+    * with an ordered fold per key (k·d rows total), then a k² pair join
+    * on the TINY centroid table (whitelisted crossJoin shape). Returns
+    * (key_a, key_b, sim_micro) with key_a < key_b. */
+  def centroidSimilarity(
+      df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val cells = df.select(col(keyCol).as("key"),
+        transform(col(vecCol), x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("vm"))
+      .select(col("key"), posexplode(col("vm")).as(Seq("dim", "v")))
+      .groupBy(col("key"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("key"), col("dim"), floor(col("s") / col("n") + lit(0.5)).as("c"))
+    val cents = cells.groupBy(col("key"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    val a = cents.select(col("key").as("key_a"), col("cv").as("ca"))
+    val b = cents.select(col("key").as("key_b"), col("cv").as("cb"))
+    a.crossJoin(b).where(col("key_a") < col("key_b"))
+      .withColumn("__dot", expr(
+        "aggregate(zip_with(ca, cb, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"))
+      .withColumn("__na", expr(
+        "aggregate(zip_with(ca, ca, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"))
+      .withColumn("__nb", expr(
+        "aggregate(zip_with(cb, cb, (x, y) -> x * y), 0L, (acc, t) -> acc + t)"))
+      .withColumn("sim_micro",
+        when(col("__na") === 0L || col("__nb") === 0L, 0L)
+          .otherwise(floor(col("__dot") * lit(1e6) /
+            (sqrt(col("__na")) * sqrt(col("__nb"))) + lit(0.5))))
+      .select(col("key_a"), col("key_b"), col("sim_micro"))
+  }
 }

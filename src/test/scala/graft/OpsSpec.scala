@@ -690,6 +690,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("centroidSimilarity: identical keys cosine 1.0, orthogonal keys 0, exact micro") {
+    import graft.ops.Clustering
+    val df = Seq(
+      ("a", Array(1.0f, 0.0f)), ("a", Array(1.0f, 0.0f)),
+      ("b", Array(1.0f, 0.0f)),                   // same centroid as a
+      ("c", Array(0.0f, 1.0f)),                   // orthogonal
+      ("d", Array(1.0f, 1.0f))                    // 45 degrees
+    ).toDF("key", "embedding")
+    val r = Clustering.centroidSimilarity(df, "key", "embedding")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r(("a", "b")) == 1000000L, r.toString)
+    assert(r(("a", "c")) == 0L && r(("b", "c")) == 0L, r.toString)
+    // cos 45° = 0.7071067811865476 -> floor(707106.78 + 0.5) = 707107
+    assert(r(("a", "d")) == 707107L, r.toString)
+    assert(r.size == 6)
+  }
+
   test("codeLineStats: indent/comment/keyword/brace lines flagged, prose is not") {
     import graft.ops.TextOps
     val df = Seq(
