@@ -1824,7 +1824,13 @@ object Queries {
     "q132_centroid_sim" -> ((s, dir) =>
       graft.ops.Clustering.centroidSimilarity(embeddings(s, dir), "label", "embedding")
         .select(col("key_a").cast("long").as("label_a"),
-          col("key_b").cast("long").as("label_b"), col("sim_micro")))
+          col("key_b").cast("long").as("label_b"), col("sim_micro"))),
+
+    // Intra-cluster dispersion, ORACLED with ZERO float steps: per-label
+    // mean squared distance to the exact-integer centroid.
+    "q133_dispersion" -> ((s, dir) =>
+      graft.ops.Clustering.clusterDispersion(embeddings(s, dir), "label", "embedding")
+        .select(col("key").cast("long").as("label"), col("n_vecs"), col("mean_sq_dist")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4142,16 +4148,8 @@ object Queries {
     // q132: quantize → per-dim centroid → ordered centroid arrays →
     // pair cosines, every integer step exact, one IEEE division
     "q132_centroid_sim" ->
-      """WITH q AS (SELECT label AS key,
-        |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) FOR x IN embedding] AS vm
-        |  FROM embeddings),
-        |e AS (SELECT key, t.i AS dim, vm[t.i] AS v
-        |  FROM q CROSS JOIN range(1, 65) t(i) WHERE t.i <= len(vm)),
-        |c AS (SELECT key, dim,
-        |    CAST(floor(CAST(sum(v) AS BIGINT) / count(*) + 0.5) AS BIGINT) AS c
-        |  FROM e GROUP BY 1, 2),
-        |cent AS (SELECT key, list(c ORDER BY dim) AS cv FROM c GROUP BY key),
-        |p AS (SELECT a.key AS label_a, b.key AS label_b,
+      s"""WITH $centroidCtes,
+         |p AS (SELECT a.key AS label_a, b.key AS label_b,
         |    list_reduce(list_prepend(0::BIGINT,
         |      [a.cv[i] * b.cv[i] FOR i IN range(1, len(a.cv) + 1)]),
         |      (x, y) -> x + y) AS dot,
@@ -4167,6 +4165,20 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q133: per-vector Σ(diff)² against the same centroid arrays, mean
+    // by integer division — all-BIGINT, nothing to round
+    "q133_dispersion" ->
+      s"""WITH $centroidCtes,
+         |d AS (SELECT q.key,
+         |    list_reduce(list_prepend(0::BIGINT,
+         |      [(q.vm[i] - cent.cv[i]) * (q.vm[i] - cent.cv[i])
+         |        FOR i IN range(1, len(q.vm) + 1)]),
+         |      (x, y) -> x + y) AS sq
+         |  FROM q JOIN cent USING (key))
+         |SELECT CAST(key AS BIGINT) AS label, count(*)::BIGINT AS n_vecs,
+         |  CAST(CAST(sum(sq) AS BIGINT) // count(*) AS BIGINT) AS mean_sq_dist
+         |FROM d GROUP BY key""".stripMargin,
 
     // q131: the shared pattern interpolated verbatim (DuckDB literals
     // keep backslashes); list_filter + regexp_matches per line
@@ -4396,6 +4408,20 @@ object Queries {
         |  CAST(cum * 1000000 // t.t AS BIGINT) AS cum_share_micro
         |FROM r CROSS JOIN t""".stripMargin,
   )
+
+  /** Shared CTE block for q132/q133: micro-quantized embeddings →
+    * per-(key, dim) exact centroid cells → ordered centroid arrays
+    * (tables `q` and `cent`). (A def — see [[confusionCtes]].) */
+  private def centroidCtes: String =
+    """q AS (SELECT label AS key,
+      |    [CAST(floor(CAST(x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) FOR x IN embedding] AS vm
+      |  FROM embeddings),
+      |e AS (SELECT key, t.i AS dim, vm[t.i] AS v
+      |  FROM q CROSS JOIN range(1, 65) t(i) WHERE t.i <= len(vm)),
+      |c AS (SELECT key, dim,
+      |    CAST(floor(CAST(sum(v) AS BIGINT) / count(*) + 0.5) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2),
+      |cent AS (SELECT key, list(c ORDER BY dim) AS cv FROM c GROUP BY key)""".stripMargin
 
   /** Shared CTE block for q126/q127: deterministic router predictions →
     * k² matrix → per-class TP/FP/FN + precision/recall/F1 as table `f`.

@@ -235,4 +235,36 @@ object Clustering {
             (sqrt(col("__na")) * sqrt(col("__nb"))) + lit(0.5))))
       .select(col("key_a"), col("key_b"), col("sim_micro"))
   }
+
+  /** Intra-cluster dispersion: per key, the mean squared distance of its
+    * vectors to their own centroid — the compactness number read next to
+    * [[centroidSimilarity]]'s between-key matrix (tight clusters far
+    * apart = good labels; diffuse clusters close together = relabel).
+    * ENTIRELY integer: micro-quantized cells, exact centroid, per-vector
+    * Σ(diff)² as LONG folds (64 dims × 4·10^12/cell ≈ 2.6·10^14 < 2^63),
+    * mean = one integer division. No float step at all. Returns
+    * (key, n_vecs, mean_sq_dist).
+    *
+    * Scale shape: the (key, dim) centroid aggregate, then the centroid
+    * table broadcasts back for a purely NARROW per-vector fold and one
+    * map-combined key aggregate. */
+  def clusterDispersion(
+      df: DataFrame, keyCol: String, vecCol: String): DataFrame = {
+    val base = df.select(col(keyCol).as("key"),
+      transform(col(vecCol), x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("vm"))
+    val cents = base
+      .select(col("key"), posexplode(col("vm")).as(Seq("dim", "v")))
+      .groupBy(col("key"), col("dim"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("n"))
+      .select(col("key"), col("dim"), floor(col("s") / col("n") + lit(0.5)).as("c"))
+      .groupBy(col("key"))
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("c")))),
+        p => p.getField("c")).as("cv"))
+    base.join(broadcast(cents), Seq("key"))
+      .withColumn("__sq", expr(
+        "aggregate(zip_with(vm, cv, (x, y) -> (x - y) * (x - y)), 0L, (acc, t) -> acc + t)"))
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("__sq")).as("__ssq"))
+      .select(col("key"), col("n_vecs"), expr("__ssq div n_vecs").as("mean_sq_dist"))
+  }
 }

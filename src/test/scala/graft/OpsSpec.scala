@@ -690,6 +690,19 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("clusterDispersion: tight cluster reads smaller than diffuse, exact integers") {
+    import graft.ops.Clustering
+    val df = Seq(
+      ("tight", Array(0.0f, 0.0f)), ("tight", Array(0.0f, 0.0f)),
+      ("wide", Array(0.0f, 0.0f)), ("wide", Array(1.0f, 1.0f))
+    ).toDF("key", "embedding")
+    val r = Clustering.clusterDispersion(df, "key", "embedding")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    assert(r("tight") == ((2L, 0L)), r.toString)
+    // wide centroid = (5e5, 5e5); each point at sq dist 2 * (5e5)^2 = 5e11
+    assert(r("wide") == ((2L, 500000000000L)), r.toString)
+  }
+
   test("centroidSimilarity: identical keys cosine 1.0, orthogonal keys 0, exact micro") {
     import graft.ops.Clustering
     val df = Seq(
