@@ -1830,7 +1830,15 @@ object Queries {
     // mean squared distance to the exact-integer centroid.
     "q133_dispersion" -> ((s, dir) =>
       graft.ops.Clustering.clusterDispersion(embeddings(s, dir), "label", "embedding")
-        .select(col("key").cast("long").as("label"), col("n_vecs"), col("mean_sq_dist")))
+        .select(col("key").cast("long").as("label"), col("n_vecs"), col("mean_sq_dist"))),
+
+    // Lexical-diversity ladder, ORACLED: distinct/total word n-grams for
+    // n=1..3 in exact micro-units, over docs bounded to the first 300.
+    "q134_lexical_diversity" -> ((s, dir) =>
+      graft.ops.TextOps.lexicalDiversity(
+          docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text")
+        .select(col("id").as("doc_id"), col("n"), col("n_total"),
+          col("n_distinct"), col("ttr_micro")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4165,6 +4173,27 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q134: the same shifted-slice n-grams and distinct/total arithmetic
+    "q134_lexical_diversity" ->
+      """WITH w AS (SELECT doc_id,
+        |    regexp_split_to_array(trim(text), '\s+') AS ws
+        |  FROM documents WHERE doc_id < 300),
+        |g AS (SELECT doc_id, ws,
+        |    [ws[i] || ' ' || ws[i + 1] FOR i IN range(1, len(ws))] AS g2,
+        |    [ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]
+        |      FOR i IN range(1, greatest(len(ws) - 1, 1))] AS g3
+        |  FROM w),
+        |u AS (
+        |  SELECT doc_id, 1::BIGINT AS n, len(ws)::BIGINT AS n_total,
+        |    len(list_distinct(ws))::BIGINT AS n_distinct FROM g
+        |  UNION ALL
+        |  SELECT doc_id, 2, len(g2), len(list_distinct(g2)) FROM g
+        |  UNION ALL
+        |  SELECT doc_id, 3, len(g3), len(list_distinct(g3)) FROM g)
+        |SELECT doc_id, n, n_total, n_distinct,
+        |  CAST(n_distinct * 1000000 // greatest(n_total, 1) AS BIGINT) AS ttr_micro
+        |FROM u""".stripMargin,
 
     // q133: per-vector Σ(diff)² against the same centroid arrays, mean
     // by integer division — all-BIGINT, nothing to round

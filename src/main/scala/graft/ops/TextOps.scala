@@ -425,6 +425,38 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Lexical-diversity ladder: type-token ratio (distinct / total) for
+    * word n-grams, n = 1..3 — the classic repetitiveness/diversity
+    * feature (templated spam reads TTR ≪ natural prose at every n;
+    * Gopher's repetition filters (T23) threshold specific fractions,
+    * this profiles the curve). Exact integer micro-units. PURELY
+    * NARROW: token array bound once, n-gram arrays built by zip_with
+    * over shifted slices (no sequence() descending-range edge case),
+    * distincts are per-row list ops. Returns long-format
+    * (id, n, n_total, n_distinct, ttr_micro). */
+  def lexicalDiversity(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .withColumn("__g2", expr(
+        """zip_with(slice(__ws, 1, greatest(size(__ws) - 1, 0)),
+          |slice(__ws, 2, greatest(size(__ws) - 1, 0)),
+          |(a, b) -> concat(a, ' ', b))""".stripMargin))
+      .withColumn("__g3", expr(
+        """zip_with(slice(__g2, 1, greatest(size(__g2) - 1, 0)),
+          |slice(__ws, 3, greatest(size(__ws) - 2, 0)),
+          |(a, b) -> concat(a, ' ', b))""".stripMargin))
+    val rows = Seq(("__ws", 1L), ("__g2", 2L), ("__g3", 3L)).map { case (c, n) =>
+      struct(lit(n).as("n"),
+        size(col(c)).cast("long").as("n_total"),
+        size(array_distinct(col(c))).cast("long").as("n_distinct"))
+    }
+    base.select(col("id"), explode(array(rows: _*)).as("e"))
+      .select(col("id"), col("e.n").as("n"), col("e.n_total").as("n_total"),
+        col("e.n_distinct").as("n_distinct"))
+      .withColumn("ttr_micro",
+        expr("n_distinct * 1000000 div greatest(n_total, 1)"))
+  }
+
   /** Line pattern for [[codeLineStats]], shared verbatim with the q131
     * DuckDB replay (RE2 and java.util.regex agree on this subset):
     * leading tab / 4-space indent / comment heads (`//`, `#`, `*`) /

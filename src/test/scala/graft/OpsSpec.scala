@@ -690,6 +690,23 @@ class OpsSpec extends AnyFunSuite {
     assert(r.getLong(6) == 1L * 1000000L / 4L, r.toString) // dup rate 25%
   }
 
+  test("lexicalDiversity: exact TTR ladder, repetition reads low, short-doc edges") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "a b a b a b"),     // unigrams 6/2; bigrams 5/2; trigrams 4/2
+      (2L, "w x y z"),         // fully diverse: 4/4, 3/3, 2/2
+      (3L, "solo")             // 1 word: bigrams/trigrams empty
+    ).toDF("doc_id", "text")
+    val r = TextOps.lexicalDiversity(df, "doc_id", "text")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) ->
+        ((x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r((1L, 1L)) == ((6L, 2L, 333333L)), r.toString)
+    assert(r((1L, 2L)) == ((5L, 2L, 400000L)), r.toString)
+    assert(r((1L, 3L)) == ((4L, 2L, 500000L)), r.toString)
+    assert(r((2L, 1L)) == ((4L, 4L, 1000000L)) && r((2L, 3L)) == ((2L, 2L, 1000000L)))
+    assert(r((3L, 2L)) == ((0L, 0L, 0L)) && r((3L, 3L)) == ((0L, 0L, 0L)))
+  }
+
   test("clusterDispersion: tight cluster reads smaller than diffuse, exact integers") {
     import graft.ops.Clustering
     val df = Seq(
