@@ -1838,7 +1838,16 @@ object Queries {
       graft.ops.TextOps.lexicalDiversity(
           docs(s, dir).filter(col("doc_id") < 300), "doc_id", "text")
         .select(col("id").as("doc_id"), col("n"), col("n_total"),
-          col("n_distinct"), col("ttr_micro")))
+          col("n_distinct"), col("ttr_micro"))),
+
+    // Mix feasibility, ORACLED: a 100k-token budget allocated by
+    // √(token)-temperature weights; per-source epoch/repeat factors in
+    // exact micro-units (the data-constrained pre-training check).
+    "q135_mix_feasibility" -> ((s, dir) =>
+      graft.ops.Curation.mixFeasibility(docs(s, dir), "source",
+          graft.ops.TextOps.tokenCount(col("text")), budgetTokens = 100000L)
+        .select(col("source"), col("available_tokens"), col("target_tokens"),
+          col("repeat_micro"), col("repeats")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4173,6 +4182,26 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q135: token totals → quantized sqrt weights → budget allocation →
+    // epoch factors, all floor-div on non-negatives
+    "q135_mix_feasibility" ->
+      """WITH t AS (SELECT source,
+        |    CAST(sum(len(regexp_split_to_array(trim(text), '\s+'))) AS BIGINT)
+        |      AS available_tokens
+        |  FROM documents GROUP BY 1),
+        |q AS (SELECT source, available_tokens,
+        |    CAST(floor(sqrt(available_tokens) * 1e6 + 0.5) AS BIGINT) AS s FROM t),
+        |tt AS (SELECT CAST(sum(s) AS BIGINT) AS t FROM q),
+        |a AS (SELECT source, available_tokens,
+        |    (s * 1000000 // tt.t) * 100000 // 1000000 AS target_tokens
+        |  FROM q CROSS JOIN tt)
+        |SELECT source, available_tokens, CAST(target_tokens AS BIGINT) AS target_tokens,
+        |  CAST(target_tokens * 1000000 // greatest(available_tokens, 1) AS BIGINT)
+        |    AS repeat_micro,
+        |  CAST((target_tokens * 1000000 // greatest(available_tokens, 1) + 999999)
+        |    // 1000000 AS BIGINT) AS repeats
+        |FROM a""".stripMargin,
 
     // q134: the same shifted-slice n-grams and distinct/total arithmetic
     "q134_lexical_diversity" ->

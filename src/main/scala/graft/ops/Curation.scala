@@ -1350,6 +1350,37 @@ object Curation {
       .withColumn("weight", col("w_micro") / lit(1e6))
   }
 
+  /** Mix-feasibility report under a token budget (the data-constrained
+    * check, Muennighoff et al. 2022): allocate a total training budget
+    * across sources by √(token)-temperature weights ([[
+    * temperatureMixWeights]]'s α=1/2 rationale), then report per source
+    * how many EPOCHS of its available tokens the allocation demands —
+    * repeat_micro > 10^6 means the mix repeats that source (acceptable a
+    * few times, catastrophic at 10×), the number read BEFORE training,
+    * not after the loss curves bend. All exact integer micro-units
+    * (sqrt quantized before the cross-source sum, as always). Returns
+    * (source, available_tokens, target_tokens, repeat_micro, repeats).
+    *
+    * Scale shape: one map-combined token-total aggregate, a 1-row
+    * broadcast total, narrow arithmetic. */
+  def mixFeasibility(
+      df: DataFrame, sourceCol: String, tokensCol: Column,
+      budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0)
+    val totals = df.groupBy(col(sourceCol).as("source"))
+      .agg(sum(tokensCol).as("available_tokens"))
+      .withColumn("__s", floor(sqrt(col("available_tokens")) * lit(1e6) + lit(0.5)))
+    val tot = broadcast(totals.agg(sum(col("__s")).as("__t")))
+    totals.crossJoin(tot)
+      .withColumn("__w", expr("__s * 1000000 div __t"))
+      .withColumn("target_tokens", expr(s"__w * ${budgetTokens}L div 1000000"))
+      .withColumn("repeat_micro",
+        expr("target_tokens * 1000000 div greatest(available_tokens, 1)"))
+      .withColumn("repeats", expr("(repeat_micro + 999999) div 1000000"))
+      .select(col("source"), col("available_tokens"), col("target_tokens"),
+        col("repeat_micro"), col("repeats"))
+  }
+
   /** Per-group boilerplate line removal — the CCNet/RefinedWeb template
     * strip (Wenzek et al. 2020 §3.1 dedups repeated paragraphs corpus-wide;
     * Penedo et al. 2023 §3.2 strips lines that repeat across many pages of
