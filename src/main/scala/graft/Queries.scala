@@ -1847,7 +1847,56 @@ object Queries {
       graft.ops.Curation.mixFeasibility(docs(s, dir), "source",
           graft.ops.TextOps.tokenCount(col("text")), budgetTokens = 100000L)
         .select(col("source"), col("available_tokens"), col("target_tokens"),
-          col("repeat_micro"), col("repeats")))
+          col("repeat_micro"), col("repeats"))),
+
+    // Inlink profile, ORACLED: q130's planted link-farm tails inverted
+    // to the target side — per host, total references, distinct
+    // referring docs, and the heaviest single-doc count.
+    "q136_inlinks" -> ((s, dir) => {
+      val t = concat(col("text"),
+        when(col("doc_id") % 8 === 0,
+          lit(" see http://spamfarm.example/a https://Other.Site/x http://SpamFarm.example/b"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 16 === 0, lit(" http://spamfarm.example/c"))
+          .otherwise(lit("")))
+      graft.ops.TextOps.inlinkStats(
+          docs(s, dir).withColumn("text", t), "doc_id", "text")
+        .select(col("host"), col("n_refs"), col("n_docs"), col("max_doc_refs"))
+    }),
+
+    // Head–tail stitch pairs, ORACLED: a 6-token doc-unique boundary
+    // phrase appended to the mod-9 slice and prepended to its successor;
+    // the tokenize → slice → polyHash → join → exact-verify pipeline
+    // replays bit-for-bit (the hash is the q22 codepoint fold).
+    "q137_stitch" -> ((s, dir) => {
+      def phrase(id: org.apache.spark.sql.Column) =
+        concat(lit("chronicle "), id, lit(" segment "), id, lit(" continues here"))
+      val t = when(col("doc_id") % 9 === 0,
+          concat(col("text"), lit(" "), phrase(col("doc_id"))))
+        .when(col("doc_id") % 9 === 1,
+          concat(phrase(col("doc_id") - 1), lit(" "), col("text")))
+        .otherwise(col("text"))
+      graft.ops.Dedup.stitchPairs(
+          docs(s, dir).withColumn("text", t), "doc_id", "text", k = 6)
+        .select(col("src_id"), col("dst_id"), col("boundary_hash"))
+    }),
+
+    // DSIR-style relevance, ORACLED: hashed-bucket token counts for the
+    // src7 target vs the rest, Laplace-smoothed micro probabilities, and
+    // the per-doc integer mean ratio — polyHash buckets replay exactly.
+    "q138_dsir" -> ((s, dir) =>
+      graft.ops.Retrieval.dsirRelevance(docs(s, dir), "doc_id", "source",
+          "text", targetSource = "src7", buckets = 4096)
+        .select(col("id").as("doc_id"), col("n_tokens"), col("relevance_micro"))),
+
+    // Inter-arrival profile, ORACLED: per-user event gaps in epoch
+    // micros — min, truncated mean, exact type-1 p95 under the
+    // (gap, event_id) total order.
+    "q139_interarrival" -> ((s, dir) =>
+      graft.ops.Temporal.interArrival(events(s, dir), "user_id", "ts",
+          "event_id", p = 95)
+        .select(col("key").cast("long").as("user_id"), col("n_gaps"),
+          col("min_gap_us"), col("mean_gap_us"), col("p_gap_us")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4182,6 +4231,91 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q139: lag over (user, ts, event_id), rank over (gap, event_id),
+    // the same rank formula picks the percentile gap
+    "q139_interarrival" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts, event_id FROM events),
+        |g AS (SELECT user_id, event_id,
+        |    ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+        |  FROM e),
+        |f AS (SELECT user_id, event_id, gap FROM g WHERE gap IS NOT NULL),
+        |r AS (SELECT user_id, gap,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY gap, event_id) AS rk
+        |  FROM f),
+        |s AS (SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |    CAST(min(gap) AS BIGINT) AS min_gap_us,
+        |    CAST(CAST(sum(gap) AS BIGINT) // count(*) AS BIGINT) AS mean_gap_us
+        |  FROM f GROUP BY user_id)
+        |SELECT s.user_id, s.n_gaps, s.min_gap_us, s.mean_gap_us,
+        |  CAST(r.gap AS BIGINT) AS p_gap_us
+        |FROM s JOIN r ON r.user_id = s.user_id
+        |  AND r.rk = (95 * s.n_gaps + 99) // 100""".stripMargin,
+
+    // q138: polyHash-mod-4096 buckets, smoothed micro probabilities,
+    // integer ratio and per-doc mean — every step floor-div on BIGINTs
+    "q138_dsir" ->
+      """WITH t AS (SELECT doc_id, source,
+        |    unnest(regexp_split_to_array(trim(text), '\s+')) AS w
+        |  FROM documents),
+        |tk AS (SELECT doc_id, source,
+        |    list_reduce(list_prepend(0::BIGINT,
+        |        [ascii(c)::BIGINT FOR c IN split(w, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) % 4096 AS b
+        |  FROM t WHERE w <> ''),
+        |st AS (SELECT b,
+        |    CAST(sum(CASE WHEN source = 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+        |    CAST(sum(CASE WHEN source <> 'src7' THEN 1 ELSE 0 END) AS BIGINT) AS cr
+        |  FROM tk GROUP BY b),
+        |tot AS (SELECT CAST(sum(ct) AS BIGINT) AS nt, CAST(sum(cr) AS BIGINT) AS nr
+        |  FROM st),
+        |r AS (SELECT b,
+        |    ((ct + 1) * 1000000 // (nt + 4096)) * 1000000
+        |      // greatest((cr + 1) * 1000000 // (nr + 4096), 1) AS ratio
+        |  FROM st CROSS JOIN tot)
+        |SELECT doc_id, count(*)::BIGINT AS n_tokens,
+        |  CAST(CAST(sum(ratio) AS BIGINT) // count(*) AS BIGINT) AS relevance_micro
+        |FROM tk JOIN r USING (b) GROUP BY doc_id""".stripMargin,
+
+    // q137: same boundary slices, string-equality join, and the q22
+    // codepoint polynomial on the matched boundary
+    "q137_stitch" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 9 = 0
+        |      THEN text || ' chronicle ' || doc_id || ' segment ' || doc_id
+        |        || ' continues here'
+        |    WHEN doc_id % 9 = 1
+        |      THEN 'chronicle ' || (doc_id - 1) || ' segment ' || (doc_id - 1)
+        |        || ' continues here ' || text
+        |    ELSE text END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM p),
+        |b AS (SELECT doc_id,
+        |    array_to_string(ws[1:6], ' ') AS head,
+        |    array_to_string(ws[len(ws)-5:len(ws)], ' ') AS tail
+        |  FROM w WHERE len(ws) >= 12)
+        |SELECT t.doc_id AS src_id, h.doc_id AS dst_id,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      [ascii(c)::BIGINT FOR c IN split(t.tail, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS boundary_hash
+        |FROM b t JOIN b h ON t.tail = h.head AND t.doc_id <> h.doc_id""".stripMargin,
+
+    // q136: q130's planted tails inverted — unnest hosts, two-level agg
+    "q136_inlinks" ->
+      """WITH p AS (SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 8 = 0
+        |        THEN ' see http://spamfarm.example/a https://Other.Site/x http://SpamFarm.example/b'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 16 = 0 THEN ' http://spamfarm.example/c' ELSE '' END)
+        |    AS text
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    lower(unnest(regexp_extract_all(text, 'https?://([^/\s]+)', 1))) AS host
+        |  FROM p),
+        |d AS (SELECT host, doc_id, count(*) AS n_refs FROM e GROUP BY 1, 2)
+        |SELECT host, CAST(sum(n_refs) AS BIGINT) AS n_refs,
+        |  count(*)::BIGINT AS n_docs, CAST(max(n_refs) AS BIGINT) AS max_doc_refs
+        |FROM d GROUP BY host""".stripMargin,
 
     // q135: token totals → quantized sqrt weights → budget allocation →
     // epoch factors, all floor-div on non-negatives

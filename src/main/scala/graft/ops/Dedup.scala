@@ -502,4 +502,41 @@ object Dedup {
         coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
         coalesce(col("n_shared"), lit(0L)).as("n_shared"))
   }
+
+  /** Head–tail stitch detection: pairs (src, dst) where the LAST `k`
+    * whitespace tokens of src equal the FIRST `k` tokens of dst — the
+    * signature of one article split across paginated crawl captures
+    * ("page 2 of" continuations repeat the boundary sentence), the
+    * complement of whole/near-dup dedup: these documents should be
+    * STITCHED (or one dropped), not deduped, and no shingle-set method
+    * finds them because the overlap is a tiny fraction of either doc.
+    *
+    * Shape at scale: each doc contributes exactly one head row and one
+    * tail row of (id, 8-byte boundary hash) — the candidate join
+    * shuffles hashes, never text. Boundary STRINGS re-join by id
+    * afterwards for exact verification (hash equality alone would admit
+    * p≈n²/2³¹ collisions at corpus scale), the same re-join-by-id
+    * discipline as [[minhashNearDups]]. Docs shorter than 2k tokens are
+    * excluded (their head and tail would overlap and self-match
+    * trivially). The hash is [[polyHash]], so the whole pipeline —
+    * tokenize → boundary slices → hash → join → verify — replays in the
+    * q137 DuckDB oracle. Returns (src_id, dst_id, boundary_hash). */
+  def stitchPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    require(k >= 1, "boundary width must be >= 1 token")
+    val hashUdf = udf((s: String) => polyHash(s))
+    val base = df
+      .select(col(idCol).cast("long").as("id"),
+        split(trim(col(textCol)), "\\s+").as("__ws"))
+      .filter(size(col("__ws")) >= 2 * k)
+      .select(col("id"),
+        array_join(slice(col("__ws"), 1, k), " ").as("__head"),
+        array_join(slice(col("__ws"), -k, k), " ").as("__tail"))
+    val heads = base.select(col("id").as("dst_id"), hashUdf(col("__head")).as("bh"))
+    val tails = base.select(col("id").as("src_id"), hashUdf(col("__tail")).as("bh"))
+    tails.join(heads, Seq("bh")).filter(col("src_id") =!= col("dst_id"))
+      .join(base.select(col("id").as("src_id"), col("__tail")), Seq("src_id"))
+      .join(base.select(col("id").as("dst_id"), col("__head")), Seq("dst_id"))
+      .filter(col("__tail") === col("__head"))
+      .select(col("src_id"), col("dst_id"), col("bh").as("boundary_hash"))
+  }
 }

@@ -410,4 +410,52 @@ object Retrieval {
     }
     m.groupBy(col("id")).agg(count(lit(1)).as("n_matches"))
   }
+
+  /** DSIR-style data selection scores (Xie et al. 2023, "Data Selection
+    * for Language Models via Importance Resampling"): score every doc by
+    * how much its tokens look like a TARGET source versus the rest of
+    * the raw corpus, over HASHED features — the cheap importance weight
+    * that selects in-domain pretraining data without training a
+    * classifier (T35 is the trained-classifier sibling; this is the
+    * count-ratio one). Faithful to the paper's shape (hashed n-gram
+    * bucket counts, per-bucket likelihood ratios, per-doc aggregate) but
+    * EXACT-INTEGER: Laplace-smoothed per-bucket probabilities quantized
+    * to micro-units (`(c+1)·10^6 div (N+B)`), per-bucket ratio
+    * `p_t · 10^6 div p_r`, per-doc score the integer MEAN ratio — an
+    * arithmetic mean instead of the paper's log-sum, because `ln` does
+    * not replay across libms and the induced ORDER is the deliverable.
+    *
+    * Scale shape: buckets bound the stats table to `buckets` rows no
+    * matter the corpus (the paper's point), so it BROADCASTS back —
+    * scoring is one narrow pass + one doc-keyed aggregate. The bucket
+    * stats themselves are one map-combined aggregate whose key space is
+    * ≤ `buckets`. The hash is [[Dedup.polyHash]] mod `buckets`, so the
+    * q138 DuckDB oracle replays bucket → ratio → score bit-for-bit.
+    * Returns (id, n_tokens, relevance_micro); compose with
+    * [[Curation]]'s budgetTake for the actual resample. */
+  def dsirRelevance(
+      df: DataFrame, idCol: String, sourceCol: String, textCol: String,
+      targetSource: String, buckets: Int = 4096): DataFrame = {
+    require(buckets >= 2)
+    val bucketUdf = udf((w: String) => Dedup.polyHash(w) % buckets)
+    val toks = df.select(col(idCol).cast("long").as("id"),
+        col(sourceCol).as("__src"),
+        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .withColumn("__b", bucketUdf(col("__w")))
+    val stats = toks.groupBy(col("__b")).agg(
+      sum(when(col("__src") === targetSource, 1L).otherwise(0L)).as("__ct"),
+      sum(when(col("__src") =!= targetSource, 1L).otherwise(0L)).as("__cr"))
+    val tot = stats.agg(sum(col("__ct")).as("__Nt"), sum(col("__cr")).as("__Nr"))
+    val ratios = stats.crossJoin(broadcast(tot))
+      .select(col("__b"),
+        expr(s"""((__ct + 1) * 1000000 div (__Nt + $buckets)) * 1000000
+                |div greatest((__cr + 1) * 1000000 div (__Nr + $buckets), 1)"""
+          .stripMargin.replace("\n", " ")).as("__ratio"))
+    toks.join(broadcast(ratios), Seq("__b"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        expr("sum(__ratio) div count(1)").as("relevance_micro"))
+      .select(col("id"), col("n_tokens"), col("relevance_micro"))
+  }
 }

@@ -176,4 +176,44 @@ object Temporal {
         (least(col("__ea"), col("__eb")) - greatest(col("__sa"), col("__sb")))
           .as("overlap_us"))
   }
+
+  /** Per-key inter-arrival profile: gaps between consecutive events in
+    * epoch MICROseconds — min, truncated-integer mean, and an exact
+    * type-1 p-th percentile. For a crawler this is the politeness audit
+    * (per-host request spacing: a min gap of 0 is a hammering fetcher);
+    * for user events it is the burstiness read that session windows
+    * (T21) summarize away. Everything integer: gaps are long micros
+    * (TIMESTAMP_NTZ wall clock read as UTC, the q38 convention), the
+    * mean is `sum div n`, and the percentile is the gap at rank
+    * `(p·n + 99) div 100` under the total order (gap asc, seq asc) — no
+    * `percentile_approx` nondeterminism, replayable in SQL.
+    *
+    * Scale shape: both window passes share ONE key-hash exchange (same
+    * partitioning), keys are independent so a 10^9-key corpus spreads;
+    * per-key sort is the unavoidable cost of an ordered statistic — no
+    * global sort anywhere. `seqCol` breaks timestamp ties so the gap
+    * sequence (and thus the percentile) is deterministic.
+    * Returns (key, n_gaps, min_gap_us, mean_gap_us, p_gap_us). */
+  def interArrival(
+      df: DataFrame, keyCol: String, tsCol: String, seqCol: String,
+      p: Int = 95): DataFrame = {
+    require(p >= 1 && p <= 100)
+    val ord = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__seq"))
+    val gaps = df.select(col(keyCol).as("__k"),
+        unix_micros(col(tsCol).cast("timestamp")).as("__ts"), col(seqCol).as("__seq"))
+      .withColumn("__gap", col("__ts") - lag(col("__ts"), 1).over(ord))
+      .filter(col("__gap").isNotNull)
+    val ranked = gaps.withColumn("__r",
+      row_number().over(Window.partitionBy(col("__k"))
+        .orderBy(col("__gap"), col("__seq"))))
+    val stats = ranked.groupBy(col("__k"))
+      .agg(count(lit(1)).as("n_gaps"),
+        min(col("__gap")).as("min_gap_us"),
+        expr("sum(__gap) div count(1)").as("mean_gap_us"))
+    stats.join(ranked.select(col("__k"), col("__gap"), col("__r")), Seq("__k"))
+      .filter(col("__r") === expr(s"($p * n_gaps + 99) div 100"))
+      .select(col("__k").as("key"), col("n_gaps"), col("min_gap_us"),
+        col("mean_gap_us"), col("__gap").as("p_gap_us"))
+  }
 }

@@ -505,6 +505,34 @@ object TextOps {
           lit(0L)).as("max_host_urls"))
   }
 
+  /** Inlink profile — the INVERSION of [[outlinkStats]]: instead of "how
+    * many links does this page carry", "how many pages reference this
+    * host, and how concentrated are they". A link farm reads as a host
+    * with many references from FEW documents (high max_doc_refs), an
+    * organically popular host as many references spread across MANY
+    * documents — the target-side half of link-graph spam filtering
+    * (outlink density is the source-side half, T113).
+    *
+    * Shape at scale: the narrow regexp extraction fans out to one row
+    * per (host, doc) reference, then two hash aggregates — the first on
+    * (host, doc_id) collapses per-doc repeats map-side BEFORE the host
+    * exchange, the second is a plain host rollup whose partial
+    * aggregation means a 10^9-reference host ships one row per map
+    * partition, not 10^9. Nothing wider than (host, two longs) ever
+    * rides an exchange. Returns (host, n_refs, n_docs, max_doc_refs). */
+  def inlinkStats(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    df.select(col(idCol).as("__doc"),
+        explode(expr(
+          s"""transform(regexp_extract_all($textCol, 'https?://([^/\\\\s]+)', 1),
+             |x -> lower(x))""".stripMargin)).as("host"))
+      .groupBy(col("host"), col("__doc"))
+      .agg(count(lit(1)).as("__refs"))
+      .groupBy(col("host"))
+      .agg(sum("__refs").cast("long").as("n_refs"),
+        count(lit(1)).cast("long").as("n_docs"),
+        max("__refs").cast("long").as("max_doc_refs"))
+  }
+
   /** Token-budget truncation — the "max sequence length" preprocessing
     * cut (documents enter training clipped to the model's context
     * window; T30 chunks with overlap for RAG, this CLIPS for pretraining

@@ -765,6 +765,77 @@ class OpsSpec extends AnyFunSuite {
     assert(r(3L) == ((0L, 0L, 0L)), r.toString)
   }
 
+  test("inlinkStats: host-side inversion — totals, distinct docs, heaviest doc") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "http://a.example/x then http://A.Example/y twice from one doc"),
+      (2L, "see https://a.example/z and http://b.org/"),
+      (3L, "no links here")
+    ).toDF("doc_id", "text")
+    val r = TextOps.inlinkStats(df, "doc_id", "text")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      "a.example" -> ((3L, 2L, 2L)), // 3 refs, 2 docs, doc 1 carries 2
+      "b.org" -> ((1L, 1L, 1L))), r.toString)
+  }
+
+  test("stitchPairs: tail-of-src equals head-of-dst, short docs excluded, no self-pairs") {
+    import graft.ops.Dedup
+    val boundary = "one two three four five six"
+    val df = Seq(
+      (1L, s"alpha beta gamma delta epsilon zeta eta theta $boundary"),
+      (2L, s"$boundary plus plenty of other following words here"),
+      (3L, boundary) // 6 tokens < 2k: head and tail would overlap — excluded
+    ).toDF("doc_id", "text")
+    val r = Dedup.stitchPairs(df, "doc_id", "text", k = 6)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2)))
+    assert(r.toSeq == Seq((1L, 2L, Dedup.polyHash(boundary))), r.mkString(","))
+  }
+
+  test("dsirRelevance: target-like docs outscore off-target docs, formula exact") {
+    import graft.ops.{Dedup, Retrieval}
+    val B = 64
+    val rows = Seq(
+      (1L, "t", "alpha beta alpha beta"),
+      (2L, "r", "alpha beta alpha beta"), // raw doc that looks like the target
+      (3L, "r", "gamma delta gamma delta"),
+      (4L, "r", "alpha beta gamma delta"))
+    val r = Retrieval.dsirRelevance(rows.toDF("doc_id", "source", "text"),
+        "doc_id", "source", "text", targetSource = "t", buckets = B)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2)))).toMap
+    // independent recompute of the exact integer formula
+    val toks = rows.flatMap { case (id, src, tx) =>
+      tx.split("\\s+").map(w => (id, src, Dedup.polyHash(w) % B)) }
+    val ct = toks.filter(_._2 == "t").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val cr = toks.filter(_._2 != "t").groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    val (nt, nr) = (ct.values.sum, cr.values.sum)
+    def ratio(b: Long) = {
+      val pt = (ct.getOrElse(b, 0L) + 1) * 1000000L / (nt + B)
+      val pr = (cr.getOrElse(b, 0L) + 1) * 1000000L / (nr + B)
+      pt * 1000000L / math.max(pr, 1L)
+    }
+    val expected = toks.groupBy(_._1).view.mapValues { ts =>
+      (ts.size.toLong, ts.map(t => ratio(t._3)).sum / ts.size) }.toMap
+    assert(r == expected, s"$r vs $expected")
+    assert(r(2L)._2 > r(3L)._2, "target-like raw doc must outscore off-target")
+    assert(r(4L)._2 > r(3L)._2 && r(4L)._2 < r(2L)._2, "mixed doc in between")
+  }
+
+  test("interArrival: ts+seq total order, exact mean and type-1 p95") {
+    import graft.ops.Temporal
+    val df = Seq(
+      (1L, "2024-01-01 00:00:00", 1L),
+      (1L, "2024-01-01 00:00:10", 2L),
+      (1L, "2024-01-01 00:00:10", 3L), // tie broken by seq -> 0-gap
+      (1L, "2024-01-01 00:01:00", 4L),
+      (2L, "2024-01-01 05:00:00", 5L)  // single event: no gaps, no row
+    ).toDF("u", "ts_s", "eid").withColumn("ts", to_timestamp(col("ts_s")))
+    val r = Temporal.interArrival(df, "u", "ts", "eid", p = 95)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))
+    // gaps: 10s, 0s, 50s -> min 0, mean 20s, p95 rank (95*3+99)//100 = 3 -> 50s
+    assert(r.toSeq == Seq((1L, 3L, 0L, 20000000L, 50000000L)), r.mkString(","))
+  }
+
   test("keepBestPerCluster: quality argmax with id tiebreak, member counts") {
     import graft.ops.Curation
     val members = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L)).toDF("id", "comp")

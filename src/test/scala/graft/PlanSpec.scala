@@ -692,7 +692,8 @@ class PlanSpec extends AnyFunSuite {
       "q117_rrf_hybrid", // q24's broadcast brute-force + q57's 1-row stats feed it
       "q125_benchmark_coverage", // two 1-row count frames crossed
       "q132_centroid_sim", // k-row centroid table self-paired
-      "q135_mix_feasibility") // 1-row weight-total broadcast
+      "q135_mix_feasibility", // 1-row weight-total broadcast
+      "q138_dsir") // 1-row (Nt, Nr) totals crossed into the bounded bucket table
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
