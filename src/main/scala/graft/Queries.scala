@@ -1896,7 +1896,21 @@ object Queries {
       graft.ops.Temporal.interArrival(events(s, dir), "user_id", "ts",
           "event_id", p = 95)
         .select(col("key").cast("long").as("user_id"), col("n_gaps"),
-          col("min_gap_us"), col("mean_gap_us"), col("p_gap_us")))
+          col("min_gap_us"), col("mean_gap_us"), col("p_gap_us"))),
+
+    // Tokenizer fertility per source, ORACLED: q93's greedy WordPiece
+    // kernel aggregated per feed — pieces/word and UNK rates in exact
+    // micro-units against the same recursive longest-match replay.
+    "q140_fertility" -> ((s, dir) =>
+      graft.ops.TextOps.wordpieceFertility(docs(s, dir), "source", "text", wpVocab)
+        .select(col("key").as("source"), col("n_words"), col("n_pieces"),
+          col("n_unk"), col("fertility_micro"), col("unk_micro"))),
+
+    // Per-source length Gini, ORACLED: the exact rank formula on
+    // n_chars, one integer division at the end.
+    "q141_gini" -> ((s, dir) =>
+      graft.ops.Curation.giniByKey(docs(s, dir), "source", "n_chars")
+        .select(col("key").as("source"), col("n"), col("total"), col("gini_micro")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4231,6 +4245,63 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q141: ascending rank per source, the same Chebyshev-nonnegative
+    // numerator, one floor division
+    "q141_gini" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars) AS i
+        |  FROM documents)
+        |SELECT source, count(*)::BIGINT AS n,
+        |  CAST(sum(n_chars) AS BIGINT) AS total,
+        |  CAST((2 * CAST(sum(i * n_chars) AS BIGINT)
+        |      - (count(*) + 1) * CAST(sum(n_chars) AS BIGINT)) * 1000000
+        |    // greatest(count(*) * CAST(sum(n_chars) AS BIGINT), 1) AS BIGINT)
+        |    AS gini_micro
+        |FROM r GROUP BY source""".stripMargin,
+
+    // q140: q93's recursive longest-match walk, aggregated per source
+    // with the micro-unit fertility/UNK divisions
+    "q140_fertility" -> {
+      val vlist = wpVocab.map(p => s"'$p'").mkString(", ")
+      s"""WITH RECURSIVE
+         |vocab AS (SELECT unnest([$vlist]) AS piece),
+         |words AS (SELECT source,
+         |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+         |  FROM documents),
+         |wc AS (SELECT source, w, count(*)::BIGINT AS cnt FROM words GROUP BY 1, 2),
+         |uw AS (SELECT DISTINCT w FROM wc),
+         |pos AS (SELECT w, t.j AS i FROM uw, range(0, 100) t(j)
+         |  WHERE length(w) <= 100 AND t.j < length(w)),
+         |lm AS (SELECT p.w, p.i,
+         |    max(CASE WHEN p.i = 0 THEN length(v.piece) ELSE length(v.piece) - 2 END)::BIGINT AS l
+         |  FROM pos p JOIN vocab v ON (
+         |    (p.i = 0 AND v.piece NOT LIKE '##%'
+         |      AND substr(p.w, 1, length(v.piece)) = v.piece)
+         |    OR (p.i > 0 AND v.piece LIKE '##%' AND length(v.piece) > 2
+         |      AND substr(p.w, p.i + 1, length(v.piece) - 2) = substr(v.piece, 3)))
+         |  GROUP BY 1, 2),
+         |walk(w, i, pieces) AS (
+         |  SELECT w, 0::BIGINT, 0::BIGINT FROM uw WHERE length(w) BETWEEN 1 AND 100
+         |  UNION ALL
+         |  SELECT k.w, k.i + lm.l, k.pieces + 1 FROM walk k
+         |  JOIN lm ON lm.w = k.w AND lm.i = k.i
+         |  WHERE k.i < length(k.w)),
+         |done AS (SELECT w, min(pieces)::BIGINT AS pieces FROM walk
+         |  WHERE i = length(w) GROUP BY 1),
+         |encw AS (SELECT uw.w, coalesce(d.pieces, 1)::BIGINT AS pieces,
+         |    (CASE WHEN d.w IS NULL THEN 1 ELSE 0 END)::BIGINT AS unk
+         |  FROM uw LEFT JOIN done d ON d.w = uw.w),
+         |agg AS (SELECT wc.source,
+         |    CAST(sum(wc.cnt) AS BIGINT) AS n_words,
+         |    CAST(sum(wc.cnt * e.pieces) AS BIGINT) AS n_pieces,
+         |    CAST(sum(wc.cnt * e.unk) AS BIGINT) AS n_unk
+         |  FROM wc JOIN encw e ON e.w = wc.w GROUP BY 1)
+         |SELECT source, n_words, n_pieces, n_unk,
+         |  CAST(n_pieces * 1000000 // greatest(n_words, 1) AS BIGINT) AS fertility_micro,
+         |  CAST(n_unk * 1000000 // greatest(n_words, 1) AS BIGINT) AS unk_micro
+         |FROM agg""".stripMargin
+    },
 
     // q139: lag over (user, ts, event_id), rank over (gap, event_id),
     // the same rank formula picks the percentile gap

@@ -1057,6 +1057,35 @@ object Curation {
       .select(col("bucket"), col("lo"), col("n"), col("share_micro"), col("cum_share_micro"))
   }
 
+  /** Per-key Gini coefficient over a NON-NEGATIVE value column — the
+    * inequality read on a corpus dimension: Gini of doc lengths per
+    * source separates "uniform template farm" (≈0) from "few mega-docs
+    * own the feed" (→1), the one-number complement of [[histogram]]'s
+    * whole distribution and [[skewProfile]]'s top-k view. Uses the exact
+    * rank formula G = (2·Σi·xᵢ − (n+1)·Σx) / (n·Σx) over ascending ranks
+    * in integer micro-units — the numerator is Chebyshev-nonnegative and
+    * tie-permutation-INVARIANT (equal values contribute the same Σi·x
+    * under any tie order), so no tiebreak column is needed and the
+    * result replays exactly cross-engine.
+    *
+    * Scale shape: one key-partitioned rank window + one aggregate on the
+    * same partitioning — a single exchange, partition-local sorts, no
+    * global sort. Documented bound: Σi·x needs n²·x̄ < 2⁶³ per key
+    * (≈10⁹ docs of 1 KB per key) — beyond that, pre-scale the value or
+    * widen to decimal. Returns (key, n, total, gini_micro). */
+  def giniByKey(df: DataFrame, keyCol: String, valueCol: String): DataFrame = {
+    val rank = row_number().over(
+      Window.partitionBy(col("__k")).orderBy(col("__x")))
+    df.select(col(keyCol).as("__k"), col(valueCol).cast("long").as("__x"))
+      .withColumn("__i", rank)
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum(col("__x")).as("total"),
+        sum(expr("__i * __x")).as("__s1"))
+      .withColumn("gini_micro",
+        expr("(2 * __s1 - (n + 1) * total) * 1000000 div greatest(n * total, 1)"))
+      .select(col("__k").as("key"), col("n"), col("total"), col("gini_micro"))
+  }
+
   /** Robust per-key outlier gate by median absolute deviation: a row is
     * an outlier when |value − median| > k·MAD — the robust cousin of the
     * z-score cut (mean/stddev move with the very outliers being hunted;

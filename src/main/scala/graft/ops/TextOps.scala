@@ -173,6 +173,32 @@ object TextOps {
     }
   }
 
+  /** Tokenizer fertility audit per key (source, language): words, pieces,
+    * UNKs and the exact micro-unit FERTILITY (pieces per word) and UNK
+    * rate under a fixed WordPiece vocab — the number that decides whether
+    * a vocabulary actually fits a feed (fertility ≫ 1 or UNK-heavy
+    * sources tokenize into mush and burn context window; the standard
+    * read before committing a tokenizer to a multilingual mix). Per-doc
+    * counts come from [[wordpieceCountsKernel]] (broadcast-vocab closure,
+    * one narrow UDF), then ONE map-combined key aggregate — the corpus
+    * never shuffles anything wider than (key, three longs).
+    * Returns (key, n_words, n_pieces, n_unk, fertility_micro, unk_micro). */
+  def wordpieceFertility(
+      df: DataFrame, keyCol: String, textCol: String,
+      vocab: Seq[String], maxWordChars: Int = 100): DataFrame = {
+    val kernel = wordpieceCountsKernel(vocab, maxWordChars)
+    val f = udf((t: String) => kernel(t))
+    df.select(col(keyCol).as("key"), f(col(textCol)).as("__e"))
+      .select(col("key"), col("__e._1").as("__w"),
+        col("__e._2").as("__p"), col("__e._3").as("__u"))
+      .groupBy(col("key"))
+      .agg(sum("__w").as("n_words"), sum("__p").as("n_pieces"),
+        sum("__u").as("n_unk"))
+      .withColumn("fertility_micro",
+        expr("n_pieces * 1000000 div greatest(n_words, 1)"))
+      .withColumn("unk_micro", expr("n_unk * 1000000 div greatest(n_words, 1)"))
+  }
+
   /** BPE merge learning (Sennrich, Haddow & Birch 2016 §3.2): learn the
     * `k` highest-count adjacent-symbol merges from a whitespace-word
     * corpus — the vocabulary-construction side of [[wordpieceCountsKernel]]'s

@@ -836,6 +836,35 @@ class OpsSpec extends AnyFunSuite {
     assert(r.toSeq == Seq((1L, 3L, 0L, 20000000L, 50000000L)), r.mkString(","))
   }
 
+  test("wordpieceFertility: per-key words/pieces/UNKs and exact micro rates") {
+    import graft.ops.TextOps
+    val vocab = Seq("a", "b", "ab", "##a", "##b")
+    val df = Seq(
+      (1L, "s1", "ab ab"),      // each 'ab' = 1 piece (longest match)
+      (2L, "s2", "aba Q")       // 'aba' = ab + ##a = 2 pieces; 'Q' = UNK
+    ).toDF("doc_id", "source", "text")
+    val r = TextOps.wordpieceFertility(df, "source", "text", vocab)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4), x.getLong(5)))).toMap
+    assert(r == Map(
+      "s1" -> ((2L, 2L, 0L, 1000000L, 0L)),
+      "s2" -> ((2L, 3L, 1L, 1500000L, 500000L))), r.toString)
+  }
+
+  test("giniByKey: uniform key reads 0, single-holder key reads (n-1)/n") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("a", 5L), ("a", 5L), ("a", 5L), ("a", 5L),
+      ("b", 0L), ("b", 0L), ("b", 0L), ("b", 4L)
+    ).toDF("source", "x")
+    val r = Curation.giniByKey(df, "source", "x")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      "a" -> ((4L, 20L, 0L)),      // all equal -> 0
+      "b" -> ((4L, 4L, 750000L))), // one holder of 4 -> (n-1)/n = 0.75
+      r.toString)
+  }
+
   test("keepBestPerCluster: quality argmax with id tiebreak, member counts") {
     import graft.ops.Curation
     val members = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L)).toDF("id", "comp")
