@@ -771,7 +771,7 @@ object Queries {
     // stand-in for HLL corpus profiling. DuckDB recomputes hash → distinct
     // → rank ≤ k → (k-1)·p/h_k independently.
     "q51_kmv" -> ((s, dir) => {
-      val hashUdf = udf((t: String) => graft.ops.Dedup.polyHash(t))
+      val hashUdf = graft.ops.Dedup.polyHashFn(s)
       val toks = docs(s, dir)
         .select(col("source"),
           explode(split(trim(col("text")), "[ \\t\\n\\r]+")).as("tok"))
@@ -1040,7 +1040,7 @@ object Queries {
     // everywhere, and every collision is deterministic integer arithmetic
     // both engines land on (no RNG in the sketch).
     "q69_countmin" -> ((s, dir) => {
-      val hashUdf = udf((t: String) => graft.ops.Dedup.polyHash(t))
+      val hashUdf = graft.ops.Dedup.polyHashFn(s)
       val obs = docs(s, dir)
         .select(explode(split(trim(col("text")), "\\s+")).as("term"))
         .withColumn("h", hashUdf(col("term")))

@@ -221,7 +221,7 @@ object Curation {
       corpus: DataFrame, idCol: String, textCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
     val shingleUdf = udf(Dedup.wordShinglesKernel(k))
-    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val hashUdf = Dedup.polyHashFn(corpus.sparkSession)
     val bm = benchmark
       .select(explode(shingleUdf(col(benchTextCol))).as("sg"))
       .select(hashUdf(col("sg")).as("ngh"))
@@ -278,7 +278,7 @@ object Curation {
       corpus: DataFrame, textCol: String,
       benchmark: DataFrame, benchTextCol: String, k: Int = 5): DataFrame = {
     val shingleUdf = udf(Dedup.wordShinglesKernel(k))
-    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val hashUdf = Dedup.polyHashFn(corpus.sparkSession)
     val bm = benchmark
       .select(explode(shingleUdf(col(benchTextCol))).as("sg"))
       .select(hashUdf(col("sg")).as("ngh"))
@@ -349,7 +349,7 @@ object Curation {
       k: Int = 5, numHashes: Int = 3, bits: Int = 8192): DataFrame = {
     require(numHashes >= 1 && bits >= 64, "degenerate bloom geometry")
     val shingleUdf = udf(Dedup.wordShinglesKernel(k))
-    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val hashUdf = Dedup.polyHashFn(corpus.sparkSession)
     val posUdf = udf((ngh: Long) => bloomPositions(ngh, numHashes, bits))
     // benchmark → distinct set positions (≤ bits rows by construction —
     // THE bounded collect of the bloom design, like the IVF codebook)
@@ -579,7 +579,7 @@ object Curation {
   def dupPassageStats(
       df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     val shingleUdf = udf(Dedup.wordShinglesKernel(k))
-    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val hashUdf = Dedup.polyHashFn(df.sparkSession)
     val docNg = df
       .select(col(idCol).as("id"), explode(shingleUdf(col(textCol))).as("sg"))
       .select(col("id"), hashUdf(col("sg")).as("ngh"))
@@ -607,7 +607,7 @@ object Curation {
     * at most |sources|² rows per token; per-source sizes broadcast back.
     * Ratios are exact integer micro-units. */
   def sourceOverlap(df: DataFrame, sourceCol: String, textCol: String): DataFrame = {
-    val hashUdf = udf((t: String) => Dedup.polyHash(t))
+    val hashUdf = Dedup.polyHashFn(df.sparkSession)
     val st = df
       .select(col(sourceCol).as("source"),
         explode(split(trim(col(textCol)), "[ \\t\\n\\r]+")).as("term"))
@@ -642,7 +642,7 @@ object Curation {
   def noveltyStats(
       df: DataFrame, idCol: String, textCol: String, k: Int = 5): DataFrame = {
     val shingleUdf = udf(Dedup.wordShinglesKernel(k))
-    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val hashUdf = Dedup.polyHashFn(df.sparkSession)
     val docNg = df
       .select(col(idCol).cast("long").as("id"), explode(shingleUdf(col(textCol))).as("sg"))
       .select(col("id"), hashUdf(col("sg")).as("ngh"))
@@ -683,7 +683,7 @@ object Curation {
     * row per map partition, not 10^8 — the hot-key story is handled
     * before the wire, same as [[capPerKey]]. */
   def dedupParagraphs(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val hashUdf = Dedup.polyHashFn(df.sparkSession)
     val lines = df
       .select(col(idCol).as("id"), posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
       .filter(col("line") =!= "")
@@ -826,7 +826,7 @@ object Curation {
   def rateDivergence(
       oldDf: DataFrame, newDf: DataFrame,
       keyCol: String, textCol: String): DataFrame = {
-    val hashUdf = udf((t: String) => Dedup.polyHash(t))
+    val hashUdf = Dedup.polyHashFn(oldDf.sparkSession)
     def rates(df: DataFrame) = {
       val tf = df
         .select(col(keyCol).as("key"),

@@ -87,6 +87,22 @@ object Dedup {
     acc
   }
 
+  /** [[polyHash]] as a Column factory: the native codegen'd
+    * `graft_polyhash` Catalyst expression when the session registered
+    * [[graft.GraftExtensions]] (no ScalaUDF converter round-trip, no
+    * String allocation, stays inside whole-stage codegen — the
+    * graft_extract precedent, measured ~4-10% there), the equivalent
+    * ScalaUDF otherwise. One factory call per operator; the returned
+    * function is used per column. Every per-token/per-shingle hash site
+    * in the ops routes through this. */
+  def polyHashFn(spark: org.apache.spark.sql.SparkSession): Column => Column =
+    if (spark.catalog.functionExists("graft_polyhash"))
+      c => call_function("graft_polyhash", c)
+    else {
+      val u = udf((s: String) => polyHash(s))
+      c => u(c)
+    }
+
   /** Affine coefficients for hash function h (fixed pseudo-random, < p).
     * Shared with the Bloom-filter positions in [[Curation]] so one DuckDB
     * replay formula covers both families. */
@@ -319,7 +335,7 @@ object Dedup {
       pairs: DataFrame, aCol: String = "id_a", bCol: String = "id_b",
       k: Int = 3): DataFrame = {
     val shingleUdf = udf(wordShinglesKernel(k))
-    val hashUdf = udf((s: String) => polyHash(s))
+    val hashUdf = polyHashFn(corpus.sparkSession)
     val ng = corpus
       .select(col(idCol).cast("long").as("__cid"), explode(shingleUdf(col(textCol))).as("sg"))
       .select(col("__cid"), hashUdf(col("sg")).as("ngh"))
@@ -523,7 +539,7 @@ object Dedup {
     * q137 DuckDB oracle. Returns (src_id, dst_id, boundary_hash). */
   def stitchPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "boundary width must be >= 1 token")
-    val hashUdf = udf((s: String) => polyHash(s))
+    val hashUdf = polyHashFn(df.sparkSession)
     val base = df
       .select(col(idCol).cast("long").as("id"),
         split(trim(col(textCol)), "\\s+").as("__ws"))

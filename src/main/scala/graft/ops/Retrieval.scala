@@ -247,7 +247,7 @@ object Retrieval {
       reference: DataFrame, refTextCol: String,
       alpha: Double = 0.1): DataFrame = {
     require(alpha > 0, "alpha must be positive (unsmoothed zeros diverge)")
-    val hashUdf = udf((t: String) => Dedup.polyHash(t))
+    val hashUdf = Dedup.polyHashFn(corpus.sparkSession)
     val bgUdf = udf(bigramHashKernel)
     // reference unigram counts + vocabulary size (hash-keyed)
     val c1 = reference
@@ -437,12 +437,12 @@ object Retrieval {
       df: DataFrame, idCol: String, sourceCol: String, textCol: String,
       targetSource: String, buckets: Int = 4096): DataFrame = {
     require(buckets >= 2)
-    val bucketUdf = udf((w: String) => Dedup.polyHash(w) % buckets)
+    val ph = Dedup.polyHashFn(df.sparkSession)
     val toks = df.select(col(idCol).cast("long").as("id"),
         col(sourceCol).as("__src"),
         explode(split(trim(col(textCol)), "\\s+")).as("__w"))
       .filter(col("__w") =!= "")
-      .withColumn("__b", bucketUdf(col("__w")))
+      .withColumn("__b", ph(col("__w")) % buckets)
     val stats = toks.groupBy(col("__b")).agg(
       sum(when(col("__src") === targetSource, 1L).otherwise(0L)).as("__ct"),
       sum(when(col("__src") =!= targetSource, 1L).otherwise(0L)).as("__cr"))

@@ -126,7 +126,7 @@ object Sketches {
     * max aggregate over at most 64 keys. Returns (bucket, register) for
     * non-empty buckets. */
   def hllRegisters(df: DataFrame, itemCol: String): DataFrame = {
-    val hashUdf = udf((s: String) => Dedup.polyHash(s))
+    val hashUdf = Dedup.polyHashFn(df.sparkSession)
     // polyHash alone CANNOT feed leading-zero ranks: base 131 diffuses
     // upward too slowly, so same-length shared-prefix keys ("item_1",
     // "item_2", …) collapse to one high-bit pattern and every register

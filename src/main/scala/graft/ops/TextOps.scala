@@ -620,7 +620,7 @@ object TextOps {
   def hashEmbedding(
       df: DataFrame, idCol: String, textCol: String, dims: Int = 32): DataFrame = {
     require(dims >= 2)
-    val hashUdf = udf((w: String) => Dedup.polyHash(w))
+    val hashUdf = Dedup.polyHashFn(df.sparkSession)
     df.select(col(idCol).cast("long").as("id"),
         explode(split(trim(col(textCol)), "\\s+")).as("w"))
       .filter(col("w") =!= "")

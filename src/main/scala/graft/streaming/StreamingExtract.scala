@@ -106,7 +106,7 @@ object StreamingExtract {
   def streamingCountMin(
       spark: SparkSession, srcDir: String,
       depth: Int = 3, width: Int = 64): DataFrame = {
-    val hashUdf = udf((t: String) => graft.ops.Dedup.polyHash(t))
+    val hashUdf = graft.ops.Dedup.polyHashFn(spark)
     val toks = spark.readStream.schema(pageSchema).parquet(srcDir)
       .select(explode(split(trim(col("text")), "\\s+")).as("term"))
       .select(hashUdf(col("term")).as("h"))
