@@ -1910,7 +1910,31 @@ object Queries {
     // n_chars, one integer division at the end.
     "q141_gini" -> ((s, dir) =>
       graft.ops.Curation.giniByKey(docs(s, dir), "source", "n_chars")
-        .select(col("key").as("source"), col("n"), col("total"), col("gini_micro")))
+        .select(col("key").as("source"), col("n"), col("total"), col("gini_micro"))),
+
+    // Spearman signal redundancy, ORACLED: exact-integer rho between doc
+    // length and token count per source, ranks under (value, doc_id)
+    // total orders — no averaged ties, no float covariance.
+    "q142_spearman" -> ((s, dir) =>
+      graft.ops.Curation.spearmanByKey(
+          docs(s, dir).withColumn("toks",
+            graft.ops.TextOps.tokenCount(col("text"))),
+          "source", "n_chars", "toks", "doc_id")
+        .select(col("key").as("source"), col("n"), col("sum_d2"), col("rho_micro"))),
+
+    // Dedup cluster-size profile, ORACLED: q129's planted component
+    // structure summarized into the end-of-run dedup report.
+    "q143_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select(col("doc_id"))
+      val star = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - col("doc_id") % 7).as("dst"))
+      val bridge = d.filter(col("doc_id") % 13 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      val comps = graft.ops.Curation.connectedComponents(star.union(bridge))
+      graft.ops.Curation.clusterSizeProfile(comps, "comp")
+        .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+          col("share_micro"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4245,6 +4269,44 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q143: q129's recursive closure → component sizes → size histogram
+    // with exact micro shares
+    "q143_cluster_sizes" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 200),
+        |ed AS (
+        |  SELECT doc_id AS src, doc_id - doc_id % 7 AS dst FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id - 1 FROM base WHERE doc_id % 13 = 0 AND doc_id > 0),
+        |e AS (SELECT src AS a, dst AS b FROM ed UNION SELECT dst, src FROM ed),
+        |reach AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |comps AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |s AS (SELECT component, count(*)::BIGINT AS sz FROM comps GROUP BY 1),
+        |tot AS (SELECT CAST(sum(sz) AS BIGINT) AS n FROM s)
+        |SELECT sz AS cluster_size, count(*)::BIGINT AS n_clusters,
+        |  CAST(sz * count(*) AS BIGINT) AS n_docs,
+        |  CAST(sz * count(*) * 1000000 // tot.n AS BIGINT) AS share_micro
+        |FROM s CROSS JOIN tot GROUP BY sz, tot.n""".stripMargin,
+
+    // q142: the same two total-ordered rank windows and the closed-form
+    // rho, one integer division (operands nonnegative)
+    "q142_spearman" ->
+      """WITH t AS (SELECT source, doc_id, n_chars,
+        |    len(regexp_split_to_array(trim(text), '\s+')) AS toks
+        |  FROM documents),
+        |r AS (SELECT source,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS ra,
+        |    row_number() OVER (PARTITION BY source ORDER BY toks, doc_id) AS rb
+        |  FROM t)
+        |SELECT source, count(*)::BIGINT AS n,
+        |  CAST(sum((ra - rb) * (ra - rb)) AS BIGINT) AS sum_d2,
+        |  CAST(1000000 - (6000000 * CAST(sum((ra - rb) * (ra - rb)) AS BIGINT))
+        |    // (count(*) * (count(*) * count(*) - 1)) AS BIGINT) AS rho_micro
+        |FROM r GROUP BY source HAVING count(*) >= 2""".stripMargin,
 
     // q141: ascending rank per source, the same Chebyshev-nonnegative
     // numerator, one floor division

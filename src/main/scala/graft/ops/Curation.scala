@@ -1086,6 +1086,63 @@ object Curation {
       .select(col("__k").as("key"), col("n"), col("total"), col("gini_micro"))
   }
 
+  /** Per-key Spearman rank correlation between two value columns, exact
+    * integer micro-units: ρ = 1 − 6·Σd²/(n(n²−1)) with both rank columns
+    * assigned under TOTAL orders ((value, tiebreak) ascending), so the
+    * result is deterministic and replays cross-engine — no averaged tie
+    * ranks, no float covariance. This is the signal-redundancy read of a
+    * curation stack: two quality signals correlating at ρ ≈ 1 within a
+    * feed are one signal (drop the expensive one); ρ near 0 means they
+    * gate different documents and both earn their cost.
+    *
+    * Scale shape: two rank windows + one aggregate, ALL on the same key
+    * partitioning — a single exchange, partition-local sorts only.
+    * Documented bound: n(n²−1)·10⁶ must fit int64 → n ≤ ~115k rows per
+    * key; beyond that, sample per key first (T45) or widen to decimal.
+    * Keys with n < 2 are dropped (ρ undefined). Returns (key, n,
+    * sum_d2, rho_micro). */
+  def spearmanByKey(
+      df: DataFrame, keyCol: String, aCol: String, bCol: String,
+      tieCol: String): DataFrame = {
+    val byKey = Window.partitionBy(col("__k"))
+    val ra = row_number().over(byKey.orderBy(col("__a"), col("__t")))
+    val rb = row_number().over(byKey.orderBy(col("__b"), col("__t")))
+    df.select(col(keyCol).as("__k"), col(aCol).cast("long").as("__a"),
+        col(bCol).cast("long").as("__b"), col(tieCol).as("__t"))
+      .withColumn("__ra", ra).withColumn("__rb", rb)
+      .withColumn("__d", col("__ra") - col("__rb"))
+      .groupBy(col("__k"))
+      .agg(count(lit(1)).as("n"), sum(expr("__d * __d")).as("sum_d2"))
+      .filter(col("n") >= 2)
+      .withColumn("rho_micro",
+        expr("1000000 - (6000000 * sum_d2) div (n * (n * n - 1))"))
+      .select(col("__k").as("key"), col("n"), col("sum_d2"), col("rho_micro"))
+  }
+
+  /** Cluster-size profile over a dedup membership table — the report a
+    * production dedup run ends with: how many clusters of each size, how
+    * many documents they hold, and each size class's share of the corpus
+    * (exact micro-units). A heavy tail of large clusters means templated
+    * mirror farms; all-singletons means the dedup found nothing. Feed it
+    * [[connectedComponents]] output (or any (id, comp) table).
+    *
+    * Scale shape: one (comp) count aggregate, then a (size) aggregate
+    * whose key space is ≤ the largest cluster size — both map-combined;
+    * the 1-row doc total broadcasts. Returns
+    * (cluster_size, n_clusters, n_docs, share_micro). */
+  def clusterSizeProfile(members: DataFrame, compCol: String = "comp"): DataFrame = {
+    val sizes = members.groupBy(col(compCol)).agg(count(lit(1)).as("__sz"))
+    val tot = broadcast(sizes.agg(sum(col("__sz")).as("__n")))
+    sizes.groupBy(col("__sz"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .withColumnRenamed("__sz", "cluster_size")
+      .withColumn("n_docs", expr("cluster_size * n_clusters"))
+      .crossJoin(tot)
+      .withColumn("share_micro", expr("n_docs * 1000000 div __n"))
+      .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
+        col("share_micro"))
+  }
+
   /** Robust per-key outlier gate by median absolute deviation: a row is
     * an outlier when |value − median| > k·MAD — the robust cousin of the
     * z-score cut (mean/stddev move with the very outliers being hunted;

@@ -865,6 +865,32 @@ class OpsSpec extends AnyFunSuite {
       r.toString)
   }
 
+  test("spearmanByKey: +1 on agreement, -1 on reversal, sub-2 keys dropped") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("a", 1L, 10L, 100L), ("a", 2L, 20L, 200L), ("a", 3L, 30L, 300L), // agree
+      ("b", 1L, 10L, 300L), ("b", 2L, 20L, 200L), ("b", 3L, 30L, 100L), // reversed
+      ("c", 1L, 5L, 5L) // n = 1: rho undefined, dropped
+    ).toDF("source", "doc_id", "x", "y")
+    val r = Curation.spearmanByKey(df, "source", "x", "y", "doc_id")
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      "a" -> ((3L, 0L, 1000000L)),
+      "b" -> ((3L, 8L, -1000000L))), r.toString)
+  }
+
+  test("clusterSizeProfile: size histogram with exact micro shares") {
+    import graft.ops.Curation
+    val members = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L), (5L, 40L), (6L, 60L))
+      .toDF("id", "comp")
+    val r = Curation.clusterSizeProfile(members, "comp")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      3L -> ((1L, 3L, 500000L)),
+      2L -> ((1L, 2L, 333333L)),
+      1L -> ((1L, 1L, 166666L))), r.toString)
+  }
+
   test("keepBestPerCluster: quality argmax with id tiebreak, member counts") {
     import graft.ops.Curation
     val members = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L)).toDF("id", "comp")

@@ -693,7 +693,8 @@ class PlanSpec extends AnyFunSuite {
       "q125_benchmark_coverage", // two 1-row count frames crossed
       "q132_centroid_sim", // k-row centroid table self-paired
       "q135_mix_feasibility", // 1-row weight-total broadcast
-      "q138_dsir") // 1-row (Nt, Nr) totals crossed into the bounded bucket table
+      "q138_dsir", // 1-row (Nt, Nr) totals crossed into the bounded bucket table
+      "q143_cluster_sizes") // 1-row doc-total broadcast into the size histogram
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
