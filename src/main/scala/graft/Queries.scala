@@ -1934,7 +1934,23 @@ object Queries {
       graft.ops.Curation.clusterSizeProfile(comps, "comp")
         .select(col("cluster_size"), col("n_clusters"), col("n_docs"),
           col("share_micro"))
-    })
+    }),
+
+    // Exact duplicated-span removal, ORACLED ON REWRITTEN BYTES: a
+    // 10-token syndicated sentence planted on the mod-5 slice; every copy
+    // after the first (by (doc_id, pos)) is cut in k=8 windows and the
+    // doc reassembled. Full hash-pipeline replay: gram polyHash → rank
+    // window → string verify vs the first occurrence → position marks →
+    // token filter, so 31-bit collision groups behave identically in
+    // both engines (verify failures keep the span, conservatively).
+    "q144_span_dedup" -> ((s, dir) =>
+      graft.ops.Dedup.removeDuplicateSpans(
+        docs(s, dir).withColumn("text", concat(col("text"),
+          when(col("doc_id") % 5 === 0,
+            lit(" breaking syndicated wire copy repeats across mirror sites verbatim tonight"))
+            .otherwise(lit("")))),
+        "doc_id", "text", k = 8)
+        .select(col("id").as("doc_id"), col("text"), col("n_tokens"), col("n_removed")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4269,6 +4285,36 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q144: the same hash pipeline replayed — gram polyHash (q137's
+    // list_reduce fold), first-occurrence rank window, string verify,
+    // position marks, token filter, ordered string_agg reassembly
+    "q144_span_dedup" ->
+      raw"""WITH p AS (SELECT doc_id, text ||
+        |    CASE WHEN doc_id % 5 = 0
+        |      THEN ' breaking syndicated wire copy repeats across mirror sites verbatim tonight'
+        |      ELSE '' END AS text
+        |  FROM documents),
+        |w AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws FROM p),
+        |g AS (SELECT doc_id, i AS pos, array_to_string(ws[i:i+7], ' ') AS gs
+        |      FROM w, unnest(range(1, len(ws) - 6)) AS t(i) WHERE len(ws) >= 8),
+        |h AS (SELECT doc_id, pos, gs,
+        |        list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(gs, '')]),
+        |          (acc, c) -> (acc * 131 + c) % 2147483647) AS gh FROM g),
+        |r AS (SELECT doc_id, pos, gs, gh,
+        |        row_number() OVER (PARTITION BY gh ORDER BY doc_id, pos) AS rn,
+        |        first_value(gs) OVER (PARTITION BY gh ORDER BY doc_id, pos) AS fgs
+        |      FROM h),
+        |m AS (SELECT doc_id, list(pos) AS marks FROM r WHERE rn > 1 AND gs = fgs GROUP BY doc_id),
+        |kept AS (SELECT w.doc_id, i, ws[i] AS tok
+        |         FROM w LEFT JOIN m ON w.doc_id = m.doc_id, unnest(range(1, len(ws)+1)) AS t(i)
+        |         WHERE m.marks IS NULL OR len(list_filter(m.marks, x -> i >= x AND i < x + 8)) = 0),
+        |a AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY i) AS text,
+        |        count(*)::BIGINT AS n_kept FROM kept GROUP BY doc_id)
+        |SELECT w.doc_id, coalesce(a.text, '') AS text,
+        |  CAST(len(ws) AS BIGINT) AS n_tokens,
+        |  CAST(len(ws) - coalesce(a.n_kept, 0) AS BIGINT) AS n_removed
+        |FROM w LEFT JOIN a ON w.doc_id = a.doc_id""".stripMargin,
 
     // q143: q129's recursive closure → component sizes → size histogram
     // with exact micro shares

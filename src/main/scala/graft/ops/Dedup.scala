@@ -537,6 +537,100 @@ object Dedup {
     * trivially). The hash is [[polyHash]], so the whole pipeline —
     * tokenize → boundary slices → hash → join → verify — replays in the
     * q137 DuckDB oracle. Returns (src_id, dst_id, boundary_hash). */
+  /** Gram-hash kernel for [[removeDuplicateSpans]]: [[polyHash]] of every
+    * k-token window joined with single spaces — out(i) ==
+    * polyHash(ws.slice(i, i+k).mkString(" ")) — in ONE pass over the
+    * token array (a per-position slice+join+hash via Column ops would
+    * allocate a gram string per window; this folds characters directly).
+    * Kept equal to the q144 DuckDB replay formula by construction. */
+  private[graft] def gramHashes(ws: Seq[String], k: Int): Array[Long] = {
+    if (ws == null || ws.length < k) return Array.empty
+    val arr = ws.toArray
+    val n = arr.length - k + 1
+    val out = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      var acc = 0L
+      var j = 0
+      while (j < k) {
+        if (j > 0) acc = (acc * 131 + 32L) % MersenneP // the joining ' '
+        val s = arr(i + j)
+        var c = 0
+        while (c < s.length) {
+          val cp = s.codePointAt(c)
+          acc = (acc * 131 + cp) % MersenneP
+          c += Character.charCount(cp)
+        }
+        j += 1
+      }
+      out(i) = acc
+      i += 1
+    }
+    out
+  }
+
+  /** Exact duplicated-SPAN removal (the ExactSubstr idea of Lee et al.
+    * 2021, "Deduplicating Training Data Makes Language Models Better",
+    * arXiv:2107.06499): any k-token window whose text already occurred
+    * earlier in the corpus — in an earlier document, or earlier in the
+    * SAME document — is cut from the later position, and the document is
+    * reassembled from its surviving tokens. Whole-doc dedup (T1) misses
+    * syndicated paragraphs embedded in otherwise-distinct pages; MinHash
+    * (T2) only scores whole-doc pairs; this REWRITES the overlap away
+    * while keeping exactly one copy (the globally first by (id, pos)).
+    * Fixed-k token fingerprints replace the paper's suffix-array maximal
+    * matches: spans are detected in k-token windows (overlapping windows
+    * merge into longer spans), which distributes as plain relational ops.
+    *
+    * Scale shape: gram hashing is one narrow UDF pass; only (id, pos,
+    * 8-byte hash) rows ride the one wide exchange (the first-occurrence
+    * rank window — every duplicate occurrence must cross the wire to
+    * learn it is one, but gram TEXT never does). Candidates then re-join
+    * token arrays BY ID and compare gram strings exactly — the
+    * [[minhashNearDups]] re-join discipline — so a 31-bit hash collision
+    * can never cut a non-duplicate span (collision groups fail the
+    * verify CONSERVATIVELY: the later copy survives). The rewrite is a
+    * narrow per-doc HOF over the marked positions. Returns (id, text,
+    * n_tokens, n_removed) with text in tokenizer-canonical single-space
+    * form. */
+  def removeDuplicateSpans(
+      df: DataFrame, idCol: String, textCol: String, k: Int = 8): DataFrame = {
+    require(k >= 2, "span window must be >= 2 tokens")
+    import org.apache.spark.sql.expressions.Window
+    val gramUdf = udf((ws: Seq[String]) => gramHashes(ws, k))
+    val toks = df.select(col(idCol).cast("long").as("id"),
+      split(trim(col(textCol)), "\\s+").as("__ws"))
+    val grams = toks
+      .select(col("id"), posexplode(gramUdf(col("__ws"))).as(Seq("__p0", "gh")))
+      .select(col("id"), (col("__p0") + 1).as("pos"), col("gh"))
+    val w = Window.partitionBy(col("gh")).orderBy(col("id"), col("pos"))
+    val cand = grams
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__fid", first(col("id")).over(w))
+      .withColumn("__fpos", first(col("pos")).over(w))
+      .filter(col("__rn") > 1)
+      .select(col("id"), col("pos"), col("__fid"), col("__fpos"))
+    val verified = cand
+      .join(toks, Seq("id"))
+      .withColumn("__g1", array_join(slice(col("__ws"), col("pos"), lit(k)), " "))
+      .drop("__ws")
+      .join(toks.select(col("id").as("__fid"), col("__ws").as("__fws")), Seq("__fid"))
+      .withColumn("__g2", array_join(slice(col("__fws"), col("__fpos"), lit(k)), " "))
+      .filter(col("__g1") === col("__g2"))
+      .select(col("id"), col("pos"))
+    val marks = verified.groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("__marks"))
+    toks.join(marks, Seq("id"), "left")
+      .withColumn("__kept",
+        when(col("__marks").isNull, col("__ws"))
+          .otherwise(filter(col("__ws"), (x, i) =>
+            !exists(col("__marks"), m =>
+              (i.cast("long") + 1L >= m) && (i.cast("long") + 1L < m + k)))))
+      .select(col("id"), array_join(col("__kept"), " ").as("text"),
+        size(col("__ws")).cast("long").as("n_tokens"),
+        (size(col("__ws")) - size(col("__kept"))).cast("long").as("n_removed"))
+  }
+
   def stitchPairs(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     require(k >= 1, "boundary width must be >= 1 token")
     val hashUdf = polyHashFn(df.sparkSession)

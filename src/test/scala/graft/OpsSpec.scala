@@ -891,6 +891,23 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("removeDuplicateSpans: cross-doc and intra-doc k-gram spans cut, first copy kept") {
+    import graft.ops.Dedup
+    val df = Seq(
+      (0L, "hello world"), // < k tokens: untouched
+      (1L, "a b c d e f g h i j"), // first occurrence: survives whole
+      (2L, "x y a b c d e f g h z w"), // embeds doc 1's 8-gram at pos 3
+      (3L, "p q r s t u v w p q r s t u v w") // intra-doc repeat at pos 9
+    ).toDF("doc_id", "text")
+    val r = Dedup.removeDuplicateSpans(df, "doc_id", "text", k = 8)
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      0L -> (("hello world", 2L, 0L)),
+      1L -> (("a b c d e f g h i j", 10L, 0L)),
+      2L -> (("x y z w", 12L, 8L)),
+      3L -> (("p q r s t u v w", 16L, 8L))), r.toString)
+  }
+
   test("keepBestPerCluster: quality argmax with id tiebreak, member counts") {
     import graft.ops.Curation
     val members = Seq((1L, 10L), (2L, 10L), (3L, 10L), (4L, 40L)).toDF("id", "comp")
