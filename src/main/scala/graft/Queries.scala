@@ -1950,7 +1950,34 @@ object Queries {
             lit(" breaking syndicated wire copy repeats across mirror sites verbatim tonight"))
             .otherwise(lit("")))),
         "doc_id", "text", k = 8)
-        .select(col("id").as("doc_id"), col("text"), col("n_tokens"), col("n_removed")))
+        .select(col("id").as("doc_id"), col("text"), col("n_tokens"), col("n_removed"))),
+
+    // WARC sink + source round-trip, ORACLED: the documents table is
+    // written as real Common-Crawl-layout .warc.gz shards (one gzip
+    // member per record, one file per partition) by the distributed
+    // Warc sink, read back through the DataSourceV2 WarcSource, and the
+    // (url, status, timestamp, byte length, body polyHash) projection is
+    // recomputed by DuckDB straight from the documents table — any drift
+    // in the writer, the parser, the HTTP envelope, or the ISO-8601 date
+    // round-trip breaks the hash compare.
+    "q145_warc_roundtrip" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        lit(200).as("http_status"),
+        lit("text/html; charset=utf-8").as("content_type"),
+        encode(col("text"), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_warc_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.write(base, out)
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      s.read.format("graft.sources.WarcSource").load(out)
+        .select(col("url"),
+          col("http_status").cast("long").as("http_status"),
+          unix_seconds(col("warc_ts")).as("ts_sec"),
+          length(col("body")).cast("long").as("n_bytes"),
+          hash(decode(col("body"), "UTF-8")).as("body_hash"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4285,6 +4312,18 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q145: the round-trip projection recomputed straight from the
+    // documents table — url construction, fixed status, epoch+id
+    // timestamp, UTF-8 byte length, q22's codepoint polynomial
+    "q145_warc_roundtrip" ->
+      """SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  CAST(1577836800 + doc_id AS BIGINT) AS ts_sec,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(text, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS body_hash
+        |FROM documents""".stripMargin,
 
     // q144: the same hash pipeline replayed — gram polyHash (q137's
     // list_reduce fold), first-occurrence rank window, string verify,

@@ -1,0 +1,104 @@
+package graft
+
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.nio.file.Files
+import java.time.Instant
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Warc, WarcRecord}
+
+/** WARC codec round-trips + the DataSourceV2 reader: distributed sink →
+  * per-file partitions → pruned streaming scan. */
+class WarcSpec extends AnyFunSuite {
+  lazy val spark = SparkTestBase.spark
+  import spark.implicits._
+
+  private def rec(url: String, sec: Long, body: String) = WarcRecord(
+    recordType = "response", targetUri = url,
+    date = Instant.ofEpochSecond(sec), recordId = s"<urn:graft:$url>",
+    httpStatus = 200, contentType = "text/html; charset=utf-8",
+    body = body.getBytes(UTF_8))
+
+  test("codec: record round-trips bytes, status, uri, date through plain stream") {
+    val out = new ByteArrayOutputStream()
+    Warc.writeRecord(out, rec("http://a.example/1", 1577836800L, "<html>héllo ✓</html>"))
+    Warc.writeRecord(out, rec("http://a.example/2", 1577836801L, "second"))
+    val rs = Warc.parse(new ByteArrayInputStream(out.toByteArray)).toList
+    assert(rs.map(_.targetUri) == List("http://a.example/1", "http://a.example/2"))
+    assert(rs.head.httpStatus == 200)
+    assert(rs.head.contentType == "text/html; charset=utf-8")
+    assert(rs.head.date == Instant.ofEpochSecond(1577836800L))
+    assert(new String(rs.head.body, UTF_8) == "<html>héllo ✓</html>")
+    assert(new String(rs(1).body, UTF_8) == "second")
+  }
+
+  test("codec: concatenated gzip members parse as one stream") {
+    val out = new ByteArrayOutputStream()
+    (1 to 5).foreach(i => Warc.writeGzipMember(out, rec(s"http://g.example/$i", 1577836800L + i, s"body $i")))
+    val in = new java.util.zip.GZIPInputStream(new ByteArrayInputStream(out.toByteArray))
+    val rs = Warc.parse(in).toList
+    assert(rs.size == 5)
+    assert(rs.map(r => new String(r.body, UTF_8)) == (1 to 5).map(i => s"body $i").toList)
+  }
+
+  test("codec: truncated record fails loudly, not silently") {
+    val out = new ByteArrayOutputStream()
+    Warc.writeRecord(out, rec("http://a.example/1", 0L, "some body content here"))
+    val bytes = out.toByteArray.dropRight(20)
+    val ex = intercept[Exception] {
+      Warc.parse(new ByteArrayInputStream(bytes)).toList
+    }
+    assert(ex.getMessage.contains("truncated"), ex.getMessage)
+  }
+
+  test("sink + source: distributed write, per-file partitions, full round-trip") {
+    val dir = Files.createTempDirectory("warc_rt").toString
+    val df = (1 to 20).map(i =>
+        (s"http://w.example/doc/$i", new java.sql.Timestamp((1577836800L + i) * 1000L),
+          200, "text/html", s"<html>doc $i content</html>".getBytes(UTF_8)))
+      .toDF("url", "warc_ts", "http_status", "content_type", "body")
+      .repartition(3)
+    Warc.write(df, dir)
+    val files = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".warc.gz"))
+    assert(files.length == 3, files.mkString(","))
+
+    val back = spark.read.format("graft.sources.WarcSource").load(dir)
+    assert(back.rdd.getNumPartitions == 3) // one partition per file
+    val rows = back.select("url", "http_status", "record_type", "content_type", "body", "warc_ts")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2), r.getString(3),
+        new String(r.getAs[Array[Byte]](4), UTF_8), r.getTimestamp(5).getTime / 1000L))
+      .toSet
+    val want = (1 to 20).map(i => (s"http://w.example/doc/$i", 200, "response",
+      "text/html", s"<html>doc $i content</html>", 1577836800L + i)).toSet
+    assert(rows == want)
+  }
+
+  test("source: column pruning reaches the scan (ReadSchema has only url)") {
+    val dir = Files.createTempDirectory("warc_prune").toString
+    val df = Seq(("http://p.example/1", new java.sql.Timestamp(0L), 200, "text/html",
+        "body".getBytes(UTF_8)))
+      .toDF("url", "warc_ts", "http_status", "content_type", "body")
+    Warc.write(df, dir)
+    val q = spark.read.format("graft.sources.WarcSource").load(dir).select("url")
+    val scanDesc = q.queryExecution.executedPlan.collectLeaves().map(_.toString).mkString("\n")
+    assert(scanDesc.contains("WarcScan[url]"), scanDesc)
+    assert(q.as[String].collect().toList == List("http://p.example/1"))
+  }
+
+  test("source: warc_file lineage column and empty-dir scan") {
+    val dir = Files.createTempDirectory("warc_lin").toString
+    val df = Seq(("http://l.example/1", new java.sql.Timestamp(0L), 200, "text/html",
+        "x".getBytes(UTF_8)))
+      .toDF("url", "warc_ts", "http_status", "content_type", "body")
+    Warc.write(df, dir)
+    val f = spark.read.format("graft.sources.WarcSource").load(dir)
+      .select("warc_file").as[String].head()
+    assert(f.endsWith(".warc.gz"), f)
+    val empty = Files.createTempDirectory("warc_empty").toString
+    assert(spark.read.format("graft.sources.WarcSource").load(empty).count() == 0L)
+  }
+}
