@@ -89,6 +89,23 @@ class WarcSpec extends AnyFunSuite {
     assert(q.as[String].collect().toList == List("http://p.example/1"))
   }
 
+  test("end-to-end: synth crawl pages → WARC shards → WarcSource → extraction, byte-equal") {
+    // the Common-Crawl shape: pages archived as .warc.gz, read back
+    // through the DSv2 source, and fed to the same extraction stage the
+    // parquet path uses — extracted text must be byte-identical.
+    val dir = Files.createTempDirectory("warc_e2e").toString
+    val pages = graft.synth.Synth.pagesDs(spark, 40L, seed = 7L).toDF()
+    Warc.write(pages.select($"url", $"warc_ts", lit(200).as("http_status"),
+      lit("text/html; charset=utf-8").as("content_type"), $"html".as("body")), dir)
+    val fromWarc = spark.read.format("graft.sources.WarcSource").load(dir)
+      .select($"url", $"warc_ts", $"body".as("html"))
+    val got = graft.extract.ExtractJob.extractedDf(fromWarc)
+      .select($"url", $"extracted.markdown".as("t")).as[(String, String)].collect().toMap
+    val want = graft.extract.ExtractJob.extractedDf(pages.select($"url", $"html"))
+      .select($"url", $"extracted.markdown".as("t")).as[(String, String)].collect().toMap
+    assert(got.size == 40 && got == want)
+  }
+
   test("source: warc_file lineage column and empty-dir scan") {
     val dir = Files.createTempDirectory("warc_lin").toString
     val df = Seq(("http://l.example/1", new java.sql.Timestamp(0L), 200, "text/html",
