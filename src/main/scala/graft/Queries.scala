@@ -1977,7 +1977,17 @@ object Queries {
           unix_seconds(col("warc_ts")).as("ts_sec"),
           length(col("body")).cast("long").as("n_bytes"),
           hash(decode(col("body"), "UTF-8")).as("body_hash"))
-    })
+    }),
+
+    // Relative per-key quality gate, ORACLED: keep the best 25% of each
+    // source by length under a (n_chars desc, doc_id) total order — the
+    // FineWeb-style per-dump fraction cut, calibrated per key where an
+    // absolute threshold isn't.
+    "q146_keep_fraction" -> ((s, dir) =>
+      graft.ops.Curation.keepTopFractionPerKey(
+          docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
+          "source", "n_chars", "doc_id", keepMicro = 250000L)
+        .select(col("source"), col("doc_id"), col("n_chars")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4312,6 +4322,15 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q146: the same rank/count windows and the integer ceil
+    "q146_keep_fraction" ->
+      """WITH r AS (SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars DESC, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents)
+        |SELECT source, doc_id, n_chars FROM r
+        |WHERE rn <= (n * 250000 + 999999) // 1000000""".stripMargin,
 
     // q145: the round-trip projection recomputed straight from the
     // documents table — url construction, fixed status, epoch+id

@@ -132,6 +132,39 @@ object Curation {
       .drop(rn)
   }
 
+  /** Relative per-key quality gate (the FineWeb-style "keep the best X%
+    * of each dump/feed"): keeps the top `ceil(n_key · keep_micro / 10⁶)`
+    * rows of every key under the TOTAL order (score desc, tiebreak asc)
+    * — a per-key FRACTION, where [[capPerKey]] keeps a fixed count and
+    * budgetTake spends a global budget. Absolute thresholds don't
+    * transfer across feeds (one feed's p50 quality is another's p95);
+    * this gate is calibrated per key by construction. ceil (not floor)
+    * so every non-empty key keeps at least one row — a tiny feed is
+    * sampled, not silently dropped.
+    *
+    * Scale shape: one key exchange shared by both window passes (rank
+    * and count use the same partitioning), then a narrow filter. The
+    * keep threshold depends on the per-key count, so no rank-1
+    * WindowGroupLimit pruning applies — every row of a hot key crosses
+    * the wire once, which is the floor for any exact per-key ordered
+    * statistic. Returns the surviving input rows unchanged. */
+  def keepTopFractionPerKey(
+      df: DataFrame, keyCol: String, scoreCol: String, tieCol: String,
+      keepMicro: Long): DataFrame = {
+    require(keepMicro >= 0L && keepMicro <= 1000000L, "keep fraction must be in [0, 1e6] micro")
+    val rn = "__graft_frac_rn"
+    val cnt = "__graft_frac_n"
+    require(!df.columns.contains(rn) && !df.columns.contains(cnt),
+      s"input must not carry reserved columns $rn/$cnt")
+    val byKey = Window.partitionBy(col(keyCol))
+    df.withColumn(rn,
+        row_number().over(byKey.orderBy(col(scoreCol).desc, col(tieCol).asc)))
+      .withColumn(cnt, count(lit(1)).over(byKey))
+      // ceil(n·keep/1e6) in pure integer arithmetic: (n·keep + 1e6 − 1) div 1e6
+      .filter(col(rn) <= expr(s"($cnt * ${keepMicro}L + 999999L) div 1000000L"))
+      .drop(rn, cnt)
+  }
+
   /** Connected components over an undirected pair graph — the cluster-
     * resolution step after near-dup pair mining (T2/T3/T17 emit pairs;
     * keeping ONE canonical doc per duplicate cluster needs the

@@ -891,6 +891,18 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("keepTopFractionPerKey: ceil fraction per key, ties broken, tiny key keeps one") {
+    import graft.ops.Curation
+    val df = (1 to 10).map(i => ("a", i.toLong, i.toLong))
+      .toDF("source", "doc_id", "score")
+      .union(Seq(("b", 100L, 1L)).toDF("source", "doc_id", "score"))
+      .union(Seq(("c", 200L, 5L), ("c", 201L, 5L), ("c", 202L, 5L)).toDF("source", "doc_id", "score"))
+    val kept = Curation.keepTopFractionPerKey(df, "source", "score", "doc_id", 300000L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    // a: ceil(10*0.3)=3 → scores 10,9,8; b: ceil(0.3)=1 → kept; c: ceil(0.9)=1 → min doc_id wins ties
+    assert(kept == Set(("a", 10L), ("a", 9L), ("a", 8L), ("b", 100L), ("c", 200L)), kept.toString)
+  }
+
   test("removeDuplicateSpans: cross-doc and intra-doc k-gram spans cut, first copy kept") {
     import graft.ops.Dedup
     val df = Seq(
