@@ -1987,7 +1987,42 @@ object Queries {
       graft.ops.Curation.keepTopFractionPerKey(
           docs(s, dir).select(col("source"), col("doc_id"), col("n_chars")),
           "source", "n_chars", "doc_id", keepMicro = 250000L)
-        .select(col("source"), col("doc_id"), col("n_chars")))
+        .select(col("source"), col("doc_id"), col("n_chars"))),
+
+    // Per-column exact profile, ORACLED: the snapshot audit table — one
+    // aggregate pass, native-type min/max, exact distincts (the four
+    // count-distincts share one Expand; text itself is NOT profiled).
+    "q147_column_profile" -> ((s, dir) =>
+      graft.ops.Curation.profileColumns(
+          docs(s, dir), Seq("doc_id", "lang", "source", "n_chars"))
+        .select(col("column"), col("n_rows"), col("n_null"), col("n_distinct"),
+          col("min_s"), col("max_s"))),
+
+    // URL pattern profile, ORACLED: crawl-trap detection over urls built
+    // from the documents table — a calendar trap (per-doc distinct urls,
+    // one shape), a paginated template, and a static page.
+    "q148_url_patterns" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val urls = d.filter(col("doc_id") % 3 === 0)
+        .select(concat(lit("http://cal."), col("source"),
+          lit(".example/2020/"), col("doc_id") % 12 + 1, lit("/day-"), col("doc_id")).as("url"))
+        .union(d.filter(col("doc_id") % 3 === 1)
+          .select(concat(lit("http://shop."), col("source"),
+            lit(".example/product/"), col("doc_id")).as("url")))
+        .union(d.filter(col("doc_id") % 3 === 2)
+          .select(concat(lit("http://shop."), col("source"),
+            lit(".example/about")).as("url")))
+      graft.ops.WebOps.urlPatternProfile(urls, "url", minUrls = 2L)
+        .select(col("host"), col("pattern"), col("n_urls"), col("n_distinct"))
+    }),
+
+    // Per-key exact quantiles, ORACLED: the per-feed length percentile
+    // table (p25/p50/p95) under a (n_chars, doc_id) total order.
+    "q149_quantiles_by_key" -> ((s, dir) =>
+      graft.ops.Curation.quantilesByKey(
+          docs(s, dir), "source", "n_chars", "doc_id",
+          Seq(250000L, 500000L, 950000L))
+        .select(col("key").as("source"), col("p_micro"), col("n"), col("value")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4322,6 +4357,48 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q149: the same rank/count windows + ceil-rank match
+    "q149_quantiles_by_key" ->
+      """WITH r AS (SELECT source, n_chars,
+        |    row_number() OVER (PARTITION BY source ORDER BY n_chars, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM documents),
+        |p AS (SELECT CAST(unnest([250000, 500000, 950000]) AS BIGINT) AS p_micro)
+        |SELECT source, p_micro, CAST(n AS BIGINT) AS n, n_chars AS value
+        |FROM r CROSS JOIN p
+        |WHERE rn = greatest(1, (n * p_micro + 999999) // 1000000)""".stripMargin,
+
+    // q148: same url construction, host regexp, digit-run collapse
+    "q148_url_patterns" ->
+      """WITH u AS (
+        |  SELECT 'http://cal.' || source || '.example/2020/' || (doc_id % 12 + 1)
+        |    || '/day-' || doc_id AS url FROM documents WHERE doc_id % 3 = 0
+        |  UNION ALL
+        |  SELECT 'http://shop.' || source || '.example/product/' || doc_id
+        |  FROM documents WHERE doc_id % 3 = 1
+        |  UNION ALL
+        |  SELECT 'http://shop.' || source || '.example/about'
+        |  FROM documents WHERE doc_id % 3 = 2),
+        |s AS (SELECT
+        |    lower(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)', 1)) AS host,
+        |    regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1),
+        |      '[0-9]+', '#', 'g') AS pattern,
+        |    url FROM u)
+        |SELECT host, pattern, count(*)::BIGINT AS n_urls,
+        |  count(DISTINCT url)::BIGINT AS n_distinct
+        |FROM s WHERE host <> '' GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
+
+    // q147: per-column audit recomputed independently (one SELECT per
+    // column, UNION ALL — DuckDB's planner fuses the scans)
+    "q147_column_profile" ->
+      Seq("doc_id", "lang", "source", "n_chars").map(c =>
+        s"""SELECT '$c' AS "column", count(*)::BIGINT AS n_rows,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+           |  count(DISTINCT $c)::BIGINT AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_s,
+           |  CAST(max($c) AS VARCHAR) AS max_s
+           |FROM documents""".stripMargin).mkString("\nUNION ALL\n"),
 
     // q146: the same rank/count windows and the integer ceil
     "q146_keep_fraction" ->

@@ -784,6 +784,44 @@ object Curation {
       .withColumn("pass", col("violations") === 0L)
   }
 
+  /** Per-COLUMN exact profile (the Deequ/data-audit companion of
+    * [[qualityReport]]: that one checks named constraints, this one
+    * DESCRIBES each column): row count, null count, exact distinct
+    * count, and min/max — min/max taken in the column's native type and
+    * cast to string only for the uniform report schema (so a BIGINT
+    * column reports numeric min, not lexicographic). The standard
+    * pre-training audit table for "is this snapshot's column healthy"
+    * (null-rate spikes, cardinality collapse, out-of-range values).
+    *
+    * Scale shape: ONE aggregate pass — the k exact count-distincts share
+    * a single Expand (k× row fan-out of just the profiled columns; raw
+    * text should not be in `cols`). At 10^12 rows prefer the KMV sketch
+    * (T33 [[Sketches.kmvDistinct]]) per column and keep this exact
+    * variant for snapshot audits. Floating-point columns profile fine
+    * but their min/max STRING forms are engine-specific — keep oracles
+    * to integer/string columns. Returns one row per column:
+    * (column, n_rows, n_null, n_distinct, min_s, max_s). */
+  def profileColumns(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty)
+    val aggs = Seq(count(lit(1)).as("__n")) ++ cols.zipWithIndex.flatMap { case (c, i) =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nl$i"),
+        countDistinct(col(c)).as(s"__nd$i"),
+        min(col(c)).cast("string").as(s"__mn$i"),
+        max(col(c)).cast("string").as(s"__mx$i"))
+    }
+    val entries = cols.zipWithIndex.map { case (c, i) =>
+      struct(lit(c).as("column"), col("__n").as("n_rows"),
+        col(s"__nl$i").as("n_null"), col(s"__nd$i").as("n_distinct"),
+        col(s"__mn$i").as("min_s"), col(s"__mx$i").as("max_s"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(entries: _*)).as("e"))
+      .select(col("e.column").as("column"), col("e.n_rows").as("n_rows"),
+        col("e.n_null").as("n_null"), col("e.n_distinct").as("n_distinct"),
+        col("e.min_s").as("min_s"), col("e.max_s").as("max_s"))
+  }
+
   /** Filter-funnel report: survival counts through an ORDERED filter
     * cascade — the "which gate ate my corpus" profile that runs before
     * committing to a filter recipe (RefinedWeb/DCLM-style cascades
@@ -1117,6 +1155,37 @@ object Curation {
       .withColumn("gini_micro",
         expr("(2 * __s1 - (n + 1) * total) * 1000000 div greatest(n * total, 1)"))
       .select(col("__k").as("key"), col("n"), col("total"), col("gini_micro"))
+  }
+
+  /** Per-key EXACT type-1 quantiles at a list of micro-probabilities —
+    * the generic form of the ordered statistic T122 computes for gaps
+    * (its p95) and the per-key complement of globalQuantiles (which is
+    * corpus-wide and bucket-routed): each key's p-quantile is the value
+    * at rank ceil(n·p/10⁶) under the (value, tiebreak) TOTAL order, so
+    * the answer is an actual data value, deterministic, and replays
+    * cross-engine with zero float steps. The per-feed length/quality
+    * percentile table that calibrates [[keepTopFractionPerKey]] cuts.
+    *
+    * Scale shape: one key exchange shared by the rank and count windows,
+    * then a NARROW explode of the (tiny, literal) probability list and a
+    * rank-match filter — per-key sort is the ordered statistic's
+    * unavoidable cost, nothing else shuffles. p=0 clamps to rank 1
+    * (min); p=10⁶ is the max. Returns (key, p_micro, n, value). */
+  def quantilesByKey(
+      df: DataFrame, keyCol: String, valCol: String, tieCol: String,
+      psMicro: Seq[Long]): DataFrame = {
+    require(psMicro.nonEmpty && psMicro.forall(p => p >= 0L && p <= 1000000L))
+    val byKey = Window.partitionBy(col("__k"))
+    df.select(col(keyCol).as("__k"), col(valCol).cast("long").as("__v"),
+        col(tieCol).as("__t"))
+      .withColumn("__rn", row_number().over(byKey.orderBy(col("__v"), col("__t"))))
+      .withColumn("__n", count(lit(1)).over(byKey))
+      .select(col("__k"), col("__v"), col("__rn"), col("__n"),
+        explode(array(psMicro.map(lit(_)): _*)).as("p_micro"))
+      .filter(col("__rn") ===
+        greatest(lit(1L), expr("(__n * p_micro + 999999L) div 1000000L")))
+      .select(col("__k").as("key"), col("p_micro"), col("__n").as("n"),
+        col("__v").as("value"))
   }
 
   /** Per-key Spearman rank correlation between two value columns, exact

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** URL structure operators for web-corpus curation: host extraction,
@@ -110,5 +110,30 @@ object WebOps {
       .otherwise(lit(""))
     when(scheme === "", lit(""))
       .otherwise(concat(scheme, lit("://"), host, path, query))
+  }
+
+  /** URL PATTERN profile — the crawl-trap detector: every url's path is
+    * collapsed to a SHAPE (digit runs → `#`, query dropped), and shapes
+    * are profiled per host. A shape fanning out to millions of distinct
+    * urls on one host is a calendar/session/pagination trap (the crawl
+    * frontier pathology every Common-Crawl-scale fetcher fences), or a
+    * parametrized template worth one representative, not millions —
+    * [[canonicalizeUrl]] dedups EXACT urls, this groups the infinite
+    * families canonicalization can't.
+    *
+    * Scale shape: narrow regexp projection → one map-combined
+    * (host, shape) aggregate; the distinct-url count per shape is the
+    * one Expand, over (host, shape, url) only. Returns
+    * (host, pattern, n_urls, n_distinct) for shapes with at least
+    * `minUrls` occurrences. */
+  def urlPatternProfile(df: DataFrame, urlCol: String, minUrls: Long = 2L): DataFrame = {
+    val u = col(urlCol)
+    val path = regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)", 1)
+    df.select(urlHost(u).as("host"),
+        regexp_replace(path, "[0-9]+", "#").as("pattern"), u.as("__u"))
+      .filter(col("host") =!= "")
+      .groupBy(col("host"), col("pattern"))
+      .agg(count(lit(1)).as("n_urls"), countDistinct(col("__u")).as("n_distinct"))
+      .filter(col("n_urls") >= minUrls)
   }
 }

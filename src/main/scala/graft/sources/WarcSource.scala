@@ -80,7 +80,7 @@ class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
   override def name(): String = s"warc(${paths.mkString(",")})"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(paths)
 }
@@ -102,6 +102,61 @@ class WarcScan(paths: Seq[String], required: StructType) extends Scan with Batch
       .map(f => WarcInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(required.fieldNames)
+  override def toMicroBatchStream(checkpointLocation: String) =
+    new WarcMicroBatchStream(paths, required.fieldNames)
+}
+
+/** High-water-mark offset: the lexicographically largest file name
+  * ingested so far ("" = nothing yet). */
+case class WarcFileOffset(lastFile: String)
+    extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    "{\"lastFile\":\"" + lastFile.replace("\\", "\\\\").replace("\"", "\\\"") + "\"}"
+}
+
+/** Streaming WARC ingest — tail a directory a crawler is writing
+  * segments into. Each micro-batch is the set of files that appeared
+  * ABOVE the last committed high-water mark in lexicographic order; the
+  * offset is just that mark, so checkpointed restarts resume exactly
+  * where they stopped without any per-file state.
+  *
+  * CONTRACT: segment names must sort in arrival order (true for
+  * `part-NNNNN` writers and Common-Crawl-style timestamped segment
+  * names) and a file must be complete when it becomes visible (write
+  * temp + rename, exactly what [[Warc.write]] does). A late file sorting
+  * below the mark is never picked up — this is the documented trade for
+  * an O(1) offset instead of Spark's seen-files map (whose size is the
+  * known FileStreamSource scaling wall at 10^5+ segments).
+  * Supports Trigger.AvailableNow (offsets pinned at prepare time). */
+class WarcMicroBatchStream(paths: Seq[String], fields: Array[String])
+    extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
+  import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
+
+  private def currentFiles(): Seq[String] = WarcSource.listFiles(paths, new Configuration())
+  @volatile private var pinnedLast: Option[String] = None
+
+  override def initialOffset(): Offset = WarcFileOffset("")
+  override def deserializeOffset(json: String): Offset = {
+    // minimal parse of {"lastFile":"..."} (the only field we write)
+    val m = "\"lastFile\"\\s*:\\s*\"((?:[^\"\\\\]|\\\\.)*)\"".r
+      .findFirstMatchIn(json)
+    WarcFileOffset(m.map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).getOrElse(""))
+  }
+  override def latestOffset(): Offset =
+    WarcFileOffset(pinnedLast.getOrElse(currentFiles().lastOption.getOrElse("")))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = latestOffset()
+  override def prepareForTriggerAvailableNow(): Unit =
+    pinnedLast = Some(currentFiles().lastOption.getOrElse(""))
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[WarcFileOffset].lastFile
+    val hi = end.asInstanceOf[WarcFileOffset].lastFile
+    currentFiles().filter(f => f > lo && f <= hi)
+      .map(f => WarcInputPartition(f): InputPartition).toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory = WarcReaderFactory(fields)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 case class WarcInputPartition(file: String) extends InputPartition

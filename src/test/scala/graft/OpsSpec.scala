@@ -891,6 +891,39 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("urlPatternProfile: digit runs collapse to one pattern, trap fan-out visible") {
+    import graft.ops.WebOps
+    val urls = ((1 to 5).map(i => s"http://cal.example/2020/01/day-$i") ++
+      Seq("http://cal.example/about", "http://cal.example/about",
+        "https://other.example/p/9?x=1", "not a url")).toDF("url")
+    val r = WebOps.urlPatternProfile(urls, "url", minUrls = 2L)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> ((x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      ("cal.example", "/#/#/day-#") -> ((5L, 5L)), // 5 urls, all distinct: the trap signature
+      ("cal.example", "/about") -> ((2L, 1L))), r.toString)
+  }
+
+  test("quantilesByKey: exact type-1 ranks, p=0 min, p=1e6 max, total order") {
+    import graft.ops.Curation
+    val df = (1 to 10).map(i => ("a", i.toLong, i.toLong)).toDF("k", "id", "v")
+    val r = Curation.quantilesByKey(df, "k", "v", "id", Seq(0L, 500000L, 900000L, 1000000L))
+      .collect().map(x => x.getLong(1) -> x.getLong(3)).toMap
+    assert(r == Map(0L -> 1L, 500000L -> 5L, 900000L -> 9L, 1000000L -> 10L), r.toString)
+  }
+
+  test("profileColumns: nulls, exact distincts, native-type min/max per column") {
+    import graft.ops.Curation
+    val df = Seq[(java.lang.Long, String)]((9L, "b"), (10L, "a"), (null, "a"), (2L, null))
+      .toDF("v", "s")
+    val r = Curation.profileColumns(df, Seq("v", "s"))
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getLong(3), x.getString(4), x.getString(5)))).toMap
+    // numeric min/max (2 < 9 < 10), not lexicographic ("10" < "2" < "9")
+    assert(r == Map(
+      "v" -> ((4L, 1L, 3L, "2", "10")),
+      "s" -> ((4L, 1L, 2L, "a", "b"))), r.toString)
+  }
+
   test("keepTopFractionPerKey: ceil fraction per key, ties broken, tiny key keeps one") {
     import graft.ops.Curation
     val df = (1 to 10).map(i => ("a", i.toLong, i.toLong))

@@ -106,6 +106,39 @@ class WarcSpec extends AnyFunSuite {
     assert(got.size == 40 && got == want)
   }
 
+  test("streaming: tail a segment directory; checkpointed restart reads only new files") {
+    val dir = SparkTestBase.tempDir("warc_sdir")
+    val ckpt = SparkTestBase.tempDir("warc_sckpt")
+    def seg(name: String, urls: Seq[String]): Unit = {
+      val os = new java.io.FileOutputStream(s"$dir/$name")
+      try urls.foreach(u => Warc.writeGzipMember(os, rec(u, 0L, s"body of $u")))
+      finally os.close()
+    }
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    def run(): Unit = {
+      val q = spark.readStream.format("graft.sources.WarcSource").load(dir)
+        .select($"url")
+        .writeStream
+        .option("checkpointLocation", ckpt)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.collect().foreach(r => seen.add(r.getString(0)))
+        }
+        .start()
+      q.awaitTermination()
+    }
+    seg("part-00001.warc.gz", Seq("http://s.example/1", "http://s.example/2"))
+    seg("part-00002.warc.gz", Seq("http://s.example/3"))
+    run()
+    assert(seen.size == 3, seen.toString)
+    // a new segment arrives; restart from the checkpoint reads ONLY it
+    seg("part-00003.warc.gz", Seq("http://s.example/4"))
+    run()
+    import scala.jdk.CollectionConverters._
+    assert(seen.asScala.toSeq.sorted == (1 to 4).map(i => s"http://s.example/$i"),
+      seen.toString)
+  }
+
   test("source: warc_file lineage column and empty-dir scan") {
     val dir = Files.createTempDirectory("warc_lin").toString
     val df = Seq(("http://l.example/1", new java.sql.Timestamp(0L), 200, "text/html",
