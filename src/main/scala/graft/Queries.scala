@@ -2022,7 +2022,14 @@ object Queries {
       graft.ops.Curation.quantilesByKey(
           docs(s, dir), "source", "n_chars", "doc_id",
           Seq(250000L, 500000L, 950000L))
-        .select(col("key").as("source"), col("p_micro"), col("n"), col("value")))
+        .select(col("key").as("source"), col("p_micro"), col("n"), col("value"))),
+
+    // Greedy k-center coreset, ORACLED: 4 farthest-point selections over
+    // the embeddings table under the exact-integer protocol; the DuckDB
+    // side unrolls the same 4 steps as chained CTEs (the q61 discipline).
+    "q150_kcenter" -> ((s, dir) =>
+      graft.ops.Clustering.kCenterSelect(embeddings(s, dir), "vec_id", "embedding", k = 4)
+        .select(col("sel_rank"), col("id"), col("d2")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4357,6 +4364,33 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q150: the same greedy chain unrolled — seed by min id, then per
+    // step an exact-integer dmin update (least) and a (dmin desc, id)
+    // argmax excluding chosen ids
+    "q150_kcenter" -> {
+      def dist(a: String, b: String) =
+        s"list_reduce(list_prepend(0::BIGINT, [($a.vm[i] - $b.vm[i]) * ($a.vm[i] - $b.vm[i]) " +
+          s"FOR i IN range(1, len($a.vm) + 1)]), (x, y) -> x + y)"
+      val steps = new StringBuilder
+      for (r <- 2 to 4) {
+        val notIn = (1 until r).map(i => s"SELECT id FROM c$i").mkString(" UNION ALL ")
+        steps ++= s",\nc$r AS (SELECT d${r - 1}.id, d${r - 1}.vm, d${r - 1}.dmin FROM d${r - 1} " +
+          s"WHERE d${r - 1}.id NOT IN ($notIn) ORDER BY d${r - 1}.dmin DESC, d${r - 1}.id LIMIT 1)"
+        if (r < 4)
+          steps ++= s",\nd$r AS (SELECT d${r - 1}.id, d${r - 1}.vm, least(d${r - 1}.dmin, " +
+            s"${dist(s"d${r - 1}", s"c$r")}) AS dmin FROM d${r - 1} CROSS JOIN c$r)"
+      }
+      s"""WITH v AS (SELECT vec_id AS id,
+         |    [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN embedding] AS vm
+         |  FROM embeddings WHERE embedding IS NOT NULL),
+         |c1 AS (SELECT id, vm FROM v ORDER BY id LIMIT 1),
+         |d1 AS (SELECT v.id, v.vm, ${dist("v", "c1")} AS dmin FROM v CROSS JOIN c1)$steps
+         |SELECT CAST(1 AS BIGINT) AS sel_rank, id, CAST(0 AS BIGINT) AS d2 FROM c1
+         |UNION ALL SELECT CAST(2 AS BIGINT), id, dmin FROM c2
+         |UNION ALL SELECT CAST(3 AS BIGINT), id, dmin FROM c3
+         |UNION ALL SELECT CAST(4 AS BIGINT), id, dmin FROM c4""".stripMargin
+    },
 
     // q149: the same rank/count windows + ceil-rank match
     "q149_quantiles_by_key" ->

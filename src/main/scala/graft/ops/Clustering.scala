@@ -267,4 +267,65 @@ object Clustering {
       .agg(count(lit(1)).as("n_vecs"), sum(col("__sq")).as("__ssq"))
       .select(col("key"), col("n_vecs"), expr("__ssq div n_vecs").as("mean_sq_dist"))
   }
+
+  /** Greedy k-center coreset selection (Gonzalez 1985 farthest-point
+    * traversal, the 2-approximation): pick the min-id seed, then k−1
+    * times the point FARTHEST from everything chosen so far — the
+    * maximally semantically-DIVERSE exemplar set (coreset selection /
+    * "cover the embedding space with k docs"), the opposite pull of
+    * SemDeDup's remove-the-redundant. Distances are exact integers under
+    * the class quantization contract; selection order is total via the
+    * (dmin desc, id asc) tiebreak, so a fixed k replays bit-for-bit
+    * (the q150 DuckDB oracle unrolls the k steps as chained CTEs).
+    *
+    * Scale shape per step: the newly chosen center is a k×dim LITERAL in
+    * the update expression, so the min-distance maintenance is PURELY
+    * NARROW (no broadcast join, no exchange); the only wide op per step
+    * is the argmax — a TakeOrdered(1), never a global sort. The running
+    * frame is persisted and rolled each step (the HITS/label-prop
+    * lesson: k chained actions must not recompute from the scan), and
+    * the only driver-side data is the k selected rows themselves —
+    * exactly the codebook-bounded-collect contract. Total cost O(n·k·d).
+    * Returns (sel_rank, id, d2): squared micro-unit distance to the
+    * previously-chosen set at selection time (0 for the seed) — a
+    * decreasing sequence whose tail is the coverage radius. */
+  def kCenterSelect(
+      emb: DataFrame, idCol: String, vecCol: String, k: Int): DataFrame = {
+    require(k >= 1)
+    val spark = emb.sparkSession
+    val v = emb.where(col(vecCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        transform(col(vecCol), x => floor(x.cast("double") * lit(1e6) + lit(0.5))).as("vm"))
+    val seedRow = v.orderBy(col("id")).limit(1).collect()
+    if (seedRow.isEmpty) {
+      import spark.implicits._
+      return Seq.empty[(Long, Long, Long)].toDF("sel_rank", "id", "d2")
+    }
+    def vecLit(c: Seq[Long]) = array(c.map(lit(_)): _*)
+    def d2To(c: Seq[Long]) =
+      aggregate(zip_with(col("vm"), vecLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0L), (acc, x) => acc + x)
+    val chosen = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)](
+      (1L, seedRow(0).getLong(0), 0L))
+    var cur = v.withColumn("dmin", d2To(seedRow(0).getSeq[Long](1))).persist()
+    var prev: DataFrame = null
+    for (r <- 2 to k) {
+      // already-chosen ids are EXCLUDED (a literal isin, not a join), so
+      // duplicate vectors (dmin 0) still select distinct ids and both
+      // engines agree even on degenerate corpora
+      val top = cur.filter(!col("id").isin(chosen.map(_._2).toSeq: _*))
+        .orderBy(col("dmin").desc, col("id").asc).limit(1).collect()
+      if (top.nonEmpty) {
+        chosen += ((r.toLong, top(0).getLong(0), top(0).getLong(2)))
+        if (prev != null) prev.unpersist()
+        prev = cur
+        cur = cur.withColumn("dmin",
+          least(col("dmin"), d2To(top(0).getSeq[Long](1)))).persist()
+      }
+    }
+    cur.unpersist()
+    if (prev != null) prev.unpersist()
+    import spark.implicits._
+    chosen.toSeq.toDF("sel_rank", "id", "d2")
+  }
 }

@@ -891,6 +891,23 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("kCenterSelect: farthest-point order with min-id seed and asc tiebreak") {
+    import graft.ops.Clustering
+    val df = Seq(
+      (1L, Seq(0f, 0f)), // seed (min id)
+      (2L, Seq(0.5f, 0f)), // near the seed: never chosen at k=3
+      (3L, Seq(10f, 0f)), // ties with 4 at step 3 → smaller id wins
+      (4L, Seq(0f, 10f)),
+      (5L, Seq(10f, 10f)) // farthest from seed → rank 2
+    ).toDF("vec_id", "embedding")
+    val r = Clustering.kCenterSelect(df, "vec_id", "embedding", k = 3)
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getLong(2))).toList.sorted
+    assert(r == List(
+      (1L, 1L, 0L),
+      (2L, 5L, 200000000000000L), // (1e7)² + (1e7)²
+      (3L, 3L, 100000000000000L)), r.toString)
+  }
+
   test("urlPatternProfile: digit runs collapse to one pattern, trap fan-out visible") {
     import graft.ops.WebOps
     val urls = ((1 to 5).map(i => s"http://cal.example/2020/01/day-$i") ++
