@@ -2029,7 +2029,22 @@ object Queries {
     // side unrolls the same 4 steps as chained CTEs (the q61 discipline).
     "q150_kcenter" -> ((s, dir) =>
       graft.ops.Clustering.kCenterSelect(embeddings(s, dir), "vec_id", "embedding", k = 4)
-        .select(col("sel_rank"), col("id"), col("d2")))
+        .select(col("sel_rank"), col("id"), col("d2"))),
+
+    // Dedup flow matrix, ORACLED: q143's planted clusters joined back to
+    // sources — who mirrors whom, with canonical = min id per cluster.
+    "q151_dedup_flow" -> ((s, dir) => {
+      val d = docs(s, dir).filter(col("doc_id") < 200).select(col("doc_id"))
+      val star = d.filter(col("doc_id") % 7 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - col("doc_id") % 7).as("dst"))
+      val bridge = d.filter(col("doc_id") % 13 === 0 && col("doc_id") > 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      val comps = graft.ops.Curation.connectedComponents(star.union(bridge))
+      graft.ops.Curation.dedupFlowMatrix(
+          comps, docs(s, dir).select(col("doc_id"), col("source")),
+          metaIdCol = "doc_id")
+        .select(col("canon_source"), col("dup_source"), col("n_docs"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4364,6 +4379,29 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q151: q143's recursive closure (component = min reachable id =
+    // the canonical), then source joins and the pair aggregate
+    "q151_dedup_flow" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT doc_id FROM documents WHERE doc_id < 200),
+        |ed AS (
+        |  SELECT doc_id AS src, doc_id - doc_id % 7 AS dst FROM base WHERE doc_id % 7 <> 0
+        |  UNION ALL
+        |  SELECT doc_id, doc_id - 1 FROM base WHERE doc_id % 13 = 0 AND doc_id > 0),
+        |e AS (SELECT src AS a, dst AS b FROM ed UNION SELECT dst, src FROM ed),
+        |reach AS (
+        |  SELECT a AS id, a AS r FROM e
+        |  UNION
+        |  SELECT e.a AS id, reach.r FROM e JOIN reach ON reach.id = e.b),
+        |comps AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |f AS (SELECT id, component FROM comps WHERE id <> component)
+        |SELECT cs.source AS canon_source, ds.source AS dup_source,
+        |  count(*)::BIGINT AS n_docs
+        |FROM f
+        |JOIN documents ds ON ds.doc_id = f.id
+        |JOIN documents cs ON cs.doc_id = f.component
+        |GROUP BY 1, 2""".stripMargin,
 
     // q150: the same greedy chain unrolled — seed by min id, then per
     // step an exact-integer dmin update (least) and a (dmin desc, id)

@@ -1245,6 +1245,36 @@ object Curation {
         col("share_micro"))
   }
 
+  /** Dedup FLOW matrix: given cluster membership (id, comp) and doc
+    * metadata (id, source), count for every (canonical_source,
+    * duplicate_source) pair how many non-canonical cluster members the
+    * duplicate source contributed — the mirror-DIRECTION read the
+    * cluster-size histogram (T126) aggregates away: a heavy
+    * (A, B) cell says feed B republishes feed A (B's copies lose to A's
+    * canonicals), the diagonal counts within-feed duplication, and a
+    * feed whose column sum ≈ its corpus share is pure syndication.
+    * Canonical = min id per cluster (swap in [[keepBestPerCluster]]
+    * upstream for quality-ranked canonicals).
+    *
+    * Scale shape: one map-combined min per comp, two id-keyed equi-joins
+    * (metadata by member id, then by canonical id), one (src, src) pair
+    * aggregate whose key space is ≤ sources². Returns
+    * (canon_source, dup_source, n_docs). */
+  def dedupFlowMatrix(
+      members: DataFrame, meta: DataFrame,
+      idCol: String = "id", compCol: String = "comp",
+      metaIdCol: String = "id", sourceCol: String = "source"): DataFrame = {
+    val m = members.select(col(idCol).cast("long").as("__id"), col(compCol).as("__c"))
+    val src = meta.select(col(metaIdCol).cast("long").as("__id"), col(sourceCol).as("__s"))
+    val canon = m.groupBy(col("__c")).agg(min(col("__id")).as("__cid"))
+    m.join(canon, Seq("__c"))
+      .filter(col("__id") =!= col("__cid"))
+      .join(src, Seq("__id"))
+      .join(src.select(col("__id").as("__cid"), col("__s").as("__cs")), Seq("__cid"))
+      .groupBy(col("__cs").as("canon_source"), col("__s").as("dup_source"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Robust per-key outlier gate by median absolute deviation: a row is
     * an outlier when |value − median| > k·MAD — the robust cousin of the
     * z-score cut (mean/stddev move with the very outliers being hunted;

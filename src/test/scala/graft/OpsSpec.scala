@@ -891,6 +891,19 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("dedupFlowMatrix: mirror direction per source pair, canonicals excluded") {
+    import graft.ops.Curation
+    val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("id", "comp")
+    val meta = Seq((1L, "a"), (2L, "b"), (3L, "b"), (10L, "b"), (11L, "a"), (20L, "c"))
+      .toDF("id", "source")
+    val r = Curation.dedupFlowMatrix(members, meta)
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    // cluster 1: canon 1 (a), dups 2,3 (b); cluster 10: canon 10 (b), dup 11 (a);
+    // singleton 20 contributes nothing
+    assert(r == Map(("a", "b") -> 2L, ("b", "a") -> 1L), r.toString)
+  }
+
   test("kCenterSelect: farthest-point order with min-id seed and asc tiebreak") {
     import graft.ops.Clustering
     val df = Seq(
