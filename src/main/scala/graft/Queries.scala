@@ -2044,7 +2044,20 @@ object Queries {
           comps, docs(s, dir).select(col("doc_id"), col("source")),
           metaIdCol = "doc_id")
         .select(col("canon_source"), col("dup_source"), col("n_docs"))
-    })
+    }),
+
+    // Anchor-term profile, ORACLED: q130's outlink plants extended with
+    // explicit anchor words; counts per (target host, preceding word).
+    "q152_anchor_terms" -> ((s, dir) =>
+      graft.ops.TextOps.anchorTerms(
+        docs(s, dir).withColumn("text", concat(col("text"),
+          when(col("doc_id") % 8 === 0,
+            lit(" visit http://spamfarm.example/a then click https://Other.Site/x"))
+            .otherwise(lit("")),
+          when(col("doc_id") % 16 === 0,
+            lit(" click http://spamfarm.example/c")).otherwise(lit("")))),
+        "doc_id", "text")
+        .select(col("host"), col("term"), col("n")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4379,6 +4392,21 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q152: same plants, same two-group regex run per group, list_zip
+    "q152_anchor_terms" ->
+      """WITH p AS (SELECT doc_id, text
+        |    || (CASE WHEN doc_id % 8 = 0
+        |        THEN ' visit http://spamfarm.example/a then click https://Other.Site/x'
+        |        ELSE '' END)
+        |    || (CASE WHEN doc_id % 16 = 0 THEN ' click http://spamfarm.example/c' ELSE '' END)
+        |    AS text
+        |  FROM documents),
+        |z AS (SELECT unnest(list_zip(
+        |    regexp_extract_all(text, '(\w+)\s+https?://([^/\s]+)', 1),
+        |    regexp_extract_all(text, '(\w+)\s+https?://([^/\s]+)', 2))) AS s FROM p)
+        |SELECT lower(s[2]) AS host, s[1] AS term, count(*)::BIGINT AS n
+        |FROM z GROUP BY 1, 2""".stripMargin,
 
     // q151: q143's recursive closure (component = min reachable id =
     // the canonical), then source joins and the pair aggregate

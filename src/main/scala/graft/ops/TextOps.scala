@@ -559,6 +559,26 @@ object TextOps {
         max("__refs").cast("long").as("max_doc_refs"))
   }
 
+  /** Anchor-TERM profile: the word immediately preceding each outlink,
+    * aggregated per target host — the classic anchor-text signal (what
+    * the web CALLS a page predicts its topic and its spamminess: organic
+    * hosts draw diverse verbs/nouns, farm targets draw one repeated
+    * cta/keyword). Complements T113/T119, which count link EDGES but
+    * drop the surrounding words. One regex with two capture groups run
+    * twice (term, host) — identical pattern, so the i-th matches align —
+    * zipped, exploded, aggregated; purely narrow until the one
+    * (host, term) agg, map-combined, nothing wider than two short
+    * strings + a count on the wire. Returns (host, term, n). */
+  def anchorTerms(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val pat = "(\\w+)\\s+https?://([^/\\s]+)"
+    def grp(i: Int) = regexp_extract_all(col(textCol), lit(pat), lit(i))
+    df.select(explode(zip_with(grp(1), grp(2),
+        (t, h) => struct(t.as("t"), h.as("h")))).as("z"))
+      .select(lower(col("z.h")).as("host"), col("z.t").as("term"))
+      .groupBy(col("host"), col("term"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   /** Token-budget truncation — the "max sequence length" preprocessing
     * cut (documents enter training clipped to the model's context
     * window; T30 chunks with overlap for RAG, this CLIPS for pretraining

@@ -891,6 +891,21 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("anchorTerms: preceding word per outlink, hosts folded, terms counted") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "visit http://A.example/x then click https://b.example/y"),
+      (2L, "click http://a.example/z no link here"),
+      (3L, "bare text without urls")
+    ).toDF("doc_id", "text")
+    val r = TextOps.anchorTerms(df, "doc_id", "text")
+      .collect().map(x => (x.getString(0), x.getString(1)) -> x.getLong(2)).toMap
+    assert(r == Map(
+      ("a.example", "visit") -> 1L,
+      ("a.example", "click") -> 1L,
+      ("b.example", "click") -> 1L), r.toString)
+  }
+
   test("dedupFlowMatrix: mirror direction per source pair, canonicals excluded") {
     import graft.ops.Curation
     val members = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
