@@ -2057,7 +2057,14 @@ object Queries {
           when(col("doc_id") % 16 === 0,
             lit(" click http://spamfarm.example/c")).otherwise(lit("")))),
         "doc_id", "text")
-        .select(col("host"), col("term"), col("n")))
+        .select(col("host"), col("term"), col("n"))),
+
+    // Ingest-volume anomaly monitor, ORACLED: per-day event counts vs
+    // the trailing-7-observed-day mean, exact micro deviation, warm-up
+    // days null.
+    "q153_volume_anomaly" -> ((s, dir) =>
+      graft.ops.Temporal.volumeAnomaly(events(s, dir), "ts", window = 7)
+        .select(col("day"), col("cnt"), col("trail_total"), col("dev_micro")))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4392,6 +4399,21 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q153: the same day agg + trailing-rows window + integer deviation
+    "q153_volume_anomaly" ->
+      """WITH d AS (SELECT strftime(ts, '%Y-%m-%d') AS day, count(*)::BIGINT AS cnt
+        |  FROM events GROUP BY 1),
+        |w AS (SELECT day, cnt,
+        |    count(*) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING) AS tn,
+        |    CAST(sum(cnt) OVER (ORDER BY day ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |      AS BIGINT) AS tt
+        |  FROM d)
+        |SELECT day, cnt,
+        |  CAST(CASE WHEN tn = 7 THEN tt ELSE NULL END AS BIGINT) AS trail_total,
+        |  CAST(CASE WHEN tn = 7 THEN cnt * 1000000 // (tt // 7) ELSE NULL END AS BIGINT)
+        |    AS dev_micro
+        |FROM w""".stripMargin,
 
     // q152: same plants, same two-group regex run per group, list_zip
     "q152_anchor_terms" ->

@@ -216,4 +216,42 @@ object Temporal {
       .select(col("__k").as("key"), col("n_gaps"), col("min_gap_us"),
         col("mean_gap_us"), col("__gap").as("p_gap_us"))
   }
+
+  /** Ingest-volume anomaly monitor: per-day row counts compared against
+    * the TRAILING `window`-day mean — the "did the crawler break
+    * yesterday / did a feed explode" alarm read before a snapshot is
+    * trusted (T68's drift monitor compares token DISTRIBUTIONS; this
+    * watches raw volume, the failure mode that hits first). Deviation is
+    * exact micro-units `cnt·10⁶ div trailing_mean` (10⁶ = nominal,
+    * <10⁵ = nine-tenths drop, >10⁷ = 10× spike); days with no full
+    * trailing window report NULL deviation rather than a misleading
+    * partial-window one.
+    *
+    * The trailing window is over the `window` preceding OBSERVED days
+    * (rows, not calendar positions): a fully-silent day is absent from
+    * the day table — that absence is itself the alarm — and a calendar-
+    * positional window would need a generated day dimension upstream.
+    *
+    * Scale shape: one map-combined day aggregate collapses the corpus to
+    * ≤ days rows, then one unpartitioned-but-tiny ordered window over
+    * that day table (bounded by the calendar, never by the corpus).
+    * Returns (day, cnt, trail_total, dev_micro). */
+  def volumeAnomaly(df: DataFrame, tsCol: String, window: Int = 7): DataFrame = {
+    require(window >= 1)
+    val days = df
+      .select(date_format(col(tsCol).cast("timestamp"), "yyyy-MM-dd").as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("cnt"))
+    val w = Window.orderBy(col("day")).rowsBetween(-window, -1)
+    days
+      .withColumn("__tn", count(lit(1)).over(w))
+      .withColumn("trail_total", sum(col("cnt")).over(w))
+      .withColumn("dev_micro",
+        when(col("__tn") === window,
+          expr(s"cnt * 1000000 div (trail_total div $window)"))
+          .otherwise(lit(null).cast("long")))
+      .select(col("day"), col("cnt"),
+        when(col("__tn") === window, col("trail_total")).otherwise(lit(null).cast("long"))
+          .as("trail_total"),
+        col("dev_micro"))
+  }
 }

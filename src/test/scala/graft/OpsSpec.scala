@@ -891,6 +891,21 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("volumeAnomaly: trailing mean deviation, warm-up days report null") {
+    import graft.ops.Temporal
+    // 3 days at 10 rows, then a 1-row crash day
+    val rows = (0 until 3).flatMap(d => (0 until 10).map(i =>
+      new java.sql.Timestamp(86400000L * d + i * 1000L))) :+
+      new java.sql.Timestamp(86400000L * 3)
+    val df = rows.toDF("ts")
+    val r = Temporal.volumeAnomaly(df, "ts", window = 3)
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), Option(x.get(2)), Option(x.get(3))))).toMap
+    assert(r("1970-01-01") == ((10L, None, None))) // no trailing window yet
+    assert(r("1970-01-03") == ((10L, None, None)))
+    assert(r("1970-01-04") == ((1L, Some(30L), Some(100000L))), r.toString) // 1/10 of mean
+  }
+
   test("anchorTerms: preceding word per outlink, hosts folded, terms counted") {
     import graft.ops.TextOps
     val df = Seq(
