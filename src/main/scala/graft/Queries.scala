@@ -2064,7 +2064,27 @@ object Queries {
     // days null.
     "q153_volume_anomaly" -> ((s, dir) =>
       graft.ops.Temporal.volumeAnomaly(events(s, dir), "ts", window = 7)
-        .select(col("day"), col("cnt"), col("trail_total"), col("dev_micro")))
+        .select(col("day"), col("cnt"), col("trail_total"), col("dev_micro"))),
+
+    // WET round-trip, ORACLED: q145's discipline for the CONVERSION
+    // (extracted-text) layout — envelope-free records written by the
+    // distributed sink, read back, projection recomputed from documents.
+    "q154_wet_roundtrip" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        lit(0).as("http_status"),
+        lit("text/plain").as("content_type"),
+        encode(col("text"), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_wet_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.writeConversion(base, out)
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      s.read.format("graft.sources.WarcSource").load(out)
+        .select(col("url"), col("record_type"),
+          length(col("body")).cast("long").as("n_bytes"),
+          hash(decode(col("body"), "UTF-8")).as("body_hash"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -4399,6 +4419,15 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q154: q145's projection with the conversion record type
+    "q154_wet_roundtrip" ->
+      """SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |  'conversion' AS record_type,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(text, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS body_hash
+        |FROM documents""".stripMargin,
 
     // q153: the same day agg + trailing-rows window + integer deviation
     "q153_volume_anomaly" ->

@@ -57,12 +57,18 @@ object Warc {
   private def headerBytes(lines: Seq[String]): Array[Byte] =
     (lines.mkString("\r\n") + "\r\n\r\n").getBytes(UTF_8)
 
-  /** Serialize one record (uncompressed) to `out`. */
-  def writeRecord(out: OutputStream, r: WarcRecord): Unit = {
-    val http = headerBytes(Seq(
-      s"HTTP/1.1 ${r.httpStatus} OK",
-      s"Content-Type: ${r.contentType}",
-      s"Content-Length: ${r.body.length}"))
+  /** Serialize one record (uncompressed) to `out`. With `envelope` the
+    * block is an `application/http; msgtype=response` wrapper around the
+    * body (raw-crawl records); without it the body IS the block under
+    * the record's own content type (WET-style `conversion` records). */
+  def writeRecord(out: OutputStream, r: WarcRecord, envelope: Boolean = true): Unit = {
+    val http =
+      if (envelope) headerBytes(Seq(
+        s"HTTP/1.1 ${r.httpStatus} OK",
+        s"Content-Type: ${r.contentType}",
+        s"Content-Length: ${r.body.length}"))
+      else Array.empty[Byte]
+    val blockType = if (envelope) "application/http; msgtype=response" else r.contentType
     val contentLength = http.length + r.body.length
     val warc = headerBytes(Seq(
       "WARC/1.0",
@@ -70,7 +76,7 @@ object Warc {
       s"WARC-Record-ID: ${r.recordId}",
       s"WARC-Date: ${DateTimeFormatter.ISO_INSTANT.format(r.date)}",
       s"WARC-Target-URI: ${r.targetUri}",
-      "Content-Type: application/http; msgtype=response",
+      s"Content-Type: $blockType",
       s"Content-Length: $contentLength"))
     out.write(warc)
     out.write(http)
@@ -82,9 +88,9 @@ object Warc {
   /** One gzip member per record (the Common Crawl `.warc.gz` layout).
     * `finish()` flushes the member's trailer without closing the
     * underlying stream, so members concatenate back-to-back. */
-  def writeGzipMember(out: OutputStream, r: WarcRecord): Unit = {
+  def writeGzipMember(out: OutputStream, r: WarcRecord, envelope: Boolean = true): Unit = {
     val gz = new GZIPOutputStream(out, 8192)
-    writeRecord(gz, r)
+    writeRecord(gz, r, envelope)
     gz.finish()
   }
 
@@ -198,8 +204,25 @@ object Warc {
     * writes one `part-NNNNN.warc.gz` per non-empty partition of `df`.
     * Record IDs are deterministic (`urn:graft:<url>`), so identical
     * input produces byte-identical records regardless of where each row
-    * lands. Write-then-rename makes task retries safe. */
-  def write(df: DataFrame, dir: String, overwrite: Boolean = true): Unit = {
+    * lands. Write-then-rename makes task retries safe.
+    *
+    * Two record modes: the default `response` mode wraps each body in an
+    * `application/http` envelope (the raw-crawl WARC layout);
+    * [[writeConversion]] writes envelope-free `conversion` records — the
+    * Common-Crawl WET layout, the standard interchange shape for
+    * EXTRACTED text — so the full CC round lives in this one module:
+    * read `.warc.gz`, extract, publish `.wet`-style shards. */
+  def write(df: DataFrame, dir: String, overwrite: Boolean = true): Unit =
+    writeRecords(df, dir, overwrite, envelope = true, recordType = "response")
+
+  /** WET-style export: `conversion` records, body bytes as the record
+    * block (no HTTP envelope), content type taken from the row. Expects
+    * the same columns as [[write]] (http_status is ignored). */
+  def writeConversion(df: DataFrame, dir: String, overwrite: Boolean = true): Unit =
+    writeRecords(df, dir, overwrite, envelope = false, recordType = "conversion")
+
+  private def writeRecords(df: DataFrame, dir: String, overwrite: Boolean,
+      envelope: Boolean, recordType: String): Unit = {
     val sel = df.select(col("url").cast("string"), col("warc_ts").cast("timestamp"),
       col("http_status").cast("int"), col("content_type").cast("string"),
       col("body").cast("binary"))
@@ -219,13 +242,13 @@ object Warc {
           it.foreach { r =>
             val ts = r.getTimestamp(1)
             writeGzipMember(os, WarcRecord(
-              recordType = "response",
+              recordType = recordType,
               targetUri = r.getString(0),
               date = Instant.ofEpochMilli(ts.getTime).plusNanos(ts.getNanos % 1000000L),
               recordId = s"<urn:graft:${r.getString(0)}>",
               httpStatus = r.getInt(2),
               contentType = r.getString(3),
-              body = r.getAs[Array[Byte]](4)))
+              body = r.getAs[Array[Byte]](4)), envelope)
           }
         } finally os.close()
         // first attempt wins; a losing speculative attempt cleans up

@@ -139,6 +139,25 @@ class WarcSpec extends AnyFunSuite {
       seen.toString)
   }
 
+  test("WET export: extraction published as envelope-free conversion records, round-trips") {
+    val dir = Files.createTempDirectory("warc_wet").toString
+    val pages = graft.synth.Synth.pagesDs(spark, 15L, seed = 3L).toDF()
+    val ext = graft.extract.ExtractJob.extractedDf(pages.select($"url", $"warc_ts", $"html"))
+      .select($"url", $"warc_ts", lit(0).as("http_status"),
+        lit("text/plain").as("content_type"),
+        encode($"extracted.markdown", "UTF-8").as("body"))
+    Warc.writeConversion(ext, dir)
+    val got = spark.read.format("graft.sources.WarcSource").load(dir)
+      .select($"url", $"record_type", $"http_status", $"content_type",
+        decode($"body", "UTF-8").as("t")).collect()
+    assert(got.length == 15)
+    assert(got.forall(r => r.getString(1) == "conversion" && r.getInt(2) == 0 &&
+      r.getString(3) == "text/plain"), got.map(_.toString).mkString("\n"))
+    val want = graft.extract.ExtractJob.extractedDf(pages.select($"url", $"html"))
+      .select($"url", $"extracted.markdown").as[(String, String)].collect().toMap
+    assert(got.map(r => r.getString(0) -> r.getString(4)).toMap == want)
+  }
+
   test("source: warc_file lineage column and empty-dir scan") {
     val dir = Files.createTempDirectory("warc_lin").toString
     val df = Seq(("http://l.example/1", new java.sql.Timestamp(0L), 200, "text/html",
