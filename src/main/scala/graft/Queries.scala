@@ -2084,6 +2084,29 @@ object Queries {
         .select(col("url"), col("record_type"),
           length(col("body")).cast("long").as("n_bytes"),
           hash(decode(col("body"), "UTF-8")).as("body_hash"))
+    }),
+
+    // HTML head-metadata harvest, ORACLED: pages constructed from the
+    // documents table (title with an entity, canonical, description,
+    // lang, mod-5 noindex), parsed by the REAL tokenizer; the oracle
+    // recomputes every field relationally — parser drift breaks the
+    // hash.
+    "q155_meta_harvest" -> ((s, dir) => {
+      val html = concat(
+        lit("<html lang=\"en\"><head><title>"), col("source"),
+        lit(" doc &amp; "), col("doc_id"),
+        lit("</title><link rel=\"canonical\" href=\"http://c.example/"),
+        col("doc_id") - col("doc_id") % 3, lit("\">"),
+        when(col("doc_id") % 5 === 0,
+          lit("<meta name=\"robots\" content=\"noindex,nofollow\">")).otherwise(lit("")),
+        lit("<meta name=\"description\" content=\"about "), col("source"),
+        lit("\"></head><body><p>x</p></body></html>"))
+      graft.extract.MetaHarvest.harvested(
+          docs(s, dir).select(col("doc_id"), html.as("html")), "html")
+        .select(col("doc_id"), col("meta.title").as("title"),
+          col("meta.canonical").as("canonical"),
+          col("meta.description").as("description"),
+          col("meta.lang").as("lang"), col("meta.noindex").as("noindex"))
     })
   )
 
@@ -4419,6 +4442,17 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q155: every field recomputed relationally from the same
+    // construction (the entity decodes to '&')
+    "q155_meta_harvest" ->
+      """SELECT doc_id,
+        |  source || ' doc & ' || doc_id AS title,
+        |  'http://c.example/' || (doc_id - doc_id % 3) AS canonical,
+        |  'about ' || source AS description,
+        |  'en' AS lang,
+        |  doc_id % 5 = 0 AS noindex
+        |FROM documents""".stripMargin,
 
     // q154: q145's projection with the conversion record type
     "q154_wet_roundtrip" ->

@@ -1,0 +1,92 @@
+package graft.extract
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.html.{EndTag, StartTag, Text, Tokenizer}
+
+/** Head metadata of a page. Empty string = absent (null-free so the
+  * struct is stable across engines and sinks). */
+final case class PageMeta(
+    title: String,
+    canonical: String,
+    description: String,
+    lang: String,
+    noindex: Boolean)
+
+/** HTML head-metadata harvest on the in-house tokenizer — the crawl
+  * signals main-content extraction (X3) deliberately strips: `<link
+  * rel=canonical>` (the URL-level dedup key the SITE declares — stronger
+  * than any content hash when present), `<title>`, `<meta
+  * name=description>`, `<html lang>` (the language-id prior), and `<meta
+  * name=robots>` noindex (pages the publisher excluded from indexing are
+  * usually excluded from training corpora too).
+  *
+  * One token-stream pass, first-occurrence-wins per field (the browser
+  * rule for canonical), title text concatenated until its end tag, scan
+  * stops at `</head>`/`<body>` (metadata after the head is out of
+  * contract, exactly like browsers). Purely narrow as a Spark stage —
+  * one kernel call per row, no shuffle; the q155 oracle drives the REAL
+  * tokenizer over constructed pages and recomputes every field
+  * relationally, so parser drift breaks the hash compare. */
+object MetaHarvest {
+
+  def harvest(html: String): PageMeta = {
+    if (html == null) return PageMeta("", "", "", "", noindex = false)
+    var title = ""
+    var canonical = ""
+    var description = ""
+    var lang = ""
+    var noindex = false
+    var inTitle = false
+    var titleDone = false
+    val sb = new StringBuilder
+    val it = Tokenizer.tokenizeBuf(html).iterator
+    var stop = false
+    while (it.hasNext && !stop) {
+      it.next() match {
+        case StartTag(name, attrs, _) => name match {
+          case "html" =>
+            if (lang.isEmpty) lang = attrs.getOrElse("lang", "").trim
+          case "title" =>
+            if (!titleDone) inTitle = true
+          case "link" =>
+            if (canonical.isEmpty &&
+              attrs.get("rel").exists(_.trim.equalsIgnoreCase("canonical")))
+              canonical = attrs.getOrElse("href", "").trim
+          case "meta" =>
+            val n = attrs.get("name").map(_.trim.toLowerCase)
+            if (n.contains("description") && description.isEmpty)
+              description = attrs.getOrElse("content", "").trim
+            if (n.contains("robots") &&
+              attrs.getOrElse("content", "").toLowerCase.contains("noindex"))
+              noindex = true
+          case "body" => stop = true
+          case _ => ()
+        }
+        case EndTag(name) => name match {
+          case "title" =>
+            // the tokenizer treats <title> as raw text (one rule for all
+            // raw-text elements); per HTML it is RCDATA — character
+            // references decode — so decode here
+            if (inTitle) {
+              title = graft.html.Entities.decode(sb.toString).trim
+              inTitle = false; titleDone = true
+            }
+          case "head" => stop = true
+          case _ => ()
+        }
+        case Text(data) => if (inTitle) sb ++= data
+        case _ => ()
+      }
+    }
+    if (inTitle && !titleDone) title = graft.html.Entities.decode(sb.toString).trim
+    PageMeta(title, canonical, description, lang, noindex)
+  }
+
+  /** DataFrame stage: html string column → meta struct column. */
+  def harvested(df: DataFrame, htmlCol: String): DataFrame = {
+    val u = udf((h: String) => harvest(h))
+    df.withColumn("meta", u(col(htmlCol)))
+  }
+}

@@ -891,6 +891,23 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("metaHarvest: title entities decoded, first canonical wins, body stops the scan") {
+    import graft.extract.MetaHarvest
+    val m = MetaHarvest.harvest(
+      """<html lang="en-GB"><head>
+        |<title>Fish &amp; Chips</title>
+        |<link rel="canonical" href="http://c.example/1">
+        |<link rel="canonical" href="http://c.example/IGNORED">
+        |<meta name="robots" content="NOINDEX, nofollow">
+        |<meta name="description" content="a dish">
+        |</head><body><title>not this</title>
+        |<link rel="canonical" href="http://late.example/x"></body></html>""".stripMargin)
+    assert(m == graft.extract.PageMeta(
+      "Fish & Chips", "http://c.example/1", "a dish", "en-GB", noindex = true), m.toString)
+    assert(MetaHarvest.harvest("<p>no head at all</p>") ==
+      graft.extract.PageMeta("", "", "", "", noindex = false))
+  }
+
   test("volumeAnomaly: trailing mean deviation, warm-up days report null") {
     import graft.ops.Temporal
     // 3 days at 10 rows, then a 1-row crash day
