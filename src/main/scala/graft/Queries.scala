@@ -2107,6 +2107,25 @@ object Queries {
           col("meta.canonical").as("canonical"),
           col("meta.description").as("description"),
           col("meta.lang").as("lang"), col("meta.noindex").as("noindex"))
+    }),
+
+    // Canonical-URL dedup, ORACLED end to end: q155's pages parsed by
+    // the real tokenizer, then grouped by the HARVESTED canonical — the
+    // mod-3 construction makes 3-page clusters the oracle recomputes.
+    "q156_canonical_dedup" -> ((s, dir) => {
+      val html = concat(
+        lit("<html lang=\"en\"><head><title>t</title>"),
+        lit("<link rel=\"canonical\" href=\"http://c.example/"),
+        col("doc_id") - col("doc_id") % 3, lit("\">"),
+        lit("</head><body><p>x</p></body></html>"))
+      val pages = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        html.as("html"))
+      graft.ops.Curation.canonicalDedup(
+          graft.extract.MetaHarvest.harvested(pages, "html")
+            .select(col("url"), col("meta.canonical").as("canonical")),
+          "url", "canonical")
+        .select(col("canon_key"), col("kept_url"), col("n_pages"))
     })
   )
 
@@ -4442,6 +4461,16 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q156: the harvested canonical recomputed relationally, then the
+    // same min-url group
+    "q156_canonical_dedup" ->
+      """WITH p AS (SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |    'http://c.example/' || (doc_id - doc_id % 3) AS canonical
+        |  FROM documents)
+        |SELECT canonical AS canon_key, min(url) AS kept_url,
+        |  count(*)::BIGINT AS n_pages
+        |FROM p GROUP BY 1""".stripMargin,
 
     // q155: every field recomputed relationally from the same
     // construction (the entity decodes to '&')

@@ -1245,6 +1245,26 @@ object Curation {
         col("share_micro"))
   }
 
+  /** Canonical-URL dedup — resolve by what the SITE declares: pages
+    * sharing a non-empty `rel=canonical` target (T136 harvests it) are
+    * one logical document regardless of their content bytes (print
+    * views, AMP mirrors, tracking-param variants all differ byte-wise);
+    * pages without a declaration key on their own url. Keeps the minimum
+    * url per canonical group (a stable representative) plus the group
+    * size — run BEFORE content dedup: it is free precision the hash
+    * methods cannot see.
+    *
+    * Scale shape: one narrow key projection + one map-combined
+    * (canonical-key) aggregate; nothing but (key, url) pairs shuffle.
+    * Returns (canon_key, kept_url, n_pages). */
+  def canonicalDedup(df: DataFrame, urlCol: String, canonicalCol: String): DataFrame =
+    df.select(
+        when(col(canonicalCol).isNotNull && col(canonicalCol) =!= "",
+          col(canonicalCol)).otherwise(col(urlCol)).as("canon_key"),
+        col(urlCol).as("__u"))
+      .groupBy(col("canon_key"))
+      .agg(min(col("__u")).as("kept_url"), count(lit(1)).as("n_pages"))
+
   /** Dedup FLOW matrix: given cluster membership (id, comp) and doc
     * metadata (id, source), count for every (canonical_source,
     * duplicate_source) pair how many non-canonical cluster members the

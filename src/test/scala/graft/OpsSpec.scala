@@ -891,6 +891,23 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((1L, 1L, 166666L))), r.toString)
   }
 
+  test("canonicalDedup: declared canonicals group, undeclared pages key on themselves") {
+    import graft.ops.Curation
+    val df = Seq(
+      ("http://a.example/p?utm=1", "http://a.example/p"),
+      ("http://a.example/p/amp", "http://a.example/p"),
+      ("http://a.example/p", "http://a.example/p"),
+      ("http://b.example/solo", ""), // no declaration: own key
+      ("http://c.example/x", null.asInstanceOf[String])
+    ).toDF("url", "canonical")
+    val r = Curation.canonicalDedup(df, "url", "canonical")
+      .collect().map(x => x.getString(0) -> ((x.getString(1), x.getLong(2)))).toMap
+    assert(r == Map(
+      "http://a.example/p" -> (("http://a.example/p", 3L)),
+      "http://b.example/solo" -> (("http://b.example/solo", 1L)),
+      "http://c.example/x" -> (("http://c.example/x", 1L))), r.toString)
+  }
+
   test("metaHarvest: title entities decoded, first canonical wins, body stops the scan") {
     import graft.extract.MetaHarvest
     val m = MetaHarvest.harvest(
