@@ -2126,6 +2126,61 @@ object Queries {
             .select(col("url"), col("meta.canonical").as("canonical")),
           "url", "canonical")
         .select(col("canon_key"), col("kept_url"), col("n_pages"))
+    }),
+
+    // Soft-404 gate: constructed titles/bodies plant each error family
+    // (title hit / short body hit / clean) across the corpus; the
+    // oracle replays the phrase-membership sums from the SAME constants.
+    "q157_soft404" -> ((s, dir) => {
+      val title = when(col("doc_id") % 7 === 0, lit("Error 404 - Page Not Found"))
+        .when(col("doc_id") % 7 === 3, lit("Access Denied"))
+        .otherwise(concat(lit("Doc "), col("doc_id")))
+      val body = when(col("doc_id") % 7 === 0,
+          lit("The page you requested does not exist. Return to the homepage."))
+        .when(col("doc_id") % 7 === 5, lit("Sorry, this content is no longer available."))
+        .otherwise(col("text"))
+      docs(s, dir)
+        .select(col("doc_id"),
+          graft.ops.WebOps.soft404Signals(title, body).as("sig"))
+        .select(col("doc_id"), col("sig.n_title_hits"), col("sig.n_body_hits"),
+          col("sig.short_body"), col("sig.soft404"))
+    }),
+
+    // Mojibake repair, ORACLED ON REPAIRED BYTES: plant the two classic
+    // artifacts ("Ã©" = e-acute's UTF-8 bytes shown as cp1252,
+    // "â€™" = right-single-quote's) into the ASCII corpus,
+    // repair with the charset-coder kernel; the oracle states the
+    // expected characters directly — any kernel drift breaks the hash.
+    "q158_mojibake_repair" -> ((s, dir) => {
+      val moji = regexp_replace(
+        regexp_replace(col("text"), "e", "Ã©"),
+        "q", "â€™")
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.TextOps.fixMojibake(moji).as("repaired"))
+    }),
+
+    // robots.txt disallow gate: per-host robots texts exercise group
+    // selection (an ignored googlebot group, a consecutive-UA star
+    // group, an empty Disallow, no star group at all); the oracle
+    // restates each host family's rules as LIKE prefixes.
+    "q159_robots_gate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = when(col("doc_id") % 4 === 0, concat(lit("/private/p"), col("doc_id")))
+        .when(col("doc_id") % 4 === 1, concat(lit("/public/p"), col("doc_id")))
+        .when(col("doc_id") % 4 === 2, concat(lit("/tmp"), col("doc_id")))
+        .otherwise(concat(lit("/about/"), col("doc_id")))
+      val pages = d.select(
+        concat(lit("http://"), col("source"), lit(".example"), path).as("url"))
+      val txt = when(col("source").isin("src0", "src1", "src2", "src3", "src4"),
+          lit("User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /private\nDisallow: /tmp\n"))
+        .when(col("source").isin("src5", "src6", "src7"),
+          lit("User-agent: *\nUser-agent: bingbot\nDisallow: /a\n"))
+        .when(col("source").isin("src8", "src9"),
+          lit("User-agent: *\nDisallow:\n"))
+        .otherwise(lit("# closed to one bot only\nUser-agent: googlebot\nDisallow: /x\n"))
+      val robots = d.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"), txt.as("robots_txt"))
+      graft.ops.WebOps.robotsDisallowed(pages, "url", robots, "host", "robots_txt")
     })
   )
 
@@ -4461,6 +4516,56 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q159: each host family's star-group rules restated as LIKE
+    // prefixes (families 'src8'/'src9' and src10+ have no effective
+    // rules: empty Disallow / no star group)
+    "q159_robots_gate" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    CASE WHEN doc_id % 4 = 0 THEN '/private/p' || doc_id
+        |         WHEN doc_id % 4 = 1 THEN '/public/p' || doc_id
+        |         WHEN doc_id % 4 = 2 THEN '/tmp' || doc_id
+        |         ELSE '/about/' || doc_id END AS path
+        |  FROM documents)
+        |SELECT 'http://' || source || '.example' || path AS url,
+        |  source || '.example' AS host, path,
+        |  CASE WHEN source IN ('src0','src1','src2','src3','src4')
+        |         THEN (path LIKE '/private%' OR path LIKE '/tmp%')
+        |       WHEN source IN ('src5','src6','src7') THEN path LIKE '/a%'
+        |       ELSE FALSE END AS disallowed
+        |FROM p""".stripMargin,
+
+    // q158: the repair's expected output stated directly — chr(233) is
+    // e-acute, chr(8217) the right single quote the cp1252 bytes decode to
+    "q158_mojibake_repair" ->
+      """SELECT doc_id,
+        |  replace(replace(text, 'e', chr(233)), 'q', chr(8217)) AS repaired
+        |FROM documents""".stripMargin,
+
+    // q157: the same construction, then phrase-membership sums generated
+    // FROM the kernel's own phrase constants (one source of truth)
+    "q157_soft404" -> {
+      def hits(c: String, ps: Seq[String]): String = ps
+        .map(p => s"(CASE WHEN contains(lower($c), '$p') THEN 1 ELSE 0 END)")
+        .mkString(" + ")
+      s"""WITH p AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN 'Error 404 - Page Not Found'
+         |         WHEN doc_id % 7 = 3 THEN 'Access Denied'
+         |         ELSE 'Doc ' || doc_id END AS title,
+         |    CASE WHEN doc_id % 7 = 0 THEN 'The page you requested does not exist. Return to the homepage.'
+         |         WHEN doc_id % 7 = 5 THEN 'Sorry, this content is no longer available.'
+         |         ELSE text END AS body
+         |  FROM documents),
+         |h AS (SELECT doc_id,
+         |    CAST(${hits("title", graft.ops.WebOps.Soft404TitlePhrases)} AS BIGINT) AS n_title_hits,
+         |    CAST(${hits("body", graft.ops.WebOps.Soft404BodyPhrases)} AS BIGINT) AS n_body_hits,
+         |    length(regexp_split_to_array(trim(body), '\\s+')) < 40 AS short_body
+         |  FROM p)
+         |SELECT doc_id, n_title_hits, n_body_hits, short_body,
+         |  (n_title_hits >= 1 OR n_body_hits >= 2
+         |   OR (n_body_hits >= 1 AND short_body)) AS soft404
+         |FROM h""".stripMargin
+    },
 
     // q156: the harvested canonical recomputed relationally, then the
     // same min-url group

@@ -624,6 +624,43 @@ object TextOps {
       .select(col("id"), col("n_repl"), col("n_ctrl"), col("n_moji"), col("junk_micro"))
   }
 
+  /** Mojibake REPAIR (the fix [[encodingJunk]] only detects) — the
+    * ftfy-style core transform: text whose UTF-8 bytes were once decoded
+    * as Windows-1252 ("Ã©" for é, "â€™" for ’) is re-encoded cp1252 and
+    * strictly re-decoded UTF-8, recovering the original characters.
+    * Safety over recall, per-row and total-function:
+    *  - fast marker gate: no char in U+00C2–U+00F4 (the UTF-8 lead-byte
+    *    images) → returned untouched (pure-ASCII pages short-circuit);
+    *  - genuinely-clean accented text survives: its cp1252 bytes are NOT
+    *    valid UTF-8, the strict decode throws, the original returns
+    *    (e.g. "café " → é then space fails the continuation-byte check);
+    *  - chars outside cp1252 (CJK etc.) → untouched (encoder canEncode);
+    *  - the repair must strictly shrink (every fixed sequence does) or
+    *    the original returns.
+    * Single deterministic pass (double-mojibake repairs one layer). */
+  private[graft] def fixMojibakeKernel(s: String): String = {
+    if (s == null) return null
+    if (!s.exists(c => c >= 'Â' && c <= 'ô')) return s
+    val enc = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+      .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+      .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+    if (!enc.canEncode(s)) return s
+    try {
+      val bytes = enc.encode(java.nio.CharBuffer.wrap(s))
+      val out = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(bytes).toString
+      if (out.length < s.length) out else s
+    } catch { case _: java.nio.charset.CharacterCodingException => s }
+  }
+
+  /** Column form of [[fixMojibakeKernel]] — a narrow per-row Scala UDF
+    * (charset coders are multi-pass byte machinery, not Column algebra);
+    * no shuffle, composes before any downstream text op. */
+  def fixMojibake(text: Column): Column =
+    udf((s: String) => fixMojibakeKernel(s)).apply(text)
+
   /** Feature-hashing document embeddings (the hashing trick, Weinberger
     * et al. 2009): each word hashes to one of `dims` buckets with a ±1
     * sign bit, and the document's vector is the signed bucket sum — a

@@ -112,6 +112,111 @@ object WebOps {
       .otherwise(concat(scheme, lit("://"), host, path, query))
   }
 
+  /** robots.txt parse for the wildcard agent (RFC 9309 grouping): a
+    * group is one-or-more consecutive `User-agent:` lines followed by
+    * rules; a `User-agent:` line AFTER rules starts a new group; only
+    * groups naming `*` contribute. Returns the group's non-empty
+    * `Disallow:` path prefixes. Honest fences, documented: `Allow:`
+    * precedence and `$`/`*` path wildcards are NOT implemented (rules
+    * are plain prefixes — the pre-RFC core every crawler agrees on);
+    * comments (`#`) and CRLF handled. */
+  private[graft] def robotsDisallowKernel(txt: String): Array[String] = {
+    if (txt == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inStar = false
+    var sawRule = true // first User-agent line always opens a new group
+    txt.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase
+        val v = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (sawRule) { inStar = v == "*"; sawRule = false }
+            else inStar = inStar || v == "*"
+          case "disallow" =>
+            sawRule = true
+            if (inStar && v.nonEmpty) out += v
+          case "allow" | "crawl-delay" => sawRule = true
+          case _ => () // sitemap etc: group-neutral per RFC
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** robots.txt disallow gate — the compliance filter a Common-Crawl
+    * style corpus applies before anything else: pages whose path is
+    * prefix-matched by a `*`-group `Disallow:` rule of their host's
+    * robots.txt are flagged. Hosts with no robots row, no `*` group, or
+    * an empty `Disallow:` allow everything.
+    *
+    * Scale shape: the kernel parses each robots.txt ONCE on the
+    * hosts-sized `robots` frame (tiny next to the corpus), rules
+    * collapse to one array row per host and BROADCAST; the page side is
+    * a narrow host/path projection + a broadcast left join + an `exists`
+    * prefix fold — the 10^12-row corpus never shuffles. Returns
+    * (url, host, path, disallowed). */
+  def robotsDisallowed(
+      pages: DataFrame, urlCol: String,
+      robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.broadcast
+    val parse = udf((t: String) => robotsDisallowKernel(t))
+    val ruleSets = robots
+      .select(col(hostCol).as("host"), parse(col(txtCol)).as("__rules"))
+      .filter(size(col("__rules")) > 0)
+    val u = col(urlCol)
+    pages
+      .select(u.as("url"), urlHost(u).as("host"),
+        regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1).as("path"))
+      .join(broadcast(ruleSets), Seq("host"), "left")
+      .select(col("url"), col("host"), col("path"),
+        coalesce(exists(col("__rules"), p => col("path").startsWith(p)),
+          lit(false)).as("disallowed"))
+  }
+
+  /** Soft-404 phrase lists — ONE constant drives both engines: the Spark
+    * kernel folds `contains` flags over these exact strings and the
+    * DuckDB oracle replays the same membership sum, so the lists can
+    * grow without the two sides drifting. Lowercase ASCII by contract
+    * (matched against `lower(...)`). */
+  private[graft] val Soft404TitlePhrases: Seq[String] = Seq(
+    "404", "page not found", "not found", "forbidden", "access denied",
+    "server error")
+  private[graft] val Soft404BodyPhrases: Seq[String] = Seq(
+    "page not found", "does not exist", "no longer available",
+    "has been removed", "check the url", "return to the homepage",
+    "error 404")
+
+  /** Soft-404 detection — pages that answer HTTP 200 but carry an error
+    * body (expired listings, moved articles, CDN fallbacks). A crawl
+    * can't see it in the status code, and at Common-Crawl scale these
+    * are a real corpus fraction that poisons dedup (mirror error pages
+    * cluster) and training mix alike — gate them BEFORE extraction.
+    *
+    * Heuristic: count title-phrase hits and body-phrase hits (shared
+    * constants above), flag short bodies (< `shortTokens` whitespace
+    * tokens); soft404 = any title hit, OR >= 2 body hits, OR a body hit
+    * on a short page. Purely narrow codegen'd Column DSL — no shuffle,
+    * no UDF; returns struct(n_title_hits, n_body_hits, short_body,
+    * soft404). */
+  def soft404Signals(title: Column, text: Column, shortTokens: Int = 40): Column = {
+    val lt = lower(title)
+    val lx = lower(text)
+    val titleHits = Soft404TitlePhrases
+      .map(p => when(lt.contains(p), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val bodyHits = Soft404BodyPhrases
+      .map(p => when(lx.contains(p), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val short = TextOps.tokenCount(text) < shortTokens
+    struct(
+      titleHits.as("n_title_hits"),
+      bodyHits.as("n_body_hits"),
+      short.as("short_body"),
+      (titleHits >= 1L || bodyHits >= 2L || (bodyHits >= 1L && short))
+        .as("soft404"))
+  }
+
   /** URL PATTERN profile — the crawl-trap detector: every url's path is
     * collapsed to a SHAPE (digit runs → `#`, query dropped), and shapes
     * are profiled per host. A shape fanning out to millions of distinct

@@ -908,6 +908,70 @@ class OpsSpec extends AnyFunSuite {
       "http://c.example/x" -> (("http://c.example/x", 1L))), r.toString)
   }
 
+  test("soft404Signals: title hits, body-hit arithmetic, short-body path") {
+    import graft.ops.WebOps
+    val df = Seq(
+      (1, "Error 404 - Page Not Found", "gone"),
+      (2, "Home", "The page you requested does not exist. Please check the URL."),
+      (3, "Home", "Sorry, this content is no longer available."),
+      (4, "Home", ("word " * 50) + "this page does not exist"),
+      (5, "Docs", "a perfectly fine article about spark internals")
+    ).toDF("id", "title", "text")
+    val r = df.select($"id", WebOps.soft404Signals($"title", $"text").as("s"))
+      .select($"id", $"s.n_title_hits", $"s.n_body_hits", $"s.short_body", $"s.soft404")
+      .collect().map(x => x.getInt(0) ->
+        ((x.getLong(1), x.getLong(2), x.getBoolean(3), x.getBoolean(4)))).toMap
+    assert(r(1) == ((3L, 0L, true, true)), r(1).toString)   // "404" + "page not found" + "not found"
+    assert(r(2) == ((0L, 2L, true, true)), r(2).toString)   // two body phrases
+    assert(r(3) == ((0L, 1L, true, true)), r(3).toString)   // one body phrase + short
+    assert(r(4) == ((0L, 1L, false, false)), r(4).toString) // one body phrase, long: kept
+    assert(r(5) == ((0L, 0L, true, false)), r(5).toString)  // short alone never flags
+  }
+
+  test("fixMojibake: repairs double-encoding, leaves clean/accented/CJK text alone") {
+    import graft.ops.TextOps.fixMojibakeKernel
+    assert(fixMojibakeKernel("CafÃ© said â€™okâ€™")
+      == "Café said ’ok’")           // Ã© → é, â€™ → ’
+    assert(fixMojibakeKernel("plain ascii stays") == "plain ascii stays")
+    assert(fixMojibakeKernel("café au lait") == "café au lait") // real é: not valid UTF-8 bytes
+    assert(fixMojibakeKernel("中文 text") == "中文 text") // outside cp1252: untouched
+    assert(fixMojibakeKernel(null) == null)
+  }
+
+  test("robotsDisallowKernel: star-group selection, consecutive UAs, rules close groups") {
+    import graft.ops.WebOps.robotsDisallowKernel
+    assert(robotsDisallowKernel(
+      "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /private # comment\nDisallow: /tmp\n")
+      .toSeq == Seq("/private", "/tmp"))
+    assert(robotsDisallowKernel("User-agent: *\nUser-agent: bingbot\nDisallow: /a\n")
+      .toSeq == Seq("/a"))
+    // a User-agent AFTER rules opens a NEW group — star's rules end there
+    assert(robotsDisallowKernel("User-agent: *\nDisallow: /a\nUser-agent: bingbot\nDisallow: /b\n")
+      .toSeq == Seq("/a"))
+    assert(robotsDisallowKernel("User-agent: *\nDisallow:\n").toSeq == Seq.empty)
+    assert(robotsDisallowKernel("User-agent: googlebot\nDisallow: /x\n").toSeq == Seq.empty)
+    assert(robotsDisallowKernel(null).toSeq == Seq.empty)
+  }
+
+  test("robotsDisallowed: prefix gate over a broadcast rules table, absent hosts allowed") {
+    import graft.ops.WebOps
+    val pages = Seq(
+      "http://a.example/private/1", "http://a.example/pub/2",
+      "http://b.example/private/3", "http://c.example/anything"
+    ).toDF("url")
+    val robots = Seq(
+      ("a.example", "User-agent: *\nDisallow: /private\n"),
+      ("b.example", "User-agent: googlebot\nDisallow: /\n")
+    ).toDF("host", "robots_txt")
+    val r = WebOps.robotsDisallowed(pages, "url", robots, "host", "robots_txt")
+      .collect().map(x => x.getString(0) -> x.getBoolean(3)).toMap
+    assert(r == Map(
+      "http://a.example/private/1" -> true,
+      "http://a.example/pub/2" -> false,
+      "http://b.example/private/3" -> false, // no star group on b
+      "http://c.example/anything" -> false), r.toString) // no robots row
+  }
+
   test("metaHarvest: title entities decoded, first canonical wins, body stops the scan") {
     import graft.extract.MetaHarvest
     val m = MetaHarvest.harvest(
