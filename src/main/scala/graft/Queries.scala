@@ -2181,6 +2181,18 @@ object Queries {
       val robots = d.select(col("source")).distinct()
         .select(concat(col("source"), lit(".example")).as("host"), txt.as("robots_txt"))
       graft.ops.WebOps.robotsDisallowed(pages, "url", robots, "host", "robots_txt")
+    }),
+
+    // Domain quality gate over the exact-micro quality twin: urls run
+    // the full host → registrable-domain → per-domain mean pipeline;
+    // the oracle replays score, floor-mean, and verdict in integers.
+    "q160_domain_gate" -> ((s, dir) => {
+      val url = concat(lit("http://www."), col("source"), lit(".com/p/"), col("doc_id"))
+      val scored = docs(s, dir).select(
+        graft.ops.WebOps.registrableDomain(graft.ops.WebOps.urlHost(url)).as("domain"),
+        graft.ops.TextOps.qualityScoreMicro(col("text")).as("q_micro"))
+      graft.ops.Curation.domainQualityGate(scored, "domain", "q_micro",
+        minMeanMicro = 800000L, minDocs = 10L)
     })
   )
 
@@ -4516,6 +4528,26 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q160: the micro quality score, the floor-div mean, and the verdict
+    // all replayed in integer arithmetic (no float boundary anywhere)
+    "q160_domain_gate" ->
+      """WITH s AS (SELECT source || '.com' AS domain,
+        |    length(text) AS chars,
+        |    length(regexp_split_to_array(trim(text), '\s+')) AS words,
+        |    length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct
+        |  FROM documents),
+        |m AS (SELECT domain,
+        |    (LEAST(words * 20000, 1000000)
+        |     + CASE WHEN 3 * words <= chars AND chars <= 10 * words
+        |            THEN 1000000 ELSE 500000 END
+        |     + CASE WHEN punct * 10 <= chars THEN 1000000 ELSE 500000 END)
+        |    // 3 AS q
+        |  FROM s)
+        |SELECT domain, count(*)::BIGINT AS n_docs,
+        |  CAST(CAST(sum(q) AS BIGINT) // count(*) AS BIGINT) AS mean_micro,
+        |  (count(*) >= 10 AND CAST(sum(q) AS BIGINT) // count(*) >= 800000) AS kept
+        |FROM m GROUP BY 1""".stripMargin,
 
     // q159: each host family's star-group rules restated as LIKE
     // prefixes (families 'src8'/'src9' and src10+ have no effective

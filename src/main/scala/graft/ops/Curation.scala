@@ -1265,6 +1265,31 @@ object Curation {
       .groupBy(col("canon_key"))
       .agg(min(col("__u")).as("kept_url"), count(lit(1)).as("n_pages"))
 
+  /** Domain-level quality gate (the FineWeb/RefinedWeb move): judge the
+    * SITE, not the page — a content farm's individual pages can each
+    * clear a per-doc filter while the domain mean exposes the template;
+    * conversely one bad page shouldn't drop a good site. Per domain:
+    * doc count, EXACT integer mean of a micro-unit score
+    * (floor(Σscore / n) — feed [[TextOps.qualityScoreMicro]] or any
+    * micro column), and the verdict `kept` = n ≥ `minDocs` AND mean ≥
+    * `minMeanMicro` (thin domains fail the evidence bar rather than
+    * ride a 1-doc mean).
+    *
+    * Scale shape: ONE map-combined (domain) aggregate — the corpus
+    * collapses map-side to (domain, 2 longs); join `kept` back by
+    * domain (hosts-sized, broadcastable) to actually drop pages.
+    * Returns (domain, n_docs, mean_micro, kept). */
+  def domainQualityGate(
+      df: DataFrame, domainCol: String, scoreMicroCol: String,
+      minMeanMicro: Long, minDocs: Long = 1L): DataFrame =
+    df.select(col(domainCol).as("domain"), col(scoreMicroCol).as("__s"))
+      .groupBy(col("domain"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__s")).as("__total"))
+      .select(col("domain"), col("n_docs"),
+        expr("__total div n_docs").as("mean_micro"))
+      .withColumn("kept",
+        col("n_docs") >= minDocs && col("mean_micro") >= minMeanMicro)
+
   /** Dedup FLOW matrix: given cluster membership (id, comp) and doc
     * metadata (id, source), count for every (canonical_source,
     * duplicate_source) pair how many non-canonical cluster members the

@@ -54,6 +54,30 @@ object TextOps {
     round((lenScore + wlScore + punctScore) / 3d, 6)
   }
 
+  /** EXACT-INTEGER micro-unit twin of [[qualityScore]] (10⁶ = 1.0) for
+    * paths that AGGREGATE scores (domain means, threshold sweeps) where
+    * [[qualityScore]]'s `round(,6)` would hit the cross-engine
+    * ...5-boundary hazard (CLAUDE.md): every threshold is an integer
+    * comparison, the one division is a floor by the constant 3 — zero
+    * float boundaries, the q57-q59 micro discipline. Components:
+    * length score = min(words·20000, 10⁶); word-length sanity
+    * 3·words ≤ chars ≤ 10·words (10⁶ else 5·10⁵); punctuation
+    * punct·10 ≤ chars (10⁶ else 5·10⁵); score = floor(sum / 3).
+    * `tokenCount ≥ 1` always (split of an empty trim yields one ""), so
+    * no zero guards needed. Purely narrow codegen'd DSL. */
+  def qualityScoreMicro(text: Column): Column = {
+    val chars = length(text).cast("long")
+    val words = tokenCount(text)
+    val punct = (length(text) -
+      length(regexp_replace(text, "[.,;:!?]", ""))).cast("long")
+    val lenScore = least(words * lit(20000L), lit(1000000L))
+    val wlScore = when(lit(3L) * words <= chars && chars <= lit(10L) * words,
+      lit(1000000L)).otherwise(lit(500000L))
+    val punctScore = when(punct * lit(10L) <= chars, lit(1000000L))
+      .otherwise(lit(500000L))
+    floor((lenScore + wlScore + punctScore).cast("double") / 3d).cast("long")
+  }
+
   /** Linear quality classifier: the fastText-style model-based scoring
     * stage (Brown et al. 2020 §A; CCNet; DCLM) that sits between the
     * cheap heuristic filters and mix sampling in every production

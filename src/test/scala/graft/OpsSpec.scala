@@ -972,6 +972,32 @@ class OpsSpec extends AnyFunSuite {
       "http://c.example/anything" -> false), r.toString) // no robots row
   }
 
+  test("qualityScoreMicro: hand-computed integer scores") {
+    import graft.ops.TextOps
+    val r = Seq(
+      (1, "aa bb cc"),                    // 60000 + 500000 + 1000000 = 1560000 / 3
+      (2, Seq.fill(60)("word").mkString(" ")), // capped + ok + ok = 3000000 / 3
+      (3, "!!!!!!!!!! words")             // 40000 + 1000000 + 500000 = 1540000 / 3
+    ).toDF("id", "t")
+      .select($"id", TextOps.qualityScoreMicro($"t").as("q"))
+      .collect().map(x => x.getInt(0) -> x.getLong(1)).toMap
+    assert(r == Map(1 -> 520000L, 2 -> 1000000L, 3 -> 513333L), r.toString)
+  }
+
+  test("domainQualityGate: floor means, thin domains fail the evidence bar") {
+    import graft.ops.Curation
+    val scored = (Seq.fill(12)(("d1", 900000L)) ++ Seq.fill(12)(("d2", 700000L))
+      ++ Seq.fill(5)(("d3", 999999L)) ++ Seq(("d4", 1L), ("d4", 2L)))
+      .toDF("domain", "q")
+    val r = Curation.domainQualityGate(scored, "domain", "q", 800000L, minDocs = 10L)
+      .collect().map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r == Map(
+      "d1" -> ((12L, 900000L, true)),
+      "d2" -> ((12L, 700000L, false)),  // mean below the bar
+      "d3" -> ((5L, 999999L, false)),   // too thin to judge
+      "d4" -> ((2L, 1L, false))), r.toString) // floor(3/2) = 1
+  }
+
   test("metaHarvest: title entities decoded, first canonical wins, body stops the scan") {
     import graft.extract.MetaHarvest
     val m = MetaHarvest.harvest(
