@@ -2193,6 +2193,34 @@ object Queries {
         graft.ops.TextOps.qualityScoreMicro(col("text")).as("q_micro"))
       graft.ops.Curation.domainQualityGate(scored, "domain", "q_micro",
         minMeanMicro = 800000L, minDocs = 10L)
+    }),
+
+    // Template-shape clustering on the REAL tokenizer: 8 constructed
+    // template families (p-count × optional div/span block); the oracle
+    // rebuilds each page's tag-name string arithmetically and replays
+    // the q22 polynomial — tokenizer drift breaks the hash.
+    "q161_template_shape" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc</title></head><body>"),
+        expr("repeat('<p>x</p>', CAST(doc_id % 4 + 1 AS INT))"),
+        when(col("doc_id") % 2 === 0, lit("<div><span>y</span></div>"))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      graft.extract.TemplateShape.templateProfile(
+        docs(s, dir).select(col("doc_id"), html.as("html")), "doc_id", "html")
+    }),
+
+    // Link reciprocity: a deterministic mostly-one-way graph with every
+    // 10th edge's reverse planted — the planted share must surface as
+    // exactly-computed micro reciprocity per source.
+    "q162_reciprocity" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select((col("doc_id") % 40).as("src"),
+        ((col("doc_id") * 7 + 3) % 40).as("dst"))
+      val planted = d.filter(col("doc_id") % 10 === 0)
+        .select(((col("doc_id") * 7 + 3) % 40).as("src"),
+          (col("doc_id") % 40).as("dst"))
+      graft.ops.Graph.reciprocity(base.union(planted), "src", "dst")
     })
   )
 
@@ -4528,6 +4556,35 @@ object Queries {
         |    ELSE CAST(floor(dot * 1000000.0 / (sqrt(na) * sqrt(nb)) + 0.5) AS BIGINT)
         |  END AS sim_micro
         |FROM p""".stripMargin,
+
+    // q162: the same edge set distinct-ed, self-joined on the reversed
+    // key, integer micro share
+    "q162_reciprocity" ->
+      """WITH e0 AS (
+        |  SELECT doc_id % 40 AS src, (doc_id * 7 + 3) % 40 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT (doc_id * 7 + 3) % 40, doc_id % 40 FROM documents WHERE doc_id % 10 = 0),
+        |e AS (SELECT DISTINCT src, dst FROM e0 WHERE src <> dst)
+        |SELECT e.src, count(*)::BIGINT AS n_out,
+        |  CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_recip,
+        |  CAST(sum(CASE WHEN r.src IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+        |    * 1000000 // count(*) AS recip_micro
+        |FROM e LEFT JOIN e r ON e.src = r.dst AND e.dst = r.src
+        |GROUP BY 1""".stripMargin,
+
+    // q161: each page's tag-name sequence rebuilt arithmetically, then
+    // the q22 base-131 polynomial over its characters
+    "q161_template_shape" ->
+      """WITH p AS (SELECT doc_id,
+        |    'html,head,title,body' || repeat(',p', CAST(doc_id % 4 + 1 AS INT))
+        |      || CASE WHEN doc_id % 2 = 0 THEN ',div,span' ELSE '' END AS shape
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(shape, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS shape_hash
+        |  FROM p)
+        |SELECT shape_hash, count(*)::BIGINT AS n_pages, min(doc_id) AS exemplar_id
+        |FROM h GROUP BY 1""".stripMargin,
 
     // q160: the micro quality score, the floor-div mean, and the verdict
     // all replayed in integer arithmetic (no float boundary anywhere)

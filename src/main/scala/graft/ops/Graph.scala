@@ -170,4 +170,29 @@ object Graph {
     e.unpersist()
     out
   }
+
+  /** Edge RECIPROCITY per source node — the link-exchange signal: organic
+    * links are overwhelmingly one-way, so a host whose out-edges are
+    * mostly reciprocated ("you link me, I link you") reads as a link
+    * ring, the spam family PageRank (T41) rewards instead of catching.
+    * Self-loops dropped, multi-edges collapsed; per source: distinct
+    * out-edges, how many have the reverse edge present, and the exact
+    * micro share. Returns (src, n_out, n_recip, recip_micro).
+    *
+    * Scale shape: one distinct on (src, dst), then the reverse join is
+    * the SAME relation keyed the other way — an equi-join on (src, dst)
+    * vs (dst, src), 2-key rows only — and one map-combined src
+    * aggregate. Nothing wider than two ids ever shuffles. */
+  def reciprocity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst"))
+      .filter(col("src") =!= col("dst")).distinct()
+    val rev = e.select(col("dst").as("src"), col("src").as("dst"))
+      .withColumn("__r", lit(1L))
+    e.join(rev, Seq("src", "dst"), "left")
+      .groupBy(col("src"))
+      .agg(count(lit(1)).as("n_out"),
+        sum(coalesce(col("__r"), lit(0L))).as("n_recip"))
+      .select(col("src"), col("n_out"), col("n_recip"),
+        expr("n_recip * 1000000 div n_out").as("recip_micro"))
+  }
 }

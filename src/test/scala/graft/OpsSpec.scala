@@ -998,6 +998,38 @@ class OpsSpec extends AnyFunSuite {
       "d4" -> ((2L, 1L, false))), r.toString) // floor(3/2) = 1
   }
 
+  test("TemplateShape: tag sequence ignores text/attrs/comments, groups templates") {
+    import graft.extract.TemplateShape
+    assert(TemplateShape.shapeKernel(
+      "<html><head><title>A B</title></head><body class=\"x\"><!-- c --><p>one</p><p>two</p></body></html>")
+      == "html,head,title,body,p,p")
+    assert(TemplateShape.shapeKernel(null) == "")
+    val df = Seq(
+      (1L, "<div><p>a</p></div>"),
+      (2L, "<div><p>completely different words</p></div>"),
+      (3L, "<div><span>b</span></div>")).toDF("id", "html")
+    val r = TemplateShape.templateProfile(df, "id", "html")
+      .collect().map(x => (x.getLong(1), x.getLong(2))).toSet
+    assert(r == Set((2L, 1L), (1L, 3L)), r.toString)
+  }
+
+  test("reciprocity: mutual pairs counted, self-loops and multi-edges ignored") {
+    import graft.ops.Graph
+    val edges = Seq(
+      (1L, 2L), (2L, 1L),           // mutual pair
+      (1L, 3L),                     // one-way
+      (1L, 3L),                     // multi-edge: collapses
+      (3L, 3L),                     // self-loop: dropped
+      (4L, 1L)                      // one-way into 1
+    ).toDF("src", "dst")
+    val r = Graph.reciprocity(edges, "src", "dst")
+      .collect().map(x => x.getLong(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3)))).toMap
+    assert(r == Map(
+      1L -> ((2L, 1L, 500000L)),  // out: →2 (reciprocated), →3
+      2L -> ((1L, 1L, 1000000L)),
+      4L -> ((1L, 0L, 0L))), r.toString)
+  }
+
   test("metaHarvest: title entities decoded, first canonical wins, body stops the scan") {
     import graft.extract.MetaHarvest
     val m = MetaHarvest.harvest(
