@@ -737,4 +737,56 @@ class PlanSpec extends AnyFunSuite {
       .orderBy(col("value").desc).limit(10)
     assert(physicalPlan(df).contains("TakeOrderedAndProject"))
   }
+
+  test("robots gate: rules broadcast, page side fully narrow — zero shuffle exchanges") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pages = spark.read.parquet(s"$sf/documents.parquet")
+        .select(concat(lit("http://h"), col("doc_id") % 5, lit(".example/p/"), col("doc_id")).as("url"))
+      val robots = spark.range(5)
+        .select(concat(lit("h"), col("id"), lit(".example")).as("host"),
+          lit("User-agent: *\nDisallow: /p\n").as("robots_txt"))
+      val plan = graft.ops.WebOps.robotsDisallowed(pages, "url", robots, "host", "robots_txt")
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("BroadcastHashJoin"), plan)
+      assert(!plan.linesIterator.exists(l =>
+        l.contains("Exchange") && !l.contains("BroadcastExchange")), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("template profile: raw html never shuffles — only the 8-byte hash and id") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val pages = spark.read.parquet(s"$sf/documents.parquet")
+        .select(col("doc_id"), concat(lit("<p>"), col("text"), lit("</p>")).as("html"))
+      val plan = graft.extract.TemplateShape.templateProfile(pages, "doc_id", "html")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      assert(lines.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange")) == 1, plan)
+      lines.filter(_.contains("Exchange")).foreach(l =>
+        assert(!l.contains("html#") && !l.contains("text#"), l))
+      // the aggregate partial-combines below the exchange
+      assert(lines.indexWhere(_.contains("partial_count")) >
+        lines.indexWhere(_.contains("Exchange")), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("domain gate: the corpus collapses in ONE map-combined exchange") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet").select(
+        col("source").as("domain"),
+        graft.ops.TextOps.qualityScoreMicro(col("text")).as("q"))
+      val plan = graft.ops.Curation.domainQualityGate(d, "domain", "q", 800000L, 10L)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      assert(lines.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange")) == 1, plan)
+      lines.filter(_.contains("Exchange")).foreach(l => assert(!l.contains("text#"), l))
+      assert(lines.indexWhere(_.contains("partial_count")) >
+        lines.indexWhere(_.contains("Exchange")), plan)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
