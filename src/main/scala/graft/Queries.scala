@@ -2221,6 +2221,65 @@ object Queries {
         .select(((col("doc_id") * 7 + 3) % 40).as("src"),
           (col("doc_id") % 40).as("dst"))
       graft.ops.Graph.reciprocity(base.union(planted), "src", "dst")
+    }),
+
+    // Output-shard bin-packing: per-source byte-budget write planning —
+    // the oracle replays the running-sum window and floor-division
+    // shard assignment exactly (all integer arithmetic).
+    "q163_shard_plan" -> ((s, dir) => {
+      graft.ops.Curation.shardPlan(docs(s, dir), "source", "doc_id",
+          octet_length(col("text")), targetBytes = 4096L)
+        .select(col("key").as("source"), col("shard_id"), col("n_docs"),
+          col("shard_bytes"), col("first_id"), col("last_id"))
+    }),
+
+    // Bitext URL pair mining: constructed language-coded urls — en on
+    // even doc_ids, fr on odds except every 7th page id (unpaired), a
+    // non-language '/raw/' segment exercising the filter; the oracle
+    // rebuilds the urls and replays parse + join independently.
+    "q164_bitext_pairs" -> ((s, dir) => {
+      val k = expr("doc_id div 2")
+      val host = concat(lit("http://w"), pmod(k, lit(5L)), lit(".example/"))
+      val url = when(col("doc_id") % 2 === 0, concat(host, lit("en/page"), k))
+        .when(pmod(k, lit(7L)) === 3, concat(host, lit("raw/page"), k))
+        .otherwise(concat(host, lit("fr/page"), k))
+      graft.ops.WebOps.bitextPairs(
+        docs(s, dir).select(url.as("url")), "url", "en", "fr")
+    }),
+
+    // Unicode script profile: Cyrillic/CJK codepoints planted into the
+    // ASCII corpus by doc_id family — wholesale (%5=1,2: dominance
+    // flips to cyrillic/cjk) and single-char (%5=3: stays latin with a
+    // cyrillic minority) — so the oracle's dominant-script argmax is
+    // exercised on every branch, replayed over DuckDB's codepoint split.
+    "q165_script_profile" -> ((s, dir) => {
+      val planted = when(col("doc_id") % 5 === 1, regexp_replace(col("text"), "[a-z]", "д"))
+        .when(col("doc_id") % 5 === 2, regexp_replace(col("text"), "[a-z]", "本"))
+        .when(col("doc_id") % 5 === 3, regexp_replace(col("text"), "e", "д"))
+        .otherwise(col("text"))
+      docs(s, dir).select(col("doc_id"),
+          graft.ops.TextOps.scriptProfile(planted).as("p"))
+        .select(col("doc_id"), col("p.n_latin"), col("p.n_cyrillic"),
+          col("p.n_cjk"), col("p.n_digit"), col("p.n_space"),
+          col("p.n_other"), col("p.dominant"))
+    }),
+
+    // CCNet-style perplexity buckets: q58's bigram-LM micro scores
+    // ranked per source into exact head/middle/tail terciles
+    // (rankBuckets) — the oracle replays the whole LM estimate, the
+    // micro quantization, and the rank arithmetic.
+    "q166_ppl_buckets" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val nll = graft.ops.Retrieval.lmNegLogLik(
+          d.filter(col("doc_id") % 13 =!= 0), "doc_id", "text",
+          d.filter(col("doc_id") % 13 === 0), "text", alpha = 0.1)
+        .select(col("id"),
+          floor(col("avg_nll") * lit(1e6) + lit(0.5)).cast("long").as("avg_micro"))
+      val keyed = nll.join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      graft.ops.Curation.rankBuckets(keyed, "source", "id", col("avg_micro"), nBuckets = 3)
+        .groupBy(col("key").as("source"), col("bucket"))
+        .agg(count(lit(1)).as("n_docs"),
+          min(col("value")).as("min_micro"), max(col("value")).as("max_micro"))
     })
   )
 
@@ -2271,6 +2330,40 @@ object Queries {
   }
 
   /** DuckDB oracles. Keys missing here get the driver's rows-only check. */
+  /** Shared q58/q166 oracle fragment: the full bigram-LM replay (hash →
+    * reference counts → add-0.1 smoothing → per-bigram 6dp logprob rows),
+    * up to and including the per-(doc, bigram) `lp` CTE — q58 aggregates
+    * it per document, q166 buckets the per-document averages per source.
+    * (A def like [[hllRegisterCtes]]: interpolated from the oracles map.) */
+  private def lmNllCtes: String =
+    """d AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\r]+'), x -> x <> '') AS w
+      |  FROM documents),
+      |ref AS (SELECT w FROM d WHERE doc_id % 13 = 0),
+      |corp AS (SELECT doc_id, w FROM d WHERE doc_id % 13 <> 0),
+      |c1 AS (SELECT h1, count(*)::BIGINT AS c1 FROM (
+      |    SELECT list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(tok, '')]),
+      |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h1
+      |    FROM (SELECT unnest(w) AS tok FROM ref)) GROUP BY h1),
+      |v AS (SELECT count(*)::BIGINT AS v FROM c1),
+      |c12 AS (SELECT h12, count(*)::BIGINT AS c12 FROM (
+      |    SELECT list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(bg, '')]),
+      |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h12
+      |    FROM (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+      |          FROM ref)) GROUP BY h12),
+      |cb AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
+      |  FROM corp),
+      |ch AS (SELECT doc_id,
+      |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(split_part(bg, ' ', 1), '')]),
+      |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h1,
+      |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(bg, '')]),
+      |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h12
+      |  FROM cb),
+      |lp AS (SELECT doc_id,
+      |    CAST(floor(-ln((coalesce(c12, 0) + 0.1::DOUBLE) /
+      |      (coalesce(c1, 0) + 0.1::DOUBLE * v)) * 1e6 + 0.5) AS BIGINT) AS lpm
+      |  FROM ch LEFT JOIN c12 USING (h12) LEFT JOIN c1 USING (h1), v)""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q1_filter_agg" ->
       "SELECT lang, count(*) AS cnt, round(avg(n_chars), 4) AS avg_chars FROM documents GROUP BY lang",
@@ -3168,33 +3261,7 @@ object Queries {
     // over tokens and "w1 w2" bigrams, reference counts, add-0.1
     // smoothing, 6dp logprobs summed as exact decimals
     "q58_lm_score" ->
-      """WITH d AS (SELECT doc_id,
-        |    list_filter(regexp_split_to_array(trim(text), '[ \t\n\r]+'), x -> x <> '') AS w
-        |  FROM documents),
-        |ref AS (SELECT w FROM d WHERE doc_id % 13 = 0),
-        |corp AS (SELECT doc_id, w FROM d WHERE doc_id % 13 <> 0),
-        |c1 AS (SELECT h1, count(*)::BIGINT AS c1 FROM (
-        |    SELECT list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(tok, '')]),
-        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h1
-        |    FROM (SELECT unnest(w) AS tok FROM ref)) GROUP BY h1),
-        |v AS (SELECT count(*)::BIGINT AS v FROM c1),
-        |c12 AS (SELECT h12, count(*)::BIGINT AS c12 FROM (
-        |    SELECT list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(bg, '')]),
-        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h12
-        |    FROM (SELECT unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
-        |          FROM ref)) GROUP BY h12),
-        |cb AS (SELECT doc_id, unnest([w[i] || ' ' || w[i+1] FOR i IN range(1, len(w))]) AS bg
-        |  FROM corp),
-        |ch AS (SELECT doc_id,
-        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(split_part(bg, ' ', 1), '')]),
-        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h1,
-        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(bg, '')]),
-        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h12
-        |  FROM cb),
-        |lp AS (SELECT doc_id,
-        |    CAST(floor(-ln((coalesce(c12, 0) + 0.1::DOUBLE) /
-        |      (coalesce(c1, 0) + 0.1::DOUBLE * v)) * 1e6 + 0.5) AS BIGINT) AS lpm
-        |  FROM ch LEFT JOIN c12 USING (h12) LEFT JOIN c1 USING (h1), v)
+      s"""WITH $lmNllCtes
         |SELECT doc_id, count(*)::BIGINT AS n_bigrams,
         |  sum(lpm) / 1e6 AS nll,
         |  floor(sum(lpm) / count(*) + 0.5) / 1e6 AS avg_nll
@@ -5321,6 +5388,86 @@ object Queries {
         |  CAST(n * 1000000 // t.t AS BIGINT) AS share_micro,
         |  CAST(cum * 1000000 // t.t AS BIGINT) AS cum_share_micro
         |FROM r CROSS JOIN t""".stripMargin,
+
+    // q163: running-sum window (bytes BEFORE the row) + floor-division
+    // shard assignment, replayed exactly (strlen = bytes in DuckDB)
+    "q163_shard_plan" ->
+      """WITH b AS (SELECT source, doc_id, strlen(text)::BIGINT AS b,
+        |    CAST(coalesce(CAST(sum(strlen(text)) OVER (PARTITION BY source ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) // 4096 AS BIGINT)
+        |      AS shard_id
+        |  FROM documents)
+        |SELECT source, shard_id, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(b) AS BIGINT) AS shard_bytes,
+        |  min(doc_id) AS first_id, max(doc_id) AS last_id
+        |FROM b GROUP BY 1, 2""".stripMargin,
+
+    // q164: urls rebuilt with the same CASE, then the parse + equi-join
+    // replayed with DuckDB's own regexp groups
+    "q164_bitext_pairs" ->
+      """WITH u AS (SELECT
+        |    CASE WHEN doc_id % 2 = 0
+        |           THEN 'http://w' || (doc_id // 2) % 5 || '.example/en/page' || (doc_id // 2)
+        |         WHEN (doc_id // 2) % 7 = 3
+        |           THEN 'http://w' || (doc_id // 2) % 5 || '.example/raw/page' || (doc_id // 2)
+        |         ELSE 'http://w' || (doc_id // 2) % 5 || '.example/fr/page' || (doc_id // 2)
+        |    END AS url
+        |  FROM documents),
+        |p AS (SELECT url,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)/([a-z]{2})/(.*)$', 1) AS h,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)/([a-z]{2})/(.*)$', 2) AS seg,
+        |    regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)/([a-z]{2})/(.*)$', 3) AS rest
+        |  FROM u),
+        |q AS (SELECT url, seg, lower(h) || '/' || rest AS pair_key FROM p WHERE h <> '')
+        |SELECT a.pair_key, a.url AS url_a, b.url AS url_b
+        |FROM (SELECT * FROM q WHERE seg = 'en') a
+        |JOIN (SELECT * FROM q WHERE seg = 'fr') b USING (pair_key)""".stripMargin,
+
+    // q165: the same plant, then codepoint-range counts and the
+    // dominant-script argmax replayed over DuckDB's codepoint split
+    // (chr(1076) = Cyrillic д, chr(26412) = 本)
+    "q165_script_profile" ->
+      """WITH p AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 5 = 1 THEN regexp_replace(text, '[a-z]', chr(1076), 'g')
+        |         WHEN doc_id % 5 = 2 THEN regexp_replace(text, '[a-z]', chr(26412), 'g')
+        |         WHEN doc_id % 5 = 3 THEN replace(text, 'e', chr(1076))
+        |         ELSE text END AS t
+        |  FROM documents),
+        |c AS (SELECT doc_id,
+        |    len([c FOR c IN split(t, '') IF (ascii(c) BETWEEN 65 AND 90)
+        |      OR (ascii(c) BETWEEN 97 AND 122) OR (ascii(c) BETWEEN 192 AND 591)])::BIGINT AS n_latin,
+        |    len([c FOR c IN split(t, '') IF ascii(c) BETWEEN 1024 AND 1279])::BIGINT AS n_cyrillic,
+        |    len([c FOR c IN split(t, '') IF (ascii(c) BETWEEN 12352 AND 12543)
+        |      OR (ascii(c) BETWEEN 19968 AND 40959)])::BIGINT AS n_cjk,
+        |    len([c FOR c IN split(t, '') IF ascii(c) BETWEEN 48 AND 57])::BIGINT AS n_digit,
+        |    len([c FOR c IN split(t, '') IF c IN (' ', chr(9), chr(10), chr(13))])::BIGINT AS n_space,
+        |    len(split(t, ''))::BIGINT AS n_all
+        |  FROM p)
+        |SELECT doc_id, n_latin, n_cyrillic, n_cjk, n_digit, n_space,
+        |  n_all - n_latin - n_cyrillic - n_cjk - n_digit - n_space AS n_other,
+        |  CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_cjk = 0 THEN 'none'
+        |       WHEN n_latin >= n_cyrillic AND n_latin >= n_cjk THEN 'latin'
+        |       WHEN n_cyrillic >= n_cjk THEN 'cyrillic'
+        |       ELSE 'cjk' END AS dominant
+        |FROM c""".stripMargin,
+
+    // q166: the full q58 LM replay, per-document micro averages, then
+    // the exact per-source tercile rank arithmetic
+    "q166_ppl_buckets" ->
+      s"""WITH $lmNllCtes,
+        |s AS (SELECT doc_id,
+        |    CAST(floor(sum(lpm) / count(*) + 0.5) AS BIGINT) AS avg_micro
+        |  FROM lp GROUP BY doc_id),
+        |j AS (SELECT s.doc_id, d2.source, s.avg_micro
+        |  FROM s JOIN documents d2 USING (doc_id)),
+        |r AS (SELECT source, doc_id, avg_micro,
+        |    row_number() OVER (PARTITION BY source ORDER BY avg_micro, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n
+        |  FROM j)
+        |SELECT source, CAST((3 * (rn - 1)) // n AS BIGINT) AS bucket,
+        |  count(*)::BIGINT AS n_docs,
+        |  min(avg_micro) AS min_micro, max(avg_micro) AS max_micro
+        |FROM r GROUP BY 1, 2""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -1644,6 +1644,67 @@ object Curation {
         col("repeat_micro"), col("repeats"))
   }
 
+  /** Output-shard bin-packing — the write planner: documents are packed
+    * into fixed-byte-budget output shards per key (source, date, language
+    * — whatever partitions the sink table) in a DETERMINISTIC order, so
+    * the same corpus always produces the same shard manifest. shard_id =
+    * floor(bytes-before-this-row / targetBytes) over the key's `orderCol`
+    * order: the greedy first-fit that file writers actually use, and the
+    * number a 100-TB job needs BEFORE writing — a sink that lets Spark
+    * pick file counts per partition gets 10^6 tiny files on long-tail
+    * sources and 10-GB monsters on head ones. Returns one manifest row
+    * per shard: (key, shard_id, n_docs, shard_bytes, first_id, last_id).
+    *
+    * Scale shape: a narrow (key, order, bytes) projection — document
+    * text never rides the exchange — then ONE hash exchange on the key
+    * feeding both the running-sum window and the (key, shard_id)
+    * aggregate (HashPartitioning(key) satisfies the groupBy's clustering,
+    * so no second shuffle; the q163 PlanSpec pins exactly one). Per-key
+    * sequential scan is inherent to running sums; keys are sink
+    * partitions (thousands), not documents, so skew is bounded by the
+    * largest sink partition — the thing this operator exists to split. */
+  def shardPlan(
+      df: DataFrame, keyCol: String, orderCol: String, bytesCol: Column,
+      targetBytes: Long): DataFrame = {
+    require(targetBytes > 0)
+    df.select(col(keyCol).as("key"), col(orderCol).cast("long").as("__ord"),
+        bytesCol.cast("long").as("__b"))
+      .withColumn("shard_id", expr(s"coalesce(sum(__b) OVER (PARTITION BY key ORDER BY __ord ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) div ${targetBytes}L"))
+      .groupBy(col("key"), col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("__b")).as("shard_bytes"),
+        min(col("__ord")).as("first_id"), max(col("__ord")).as("last_id"))
+  }
+
+  /** Per-key exact rank buckets — the CCNet head/middle/tail assignment
+    * (Wenzek et al. 2020 §3.3 buckets each language's documents by LM
+    * perplexity terciles): within every key, rows are ranked by
+    * (value, id) — the id tiebreak makes the order TOTAL, so the bucket
+    * of every row is deterministic on any engine — and row rank r of n
+    * lands in bucket floor(nBuckets·(r−1)/n) ∈ [0, nBuckets). Exact
+    * integer arithmetic end to end: bucket sizes differ by at most one,
+    * with no quantile-sketch approximation to drift between engines.
+    * Returns (key, id, value, bucket).
+    *
+    * Scale shape: one hash exchange on the key feeding a window pair
+    * (row_number + count) over the same partitioning — per-key
+    * sequential, keys are languages/sources (small cardinality, large
+    * groups), exactly the regime where a per-key scan is the point;
+    * corpora that need within-key parallelism approximate with
+    * [[globalQuantiles]]-style bucket offsets instead. */
+  def rankBuckets(
+      df: DataFrame, keyCol: String, idCol: String, valueCol: Column,
+      nBuckets: Int): DataFrame = {
+    require(nBuckets >= 2)
+    val w = Window.partitionBy(col("key")).orderBy(col("value"), col("id"))
+    val wAll = Window.partitionBy(col("key"))
+    df.select(col(keyCol).as("key"), col(idCol).cast("long").as("id"),
+        valueCol.cast("long").as("value"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+      .withColumn("bucket", expr(s"${nBuckets}L * (__rn - 1) div __n"))
+      .select(col("key"), col("id"), col("value"), col("bucket"))
+  }
+
   /** Per-group boilerplate line removal — the CCNet/RefinedWeb template
     * strip (Wenzek et al. 2020 §3.1 dedups repeated paragraphs corpus-wide;
     * Penedo et al. 2023 §3.2 strips lines that repeat across many pages of

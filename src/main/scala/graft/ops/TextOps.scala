@@ -685,6 +685,56 @@ object TextOps {
   def fixMojibake(text: Column): Column =
     udf((s: String) => fixMojibakeKernel(s)).apply(text)
 
+  /** Row type of [[scriptProfile]] (a UDF-struct needs a stable encoder). */
+  case class ScriptCounts(
+      n_latin: Long, n_cyrillic: Long, n_cjk: Long, n_digit: Long,
+      n_space: Long, n_other: Long, dominant: String)
+
+  /** Unicode SCRIPT profile — the writing-system twin of [[languageId]]:
+    * stopword profiles separate languages that share a script, but a
+    * multilingual crawl first needs the script itself (a "lang=en" page
+    * full of CJK is mislabeled upstream; a Latin/Cyrillic half-and-half
+    * is a template page or an encoding accident — both gate BEFORE any
+    * language model sees the text). Counts codepoints by range — Latin
+    * (ASCII letters + U+00C0–U+024F), Cyrillic (U+0400–U+04FF), CJK
+    * (kana U+3040–U+30FF + unified ideographs U+4E00–U+9FFF), digits,
+    * ASCII whitespace, other — and reports the dominant letter script
+    * (ties break latin > cyrillic > cjk; no letters → 'none'). The q165
+    * DuckDB oracle replays the same ranges over codepoints
+    * independently. Codepoint-range heuristic by design: a full
+    * Character.UnicodeScript table is a data swap, not a shape change.
+    *
+    * Scale shape: purely narrow — one single-pass kernel per row (a
+    * Scala UDF per the HOF-re-evaluation note in CLAUDE.md), no shuffle.
+    * Steps by codePointAt/charCount so supplementary-plane characters
+    * count once (the [[Dedup.polyHash]] codepoint discipline). */
+  private[graft] def scriptProfileKernel(s: String): ScriptCounts = {
+    if (s == null) return ScriptCounts(0L, 0L, 0L, 0L, 0L, 0L, "none")
+    var latin = 0L; var cyr = 0L; var cjk = 0L
+    var digit = 0L; var space = 0L; var other = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if ((cp >= 'A' && cp <= 'Z') || (cp >= 'a' && cp <= 'z') ||
+          (cp >= 0xC0 && cp <= 0x24F)) latin += 1
+      else if (cp >= 0x400 && cp <= 0x4FF) cyr += 1
+      else if ((cp >= 0x3040 && cp <= 0x30FF) || (cp >= 0x4E00 && cp <= 0x9FFF)) cjk += 1
+      else if (cp >= '0' && cp <= '9') digit += 1
+      else if (cp == ' ' || cp == '\t' || cp == '\n' || cp == '\r') space += 1
+      else other += 1
+      i += Character.charCount(cp)
+    }
+    val dominant =
+      if (latin == 0L && cyr == 0L && cjk == 0L) "none"
+      else if (latin >= cyr && latin >= cjk) "latin"
+      else if (cyr >= cjk) "cyrillic"
+      else "cjk"
+    ScriptCounts(latin, cyr, cjk, digit, space, other, dominant)
+  }
+
+  def scriptProfile(text: Column): Column =
+    udf((s: String) => scriptProfileKernel(s)).apply(text)
+
   /** Feature-hashing document embeddings (the hashing trick, Weinberger
     * et al. 2009): each word hashes to one of `dims` buckets with a ±1
     * sign bit, and the document's vector is the signed bucket sum — a

@@ -217,6 +217,41 @@ object WebOps {
         .as("soft404"))
   }
 
+  /** Bitext URL pair mining — the ParaCrawl/CCMatrix candidate step
+    * (Bañón et al. 2020 §3: multilingual sites publish parallel pages at
+    * language-coded paths): a url whose FIRST path segment is a 2-letter
+    * language code is keyed by (host, rest-of-path), and pages of the
+    * same site whose keys match across `langA`/`langB` are candidate
+    * translation pairs — the cheap structural harvest that feeds
+    * alignment models, long before any content comparison. Urls without
+    * a language segment, or in other languages, drop out. Returns
+    * (pair_key, url_a, url_b), one row per matched pair.
+    *
+    * Scale shape: a narrow regexp projection per side (raw page content
+    * never enters — this is a url-column operator) and ONE equi-join on
+    * the 8-to-60-byte pair_key; both sides are corpus-sized, so this is
+    * a genuine shuffle join by design (neither side broadcasts), with
+    * AQE handling per-site skew. A duplicate-url crawl multiplies pairs
+    * — [[canonicalizeUrl]] + dedup runs upstream by contract. */
+  def bitextPairs(
+      pages: DataFrame, urlCol: String, langA: String, langB: String): DataFrame = {
+    require(langA != langB && langA.matches("[a-z]{2}") && langB.matches("[a-z]{2}"))
+    val u = col(urlCol)
+    val parsed = pages.select(
+        u.as("url"),
+        regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)/([a-z]{2})/(.*)$", 1).as("__h"),
+        regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)/([a-z]{2})/(.*)$", 2).as("__seg"),
+        regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)/([a-z]{2})/(.*)$", 3).as("__rest"))
+      .filter(col("__h") =!= "")
+      .select(col("url"), col("__seg"),
+        concat(lower(col("__h")), lit("/"), col("__rest")).as("pair_key"))
+    val a = parsed.filter(col("__seg") === langA)
+      .select(col("pair_key"), col("url").as("url_a"))
+    val b = parsed.filter(col("__seg") === langB)
+      .select(col("pair_key"), col("url").as("url_b"))
+    a.join(b, Seq("pair_key"))
+  }
+
   /** URL PATTERN profile — the crawl-trap detector: every url's path is
     * collapsed to a SHAPE (digit runs → `#`, query dropped), and shapes
     * are profiled per host. A shape fanning out to millions of distinct

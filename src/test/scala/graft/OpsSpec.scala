@@ -2441,4 +2441,73 @@ class OpsSpec extends AnyFunSuite {
     assert(got(3L)._1 == 1000000L)                     // clamped from above
     assert(got(4L)._1 == 0L && !got(4L)._3)            // clamped from below
   }
+
+  test("shardPlan: greedy byte packing per key, deterministic order, exact manifests") {
+    import graft.ops.Curation
+    // key a: bytes 3,4,4,4 with target 8 → before-sums 0,3,7,11 → shards 0,0,0,1
+    val df = Seq(("a", 1L, "xxx"), ("a", 2L, "yyyy"), ("a", 3L, "zzzz"),
+      ("a", 4L, "wwww"), ("b", 9L, "kk")).toDF("k", "ord", "t")
+    val got = Curation.shardPlan(df, "k", "ord", octet_length(col("t")), 8L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    assert(got == Map(
+      ("a", 0L) -> ((3L, 11L, 1L, 3L)),
+      ("a", 1L) -> ((1L, 4L, 4L, 4L)),
+      ("b", 0L) -> ((1L, 2L, 9L, 9L))), got.toString)
+    // a single oversized row still lands alone in its own shard
+    val big = Seq(("a", 1L, "x" * 20), ("a", 2L, "yy")).toDF("k", "ord", "t")
+    val g2 = Curation.shardPlan(big, "k", "ord", octet_length(col("t")), 8L)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(g2 == Map(0L -> 1L, 2L -> 1L)) // next shard skips to floor(20/8)=2
+  }
+
+  test("rankBuckets: exact per-key terciles, total order, sizes within one") {
+    import graft.ops.Curation
+    val df = (1L to 10L).map(i => ("k", i, 100L - i)) :+ (("solo", 99L, 5L))
+    val got = Curation.rankBuckets(df.toDF("k", "id", "v"), "k", "id", col("v"), 3)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // values descend with id, so rank order is id DESC: ids 10,9,8,7 → bucket 0
+    assert((7L to 10L).forall(i => got(("k", i)) == 0L))
+    assert((4L to 6L).forall(i => got(("k", i)) == 1L))
+    assert((1L to 3L).forall(i => got(("k", i)) == 2L))
+    assert(got(("solo", 99L)) == 0L) // n=1: rank 1 of 1 → bucket 0
+    // tie on value breaks by id: deterministic buckets
+    val ties = Seq(("k", 1L, 7L), ("k", 2L, 7L), ("k", 3L, 7L)).toDF("k", "id", "v")
+    val t = Curation.rankBuckets(ties, "k", "id", col("v"), 3)
+      .collect().map(r => r.getLong(1) -> r.getLong(3)).toMap
+    assert(t == Map(1L -> 0L, 2L -> 1L, 3L -> 2L))
+  }
+
+  test("bitextPairs: keys on (host, rest), filters non-lang and other-lang segments") {
+    import graft.ops.WebOps
+    val urls = Seq(
+      "http://a.example/en/x/1", "http://a.example/fr/x/1",   // pair
+      "http://A.EXAMPLE/en/y", "http://a.example/fr/y",       // pair (host lowercased)
+      "http://a.example/en/z",                                // unpaired
+      "http://b.example/en/x/1",                              // same rest, other host
+      "http://a.example/raw/w", "http://a.example/de/x/1"     // non-lang / other lang
+    ).toDF("url")
+    val got = WebOps.bitextPairs(urls, "url", "en", "fr")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("a.example/x/1", "http://a.example/en/x/1", "http://a.example/fr/x/1"),
+      ("a.example/y", "http://A.EXAMPLE/en/y", "http://a.example/fr/y")), got.toString)
+  }
+
+  test("scriptProfile: codepoint ranges, supplementary plane, dominant ties") {
+    import graft.ops.TextOps.scriptProfileKernel
+    val p = scriptProfileKernel("ab с中9 é!😀")
+    // a,b,é latin; с cyrillic; 中 cjk; 9 digit; 2 spaces; '!' + emoji other
+    assert((p.n_latin, p.n_cyrillic, p.n_cjk, p.n_digit, p.n_space, p.n_other)
+      == ((3L, 1L, 1L, 1L, 2L, 2L)), p.toString)
+    assert(p.dominant == "latin")
+    assert(scriptProfileKernel("ая").dominant == "cyrillic")
+    assert(scriptProfileKernel("中本").dominant == "cjk")
+    assert(scriptProfileKernel("з中").dominant == "cyrillic") // tie: cyr > cjk
+    assert(scriptProfileKernel("aб").dominant == "latin")    // tie: latin first
+    assert(scriptProfileKernel("123 !").dominant == "none")
+    assert(scriptProfileKernel(null).dominant == "none")
+    // kana counts as cjk
+    assert(scriptProfileKernel("あ").n_cjk == 1L)
+  }
 }

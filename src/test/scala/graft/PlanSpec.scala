@@ -694,7 +694,8 @@ class PlanSpec extends AnyFunSuite {
       "q132_centroid_sim", // k-row centroid table self-paired
       "q135_mix_feasibility", // 1-row weight-total broadcast
       "q138_dsir", // 1-row (Nt, Nr) totals crossed into the bounded bucket table
-      "q143_cluster_sizes") // 1-row doc-total broadcast into the size histogram
+      "q143_cluster_sizes", // 1-row doc-total broadcast into the size histogram
+      "q166_ppl_buckets") // q58's 1-row vocab-size broadcast feeds the bucketing
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
@@ -788,5 +789,45 @@ class PlanSpec extends AnyFunSuite {
       assert(lines.indexWhere(_.contains("partial_count")) >
         lines.indexWhere(_.contains("Exchange")), plan)
     } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("shard plan: ONE exchange on the key feeds window AND manifest agg, no text on the wire") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+      val plan = graft.ops.Curation.shardPlan(d, "source", "doc_id",
+          octet_length(col("text")), 4096L)
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      // HashPartitioning(key) from the window satisfies the (key, shard_id)
+      // groupBy's clustering: the manifest agg adds NO second shuffle
+      assert(lines.count(l => l.contains("Exchange") && !l.contains("BroadcastExchange")) == 1, plan)
+      lines.filter(_.contains("Exchange")).foreach(l => assert(!l.contains("text#"), l))
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
+
+  test("bitext pairs: one shuffle join on pair_key, raw page columns never ride it") {
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    // at corpus scale NEITHER side broadcasts (both are page-sized): pin
+    // the shuffle-join shape by disabling the tiny-test-corpus broadcast
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val d = spark.read.parquet(s"$sf/documents.parquet")
+        .select(concat(lit("http://h"), col("doc_id") % 3, lit(".example/"),
+          when(col("doc_id") % 2 === 0, "en").otherwise("fr"),
+          lit("/p"), expr("doc_id div 2")).as("url"), col("text"))
+      val plan = graft.ops.WebOps.bitextPairs(d, "url", "en", "fr")
+        .queryExecution.executedPlan.toString
+      val lines = plan.linesIterator.toSeq
+      lines.filter(_.contains("Exchange")).foreach(l => assert(!l.contains("text#"), l))
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      assert(!plan.contains("CartesianProduct") && !plan.contains("BroadcastNestedLoop"), plan)
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
   }
 }
