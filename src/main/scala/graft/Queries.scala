@@ -2280,6 +2280,55 @@ object Queries {
         .groupBy(col("key").as("source"), col("bucket"))
         .agg(count(lit(1)).as("n_docs"),
           min(col("value")).as("min_micro"), max(col("value")).as("max_micro"))
+    }),
+
+    // Co-citation similarity: a two-outlinks-per-doc deterministic
+    // host→target graph; the oracle replays distinct, the per-target
+    // fan-out cap (same rank order), the within-target pairing, and
+    // the total top-k order.
+    "q167_cocitation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      def side(m: Int, a: Int) = d.select(
+        concat(lit("h"), col("doc_id") % 30).as("src"),
+        ((col("doc_id") * m + a) % 97).as("dst"))
+      graft.ops.Graph.coCitation(side(13, 5).union(side(29, 11)),
+        "src", "dst", maxFanout = 8, k = 20)
+    }),
+
+    // Sentence-level language mix: German / Spanish sentences appended
+    // to the English-ish corpus by doc_id family; the oracle replays
+    // the construction, the sentence split, and the per-sentence
+    // stopword argmax (q18's formula) independently.
+    "q168_sentence_lang" -> ((s, dir) => {
+      val t = concat(col("text"), lit(". "),
+        when(col("doc_id") % 3 === 0,
+            lit("der hund und der mann und der baum sind hier"))
+          .otherwise(lit("more of the same and the usual words and things")),
+        lit(". "),
+        when(col("doc_id") % 4 === 0,
+            lit("los perros y las casas y los gatos y las flores"))
+          .otherwise(lit("again the cat and the dog and the bird")))
+      graft.ops.TextOps.sentenceLangMix(
+        docs(s, dir).select(col("doc_id"), t.as("t")), "doc_id", "t")
+    }),
+
+    // DOM structure profile on the REAL tree builder: nested-div /
+    // repeated-p pages constructed so n_elems, max_depth, text chars,
+    // and text nodes are pure doc_id arithmetic — the oracle states
+    // them directly, pinning the builder's nesting semantics the way
+    // q161 pins the tokenizer.
+    "q169_dom_profile" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>T</title></head><body>"),
+        expr("repeat('<div>', CAST(doc_id % 5 + 1 AS INT))"),
+        expr("repeat('x', CAST(doc_id % 7 + 1 AS INT))"),
+        expr("repeat('</div>', CAST(doc_id % 5 + 1 AS INT))"),
+        expr("repeat('<p>y</p>', CAST(doc_id % 3 + 1 AS INT))"),
+        lit("</body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), graft.extract.DomProfile.profile(html).as("d"))
+        .select(col("doc_id"), col("d.n_elems"), col("d.max_depth"),
+          col("d.text_chars"), col("d.n_text_nodes"))
     })
   )
 
@@ -5468,6 +5517,64 @@ object Queries {
         |  count(*)::BIGINT AS n_docs,
         |  min(avg_micro) AS min_micro, max(avg_micro) AS max_micro
         |FROM r GROUP BY 1, 2""".stripMargin,
+
+    // q167: distinct edges, the same per-target rank cap, within-target
+    // pairing, and the (shared desc, pair asc) top-k replayed
+    "q167_cocitation" ->
+      """WITH e0 AS (
+        |  SELECT 'h' || (doc_id % 30) AS src, (doc_id * 13 + 5) % 97 AS dst FROM documents
+        |  UNION ALL
+        |  SELECT 'h' || (doc_id % 30), (doc_id * 29 + 11) % 97 FROM documents),
+        |e AS (SELECT DISTINCT src, dst FROM e0),
+        |c AS (SELECT src, dst, row_number() OVER (PARTITION BY dst ORDER BY src) AS rn FROM e),
+        |f AS (SELECT src, dst FROM c WHERE rn <= 8),
+        |p AS (SELECT a.src AS src_a, b.src AS src_b, count(*)::BIGINT AS shared
+        |  FROM f a JOIN f b ON a.dst = b.dst AND a.src < b.src GROUP BY 1, 2)
+        |SELECT src_a, src_b, shared FROM p
+        |ORDER BY shared DESC, src_a, src_b LIMIT 20""".stripMargin,
+
+    // q168: the same construction, the sentence split, and q18's
+    // stopword argmax replayed per sentence AND per document
+    "q168_sentence_lang" -> {
+      def sc(c: String, a: String, b: String) =
+        s"(length($c) - length(replace($c, ' $a ', ''))) // ${a.length + 2}" +
+          s" + (length($c) - length(replace($c, ' $b ', ''))) // ${b.length + 2}"
+      def scoreCols(c: String) =
+        s"${sc(c, "the", "and")} AS s_en, ${sc(c, "der", "und")} AS s_de, " +
+          s"${sc(c, "los", "las")} AS s_es, ${sc(c, "les", "des")} AS s_fr"
+      val argmax =
+        """CASE WHEN s_en >= greatest(s_de, s_es, s_fr) THEN 'en'
+          |    WHEN s_de >= greatest(s_es, s_fr) THEN 'de'
+          |    WHEN s_es >= s_fr THEN 'es' ELSE 'fr' END""".stripMargin
+      s"""WITH t AS (SELECT doc_id, text || '. ' ||
+        |    CASE WHEN doc_id % 3 = 0 THEN 'der hund und der mann und der baum sind hier'
+        |         ELSE 'more of the same and the usual words and things' END || '. ' ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'los perros y las casas y los gatos y las flores'
+        |         ELSE 'again the cat and the dog and the bird' END AS t
+        |  FROM documents),
+        |ds AS (SELECT doc_id, t, ${scoreCols("t")} FROM t),
+        |d AS (SELECT doc_id, t, $argmax AS doc_lang FROM ds),
+        |x AS (SELECT doc_id, doc_lang,
+        |    unnest(regexp_split_to_array(t, '\\. ')) AS sent FROM d),
+        |f AS (SELECT doc_id, doc_lang, sent FROM x WHERE trim(sent) <> ''),
+        |ss AS (SELECT doc_id, doc_lang, ${scoreCols("sent")} FROM f),
+        |sp AS (SELECT doc_id, doc_lang, $argmax AS sent_lang FROM ss)
+        |SELECT doc_id AS id, doc_lang, count(*)::BIGINT AS n_sent,
+        |  CAST(sum(CASE WHEN sent_lang = doc_lang THEN 1 ELSE 0 END) AS BIGINT) AS n_agree,
+        |  CAST(sum(CASE WHEN sent_lang = doc_lang THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS agree_micro
+        |FROM sp GROUP BY 1, 2""".stripMargin
+    },
+
+    // q169: the constructed pages make every DOM statistic pure doc_id
+    // arithmetic — stated directly, no tree walk on the oracle side
+    "q169_dom_profile" ->
+      """SELECT doc_id,
+        |  4 + (doc_id % 5 + 1) + (doc_id % 3 + 1) AS n_elems,
+        |  2 + (doc_id % 5 + 1) AS max_depth,
+        |  1 + (doc_id % 7 + 1) + (doc_id % 3 + 1) AS text_chars,
+        |  2 + (doc_id % 3 + 1) AS n_text_nodes
+        |FROM documents""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -195,4 +195,38 @@ object Graph {
       .select(col("src"), col("n_out"), col("n_recip"),
         expr("n_recip * 1000000 div n_out").as("recip_micro"))
   }
+
+  /** CO-CITATION similarity — the crawl-seed expansion move (Dean &
+    * Henzinger 1999: pages/hosts frequently linked from the same
+    * documents are related): for every pair of sources that share a
+    * link target, count how many targets they share; high-overlap pairs
+    * of a known-good seed are candidate seeds. Returns the global top-k
+    * pairs (src_a < src_b) under the total order (shared desc, src_a
+    * asc, src_b asc): (src_a, src_b, shared).
+    *
+    * Scale shape: the quadratic danger is per-TARGET fan-out (a
+    * google.com-like target linked by 10^6 sources would emit 10^12
+    * pairs) — so each target's source list is capped at `maxFanout`
+    * FIRST (deterministic: the maxFanout smallest sources, a
+    * [[Curation.capPerKey]] rank filter that SPARK-37099 prunes
+    * map-side), bounding the pair blow-up at F(F−1)/2 per target.
+    * Hub targets also carry the least signal — everyone links them —
+    * which is why dropping their tails is the published heuristic, not
+    * a concession. One exchange on dst (2-id rows), the capped
+    * within-dst self-join, one map-combined pair aggregate, and a
+    * TakeOrdered top-k (no global sort). */
+  def coCitation(
+      edges: DataFrame, srcCol: String, dstCol: String,
+      maxFanout: Int = 64, k: Int = 20): DataFrame = {
+    require(maxFanout >= 2 && k >= 1)
+    val e = edges.select(col(srcCol).as("src"), col(dstCol).as("dst")).distinct()
+    val capped = Curation.capPerKey(e, "dst", "src", maxFanout)
+    val a = capped.select(col("dst"), col("src").as("src_a"))
+    val b = capped.select(col("dst"), col("src").as("src_b"))
+    a.join(b, Seq("dst")).filter(col("src_a") < col("src_b"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("shared"))
+      .orderBy(col("shared").desc, col("src_a").asc, col("src_b").asc)
+      .limit(k)
+  }
 }

@@ -475,6 +475,33 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** Sentence-level language MIX — the within-document twin of [[langId]]
+    * (CCNet keeps per-paragraph language scores for exactly this: a
+    * "lang=en" page whose tail paragraphs are another language is a
+    * template/autotranslate artifact, and the doc-level argmax hides
+    * it). Splits on sentence boundaries, ids each sentence with the
+    * SAME stopword-profile argmax, and reports per document how many
+    * sentences agree with the document-level id — agree_micro < 10⁶
+    * flags the mixed docs worth gating or segmenting. Returns
+    * (id, doc_lang, n_sent, n_agree, agree_micro).
+    *
+    * Scale shape: narrow split + posexplode (text leaves the row only
+    * as its own sentences, never a shuffle — the aggregate is one
+    * map-combined id groupBy whose combine collapses each doc's
+    * sentences inside its partition). */
+  def sentenceLangMix(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val sents = df
+      .select(col(idCol).as("id"), langId(col(textCol)).as("doc_lang"),
+        explode(split(col(textCol), "\\. ")).as("sent"))
+      .filter(trim(col("sent")) =!= "")
+    sents
+      .select(col("id"), col("doc_lang"),
+        (langId(col("sent")) === col("doc_lang")).cast("long").as("__agree"))
+      .groupBy(col("id"), col("doc_lang"))
+      .agg(count(lit(1)).as("n_sent"), sum(col("__agree")).as("n_agree"))
+      .withColumn("agree_micro", expr("n_agree * 1000000 div n_sent"))
+  }
+
   /** Lexical-diversity ladder: type-token ratio (distinct / total) for
     * word n-grams, n = 1..3 — the classic repetitiveness/diversity
     * feature (templated spam reads TTR ≪ natural prose at every n;

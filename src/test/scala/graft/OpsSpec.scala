@@ -2510,4 +2510,47 @@ class OpsSpec extends AnyFunSuite {
     // kana counts as cjk
     assert(scriptProfileKernel("あ").n_cjk == 1L)
   }
+
+  test("coCitation: shared-target pairs, fan-out cap bounds hubs, total top-k order") {
+    import graft.ops.Graph
+    // targets: t1 shared by a,b,c; t2 by a,b; hub 99 by a..e but capped at 3
+    val edges = (Seq(("a", 1L), ("b", 1L), ("c", 1L), ("a", 2L), ("b", 2L))
+      ++ Seq("a", "b", "c", "d", "e").map(s => (s, 99L))
+      ++ Seq(("a", 1L))) // duplicate edge: must collapse
+      .toDF("s", "d")
+    val got = Graph.coCitation(edges, "s", "d", maxFanout = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // hub 99 keeps a,b,c (cap=3, src asc): d,e vanish from every pair
+    assert(got.head == (("a", "b", 3L)), got.mkString(","))
+    assert(got.toSet == Set(("a", "b", 3L), ("a", "c", 2L), ("b", "c", 2L)), got.mkString(","))
+    assert(!got.exists { case (x, y, _) => Set(x, y).exists(Set("d", "e")) })
+    // ordered: shared desc, then pair asc
+    assert(got.toSeq == got.sortBy { case (a, b, n) => (-n, a, b) }.toSeq)
+  }
+
+  test("sentenceLangMix: mixed-language sentences counted against the doc id") {
+    import graft.ops.TextOps
+    val df = Seq(
+      (1L, "the cat and the dog ran and the bird flew. der hund und der baum. the end and more and more"),
+      (2L, "the cat and the dog ran. the bird and the fish swam")
+    ).toDF("id", "t")
+    val got = TextOps.sentenceLangMix(df, "id", "t")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got(1L) == (("en", 3L, 2L, 666666L)), got.toString) // 1 German sentence
+    assert(got(2L) == (("en", 2L, 2L, 1000000L)), got.toString)
+  }
+
+  test("DomProfile: real tree builder — depth, counts, implied closes, void elements") {
+    import graft.extract.DomProfile.profileKernel
+    val p = profileKernel("<html><head><title>T</title></head><body><div><div>xx</div></div><p>y</p></body></html>")
+    assert((p.n_elems, p.max_depth, p.text_chars, p.n_text_nodes) == ((7L, 4L, 4L, 3L)), p.toString)
+    // implied close: second <p> closes the first — depth stays 2, both siblings
+    val q = profileKernel("<div><p>a<p>b</div>")
+    assert((q.n_elems, q.max_depth) == ((3L, 2L)), q.toString)
+    // void elements don't nest
+    val v = profileKernel("<div><br><img src=x>t</div>")
+    assert((v.n_elems, v.max_depth) == ((3L, 2L)), v.toString)
+    assert(profileKernel(null) == graft.extract.DomProfile.DomStats(0L, 0L, 0L, 0L))
+  }
 }
