@@ -2329,7 +2329,18 @@ object Queries {
         .select(col("doc_id"), graft.extract.DomProfile.profile(html).as("d"))
         .select(col("doc_id"), col("d.n_elems"), col("d.max_depth"),
           col("d.text_chars"), col("d.n_text_nodes"))
-    })
+    }),
+
+    // Batch-perceptron quality-classifier TRAINING: 3 epochs over
+    // hashed integer features with an exact-integer teacher label —
+    // the oracle unrolls the same epochs as chained CTEs and matches
+    // every weight, bias, and error count bit-for-bit.
+    "q170_perceptron" -> ((s, dir) =>
+      // bar 900000: splits the synth corpus ~358/142 at sf0.01, so the
+      // epochs actually move (bar 700000 labels everything +1 and the
+      // training degenerates to learning the bias)
+      graft.ops.Clustering.perceptronTrain(docs(s, dir), "doc_id", "text",
+        dims = 8, epochs = 3, qualityBar = 900000L))
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -5575,6 +5586,65 @@ object Queries {
         |  1 + (doc_id % 7 + 1) + (doc_id % 3 + 1) AS text_chars,
         |  2 + (doc_id % 3 + 1) AS n_text_nodes
         |FROM documents""".stripMargin,
+
+    // q170: features = the q104 hash family at dims 8, labels = the
+    // q160 integer quality score vs the bar, then THREE perceptron
+    // epochs unrolled as chained CTEs (w=0 start: epoch 1 misclassifies
+    // every featured doc by the m<=0 convention) — training replayed
+    // bit-for-bit, the q59/q61 discipline applied to a model
+    "q170_perceptron" ->
+      """WITH wds AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |hh AS (SELECT doc_id,
+        |    list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(w, '')]),
+        |      (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+        |  FROM wds),
+        |fx AS (SELECT doc_id AS id, h % 8 AS dim,
+        |    CAST(sum(CASE WHEN (h // 8) % 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS value
+        |  FROM hh GROUP BY 1, 2),
+        |lab AS (SELECT doc_id AS id,
+        |    CASE WHEN (LEAST(words * 20000, 1000000)
+        |        + CASE WHEN 3 * words <= chars AND chars <= 10 * words
+        |               THEN 1000000 ELSE 500000 END
+        |        + CASE WHEN punct * 10 <= chars THEN 1000000 ELSE 500000 END)
+        |      // 3 >= 900000 THEN 1 ELSE -1 END AS y
+        |  FROM (SELECT doc_id, length(text) AS chars,
+        |      len(regexp_split_to_array(trim(text), '\s+')) AS words,
+        |      length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS punct
+        |    FROM documents)),
+        |fl AS (SELECT fx.id, fx.dim, fx.value, lab.y FROM fx JOIN lab USING (id)),
+        |mis1 AS (SELECT DISTINCT id FROM fl),
+        |w1 AS (SELECT dim, CAST(sum(y * value) AS BIGINT) AS w FROM fl GROUP BY dim),
+        |bb1 AS (SELECT
+        |    (SELECT CAST(sum(y) AS BIGINT) FROM lab WHERE id IN (SELECT id FROM mis1)) AS b,
+        |    (SELECT count(*)::BIGINT FROM mis1) AS n),
+        |m2 AS (SELECT d.id, d.y, d.y * (d.dot + bb1.b) AS m FROM (
+        |    SELECT fl.id, fl.y, CAST(sum(fl.value * coalesce(w1.w, 0)) AS BIGINT) AS dot
+        |    FROM fl LEFT JOIN w1 USING (dim) GROUP BY fl.id, fl.y) d, bb1),
+        |mis2 AS (SELECT id FROM m2 WHERE m <= 0),
+        |d2 AS (SELECT dim, CAST(sum(y * value) AS BIGINT) AS dw FROM fl
+        |  WHERE id IN (SELECT id FROM mis2) GROUP BY dim),
+        |w2 AS (SELECT w1.dim, w1.w + coalesce(d2.dw, 0) AS w FROM w1 LEFT JOIN d2 USING (dim)),
+        |bb2 AS (SELECT bb1.b + coalesce(
+        |      (SELECT CAST(sum(y) AS BIGINT) FROM lab WHERE id IN (SELECT id FROM mis2)), 0) AS b,
+        |    (SELECT count(*)::BIGINT FROM mis2) AS n FROM bb1),
+        |m3 AS (SELECT d.id, d.y, d.y * (d.dot + bb2.b) AS m FROM (
+        |    SELECT fl.id, fl.y, CAST(sum(fl.value * coalesce(w2.w, 0)) AS BIGINT) AS dot
+        |    FROM fl LEFT JOIN w2 USING (dim) GROUP BY fl.id, fl.y) d, bb2),
+        |mis3 AS (SELECT id FROM m3 WHERE m <= 0),
+        |d3 AS (SELECT dim, CAST(sum(y * value) AS BIGINT) AS dw FROM fl
+        |  WHERE id IN (SELECT id FROM mis3) GROUP BY dim),
+        |w3 AS (SELECT w2.dim, w2.w + coalesce(d3.dw, 0) AS w FROM w2 LEFT JOIN d3 USING (dim)),
+        |bb3 AS (SELECT bb2.b + coalesce(
+        |      (SELECT CAST(sum(y) AS BIGINT) FROM lab WHERE id IN (SELECT id FROM mis3)), 0) AS b,
+        |    (SELECT count(*)::BIGINT FROM mis3) AS n FROM bb2)
+        |SELECT CAST(1 AS BIGINT) AS epoch, CAST(-1 AS BIGINT) AS dim, bb1.b AS weight, bb1.n AS n_mis FROM bb1
+        |UNION ALL SELECT 1, dim, w, bb1.n FROM w1, bb1
+        |UNION ALL SELECT 2, -1, bb2.b, bb2.n FROM bb2
+        |UNION ALL SELECT 2, dim, w, bb2.n FROM w2, bb2
+        |UNION ALL SELECT 3, -1, bb3.b, bb3.n FROM bb3
+        |UNION ALL SELECT 3, dim, w, bb3.n FROM w3, bb3""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

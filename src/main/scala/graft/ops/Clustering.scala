@@ -328,4 +328,65 @@ object Clustering {
     import spark.implicits._
     chosen.toSeq.toDF("sel_rank", "id", "d2")
   }
+
+  /** Distributed BATCH-PERCEPTRON training of a quality classifier —
+    * the trainable twin of the fixed-weight T35 scorer: documents get
+    * feature-hashed integer vectors ([[TextOps.hashEmbedding]]) and a
+    * ±1 label from an exact-integer teacher signal, and the classic
+    * batch perceptron runs `epochs` rounds of
+    * w ← w + Σ_misclassified y·x, b ← b + Σ_misclassified y
+    * (Rosenblatt's rule summed over the batch). EVERY quantity is a
+    * 64-bit integer — features are signed counts, labels ±1, weights
+    * integer sums — so a fixed epoch count replays bit-for-bit on any
+    * engine: the q170 DuckDB oracle unrolls the same epochs as chained
+    * CTEs (the q59/q61 discipline, applied to model TRAINING). Returns
+    * one row per (epoch, dim): (epoch, dim, weight, n_mis) with
+    * dim = −1 carrying the bias; n_mis counts misclassifications under
+    * the weights the epoch STARTED with (all of them at epoch 1: w=0
+    * margins are 0, and 0 is classified wrong by convention).
+    *
+    * Scale shape per epoch: two map-combined aggregates — margins per
+    * id (features join the dims-row broadcast weight table), then
+    * misclassified deltas per dim (an id semi-join, dims cells out) —
+    * and a dims+1-value driver collect (the k-means codebook pattern:
+    * the MODEL crosses the driver, never the data). Feature rows are
+    * (id, dim, value) triples; raw text never leaves the projection.
+    * Overflow bound: |w_d| grows ≤ Σ|x_d| per epoch — at 10⁹ docs ×
+    * 10² tokens that is ~10¹¹ per epoch, far under 2⁶³; the margin
+    * products stay bounded by dims·|w|·|x|. */
+  def perceptronTrain(
+      df: DataFrame, idCol: String, textCol: String,
+      dims: Int = 8, epochs: Int = 3, qualityBar: Long = 700000L): DataFrame = {
+    require(dims >= 2 && epochs >= 1)
+    val spark = df.sparkSession
+    val feats = TextOps.hashEmbedding(df, idCol, textCol, dims)
+    val labels = df.select(col(idCol).cast("long").as("id"),
+      when(TextOps.qualityScoreMicro(col(textCol)) >= qualityBar, 1L)
+        .otherwise(-1L).as("y"))
+    val fl = feats.join(labels, Seq("id")).persist()
+    val w = Array.fill(dims)(0L)
+    var b = 0L
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for (e <- 1 to epochs) {
+      val wCol = element_at(array(w.toIndexedSeq.map(lit(_)): _*),
+        col("dim").cast("int") + 1)
+      val margins = fl.groupBy(col("id"), col("y"))
+        .agg(sum(col("value") * wCol).as("__dot"))
+        .select(col("id"), col("y"), (col("y") * (col("__dot") + lit(b))).as("m"))
+      val mis = margins.filter(col("m") <= 0L)
+      // deltas + error count: dims+1 values — the bounded model collect
+      val dRows = fl.join(mis.select(col("id")), Seq("id"), "left_semi")
+        .groupBy(col("dim")).agg(sum(col("y") * col("value")).as("dw"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val bRow = mis.agg(sum(col("y")).as("db"), count(lit(1)).as("n")).collect()(0)
+      val nMis = bRow.getLong(1)
+      (0 until dims).foreach(d => w(d) += dRows.getOrElse(d.toLong, 0L))
+      b += (if (bRow.isNullAt(0)) 0L else bRow.getLong(0))
+      out += ((e.toLong, -1L, b, nMis))
+      (0 until dims).foreach(d => out += ((e.toLong, d.toLong, w(d), nMis)))
+    }
+    fl.unpersist()
+    import spark.implicits._
+    out.toSeq.toDF("epoch", "dim", "weight", "n_mis")
+  }
 }

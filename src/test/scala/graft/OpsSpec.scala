@@ -2553,4 +2553,42 @@ class OpsSpec extends AnyFunSuite {
     assert((v.n_elems, v.max_depth) == ((3L, 2L)), v.toString)
     assert(profileKernel(null) == graft.extract.DomProfile.DomStats(0L, 0L, 0L, 0L))
   }
+
+  test("perceptronTrain matches a driver-side brute-force replay of the batch rule") {
+    import graft.ops.{Clustering, TextOps}
+    val df = Seq(
+      (1L, "clean sentences with words, punctuation and reasonable length here."),
+      (2L, "!!!! ??? ,,,, spam spam"),
+      (3L, "another perfectly ordinary document with enough words to pass the gate."),
+      (4L, "x"),
+      (5L, "the quick brown fox jumps over the lazy dog near the river bank today.")
+    ).toDF("doc_id", "text")
+    val dims = 4; val epochs = 3; val bar = 700000L
+    val got = Clustering.perceptronTrain(df, "doc_id", "text", dims, epochs, bar)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == epochs * (dims + 1))
+    // brute-force replay from the SAME feature/label frames
+    val feats = TextOps.hashEmbedding(df, "doc_id", "text", dims)
+      .collect().map(r => (r.getLong(0), r.getLong(1).toInt, r.getLong(2)))
+    val ys = df.select($"doc_id", when(
+        TextOps.qualityScoreMicro($"text") >= bar, 1L).otherwise(-1L))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ids = feats.map(_._1).distinct.sorted
+    val w = Array.fill(dims)(0L); var b = 0L
+    for (e <- 1 to epochs) {
+      val mis = ids.filter { id =>
+        val dot = feats.filter(_._1 == id).map { case (_, d, v) => v * w(d) }.sum
+        ys(id) * (dot + b) <= 0L
+      }
+      mis.foreach { id =>
+        feats.filter(_._1 == id).foreach { case (_, d, v) => w(d) += ys(id) * v }
+        b += ys(id)
+      }
+      assert(got((e.toLong, -1L)) == ((b, mis.size.toLong)), s"epoch $e bias")
+      (0 until dims).foreach(d =>
+        assert(got((e.toLong, d.toLong)) == ((w(d), mis.size.toLong)), s"epoch $e dim $d"))
+    }
+    // the teacher split actually has both classes
+    assert(ys.values.toSet == Set(1L, -1L), ys.toString)
+  }
 }
