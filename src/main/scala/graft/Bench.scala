@@ -279,27 +279,30 @@ object Bench {
     def scalingJson(): String = {
       val thrLow = scaleDocs / wallLow
       val thrHigh = scaleDocs / wallHigh
-      val eff = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
-      // efficiency_best_round pairs walls measured BACK-TO-BACK in the
-      // same host-capacity window (the two child JVMs of one round), so
-      // it is immune to the cross-window drift that depresses the
-      // min-based ratio when every low-level min lands in a healthy
-      // window and no high-level round got one. Only rounds whose LOW
-      // wall is within 10% of the best low wall qualify: a contended low
-      // level inflates l/h and can fake a >1 "efficiency", so the best
-      // paired ratio is only meaningful where the low level held its
-      // cores. Both numbers are reported; BASELINE.md documents the
-      // distinction.
-      val bestRound = {
+      // A scaling RATIO must compare walls measured under the same host
+      // conditions. The per-level mins can land in DIFFERENT multi-minute
+      // host-capacity windows (this VM's documented behavior), and a ratio
+      // of cross-window mins gauges the window drift, not the pipeline —
+      // e.g. a run whose best low fell in a healthy window while no high
+      // round got one reads 0.77 min-paired vs 0.82 same-round. So the
+      // headline `efficiency` is the best SAME-ROUND pairing (the two
+      // child JVMs of one round run back-to-back in one window) over
+      // rounds whose LOW wall held within 10% of the best low — the guard
+      // keeps a contended low level from inflating l/h into a fake >1
+      // reading. The cross-window min pairing is still reported as
+      // `efficiency_min_pairing` for transparency; BASELINE.md documents
+      // the distinction and the measured spread.
+      val effMin = (thrHigh / thrLow) / (nHigh.toDouble / nLow)
+      val eff = {
         val healthy = roundWalls.filter(_._1 <= wallLow * 1.10)
-        if (healthy.isEmpty) eff
+        if (healthy.isEmpty) effMin
         else healthy.map { case (l, h) => (l / h) / (nHigh.toDouble / nLow) }.max
       }
       val rw = roundWalls.map { case (l, h) => f"[$l%.2f,$h%.2f]" }.mkString("[", ",", "]")
       f"""{"docs":$scaleDocs,"cores_low":$nLow,"cores_high":$nHigh,""" +
         f""""wall_low_sec":$wallLow%.2f,"wall_high_sec":$wallHigh%.2f,""" +
         f""""thr_low_docs_per_sec":$thrLow%.1f,"thr_high_docs_per_sec":$thrHigh%.1f,""" +
-        f""""efficiency":$eff%.3f,"efficiency_best_round":$bestRound%.3f,""" +
+        f""""efficiency":$eff%.3f,"efficiency_min_pairing":$effMin%.3f,""" +
         f""""round_walls":$rw,"isolated":$isolated,"rounds":$round,"passes":$passes}"""
     }
     while (round < maxRounds &&
