@@ -2340,7 +2340,56 @@ object Queries {
       // epochs actually move (bar 700000 labels everything +1 and the
       // training degenerates to learning the bias)
       graft.ops.Clustering.perceptronTrain(docs(s, dir), "doc_id", "text",
-        dims = 8, epochs = 3, qualityBar = 900000L))
+        dims = 8, epochs = 3, qualityBar = 900000L)),
+
+    // Frontier expansion: known urls are p{doc_id}; outlink targets are
+    // p{3·doc_id+1} on the matching host family — known for the first
+    // third of ids, fresh beyond — capped per host; the oracle replays
+    // the anti-join and the rank cap.
+    "q171_frontier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val known = d.select(concat(lit("http://w"), col("doc_id") % 10,
+        lit(".example/p"), col("doc_id")).as("url"))
+      val out = d.select(concat(lit("http://w"), (col("doc_id") * 3 + 1) % 10,
+        lit(".example/p"), col("doc_id") * 3 + 1).as("link"))
+      graft.ops.WebOps.frontierExpand(known, "url", out, "link", perHostCap = 15)
+    }),
+
+    // Snapshot extraction drift: v2 rewrites one word family on every
+    // 4th doc and appends a tail on every 4th+1 — the oracle recomputes
+    // levenshtein and the floor-div means independently.
+    "q172_snapshot_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v2 = d.select(col("doc_id"), col("source"),
+        when(col("doc_id") % 4 === 0, regexp_replace(col("text"), "data", "info"))
+          .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" appended tail words")))
+          .otherwise(col("text")).as("text"))
+      graft.ops.Temporal.snapshotDrift(d, v2, "doc_id", "text")
+        .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("lev") > 0, 1L).otherwise(0L)).as("n_changed"),
+          sum(col("lev")).as("total_edits"),
+          expr("sum(drift_micro) div count(1)").as("mean_drift_micro"))
+    }),
+
+    // ANN recall audit: IVF(k=10, 8 cells, 2 probes) vs the brute-force
+    // ground truth, per query — both pipelines are independently
+    // replayed in the oracle (q24 + q35 texts combined) and the
+    // intersection counted.
+    "q173_ann_recall" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val q = emb.filter(col("vec_id") < 5)
+      val exact = graft.ops.Similarity.bruteForceTopK(q, emb, "vec_id", "embedding", k = 10)
+        .select(col("query_id"), col("nn_id"))
+      val approx = graft.ops.Similarity.ivfTopK(q, emb, "vec_id", "embedding", k = 10,
+          nCells = 8, nProbe = 2)
+        .select(col("query_id"), col("nn_id"), lit(1L).as("__h"))
+      exact.join(approx, Seq("query_id", "nn_id"), "left")
+        .groupBy(col("query_id"))
+        .agg(count(lit(1)).as("k"), sum(coalesce(col("__h"), lit(0L))).as("n_hit"))
+        .withColumn("recall_micro", expr("n_hit * 1000000 div k"))
+    })
   )
 
   /** q110/q111 item stream: consecutive word bigrams (zip_with over the
@@ -5645,6 +5694,104 @@ object Queries {
         |UNION ALL SELECT 2, dim, w, bb2.n FROM w2, bb2
         |UNION ALL SELECT 3, -1, bb3.b, bb3.n FROM bb3
         |UNION ALL SELECT 3, dim, w, bb3.n FROM w3, bb3""".stripMargin,
+
+    // q171: the same url constructions, the anti-join, and the per-host
+    // rank cap replayed
+    "q171_frontier" ->
+      """WITH known AS (SELECT DISTINCT
+        |    'http://w' || (doc_id % 10) || '.example/p' || doc_id AS url FROM documents),
+        |cand AS (SELECT DISTINCT
+        |    'w' || ((doc_id * 3 + 1) % 10) || '.example' AS host,
+        |    'http://w' || ((doc_id * 3 + 1) % 10) || '.example/p' || (doc_id * 3 + 1) AS url
+        |  FROM documents),
+        |f AS (SELECT host, url FROM cand WHERE url NOT IN (SELECT url FROM known)),
+        |r AS (SELECT host, url, row_number() OVER (PARTITION BY host ORDER BY url) AS rn FROM f)
+        |SELECT host, url FROM r WHERE rn <= 15""".stripMargin,
+
+    // q172: levenshtein recomputed by DuckDB's own builtin, floor-div
+    // means in integers
+    "q172_snapshot_drift" ->
+      """WITH v2 AS (SELECT doc_id, source, text AS t0,
+        |    CASE WHEN doc_id % 4 = 0 THEN replace(text, 'data', 'info')
+        |         WHEN doc_id % 4 = 1 THEN text || ' appended tail words'
+        |         ELSE text END AS t1
+        |  FROM documents),
+        |p AS (SELECT source, levenshtein(t0, t1)::BIGINT AS lev,
+        |    length(t0)::BIGINT AS len_old FROM v2),
+        |q AS (SELECT source, lev,
+        |    CAST(lev * 1000000 // greatest(len_old, 1) AS BIGINT) AS dm FROM p)
+        |SELECT source, count(*)::BIGINT AS n_docs,
+        |  CAST(sum(CASE WHEN lev > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(lev) AS BIGINT) AS total_edits,
+        |  CAST(sum(dm) // count(*) AS BIGINT) AS mean_drift_micro
+        |FROM q GROUP BY 1""".stripMargin,
+
+    // q173: the q35 IVF replay and the q24 brute-force replay run side
+    // by side (CTEs renamed bf*), then the top-10 sets intersect
+    "q173_ann_recall" ->
+      """WITH centr AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  ORDER BY (CAST(vec_id AS BIGINT) * 1103515245 + 12345) % 2147483647, vec_id
+        |  LIMIT 8
+        |),
+        |sim_all AS (
+        |  SELECT id, cid, CASE WHEN na = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT e.vec_id AS id, ct.cid,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [e.embedding[i]::DOUBLE * ct.cv[i]::DOUBLE FOR i IN range(1, len(e.embedding) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, len(e.embedding) + 1)]), (a, b) -> a + b) AS na,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [ct.cv[i]::DOUBLE * ct.cv[i]::DOUBLE FOR i IN range(1, len(ct.cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM embeddings e CROSS JOIN centr ct)
+        |),
+        |assigned AS (
+        |  SELECT id AS nn_id, cell FROM (
+        |    SELECT id, cid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM sim_all) WHERE rn = 1
+        |),
+        |probes AS (
+        |  SELECT id AS query_id, cell FROM (
+        |    SELECT id, cid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM sim_all WHERE id < 5) WHERE rn <= 2
+        |),
+        |cand AS (
+        |  SELECT p.query_id, a.nn_id FROM probes p JOIN assigned a ON p.cell = a.cell
+        |),
+        |scored AS (
+        |  SELECT query_id, nn_id,
+        |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(nq) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT query_id, nn_id,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS nq,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM cand
+        |    JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = cand.query_id
+        |    JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = cand.nn_id)
+        |),
+        |ivfk AS (SELECT query_id, nn_id FROM (
+        |    SELECT query_id, nn_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 10),
+        |bfscored AS (
+        |  SELECT query_id, nn_id,
+        |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(nq) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT q.query_id, c.vec_id AS nn_id,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS nq,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5) q,
+        |         (SELECT vec_id, embedding AS cv FROM embeddings) c)
+        |),
+        |bfk AS (SELECT query_id, nn_id FROM (
+        |    SELECT query_id, nn_id, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
+        |    FROM bfscored) WHERE rank <= 10)
+        |SELECT b.query_id, count(*)::BIGINT AS k,
+        |  CAST(sum(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+        |  CAST(sum(CASE WHEN i.nn_id IS NOT NULL THEN 1 ELSE 0 END) * 1000000
+        |    // count(*) AS BIGINT) AS recall_micro
+        |FROM bfk b LEFT JOIN ivfk i ON b.query_id = i.query_id AND b.nn_id = i.nn_id
+        |GROUP BY 1""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -254,4 +254,25 @@ object Temporal {
           .as("trail_total"),
         col("dev_micro"))
   }
+
+  /** Snapshot DRIFT — the edit-distance magnitude the set-level snapshot
+    * delta (T38) can't see: the same document re-extracted in two crawls
+    * (or by two extractor versions) is joined by id and measured as
+    * levenshtein edits over the old length. The extraction-regression
+    * monitor a pipeline reads before shipping a new stripper: a release
+    * whose mean drift jumps from 0 to 5% rewrote everyone's main
+    * content. Returns per-doc (id, lev, len_old, drift_micro); callers
+    * aggregate per source/release.
+    *
+    * Scale shape: one equi-join on the id — text must co-locate to be
+    * compared, so this is the operator whose input WANTS bucketed/
+    * co-partitioned snapshot tables (T60) at 10¹² rows — then a purely
+    * narrow levenshtein projection (Spark's builtin, codegen'd). */
+  def snapshotDrift(
+      old: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame =
+    old.select(col(idCol).cast("long").as("id"), col(textCol).as("__t0"))
+      .join(cur.select(col(idCol).cast("long").as("id"), col(textCol).as("__t1")), Seq("id"))
+      .select(col("id"), levenshtein(col("__t0"), col("__t1")).cast("long").as("lev"),
+        length(col("__t0")).cast("long").as("len_old"))
+      .withColumn("drift_micro", expr("lev * 1000000 div greatest(len_old, 1)"))
 }

@@ -252,6 +252,31 @@ object WebOps {
     a.join(b, Seq("pair_key"))
   }
 
+  /** Crawl FRONTIER expansion — the discovery step of an incremental
+    * crawl: candidate outlink targets not already in the known-url set,
+    * admitted under a per-host cap (the politeness/trap budget: a single
+    * host discovering 10⁷ new urls in one cycle is a calendar trap or a
+    * link farm, and fetch capacity is per-host anyway). Returns the
+    * admitted frontier as (host, url), the [[urlPatternProfile]] and
+    * robots gates' input for the next cycle.
+    *
+    * Scale shape: url-column operator end to end (no page content).
+    * Distinct + left-anti both key on the url — one exchange family —
+    * then the cap is a [[Curation.capPerKey]] rank filter on the host
+    * that SPARK-37099 prunes map-side: a trap host ships at most
+    * `perHostCap` rows per map partition, never its 10⁷ discoveries. */
+  def frontierExpand(
+      known: DataFrame, knownUrlCol: String,
+      outlinks: DataFrame, linkCol: String, perHostCap: Int): DataFrame = {
+    require(perHostCap >= 1)
+    val k = known.select(col(knownUrlCol).as("url")).distinct()
+    val cand = outlinks.select(col(linkCol).as("url")).distinct()
+    val fresh = cand.join(k, Seq("url"), "left_anti")
+      .select(urlHost(col("url")).as("host"), col("url"))
+      .filter(col("host") =!= "")
+    Curation.capPerKey(fresh, "host", "url", perHostCap)
+  }
+
   /** URL PATTERN profile — the crawl-trap detector: every url's path is
     * collapsed to a SHAPE (digit runs → `#`, query dropped), and shapes
     * are profiled per host. A shape fanning out to millions of distinct

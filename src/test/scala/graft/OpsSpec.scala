@@ -2591,4 +2591,32 @@ class OpsSpec extends AnyFunSuite {
     // the teacher split actually has both classes
     assert(ys.values.toSet == Set(1L, -1L), ys.toString)
   }
+
+  test("frontierExpand: known urls drop, hosts cap, unparseable hosts excluded") {
+    import graft.ops.WebOps
+    val known = Seq("http://a.example/p1", "http://b.example/p2").toDF("url")
+    val out = Seq(
+      "http://a.example/p1",  // already known
+      "http://a.example/p3", "http://a.example/p4", "http://a.example/p5",
+      "http://b.example/p9", "http://b.example/p9", // duplicate discovery
+      "not a url"
+    ).toDF("link")
+    val got = WebOps.frontierExpand(known, "url", out, "link", perHostCap = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSet == Set(
+      ("a.example", "http://a.example/p3"), ("a.example", "http://a.example/p4"),
+      ("b.example", "http://b.example/p9")), got.mkString(","))
+  }
+
+  test("snapshotDrift: exact levenshtein edits and floor-div micro rate") {
+    import graft.ops.Temporal
+    val v1 = Seq((1L, "abcdef"), (2L, "same"), (3L, "")).toDF("id", "t")
+    val v2 = Seq((1L, "abXdefY"), (2L, "same"), (3L, "xx")).toDF("id", "t")
+    val got = Temporal.snapshotDrift(v1, v2, "id", "t")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((2L, 6L, 333333L)),  // 1 sub + 1 insert over 6 chars
+      2L -> ((0L, 4L, 0L)),
+      3L -> ((2L, 0L, 2000000L))), got.toString) // empty old: greatest(len,1)
+  }
 }
