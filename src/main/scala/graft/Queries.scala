@@ -33,6 +33,13 @@ object Queries {
     ('0' to '9').map(_.toString) ++ ('0' to '9').map("##" + _) ++
     Seq("the", "an", "in", "re", "on", "##ing", "##ed", "##er", "##tion", "##and", "##ent")
 
+  /** q174's BPE merge table — shared VERBATIM by the Spark chain and the
+    * DuckDB oracle (the wpVocab discipline). Rank order matters: later
+    * merges consume earlier outputs (t+h → th, then th+e → the). */
+  private val bpeMergesShared: Seq[(String, String)] = Seq(
+    ("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"),
+    ("i", "n"), ("o", "n"), ("e", "s"))
+
   /** Whole-token perturbation for the eval-metric queries: every
     * whitespace-delimited 'value' token becomes 'worth'. See the q21
     * comment for why this is two regex passes and an explicit boundary
@@ -2389,6 +2396,43 @@ object Queries {
         .groupBy(col("query_id"))
         .agg(count(lit(1)).as("k"), sum(coalesce(col("__h"), lit(0L))).as("n_hit"))
         .withColumn("recall_micro", expr("n_hit * 1000000 div k"))
+    }),
+
+    // BPE encoding stats: the shared merge table (rank order) applied
+    // by chained replaces on both engines — per-doc words, chars,
+    // pieces, compression.
+    "q174_bpe_encode" -> ((s, dir) =>
+      graft.ops.TextOps.bpeEncodeStats(docs(s, dir), "doc_id", "text", bpeMergesShared)
+        .select(col("id").as("doc_id"), col("n_words"), col("n_chars"),
+          col("n_pieces"), col("compression_micro"))),
+
+    // Link density on the real tree builder: anchors and body text
+    // constructed so every statistic is doc_id arithmetic; nested
+    // anchor attribution pinned cross-engine.
+    "q175_link_density" -> ((s, dir) => {
+      val html = concat(lit("<html><body>"),
+        expr("repeat('<a href=u>link</a>', CAST(doc_id % 4 AS INT))"),
+        expr("repeat('x', CAST(doc_id % 9 + 1 AS INT))"),
+        lit("</body></html>"))
+      docs(s, dir)
+        .select(col("doc_id"), graft.extract.DomProfile.linkDensity(html).as("d"))
+        .select(col("doc_id"), col("d.text_chars"), col("d.anchor_chars"),
+          col("d.n_anchors"), col("d.density_micro"))
+    }),
+
+    // Cluster purity vs external labels: the 3-round exact k-means
+    // assignment joined to the embeddings' label column, majority +
+    // mixed share per cluster — the clustering-quality readout.
+    "q176_cluster_purity" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val asg = graft.ops.Clustering.kmeansAssign(emb, "vec_id", "embedding",
+          k = 8, iterations = 3)
+        .select(col("id"), col("cid"))
+      val lb = emb.filter(col("embedding").isNotNull)
+        .select(col("vec_id").cast("long").as("id"), col("label").cast("long").as("label"))
+      graft.ops.Curation.majorityStats(asg.join(lb, Seq("id")), "cid", col("label"))
+        .select(col("key").as("cid"), col("majority"), col("n_total"),
+          col("n_majority"), col("mixed_micro"))
     })
   )
 
@@ -2439,6 +2483,35 @@ object Queries {
   }
 
   /** DuckDB oracles. Keys missing here get the driver's rows-only check. */
+  /** Shared q61/q176 oracle fragment: the 3-round integer-exact Lloyd
+    * unroll, ending at the final assignment CTE `a3` (id, cid, d2) over
+    * the micro-quantized embeddings. (A def — see [[hllRegisterCtes]].) */
+  private def kmeansCtes: String = {
+    val rounds = (1 to 3).map { i =>
+      val dist =
+        s"""s$i AS (SELECT v.id, c.cid,
+           |    CAST(list_sum([ (vm[j] - cm[j]) * (vm[j] - cm[j]) FOR j IN range(1, len(vm) + 1) ]) AS BIGINT) AS d2
+           |  FROM v CROSS JOIN c${i - 1} c),
+           |a$i AS (SELECT id, cid, d2 FROM (
+           |    SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
+           |    FROM s$i) WHERE rn = 1)""".stripMargin
+      val update = if (i < 3)
+        s""",
+           |u$i AS (SELECT a.cid, t.j AS dim, CAST(sum(vm[t.j]) AS BIGINT) AS sx, count(*) AS cnt
+           |  FROM a$i a JOIN v USING (id) CROSS JOIN range(1, 65) t(j)
+           |  GROUP BY a.cid, t.j),
+           |c$i AS (SELECT cid, list(CAST(floor(sx / cnt + 0.5) AS BIGINT) ORDER BY dim) AS cm
+           |  FROM u$i GROUP BY cid)""".stripMargin
+      else ""
+      dist + update
+    }.mkString(",\n")
+    s"""v AS (SELECT vec_id AS id,
+       |    [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN embedding] AS vm
+       |  FROM embeddings WHERE embedding IS NOT NULL),
+       |c0 AS (SELECT id AS cid, vm AS cm FROM v ORDER BY id LIMIT 8),
+       |$rounds""".stripMargin
+  }
+
   /** Shared q58/q166 oracle fragment: the full bigram-LM replay (hash →
     * reference counts → add-0.1 smoothing → per-bigram 6dp logprob rows),
     * up to and including the per-(doc, bigram) `lp` CTE — q58 aggregates
@@ -3442,32 +3515,9 @@ object Queries {
 
     // q61: the same 3 Lloyd rounds unrolled — micro-unit integer vectors
     // make distances and centroid updates exact on any engine
-    "q61_kmeans" -> {
-      val rounds = (1 to 3).map { i =>
-        val dist =
-          s"""s$i AS (SELECT v.id, c.cid,
-             |    CAST(list_sum([ (vm[j] - cm[j]) * (vm[j] - cm[j]) FOR j IN range(1, len(vm) + 1) ]) AS BIGINT) AS d2
-             |  FROM v CROSS JOIN c${i - 1} c),
-             |a$i AS (SELECT id, cid, d2 FROM (
-             |    SELECT id, cid, d2, row_number() OVER (PARTITION BY id ORDER BY d2, cid) AS rn
-             |    FROM s$i) WHERE rn = 1)""".stripMargin
-        val update = if (i < 3)
-          s""",
-             |u$i AS (SELECT a.cid, t.j AS dim, CAST(sum(vm[t.j]) AS BIGINT) AS sx, count(*) AS cnt
-             |  FROM a$i a JOIN v USING (id) CROSS JOIN range(1, 65) t(j)
-             |  GROUP BY a.cid, t.j),
-             |c$i AS (SELECT cid, list(CAST(floor(sx / cnt + 0.5) AS BIGINT) ORDER BY dim) AS cm
-             |  FROM u$i GROUP BY cid)""".stripMargin
-        else ""
-        dist + update
-      }.mkString(",\n")
-      s"""WITH v AS (SELECT vec_id AS id,
-         |    [CAST(floor(x * 1e6 + 0.5) AS BIGINT) FOR x IN embedding] AS vm
-         |  FROM embeddings WHERE embedding IS NOT NULL),
-         |c0 AS (SELECT id AS cid, vm AS cm FROM v ORDER BY id LIMIT 8),
-         |$rounds
-         |SELECT id AS vec_id, cid, d2 FROM a3""".stripMargin
-    },
+    "q61_kmeans" ->
+      s"""WITH $kmeansCtes
+         |SELECT id AS vec_id, cid, d2 FROM a3""".stripMargin,
 
     // q62: same type-1 quantile arithmetic over the same total order
     "q62_length_quantiles" ->
@@ -5792,6 +5842,58 @@ object Queries {
         |    // count(*) AS BIGINT) AS recall_micro
         |FROM bfk b LEFT JOIN ivfk i ON b.query_id = i.query_id AND b.nn_id = i.nn_id
         |GROUP BY 1""".stripMargin,
+
+    // q174: each merge pass replayed EXACTLY as a positional
+    // mark-and-rebuild comprehension over the symbol list — sound
+    // because a ≠ b makes adjacent matches non-overlapping (the op
+    // enforces it); a flat-string replace would cross symbol boundaries
+    // ('th e' substring-matches inside "th er")
+    "q174_bpe_encode" -> {
+      val chain = bpeMergesShared.zipWithIndex.map { case ((a, b), i) =>
+        s"""s${i + 1} AS (SELECT doc_id, nc,
+           |    [CASE WHEN list_contains(m, i) THEN l[i] || l[i + 1] ELSE l[i] END
+           |     FOR i IN range(1, len(l) + 1) IF NOT list_contains(m, i - 1)] AS l
+           |  FROM (SELECT doc_id, nc, l,
+           |      [i FOR i IN range(1, len(l)) IF l[i] = '$a' AND l[i + 1] = '$b'] AS m
+           |    FROM s$i))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH w AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(trim(text), '\\s+'), x -> x <> '')) AS w
+        |  FROM documents),
+        |s0 AS (SELECT doc_id, length(w)::BIGINT AS nc, split(w, '') AS l FROM w),
+        |$chain,
+        |p AS (SELECT doc_id, nc, len(l)::BIGINT AS np FROM s${bpeMergesShared.size})
+        |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(nc) AS BIGINT) AS n_chars,
+        |  CAST(sum(np) AS BIGINT) AS n_pieces,
+        |  CAST(sum(np) * 1000000 // sum(nc) AS BIGINT) AS compression_micro
+        |FROM p GROUP BY 1""".stripMargin
+    },
+
+    // q175: every statistic is doc_id arithmetic on the constructed page
+    "q175_link_density" ->
+      """SELECT doc_id,
+        |  4 * (doc_id % 4) + (doc_id % 9 + 1) AS text_chars,
+        |  4 * (doc_id % 4) AS anchor_chars,
+        |  doc_id % 4 AS n_anchors,
+        |  CAST(4 * (doc_id % 4) * 1000000
+        |    // (4 * (doc_id % 4) + doc_id % 9 + 1) AS BIGINT) AS density_micro
+        |FROM documents""".stripMargin,
+
+    // q176: the q61 Lloyd unroll (shared CTE) joined to the label
+    // column, majority + mixed share per cluster
+    "q176_cluster_purity" ->
+      s"""WITH $kmeansCtes,
+        |lb AS (SELECT vec_id AS id, CAST(label AS BIGINT) AS label
+        |  FROM embeddings WHERE embedding IS NOT NULL),
+        |j AS (SELECT a3.cid, lb.label FROM a3 JOIN lb USING (id)),
+        |g AS (SELECT cid, label, count(*)::BIGINT AS c FROM j GROUP BY 1, 2),
+        |m AS (SELECT cid, label, c,
+        |    row_number() OVER (PARTITION BY cid ORDER BY c DESC, label) AS rn,
+        |    CAST(sum(c) OVER (PARTITION BY cid) AS BIGINT) AS n_total
+        |  FROM g)
+        |SELECT cid, label AS majority, n_total, c AS n_majority,
+        |  CAST((n_total - c) * 1000000 // n_total AS BIGINT) AS mixed_micro
+        |FROM m WHERE rn = 1""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

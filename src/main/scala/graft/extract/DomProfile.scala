@@ -50,4 +50,34 @@ object DomProfile {
     * HOF hazard); no shuffle. */
   def profile(html: Column): Column =
     udf((h: String) => profileKernel(h)).apply(html)
+
+  /** Row type of [[linkDensity]]. */
+  case class LinkStats(
+      text_chars: Long, anchor_chars: Long, n_anchors: Long, density_micro: Long)
+
+  /** LINK DENSITY — the single most load-bearing boilerplate feature
+    * (Boilerpipe's anchor-text ratio; the content selector's per-node
+    * char/anchor ratios, page-level): text codepoints under any `<a>`
+    * subtree over all text codepoints. Nav blocks, footers, and listing
+    * pages read near 10⁶; article bodies read near 0. Page-level gate +
+    * the q175 cross-engine pin on anchor-subtree attribution in the
+    * real tree builder (nested anchors count once — inA is sticky).
+    * Narrow per-row UDF kernel, no shuffle. */
+  private[graft] def linkDensityKernel(html: String): LinkStats = {
+    if (html == null) return LinkStats(0L, 0L, 0L, 0L)
+    var tc = 0L; var ac = 0L; var na = 0L
+    def rec(e: Elem, inA: Boolean): Unit = e.children.foreach {
+      case t: TextN =>
+        val n = t.data.codePointCount(0, t.data.length)
+        tc += n; if (inA) ac += n
+      case c: Elem =>
+        if (c.tag == "a") { na += 1; rec(c, true) } else rec(c, inA)
+      case _ => ()
+    }
+    rec(TreeBuilder.parse(html), false)
+    LinkStats(tc, ac, na, ac * 1000000L / math.max(tc, 1L))
+  }
+
+  def linkDensity(html: Column): Column =
+    udf((h: String) => linkDensityKernel(h)).apply(html)
 }

@@ -475,6 +475,60 @@ object TextOps {
       .otherwise("fr")
   }
 
+  /** One true BPE merge pass per table entry, in rank order, over the
+    * word's SYMBOL ARRAY (chars initially): each pass merges adjacent
+    * (a, b) pairs left-to-right non-overlapping — the real tokenizer
+    * semantics. NOT a flat-string replace: 'th e' would substring-match
+    * inside "th er" (symbol 'er' starts with 'e'), silently crossing
+    * symbol boundaries — the bug the q174 unit test pins against.
+    * Returns the final piece count. */
+  private[graft] def bpePieces(word: String, merges: Seq[(String, String)]): Int = {
+    var syms: Array[String] = word.map(_.toString).toArray
+    merges.foreach { case (a, b) =>
+      val out = scala.collection.mutable.ArrayBuffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+          out += a + b; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toArray
+    }
+    syms.length
+  }
+
+  /** BPE ENCODING statistics — the apply side of [[bpeLearn]]: the merge
+    * table is applied in rank order as true adjacent-pair merge passes
+    * over each word's symbol array ([[bpePieces]]). Reports per document
+    * words, chars, pieces, and the pieces-per-char compression micro —
+    * the tokenizer-cost read (alongside T123's fertility) a mix planner
+    * prices corpora with. Merges must have a ≠ b and lowercase-ASCII
+    * symbols by contract: with a ≠ b adjacent matches can never overlap,
+    * so the q174 DuckDB oracle replays each pass EXACTLY as a positional
+    * mark-and-rebuild list comprehension (and the symbols embed in SQL
+    * literals).
+    *
+    * Scale shape: narrow explode + per-word UDF kernel (a multi-pass
+    * array scan, per CLAUDE.md's HOF note), then ONE map-combined id
+    * aggregate; raw text never shuffles. */
+  def bpeEncodeStats(
+      df: DataFrame, idCol: String, textCol: String,
+      merges: Seq[(String, String)]): DataFrame = {
+    require(merges.nonEmpty && merges.forall { case (a, b) =>
+      a != b && (a + b).matches("[a-z]+") },
+      "distinct lowercase-ascii merge symbols by contract")
+    val piecesUdf = udf((w: String) => bpePieces(w, merges))
+    df.select(col(idCol).cast("long").as("id"),
+        explode(split(trim(col(textCol)), "\\s+")).as("__w"))
+      .filter(col("__w") =!= "")
+      .select(col("id"), length(col("__w")).cast("long").as("__nc"),
+        piecesUdf(col("__w")).cast("long").as("__np"))
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("__nc")).as("n_chars"),
+        sum(col("__np")).as("n_pieces"))
+      .withColumn("compression_micro", expr("n_pieces * 1000000 div n_chars"))
+  }
+
   /** Sentence-level language MIX — the within-document twin of [[langId]]
     * (CCNet keeps per-paragraph language scores for exactly this: a
     * "lang=en" page whose tail paragraphs are another language is a

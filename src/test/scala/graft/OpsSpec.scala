@@ -2608,6 +2608,33 @@ class OpsSpec extends AnyFunSuite {
       ("b.example", "http://b.example/p9")), got.mkString(","))
   }
 
+  test("bpeEncodeStats: rank-ordered merges, chained consumption, exact counts") {
+    import graft.ops.TextOps
+    val merges = Seq(("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
+    val df = Seq((1L, "the and other xyz")).toDF("id", "t")
+    // the → [t h e] → th e → the (1); and → a n d → an d → and (1)
+    // other → o t h e r → o th e r → o the r (3); xyz stays 3
+    val got = TextOps.bpeEncodeStats(df, "id", "t", merges)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    assert(got.head == ((4L, 14L, 8L, 571428L)), got.mkString(","))
+    // 'er' merge must apply before 'th': "ther" → th e r? no — e r first → t h er → th er (2)
+    val g2 = TextOps.bpeEncodeStats(Seq((1L, "ther")).toDF("id", "t"), "id", "t", merges)
+      .collect().map(_.getLong(3))
+    assert(g2.head == 2L, g2.mkString(","))
+  }
+
+  test("linkDensityKernel: anchor subtree attribution, nested anchors, zero-text guard") {
+    import graft.extract.DomProfile.linkDensityKernel
+    val p = linkDensityKernel("<body><a href=u>link</a>text<div><a>go</a></div></body>")
+    assert((p.text_chars, p.anchor_chars, p.n_anchors) == ((10L, 6L, 2L)), p.toString)
+    assert(p.density_micro == 600000L)
+    // nested anchor: inner <a> counts as an anchor, text attributed once
+    val n = linkDensityKernel("<a>x<a>y</a></a>")
+    assert((n.anchor_chars, n.n_anchors) == ((2L, 2L)), n.toString)
+    // no text at all: density 0, no div-by-zero
+    assert(linkDensityKernel("<div></div>").density_micro == 0L)
+  }
+
   test("snapshotDrift: exact levenshtein edits and floor-div micro rate") {
     import graft.ops.Temporal
     val v1 = Seq((1L, "abcdef"), (2L, "same"), (3L, "")).toDF("id", "t")
