@@ -146,4 +146,54 @@ object StreamingExtract {
       .groupByKey(_._1)
       .mapGroupsWithState(GroupStateTimeout.NoTimeout)(update)
   }
+
+  /** TTL DEDUP state function, exposed for deterministic testing with
+    * `TestGroupState`: within one url-hash group, a row is emitted iff
+    * no emission happened in the last `ttlUs` of EVENT time (a re-crawl
+    * after the TTL is fresh content worth re-processing — the
+    * incremental-crawl semantics, vs [[run]]'s dedupUrls which keeps
+    * urls forever). State = last-emitted event time; the event-time
+    * timeout at last + ttl lets the store EVICT cold urls, which is
+    * what bounds state at 10^12-url scale (the forever-dedup trades
+    * unbounded state for exactness; this trades a re-emit after quiet
+    * TTL windows for bounded state). */
+  private[graft] def ttlDedupUpdate(ttlUs: Long)(
+      h: Long, rows: Iterator[(Long, java.sql.Timestamp)],
+      state: GroupState[Long]): Iterator[(Long, Long)] = {
+    if (state.hasTimedOut) { state.remove(); Iterator.empty }
+    else {
+      var last = state.getOption.getOrElse(Long.MinValue)
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+      rows.map(r => r._2.getTime * 1000L).toSeq.sorted.foreach { ts =>
+        if (last == Long.MinValue || ts - last >= ttlUs) { out += ((h, ts)); last = ts }
+      }
+      state.update(last)
+      // event-time timeout: evict once the watermark passes last + ttl
+      state.setTimeoutTimestamp(last / 1000L + ttlUs / 1000L)
+      out.iterator
+    }
+  }
+
+  /** Streaming url dedup WITH TTL + state eviction: emits (url_hash,
+    * ts_us) for first-seen urls and for re-crawls at least `ttlMinutes`
+    * of event time after the last emission; watermarked event-time
+    * timeouts evict quiet keys so state stays bounded. 8-byte key +
+    * 8-byte state per live url, RocksDB-store-friendly. */
+  def dedupWithTtl(
+      spark: SparkSession, srcDir: String, ttlMinutes: Int,
+      watermarkDelay: String = "10 minutes"): Dataset[(Long, Long)] = {
+    import spark.implicits._
+    require(ttlMinutes >= 1)
+    val ttlUs = ttlMinutes * 60L * 1000000L
+    // the WATERMARKED timestamp column itself must reach the stateful
+    // operator (event-time timeouts track it), so the micros conversion
+    // happens inside the state function, not in the projection
+    spark.readStream.schema(pageSchema).parquet(srcDir)
+      .withWatermark("warc_ts", watermarkDelay)
+      .select(xxhash64(col("url")).as("h"), col("warc_ts"))
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout)(
+        ttlDedupUpdate(ttlUs))
+  }
 }

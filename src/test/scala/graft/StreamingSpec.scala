@@ -170,4 +170,51 @@ class StreamingSpec extends AnyFunSuite {
       byHost.toString)
     assert(byHost("b.example").maxBy(_.n_docs).n_docs == 1L)
   }
+
+  test("ttlDedupUpdate: first-seen emits, inside-TTL drops, after-TTL re-emits, timeout evicts") {
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    val ttlUs = 60L * 60L * 1000000L // 1h
+    val f = StreamingExtract.ttlDedupUpdate(ttlUs) _
+    def st(init: Option[Long], timedOut: Boolean = false) =
+      TestGroupState.create[Long](
+        org.apache.spark.api.java.Optional.ofNullable(init.map(Long.box).orNull)
+          .asInstanceOf[org.apache.spark.api.java.Optional[Long]],
+        GroupStateTimeout.EventTimeTimeout, 0L,
+        org.apache.spark.api.java.Optional.of(java.lang.Long.valueOf(0L))
+          .asInstanceOf[org.apache.spark.api.java.Optional[Long]], timedOut)
+    // fresh key, three rows: t0 emits, t0+30min drops, t0+90min re-emits
+    val t0 = 10_000_000_000L // us
+    def tsOf(us: Long) = new java.sql.Timestamp(us / 1000L)
+    val s1 = st(None)
+    val got = f(7L, Iterator((7L, tsOf(t0)), (7L, tsOf(t0 + 30 * 60 * 1000000L)),
+      (7L, tsOf(t0 + 90 * 60 * 1000000L))), s1).toList
+    assert(got.map(_._2) == List(t0, t0 + 90 * 60 * 1000000L), got.toString)
+    assert(s1.get == t0 + 90 * 60 * 1000000L)
+    assert(s1.getTimeoutTimestampMs.get ==
+      (t0 + 90 * 60 * 1000000L) / 1000L + ttlUs / 1000L)
+    // existing state: inside-TTL row drops entirely
+    val s2 = st(Some(t0))
+    assert(f(7L, Iterator((7L, tsOf(t0 + 60_000_000L))), s2).isEmpty)
+    // timed-out key: state removed, nothing emitted
+    val s3 = st(Some(t0), timedOut = true)
+    assert(f(7L, Iterator.empty, s3).isEmpty && s3.isRemoved)
+    // end-to-end wiring: one AvailableNow batch emits first-seen urls once
+    val src = SparkTestBase.tempDir("ttl_src")
+    writeTsBatch(src, Seq(("https://a.example/1", 1000L), ("https://a.example/1", 2000L),
+      ("https://b.example/2", 3000L)))
+    val out = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = StreamingExtract.dedupWithTtl(spark, src, ttlMinutes = 60)
+      .writeStream
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[(Long, Long)], _: Long) =>
+        batch.collect().foreach(out.add)
+      }
+      .option("checkpointLocation", SparkTestBase.tempDir("ttl_ckpt"))
+      .start()
+    q.awaitTermination()
+    import scala.jdk.CollectionConverters._
+    val rows = out.asScala.toSeq
+    assert(rows.size == 2, rows.toString) // dup within TTL dropped
+  }
 }
