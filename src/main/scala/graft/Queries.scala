@@ -2433,6 +2433,22 @@ object Queries {
       graft.ops.Curation.majorityStats(asg.join(lb, Seq("id")), "cid", col("label"))
         .select(col("key").as("cid"), col("majority"), col("n_total"),
           col("n_majority"), col("mixed_micro"))
+    }),
+
+    // Water-filling token allocation: per-source availability skewed by
+    // source-index mod 5 over an INDEPENDENT doc_id modulus (source is
+    // doc_id % 20, so the gate must not reuse it: doc_id % 7 cycles
+    // within every source) — s%5=0 sources get zero tokens (the zero
+    // edge), others 1/7..4/7 of their chars; budget 20000 keeps both
+    // the filled and rationed branches live at every SF; the oracle
+    // replays the sort, the affordability scan, and the level division.
+    "q177_water_fill" -> ((s, dir) => {
+      val totals = docs(s, dir)
+        .groupBy(col("source"))
+        .agg(sum(when(col("doc_id") % 7 <
+            pmod(expr("cast(substring(source, 4, 10) as int)"), lit(5)), col("n_chars"))
+          .otherwise(0L)).as("avail"))
+      graft.ops.Curation.waterFillAllocation(totals, "source", "avail", budget = 20000L)
     })
   )
 
@@ -5894,6 +5910,30 @@ object Queries {
         |SELECT cid, label AS majority, n_total, c AS n_majority,
         |  CAST((n_total - c) * 1000000 // n_total AS BIGINT) AS mixed_micro
         |FROM m WHERE rn = 1""".stripMargin,
+
+    // q177: the (available, key) sort, the prefix-closed affordability
+    // scan, and the floor-div common level replayed
+    "q177_water_fill" ->
+      """WITH t AS (SELECT source AS key,
+        |    CAST(sum(CASE WHEN doc_id % 7 < (CAST(substr(source, 4) AS INT) % 5)
+        |      THEN n_chars ELSE 0 END) AS BIGINT) AS available
+        |  FROM documents GROUP BY 1),
+        |r AS (SELECT key, available,
+        |    row_number() OVER (ORDER BY available, key) AS rn,
+        |    CAST(sum(available) OVER (ORDER BY available, key ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+        |    count(*) OVER () AS n
+        |  FROM t),
+        |f AS (SELECT key, available, cum, n,
+        |    (available * (n - rn + 1) + (cum - available) <= 20000) AS filled FROM r),
+        |l AS (SELECT CAST(sum(CASE WHEN filled THEN 1 ELSE 0 END) AS BIGINT) AS k,
+        |    coalesce(CAST(max(CASE WHEN filled THEN cum END) AS BIGINT), 0) AS cumk,
+        |    CAST(max(n) AS BIGINT) AS nn FROM f)
+        |SELECT key, available,
+        |  CASE WHEN filled THEN available
+        |       WHEN l.k >= l.nn THEN 0
+        |       ELSE (20000 - l.cumk) // (l.nn - l.k) END AS alloc,
+        |  filled
+        |FROM f CROSS JOIN l""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -1705,6 +1705,50 @@ object Curation {
       .select(col("key"), col("id"), col("value"), col("bucket"))
   }
 
+  /** WATER-FILLING (max-min fair) token-budget allocation across sources
+    * — the other answer to "how do I spend B tokens over these corpora":
+    * [[temperatureMixWeights]] allocates proportionally-with-damping;
+    * this fills every source up to a common level L, so small sources
+    * are fully taken and the budget surplus spreads evenly over the big
+    * ones — the fairness shape multilingual mixes use so head languages
+    * can't starve the tail. Exact integer: sources sorted by
+    * (available, key), k = how many are fully affordable
+    * (avail·(remaining) + smaller-prefix ≤ B, prefix-closed by the
+    * sort), L = (B − prefix_k) div (n − k); alloc = avail if filled
+    * else L. Returns (key, available, alloc, filled); Σ alloc ≤ B
+    * always (the div remainder is deliberately left unspent —
+    * deterministic beats exhaustive here).
+    *
+    * Scale shape: input is the per-source totals table — tiny by
+    * definition (like the mix ops) — so the single-partition rank
+    * window and the 1-row level broadcast are bounded by the source
+    * count, never the corpus. */
+  def waterFillAllocation(
+      totals: DataFrame, keyCol: String, availCol: String,
+      budget: Long): DataFrame = {
+    require(budget >= 0)
+    val w = Window.orderBy(col("available"), col("key"))
+    val r = totals
+      .select(col(keyCol).as("key"), col(availCol).cast("long").as("available"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__cum", sum(col("available")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__n", count(lit(1)).over(
+        Window.partitionBy().rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+      .withColumn("__filled",
+        expr(s"available * (__n - __rn + 1) + (__cum - available) <= ${budget}L"))
+    val lvl = broadcast(r.agg(
+      sum(when(col("__filled"), 1L).otherwise(0L)).as("__k"),
+      coalesce(max(when(col("__filled"), col("__cum"))), lit(0L)).as("__cumk"),
+      max(col("__n")).as("__nn")))
+    r.crossJoin(lvl)
+      .withColumn("__level", expr(
+        s"CASE WHEN __k >= __nn THEN 0L ELSE (${budget}L - __cumk) div (__nn - __k) END"))
+      .select(col("key"), col("available"),
+        when(col("__filled"), col("available")).otherwise(col("__level")).as("alloc"),
+        col("__filled").as("filled"))
+  }
+
   /** Per-group boilerplate line removal — the CCNet/RefinedWeb template
     * strip (Wenzek et al. 2020 §3.1 dedups repeated paragraphs corpus-wide;
     * Penedo et al. 2023 §3.2 strips lines that repeat across many pages of

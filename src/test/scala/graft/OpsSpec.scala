@@ -2635,6 +2635,23 @@ class OpsSpec extends AnyFunSuite {
     assert(linkDensityKernel("<div></div>").density_micro == 0L)
   }
 
+  test("waterFillAllocation: fills small sources, levels big ones, budget never exceeded") {
+    import graft.ops.Curation
+    val t = Seq(("a", 10L), ("b", 50L), ("c", 100L)).toDF("k", "avail")
+    def run(b: Long) = Curation.waterFillAllocation(t, "k", "avail", b)
+      .collect().map(r => r.getString(0) -> ((r.getLong(2), r.getBoolean(3)))).toMap
+    // B=100: a fully taken, b and c leveled at (100-10)/2 = 45
+    assert(run(100L) == Map("a" -> ((10L, true)), "b" -> ((45L, false)),
+      "c" -> ((45L, false))))
+    // B covers everything: all filled, surplus unspent
+    assert(run(200L) == Map("a" -> ((10L, true)), "b" -> ((50L, true)),
+      "c" -> ((100L, true))))
+    // B=0: nothing affordable
+    assert(run(0L).values.map(_._1).sum == 0L)
+    // odd budget: floor level, remainder deliberately unspent
+    assert(run(101L).values.map(_._1).sum == 100L)
+  }
+
   test("snapshotDrift: exact levenshtein edits and floor-div micro rate") {
     import graft.ops.Temporal
     val v1 = Seq((1L, "abcdef"), (2L, "same"), (3L, "")).toDF("id", "t")

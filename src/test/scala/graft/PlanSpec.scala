@@ -696,7 +696,8 @@ class PlanSpec extends AnyFunSuite {
       "q138_dsir", // 1-row (Nt, Nr) totals crossed into the bounded bucket table
       "q143_cluster_sizes", // 1-row doc-total broadcast into the size histogram
       "q166_ppl_buckets", // q58's 1-row vocab-size broadcast feeds the bucketing
-      "q173_ann_recall") // q24's broadcast brute-force is the ground-truth side
+      "q173_ann_recall", // q24's broadcast brute-force is the ground-truth side
+      "q177_water_fill") // 1-row (k, cumk, n) level broadcast into the source table
     graft.SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$name has a cartesian product:\n$plan")
