@@ -2449,6 +2449,20 @@ object Queries {
             pmod(expr("cast(substring(source, 4, 10) as int)"), lit(5)), col("n_chars"))
           .otherwise(0L)).as("avail"))
       graft.ops.Curation.waterFillAllocation(totals, "source", "avail", budget = 20000L)
+    }),
+
+    // IDN host decode: punycode labels by doc family (German umlaut,
+    // mid-host label, Cyrillic, plain-ASCII passthrough, malformed
+    // kept verbatim); the oracle states every decoded host directly in
+    // codepoints — any RFC 3492 drift in the kernel breaks the hash.
+    "q178_idn_decode" -> ((s, dir) => {
+      val host = when(col("doc_id") % 5 === 0, lit("xn--mnchen-3ya.example"))
+        .when(col("doc_id") % 5 === 1, lit("xn--caf-dma.shop.example"))
+        .when(col("doc_id") % 5 === 2, lit("xn--h1ahn.example"))
+        .when(col("doc_id") % 5 === 3, lit("plain.example"))
+        .otherwise(lit("xn--!!.example"))
+      docs(s, dir).select(col("doc_id"), host.as("host"),
+        graft.ops.WebOps.decodeIdnHost(host).as("decoded"))
     })
   )
 
@@ -5934,6 +5948,23 @@ object Queries {
         |       ELSE (20000 - l.cumk) // (l.nn - l.k) END AS alloc,
         |  filled
         |FROM f CROSS JOIN l""".stripMargin,
+
+    // q178: the decoded hosts stated in codepoints (chr(252)=ü,
+    // chr(233)=é, chr(1084/1080/1088)=мир) — CPython's punycode codec
+    // is the independent source of these constants
+    "q178_idn_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'xn--mnchen-3ya.example'
+        |       WHEN doc_id % 5 = 1 THEN 'xn--caf-dma.shop.example'
+        |       WHEN doc_id % 5 = 2 THEN 'xn--h1ahn.example'
+        |       WHEN doc_id % 5 = 3 THEN 'plain.example'
+        |       ELSE 'xn--!!.example' END AS host,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'm' || chr(252) || 'nchen.example'
+        |       WHEN doc_id % 5 = 1 THEN 'caf' || chr(233) || '.shop.example'
+        |       WHEN doc_id % 5 = 2 THEN chr(1084) || chr(1080) || chr(1088) || '.example'
+        |       WHEN doc_id % 5 = 3 THEN 'plain.example'
+        |       ELSE 'xn--!!.example' END AS decoded
+        |FROM documents""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

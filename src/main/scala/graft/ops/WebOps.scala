@@ -252,6 +252,89 @@ object WebOps {
     a.join(b, Seq("pair_key"))
   }
 
+  /** RFC 3492 §6.1 bias adaptation (base 36, tmin 1, tmax 26, damp 700,
+    * skew 38 — the Punycode parameters). */
+  private def punyAdapt(delta0: Int, numPoints: Int, first: Boolean): Int = {
+    var delta = if (first) delta0 / 700 else delta0 / 2
+    delta += delta / numPoints
+    var k = 0
+    while (delta > ((36 - 1) * 26) / 2) { delta /= (36 - 1); k += 36 }
+    k + (36 * delta) / (delta + 38)
+  }
+
+  /** RFC 3492 §6.2 Punycode decode of one label body (the part after
+    * `xn--`): basic code points before the LAST delimiter, then
+    * variable-length generalized integers inserting non-ASCII code
+    * points. None on ANY malformed input — bad digit, arithmetic
+    * overflow, surrogate/out-of-range code point, non-ASCII basic —
+    * so callers keep the original label (the crawl-safe behavior;
+    * a malformed xn-- label is data, not a crash). Verified against
+    * CPython's punycode codec outputs in the spec. */
+  private[graft] def punycodeDecode(s: String): Option[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val d = s.lastIndexOf('-')
+    val basic = if (d > 0) s.substring(0, d) else ""
+    val enc = if (d >= 0) s.substring(d + 1) else s
+    if (enc.isEmpty) return None
+    var bi = 0
+    while (bi < basic.length) {
+      val c = basic.charAt(bi)
+      if (c >= 128) return None
+      out += c.toInt; bi += 1
+    }
+    var n = 128; var i = 0; var bias = 72
+    var p = 0
+    while (p < enc.length) {
+      val oldi = i; var w = 1; var k = 36
+      var done = false
+      while (!done) {
+        if (p >= enc.length) return None
+        val c = enc.charAt(p); p += 1
+        val digit =
+          if (c >= 'a' && c <= 'z') c - 'a'
+          else if (c >= 'A' && c <= 'Z') c - 'A'
+          else if (c >= '0' && c <= '9') c - '0' + 26
+          else return None
+        if (w != 0 && digit > (Int.MaxValue - i) / w) return None
+        i += digit * w
+        val t = if (k <= bias) 1 else if (k >= bias + 26) 26 else k - bias
+        if (digit < t) done = true
+        else {
+          if (w > Int.MaxValue / (36 - t)) return None
+          w *= (36 - t); k += 36
+        }
+      }
+      val len1 = out.length + 1
+      bias = punyAdapt(i - oldi, len1, oldi == 0)
+      if (i / len1 > Int.MaxValue - n) return None
+      n += i / len1
+      i %= len1
+      if (n < 0x80 || n > 0x10FFFF || (n >= 0xD800 && n <= 0xDFFF)) return None
+      out.insert(i, n)
+      i += 1
+    }
+    Some(out.iterator.map(cp => new String(Character.toChars(cp))).mkString)
+  }
+
+  /** IDN host decode: each dot label starting with `xn--` is Punycode-
+    * decoded ([[punycodeDecode]]); malformed labels and plain-ASCII
+    * labels pass through unchanged. The display/analysis form of an
+    * IDNA host — [[registrableDomain]] grouping, blocklists (UT1 lists
+    * carry unicode entries), and homograph screening all want the
+    * DECODED host, not the wire form a crawler sees. */
+  private[graft] def idnHostKernel(host: String): String = {
+    if (host == null) return null
+    host.split("\\.", -1).map { label =>
+      if (label.length > 4 && label.toLowerCase.startsWith("xn--"))
+        punycodeDecode(label.substring(4).toLowerCase).getOrElse(label)
+      else label
+    }.mkString(".")
+  }
+
+  /** Column form of [[idnHostKernel]]: narrow per-row UDF, no shuffle. */
+  def decodeIdnHost(host: Column): Column =
+    udf((h: String) => idnHostKernel(h)).apply(host)
+
   /** Crawl FRONTIER expansion — the discovery step of an incremental
     * crawl: candidate outlink targets not already in the known-url set,
     * admitted under a per-host cap (the politeness/trap budget: a single

@@ -2635,6 +2635,29 @@ class OpsSpec extends AnyFunSuite {
     assert(linkDensityKernel("<div></div>").density_micro == 0L)
   }
 
+  test("punycodeDecode matches CPython's punycode codec; idnHost keeps malformed labels") {
+    import graft.ops.WebOps.{punycodeDecode, idnHostKernel}
+    // pairs generated with python: s.encode('punycode')
+    val pairs = Seq(
+      "mnchen-3ya" -> "münchen", "bcher-kva" -> "bücher", "caf-dma" -> "café",
+      "h1ahn" -> "мир",                 // no basic part, no delimiter
+      "g6w251d" -> "測試",               // CJK, two inserts
+      "ber-7ka5l" -> "überß",            // insert at position 0 + interior
+      "mgbb7fyab" -> "ليبيا")            // RTL, 5 inserts
+    pairs.foreach { case (enc, dec) =>
+      assert(punycodeDecode(enc).contains(dec), s"$enc -> ${punycodeDecode(enc)}")
+    }
+    // malformed: bad digit, empty encoded part, non-ascii basic
+    assert(punycodeDecode("!!").isEmpty && punycodeDecode("abc-").isEmpty
+      && punycodeDecode("ü-abc").isEmpty)
+    assert(idnHostKernel("xn--mnchen-3ya.EXAMPLE.xn--caf-dma")
+      == "münchen.EXAMPLE.café")
+    assert(idnHostKernel("XN--MNCHEN-3YA.example") == "münchen.example") // case-insensitive prefix
+    assert(idnHostKernel("xn--!!.example") == "xn--!!.example") // malformed kept
+    assert(idnHostKernel("plain.example") == "plain.example")
+    assert(idnHostKernel(null) == null)
+  }
+
   test("waterFillAllocation: fills small sources, levels big ones, budget never exceeded") {
     import graft.ops.Curation
     val t = Seq(("a", 10L), ("b", 50L), ("c", 100L)).toDF("k", "avail")
