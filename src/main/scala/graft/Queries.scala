@@ -2463,6 +2463,24 @@ object Queries {
         .otherwise(lit("xn--!!.example"))
       docs(s, dir).select(col("doc_id"), host.as("host"),
         graft.ops.WebOps.decodeIdnHost(host).as("decoded"))
+    }),
+
+    // Homograph screen END TO END: wire-form xn-- hosts are DECODED
+    // first, then script-mix flagged — the paypal lookalike (Cyrillic
+    // раура + Latin l in one label) flags, the all-Cyrillic and
+    // all-ASCII hosts don't; the oracle states every count.
+    // ('xn--l-7sba6dbr' = 'раураl', python: 'раураl'.encode('punycode'))
+    "q179_homograph" -> ((s, dir) => {
+      val host = when(col("doc_id") % 4 === 0, lit("xn--l-7sba6dbr.example"))
+        .when(col("doc_id") % 4 === 1, lit("xn--h1ahn.example"))
+        .when(col("doc_id") % 4 === 2, lit("plain.example"))
+        .otherwise(lit("shop.xn--l-7sba6dbr.example"))
+      val dec = graft.ops.WebOps.decodeIdnHost(host)
+      docs(s, dir)
+        .select(col("doc_id"), dec.as("decoded"),
+          graft.ops.WebOps.homographFlag(dec).as("h"))
+        .select(col("doc_id"), col("decoded"), col("h.n_labels"),
+          col("h.n_mixed"), col("h.suspicious"))
     })
   )
 
@@ -5965,6 +5983,21 @@ object Queries {
         |       WHEN doc_id % 5 = 3 THEN 'plain.example'
         |       ELSE 'xn--!!.example' END AS decoded
         |FROM documents""".stripMargin,
+
+    // q179: decoded hosts and every homograph count stated directly
+    // (chr(1088/1072/1091)=р/а/у — 'раураl' mixes Cyrillic + Latin l)
+    "q179_homograph" -> {
+      val payp = "chr(1088) || chr(1072) || chr(1091) || chr(1088) || chr(1072) || 'l'"
+      s"""SELECT doc_id,
+        |  CASE WHEN doc_id % 4 = 0 THEN $payp || '.example'
+        |       WHEN doc_id % 4 = 1 THEN chr(1084) || chr(1080) || chr(1088) || '.example'
+        |       WHEN doc_id % 4 = 2 THEN 'plain.example'
+        |       ELSE 'shop.' || $payp || '.example' END AS decoded,
+        |  CAST(CASE WHEN doc_id % 4 = 3 THEN 3 ELSE 2 END AS BIGINT) AS n_labels,
+        |  CAST(CASE WHEN doc_id % 4 IN (0, 3) THEN 1 ELSE 0 END AS BIGINT) AS n_mixed,
+        |  doc_id % 4 IN (0, 3) AS suspicious
+        |FROM documents""".stripMargin
+    },
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

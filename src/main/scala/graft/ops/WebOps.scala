@@ -335,6 +335,33 @@ object WebOps {
   def decodeIdnHost(host: Column): Column =
     udf((h: String) => idnHostKernel(h)).apply(host)
 
+  /** Row type of [[homographFlag]]. */
+  case class HomographStats(n_labels: Long, n_mixed: Long, suspicious: Boolean)
+
+  /** HOMOGRAPH screen over a DECODED host: a label mixing letters from
+    * two or more scripts (Latin / Cyrillic / CJK, via
+    * [[TextOps.scriptProfileKernel]]'s ranges) is the classic IDN
+    * spoof — `раураl.com` with Cyrillic р/а/у reads as `paypal.com` —
+    * and no legitimate registry allows it (IDNA2008 + registry policies
+    * are single-script per label). Whole-label single-script hosts
+    * (мир.example) are FINE and stay unflagged: the signal is the MIX,
+    * not the script. Narrow per-row kernel over [[decodeIdnHost]]
+    * output; no shuffle. */
+  private[graft] def homographKernel(host: String): HomographStats = {
+    if (host == null) return HomographStats(0L, 0L, false)
+    val labels = host.split("\\.", -1)
+    var mixed = 0L
+    labels.foreach { l =>
+      val p = TextOps.scriptProfileKernel(l)
+      val scripts = Seq(p.n_latin > 0L, p.n_cyrillic > 0L, p.n_cjk > 0L).count(identity)
+      if (scripts >= 2) mixed += 1L
+    }
+    HomographStats(labels.length.toLong, mixed, mixed > 0L)
+  }
+
+  def homographFlag(host: Column): Column =
+    udf((h: String) => homographKernel(h)).apply(host)
+
   /** Crawl FRONTIER expansion — the discovery step of an incremental
     * crawl: candidate outlink targets not already in the known-url set,
     * admitted under a per-host cap (the politeness/trap budget: a single

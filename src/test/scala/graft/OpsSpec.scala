@@ -2656,6 +2656,24 @@ class OpsSpec extends AnyFunSuite {
     assert(idnHostKernel("xn--!!.example") == "xn--!!.example") // malformed kept
     assert(idnHostKernel("plain.example") == "plain.example")
     assert(idnHostKernel(null) == null)
+    // fuzz: decode never throws on arbitrary ascii label bodies
+    val rnd = new scala.util.Random(42)
+    (1 to 2000).foreach { _ =>
+      val len = rnd.nextInt(12)
+      val s = (1 to len).map(_ => (33 + rnd.nextInt(94)).toChar).mkString
+      punycodeDecode(s) // must not throw; None is fine
+      idnHostKernel("xn--" + s + ".example")
+    }
+  }
+
+  test("homographKernel: mixed-script labels flag, single-script hosts don't") {
+    import graft.ops.WebOps.homographKernel
+    val m = homographKernel("раураl.example") // Cyrillic + Latin l in ONE label
+    assert((m.n_labels, m.n_mixed, m.suspicious) == ((2L, 1L, true)), m.toString)
+    assert(!homographKernel("мир.example").suspicious)      // whole-label Cyrillic: fine
+    assert(!homographKernel("plain.example").suspicious)
+    assert(homographKernel("shop.中x.example").n_mixed == 1L) // CJK + Latin mixes too
+    assert(homographKernel(null) == graft.ops.WebOps.HomographStats(0L, 0L, false))
   }
 
   test("waterFillAllocation: fills small sources, levels big ones, budget never exceeded") {
