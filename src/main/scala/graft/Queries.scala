@@ -2481,6 +2481,22 @@ object Queries {
           graft.ops.WebOps.homographFlag(dec).as("h"))
         .select(col("doc_id"), col("decoded"), col("h.n_labels"),
           col("h.n_mixed"), col("h.suspicious"))
+    }),
+
+    // Strict percent-decoding: valid escapes (space, 2- and 3-byte
+    // UTF-8), a non-hex escape, and the classic overlong %C0%AF smuggle
+    // — invalid inputs come back verbatim with valid=false; the oracle
+    // states every decode in codepoints.
+    "q180_pct_decode" -> ((s, dir) => {
+      val raw = when(col("doc_id") % 5 === 0, lit("/a%20b/caf%C3%A9"))
+        .when(col("doc_id") % 5 === 1, lit("/x%E6%B8%AC%E8%A9%A6"))
+        .when(col("doc_id") % 5 === 2, lit("/plain/path"))
+        .when(col("doc_id") % 5 === 3, lit("/bad%ZZpath"))
+        .otherwise(lit("/overlong%C0%AF"))
+      docs(s, dir)
+        .select(col("doc_id"), raw.as("raw"),
+          graft.ops.WebOps.percentDecode(raw).as("p"))
+        .select(col("doc_id"), col("raw"), col("p.decoded"), col("p.valid"))
     })
   )
 
@@ -5998,6 +6014,24 @@ object Queries {
         |  doc_id % 4 IN (0, 3) AS suspicious
         |FROM documents""".stripMargin
     },
+
+    // q180: every decode stated in codepoints (chr(233)=é,
+    // chr(28204)/chr(35430)=測試); invalid escapes and the overlong
+    // %C0%AF come back verbatim with valid=false
+    "q180_pct_decode" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 5 = 0 THEN '/a%20b/caf%C3%A9'
+        |       WHEN doc_id % 5 = 1 THEN '/x%E6%B8%AC%E8%A9%A6'
+        |       WHEN doc_id % 5 = 2 THEN '/plain/path'
+        |       WHEN doc_id % 5 = 3 THEN '/bad%ZZpath'
+        |       ELSE '/overlong%C0%AF' END AS raw,
+        |  CASE WHEN doc_id % 5 = 0 THEN '/a b/caf' || chr(233)
+        |       WHEN doc_id % 5 = 1 THEN '/x' || chr(28204) || chr(35430)
+        |       WHEN doc_id % 5 = 2 THEN '/plain/path'
+        |       WHEN doc_id % 5 = 3 THEN '/bad%ZZpath'
+        |       ELSE '/overlong%C0%AF' END AS decoded,
+        |  doc_id % 5 IN (0, 1, 2) AS valid
+        |FROM documents""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -362,6 +362,58 @@ object WebOps {
   def homographFlag(host: Column): Column =
     udf((h: String) => homographKernel(h)).apply(host)
 
+  /** Row type of [[percentDecode]]. */
+  case class PctDecoded(decoded: String, valid: Boolean)
+
+  /** RFC 3986 percent-decoding with STRICT UTF-8 validation: `%XX` hex
+    * pairs become bytes, the byte stream must decode as valid UTF-8
+    * (REPORT mode — overlong encodings like `%C0%AF`, the classic
+    * path-traversal smuggle, are rejected, as are truncated/non-hex
+    * escapes), and any failure returns the ORIGINAL string with
+    * valid=false — malformed urls are data, never a crash (the
+    * [[punycodeDecode]] contract). `+` is deliberately NOT decoded:
+    * that is form-encoding, not RFC 3986, and conflating them corrupts
+    * paths containing literal plus. The decode urls need before T34/
+    * T42/T160 analysis sees them. Narrow per-row kernel, no shuffle. */
+  private[graft] def percentDecodeKernel(s: String): PctDecoded = {
+    if (s == null) return PctDecoded(null, false)
+    if (!s.contains('%')) return PctDecoded(s, true)
+    def hex(c: Char): Int =
+      if (c >= '0' && c <= '9') c - '0'
+      else if (c >= 'a' && c <= 'f') c - 'a' + 10
+      else if (c >= 'A' && c <= 'F') c - 'A' + 10
+      else -1
+    val bytes = new java.io.ByteArrayOutputStream(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%') {
+        if (i + 2 >= s.length) return PctDecoded(s, false)
+        val h = hex(s.charAt(i + 1)); val l = hex(s.charAt(i + 2))
+        if (h < 0 || l < 0) return PctDecoded(s, false)
+        bytes.write(h * 16 + l); i += 3
+      } else {
+        val cp = s.codePointAt(i)
+        val b = new String(Character.toChars(cp))
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+        bytes.write(b, 0, b.length)
+        i += Character.charCount(cp)
+      }
+    }
+    try {
+      val dec = java.nio.charset.StandardCharsets.UTF_8.newDecoder()
+        .onMalformedInput(java.nio.charset.CodingErrorAction.REPORT)
+        .onUnmappableCharacter(java.nio.charset.CodingErrorAction.REPORT)
+        .decode(java.nio.ByteBuffer.wrap(bytes.toByteArray)).toString
+      PctDecoded(dec, true)
+    } catch {
+      case _: java.nio.charset.CharacterCodingException => PctDecoded(s, false)
+    }
+  }
+
+  def percentDecode(c: Column): Column =
+    udf((s: String) => percentDecodeKernel(s)).apply(c)
+
   /** Crawl FRONTIER expansion — the discovery step of an incremental
     * crawl: candidate outlink targets not already in the known-url set,
     * admitted under a per-host cap (the politeness/trap budget: a single

@@ -2666,6 +2666,26 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("percentDecodeKernel: strict UTF-8, overlong rejected, invalid kept verbatim") {
+    import graft.ops.WebOps.{percentDecodeKernel, PctDecoded}
+    assert(percentDecodeKernel("/a%20b/caf%C3%A9") == PctDecoded("/a b/café", true))
+    assert(percentDecodeKernel("/x%E6%B8%AC") == PctDecoded("/x測", true))
+    assert(percentDecodeKernel("%F0%9F%98%80") == PctDecoded("😀", true)) // 4-byte
+    assert(percentDecodeKernel("no escapes") == PctDecoded("no escapes", true))
+    assert(percentDecodeKernel("a+b") == PctDecoded("a+b", true)) // '+' NOT form-decoded
+    assert(percentDecodeKernel("/bad%ZZ") == PctDecoded("/bad%ZZ", false))
+    assert(percentDecodeKernel("trunc%C") == PctDecoded("trunc%C", false))
+    assert(percentDecodeKernel("%C0%AF") == PctDecoded("%C0%AF", false)) // overlong '/'
+    assert(percentDecodeKernel("%ED%A0%80") == PctDecoded("%ED%A0%80", false)) // surrogate
+    assert(percentDecodeKernel("mixed é %41") == PctDecoded("mixed é A", true))
+    // fuzz: never throws
+    val rnd = new scala.util.Random(7)
+    (1 to 2000).foreach { _ =>
+      val s = (1 to rnd.nextInt(16)).map(_ => (32 + rnd.nextInt(96)).toChar).mkString
+      percentDecodeKernel(s)
+    }
+  }
+
   test("homographKernel: mixed-script labels flag, single-script hosts don't") {
     import graft.ops.WebOps.homographKernel
     val m = homographKernel("раураl.example") // Cyrillic + Latin l in ONE label
