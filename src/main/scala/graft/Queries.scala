@@ -2497,6 +2497,33 @@ object Queries {
         .select(col("doc_id"), raw.as("raw"),
           graft.ops.WebOps.percentDecode(raw).as("p"))
         .select(col("doc_id"), col("raw"), col("p.decoded"), col("p.valid"))
+    }),
+
+    // END-TO-END EXTRACTION PIN, ORACLED ON MARKDOWN BYTES: constructed
+    // pages (nav + footer boilerplate around an h1 + two content
+    // paragraphs, all doc_id-parameterized) run the FULL real pipeline
+    // — tokenizer → DOM → prune → content select → markdown render —
+    // and the oracle states the exact expected markdown per document.
+    // Any drift anywhere in the extraction stack breaks the hash: the
+    // north-star byte-identity contract, enforced by the driver's
+    // oracle every round (the goldens pin it in the test suite; this
+    // pins it in CORRECTNESS).
+    "q181_extract_pin" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/a\">Home</a><a href=\"/b\">About</a></nav>"),
+        lit("<div id=\"main\"><h1>Title "), col("doc_id"),
+        lit("</h1><p>Hello world "), col("doc_id"),
+        lit(" with enough words to be content here today.</p><p>Second paragraph "),
+        col("doc_id"),
+        lit(" also has plenty of real sentence text to keep.</p></div>"),
+        lit("<footer>copyright footer</footer></body></html>"))
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/p"), col("doc_id")).as("url"),
+        encode(html, "UTF-8").as("html"))
+      graft.extract.ExtractJob.extractedDf(pages)
+        .select(col("url"), col("extracted.status").as("status"),
+          col("extracted.markdown").as("markdown"))
     })
   )
 
@@ -6031,6 +6058,19 @@ object Queries {
         |       WHEN doc_id % 5 = 3 THEN '/bad%ZZpath'
         |       ELSE '/overlong%C0%AF' END AS decoded,
         |  doc_id % 5 IN (0, 1, 2) AS valid
+        |FROM documents""".stripMargin,
+
+    // q181: the exact markdown the real pipeline must emit, stated per
+    // document (chr(10) = newline); boilerplate nav/footer and the
+    // title tag must be gone, the h1 renders as '# ', paragraphs join
+    // with blank lines
+    "q181_extract_pin" ->
+      """SELECT 'http://x.example/p' || doc_id AS url, 'ok' AS status,
+        |  '# Title ' || doc_id || chr(10) || chr(10)
+        |    || 'Hello world ' || doc_id
+        |    || ' with enough words to be content here today.' || chr(10) || chr(10)
+        |    || 'Second paragraph ' || doc_id
+        |    || ' also has plenty of real sentence text to keep.' AS markdown
         |FROM documents""".stripMargin,
   )
 
