@@ -2524,6 +2524,24 @@ object Queries {
       graft.extract.ExtractJob.extractedDf(pages)
         .select(col("url"), col("extracted.status").as("status"),
           col("extracted.markdown").as("markdown"))
+    }),
+
+    // Contrastive hard-negative mining from the IVF index: per query,
+    // the self-match drops, the next 4 neighbors are positives, and
+    // ranks 5..11 are the hard negatives (same coarse cell, not
+    // nearest) a contrastive trainer wants; the oracle replays the
+    // whole IVF pipeline at k=12 plus the re-rank and role split.
+    "q182_hard_negatives" -> ((s, dir) => {
+      val emb = embeddings(s, dir)
+      val top = graft.ops.Similarity.ivfTopK(
+        emb.filter(col("vec_id") < 5), emb, "vec_id", "embedding",
+        k = 12, nCells = 8, nProbe = 2)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("query_id")).orderBy(col("sim").desc, col("nn_id").asc)
+      top.filter(col("nn_id") =!= col("query_id"))
+        .withColumn("rank", row_number().over(w))
+        .withColumn("role", when(col("rank") <= 4, "positive").otherwise("hard_negative"))
+        .select(col("query_id"), col("rank"), col("nn_id"), col("role"))
     })
   )
 
@@ -6059,6 +6077,60 @@ object Queries {
         |       ELSE '/overlong%C0%AF' END AS decoded,
         |  doc_id % 5 IN (0, 1, 2) AS valid
         |FROM documents""".stripMargin,
+
+    // q182: the q35 IVF replay at k=12 (raw-sim rank inside the index,
+    // like the op), then the self-drop, the rounded-sim re-rank, and
+    // the positive/hard-negative split
+    "q182_hard_negatives" ->
+      """WITH centr AS (
+        |  SELECT vec_id AS cid, embedding AS cv FROM embeddings
+        |  WHERE embedding IS NOT NULL
+        |  ORDER BY (CAST(vec_id AS BIGINT) * 1103515245 + 12345) % 2147483647, vec_id
+        |  LIMIT 8
+        |),
+        |sim_all AS (
+        |  SELECT id, cid, CASE WHEN na = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT e.vec_id AS id, ct.cid,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [e.embedding[i]::DOUBLE * ct.cv[i]::DOUBLE FOR i IN range(1, len(e.embedding) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [e.embedding[i]::DOUBLE * e.embedding[i]::DOUBLE FOR i IN range(1, len(e.embedding) + 1)]), (a, b) -> a + b) AS na,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [ct.cv[i]::DOUBLE * ct.cv[i]::DOUBLE FOR i IN range(1, len(ct.cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM embeddings e CROSS JOIN centr ct)
+        |),
+        |assigned AS (
+        |  SELECT id AS nn_id, cell FROM (
+        |    SELECT id, cid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM sim_all) WHERE rn = 1
+        |),
+        |probes AS (
+        |  SELECT id AS query_id, cell FROM (
+        |    SELECT id, cid AS cell, row_number() OVER (PARTITION BY id ORDER BY sim DESC, cid ASC) AS rn
+        |    FROM sim_all WHERE id < 5) WHERE rn <= 2
+        |),
+        |cand AS (
+        |  SELECT p.query_id, a.nn_id FROM probes p JOIN assigned a ON p.cell = a.cell
+        |),
+        |scored AS (
+        |  SELECT query_id, nn_id,
+        |    CASE WHEN nq = 0 OR nc = 0 THEN 0.0 ELSE dot / (sqrt(nq) * sqrt(nc)) END AS sim
+        |  FROM (
+        |    SELECT query_id, nn_id,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS dot,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [qv[i]::DOUBLE * qv[i]::DOUBLE FOR i IN range(1, len(qv) + 1)]), (a, b) -> a + b) AS nq,
+        |      list_reduce(list_prepend(0.0::DOUBLE, [cv[i]::DOUBLE * cv[i]::DOUBLE FOR i IN range(1, len(cv) + 1)]), (a, b) -> a + b) AS nc
+        |    FROM cand
+        |    JOIN (SELECT vec_id, embedding AS qv FROM embeddings) q ON q.vec_id = cand.query_id
+        |    JOIN (SELECT vec_id, embedding AS cv FROM embeddings) c ON c.vec_id = cand.nn_id)
+        |),
+        |ivfk AS (SELECT query_id, nn_id, round(sim, 6) AS sim FROM (
+        |    SELECT query_id, nn_id, sim, row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
+        |    FROM scored) WHERE rank <= 12),
+        |h AS (SELECT query_id, nn_id,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nn_id ASC) AS rank
+        |  FROM ivfk WHERE nn_id <> query_id)
+        |SELECT query_id, rank, nn_id,
+        |  CASE WHEN rank <= 4 THEN 'positive' ELSE 'hard_negative' END AS role
+        |FROM h""".stripMargin,
 
     // q181: the exact markdown the real pipeline must emit, stated per
     // document (chr(10) = newline); boilerplate nav/footer and the
