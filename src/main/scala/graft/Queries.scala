@@ -2542,6 +2542,28 @@ object Queries {
         .withColumn("rank", row_number().over(w))
         .withColumn("role", when(col("rank") <= 4, "positive").otherwise("hard_negative"))
         .select(col("query_id"), col("rank"), col("nn_id"), col("role"))
+    }),
+
+    // robots.txt policy summary: per-host constructed robots texts
+    // exercise star-group crawl-delay (incl. fractional round-down and
+    // an unparsable value), a googlebot-only delay that must NOT apply,
+    // group-neutral sitemaps, and the no-robots default; every field
+    // stated by the oracle.
+    "q183_robots_policy" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val txt = when(col("source").isin("src0", "src1", "src2"),
+          lit("User-agent: *\nCrawl-delay: 10\nDisallow: /a\nSitemap: http://x/s1.xml\n"))
+        .when(col("source").isin("src3", "src4"),
+          lit("User-agent: *\nCrawl-delay: 2.9\nDisallow: /a\nDisallow: /b\n"))
+        .when(col("source").isin("src5", "src6"),
+          lit("User-agent: googlebot\nCrawl-delay: 30\n\nUser-agent: *\nDisallow: /x\nSitemap: http://x/a.xml\nSitemap: http://x/b.xml\n"))
+        .when(col("source").isin("src7"),
+          lit("User-agent: *\nCrawl-delay: soon\nDisallow: /q\n"))
+        .otherwise(lit("# no groups at all\nSitemap: http://x/c.xml\n"))
+      d.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"),
+          graft.ops.WebOps.robotsPolicy(txt).as("p"))
+        .select(col("host"), col("p.crawl_delay"), col("p.n_rules"), col("p.n_sitemaps"))
     })
   )
 
@@ -6130,6 +6152,24 @@ object Queries {
         |  FROM ivfk WHERE nn_id <> query_id)
         |SELECT query_id, rank, nn_id,
         |  CASE WHEN rank <= 4 THEN 'positive' ELSE 'hard_negative' END AS role
+        |FROM h""".stripMargin,
+
+    // q183: every policy field stated per host family (2.9 rounds down
+    // to 2, 'soon' and the googlebot-only delay yield -1, sitemaps are
+    // group-neutral)
+    "q183_robots_policy" ->
+      """WITH h AS (SELECT DISTINCT source FROM documents)
+        |SELECT source || '.example' AS host,
+        |  CAST(CASE WHEN source IN ('src0','src1','src2') THEN 10
+        |       WHEN source IN ('src3','src4') THEN 2
+        |       ELSE -1 END AS BIGINT) AS crawl_delay,
+        |  CAST(CASE WHEN source IN ('src0','src1','src2','src5','src6','src7') THEN 1
+        |       WHEN source IN ('src3','src4') THEN 2
+        |       ELSE 0 END AS BIGINT) AS n_rules,
+        |  CAST(CASE WHEN source IN ('src0','src1','src2') THEN 1
+        |       WHEN source IN ('src5','src6') THEN 2
+        |       WHEN source IN ('src3','src4','src7') THEN 0
+        |       ELSE 1 END AS BIGINT) AS n_sitemaps
         |FROM h""".stripMargin,
 
     // q181: the exact markdown the real pipeline must emit, stated per

@@ -146,6 +146,54 @@ object WebOps {
     out.toArray
   }
 
+  /** Row type of [[robotsPolicy]]. */
+  case class RobotsPolicy(crawl_delay: Long, n_rules: Long, n_sitemaps: Long)
+
+  /** robots.txt POLICY summary — the fetch-scheduler inputs, where
+    * [[robotsDisallowed]] is the compliance gate: the `*`-group's
+    * `Crawl-delay` in whole seconds (-1 = none stated; same group
+    * selection as the disallow kernel, last star-group value wins),
+    * its rule count, and group-neutral `Sitemap:` lines (RFC 9309:
+    * sitemaps live outside groups). The crawl-delay is what a per-host
+    * politeness budget multiplies (T122 inter-arrival profiles measure
+    * the observed side); invalid/fractional delays round down, negative
+    * or unparsable → -1. One kernel pass per host row — the robots
+    * frame is hosts-sized, tiny next to any corpus. */
+  private[graft] def robotsPolicyKernel(txt: String): RobotsPolicy = {
+    if (txt == null) return RobotsPolicy(-1L, 0L, 0L)
+    var inStar = false
+    var sawRule = true
+    var delay = -1L; var rules = 0L; var sitemaps = 0L
+    txt.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase
+        val v = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (sawRule) { inStar = v == "*"; sawRule = false }
+            else inStar = inStar || v == "*"
+          case "disallow" =>
+            sawRule = true
+            if (inStar && v.nonEmpty) rules += 1L
+          case "crawl-delay" =>
+            sawRule = true
+            if (inStar) delay =
+              try { math.max(-1L, v.toDouble.toLong) }
+              catch { case _: NumberFormatException => -1L }
+          case "allow" => sawRule = true
+          case "sitemap" => sitemaps += 1L // group-neutral per RFC
+          case _ => ()
+        }
+      }
+    }
+    RobotsPolicy(delay, rules, sitemaps)
+  }
+
+  def robotsPolicy(txt: Column): Column =
+    udf((t: String) => robotsPolicyKernel(t)).apply(txt)
+
   /** robots.txt disallow gate — the compliance filter a Common-Crawl
     * style corpus applies before anything else: pages whose path is
     * prefix-matched by a `*`-group `Disallow:` rule of their host's

@@ -2686,6 +2686,21 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("robotsPolicyKernel: star-group delay, fractional/garbage handling, neutral sitemaps") {
+    import graft.ops.WebOps.{robotsPolicyKernel, RobotsPolicy}
+    assert(robotsPolicyKernel("User-agent: *\nCrawl-delay: 10\nDisallow: /a\nSitemap: http://x/s.xml\n")
+      == RobotsPolicy(10L, 1L, 1L))
+    assert(robotsPolicyKernel("User-agent: *\nCrawl-delay: 2.9\n").crawl_delay == 2L)
+    assert(robotsPolicyKernel("User-agent: *\nCrawl-delay: soon\n").crawl_delay == -1L)
+    // another bot's delay never applies; sitemaps count from anywhere
+    assert(robotsPolicyKernel("User-agent: googlebot\nCrawl-delay: 30\n\nUser-agent: *\nDisallow: /x\nSitemap: a\nSitemap: b\n")
+      == RobotsPolicy(-1L, 1L, 2L))
+    // last star-group delay wins; consecutive UA lines share a group
+    assert(robotsPolicyKernel("User-agent: *\nCrawl-delay: 1\nCrawl-delay: 7\n").crawl_delay == 7L)
+    assert(robotsPolicyKernel("User-agent: bingbot\nUser-agent: *\nCrawl-delay: 4\n").crawl_delay == 4L)
+    assert(robotsPolicyKernel(null) == RobotsPolicy(-1L, 0L, 0L))
+  }
+
   test("homographKernel: mixed-script labels flag, single-script hosts don't") {
     import graft.ops.WebOps.homographKernel
     val m = homographKernel("раураl.example") // Cyrillic + Latin l in ONE label
