@@ -2564,6 +2564,26 @@ object Queries {
         .select(concat(col("source"), lit(".example")).as("host"),
           graft.ops.WebOps.robotsPolicy(txt).as("p"))
         .select(col("host"), col("p.crawl_delay"), col("p.n_rules"), col("p.n_sitemaps"))
+    }),
+
+    // END-TO-END PDF-BRANCH PIN, ORACLED ON MARKDOWN BYTES (q181's twin
+    // for the other extraction leg): per-document 2-page PDFs built by
+    // the in-house writer (page 2 Flate-compressed) run magic sniff →
+    // xref parse → stream decode → text assembly → markdown, and the
+    // oracle states the exact output — any drift in the PDF stack
+    // breaks the driver's hash.
+    "q184_pdf_pin" -> ((s, dir) => {
+      import graft.pdf.PdfWriter
+      val mk = udf((id: Long) => PdfWriter.write(Vector(
+        PdfWriter.PageSpec(Vector(Vector(s"Pdf doc $id line one", s"and line two of $id"))),
+        PdfWriter.PageSpec(Vector(Vector(s"Second page of $id")), compress = true))))
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/d"), col("doc_id"), lit(".pdf")).as("url"),
+        mk(col("doc_id")).as("html"))
+      graft.extract.ExtractJob.extractedDf(pages)
+        .select(col("url"), col("extracted.status").as("status"),
+          col("extracted.pages").as("pages"),
+          col("extracted.markdown").as("markdown"))
     })
   )
 
@@ -6171,6 +6191,17 @@ object Queries {
         |       WHEN source IN ('src3','src4','src7') THEN 0
         |       ELSE 1 END AS BIGINT) AS n_sitemaps
         |FROM h""".stripMargin,
+
+    // q184: the exact PDF-branch markdown stated per document — lines
+    // join with newlines inside a page, pages join with a blank line,
+    // and page count must read 2
+    "q184_pdf_pin" ->
+      """SELECT 'http://x.example/d' || doc_id || '.pdf' AS url, 'ok' AS status,
+        |  CAST(2 AS INT) AS pages,
+        |  'Pdf doc ' || doc_id || ' line one' || chr(10)
+        |    || 'and line two of ' || doc_id || chr(10) || chr(10)
+        |    || 'Second page of ' || doc_id AS markdown
+        |FROM documents""".stripMargin,
 
     // q181: the exact markdown the real pipeline must emit, stated per
     // document (chr(10) = newline); boilerplate nav/footer and the
