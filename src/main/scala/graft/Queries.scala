@@ -2584,6 +2584,46 @@ object Queries {
         .select(col("url"), col("extracted.status").as("status"),
           col("extracted.pages").as("pages"),
           col("extracted.markdown").as("markdown"))
+    }),
+
+    // sitemap.xml parse — the discovery input the q183 robots policy
+    // points at: per-document constructed sitemaps exercise urlset
+    // entries (entity-decoded loc, W3C lastmod validation, case-folded
+    // changefreq enum, exact-integer priority micro-units, a loc-less
+    // entry that must drop), sitemapindex children, and the
+    // HTML-as-sitemap invalid case; every output field is a closed
+    // form of doc_id the oracle states.
+    "q185_sitemap" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = concat(lit("http://"), col("source"), lit(".example/"))
+      val m = pmod(col("doc_id"), lit(4))
+      val txt = when(m === 0, concat(
+          lit("<?xml version=\"1.0\"?>\n<urlset xmlns=\"http://www.sitemaps.org/schemas/sitemap/0.9\">\n<url><loc>"),
+          base, lit("p?a=1&amp;b="), col("doc_id"),
+          lit("</loc><lastmod>2026-01-15</lastmod><changefreq>weekly</changefreq><priority>0."),
+          pmod(col("doc_id"), lit(10)),
+          lit("</priority></url>\n<url><loc>"), base, lit("q"), col("doc_id"),
+          lit("</loc><changefreq>MONTHLY</changefreq><priority>high</priority></url>\n</urlset>")))
+        .when(m === 1, concat(
+          lit("<urlset><url><lastmod>2026-01-01</lastmod></url><url><loc>"),
+          base, lit("only"), col("doc_id"), lit("</loc></url></urlset>")))
+        .when(m === 2, concat(
+          lit("<?xml version=\"1.0\"?><sitemapindex><sitemap><loc>"),
+          base, lit("maps/b"), col("doc_id"),
+          lit(".xml?x=1&amp;y=2</loc></sitemap><sitemap><loc>"),
+          base, lit("maps/a"), col("doc_id"),
+          lit(".xml</loc><lastmod>2026-02-02</lastmod></sitemap></sitemapindex>")))
+        .otherwise(lit("<html><body><h1>Not Found</h1></body></html>"))
+      d.select(col("doc_id"), col("source"),
+          graft.ops.WebOps.sitemapParse(txt).as("p"))
+        .select(col("doc_id"), col("p.kind").as("kind"),
+          size(col("p.entries")).as("n_entries"),
+          size(col("p.children")).as("n_children"),
+          size(expr("filter(p.entries, e -> e.lastmod_ok)")).as("n_lastmod"),
+          size(expr("filter(p.entries, e -> e.changefreq IS NOT NULL)")).as("n_cf_valid"),
+          expr("array_max(transform(p.entries, e -> e.priority_micro))").as("max_priority_micro"),
+          expr("array_min(transform(p.entries, e -> e.loc))").as("first_loc"),
+          expr("array_min(p.children)").as("first_child"))
     })
   )
 
@@ -6214,6 +6254,29 @@ object Queries {
         |    || ' with enough words to be content here today.' || chr(10) || chr(10)
         |    || 'Second paragraph ' || doc_id
         |    || ' also has plenty of real sentence text to keep.' AS markdown
+        |FROM documents""".stripMargin,
+
+    // q185: every sitemap field stated as a closed form of doc_id —
+    // the loc-less entry drops (n_entries 1 for the %4=1 family), the
+    // &amp; in loc/child decodes, MONTHLY case-folds into the enum,
+    // 'high' and absent priorities read -1, and the min child is the
+    // 'a'-named one even though the document lists 'b' first.
+    "q185_sitemap" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 4 IN (0, 1) THEN 'urlset'
+        |       WHEN doc_id % 4 = 2 THEN 'sitemapindex' ELSE 'invalid' END AS kind,
+        |  CAST(CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_entries,
+        |  CAST(CASE WHEN doc_id % 4 = 2 THEN 2 ELSE 0 END AS INT) AS n_children,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS INT) AS n_lastmod,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN 2 ELSE 0 END AS INT) AS n_cf_valid,
+        |  CASE WHEN doc_id % 4 = 0 THEN (doc_id % 10) * 100000
+        |       WHEN doc_id % 4 = 1 THEN CAST(-1 AS BIGINT) END AS max_priority_micro,
+        |  CASE WHEN doc_id % 4 = 0 THEN 'http://' || source || '.example/p?a=1&b=' || doc_id
+        |       WHEN doc_id % 4 = 1 THEN 'http://' || source || '.example/only' || doc_id
+        |       END AS first_loc,
+        |  CASE WHEN doc_id % 4 = 2
+        |       THEN 'http://' || source || '.example/maps/a' || doc_id || '.xml'
+        |       END AS first_child
         |FROM documents""".stripMargin,
   )
 

@@ -511,4 +511,157 @@ object WebOps {
       .agg(count(lit(1)).as("n_urls"), countDistinct(col("__u")).as("n_distinct"))
       .filter(col("n_urls") >= minUrls)
   }
+
+  /** Decode the five XML predefined entities plus numeric character
+    * references (`&#dd;` / `&#xhh;`) in one scan; malformed references
+    * pass through verbatim (a sitemap `<loc>` MUST entity-escape `&`,
+    * so undecoded ampersands are producer bugs we surface, not mask). */
+  private[graft] def xmlUnescape(s: String): String = {
+    if (s == null || s.indexOf('&') < 0) return s
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c != '&') { b.append(c); i += 1 }
+      else {
+        val semi = s.indexOf(';', i + 1)
+        val name = if (semi > i && semi - i <= 10) s.substring(i + 1, semi) else null
+        val rep: String = name match {
+          case "amp" => "&"
+          case "lt" => "<"
+          case "gt" => ">"
+          case "quot" => "\""
+          case "apos" => "'"
+          case n if n != null && n.length > 1 && n.charAt(0) == '#' =>
+            try {
+              val cp = if (n.charAt(1) == 'x' || n.charAt(1) == 'X')
+                Integer.parseInt(n.substring(2), 16)
+              else Integer.parseInt(n.substring(1))
+              if (Character.isValidCodePoint(cp) && cp > 0)
+                new String(Character.toChars(cp))
+              else null
+            } catch { case _: NumberFormatException => null }
+          case _ => null
+        }
+        if (rep == null) { b.append(c); i += 1 }
+        else { b.append(rep); i = semi + 1 }
+      }
+    }
+    b.toString
+  }
+
+  /** Exact-integer parse of a sitemap `<priority>` decimal into
+    * micro-units (the repo-wide 10⁶ quantization — "0.8" → 800000L with
+    * NO float step, so the DuckDB replay is `DECIMAL(18,6) * 1000000`).
+    * Digits beyond the 6th fractional place truncate; anything that is
+    * not plain `digits[.digits]` → -1 (absent/unparsable). */
+  private[graft] def priorityMicro(s: String): Long = {
+    if (s == null) return -1L
+    val t = s.trim
+    if (t.isEmpty) return -1L
+    var i = 0; var intPart = 0L; var seen = false
+    while (i < t.length && t.charAt(i) >= '0' && t.charAt(i) <= '9') {
+      intPart = intPart * 10L + (t.charAt(i) - '0'); i += 1; seen = true
+      if (intPart > 1000000L) return -1L
+    }
+    var frac = 0L; var fd = 0
+    if (i < t.length && t.charAt(i) == '.') {
+      i += 1
+      while (i < t.length && t.charAt(i) >= '0' && t.charAt(i) <= '9') {
+        if (fd < 6) { frac = frac * 10L + (t.charAt(i) - '0'); fd += 1 }
+        i += 1; seen = true
+      }
+    }
+    if (!seen || i != t.length) return -1L
+    while (fd < 6) { frac *= 10L; fd += 1 }
+    intPart * 1000000L + frac
+  }
+
+  /** One `<url>` entry of a urlset sitemap: entity-decoded `loc`,
+    * whether `lastmod` starts with a W3C date, the validated (lowercase
+    * enum) `changefreq` or null, and the exact-integer priority. */
+  case class SitemapEntry(loc: String, lastmod_ok: Boolean,
+      changefreq: String, priority_micro: Long)
+
+  /** Row type of [[sitemapParse]]: document kind plus urlset entries
+    * and sitemapindex child locs (each empty for the other kind). */
+  case class SitemapParse(kind: String, entries: Seq[SitemapEntry],
+      children: Seq[String])
+
+  private val changefreqEnum = Set(
+    "always", "hourly", "daily", "weekly", "monthly", "yearly", "never")
+
+  /** First `<tag>…</tag>` text inside `block`, or null. Tags are the
+    * spec's lowercase literals; attributes never appear on sitemap
+    * leaf elements so exact-tag matching is the honest contract. */
+  private def tagText(block: String, tag: String): String = {
+    val open = "<" + tag + ">"
+    val i = block.indexOf(open)
+    if (i < 0) return null
+    val j = block.indexOf("</" + tag + ">", i + open.length)
+    if (j < 0) return null
+    block.substring(i + open.length, j).trim
+  }
+
+  /** sitemap.xml parser — the crawl DISCOVERY input that pairs with the
+    * robots gates ([[robotsPolicy]] surfaces the `Sitemap:` pointers;
+    * this reads what they point at): `<urlset>` entries with
+    * entity-decoded `<loc>`, W3C-date-validated `<lastmod>`,
+    * enum-validated `<changefreq>` and exact-integer `<priority>`
+    * micro-units, or `<sitemapindex>` child locs; anything without a
+    * recognizable root (HTML soft-404s serving as sitemaps are routine)
+    * → kind `invalid`. Deliberately a scanner, not an XML library: one
+    * left-to-right pass over `<url>`/`<sitemap>` blocks, entries missing
+    * `<loc>` drop (they identify nothing).
+    *
+    * Scale shape: sitemaps live on a hosts-sized frame like robots.txt
+    * — the kernel runs once per sitemap row, narrow projection, no
+    * shuffle; downstream coverage joins key on the entry loc. */
+  private[graft] def sitemapKernel(txt: String): SitemapParse = {
+    if (txt == null) return SitemapParse("invalid", Nil, Nil)
+    val iu = txt.indexOf("<urlset")
+    val is = txt.indexOf("<sitemapindex")
+    if (iu >= 0 && (is < 0 || iu < is)) {
+      val entries = Vector.newBuilder[SitemapEntry]
+      var pos = txt.indexOf("<url>", iu)
+      while (pos >= 0) {
+        val end = txt.indexOf("</url>", pos + 5)
+        if (end < 0) pos = -1
+        else {
+          val block = txt.substring(pos + 5, end)
+          val loc = tagText(block, "loc")
+          if (loc != null && loc.nonEmpty) {
+            val lastmod = tagText(block, "lastmod")
+            val cfRaw = tagText(block, "changefreq")
+            val cf = if (cfRaw == null) null else {
+              val l = cfRaw.toLowerCase
+              if (changefreqEnum.contains(l)) l else null
+            }
+            entries += SitemapEntry(
+              xmlUnescape(loc),
+              lastmod != null && lastmod.matches("\\d{4}-\\d{2}-\\d{2}.*"),
+              cf, priorityMicro(tagText(block, "priority")))
+          }
+          pos = txt.indexOf("<url>", end + 6)
+        }
+      }
+      SitemapParse("urlset", entries.result(), Nil)
+    } else if (is >= 0) {
+      val kids = Vector.newBuilder[String]
+      var pos = txt.indexOf("<sitemap>", is)
+      while (pos >= 0) {
+        val end = txt.indexOf("</sitemap>", pos + 9)
+        if (end < 0) pos = -1
+        else {
+          val loc = tagText(txt.substring(pos + 9, end), "loc")
+          if (loc != null && loc.nonEmpty) kids += xmlUnescape(loc)
+          pos = txt.indexOf("<sitemap>", end + 10)
+        }
+      }
+      SitemapParse("sitemapindex", Nil, kids.result())
+    } else SitemapParse("invalid", Nil, Nil)
+  }
+
+  def sitemapParse(txt: Column): Column =
+    udf((t: String) => sitemapKernel(t)).apply(txt)
 }

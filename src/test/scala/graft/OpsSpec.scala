@@ -2739,4 +2739,38 @@ class OpsSpec extends AnyFunSuite {
       2L -> ((0L, 4L, 0L)),
       3L -> ((2L, 0L, 2000000L))), got.toString) // empty old: greatest(len,1)
   }
+
+  test("sitemapKernel: urlset fields, entity decode, index children, invalid fallback") {
+    import graft.ops.WebOps.{sitemapKernel, xmlUnescape, priorityMicro}
+    val u = sitemapKernel(
+      """<?xml version="1.0"?>
+        |<urlset xmlns="http://www.sitemaps.org/schemas/sitemap/0.9">
+        |<url><loc>http://h/p?a=1&amp;b=2</loc><lastmod>2026-01-15T10:00:00Z</lastmod>
+        |<changefreq>WEEKLY</changefreq><priority>0.8</priority></url>
+        |<url><loc>http://h/q</loc><changefreq>often</changefreq><priority>high</priority></url>
+        |<url><lastmod>2026-01-01</lastmod></url>
+        |</urlset>""".stripMargin)
+    assert(u.kind == "urlset" && u.entries.size == 2, u.toString) // loc-less drops
+    assert(u.entries(0).loc == "http://h/p?a=1&b=2" && u.entries(0).lastmod_ok
+      && u.entries(0).changefreq == "weekly" && u.entries(0).priority_micro == 800000L)
+    assert(u.entries(1).changefreq == null && u.entries(1).priority_micro == -1L
+      && !u.entries(1).lastmod_ok)
+    val idx = sitemapKernel(
+      "<sitemapindex><sitemap><loc>http://h/a.xml?x=1&amp;y=2</loc></sitemap>" +
+      "<sitemap><loc>http://h/b.xml</loc></sitemap></sitemapindex>")
+    assert(idx.kind == "sitemapindex" && idx.entries.isEmpty
+      && idx.children == Seq("http://h/a.xml?x=1&y=2", "http://h/b.xml"))
+    assert(sitemapKernel("<html><body>404</body></html>").kind == "invalid")
+    assert(sitemapKernel(null).kind == "invalid")
+    assert(sitemapKernel("<urlset><url><loc>x</loc>").entries.isEmpty) // unterminated block
+    // entity decoder: named, decimal, hex, malformed pass-through
+    assert(xmlUnescape("a&amp;b&lt;c&gt;d&quot;e&apos;f") == "a&b<c>d\"e'f")
+    assert(xmlUnescape("caf&#233; &#x41;") == "café A")
+    assert(xmlUnescape("a&bogus;b&#xzz;c&ampd") == "a&bogus;b&#xzz;c&ampd")
+    // exact-integer priority: no float step, truncation past 6 places
+    assert(priorityMicro("1.0") == 1000000L && priorityMicro("0.55") == 550000L
+      && priorityMicro(".5") == 500000L && priorityMicro("0.1234567") == 123456L
+      && priorityMicro("") == -1L && priorityMicro("0.8x") == -1L
+      && priorityMicro(null) == -1L && priorityMicro(".") == -1L)
+  }
 }
