@@ -2624,6 +2624,84 @@ object Queries {
           expr("array_max(transform(p.entries, e -> e.priority_micro))").as("max_priority_micro"),
           expr("array_min(transform(p.entries, e -> e.loc))").as("first_loc"),
           expr("array_min(p.children)").as("first_child"))
+    }),
+
+    // RSS/Atom feed parse — the third crawl-discovery input beside the
+    // q183 robots Sitemap pointers and the q185 sitemaps: per-document
+    // constructed feeds exercise RSS text links + RFC 1123 pubDate
+    // validation, Atom attribute-carried hrefs (both quote styles) +
+    // W3C updated validation, entity decode in links and titles,
+    // link-less items dropping, and HTML-as-feed → invalid.
+    "q186_feed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = concat(lit("http://"), col("source"), lit(".example/"))
+      val m = pmod(col("doc_id"), lit(3))
+      val txt = when(m === 0, concat(
+          lit("<?xml version=\"1.0\"?>\n<rss version=\"2.0\"><channel><title>c</title>\n" +
+            "<item><link>"), base, lit("a?x=1&amp;y="), col("doc_id"),
+          lit("</link><title>Post &amp; "), col("doc_id"),
+          lit("</title><pubDate>Tue, 10 Jun 2003 04:00:00 GMT</pubDate></item>\n<item><link>"),
+          base, lit("b"), col("doc_id"),
+          lit("</link><pubDate>yesterday</pubDate></item>\n" +
+            "<item><title>no link</title></item>\n</channel></rss>")))
+        .when(m === 1, concat(
+          lit("<?xml version=\"1.0\"?>\n<feed xmlns=\"http://www.w3.org/2005/Atom\">\n" +
+            "<entry><title type=\"text\">E "), col("doc_id"),
+          lit("</title><link rel=\"alternate\" href=\""), base,
+          lit("e?id="), col("doc_id"),
+          lit("&amp;v=2\"/><updated>2026-03-01T12:00:00Z</updated></entry>\n<entry><link href='"),
+          base, lit("f"), col("doc_id"),
+          lit("'/></entry>\n<entry><title>nolink</title></entry>\n</feed>")))
+        .otherwise(lit("<html><body><h1>Blog</h1></body></html>"))
+      d.select(col("doc_id"), graft.ops.WebOps.feedParse(txt).as("p"))
+        .select(col("doc_id"), col("p.kind").as("kind"),
+          size(col("p.items")).as("n_items"),
+          size(expr("filter(p.items, i -> i.date_ok)")).as("n_date_ok"),
+          expr("try_element_at(p.items, 1).link").as("first_link"),
+          expr("try_element_at(p.items, 1).title").as("first_title"))
+    }),
+
+    // Sitemap coverage audit — q185's parser driving a refetch plan:
+    // per-doc sitemap shards list the doc's own url (even ids only,
+    // lastmod Jan 15) plus a ghost url nobody crawled; the crawl frame
+    // has every doc fetched on Jan 1 + (id%28). The full-outer join
+    // then yields all four coverage classes and the stale set
+    // (lastmod > crawl day ⇔ even id with id%28 ≤ 13) per host.
+    "q187_sitemap_coverage" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = concat(lit("http://"), col("source"), lit(".example/"))
+      val crawled = d.select(col("source").as("host"),
+        concat(base, lit("doc/"), col("doc_id")).as("url"),
+        date_add(to_date(lit("2026-01-01")),
+          pmod(col("doc_id"), lit(28)).cast("int")).as("crawl_day"))
+      val sm = concat(lit("<urlset>"),
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(
+          lit("<url><loc>"), base, lit("doc/"), col("doc_id"),
+          lit("</loc><lastmod>2026-01-15</lastmod></url>"))).otherwise(lit("")),
+        lit("<url><loc>"), base, lit("ghost/"), col("doc_id"),
+        lit("</loc></url></urlset>"))
+      val listed = d.select(col("source").as("host"),
+          graft.ops.WebOps.sitemapParse(sm).as("p"))
+        .select(col("host"), explode(col("p.entries")).as("e"))
+        .select(col("host"), col("e.loc").as("url"),
+          to_date(substring(col("e.lastmod"), 1, 10)).as("lastmod_day"))
+      graft.ops.WebOps.sitemapCoverage(listed, crawled)
+    }),
+
+    // Politeness fetch schedule — per-host crawl-delay slots over a
+    // 7-hosts-per-source frontier: slot = rank within host by url,
+    // sched_ms = slot × the host's delay; DuckDB replays the identical
+    // window, so determinism across engines is the assertion.
+    "q188_politeness" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val host = concat(col("source"), lit("-h"), pmod(col("doc_id"), lit(7)))
+      val urls = d.select(host.as("host"),
+        concat(lit("http://"), host, lit(".example/doc/"), col("doc_id")).as("url"))
+      val delays = d.select(host.as("host"),
+          ((pmod(col("doc_id"), lit(7)) + 1) * 500).cast("long").as("delay_ms"))
+        .groupBy(col("host")).agg(max(col("delay_ms")).as("delay_ms"))
+      graft.ops.WebOps.politenessSchedule(urls, delays)
+        .select(col("url"), col("host"), col("slot"), col("sched_ms"))
     })
   )
 
@@ -6278,6 +6356,51 @@ object Queries {
         |       THEN 'http://' || source || '.example/maps/a' || doc_id || '.xml'
         |       END AS first_child
         |FROM documents""".stripMargin,
+
+    // q186: every feed field stated as a closed form of doc_id — the
+    // link-less third item drops (n_items 2 for both dialects), exactly
+    // one item per feed carries a dialect-valid date ('yesterday' and a
+    // missing <updated> both fail), the &amp; in links/titles decodes,
+    // and the first item is document order (try_element_at, not min).
+    "q186_feed" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 3 WHEN 0 THEN 'rss' WHEN 1 THEN 'atom'
+        |       ELSE 'invalid' END AS kind,
+        |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 2 ELSE 0 END AS INT) AS n_items,
+        |  CAST(CASE WHEN doc_id % 3 IN (0, 1) THEN 1 ELSE 0 END AS INT) AS n_date_ok,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'http://' || source || '.example/a?x=1&y=' || doc_id
+        |       WHEN doc_id % 3 = 1 THEN 'http://' || source || '.example/e?id=' || doc_id || '&v=2'
+        |       END AS first_link,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'Post & ' || doc_id
+        |       WHEN doc_id % 3 = 1 THEN 'E ' || doc_id END AS first_title
+        |FROM documents""".stripMargin,
+
+    // q187: coverage classes as closed forms per host — every doc is a
+    // ghost entry (listed-not-crawled), even docs also list themselves
+    // (both; stale when the Jan-1+id%28 crawl predates the Jan-15
+    // lastmod), odd docs are crawled-not-listed.
+    "q187_sitemap_coverage" ->
+      """SELECT source AS host,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END) AS BIGINT) AS n_listed,
+        |  CAST(COUNT(*) AS BIGINT) AS n_crawled,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+        |  CAST(COUNT(*) AS BIGINT) AS n_listed_not_crawled,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_crawled_not_listed,
+        |  CAST(SUM(CASE WHEN doc_id % 2 = 0 AND doc_id % 28 <= 13 THEN 1 ELSE 0 END) AS BIGINT) AS n_stale
+        |FROM documents GROUP BY source""".stripMargin,
+
+    // q188: DuckDB replays the identical per-host window (url is unique
+    // within host, so the order is total and the slot deterministic).
+    "q188_politeness" ->
+      """WITH u AS (
+        |  SELECT source || '-h' || (doc_id % 7) AS host,
+        |    'http://' || source || '-h' || (doc_id % 7) || '.example/doc/' || doc_id AS url,
+        |    (doc_id % 7 + 1) * 500 AS delay_ms
+        |  FROM documents)
+        |SELECT url, host,
+        |  CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS INT) AS slot,
+        |  CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) * delay_ms AS BIGINT) AS sched_ms
+        |FROM u""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

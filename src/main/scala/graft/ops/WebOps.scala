@@ -578,9 +578,10 @@ object WebOps {
   }
 
   /** One `<url>` entry of a urlset sitemap: entity-decoded `loc`,
-    * whether `lastmod` starts with a W3C date, the validated (lowercase
+    * whether `lastmod` starts with a W3C date (plus the raw value, for
+    * the coverage audit's staleness compare), the validated (lowercase
     * enum) `changefreq` or null, and the exact-integer priority. */
-  case class SitemapEntry(loc: String, lastmod_ok: Boolean,
+  case class SitemapEntry(loc: String, lastmod_ok: Boolean, lastmod: String,
       changefreq: String, priority_micro: Long)
 
   /** Row type of [[sitemapParse]]: document kind plus urlset entries
@@ -640,7 +641,7 @@ object WebOps {
             entries += SitemapEntry(
               xmlUnescape(loc),
               lastmod != null && lastmod.matches("\\d{4}-\\d{2}-\\d{2}.*"),
-              cf, priorityMicro(tagText(block, "priority")))
+              lastmod, cf, priorityMicro(tagText(block, "priority")))
           }
           pos = txt.indexOf("<url>", end + 6)
         }
@@ -664,4 +665,177 @@ object WebOps {
 
   def sitemapParse(txt: Column): Column =
     udf((t: String) => sitemapKernel(t)).apply(txt)
+
+  /** One feed item/entry: entity-decoded link and title plus whether the
+    * item's date parses under the format its OWN feed dialect mandates
+    * (RFC 1123 `pubDate` for RSS, W3C-datetime `updated` for Atom). */
+  case class FeedItem(link: String, title: String, date_ok: Boolean)
+
+  /** Row type of [[feedParse]]: dialect (`rss`/`atom`/`invalid`) plus
+    * the link-bearing items (link-less items identify nothing → drop,
+    * the same contract as loc-less sitemap entries). */
+  case class FeedParse(kind: String, items: Seq[FeedItem])
+
+  /** RFC 1123 / RFC 822 date shape RSS `pubDate` mandates:
+    * `Tue, 10 Jun 2003 04:00:00 GMT` (2-digit-minute variant and
+    * numeric zones allowed; RFC 822's optional weekday kept required —
+    * every real feed writer emits it and its absence flags hand-rolled
+    * producers whose dates we should not trust for refetch ordering). */
+  private val rfc1123Re =
+    ("^(Mon|Tue|Wed|Thu|Fri|Sat|Sun), \\d{1,2} " +
+      "(Jan|Feb|Mar|Apr|May|Jun|Jul|Aug|Sep|Oct|Nov|Dec) \\d{4} " +
+      "\\d{2}:\\d{2}(:\\d{2})? (UT|GMT|[ECMP][SD]T|[A-IK-Z]|[+-]\\d{4})$").r
+
+  /** First `<tag …>text</tag>` in `block`, tolerating attributes on the
+    * open tag (Atom `<title type="text">`); self-closing instances are
+    * skipped. Null when no text-bearing instance exists. */
+  private def tagTextAttr(block: String, tag: String): String = {
+    var i = block.indexOf("<" + tag)
+    while (i >= 0) {
+      val after = i + 1 + tag.length
+      if (after < block.length &&
+          (block.charAt(after) == '>' || Character.isWhitespace(block.charAt(after)))) {
+        val gt = block.indexOf('>', after)
+        if (gt < 0) return null
+        if (block.charAt(gt - 1) != '/') {
+          val j = block.indexOf("</" + tag + ">", gt + 1)
+          if (j < 0) return null
+          return block.substring(gt + 1, j).trim
+        }
+      }
+      i = block.indexOf("<" + tag, i + 1)
+    }
+    null
+  }
+
+  /** `href` attribute of the first `<link …>` tag in an Atom entry
+    * block (Atom links are attribute-carried, unlike RSS text links). */
+  private def atomLinkHref(block: String): String = {
+    var i = block.indexOf("<link")
+    while (i >= 0) {
+      val gt = block.indexOf('>', i)
+      if (gt < 0) return null
+      val tag = block.substring(i, gt)
+      val h = tag.indexOf("href=")
+      if (h >= 0 && h + 6 < tag.length) {
+        val quote = tag.charAt(h + 5)
+        if (quote == '"' || quote == '\'') {
+          val end = tag.indexOf(quote, h + 6)
+          if (end > h + 6) return tag.substring(h + 6, end)
+        }
+      }
+      i = block.indexOf("<link", gt)
+    }
+    null
+  }
+
+  /** RSS 2.0 / Atom feed parser — the third crawl-discovery input next
+    * to robots `Sitemap:` pointers ([[robotsPolicy]]) and sitemaps
+    * ([[sitemapParse]]): RSS `<item>` blocks (text `<link>`, RFC 1123
+    * `<pubDate>`) or Atom `<entry>` blocks (attribute `<link href>`,
+    * W3C `<updated>`); anything without an `<rss`/`<feed` root →
+    * `invalid`. Same scanner discipline as the sitemap kernel: one
+    * left-to-right pass, link-less items drop, entities decode once.
+    *
+    * Scale shape: feeds are a hosts-sized frame; the kernel is a narrow
+    * per-row map, downstream freshness joins key on the item link. */
+  private[graft] def feedKernel(txt: String): FeedParse = {
+    if (txt == null) return FeedParse("invalid", Nil)
+    val ir = txt.indexOf("<rss")
+    val ia = txt.indexOf("<feed")
+    def scan(open: String, close: String, from: Int,
+        link: String => String, dateTag: String,
+        dateOk: String => Boolean): Seq[FeedItem] = {
+      val out = Vector.newBuilder[FeedItem]
+      var pos = txt.indexOf(open, from)
+      while (pos >= 0) {
+        val end = txt.indexOf(close, pos + open.length)
+        if (end < 0) pos = -1
+        else {
+          val block = txt.substring(pos + open.length, end)
+          val l = link(block)
+          if (l != null && l.nonEmpty) {
+            val t = tagTextAttr(block, "title")
+            val d = tagTextAttr(block, dateTag)
+            out += FeedItem(xmlUnescape(l),
+              if (t == null) null else xmlUnescape(t),
+              d != null && dateOk(d))
+          }
+          pos = txt.indexOf(open, end + close.length)
+        }
+      }
+      out.result()
+    }
+    if (ir >= 0 && (ia < 0 || ir < ia))
+      FeedParse("rss", scan("<item>", "</item>", ir,
+        b => tagTextAttr(b, "link"), "pubDate",
+        d => rfc1123Re.matches(d)))
+    else if (ia >= 0)
+      FeedParse("atom", scan("<entry>", "</entry>", ia,
+        atomLinkHref, "updated",
+        d => d.matches("\\d{4}-\\d{2}-\\d{2}T\\d{2}:\\d{2}.*")))
+    else FeedParse("invalid", Nil)
+  }
+
+  def feedParse(txt: Column): Column =
+    udf((t: String) => feedKernel(t)).apply(txt)
+
+  /** Crawl-coverage audit: full-outer join of sitemap-listed locs
+    * against crawled urls, aggregated per host — the refetch-planning
+    * numbers a crawl operator reads off [[sitemapParse]]'s output:
+    * how much of what the site declares did we fetch
+    * (`n_both`/`n_listed_not_crawled`), what do we hold that the site
+    * no longer lists (`n_crawled_not_listed`, deletion candidates), and
+    * what has a declared `lastmod` NEWER than our fetch (`n_stale`, the
+    * refetch set).
+    *
+    * Contracts: `listed` = (host, url, lastmod_day: nullable DATE) —
+    * one row per sitemap entry; `crawled` = (host, url, crawl_day).
+    * Scale shape: ONE exchange keyed on url (both sides are pages-sized;
+    * neither broadcasts), then a hosts-sized aggregate with map-side
+    * partials — no window, no driver collect. */
+  def sitemapCoverage(listed: DataFrame, crawled: DataFrame): DataFrame = {
+    val l = listed.select(col("host").as("l_host"), col("url"),
+      col("lastmod_day"))
+    val c = crawled.select(col("host").as("c_host"), col("url"),
+      col("crawl_day"))
+    l.join(c, Seq("url"), "full_outer")
+      .groupBy(coalesce(col("l_host"), col("c_host")).as("host"))
+      .agg(
+        count(col("l_host")).as("n_listed"),
+        count(col("c_host")).as("n_crawled"),
+        sum(when(col("l_host").isNotNull && col("c_host").isNotNull, 1L)
+          .otherwise(0L)).as("n_both"),
+        sum(when(col("c_host").isNull, 1L).otherwise(0L))
+          .as("n_listed_not_crawled"),
+        sum(when(col("l_host").isNull, 1L).otherwise(0L))
+          .as("n_crawled_not_listed"),
+        sum(when(col("lastmod_day") > col("crawl_day"), 1L).otherwise(0L))
+          .as("n_stale"))
+  }
+
+  /** Politeness fetch schedule: assign every frontier url a per-host
+    * slot and a millisecond offset honoring that host's crawl-delay
+    * ([[robotsPolicy]]'s `crawl_delay_ms`; hosts with no declared delay
+    * get `defaultDelayMs`). Slots order by url — deterministic across
+    * runs and cluster sizes, no wallclock involved; a scheduler adds its
+    * own epoch. Output: input columns + `slot` (0-based) + `sched_ms`.
+    *
+    * Scale shape: delays are hosts-sized → broadcast left join (no url
+    * exchange for the lookup); the one exchange is the per-host window,
+    * and a hot host serializing through a single partition is not skew
+    * to salt away — politeness IS per-host serialization, the host's
+    * schedule length is its own fetch budget. */
+  def politenessSchedule(urls: DataFrame, delays: DataFrame,
+      defaultDelayMs: Long = 1000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("host")).orderBy(col("url"))
+    urls.join(broadcast(delays.select(col("host"), col("delay_ms"))),
+        Seq("host"), "left")
+      .withColumn("slot", row_number().over(w) - 1)
+      .withColumn("sched_ms",
+        col("slot").cast("long") *
+          coalesce(col("delay_ms"), lit(defaultDelayMs)))
+      .drop("delay_ms")
+  }
 }

@@ -2773,4 +2773,69 @@ class OpsSpec extends AnyFunSuite {
       && priorityMicro("") == -1L && priorityMicro("0.8x") == -1L
       && priorityMicro(null) == -1L && priorityMicro(".") == -1L)
   }
+
+  test("feedKernel: rss pubDate validation, atom href extraction, invalid fallback") {
+    import graft.ops.WebOps.feedKernel
+    val rss = feedKernel(
+      """<?xml version="1.0"?><rss version="2.0"><channel><title>chan</title>
+        |<item><link>http://h/a?x=1&amp;y=2</link><title>A &amp; B</title>
+        |<pubDate>Tue, 10 Jun 2003 04:00:00 GMT</pubDate></item>
+        |<item><link>http://h/b</link><pubDate>10 Jun 2003 04:00 GMT</pubDate></item>
+        |<item><link>http://h/c</link><pubDate>Wed, 1 Jan 2026 09:30 +0530</pubDate></item>
+        |<item><title>linkless drops</title></item>
+        |</channel></rss>""".stripMargin)
+    assert(rss.kind == "rss" && rss.items.size == 3, rss.toString)
+    assert(rss.items(0).link == "http://h/a?x=1&y=2" && rss.items(0).title == "A & B"
+      && rss.items(0).date_ok)
+    assert(!rss.items(1).date_ok) // missing weekday fails RFC 1123
+    assert(rss.items(2).date_ok && rss.items(2).title == null) // numeric zone ok
+    val atom = feedKernel(
+      """<feed xmlns="http://www.w3.org/2005/Atom">
+        |<entry><title type="text">E1</title>
+        |<link rel="alternate" href="http://h/e?id=1&amp;v=2"/>
+        |<updated>2026-03-01T12:00:00Z</updated></entry>
+        |<entry><link href='http://h/f'/><updated>March 1</updated></entry>
+        |<entry><id>urn:x</id></entry>
+        |</feed>""".stripMargin)
+    assert(atom.kind == "atom" && atom.items.size == 2, atom.toString)
+    assert(atom.items(0).link == "http://h/e?id=1&v=2" && atom.items(0).title == "E1"
+      && atom.items(0).date_ok)
+    assert(atom.items(1).link == "http://h/f" && !atom.items(1).date_ok)
+    assert(feedKernel("<html><body>blog</body></html>").kind == "invalid")
+    assert(feedKernel(null).kind == "invalid")
+    assert(feedKernel("<rss><channel><item><link>x</link>").items.isEmpty)
+  }
+
+  test("sitemapCoverage: four coverage classes and staleness per host") {
+    import java.sql.Date
+    val listed = Seq(
+      ("h1", "u1", Date.valueOf("2026-01-15")),
+      ("h1", "u2", null.asInstanceOf[Date]),
+      ("h1", "ghost", Date.valueOf("2026-01-15")),
+      ("h2", "v1", null.asInstanceOf[Date])
+    ).toDF("host", "url", "lastmod_day")
+    val crawled = Seq(
+      ("h1", "u1", Date.valueOf("2026-01-10")), // lastmod 15 > crawl 10 → stale
+      ("h1", "u2", Date.valueOf("2026-01-20")),
+      ("h1", "extra", Date.valueOf("2026-01-01")),
+      ("h3", "w1", Date.valueOf("2026-01-01"))
+    ).toDF("host", "url", "crawl_day")
+    val got = graft.ops.WebOps.sitemapCoverage(listed, crawled).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(got("h1") == ((3L, 3L, 2L, 1L, 1L, 1L)), got.toString)
+    assert(got("h2") == ((1L, 0L, 0L, 1L, 0L, 0L))) // sitemap-only host
+    assert(got("h3") == ((0L, 1L, 0L, 0L, 1L, 0L))) // crawl-only host
+  }
+
+  test("politenessSchedule: per-host url-ordered slots x delay, default delay fallback") {
+    val urls = Seq(("h1", "b"), ("h1", "a"), ("h1", "c"), ("h2", "z"), ("h2", "y"))
+      .toDF("host", "url")
+    val delays = Seq(("h1", 2000L)).toDF("host", "delay_ms")
+    val got = graft.ops.WebOps.politenessSchedule(urls, delays, defaultDelayMs = 700L)
+      .collect().map(r => r.getString(r.fieldIndex("url")) ->
+        ((r.getInt(r.fieldIndex("slot")), r.getLong(r.fieldIndex("sched_ms"))))).toMap
+    assert(got("a") == ((0, 0L)) && got("b") == ((1, 2000L)) && got("c") == ((2, 4000L)))
+    assert(got("y") == ((0, 0L)) && got("z") == ((1, 700L))) // undeclared host → default
+  }
 }
