@@ -2702,6 +2702,39 @@ object Queries {
         .groupBy(col("host")).agg(max(col("delay_ms")).as("delay_ms"))
       graft.ops.WebOps.politenessSchedule(urls, delays)
         .select(col("url"), col("host"), col("slot"), col("sched_ms"))
+    }),
+
+    // JSON-LD structured-data harvest — the real tokenizer pulls
+    // <script type="application/ld+json"> blocks (plain JS scripts must
+    // NOT match; the Article page carries TWO blocks and fields read
+    // from the first), then codegen'd get_json_object reaches @type,
+    // nested author.name, and offers.price; every value a closed form.
+    "q189_jsonld" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = pmod(col("doc_id"), lit(3))
+      val html = when(m === 0, concat(
+          lit("<html><head><script>var x=1;</script>" +
+            "<script type=\"application/ld+json\">{\"@context\":\"https://schema.org\"," +
+            "\"@type\":\"Article\",\"headline\":\"Post "), col("doc_id"),
+          lit("\",\"datePublished\":\"2026-01-15\"," +
+            "\"author\":{\"@type\":\"Person\",\"name\":\"A "), col("doc_id"),
+          lit("\"}}</script><script type=\"application/ld+json\">" +
+            "{\"@type\":\"BreadcrumbList\"}</script></head><body><p>t</p></body></html>")))
+        .when(m === 1, concat(
+          lit("<html><head><script type='application/ld+json'>" +
+            "{\"@type\":\"Product\",\"name\":\"P "), col("doc_id"),
+          lit("\",\"offers\":{\"@type\":\"Offer\",\"price\":\""),
+          pmod(col("doc_id"), lit(100)),
+          lit(".50\",\"priceCurrency\":\"USD\"}}</script></head><body></body></html>")))
+        .otherwise(lit("<html><head><script>var y=2;</script></head>" +
+          "<body><p>no ld</p></body></html>"))
+      d.select(col("doc_id"),
+          graft.extract.MetaHarvest.jsonldBlocks(html).as("blocks"))
+        .select(col("doc_id"), size(col("blocks")).as("n_blocks"),
+          get_json_object(expr("try_element_at(blocks, 1)"), "$['@type']").as("ld_type"),
+          get_json_object(expr("try_element_at(blocks, 1)"), "$.headline").as("headline"),
+          get_json_object(expr("try_element_at(blocks, 1)"), "$.author.name").as("author_name"),
+          get_json_object(expr("try_element_at(blocks, 1)"), "$.offers.price").as("price"))
     })
   )
 
@@ -6401,6 +6434,19 @@ object Queries {
         |  CAST(row_number() OVER (PARTITION BY host ORDER BY url) - 1 AS INT) AS slot,
         |  CAST((row_number() OVER (PARTITION BY host ORDER BY url) - 1) * delay_ms AS BIGINT) AS sched_ms
         |FROM u""".stripMargin,
+
+    // q189: the constructed JSON-LD fields as closed forms — the plain
+    // JS scripts contribute nothing, the Article page counts 2 blocks
+    // but reads fields from the first, the Product page's nested offer
+    // price is (id%100).50, and the no-LD page is all absent.
+    "q189_jsonld" ->
+      """SELECT doc_id,
+        |  CAST(CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS INT) AS n_blocks,
+        |  CASE doc_id % 3 WHEN 0 THEN 'Article' WHEN 1 THEN 'Product' END AS ld_type,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'Post ' || doc_id END AS headline,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'A ' || doc_id END AS author_name,
+        |  CASE WHEN doc_id % 3 = 1 THEN (doc_id % 100) || '.50' END AS price
+        |FROM documents""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

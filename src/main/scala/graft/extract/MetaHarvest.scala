@@ -89,4 +89,44 @@ object MetaHarvest {
     val u = udf((h: String) => harvest(h))
     df.withColumn("meta", u(col(htmlCol)))
   }
+
+  /** Raw JSON-LD blocks of a page, in document order: the contents of
+    * every `<script type="application/ld+json">` element (schema.org
+    * structured data — the machine-readable article/product/breadcrumb
+    * metadata publishers embed for search engines, and the highest-
+    * precision field source a training-data pipeline gets for free).
+    * Plain `<script>` JS never matches; whitespace-only blocks drop.
+    * The tokenizer's raw-text rule keeps braces/quotes inside the JSON
+    * from being parsed as markup, and the JSON stays RAW — field access
+    * belongs to `get_json_object`/`from_json` downstream (codegen'd),
+    * not to this kernel. One token-stream pass, purely narrow. */
+  def jsonld(html: String): Seq[String] = {
+    if (html == null) return Nil
+    val out = Vector.newBuilder[String]
+    val it = Tokenizer.tokenizeBuf(html).iterator
+    var in = false
+    val sb = new StringBuilder
+    while (it.hasNext) {
+      it.next() match {
+        case StartTag("script", attrs, selfClosing) =>
+          if (!selfClosing && attrs.get("type")
+              .exists(_.trim.equalsIgnoreCase("application/ld+json"))) {
+            in = true; sb.clear()
+          }
+        case EndTag("script") =>
+          if (in) {
+            val t = sb.toString.trim
+            if (t.nonEmpty) out += t
+            in = false
+          }
+        case Text(data) => if (in) sb ++= data
+        case _ => ()
+      }
+    }
+    out.result()
+  }
+
+  /** Column stage for [[jsonld]]: html → array of raw JSON strings. */
+  def jsonldBlocks(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    udf((h: String) => jsonld(h)).apply(html)
 }

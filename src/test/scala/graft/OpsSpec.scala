@@ -2838,4 +2838,25 @@ class OpsSpec extends AnyFunSuite {
     assert(got("a") == ((0, 0L)) && got("b") == ((1, 2000L)) && got("c") == ((2, 4000L)))
     assert(got("y") == ((0, 0L)) && got("z") == ((1, 700L))) // undeclared host → default
   }
+
+  test("jsonld: ld+json blocks extracted raw in order, plain scripts skipped") {
+    import graft.extract.MetaHarvest.jsonld
+    val blocks = jsonld(
+      """<html><head><script>var x = {"@type":"Decoy"};</script>
+        |<script type="application/ld+json">{"@type":"Article","headline":"H1"}</script>
+        |<script type=" APPLICATION/LD+JSON ">  {"@type":"BreadcrumbList"}  </script>
+        |<script type="application/ld+json">   </script>
+        |</head><body><script type="application/ld+json">{"@type":"Product"}</script>
+        |</body></html>""".stripMargin)
+    assert(blocks == Seq(
+      """{"@type":"Article","headline":"H1"}""",
+      """{"@type":"BreadcrumbList"}""",
+      """{"@type":"Product"}"""), blocks.toString) // whitespace-only block drops
+    assert(jsonld(null).isEmpty && jsonld("<html><body>no scripts</body></html>").isEmpty)
+    // the raw JSON survives for Spark's JSON path functions, @-keys included
+    val df = Seq(blocks.head).toDF("b")
+      .select(get_json_object($"b", "$['@type']").as("t"),
+        get_json_object($"b", "$.headline").as("h"))
+    assert(df.collect().head.toSeq == Seq("Article", "H1"))
+  }
 }
