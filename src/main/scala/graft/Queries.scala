@@ -2735,6 +2735,61 @@ object Queries {
           get_json_object(expr("try_element_at(blocks, 1)"), "$.headline").as("headline"),
           get_json_object(expr("try_element_at(blocks, 1)"), "$.author.name").as("author_name"),
           get_json_object(expr("try_element_at(blocks, 1)"), "$.offers.price").as("price"))
+    }),
+
+    // Flesch–Kincaid readability — templates with hand-verified word/
+    // sentence/syllable counts drive the REAL kernel (vowel-group rule,
+    // silent-e, terminator-run sentences); the grade formulas are pure
+    // Column DSL on the count longs in exact micro-units, so the oracle
+    // replays the identical IEEE expression on its closed-form counts.
+    "q190_readability" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = pmod(col("doc_id"), lit(4))
+      val k = pmod(col("doc_id"), lit(3)) + 1
+      val s0 = "The quick brown fox jumps over the lazy dog." // 9 words, 11 syllables
+      val s1 = "Reading comprehension requires attention."    // 4 words, 12 syllables
+      val text = when(m === 0,
+          when(k === 1, lit(s0)).when(k === 2, lit(s0 + " " + s0))
+            .otherwise(lit(s0 + " " + s0 + " " + s0)))
+        .when(m === 1, lit(s1 + " " + s1))
+        .when(m === 2, lit("brown fox")) // fragment: no terminator → 1 sentence
+        .otherwise(lit(""))
+      val r = graft.ops.TextOps.readability(text)
+      d.select(col("doc_id"), r.as("r"))
+        .select(col("doc_id"),
+          col("r.n_words").as("n_words"),
+          col("r.n_sentences").as("n_sentences"),
+          col("r.n_syllables").as("n_syllables"),
+          graft.ops.TextOps.fkGradeMicro(
+            col("r.n_words"), col("r.n_sentences"), col("r.n_syllables")).as("fk_grade_micro"),
+          graft.ops.TextOps.fleschEaseMicro(
+            col("r.n_words"), col("r.n_sentences"), col("r.n_syllables")).as("flesch_micro"))
+    }),
+
+    // LZ78 repetition signal — the compression-ratio quality heuristic
+    // with a closed form: a^T(k) parses into exactly k phrases (a, aa,
+    // …, a^k), an all-distinct prefix into one phrase per char, empty
+    // into none; ratio = phrases/codepoints micro-quantized, null on
+    // empty. The parse itself (dictionary walk) is pinned by the spec.
+    "q191_lz78" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = pmod(col("doc_id"), lit(3))
+      val k = pmod(col("doc_id"), lit(12)) + 1   // 1..12, T(k) ≤ 78
+      val lcol = pmod(col("doc_id"), lit(26)) + 1 // 1..26
+      val withText = d
+        .withColumn("__tri", (k * (k + 1) / 2).cast("int"))
+        .withColumn("__l", lcol.cast("int"))
+        .withColumn("__t",
+          when(m === 0, expr("repeat('a', __tri)"))
+          .when(m === 1, expr("substring('abcdefghijklmnopqrstuvwxyz', 1, __l)"))
+          .otherwise(lit("")))
+      val st = graft.ops.TextOps.lz78(col("__t"))
+      withText.select(col("doc_id"), st.as("s"))
+        .select(col("doc_id"),
+          col("s.n_phrases").as("n_phrases"), col("s.n_cp").as("n_cp"),
+          when(col("s.n_cp") === 0L, lit(null).cast("long")).otherwise(
+            floor(col("s.n_phrases").cast("double") / col("s.n_cp").cast("double") * lit(1e6) + lit(0.5))
+              .cast("long")).as("ratio_micro"))
     })
   )
 
@@ -6447,6 +6502,34 @@ object Queries {
         |  CASE WHEN doc_id % 3 = 0 THEN 'A ' || doc_id END AS author_name,
         |  CASE WHEN doc_id % 3 = 1 THEN (doc_id % 100) || '.50' END AS price
         |FROM documents""".stripMargin,
+
+    // q190: counts as closed forms of doc_id (templates hand-verified in
+    // the spec), grades the IDENTICAL IEEE double expression on those
+    // counts — exact-integer divisions once, floor micro-quantized.
+    "q190_readability" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 9*((doc_id % 3)+1) WHEN 1 THEN 8 WHEN 2 THEN 2 ELSE 0 END AS BIGINT) AS n_words,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN (doc_id % 3)+1 WHEN 1 THEN 2 WHEN 2 THEN 1 ELSE 0 END AS BIGINT) AS n_sentences,
+        |    CAST(CASE doc_id % 4 WHEN 0 THEN 11*((doc_id % 3)+1) WHEN 1 THEN 24 WHEN 2 THEN 2 ELSE 0 END AS BIGINT) AS n_syllables
+        |  FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |  CASE WHEN n_words > 0 THEN CAST(floor((0.39*(CAST(n_words AS DOUBLE)/CAST(n_sentences AS DOUBLE)) + 11.8*(CAST(n_syllables AS DOUBLE)/CAST(n_words AS DOUBLE)) - 15.59)*1e6 + 0.5) AS BIGINT) END AS fk_grade_micro,
+        |  CASE WHEN n_words > 0 THEN CAST(floor((206.835 - 1.015*(CAST(n_words AS DOUBLE)/CAST(n_sentences AS DOUBLE)) - 84.6*(CAST(n_syllables AS DOUBLE)/CAST(n_words AS DOUBLE)))*1e6 + 0.5) AS BIGINT) END AS flesch_micro
+        |FROM r""".stripMargin,
+
+    // q191: LZ78 closed forms — a^T(k) → k phrases over T(k) codepoints,
+    // all-distinct prefix → L over L, empty → 0; ratio replays the
+    // identical IEEE division/quantization on the same integers.
+    "q191_lz78" ->
+      """WITH r AS (
+        |  SELECT doc_id,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN (doc_id % 12)+1 WHEN 1 THEN (doc_id % 26)+1 ELSE 0 END AS BIGINT) AS n_phrases,
+        |    CAST(CASE doc_id % 3 WHEN 0 THEN ((doc_id % 12)+1)*((doc_id % 12)+2)/2 WHEN 1 THEN (doc_id % 26)+1 ELSE 0 END AS BIGINT) AS n_cp
+        |  FROM documents)
+        |SELECT doc_id, n_phrases, n_cp,
+        |  CASE WHEN n_cp > 0 THEN CAST(floor(CAST(n_phrases AS DOUBLE)/CAST(n_cp AS DOUBLE)*1e6 + 0.5) AS BIGINT) END AS ratio_micro
+        |FROM r""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

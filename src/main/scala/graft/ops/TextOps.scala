@@ -875,4 +875,142 @@ object TextOps {
       .groupBy(col("e.threshold").as("threshold"))
       .agg(sum(col("e.n")).as("n_tokens"), sum(col("e.v")).as("vocab"))
   }
+
+  final case class Readability(n_words: Long, n_sentences: Long, n_syllables: Long)
+
+  /** Heuristic English syllable count of one token (the standard
+    * vowel-group rule readability formulas are defined over): ASCII
+    * letters only, case-folded; count maximal runs of `aeiouy`; a final
+    * silent `e` (not `le`, and not the only vowel group) subtracts one;
+    * floor 1 for any word with letters. Deterministic, dictionary-free —
+    * the convention every open readability implementation uses, stated
+    * here as the contract the oracle's per-word constants encode. */
+  def syllables(word: String): Int = {
+    val sb = new StringBuilder
+    var j = 0
+    while (j < word.length) {
+      val c = Character.toLowerCase(word.charAt(j))
+      if (c >= 'a' && c <= 'z') sb.append(c)
+      j += 1
+    }
+    val s = sb.toString
+    if (s.isEmpty) return 0
+    var groups = 0
+    var prevVowel = false
+    var i = 0
+    while (i < s.length) {
+      val v = "aeiouy".indexOf(s.charAt(i)) >= 0
+      if (v && !prevVowel) groups += 1
+      prevVowel = v
+      i += 1
+    }
+    if (groups > 1 && s.endsWith("e") && !s.endsWith("le")) groups -= 1
+    math.max(groups, 1)
+  }
+
+  /** Readability counts of a document: words = whitespace tokens carrying
+    * at least one ASCII letter, sentences = maximal runs of `.!?` (a
+    * terminator-less fragment with words counts as one sentence),
+    * syllables = [[syllables]] summed over words. One pass, no
+    * allocation beyond the token split; the grade formulas stay OUT of
+    * the kernel — they are pure arithmetic on these longs and belong to
+    * codegen'd Column DSL ([[fkGradeMicro]]/[[fleschEaseMicro]]). */
+  def readabilityStats(text: String): Readability = {
+    if (text == null) return Readability(0L, 0L, 0L)
+    var words = 0L
+    var syl = 0L
+    for (tok <- text.split("\\s+")) {
+      var hasLetter = false
+      var i = 0
+      while (i < tok.length && !hasLetter) {
+        val c = tok.charAt(i)
+        hasLetter = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+        i += 1
+      }
+      if (hasLetter) { words += 1L; syl += syllables(tok).toLong }
+    }
+    var sent = 0L
+    var prevTerm = false
+    var i = 0
+    while (i < text.length) {
+      val c = text.charAt(i)
+      val t = c == '.' || c == '!' || c == '?'
+      if (t && !prevTerm) sent += 1L
+      prevTerm = t
+      i += 1
+    }
+    if (sent == 0L && words > 0L) sent = 1L
+    Readability(words, sent, syl)
+  }
+
+  /** Column stage for [[readabilityStats]]: text → struct(n_words,
+    * n_sentences, n_syllables). */
+  def readability(text: Column): Column =
+    udf((t: String) => readabilityStats(t)).apply(text)
+
+  /** Flesch–Kincaid grade level in EXACT micro-units from the count
+    * longs: floor((0.39·(w/s) + 11.8·(syl/w) − 15.59)·10⁶ + 0.5). Both
+    * divisions divide exact integers once (correctly-rounded IEEE, the
+    * q57-q59 discipline — identical bits in Spark and DuckDB when the
+    * oracle states the same expression); null when no words. */
+  def fkGradeMicro(w: Column, s: Column, syl: Column): Column =
+    when(w === 0L, lit(null).cast("long")).otherwise(
+      floor((lit(0.39) * (w.cast("double") / s.cast("double")) +
+        lit(11.8) * (syl.cast("double") / w.cast("double")) -
+        lit(15.59)) * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** Flesch reading-ease in micro-units, same discipline:
+    * floor((206.835 − 1.015·(w/s) − 84.6·(syl/w))·10⁶ + 0.5). */
+  def fleschEaseMicro(w: Column, s: Column, syl: Column): Column =
+    when(w === 0L, lit(null).cast("long")).otherwise(
+      floor((lit(206.835) - lit(1.015) * (w.cast("double") / s.cast("double")) -
+        lit(84.6) * (syl.cast("double") / w.cast("double"))) * lit(1e6) + lit(0.5)).cast("long"))
+
+  final case class Lz78Stats(n_phrases: Long, n_cp: Long)
+
+  /** LZ78 parse of a document: the phrase count is the EXACT,
+    * dictionary-free analog of the "gzip compression ratio" repetition
+    * signal curation pipelines use (Gopher/Dolma-style) — highly
+    * repetitive text parses into few long phrases, junk/unique text into
+    * ~one phrase per codepoint. Unlike deflate, the LZ78 phrase count
+    * has a pencil-and-paper closed form on constructed inputs, so the
+    * signal is cross-engine ORACLE-able, not merely unit-tested.
+    *
+    * Parse rule (classic LZ78): scan codepoints, extend the current
+    * phrase while (prefix, cp) is in the dictionary; on a miss, emit the
+    * phrase, add it, reset; a trailing in-dictionary remnant counts as
+    * one phrase. Dictionary keys pack (prefixId << 21 | cp) into one
+    * long — `mutable.LongMap` with getOrElse, never j.u.HashMap
+    * (CLAUDE.md null-unboxing trap). One pass, O(n) map ops. */
+  def lz78Stats(text: String): Lz78Stats = {
+    if (text == null || text.isEmpty) return Lz78Stats(0L, 0L)
+    val dict = scala.collection.mutable.LongMap.empty[Int]
+    var nextId = 1
+    var phrases = 0L
+    var nCp = 0L
+    var prefix = 0
+    var i = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      i += Character.charCount(cp)
+      nCp += 1L
+      val key = (prefix.toLong << 21) | cp.toLong
+      val id = dict.getOrElse(key, -1)
+      if (id >= 0) prefix = id
+      else {
+        dict(key) = nextId; nextId += 1
+        phrases += 1L
+        prefix = 0
+      }
+    }
+    if (prefix != 0) phrases += 1L
+    Lz78Stats(phrases, nCp)
+  }
+
+  /** Column stage for [[lz78Stats]]: text → struct(n_phrases, n_cp).
+    * The ratio (phrases/codepoints, ~0 repetitive … 1 incompressible)
+    * is one exact-integer division downstream — micro-quantize it in
+    * Column DSL, not here. */
+  def lz78(text: Column): Column =
+    udf((t: String) => lz78Stats(t)).apply(text)
 }

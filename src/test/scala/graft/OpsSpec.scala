@@ -2859,4 +2859,41 @@ class OpsSpec extends AnyFunSuite {
         get_json_object($"b", "$.headline").as("h"))
     assert(df.collect().head.toSeq == Seq("Article", "H1"))
   }
+
+  test("readability: syllable rule, sentence runs, q190 template counts") {
+    import graft.ops.TextOps.{syllables, readabilityStats}
+    // vowel-group rule word by word (the q190 oracle constants)
+    val fox = Seq("The" -> 1, "quick" -> 1, "brown" -> 1, "fox" -> 1, "jumps" -> 1,
+      "over" -> 2, "the" -> 1, "lazy" -> 2, "dog." -> 1)
+    fox.foreach { case (w, n) => assert(syllables(w) == n, w) }
+    val reading = Seq("Reading" -> 2, "comprehension" -> 4, "requires" -> 3, "attention." -> 3)
+    reading.foreach { case (w, n) => assert(syllables(w) == n, w) }
+    // silent-e: subtracts ("make"), except -le ("table") or sole group ("the")
+    assert(syllables("make") == 1 && syllables("table") == 2 && syllables("the") == 1)
+    assert(syllables("123") == 0 && syllables("rhythm") == 1) // y as vowel, floor 1
+    val r0 = readabilityStats("The quick brown fox jumps over the lazy dog.")
+    assert(r0 == graft.ops.TextOps.Readability(9, 1, 11))
+    // "..." and "?!" are ONE terminator run; fragment with words = 1 sentence
+    assert(readabilityStats("Wait... what?! ok").n_sentences == 2L)
+    assert(readabilityStats("brown fox") == graft.ops.TextOps.Readability(2, 1, 2))
+    assert(readabilityStats("") == graft.ops.TextOps.Readability(0, 0, 0))
+    assert(readabilityStats(null) == graft.ops.TextOps.Readability(0, 0, 0))
+    assert(readabilityStats("12 34 .").n_words == 0L) // letter-less tokens aren't words
+  }
+
+  test("lz78: classic parse counts, trailing remnant, codepoint folding") {
+    import graft.ops.TextOps.{lz78Stats, Lz78Stats}
+    // hand parses: a|aa ; a|b|ab|(ab trailing) ; a|b|c ; a|aa|aaa|a(trailing)
+    assert(lz78Stats("aaa") == Lz78Stats(2, 3))
+    assert(lz78Stats("ababab") == Lz78Stats(4, 6))
+    assert(lz78Stats("abc") == Lz78Stats(3, 3))
+    assert(lz78Stats("aaaaaaa") == Lz78Stats(4, 7)) // T(3)=6 +1 trailing 'a'
+    assert(lz78Stats("") == Lz78Stats(0, 0) && lz78Stats(null) == Lz78Stats(0, 0))
+    // supplementary-plane codepoints fold as single symbols (no UTF-16 split)
+    assert(lz78Stats("😀😀😀") == Lz78Stats(2, 3))
+    // triangular family: a^T(k) → exactly k phrases (the q191 closed form)
+    (1 to 12).foreach { k =>
+      assert(lz78Stats("a" * (k * (k + 1) / 2)) == Lz78Stats(k, k * (k + 1) / 2), k)
+    }
+  }
 }
