@@ -1,0 +1,205 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.{Jpeg, JpegEncoder}
+
+/** Differential + exactness tests for the from-scratch baseline JPEG
+  * codec. The independent oracle is the JDK's ImageIO JPEG plugin (a
+  * libjpeg-derived implementation that shares no code with ours):
+  *  - bytes OUR encoder emits must decode under ImageIO, and ImageIO's
+  *    pixels must match OUR decoder's within an IDCT tolerance;
+  *  - bytes ImageIO's *writer* emits (its default 4:2:0 subsampling)
+  *    must decode under OUR decoder to ImageIO-matching pixels.
+  * The DC-only "exact class" (flat 8x8 blocks, exactQuant) must
+  * round-trip bit-exactly — that's the invariant the q192/q193/q194
+  * oracles lean on.
+  */
+class JpegSpec extends AnyFunSuite {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  private def imageIoDecode(bytes: Array[Byte]): java.awt.image.BufferedImage = {
+    val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(im != null, "ImageIO failed to decode our encoder's bytes")
+    im
+  }
+
+  private def maxDiffGray(bytes: Array[Byte], ours: Jpeg.Image): Int = {
+    val ref = imageIoDecode(bytes)
+    assert(ref.getWidth == ours.width && ref.getHeight == ours.height)
+    var worst = 0
+    for (y <- 0 until ours.height; x <- 0 until ours.width) {
+      val g = ref.getRaster.getSample(x, y, 0)
+      val o = ours.pixels(y * ours.width + x) & 0xff
+      worst = math.max(worst, math.abs(g - o))
+    }
+    worst
+  }
+
+  private def maxDiffRgb(bytes: Array[Byte], ours: Jpeg.Image): Int = {
+    val ref = imageIoDecode(bytes)
+    assert(ref.getWidth == ours.width && ref.getHeight == ours.height)
+    var worst = 0
+    for (y <- 0 until ours.height; x <- 0 until ours.width) {
+      val argb = ref.getRGB(x, y)
+      val base = (y * ours.width + x) * 3
+      worst = math.max(worst, math.abs(((argb >> 16) & 0xff) - (ours.pixels(base) & 0xff)))
+      worst = math.max(worst, math.abs(((argb >> 8) & 0xff) - (ours.pixels(base + 1) & 0xff)))
+      worst = math.max(worst, math.abs((argb & 0xff) - (ours.pixels(base + 2) & 0xff)))
+    }
+    worst
+  }
+
+  // ------------------------------------------------------------ exact class
+
+  test("flat-block grayscale with exactQuant round-trips bit-exactly") {
+    val r = rng(1)
+    for (trial <- 0 until 5) {
+      val bw = 1 + r.nextInt(6); val bh = 1 + r.nextInt(6)
+      val w = bw * 8; val h = bh * 8
+      val pix = new Array[Byte](w * h)
+      for (by <- 0 until bh; bx <- 0 until bw) {
+        val v = r.nextInt(256).toByte
+        for (y <- 0 until 8; x <- 0 until 8) pix((by * 8 + y) * w + bx * 8 + x) = v
+      }
+      val bytes = JpegEncoder.encodeGray(pix, w, h, JpegEncoder.exactQuant)
+      val im = Jpeg.decode(bytes).fold(e => fail(s"trial $trial: $e"), identity)
+      assert(im.width == w && im.height == h && im.nComponents == 1)
+      assert(java.util.Arrays.equals(im.pixels, pix), s"trial $trial not bit-exact")
+      // and the independent decoder agrees exactly on the flat class too
+      assert(maxDiffGray(bytes, im) == 0, s"trial $trial: ImageIO disagrees on flat blocks")
+    }
+  }
+
+  test("flat-block YCbCr 4:4:4 with exactQuant: decoded RGB matches the documented fixed-point conversion") {
+    // single 8x8 block, flat planes -> decoded RGB must equal the closed form
+    def closedForm(yv: Int, cb: Int, cr: Int): (Int, Int, Int) = {
+      def cl(v: Int) = math.max(0, math.min(255, v))
+      val r = yv + ((91881 * (cr - 128) + 32768) >> 16)
+      val g = yv - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16)
+      val b = yv + ((116130 * (cb - 128) + 32768) >> 16)
+      (cl(r), cl(g), cl(b))
+    }
+    val r = rng(2)
+    for (_ <- 0 until 20) {
+      val yv = r.nextInt(256); val cb = r.nextInt(256); val cr = r.nextInt(256)
+      val mk = (v: Int) => Array.fill[Byte](64)(v.toByte)
+      val bytes = JpegEncoder.encodeYcbcr444(mk(yv), mk(cb), mk(cr), 8, 8,
+        JpegEncoder.exactQuant, JpegEncoder.exactQuant)
+      val im = Jpeg.decode(bytes).fold(e => fail(e), identity)
+      val (er, eg, eb) = closedForm(yv, cb, cr)
+      assert((im.pixels(0) & 0xff, im.pixels(1) & 0xff, im.pixels(2) & 0xff) == ((er, eg, eb)))
+      // every pixel identical (flat image)
+      for (i <- 0 until 64)
+        assert((im.pixels(3 * i) & 0xff) == er && (im.pixels(3 * i + 1) & 0xff) == eg &&
+          (im.pixels(3 * i + 2) & 0xff) == eb)
+    }
+  }
+
+  // --------------------------------------------------------- differential
+
+  test("our gray encode -> our decode vs ImageIO, random pixels, tolerance <= 2") {
+    val r = rng(3)
+    for (q <- Seq(50, 75, 95)) {
+      val w = 40; val h = 24 // non-multiple-of-8 width on purpose
+      val pix = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val bytes = JpegEncoder.encodeGray(pix, w, h, JpegEncoder.scaledQuant(JpegEncoder.stdLumaQuant, q))
+      val im = Jpeg.decode(bytes).fold(e => fail(e), identity)
+      val d = maxDiffGray(bytes, im)
+      assert(d <= 2, s"quality $q: max per-sample diff $d vs ImageIO")
+    }
+  }
+
+  test("our RGB 4:4:4 encode -> our decode vs ImageIO, tolerance <= 3") {
+    val r = rng(4)
+    val w = 33; val h = 17
+    val rgb = Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte)
+    val bytes = JpegEncoder.encodeRgb444(rgb, w, h, quality = 85)
+    val im = Jpeg.decode(bytes).fold(e => fail(e), identity)
+    assert(im.nComponents == 3)
+    val d = maxDiffRgb(bytes, im)
+    assert(d <= 3, s"max per-channel diff $d vs ImageIO")
+  }
+
+  test("ImageIO-encoded RGB (default 4:2:0) decodes under our decoder, smooth image, tolerance <= 8") {
+    val w = 64; val h = 48
+    val buf = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rr = (x * 255) / (w - 1)
+      val gg = (y * 255) / (h - 1)
+      val bb = ((x + y) * 255) / (w + h - 2)
+      buf.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(buf, "jpeg", bos))
+    val bytes = bos.toByteArray
+    val im = Jpeg.decode(bytes).fold(e => fail(e), identity)
+    assert(im.width == w && im.height == h && im.nComponents == 3)
+    val d = maxDiffRgb(bytes, im)
+    assert(d <= 8, s"max per-channel diff $d vs ImageIO on its own 4:2:0 bytes")
+  }
+
+  test("restart markers: DRI-encoded stream round-trips the exact class") {
+    val r = rng(5)
+    val bw = 5; val bh = 3
+    val w = bw * 8; val h = bh * 8
+    val pix = new Array[Byte](w * h)
+    for (by <- 0 until bh; bx <- 0 until bw) {
+      val v = r.nextInt(256).toByte
+      for (y <- 0 until 8; x <- 0 until 8) pix((by * 8 + y) * w + bx * 8 + x) = v
+    }
+    for (dri <- Seq(1, 2, 7)) {
+      val bytes = JpegEncoder.encodeGray(pix, w, h, JpegEncoder.exactQuant, dri = dri)
+      val im = Jpeg.decode(bytes).fold(e => fail(s"dri=$dri: $e"), identity)
+      assert(java.util.Arrays.equals(im.pixels, pix), s"dri=$dri not bit-exact")
+      assert(maxDiffGray(bytes, im) == 0, s"dri=$dri: ImageIO disagrees")
+    }
+  }
+
+  test("header-only dimensions scan agrees with full decode") {
+    val pix = Array.fill[Byte](24 * 16)(7)
+    val bytes = JpegEncoder.encodeGray(pix, 24, 16)
+    assert(Jpeg.dimensions(bytes) == Right((24, 16, 1)))
+    val rgb = Array.fill[Byte](8 * 8 * 3)(9)
+    assert(Jpeg.dimensions(JpegEncoder.encodeRgb444(rgb, 8, 8)) == Right((8, 8, 3)))
+  }
+
+  // --------------------------------------------------------------- fences
+
+  test("malformed inputs are Left, never exceptions") {
+    assert(Jpeg.decode(null).isLeft)
+    assert(Jpeg.decode(Array[Byte]()).isLeft)
+    assert(Jpeg.decode(Array[Byte](1, 2, 3)).isLeft)
+    assert(Jpeg.decode("plain text".getBytes("UTF-8")).isLeft)
+    val good = JpegEncoder.encodeGray(Array.fill[Byte](64)(50), 8, 8)
+    assert(Jpeg.decode(good).isRight)
+    // truncations into the header / table segments must fail closed
+    // (dropping ONLY the trailing EOI still decodes — all entropy data is
+    // present; same permissive stance as libjpeg, asserted here so the
+    // behavior is pinned either way)
+    for (n <- Seq(2, 4, 20, good.length / 2)) {
+      val res = Jpeg.decode(java.util.Arrays.copyOf(good, n))
+      assert(res.isLeft, s"prefix $n decoded")
+    }
+    assert(Jpeg.decode(java.util.Arrays.copyOf(good, good.length - 1)).isRight)
+    // progressive SOF2 is a documented fence
+    val prog = good.clone()
+    // find the SOF0 marker and flip it to SOF2
+    val i = (0 until prog.length - 1).find(k => (prog(k) & 0xff) == 0xff && (prog(k + 1) & 0xff) == 0xc0).get
+    prog(i + 1) = 0xc2.toByte
+    val r = Jpeg.decode(prog)
+    assert(r.isLeft && r.swap.exists(_.contains("unsupported")))
+  }
+
+  test("entropy-garbage body fails closed rather than looping") {
+    val good = JpegEncoder.encodeGray(Array.fill[Byte](128 * 128)(0), 128, 128)
+    val bad = good.clone()
+    val r = rng(6)
+    // scribble over the middle of the entropy segment
+    for (k <- good.length / 2 until math.min(good.length / 2 + 200, good.length - 2))
+      bad(k) = r.nextInt(256).toByte
+    Jpeg.decode(bad) // must terminate; Left or Right both acceptable
+    succeed
+  }
+}
