@@ -2790,6 +2790,131 @@ object Queries {
           when(col("s.n_cp") === 0L, lit(null).cast("long")).otherwise(
             floor(col("s.n_phrases").cast("double") / col("s.n_cp").cast("double") * lit(1e6) + lit(0.5))
               .cast("long")).as("ratio_micro"))
+    }),
+
+    // REAL JPEG DECODE, ORACLED ON PIXELS (the q184 pattern for the image
+    // codec): per-document flat-block grayscale JPEGs built by the
+    // in-house encoder (exact class: DC-only blocks, quant DC=8) run the
+    // full from-scratch T.81 decode — marker parse, Huffman, dequant,
+    // IDCT — and the oracle states the decoded pixel sum/min/max as
+    // closed forms of doc_id; any drift anywhere in the codec breaks the
+    // driver's hash. (JpegSpec separately proves the same bytes decode
+    // identically under the JDK's independent ImageIO implementation.)
+    "q192_jpeg_decode" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val bw = 2 + (id % 3).toInt; val bh = 2 + (id % 2).toInt
+        val w = bw * 8; val h = bh * 8
+        val pix = new Array[Byte](w * h)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val v = ((id * 31 + bx * 7 + by * 13) % 256).toByte
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { pix((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val bytes = graft.codec.JpegEncoder.encodeGray(pix, w, h,
+          graft.codec.JpegEncoder.exactQuant, dri = if (id % 5 == 0) 2 else 0)
+        graft.codec.Jpeg.decode(bytes) match {
+          case Right(im) =>
+            var sum = 0L; var mn = 255L; var mx = 0L
+            im.pixels.foreach { p =>
+              val u = (p & 0xff).toLong
+              sum += u; if (u < mn) mn = u; if (u > mx) mx = u
+            }
+            (im.width.toLong, im.height.toLong, sum, mn, mx)
+          case Left(_) => (0L, 0L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("pix_sum"), col("d._4").as("pix_min"), col("d._5").as("pix_max"))
+    }),
+
+    // JPEG COLOR PIPELINE PIN: flat single-block YCbCr 4:4:4 images decode
+    // through upsampling-free color conversion; the oracle replays the
+    // documented fixed-point YCbCr->RGB (floor((k*c + 32768)/65536) IS
+    // Java's arithmetic >>16) so the conversion constants are
+    // cross-engine-pinned, not just spec'd.
+    "q193_jpeg_color" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val yv = ((id * 7 + 3) % 256).toInt
+        val cb = ((id * 5 + 31) % 256).toInt
+        val cr = ((id * 11 + 67) % 256).toInt
+        val mk = (v: Int) => Array.fill[Byte](64)(v.toByte)
+        val bytes = graft.codec.JpegEncoder.encodeYcbcr444(mk(yv), mk(cb), mk(cr), 8, 8,
+          graft.codec.JpegEncoder.exactQuant, graft.codec.JpegEncoder.exactQuant)
+        graft.codec.Jpeg.decode(bytes) match {
+          case Right(im) if im.nComponents == 3 =>
+            ((im.pixels(0) & 0xff).toLong, (im.pixels(1) & 0xff).toLong,
+              (im.pixels(2) & 0xff).toLong)
+          case _ => (-1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("r"), col("d._2").as("g"), col("d._3").as("b"))
+    }),
+
+    // PDF -> EMBEDDED JPEG -> PIXELS, END TO END: the in-house PdfWriter
+    // embeds a real JPEG as a /DCTDecode image XObject, the PDF parser
+    // harvests it (PdfImages), and the codec decodes the payload — the
+    // scanned-document leg the round-2 verdict called the largest class
+    // the engine couldn't read, now oracled from container bytes down to
+    // pixel sums.
+    "q194_pdf_jpeg" -> ((s, dir) => {
+      import graft.pdf.PdfWriter
+      val mk = udf { id: Long =>
+        val bw = 2 + (id % 3).toInt; val bh = 2 + (id % 2).toInt
+        val w = bw * 8; val h = bh * 8
+        val pix = new Array[Byte](w * h)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val v = ((id * 31 + bx * 7 + by * 13) % 256).toByte
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { pix((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val jpeg = graft.codec.JpegEncoder.encodeGray(pix, w, h,
+          graft.codec.JpegEncoder.exactQuant)
+        PdfWriter.write(Vector(PdfWriter.PageSpec(Vector(Vector(s"scan $id")),
+          images = Vector(PdfWriter.ImageSpec(w, h, PdfWriter.DctCodec, jpeg,
+            colorSpace = "DeviceGray")))))
+      }
+      val dec = udf { b: Array[Byte] =>
+        graft.codec.Jpeg.decode(b) match {
+          case Right(im) =>
+            var sum = 0L; im.pixels.foreach(p => sum += (p & 0xff))
+            (im.width.toLong, im.height.toLong, sum)
+          case Left(_) => (-1L, -1L, -1L)
+        }
+      }
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/scan"), col("doc_id"), lit(".pdf")).as("url"),
+        mk(col("doc_id")).as("payload"))
+      graft.extract.PdfImages.imagesDf(pages, "url", "payload")
+        .select(
+          regexp_extract(col("url"), "scan(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+          col("page").cast("long").as("page"), col("format"),
+          col("width").cast("long").as("meta_w"), col("height").cast("long").as("meta_h"),
+          col("color_space"), dec(col("data")).as("d"))
+        .select(col("doc_id"), col("page"), col("format"), col("meta_w"), col("meta_h"),
+          col("color_space"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("pix_sum"))
     })
   )
 
@@ -6530,6 +6655,51 @@ object Queries {
         |SELECT doc_id, n_phrases, n_cp,
         |  CASE WHEN n_cp > 0 THEN CAST(floor(CAST(n_phrases AS DOUBLE)/CAST(n_cp AS DOUBLE)*1e6 + 0.5) AS BIGINT) END AS ratio_micro
         |FROM r""".stripMargin,
+
+    // q192: the decoded pixels of an exact-class flat-block JPEG are the
+    // block values themselves — sum/min/max reduce to closed forms over
+    // the (bx, by) block grid.
+    "q192_jpeg_decode" ->
+      """WITH g AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS bw, 2 + doc_id % 2 AS bh FROM documents),
+        |bxs AS (SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS bx FROM g),
+        |b AS (SELECT doc_id, bw, bh, bx, unnest(generate_series(0, bh - 1)) AS by FROM bxs),
+        |v AS (SELECT doc_id, bw, bh, (doc_id*31 + bx*7 + by*13) % 256 AS v FROM b)
+        |SELECT doc_id, CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
+        |  CAST(64*sum(v) AS BIGINT) AS pix_sum,
+        |  CAST(min(v) AS BIGINT) AS pix_min, CAST(max(v) AS BIGINT) AS pix_max
+        |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
+
+    // q193: floor((k*c + 32768)/65536.0) replays Java's (k*c + 32768) >> 16
+    // exactly (arithmetic shift IS floor division); clamp via
+    // greatest/least.
+    "q193_jpeg_color" ->
+      """WITH p AS (
+        |  SELECT doc_id,
+        |    (doc_id*7 + 3) % 256 AS y,
+        |    (doc_id*5 + 31) % 256 - 128 AS cb,
+        |    (doc_id*11 + 67) % 256 - 128 AS cr
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST(greatest(0, least(255, y + CAST(floor((91881*cr + 32768) / 65536.0) AS BIGINT))) AS BIGINT) AS r,
+        |  CAST(greatest(0, least(255, y - CAST(floor((22554*cb + 46802*cr + 32768) / 65536.0) AS BIGINT))) AS BIGINT) AS g,
+        |  CAST(greatest(0, least(255, y + CAST(floor((116130*cb + 32768) / 65536.0) AS BIGINT))) AS BIGINT) AS b
+        |FROM p""".stripMargin,
+
+    // q194: q192's closed form plus the PDF container constants the
+    // harvest reads from the image XObject dict.
+    "q194_pdf_jpeg" ->
+      """WITH g AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS bw, 2 + doc_id % 2 AS bh FROM documents),
+        |bxs AS (SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS bx FROM g),
+        |b AS (SELECT doc_id, bw, bh, bx, unnest(generate_series(0, bh - 1)) AS by FROM bxs),
+        |v AS (SELECT doc_id, bw, bh, (doc_id*31 + bx*7 + by*13) % 256 AS v FROM b)
+        |SELECT doc_id, CAST(0 AS BIGINT) AS page, 'jpeg' AS format,
+        |  CAST(8*bw AS BIGINT) AS meta_w, CAST(8*bh AS BIGINT) AS meta_h,
+        |  'DeviceGray' AS color_space,
+        |  CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
+        |  CAST(64*sum(v) AS BIGINT) AS pix_sum
+        |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

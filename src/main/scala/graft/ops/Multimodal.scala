@@ -10,12 +10,16 @@ import org.apache.spark.sql.functions._
   * The Spark-side shape is the real deliverable — schema, partitioning,
   * per-partition batched processing (`mapPartitions`, the JVM analog of a
   * `mapInPandas` batch UDF: one iterator per partition, amortized setup,
-  * no per-row driver involvement). The actual codec step is a
-  * **DETERMINISTIC FAKE** (this container has no image/audio libraries):
-  * payloads are self-describing (magic + metadata header + seeded body)
-  * and "decoding" parses that header and histograms the body bytes. A
-  * production build swaps [[FakeCodec]] for a real decoder behind the
-  * same signatures; nothing else changes.
+  * no per-row driver involvement).
+  *
+  * The image leg is REAL for baseline JPEG: payloads sniffing as JPEG
+  * (FFD8) decode through the from-scratch [[graft.codec.Jpeg]] kernel and
+  * the features are true pixel statistics. Audio/video (and non-JPEG
+  * image formats) still go through the **DETERMINISTIC FAKE** codec
+  * (this container has no media libraries): payloads are self-describing
+  * (magic + metadata header + seeded body) and "decoding" parses that
+  * header and histograms the body bytes. A production build swaps
+  * [[FakeCodec]] for real decoders behind the same signatures.
   */
 object Multimodal {
 
@@ -93,9 +97,34 @@ object Multimodal {
       val bodyLen = 256 + ((i * 37) % 512).toInt
       val payload =
         if (i % 23 == 13) Array[Byte](1, 2, 3) // malformed slice
+        else if (modality == "image" && i % 4 == 0) realJpeg(i, meta) // real-codec slice
         else FakeCodec.encode(modality, meta, seed ^ i, bodyLen)
       MediaRow(i, modality, payload, meta)
     }
+  }
+
+  /** Deterministic real JPEG for the image slice: flat 8x8 blocks (the
+    * codec's exact class — meta dims are multiples of 8 by construction
+    * above), block value a closed form of (id, bx, by). */
+  private def realJpeg(id: Long, meta: MediaMeta): Array[Byte] = {
+    val w = meta.width; val h = meta.height
+    val pix = new Array[Byte](w * h)
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        val v = ((id * 29 + bx * 7 + by * 13) % 256).toByte
+        var y = 0
+        while (y < 8) {
+          var x = 0
+          while (x < 8) { pix((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+          y += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    graft.codec.JpegEncoder.encodeGray(pix, w, h, graft.codec.JpegEncoder.exactQuant)
   }
 
   /** Batched decode + feature extraction. The feature kernel (byte
@@ -107,7 +136,26 @@ object Multimodal {
     media.mapPartitions { rows =>
       val hist = new Array[Long](16) // reused per batch — no per-row alloc
       rows.map { r =>
-        FakeCodec.decode(r.payload) match {
+        if (graft.codec.Jpeg.isJpeg(r.payload))
+          graft.codec.Jpeg.decode(r.payload) match {
+            case Right(im) =>
+              java.util.Arrays.fill(hist, 0L)
+              var sum = 0L
+              var i = 0
+              while (i < im.pixels.length) {
+                val p = im.pixels(i) & 0xff
+                hist(p >>> 4) += 1
+                sum += p
+                i += 1
+              }
+              val n = math.max(im.pixels.length, 1)
+              MediaFeatures(r.media_id, "image", decoded_ok = true, im.pixels.length,
+                hist.map(_.toDouble / n), sum.toDouble / n)
+            case Left(_) =>
+              MediaFeatures(r.media_id, "image", decoded_ok = false, 0,
+                Array.fill(16)(0d), 0d)
+          }
+        else FakeCodec.decode(r.payload) match {
           case Some((mod, _, body)) =>
             java.util.Arrays.fill(hist, 0L)
             var sum = 0L
