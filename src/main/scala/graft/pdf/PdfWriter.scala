@@ -436,8 +436,20 @@ object PdfWriter {
         case Seq(n) => s" /Filter /$n"
         case ns     => ns.map("/" + _).mkString(" /Filter [", " ", "]")
       }
+      // CCITT payloads are real G4 (T.6) since the codec landed: declare
+      // the decode params a conforming reader needs (K<0 = pure 2-D,
+      // Columns/Rows from the dict, BlackIs1 so 1-bits are black — the
+      // codec's native sense). Aligned array form when outer filters wrap.
+      val ccitt = s"<< /K -1 /Columns ${im.width} /Rows ${im.height} /BlackIs1 true >>"
+      val parms = im.codec match {
+        case CcittCodec if names.size == 1 => s" /DecodeParms $ccitt"
+        case CcittCodec =>
+          names.map(n => if (n == "CCITTFaxDecode") ccitt else "null")
+            .mkString(" /DecodeParms [", " ", "]")
+        case _ => ""
+      }
       s" /Type /XObject /Subtype /Image /Width ${im.width} /Height ${im.height}" +
-        s" /ColorSpace /${im.colorSpace} /BitsPerComponent ${im.bitsPerComponent}$f"
+        s" /ColorSpace /${im.colorSpace} /BitsPerComponent ${im.bitsPerComponent}$f$parms"
     }
     def imageData(im: ImageSpec): Array[Byte] = encodeFilters(im.payload, im.outerFilters)
 
