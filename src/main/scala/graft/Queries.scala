@@ -3006,6 +3006,69 @@ object Queries {
         .select(col("doc_id"), col("format"), col("color_space"), col("bits"),
           col("width"), col("height"),
           col("d._1").as("n_black"), col("d._2").as("checksum"))
+    }),
+
+    // IMAGE NEAR-DUP FINGERPRINT over REAL decoded pixels: per-document
+    // 72x64 exact-class JPEGs (block pattern keyed on doc_id mod 40, so
+    // duplicates are planted) decode through the T.81 codec, dHash over
+    // the pixels, and duplicate-group sizes come from one 8-byte-keyed
+    // window — the image analog of T3 SimHash. Oracle replays the
+    // downscale-to-block-values reduction and the bit packing (HUGEINT
+    // two's-complement fold for bit 63).
+    "q197_dhash" -> ((s, dir) => {
+      val hashUdf = udf { id: Long =>
+        val p = (id % 40).toInt
+        val w = 72; val h = 64
+        val pix = new Array[Byte](w * h)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 9) {
+            val v = ((p * 17 + bx * 5 + by * 11) % 256).toByte
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { pix((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val bytes = graft.codec.JpegEncoder.encodeGray(pix, w, h,
+          graft.codec.JpegEncoder.exactQuant)
+        graft.codec.Jpeg.decode(bytes) match {
+          case Right(im) => graft.ops.Multimodal.dhash64(im.pixels, im.width, im.height)
+          case Left(_) => Long.MinValue + 1 // poison: oracle mismatch flags it
+        }
+      }
+      val d = docs(s, dir).select(col("doc_id"), hashUdf(col("doc_id")).as("dhash"))
+      d.withColumn("n_same",
+        count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy(col("dhash"))))
+    }),
+
+    // REAL AUDIO DECODE (PCM WAV): per-document sawtooth PCM encodes
+    // through the RIFF writer and back through the chunk-walking parser;
+    // exact integer energy / peak / floor-division duration are closed
+    // forms the oracle restates. The audio leg of the multimodal ops is
+    // no longer a fake codec.
+    "q198_wav" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val n = 400 + (id % 5).toInt * 80
+        val rate = 8000 * (1 + (id % 3).toInt)
+        val samples = Array.tabulate(n)(i => (((id * 13 + i * 17) % 2001) - 1000).toShort)
+        val bytes = graft.codec.Wav.encode(samples, 1, rate)
+        graft.codec.Wav.decode(bytes) match {
+          case Right(a) =>
+            val (energy, peak, dur) = graft.codec.Wav.features(a)
+            (a.channels.toLong, a.sampleRate.toLong, a.nFrames.toLong, energy, peak, dur)
+          case Left(_) => (-1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("channels"), col("d._2").as("rate"),
+          col("d._3").as("n_frames"), col("d._4").as("energy"),
+          col("d._5").as("peak"), col("d._6").as("dur_us"))
     })
   )
 
@@ -6817,6 +6880,39 @@ object Queries {
         |  CAST(sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_black,
         |  CAST(sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN y*w + x ELSE 0 END) AS BIGINT) AS checksum
         |FROM c GROUP BY doc_id, w, h""".stripMargin,
+
+    // q197: block-aligned dhash reduces to comparisons over the block
+    // closed form; bit 63 folds via HUGEINT two's complement.
+    "q197_dhash" ->
+      """WITH g AS (SELECT doc_id, doc_id % 40 AS p FROM documents),
+        |cs AS (SELECT doc_id, p, unnest(generate_series(0, 7)) AS c FROM g),
+        |rc AS (SELECT doc_id, p, c, unnest(generate_series(0, 7)) AS r FROM cs),
+        |bits AS (SELECT doc_id,
+        |    CASE WHEN (p*17 + (c+1)*5 + r*11) % 256 > (p*17 + c*5 + r*11) % 256
+        |         THEN (1::HUGEINT << CAST(r*8 + c AS INTEGER)) ELSE 0::HUGEINT END AS bit
+        |  FROM rc),
+        |h AS (SELECT doc_id, CAST(sum(bit) AS HUGEINT) AS hu FROM bits GROUP BY doc_id),
+        |hh AS (SELECT doc_id,
+        |    CAST(hu - CASE WHEN hu >= 9223372036854775808::HUGEINT
+        |                   THEN 18446744073709551616::HUGEINT ELSE 0::HUGEINT END AS BIGINT) AS dhash
+        |  FROM h)
+        |SELECT doc_id, dhash,
+        |  CAST(count(*) OVER (PARTITION BY dhash) AS BIGINT) AS n_same
+        |FROM hh""".stripMargin,
+
+    // q198: energy/peak restated over the sawtooth closed form; duration
+    // is floor division in both engines.
+    "q198_wav" ->
+      """WITH g AS (SELECT doc_id, 400 + (doc_id % 5) * 80 AS n,
+        |    CAST(8000 * (1 + doc_id % 3) AS BIGINT) AS rate FROM documents),
+        |ii AS (SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS i FROM g),
+        |s AS (SELECT doc_id, n, rate, (doc_id*13 + i*17) % 2001 - 1000 AS s FROM ii)
+        |SELECT doc_id, CAST(1 AS BIGINT) AS channels, rate,
+        |  CAST(n AS BIGINT) AS n_frames,
+        |  CAST(sum(s*s) AS BIGINT) AS energy,
+        |  CAST(max(abs(s)) AS BIGINT) AS peak,
+        |  CAST(n AS BIGINT) * 1000000 // rate AS dur_us
+        |FROM s GROUP BY doc_id, n, rate""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -1,0 +1,122 @@
+package graft.codec
+
+/** Minimal RIFF/WAVE PCM codec — the audio leg of the multimodal ops made
+  * real (the image leg is [[Jpeg]]/[[CcittG4]]): a crawl's audio payloads
+  * are dominated by PCM WAV wherever they aren't lossy-compressed, and
+  * parsing it needs no external library. 16-bit signed little-endian PCM,
+  * mono or stereo; any other format code / bit depth returns `Left`
+  * (error-as-data) — the honest fence where MP3/AAC/Opus would need real
+  * entropy decoders.
+  *
+  * The chunk walk honors the RIFF rules a naive header cast gets wrong:
+  * chunks are word-aligned (odd sizes pad a byte), `fmt ` and `data` may
+  * appear after unknown chunks (LIST, fact, ...), and a WAVE_FORMAT_EXTENSIBLE
+  * (0xFFFE) wrapper with a PCM sub-format GUID is accepted as PCM.
+  */
+object Wav {
+
+  final case class Audio(channels: Int, sampleRate: Int, bitsPerSample: Int,
+      samples: Array[Short]) { // interleaved if stereo
+    def nFrames: Int = samples.length / channels
+  }
+
+  def isWav(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E'
+
+  private def u16(b: Array[Byte], p: Int): Int = (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], p: Int): Long =
+    (u16(b, p).toLong) | (u16(b, p + 2).toLong << 16)
+
+  /** Parse a PCM WAV file. Never throws on malformed input. */
+  def decode(b: Array[Byte]): Either[String, Audio] =
+    try decodeImpl(b)
+    catch { case e: Exception => Left(s"wav: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private def decodeImpl(b: Array[Byte]): Either[String, Audio] = {
+    if (!isWav(b)) return Left("wav: not RIFF/WAVE")
+    var p = 12
+    var fmtCode = -1; var channels = -1; var rate = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (p + 8 <= b.length && (dataOff < 0 || fmtCode < 0)) {
+      val id = new String(b, p, 4, "US-ASCII")
+      val size = u32(b, p + 4)
+      if (size < 0 || size > Int.MaxValue || p + 8 + size > b.length)
+        return Left(s"wav: chunk '$id' overruns file")
+      val sz = size.toInt
+      id match {
+        case "fmt " =>
+          if (sz < 16) return Left("wav: fmt chunk too short")
+          fmtCode = u16(b, p + 8)
+          channels = u16(b, p + 10)
+          rate = u32(b, p + 12).toInt
+          bits = u16(b, p + 22)
+          if (fmtCode == 0xfffe) { // WAVE_FORMAT_EXTENSIBLE: sub-format GUID
+            if (sz < 40) return Left("wav: extensible fmt too short")
+            fmtCode = u16(b, p + 8 + 24)
+          }
+        case "data" =>
+          dataOff = p + 8; dataLen = sz
+        case _ => () // LIST, fact, cue, ...: skip
+      }
+      p += 8 + sz + (sz & 1) // word alignment
+    }
+    if (fmtCode < 0) return Left("wav: no fmt chunk")
+    if (dataOff < 0) return Left("wav: no data chunk")
+    if (fmtCode != 1) return Left(s"wav: format $fmtCode unsupported (PCM only)")
+    if (bits != 16) return Left(s"wav: $bits-bit samples unsupported (16-bit only)")
+    if (channels != 1 && channels != 2) return Left(s"wav: $channels channels unsupported")
+    if (rate <= 0) return Left("wav: bad sample rate")
+    val n = dataLen / 2
+    val samples = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      samples(i) = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
+      i += 1
+    }
+    Right(Audio(channels, rate, 16, samples))
+  }
+
+  /** Encode 16-bit PCM (interleaved if stereo) as a canonical WAV file. */
+  def encode(samples: Array[Short], channels: Int, sampleRate: Int): Array[Byte] = {
+    require(channels == 1 || channels == 2, "mono or stereo only")
+    require(samples.length % channels == 0, "sample count not a channel multiple")
+    val dataLen = samples.length * 2
+    val out = new Array[Byte](44 + dataLen)
+    def put4(p: Int, s: String): Unit = { var i = 0; while (i < 4) { out(p + i) = s.charAt(i).toByte; i += 1 } }
+    def le16(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(p: Int, v: Int): Unit = { le16(p, v & 0xffff); le16(p + 2, (v >>> 16) & 0xffff) }
+    put4(0, "RIFF"); le32(4, 36 + dataLen); put4(8, "WAVE")
+    put4(12, "fmt "); le32(16, 16)
+    le16(20, 1) // PCM
+    le16(22, channels)
+    le32(24, sampleRate)
+    le32(28, sampleRate * channels * 2) // byte rate
+    le16(32, channels * 2) // block align
+    le16(34, 16) // bits
+    put4(36, "data"); le32(40, dataLen)
+    var i = 0
+    while (i < samples.length) {
+      le16(44 + 2 * i, samples(i) & 0xffff)
+      i += 1
+    }
+    out
+  }
+
+  /** The feature triple the curation queries pin: exact integer energy
+    * (sum of squared samples), peak magnitude, and floor-division
+    * duration in microseconds. */
+  def features(a: Audio): (Long, Long, Long) = {
+    var energy = 0L; var peak = 0L
+    var i = 0
+    while (i < a.samples.length) {
+      val s = a.samples(i).toLong
+      energy += s * s
+      val m = math.abs(s)
+      if (m > peak) peak = m
+      i += 1
+    }
+    (energy, peak, a.nFrames.toLong * 1000000L / a.sampleRate)
+  }
+}

@@ -195,6 +195,47 @@ object Multimodal {
     }
   }
 
+  /** 64-bit difference hash (dHash) over a grayscale image — the image
+    * near-dup fingerprint (crops/recompressions/brightness shifts keep
+    * the hash within a few bits; pair with SimHash-style pigeonhole
+    * banding for corpus-scale bucketing). Box-downscale to a 9x8 grid
+    * (cell = floor mean of its pixel box), bit (r,c) = 1 iff
+    * cell(c+1,r) > cell(c,r), packed at index r*8+c. Deterministic
+    * integer math end to end, so a SQL oracle can replay it. */
+  def dhash64(pix: Array[Byte], w: Int, h: Int): Long = {
+    require(w >= 9 && h >= 8 && pix.length == w * h, "image too small for dhash")
+    val cells = new Array[Long](9 * 8)
+    var cy = 0
+    while (cy < 8) {
+      val y0 = cy * h / 8; val y1 = (cy + 1) * h / 8
+      var cx = 0
+      while (cx < 9) {
+        val x0 = cx * w / 9; val x1 = (cx + 1) * w / 9
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) { sum += (pix(y * w + x) & 0xff); x += 1 }
+          y += 1
+        }
+        cells(cy * 9 + cx) = sum / ((y1 - y0).toLong * (x1 - x0))
+        cx += 1
+      }
+      cy += 1
+    }
+    var hash = 0L
+    var r = 0
+    while (r < 8) {
+      var c = 0
+      while (c < 8) {
+        if (cells(r * 9 + c + 1) > cells(r * 9 + c)) hash |= 1L << (r * 8 + c)
+        c += 1
+      }
+      r += 1
+    }
+    hash
+  }
+
   /** Relational summary over the decoded features (the rows-only driver
     * check for the multimodal plumbing). */
   def featureSummary(spark: SparkSession, n: Long): DataFrame = {

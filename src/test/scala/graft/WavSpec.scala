@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.Wav
+import graft.ops.Multimodal
+
+/** WAV PCM codec + dHash kernel tests. The independent oracle for WAV is
+  * the JDK's javax.sound.sampled stack (shares no code with ours): our
+  * encoder's bytes must parse under AudioSystem with identical format
+  * fields and sample data. */
+class WavSpec extends AnyFunSuite {
+
+  private def saw(n: Int, seed: Int): Array[Short] =
+    Array.tabulate(n)(i => (((seed * 13 + i * 17) % 2001) - 1000).toShort)
+
+  test("encode -> decode round-trips exactly (mono and stereo)") {
+    for ((ch, n, rate) <- Seq((1, 480, 8000), (2, 960, 44100), (1, 1, 16000))) {
+      val s = saw(n * ch, n + ch)
+      val a = Wav.decode(Wav.encode(s, ch, rate)).fold(e => fail(e), identity)
+      assert(a.channels == ch && a.sampleRate == rate && a.bitsPerSample == 16)
+      assert(a.samples.toSeq == s.toSeq)
+      assert(a.nFrames == n)
+    }
+  }
+
+  test("our WAV bytes parse under javax.sound with identical samples") {
+    val s = saw(800, 3)
+    val bytes = Wav.encode(s, 1, 16000)
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val f = ais.getFormat
+    assert(f.getChannels == 1 && f.getSampleRate == 16000f && f.getSampleSizeInBits == 16)
+    assert(!f.isBigEndian)
+    val raw = ais.readAllBytes()
+    assert(raw.length == s.length * 2)
+    for (i <- s.indices) {
+      val v = ((raw(2 * i) & 0xff) | (raw(2 * i + 1) << 8)).toShort
+      assert(v == s(i), s"sample $i")
+    }
+  }
+
+  test("chunk walk: unknown chunks, odd sizes, fmt after LIST") {
+    val s = saw(100, 5)
+    val base = Wav.encode(s, 1, 8000)
+    // splice a 3-byte (odd) junk chunk between WAVE and fmt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base, 0, 12)
+    out.write("junk".getBytes("US-ASCII")); out.write(Array[Byte](3, 0, 0, 0)); out.write(Array[Byte](1, 2, 3, 0)) // padded
+    out.write(base, 12, base.length - 12)
+    val spliced = out.toByteArray
+    // fix RIFF size
+    val total = spliced.length - 8
+    spliced(4) = (total & 0xff).toByte; spliced(5) = ((total >> 8) & 0xff).toByte
+    spliced(6) = ((total >> 16) & 0xff).toByte; spliced(7) = ((total >> 24) & 0xff).toByte
+    val a = Wav.decode(spliced).fold(e => fail(e), identity)
+    assert(a.samples.toSeq == s.toSeq)
+  }
+
+  test("fences: non-PCM, wrong depth, truncation, garbage") {
+    assert(Wav.decode(null).isLeft)
+    assert(Wav.decode("RIFFxxxxWAVE".getBytes).isLeft) // no chunks
+    assert(Wav.decode("not audio at all".getBytes).isLeft)
+    val good = Wav.encode(saw(50, 1), 1, 8000)
+    assert(Wav.decode(good).isRight)
+    for (n <- Seq(4, 12, 20, good.length - 7))
+      assert(Wav.decode(java.util.Arrays.copyOf(good, n)).isLeft, s"prefix $n")
+    val float32 = good.clone(); float32(20) = 3 // format code 3 = IEEE float
+    assert(Wav.decode(float32).swap.exists(_.contains("unsupported")))
+    val bits8 = good.clone(); bits8(34) = 8
+    assert(Wav.decode(bits8).swap.exists(_.contains("unsupported")))
+  }
+
+  test("features: exact energy / peak / duration") {
+    val s = Array[Short](3, -4, 0, 12000)
+    val a = Wav.decode(Wav.encode(s, 1, 8000)).fold(e => fail(e), identity)
+    val (energy, peak, dur) = Wav.features(a)
+    assert(energy == 9L + 16L + 0L + 144000000L)
+    assert(peak == 12000L)
+    assert(dur == 4L * 1000000L / 8000L)
+  }
+
+  // ------------------------------------------------------------- dHash
+
+  test("dhash64: flat image hashes to 0, gradient to all-ones rows") {
+    val flat = Array.fill[Byte](72 * 64)(100)
+    assert(Multimodal.dhash64(flat, 72, 64) == 0L)
+    // strictly increasing cell means every comparison fires: hash = -1
+    val grad = Array.tabulate[Byte](72 * 64)(i => ((i % 72) * 3).toByte)
+    assert(Multimodal.dhash64(grad, 72, 64) == -1L)
+  }
+
+  test("dhash64: block-aligned 72x64 image reduces to block values") {
+    // flat 8x8 blocks: cell(cx,cy) = block value; compute expected hash
+    // directly from the block matrix
+    val v = Array.tabulate(8, 9)((by, bx) => (by * 31 + bx * 17) % 256)
+    val pix = new Array[Byte](72 * 64)
+    for (by <- 0 until 8; bx <- 0 until 9; y <- 0 until 8; x <- 0 until 8)
+      pix((by * 8 + y) * 72 + bx * 8 + x) = v(by)(bx).toByte
+    var want = 0L
+    for (r <- 0 until 8; c <- 0 until 8)
+      if (v(r)(c + 1) > v(r)(c)) want |= 1L << (r * 8 + c)
+    assert(Multimodal.dhash64(pix, 72, 64) == want)
+  }
+
+  test("dhash64 is robust to small brightness shifts") {
+    val r = new scala.util.Random(9)
+    val blocks = Array.fill(8, 9)(r.nextInt(200))
+    def img(shift: Int): Array[Byte] = {
+      val pix = new Array[Byte](72 * 64)
+      for (by <- 0 until 8; bx <- 0 until 9; y <- 0 until 8; x <- 0 until 8)
+        pix((by * 8 + y) * 72 + bx * 8 + x) = (blocks(by)(bx) + shift).toByte
+      pix
+    }
+    assert(Multimodal.dhash64(img(0), 72, 64) == Multimodal.dhash64(img(20), 72, 64))
+  }
+}
