@@ -14,12 +14,14 @@ import org.apache.spark.sql.functions._
   *
   * The image leg is REAL for baseline JPEG: payloads sniffing as JPEG
   * (FFD8) decode through the from-scratch [[graft.codec.Jpeg]] kernel and
-  * the features are true pixel statistics. Audio/video (and non-JPEG
-  * image formats) still go through the **DETERMINISTIC FAKE** codec
-  * (this container has no media libraries): payloads are self-describing
-  * (magic + metadata header + seeded body) and "decoding" parses that
-  * header and histograms the body bytes. A production build swaps
-  * [[FakeCodec]] for real decoders behind the same signatures.
+  * the features are true pixel statistics ([[dhash64]] fingerprints
+  * them for near-dup mining). The audio leg is REAL for PCM WAV via
+  * [[graft.codec.Wav]] (q198). Video and the remaining formats go
+  * through the **DETERMINISTIC FAKE** codec (this container has no
+  * media libraries): payloads are self-describing (magic + metadata
+  * header + seeded body) and "decoding" parses that header and
+  * histograms the body bytes. A production build swaps [[FakeCodec]]
+  * for real decoders behind the same signatures.
   */
 object Multimodal {
 
@@ -98,6 +100,7 @@ object Multimodal {
       val payload =
         if (i % 23 == 13) Array[Byte](1, 2, 3) // malformed slice
         else if (modality == "image" && i % 4 == 0) realJpeg(i, meta) // real-codec slice
+        else if (modality == "audio" && i % 4 == 1) realWav(i, meta) // real-codec slice
         else FakeCodec.encode(modality, meta, seed ^ i, bodyLen)
       MediaRow(i, modality, payload, meta)
     }
@@ -127,6 +130,14 @@ object Multimodal {
     graft.codec.JpegEncoder.encodeGray(pix, w, h, graft.codec.JpegEncoder.exactQuant)
   }
 
+  /** Deterministic real PCM WAV for the audio slice: sawtooth samples,
+    * a closed form of id. */
+  private def realWav(id: Long, meta: MediaMeta): Array[Byte] = {
+    val n = 256 + (id % 7).toInt * 64
+    val samples = Array.tabulate(n)(i => (((id * 13 + i * 17) % 2001) - 1000).toShort)
+    graft.codec.Wav.encode(samples, 1, meta.sampleRate)
+  }
+
   /** Batched decode + feature extraction. The feature kernel (byte
     * histogram) stands in for an image-embedding / mel-spectrogram step;
     * the batch shape (one partition = one iterator, preallocated buffers
@@ -153,6 +164,25 @@ object Multimodal {
                 hist.map(_.toDouble / n), sum.toDouble / n)
             case Left(_) =>
               MediaFeatures(r.media_id, "image", decoded_ok = false, 0,
+                Array.fill(16)(0d), 0d)
+          }
+        else if (graft.codec.Wav.isWav(r.payload))
+          graft.codec.Wav.decode(r.payload) match {
+            case Right(a) =>
+              java.util.Arrays.fill(hist, 0L)
+              var sum = 0L
+              var i = 0
+              while (i < a.samples.length) {
+                val hb = ((a.samples(i) >> 8) + 128) & 0xff // unsigned high byte
+                hist(hb >>> 4) += 1
+                sum += hb
+                i += 1
+              }
+              val n = math.max(a.samples.length, 1)
+              MediaFeatures(r.media_id, "audio", decoded_ok = true, a.samples.length * 2,
+                hist.map(_.toDouble / n), sum.toDouble / n)
+            case Left(_) =>
+              MediaFeatures(r.media_id, "audio", decoded_ok = false, 0,
                 Array.fill(16)(0d), 0d)
           }
         else FakeCodec.decode(r.payload) match {

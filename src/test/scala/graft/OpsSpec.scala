@@ -503,6 +503,18 @@ class OpsSpec extends AnyFunSuite {
     // deterministic: regenerate → identical features
     val again = Multimodal.decodeFeatures(Multimodal.mediaDs(spark, 60L)).collect()
     assert(feats.map(_.mean_byte).toSeq == again.map(_.mean_byte).toSeq)
+    // the REAL-codec slices: id 12 (image, i%4==0) is an actual JPEG whose
+    // features are true pixel stats (n_bytes = decoded w*h, not payload
+    // length); id 25 (audio, i%4==1) is an actual PCM WAV (512 samples)
+    val rows = media.collect()
+    val jpegRow = rows.find(_.media_id == 12L).get
+    assert(graft.codec.Jpeg.isJpeg(jpegRow.payload))
+    val f12 = feats.find(_.media_id == 12L).get
+    assert(f12.decoded_ok && f12.n_bytes == jpegRow.meta.width * jpegRow.meta.height)
+    val wavRow = rows.find(_.media_id == 25L).get
+    assert(graft.codec.Wav.isWav(wavRow.payload))
+    val f25 = feats.find(_.media_id == 25L).get
+    assert(f25.decoded_ok && f25.n_bytes == (256 + (25 % 7) * 64) * 2)
   }
 
   test("multimodal summary query returns one row per modality") {
