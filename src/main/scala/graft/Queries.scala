@@ -3069,6 +3069,50 @@ object Queries {
         .select(col("doc_id"), col("d._1").as("channels"), col("d._2").as("rate"),
           col("d._3").as("n_frames"), col("d._4").as("energy"),
           col("d._5").as("peak"), col("d._6").as("dur_us"))
+    }),
+
+    // PROGRESSIVE JPEG (SOF2) DECODE, ORACLED ON PIXELS: q192's exact
+    // class re-encoded through the 3-scan progressive script (DC first at
+    // Al=1, DC refinement, EOB-run-coded AC band) — spectral selection
+    // and successive approximation are on the oracle path, not just the
+    // ImageIO differential. Any drift in the multi-scan coefficient
+    // accumulation breaks the driver's hash.
+    "q199_jpeg_progressive" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val bw = 2 + (id % 4).toInt; val bh = 2 + (id % 3).toInt
+        val w = bw * 8; val h = bh * 8
+        val pix = new Array[Byte](w * h)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val v = ((id * 37 + bx * 3 + by * 19) % 256).toByte
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { pix((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val bytes = graft.codec.JpegEncoder.encodeGrayProgressive(pix, w, h,
+          graft.codec.JpegEncoder.exactQuant)
+        graft.codec.Jpeg.decode(bytes) match {
+          case Right(im) =>
+            var sum = 0L; var mn = 255L; var mx = 0L
+            im.pixels.foreach { p =>
+              val u = (p & 0xff).toLong
+              sum += u; if (u < mn) mn = u; if (u > mx) mx = u
+            }
+            (im.width.toLong, im.height.toLong, sum, mn, mx)
+          case Left(_) => (0L, 0L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("pix_sum"), col("d._4").as("pix_min"), col("d._5").as("pix_max"))
     })
   )
 
@@ -6913,6 +6957,19 @@ object Queries {
         |  CAST(max(abs(s)) AS BIGINT) AS peak,
         |  CAST(n AS BIGINT) * 1000000 // rate AS dur_us
         |FROM s GROUP BY doc_id, n, rate""".stripMargin,
+
+    // q199: q192's closed-form shape with the progressive generator's
+    // parameters.
+    "q199_jpeg_progressive" ->
+      """WITH g AS (
+        |  SELECT doc_id, 2 + doc_id % 4 AS bw, 2 + doc_id % 3 AS bh FROM documents),
+        |bxs AS (SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS bx FROM g),
+        |b AS (SELECT doc_id, bw, bh, bx, unnest(generate_series(0, bh - 1)) AS by FROM bxs),
+        |v AS (SELECT doc_id, bw, bh, (doc_id*37 + bx*3 + by*19) % 256 AS v FROM b)
+        |SELECT doc_id, CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
+        |  CAST(64*sum(v) AS BIGINT) AS pix_sum,
+        |  CAST(min(v) AS BIGINT) AS pix_min, CAST(max(v) AS BIGINT) AS pix_max
+        |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -11,13 +11,18 @@ package graft.codec
   * the dominant embedded-image format for real; JPX/JBIG2/CCITT stay
   * honest error rows.
   *
-  * Supported: baseline + extended sequential Huffman (SOF0/SOF1), 8-bit,
-  * grayscale and 3-component YCbCr (JFIF), sampling factors where each
-  * component's h/v divides the max and the ratio is 1 or 2 (covers 4:4:4,
-  * 4:2:2, 4:4:0, 4:2:0), restart markers, byte stuffing. Everything else
-  * (progressive SOF2, arithmetic coding, 12-bit, CMYK/YCCK, DNL,
-  * fractional/4x ratios) returns `Left` — error-as-data per the X7 rule,
-  * never an exception.
+  * Supported: baseline + extended sequential Huffman (SOF0/SOF1) AND
+  * progressive Huffman (SOF2: spectral selection, successive
+  * approximation, DC/AC first + refinement scans, EOB runs — a real
+  * fraction of web JPEGs is progressive), 8-bit, grayscale and
+  * 3-component YCbCr (JFIF), sampling factors where each component's h/v
+  * divides the max and the ratio is 1 or 2 (covers 4:4:4, 4:2:2, 4:4:0,
+  * 4:2:0), restart markers, byte stuffing. Everything else (arithmetic
+  * coding, 12-bit, CMYK/YCCK, DNL, fractional/4x ratios) returns `Left`
+  * — error-as-data per the X7 rule, never an exception. Sequential
+  * decode streams block by block (no whole-image coefficient buffer);
+  * progressive inherently buffers coefficients (true of every decoder —
+  * scans revisit all blocks).
   *
   * Decode math (the cross-engine contract the q192/q193 oracles replay):
   *  - IDCT: exact separable double-precision 2-D IDCT (T.81 A.3.3),
@@ -100,6 +105,70 @@ object Jpeg {
     var pred = 0 // DC predictor
   }
 
+  /** Entropy-segment bit reader: byte unstuffing (FF00 -> FF), marker
+    * stop, restart-marker consumption. Shared by the sequential and
+    * progressive scan decoders. */
+  private final class BitReader(b: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    def readBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= b.length) return -1
+        val v = b(pos) & 0xff
+        pos += 1
+        if (v == 0xff) {
+          if (pos >= b.length) return -1
+          val f = b(pos) & 0xff
+          if (f == 0x00) { pos += 1; bitBuf = 0xff }
+          else { pos -= 1; return -1 } // a real marker
+        } else bitBuf = v
+        bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    /** n bits MSB-first; Int.MinValue on truncation. */
+    def receive(n: Int): Int = {
+      var v = 0; var i = 0
+      while (i < n) {
+        val bit = readBit(); if (bit < 0) return Int.MinValue
+        v = (v << 1) | bit; i += 1
+      }
+      v
+    }
+    def decodeHuff(h: Huff): Int = {
+      var code = readBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16) {
+        if (h.maxCode(l) >= 0 && code <= h.maxCode(l)) return h.value(l, code)
+        val bit = readBit()
+        if (bit < 0) return -1
+        code = (code << 1) | bit
+        l += 1
+      }
+      -1
+    }
+    /** Byte-align and consume the expected RSTn; false on anything else. */
+    def expectRst(n: Int): Boolean = {
+      bitCnt = 0
+      if (pos + 2 > b.length || (b(pos) & 0xff) != 0xff ||
+          (b(pos + 1) & 0xff) != 0xd0 + n) false
+      else { pos += 2; true }
+    }
+    /** After a finished scan: position of the next marker (skips pad
+      * bits already consumed and optional FF fill bytes). */
+    def markerPos(): Int = {
+      var q = pos
+      while (q + 1 < b.length && !((b(q) & 0xff) == 0xff && (b(q + 1) & 0xff) != 0x00)) q += 1
+      q
+    }
+  }
+
+  // T.81 F.12 EXTEND
+  private def extend(v: Int, t: Int): Int =
+    if (t == 0) 0 else if (v < (1 << (t - 1))) v - (1 << t) + 1 else v
+
   // ---------------------------------------------------------------- decode
 
   private def u16(b: Array[Byte], p: Int): Int = ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
@@ -112,6 +181,12 @@ object Jpeg {
     var comps: Array[Component] = null
     var width = 0; var height = 0
     var restartInterval = 0
+    // progressive state (SOF2): per-component natural-order coefficient
+    // buffers over the MCU-padded block grid, filled across scans
+    var progressive = false
+    var progCoefs: Array[Array[Int]] = null
+    var progScans = 0
+    var mcusX = 0; var mcusY = 0; var maxH = 0; var maxV = 0
     var p = 2
 
     while (p + 4 <= b.length) {
@@ -121,7 +196,11 @@ object Jpeg {
       while (m == 0xff && q < b.length) { m = b(q) & 0xff; q += 1 } // fill bytes
       p = q
       m match {
-        case 0xd9 => return Left("jpeg: EOI before SOS") // EOI
+        case 0xd9 => // EOI
+          if (progressive && progScans > 0)
+            return renderProgressive(comps, progCoefs, quant, width, height,
+              mcusX, mcusY, maxH, maxV)
+          return Left("jpeg: EOI before SOS")
         case 0x01 => () // TEM, no segment
         case _ if m >= 0xd0 && m <= 0xd7 => () // stray RST
         case _ =>
@@ -157,8 +236,9 @@ object Jpeg {
                 if (tc == 0) dcTab(th) = t else acTab(th) = t
                 s += 17 + n
               }
-            case 0xc0 | 0xc1 => // SOF0 baseline / SOF1 extended sequential
+            case 0xc0 | 0xc1 | 0xc2 => // SOF0/1 sequential, SOF2 progressive
               if (comps != null) return Left("jpeg: multiple SOF")
+              progressive = m == 0xc2
               val prec = b(seg) & 0xff
               if (prec != 8) return Left(s"jpeg: ${prec}-bit samples unsupported")
               height = u16(b, seg + 1); width = u16(b, seg + 3)
@@ -176,33 +256,340 @@ object Jpeg {
                 if (c.h < 1 || c.h > 4 || c.v < 1 || c.v > 4 || c.tq > 3)
                   return Left("jpeg: bad component params")
               if (headerOnly) return Right(Image(width, height, nf, Array.emptyByteArray))
-            case mm if (mm >= 0xc2 && mm <= 0xcf) && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
-              return Left(f"jpeg: SOF$mm%02x (progressive/arithmetic/lossless) unsupported")
+              if (progressive) {
+                maxH = comps.map(_.h).max; maxV = comps.map(_.v).max
+                mcusX = (width + 8 * maxH - 1) / (8 * maxH)
+                mcusY = (height + 8 * maxV - 1) / (8 * maxV)
+                progCoefs = comps.map { c =>
+                  val n = (mcusX.toLong * c.h) * (mcusY.toLong * c.v) * 64L
+                  if (n > Int.MaxValue / 2) return Left("jpeg: image too large")
+                  new Array[Int](n.toInt)
+                }
+              }
+            case mm if (mm >= 0xc3 && mm <= 0xcf) && mm != 0xc4 && mm != 0xc8 && mm != 0xcc =>
+              return Left(f"jpeg: SOF$mm%02x (arithmetic/lossless/hierarchical) unsupported")
             case 0xcc => return Left("jpeg: arithmetic coding unsupported")
             case 0xdd => // DRI
               restartInterval = u16(b, seg)
             case 0xda => // SOS
               if (comps == null) return Left("jpeg: SOS before SOF")
               val ns = b(seg) & 0xff
-              if (ns != comps.length) return Left("jpeg: non-interleaved multi-scan unsupported")
-              var i = 0
-              while (i < ns) {
-                val cs = b(seg + 1 + 2 * i) & 0xff
-                val tt = b(seg + 2 + 2 * i) & 0xff
-                comps.find(_.id == cs) match {
-                  case Some(c) => c.td = tt >> 4; c.ta = tt & 0x0f
-                  case None => return Left("jpeg: SOS references unknown component")
+              if (!progressive) {
+                if (ns != comps.length) return Left("jpeg: non-interleaved multi-scan unsupported")
+                var i = 0
+                while (i < ns) {
+                  val cs = b(seg + 1 + 2 * i) & 0xff
+                  val tt = b(seg + 2 + 2 * i) & 0xff
+                  comps.find(_.id == cs) match {
+                    case Some(c) => c.td = tt >> 4; c.ta = tt & 0x0f
+                    case None => return Left("jpeg: SOS references unknown component")
+                  }
+                  i += 1
                 }
-                i += 1
+                return decodeScan(b, segEnd, comps, quant, dcTab, acTab,
+                  width, height, restartInterval)
+              } else {
+                if (ns < 1 || ns > comps.length) return Left("jpeg: bad scan component count")
+                if (seg + 4 + 2 * ns > segEnd) return Left("jpeg: SOS truncated")
+                val scanIdx = new Array[Int](ns)
+                var i = 0
+                while (i < ns) {
+                  val cs = b(seg + 1 + 2 * i) & 0xff
+                  val tt = b(seg + 2 + 2 * i) & 0xff
+                  val ci = comps.indexWhere(_.id == cs)
+                  if (ci < 0) return Left("jpeg: SOS references unknown component")
+                  comps(ci).td = tt >> 4; comps(ci).ta = tt & 0x0f
+                  scanIdx(i) = ci
+                  i += 1
+                }
+                val ss = b(seg + 1 + 2 * ns) & 0xff
+                val se = b(seg + 2 + 2 * ns) & 0xff
+                val ahal = b(seg + 3 + 2 * ns) & 0xff
+                decodeProgScan(b, segEnd, comps, scanIdx, progCoefs, dcTab, acTab,
+                  ss, se, ahal >> 4, ahal & 0x0f, mcusX, mcusY, maxH, maxV,
+                  restartInterval, width, height) match {
+                  case Right(scanEnd) => progScans += 1; p = scanEnd
+                  case Left(e) => return Left(e)
+                }
               }
-              return decodeScan(b, segEnd, comps, quant, dcTab, acTab,
-                width, height, restartInterval)
             case _ => () // APPn, COM, others: skip
           }
-          p = segEnd
+          if (!(m == 0xda && progressive)) p = segEnd
       }
     }
-    Left("jpeg: no SOS")
+    // trailing EOI sits within the last 2 bytes the loop guard can't
+    // enter; a progressive file with all scans decoded renders here
+    if (progressive && progScans > 0)
+      renderProgressive(comps, progCoefs, quant, width, height,
+        mcusX, mcusY, maxH, maxV)
+    else Left("jpeg: no SOS")
+  }
+
+  /** One progressive scan: update the coefficient buffers in place and
+    * return the position of the marker that ends the entropy data. */
+  private def decodeProgScan(b: Array[Byte], start: Int,
+      comps: Array[Component], scanIdx: Array[Int], coefs: Array[Array[Int]],
+      dcTab: Array[Huff], acTab: Array[Huff],
+      ss: Int, se: Int, ah: Int, al: Int,
+      mcusX: Int, mcusY: Int, maxH: Int, maxV: Int,
+      restartInterval: Int, width: Int, height: Int): Either[String, Int] = {
+
+    if (ss == 0 && se != 0) return Left("jpeg: bad DC scan band")
+    if (ss > 0 && (scanIdx.length != 1 || se < ss || se > 63))
+      return Left("jpeg: bad AC scan band")
+    if (al > 13 || ah > 14) return Left("jpeg: bad successive approximation")
+    val r = new BitReader(b, start)
+    var eobrun = 0
+    val preds = new Array[Int](comps.length)
+    var rstNext = 0
+    var unitsLeft = if (restartInterval > 0) restartInterval else Int.MaxValue
+
+    def restart(last: Boolean): Either[String, Unit] = {
+      unitsLeft -= 1
+      if (restartInterval > 0 && unitsLeft == 0 && !last) {
+        if (!r.expectRst(rstNext)) return Left(s"jpeg: expected RST$rstNext in scan")
+        rstNext = (rstNext + 1) & 7
+        java.util.Arrays.fill(preds, 0)
+        eobrun = 0
+        unitsLeft = restartInterval
+      }
+      Right(())
+    }
+
+    if (ss == 0) {
+      // DC scan; refinement needs no huffman table
+      if (ah == 0)
+        for (ci <- scanIdx)
+          if (dcTab(comps(ci).td) == null) return Left("jpeg: missing DC table")
+      def dcBlock(ci: Int, off: Int): Either[String, Unit] = {
+        val c = comps(ci)
+        if (ah == 0) {
+          val t = r.decodeHuff(dcTab(c.td))
+          if (t < 0 || t > 11) return Left("jpeg: DC decode failed")
+          val diff = if (t == 0) 0 else {
+            val raw = r.receive(t)
+            if (raw == Int.MinValue) return Left("jpeg: DC bits truncated")
+            extend(raw, t)
+          }
+          preds(ci) += diff
+          coefs(ci)(off) = preds(ci) << al
+        } else {
+          val bit = r.readBit()
+          if (bit < 0) return Left("jpeg: DC refinement truncated")
+          if (bit == 1) coefs(ci)(off) |= 1 << al
+        }
+        Right(())
+      }
+      if (scanIdx.length == 1) {
+        // non-interleaved: block grid over the component's own dims
+        val ci = scanIdx(0)
+        val c = comps(ci)
+        val bw = mcusX * c.h
+        val bwUsed = ((width * c.h + maxH - 1) / maxH + 7) / 8
+        val bhUsed = ((height * c.v + maxV - 1) / maxV + 7) / 8
+        var by = 0
+        while (by < bhUsed) {
+          var bx = 0
+          while (bx < bwUsed) {
+            dcBlock(ci, (by * bw + bx) * 64) match {
+              case Left(e) => return Left(e); case _ => ()
+            }
+            val last = by == bhUsed - 1 && bx == bwUsed - 1
+            restart(last) match { case Left(e) => return Left(e); case _ => () }
+            bx += 1
+          }
+          by += 1
+        }
+      } else {
+        var my = 0
+        while (my < mcusY) {
+          var mx = 0
+          while (mx < mcusX) {
+            var si = 0
+            while (si < scanIdx.length) {
+              val ci = scanIdx(si)
+              val c = comps(ci)
+              val bw = mcusX * c.h
+              var v = 0
+              while (v < c.v) {
+                var h = 0
+                while (h < c.h) {
+                  dcBlock(ci, ((my * c.v + v) * bw + (mx * c.h + h)) * 64) match {
+                    case Left(e) => return Left(e); case _ => ()
+                  }
+                  h += 1
+                }
+                v += 1
+              }
+              si += 1
+            }
+            val last = my == mcusY - 1 && mx == mcusX - 1
+            restart(last) match { case Left(e) => return Left(e); case _ => () }
+            mx += 1
+          }
+          my += 1
+        }
+      }
+    } else {
+      // AC scan: single component, non-interleaved block grid over the
+      // component's OWN sample dims (MCU = one block)
+      val ci = scanIdx(0)
+      val c = comps(ci)
+      if (acTab(c.ta) == null) return Left("jpeg: missing AC table")
+      val bw = mcusX * c.h
+      val bwUsed = ((width * c.h + maxH - 1) / maxH + 7) / 8
+      val bhUsed = ((height * c.v + maxV - 1) / maxV + 7) / 8
+      val co = coefs(ci)
+      val p1 = 1 << al
+      val m1 = -1 << al
+      var by = 0
+      while (by < bhUsed) {
+        var bx = 0
+        while (bx < bwUsed) {
+          val off = (by * bw + bx) * 64
+          if (ah == 0) {
+            // AC first pass
+            if (eobrun > 0) eobrun -= 1
+            else {
+              var k = ss
+              var done = false
+              while (k <= se && !done) {
+                val rs = r.decodeHuff(acTab(c.ta))
+                if (rs < 0) return Left("jpeg: AC decode failed")
+                val run = rs >> 4; val s = rs & 0x0f
+                if (s == 0) {
+                  if (run == 15) k += 16 // ZRL
+                  else {
+                    eobrun = (1 << run) - 1
+                    if (run > 0) {
+                      val extra = r.receive(run)
+                      if (extra == Int.MinValue) return Left("jpeg: EOB bits truncated")
+                      eobrun += extra
+                    }
+                    done = true
+                  }
+                } else {
+                  k += run
+                  if (k > se) return Left("jpeg: AC coefficient overruns band")
+                  val raw = r.receive(s)
+                  if (raw == Int.MinValue) return Left("jpeg: AC bits truncated")
+                  co(off + ZigZag(k)) = extend(raw, s) << al
+                  k += 1
+                }
+              }
+            }
+          } else {
+            // AC refinement (T.81 G.1.2.3)
+            var k = ss
+            if (eobrun == 0) {
+              var break = false
+              while (k <= se && !break) {
+                val rs = r.decodeHuff(acTab(c.ta))
+                if (rs < 0) return Left("jpeg: AC refine decode failed")
+                var run = rs >> 4; val s = rs & 0x0f
+                var newval = 0
+                if (s != 0) {
+                  if (s != 1) return Left("jpeg: AC refine size != 1")
+                  val bit = r.readBit()
+                  if (bit < 0) return Left("jpeg: AC refine bits truncated")
+                  newval = if (bit == 1) p1 else m1
+                } else if (run != 15) {
+                  eobrun = 1 << run
+                  if (run > 0) {
+                    val extra = r.receive(run)
+                    if (extra == Int.MinValue) return Left("jpeg: EOB bits truncated")
+                    eobrun += extra
+                  }
+                  break = true // current block's tail handled below
+                }
+                if (!break) {
+                  var placed = false
+                  while (k <= se && !placed) {
+                    val idx = off + ZigZag(k)
+                    if (co(idx) != 0) {
+                      val bit = r.readBit()
+                      if (bit < 0) return Left("jpeg: correction bits truncated")
+                      if (bit == 1 && (co(idx) & p1) == 0)
+                        co(idx) += (if (co(idx) >= 0) p1 else m1)
+                    } else {
+                      if (run == 0) {
+                        if (s != 0) co(idx) = newval
+                        placed = true
+                      } else run -= 1
+                    }
+                    k += 1
+                  }
+                  if (!placed && s != 0) return Left("jpeg: AC refine ran off band")
+                }
+              }
+            }
+            if (eobrun > 0) {
+              while (k <= se) {
+                val idx = off + ZigZag(k)
+                if (co(idx) != 0) {
+                  val bit = r.readBit()
+                  if (bit < 0) return Left("jpeg: correction bits truncated")
+                  if (bit == 1 && (co(idx) & p1) == 0)
+                    co(idx) += (if (co(idx) >= 0) p1 else m1)
+                }
+                k += 1
+              }
+              eobrun -= 1
+            }
+          }
+          val last = by == bhUsed - 1 && bx == bwUsed - 1
+          restart(last) match { case Left(e) => return Left(e); case _ => () }
+          bx += 1
+        }
+        by += 1
+      }
+    }
+    Right(r.markerPos())
+  }
+
+  /** Dequantize + IDCT the accumulated progressive coefficients into
+    * component planes, then assemble. */
+  private def renderProgressive(comps: Array[Component], coefs: Array[Array[Int]],
+      quant: Array[Array[Int]], width: Int, height: Int,
+      mcusX: Int, mcusY: Int, maxH: Int, maxV: Int): Either[String, Image] = {
+    for (c <- comps) {
+      if (maxH % c.h != 0 || maxV % c.v != 0 || maxH / c.h > 2 || maxV / c.v > 2)
+        return Left(s"jpeg: sampling ${c.h}x${c.v} vs max ${maxH}x${maxV} unsupported")
+      if (quant(c.tq) == null) return Left("jpeg: missing quant table")
+    }
+    val dq = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val blk = new Array[Int](64)
+    var ci = 0
+    while (ci < comps.length) {
+      val c = comps(ci)
+      val bw = mcusX * c.h; val bh = mcusY * c.v
+      c.planeW = bw * 8; c.planeH = bh * 8
+      c.plane = new Array[Byte](c.planeW * c.planeH)
+      val qt = quant(c.tq)
+      val co = coefs(ci)
+      var brow = 0
+      while (brow < bh) {
+        var bcol = 0
+        while (bcol < bw) {
+          val off = (brow * bw + bcol) * 64
+          var i = 0
+          while (i < 64) { dq(i) = co(off + i) * qt(i); i += 1 }
+          idct(dq, tmp, blk)
+          var y = 0
+          while (y < 8) {
+            val po = (brow * 8 + y) * c.planeW + bcol * 8
+            var x = 0
+            while (x < 8) { c.plane(po + x) = blk(y * 8 + x).toByte; x += 1 }
+            y += 1
+          }
+          bcol += 1
+        }
+        brow += 1
+      }
+      ci += 1
+    }
+    assemble(comps, width, height, maxH, maxV)
   }
 
   /** Entropy-coded scan decode: MCU loop -> per-component sample planes ->
@@ -312,31 +699,8 @@ object Jpeg {
           k += 1
         }
       }
-      // IDCT: rows then columns, double precision
-      var y = 0
-      while (y < 8) {
-        var x = 0
-        while (x < 8) {
-          var s = 0.0; var u = 0
-          while (u < 8) { s += cosTab(u)(x) * coef(y * 8 + u); u += 1 }
-          tmp(y * 8 + x) = 0.5 * s
-          x += 1
-        }
-        y += 1
-      }
-      var x = 0
-      while (x < 8) {
-        var yy = 0
-        while (yy < 8) {
-          var s = 0.0; var u = 0
-          while (u < 8) { s += cosTab(u)(yy) * tmp(u * 8 + x); u += 1 }
-          val v = math.floor(0.5 * s + 128.0 + 0.5).toInt
-          blk(yy * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
-          yy += 1
-        }
-        x += 1
-      }
-      // store (planes are padded to whole blocks, no bounds issk)
+      idct(coef, tmp, blk)
+      // store (planes are padded to whole blocks, no bounds risk)
       var r = 0
       while (r < 8) {
         val off = (py + r) * c.planeW + px
@@ -387,7 +751,13 @@ object Jpeg {
       my += 1
     }
 
-    // --- upsample + color convert
+    assemble(comps, width, height, maxH, maxV)
+  }
+
+  /** Shared tail of both decode paths: upsample the component planes and
+    * color-convert to the output pixel layout. */
+  private def assemble(comps: Array[Component], width: Int, height: Int,
+      maxH: Int, maxV: Int): Either[String, Image] = {
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](width * height)
@@ -418,6 +788,34 @@ object Jpeg {
   }
 
   private def clamp(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+
+  /** Exact separable double IDCT (rows then columns) of dequantized
+    * natural-order coefficients; level shift + clamp into `blk`. */
+  private def idct(coef: Array[Int], tmp: Array[Double], blk: Array[Int]): Unit = {
+    var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += cosTab(u)(x) * coef(y * 8 + u); u += 1 }
+        tmp(y * 8 + x) = 0.5 * s
+        x += 1
+      }
+      y += 1
+    }
+    var x = 0
+    while (x < 8) {
+      var yy = 0
+      while (yy < 8) {
+        var s = 0.0; var u = 0
+        while (u < 8) { s += cosTab(u)(yy) * tmp(u * 8 + x); u += 1 }
+        val v = math.floor(0.5 * s + 128.0 + 0.5).toInt
+        blk(yy * 8 + x) = if (v < 0) 0 else if (v > 255) 255 else v
+        yy += 1
+      }
+      x += 1
+    }
+  }
 
   /** Upsample a component plane to full width*height. Factor-2 axes use
     * the triangle filter (3:1 one-axis, 9:3:3:1 both — the libjpeg

@@ -277,6 +277,126 @@ object JpegEncoder {
     out.toByteArray
   }
 
+  /** Encode a grayscale image as a PROGRESSIVE (SOF2) JPEG with a 3-scan
+    * script that exercises the decoder's spectral-selection and
+    * successive-approximation paths: DC first (Al=1), DC refinement
+    * (Ah=1, Al=0), AC first full band (EOB-run coded). Same pixel
+    * semantics as [[encodeGray]] — the exact class stays exact — so
+    * closed-form oracles can pin the progressive decode path too. */
+  def encodeGrayProgressive(pix: Array[Byte], w: Int, h: Int,
+      qtable: Array[Int] = scaledQuant(stdLumaQuant, 75)): Array[Byte] = {
+    require(w > 0 && h > 0 && pix.length == w * h, "bad gray image shape")
+    val blocksX = (w + 7) / 8; val blocksY = (h + 7) / 8
+    val nBlocks = blocksX * blocksY
+    // FDCT+quantize every block once
+    val coefs = new Array[Array[Int]](nBlocks)
+    val samples = new Array[Int](64)
+    var bi = 0
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        var yy = 0
+        while (yy < 8) {
+          val sy = math.min(by * 8 + yy, h - 1)
+          var xx = 0
+          while (xx < 8) {
+            samples(yy * 8 + xx) = pix(sy * w + math.min(bx * 8 + xx, w - 1)) & 0xff
+            xx += 1
+          }
+          yy += 1
+        }
+        val c = new Array[Int](64)
+        fdctQuant(samples, qtable, c)
+        coefs(bi) = c
+        bi += 1; bx += 1
+      }
+      by += 1
+    }
+    val out = new java.io.ByteArrayOutputStream(1024 + pix.length / 2)
+    out.write(0xff); out.write(0xd8)
+    seg(out, 0xe0, jfifApp0)
+    seg(out, 0xdb, dqtSeg(0, qtable))
+    seg(out, 0xc2, Array[Int](8, h >> 8, h & 0xff, w >> 8, w & 0xff, 1, 1, 0x11, 0).map(_.toByte))
+    seg(out, 0xc4, dhtSeg(0x00, dcLumaBits, dcLumaVals))
+    seg(out, 0xc4, dhtSeg(0x10, acLumaBits, acLumaVals))
+    def category(v: Int): Int = {
+      var a = math.abs(v); var n = 0
+      while (a != 0) { a >>= 1; n += 1 }
+      n
+    }
+    // scan 1: DC first, Al=1 (point transform = arithmetic shift)
+    seg(out, 0xda, Array[Int](1, 1, 0x00, 0, 0, 0x01).map(_.toByte))
+    var bw = new BitWriter(out)
+    var pred = 0
+    bi = 0
+    while (bi < nBlocks) {
+      val dc = coefs(bi)(0) >> 1
+      val diff = dc - pred
+      pred = dc
+      val t = category(diff)
+      bw.put(dcLumaEnc.codeOf(t), dcLumaEnc.sizeOf(t))
+      if (t > 0) bw.put(if (diff < 0) diff + (1 << t) - 1 else diff, t)
+      bi += 1
+    }
+    bw.flush()
+    // scan 2: DC refinement, Ah=1 Al=0 (one raw bit per block)
+    seg(out, 0xda, Array[Int](1, 1, 0x00, 0, 0, 0x10).map(_.toByte))
+    bw = new BitWriter(out)
+    bi = 0
+    while (bi < nBlocks) {
+      bw.put(coefs(bi)(0) & 1, 1)
+      bi += 1
+    }
+    bw.flush()
+    // scan 3: AC first, full band 1..63, Al=0, EOB-run coded
+    seg(out, 0xda, Array[Int](1, 1, 0x00, 1, 63, 0x00).map(_.toByte))
+    bw = new BitWriter(out)
+    var eobrun = 0
+    // The Annex K baseline AC table defines only EOB0 (0x00) — EOBn
+    // symbols (r<<4, r>0) need custom progressive tables — so runs are
+    // emitted as repeated EOB1 codes. (The decoder's EOBn path is
+    // exercised by the ImageIO-written progressive differentials.)
+    def flushEob(): Unit = {
+      while (eobrun > 0) {
+        bw.put(acLumaEnc.codeOf(0x00), acLumaEnc.sizeOf(0x00))
+        eobrun -= 1
+      }
+    }
+    bi = 0
+    while (bi < nBlocks) {
+      val c = coefs(bi)
+      var lastNz = 0
+      var k = 1
+      while (k < 64) { if (c(Jpeg.ZigZag(k)) != 0) lastNz = k; k += 1 }
+      if (lastNz == 0) eobrun += 1
+      else {
+        flushEob()
+        var run = 0
+        k = 1
+        while (k <= lastNz) {
+          val v = c(Jpeg.ZigZag(k))
+          if (v == 0) run += 1
+          else {
+            while (run > 15) { bw.put(acLumaEnc.codeOf(0xf0), acLumaEnc.sizeOf(0xf0)); run -= 16 }
+            val s = category(v)
+            val rs = (run << 4) | s
+            bw.put(acLumaEnc.codeOf(rs), acLumaEnc.sizeOf(rs))
+            bw.put(if (v < 0) v + (1 << s) - 1 else v, s)
+            run = 0
+          }
+          k += 1
+        }
+        if (lastNz < 63) eobrun += 1 // block tail joins a fresh EOB run
+      }
+      bi += 1
+    }
+    flushEob()
+    bw.flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   /** Encode explicit YCbCr planes, 4:4:4 (each plane w*h bytes). The
     * direct-plane API avoids forward color-convert rounding so the exact
     * class stays exact for color images too. */

@@ -165,6 +165,109 @@ class JpegSpec extends AnyFunSuite {
     assert(Jpeg.dimensions(JpegEncoder.encodeRgb444(rgb, 8, 8)) == Right((8, 8, 3)))
   }
 
+  // ----------------------------------------------------------- progressive
+
+  private def imageIoEncode(im: java.awt.image.BufferedImage, progressive: Boolean,
+      quality: Float = 0.8f): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    if (progressive) p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(im, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
+  private def hasSof2(b: Array[Byte]): Boolean =
+    (0 until b.length - 1).exists(i => (b(i) & 0xff) == 0xff && (b(i + 1) & 0xff) == 0xc2)
+
+  test("progressive grayscale (ImageIO-written) decodes, tolerance <= 2") {
+    val r = rng(11)
+    val w = 45; val h = 30 // non-multiples of 8
+    val buf = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      buf.getRaster.setSample(x, y, 0, r.nextInt(256))
+    val bytes = imageIoEncode(buf, progressive = true)
+    assert(hasSof2(bytes), "ImageIO did not write a progressive file")
+    val im = Jpeg.decode(bytes).fold(e => fail(e), identity)
+    assert(im.width == w && im.height == h && im.nComponents == 1)
+    val d = maxDiffGray(bytes, im)
+    assert(d <= 2, s"max per-sample diff $d vs ImageIO on progressive gray")
+  }
+
+  test("progressive RGB 4:2:0 (ImageIO-written) decodes, smooth image, tolerance <= 8") {
+    val w = 72; val h = 40
+    val buf = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val rr = (x * 255) / (w - 1)
+      val gg = 255 - (y * 255) / (h - 1)
+      val bb = ((x * y) * 255) / ((w - 1) * (h - 1))
+      buf.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+    }
+    val bytes = imageIoEncode(buf, progressive = true)
+    assert(hasSof2(bytes), "ImageIO did not write a progressive file")
+    val im = Jpeg.decode(bytes).fold(e => fail(e), identity)
+    assert(im.width == w && im.height == h && im.nComponents == 3)
+    val d = maxDiffRgb(bytes, im)
+    assert(d <= 8, s"max per-channel diff $d vs ImageIO on progressive 4:2:0")
+  }
+
+  test("progressive and sequential decodes of the same source agree closely") {
+    val r = rng(12)
+    val w = 32; val h = 32
+    val buf = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      buf.getRaster.setSample(x, y, 0, 60 + r.nextInt(100))
+    val seqB = imageIoEncode(buf, progressive = false, quality = 0.95f)
+    val progB = imageIoEncode(buf, progressive = true, quality = 0.95f)
+    assert(!hasSof2(seqB) && hasSof2(progB))
+    val a = Jpeg.decode(seqB).fold(e => fail(e), identity)
+    val b = Jpeg.decode(progB).fold(e => fail(e), identity)
+    // same encoder input + same quality: decoded outputs nearly identical
+    var worst = 0
+    for (i <- a.pixels.indices)
+      worst = math.max(worst, math.abs((a.pixels(i) & 0xff) - (b.pixels(i) & 0xff)))
+    assert(worst <= 4, s"sequential vs progressive drift $worst")
+  }
+
+  test("our progressive encoder: exact class round-trips bit-exactly and ImageIO agrees") {
+    val r = rng(13)
+    for (trial <- 0 until 3) {
+      val bw = 2 + r.nextInt(4); val bh = 2 + r.nextInt(3)
+      val w = bw * 8; val h = bh * 8
+      val pix = new Array[Byte](w * h)
+      for (y <- 0 until bh; x <- 0 until bw) {
+        val v = r.nextInt(256).toByte
+        for (yy <- 0 until 8; xx <- 0 until 8) pix((y * 8 + yy) * w + x * 8 + xx) = v
+      }
+      val bytes = JpegEncoder.encodeGrayProgressive(pix, w, h, JpegEncoder.exactQuant)
+      assert(hasSof2(bytes))
+      val im = Jpeg.decode(bytes).fold(e => fail(s"trial $trial: $e"), identity)
+      assert(java.util.Arrays.equals(im.pixels, pix), s"trial $trial not bit-exact")
+      assert(maxDiffGray(bytes, im) == 0, s"trial $trial: ImageIO disagrees")
+    }
+  }
+
+  test("our progressive encoder: random pixels, ImageIO differential <= 2") {
+    val r = rng(14)
+    val w = 41; val h = 26
+    val pix = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+    val bytes = JpegEncoder.encodeGrayProgressive(pix, w, h,
+      JpegEncoder.scaledQuant(JpegEncoder.stdLumaQuant, 85))
+    val im = Jpeg.decode(bytes).fold(e => fail(e), identity)
+    val d = maxDiffGray(bytes, im)
+    assert(d <= 2, s"max per-sample diff $d vs ImageIO on our progressive bytes")
+    // and it agrees with our own sequential encode of the same source
+    val seq = Jpeg.decode(JpegEncoder.encodeGray(pix, w, h,
+      JpegEncoder.scaledQuant(JpegEncoder.stdLumaQuant, 85))).fold(e => fail(e), identity)
+    assert(java.util.Arrays.equals(im.pixels, seq.pixels),
+      "progressive and sequential encodes of identical coefficients must decode identically")
+  }
+
   // --------------------------------------------------------------- fences
 
   test("malformed inputs are Left, never exceptions") {
@@ -183,12 +286,16 @@ class JpegSpec extends AnyFunSuite {
       assert(res.isLeft, s"prefix $n decoded")
     }
     assert(Jpeg.decode(java.util.Arrays.copyOf(good, good.length - 1)).isRight)
-    // progressive SOF2 is a documented fence
+    // flipping SOF0 to SOF2 on a baseline stream yields a MALFORMED
+    // progressive file (its scan band 0..63 is illegal for SOF2): must
+    // fail closed, not mis-decode
     val prog = good.clone()
-    // find the SOF0 marker and flip it to SOF2
     val i = (0 until prog.length - 1).find(k => (prog(k) & 0xff) == 0xff && (prog(k + 1) & 0xff) == 0xc0).get
     prog(i + 1) = 0xc2.toByte
-    val r = Jpeg.decode(prog)
+    assert(Jpeg.decode(prog).isLeft)
+    // a real lossless fence that remains: arithmetic coding (SOF9)
+    val arith = good.clone(); arith(i + 1) = 0xc9.toByte
+    val r = Jpeg.decode(arith)
     assert(r.isLeft && r.swap.exists(_.contains("unsupported")))
   }
 
