@@ -3113,6 +3113,79 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
           col("d._3").as("pix_sum"), col("d._4").as("pix_min"), col("d._5").as("pix_max"))
+    }),
+
+    // PNG DECODE, ORACLED ON PIXELS: lossless, so arbitrary (non-flat)
+    // per-document patterns round-trip exactly through zlib + row
+    // defiltering — the second dominant crawl image format. (PngSpec
+    // covers the adaptive Sub/Up/Average/Paeth filters and palette/alpha
+    // color types via ImageIO-written files.)
+    "q200_png" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 9 + (id % 8).toInt; val h = 5 + (id % 6).toInt
+        val pix = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { pix(y * w + x) = ((id * 3 + x + 2 * y) % 256).toByte; x += 1 }
+          y += 1
+        }
+        val bytes = graft.codec.Png.encode(pix, w, h, 1)
+        graft.codec.Png.decode(bytes) match {
+          case Right(im) =>
+            var sum = 0L; var mn = 255L; var mx = 0L
+            im.pixels.foreach { p =>
+              val u = (p & 0xff).toLong
+              sum += u; if (u < mn) mn = u; if (u > mx) mx = u
+            }
+            (im.width.toLong, im.height.toLong, sum, mn, mx)
+          case Left(_) => (0L, 0L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("pix_sum"), col("d._4").as("pix_min"), col("d._5").as("pix_max"))
+    }),
+
+    // GIF DECODE, ORACLED ON PIXELS: per-document indexed frames through
+    // real variable-width LZW (dictionary growth, clear codes) and a
+    // closed-form palette; per-channel sums replayed exactly.
+    "q201_gif" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 10 + (id % 6).toInt; val h = 4 + (id % 5).toInt
+        val idx = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { idx(y * w + x) = ((id + x * 3 + y * 7) % 16).toByte; x += 1 }
+          y += 1
+        }
+        val pal = new Array[Byte](16 * 3)
+        var i = 0
+        while (i < 16) {
+          pal(3 * i) = (i * 17).toByte
+          pal(3 * i + 1) = (255 - i * 17).toByte
+          pal(3 * i + 2) = ((i * 51) % 256).toByte
+          i += 1
+        }
+        val bytes = graft.codec.Gif.encode(idx, w, h, pal)
+        graft.codec.Gif.decode(bytes) match {
+          case Right(im) =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var j = 0
+            while (j < w * h) {
+              sr += im.pixels(3 * j) & 0xff
+              sg += im.pixels(3 * j + 1) & 0xff
+              sb += im.pixels(3 * j + 2) & 0xff
+              j += 1
+            }
+            (im.width.toLong, im.height.toLong, sr, sg, sb)
+          case Left(_) => (0L, 0L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("sum_r"), col("d._4").as("sum_g"), col("d._5").as("sum_b"))
     })
   )
 
@@ -6970,6 +7043,32 @@ object Queries {
         |  CAST(64*sum(v) AS BIGINT) AS pix_sum,
         |  CAST(min(v) AS BIGINT) AS pix_min, CAST(max(v) AS BIGINT) AS pix_max
         |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
+
+    // q200: lossless decode = the generator pattern itself.
+    "q200_png" ->
+      """WITH g AS (
+        |  SELECT doc_id, 9 + doc_id % 8 AS w, 5 + doc_id % 6 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM g),
+        |c AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |v AS (SELECT doc_id, w, h, (doc_id*3 + x + 2*y) % 256 AS v FROM c)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(v) AS BIGINT) AS pix_sum,
+        |  CAST(min(v) AS BIGINT) AS pix_min, CAST(max(v) AS BIGINT) AS pix_max
+        |FROM v GROUP BY doc_id, w, h""".stripMargin,
+
+    // q201: indices and the 16-entry palette are both closed forms;
+    // per-channel sums follow.
+    "q201_gif" ->
+      """WITH g AS (
+        |  SELECT doc_id, 10 + doc_id % 6 AS w, 4 + doc_id % 5 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM g),
+        |c AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |ix AS (SELECT doc_id, w, h, (doc_id + x*3 + y*7) % 16 AS i FROM c)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(i*17) AS BIGINT) AS sum_r,
+        |  CAST(sum(255 - i*17) AS BIGINT) AS sum_g,
+        |  CAST(sum((i*51) % 256) AS BIGINT) AS sum_b
+        |FROM ix GROUP BY doc_id, w, h""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -1,0 +1,232 @@
+package graft.codec
+
+/** From-scratch PNG (RFC 2083 / ISO 15948) codec — with [[Jpeg]] this
+  * covers the two dominant crawl image formats losslessly vs lossily.
+  *
+  * Decode: signature + chunk walk (CRC-validated), IHDR, concatenated
+  * IDAT zlib streams (JDK Inflater — the same public primitive the PDF
+  * FlateDecode path uses), per-row filters None/Sub/Up/Average/Paeth,
+  * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
+  * 6 (RGBA) at bit depth 8 — alpha is dropped on output (the feature
+  * extraction consumers read color planes; compositing policy is the
+  * caller's). Bit depths 1/2/4/16 and Adam7 interlace return `Left`
+  * (honest fences). Output shape matches [[Jpeg.Image]]: gray bytes or
+  * interleaved RGB.
+  *
+  * Encode (test/fixture twin): color type 0 or 2, filter 0 rows, one
+  * IDAT. Lossless — round-trips are bit-exact by construction, which
+  * is what lets the q200 oracle state decoded pixels directly.
+  */
+object Png {
+
+  private val Signature = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  def isPng(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 && java.util.Arrays.equals(
+      java.util.Arrays.copyOf(b, 8), Signature)
+
+  // CRC-32 over chunk type + data (JDK CRC32 — the standard polynomial)
+  private def crc(b: Array[Byte], off: Int, len: Int): Long = {
+    val c = new java.util.zip.CRC32()
+    c.update(b, off, len)
+    c.getValue
+  }
+
+  private def u32(b: Array[Byte], p: Int): Long =
+    ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) | ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+
+  def decode(b: Array[Byte]): Either[String, Jpeg.Image] =
+    try decodeImpl(b)
+    catch { case e: Exception => Left(s"png: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private def decodeImpl(b: Array[Byte]): Either[String, Jpeg.Image] = {
+    if (!isPng(b)) return Left("png: bad signature")
+    var p = 8
+    var width = 0; var height = 0; var bitDepth = 0; var colorType = -1
+    var interlace = 0
+    var palette: Array[Byte] = null
+    val idat = new java.io.ByteArrayOutputStream()
+    var sawEnd = false
+    while (p + 12 <= b.length && !sawEnd) {
+      val len = u32(b, p)
+      if (len > Int.MaxValue || p + 12 + len > b.length) return Left("png: chunk overruns file")
+      val l = len.toInt
+      val typ = new String(b, p + 4, 4, "US-ASCII")
+      if (crc(b, p + 4, 4 + l) != u32(b, p + 8 + l)) return Left(s"png: bad CRC on $typ")
+      typ match {
+        case "IHDR" =>
+          if (l != 13) return Left("png: bad IHDR length")
+          width = u32(b, p + 8).toInt; height = u32(b, p + 12).toInt
+          bitDepth = b(p + 16) & 0xff; colorType = b(p + 17) & 0xff
+          if ((b(p + 18) & 0xff) != 0) return Left("png: unknown compression method")
+          if ((b(p + 19) & 0xff) != 0) return Left("png: unknown filter method")
+          interlace = b(p + 20) & 0xff
+          if (width <= 0 || height <= 0) return Left("png: bad dimensions")
+          if (width.toLong * height > Int.MaxValue / 4) return Left("png: image too large")
+          if (bitDepth != 8) return Left(s"png: bit depth $bitDepth unsupported (8 only)")
+          if (!Set(0, 2, 3, 4, 6).contains(colorType)) return Left(s"png: color type $colorType")
+          if (interlace == 1) return Left("png: Adam7 interlace unsupported")
+          if (interlace != 0) return Left("png: unknown interlace method")
+        case "PLTE" =>
+          if (l % 3 != 0 || l > 768) return Left("png: bad PLTE")
+          palette = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + l)
+        case "IDAT" => idat.write(b, p + 8, l)
+        case "IEND" => sawEnd = true
+        case _ => () // ancillary chunks skipped
+      }
+      p += 12 + l
+    }
+    if (colorType < 0) return Left("png: no IHDR")
+    if (!sawEnd) return Left("png: no IEND")
+    if (idat.size() == 0) return Left("png: no IDAT")
+    if (colorType == 3 && palette == null) return Left("png: palette image without PLTE")
+
+    val bpp = colorType match { // bytes per pixel in the raw scanline
+      case 0 | 3 => 1
+      case 2 => 3
+      case 4 => 2
+      case 6 => 4
+    }
+    val stride = width * bpp
+    val raw = new Array[Byte]((stride + 1) * height)
+    val inf = new java.util.zip.Inflater()
+    inf.setInput(idat.toByteArray)
+    var got = 0
+    while (got < raw.length && !inf.finished()) {
+      val n = inf.inflate(raw, got, raw.length - got)
+      if (n == 0 && inf.needsInput()) return Left("png: truncated IDAT")
+      got += n
+    }
+    inf.end()
+    if (got < raw.length) return Left("png: short pixel data")
+
+    // defilter in place into `pix` (scanlines without the filter byte)
+    val pix = new Array[Byte](stride * height)
+    var y = 0
+    while (y < height) {
+      val f = raw(y * (stride + 1)) & 0xff
+      val ro = y * (stride + 1) + 1
+      val po = y * stride
+      val prev = po - stride
+      f match {
+        case 0 => System.arraycopy(raw, ro, pix, po, stride)
+        case 1 => // Sub
+          var x = 0
+          while (x < stride) {
+            val left = if (x >= bpp) pix(po + x - bpp) & 0xff else 0
+            pix(po + x) = ((raw(ro + x) & 0xff) + left).toByte
+            x += 1
+          }
+        case 2 => // Up
+          var x = 0
+          while (x < stride) {
+            val up = if (y > 0) pix(prev + x) & 0xff else 0
+            pix(po + x) = ((raw(ro + x) & 0xff) + up).toByte
+            x += 1
+          }
+        case 3 => // Average
+          var x = 0
+          while (x < stride) {
+            val left = if (x >= bpp) pix(po + x - bpp) & 0xff else 0
+            val up = if (y > 0) pix(prev + x) & 0xff else 0
+            pix(po + x) = ((raw(ro + x) & 0xff) + ((left + up) >> 1)).toByte
+            x += 1
+          }
+        case 4 => // Paeth
+          var x = 0
+          while (x < stride) {
+            val a = if (x >= bpp) pix(po + x - bpp) & 0xff else 0
+            val bb = if (y > 0) pix(prev + x) & 0xff else 0
+            val c = if (x >= bpp && y > 0) pix(prev + x - bpp) & 0xff else 0
+            val pa = math.abs(bb - c); val pb = math.abs(a - c); val pc = math.abs(a + bb - 2 * c)
+            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+            pix(po + x) = ((raw(ro + x) & 0xff) + pred).toByte
+            x += 1
+          }
+        case other => return Left(s"png: unknown filter $other at row $y")
+      }
+      y += 1
+    }
+
+    // project to the Image layout
+    colorType match {
+      case 0 => Right(Jpeg.Image(width, height, 1, pix))
+      case 2 => Right(Jpeg.Image(width, height, 3, pix))
+      case 3 =>
+        val out = new Array[Byte](width * height * 3)
+        val maxIdx = palette.length / 3
+        var i = 0
+        while (i < width * height) {
+          val idx = pix(i) & 0xff
+          if (idx >= maxIdx) return Left("png: palette index out of range")
+          out(3 * i) = palette(3 * idx)
+          out(3 * i + 1) = palette(3 * idx + 1)
+          out(3 * i + 2) = palette(3 * idx + 2)
+          i += 1
+        }
+        Right(Jpeg.Image(width, height, 3, out))
+      case 4 => // gray+alpha -> gray
+        val out = new Array[Byte](width * height)
+        var i = 0
+        while (i < width * height) { out(i) = pix(2 * i); i += 1 }
+        Right(Jpeg.Image(width, height, 1, out))
+      case _ => // 6: RGBA -> RGB
+        val out = new Array[Byte](width * height * 3)
+        var i = 0
+        while (i < width * height) {
+          out(3 * i) = pix(4 * i); out(3 * i + 1) = pix(4 * i + 1); out(3 * i + 2) = pix(4 * i + 2)
+          i += 1
+        }
+        Right(Jpeg.Image(width, height, 3, out))
+    }
+  }
+
+  /** Encode gray (nComponents=1) or RGB (nComponents=3) 8-bit pixels. */
+  def encode(pix: Array[Byte], width: Int, height: Int, nComponents: Int): Array[Byte] = {
+    require(nComponents == 1 || nComponents == 3, "gray or rgb only")
+    require(pix.length == width * height * nComponents, "bad image shape")
+    val stride = width * nComponents
+    val raw = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      // filter 0 rows (the spec-minimal choice; decoders must handle all)
+      System.arraycopy(pix, y * stride, raw, y * (stride + 1) + 1, stride)
+      y += 1
+    }
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    defl.setInput(raw); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+
+    val out = new java.io.ByteArrayOutputStream(zbuf.size() + 128)
+    out.write(Signature, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val l = data.length
+      out.write((l >>> 24) & 0xff); out.write((l >>> 16) & 0xff)
+      out.write((l >>> 8) & 0xff); out.write(l & 0xff)
+      val td = new Array[Byte](4 + l)
+      var i = 0
+      while (i < 4) { td(i) = typ.charAt(i).toByte; i += 1 }
+      System.arraycopy(data, 0, td, 4, l)
+      out.write(td, 0, td.length)
+      val c = crc(td, 0, td.length)
+      out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+      out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def be32(a: Array[Byte], p: Int, v: Int): Unit = {
+      a(p) = ((v >>> 24) & 0xff).toByte; a(p + 1) = ((v >>> 16) & 0xff).toByte
+      a(p + 2) = ((v >>> 8) & 0xff).toByte; a(p + 3) = (v & 0xff).toByte
+    }
+    be32(ihdr, 0, width); be32(ihdr, 4, height)
+    ihdr(8) = 8 // bit depth
+    ihdr(9) = (if (nComponents == 1) 0 else 2).toByte
+    ihdr(10) = 0; ihdr(11) = 0; ihdr(12) = 0
+    chunk("IHDR", ihdr)
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+}
