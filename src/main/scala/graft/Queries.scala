@@ -3186,6 +3186,79 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
           col("d._3").as("sum_r"), col("d._4").as("sum_g"), col("d._5").as("sum_b"))
+    }),
+
+    // IMAGE FORMAT DISPATCH: a mixed corpus (JPEG / PNG / GIF payloads by
+    // doc_id mod 3) through the ONE sniffing decodeImage entry point the
+    // curation ops use — the format label comes from the SNIFF, not the
+    // generator, so a mislabeled magic or a wrong codec route breaks the
+    // hash. Pixel sums per branch stay closed forms.
+    "q202_image_dispatch" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val payload = (id % 3) match {
+          case 0 =>
+            val pix = new Array[Byte](16 * 16)
+            var by = 0
+            while (by < 2) {
+              var bx = 0
+              while (bx < 2) {
+                val v = ((id * 31 + bx + by * 2) % 256).toByte
+                var y = 0
+                while (y < 8) {
+                  var x = 0
+                  while (x < 8) { pix((by * 8 + y) * 16 + bx * 8 + x) = v; x += 1 }
+                  y += 1
+                }
+                bx += 1
+              }
+              by += 1
+            }
+            graft.codec.JpegEncoder.encodeGray(pix, 16, 16, graft.codec.JpegEncoder.exactQuant)
+          case 1 =>
+            val w = 11 + (id % 4).toInt; val h = 6
+            val pix = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { pix(y * w + x) = ((id * 5 + x + y * 3) % 256).toByte; x += 1 }
+              y += 1
+            }
+            graft.codec.Png.encode(pix, w, h, 1)
+          case _ =>
+            val w = 9; val h = 5 + (id % 3).toInt
+            val idx = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { idx(y * w + x) = ((id + x + 2 * y) % 16).toByte; x += 1 }
+              y += 1
+            }
+            val pal = new Array[Byte](16 * 3)
+            var i = 0
+            while (i < 16) {
+              pal(3 * i) = (i * 17).toByte
+              pal(3 * i + 1) = (255 - i * 17).toByte
+              pal(3 * i + 2) = ((i * 51) % 256).toByte
+              i += 1
+            }
+            graft.codec.Gif.encode(idx, w, h, pal)
+        }
+        val fmt =
+          if (graft.codec.Jpeg.isJpeg(payload)) "jpeg"
+          else if (graft.codec.Png.isPng(payload)) "png"
+          else if (graft.codec.Gif.isGif(payload)) "gif"
+          else "unknown"
+        graft.ops.Multimodal.decodeImage(payload) match {
+          case Right(im) =>
+            var sum = 0L
+            im.pixels.foreach(p => sum += (p & 0xff))
+            (fmt, im.nComponents.toLong, im.width.toLong, im.height.toLong, sum)
+          case Left(_) => (fmt, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("fmt"), col("d._2").as("nc"),
+          col("d._3").as("width"), col("d._4").as("height"), col("d._5").as("pix_sum"))
     })
   )
 
@@ -7069,6 +7142,34 @@ object Queries {
         |  CAST(sum(255 - i*17) AS BIGINT) AS sum_g,
         |  CAST(sum((i*51) % 256) AS BIGINT) AS sum_b
         |FROM ix GROUP BY doc_id, w, h""".stripMargin,
+
+    // q202: three per-branch closed forms unioned; the fmt column is the
+    // branch constant the Spark side must re-derive from the SNIFF.
+    "q202_image_dispatch" ->
+      """WITH jg AS (
+        |  SELECT doc_id FROM documents WHERE doc_id % 3 = 0),
+        |jb AS (SELECT doc_id, unnest(generate_series(0, 1)) AS bx FROM jg),
+        |jbb AS (SELECT doc_id, bx, unnest(generate_series(0, 1)) AS by FROM jb),
+        |j AS (SELECT doc_id, 'jpeg' AS fmt, CAST(1 AS BIGINT) AS nc,
+        |    CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |    CAST(64*sum((doc_id*31 + bx + by*2) % 256) AS BIGINT) AS pix_sum
+        |  FROM jbb GROUP BY doc_id),
+        |pg AS (SELECT doc_id, 11 + doc_id % 4 AS w, 6 AS h FROM documents WHERE doc_id % 3 = 1),
+        |px AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM pg),
+        |pc AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM px),
+        |p AS (SELECT doc_id, 'png' AS fmt, CAST(1 AS BIGINT) AS nc,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(sum((doc_id*5 + x + y*3) % 256) AS BIGINT) AS pix_sum
+        |  FROM pc GROUP BY doc_id, w, h),
+        |gg AS (SELECT doc_id, 9 AS w, 5 + doc_id % 3 AS h FROM documents WHERE doc_id % 3 = 2),
+        |gx AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM gg),
+        |gc AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM gx),
+        |gi AS (SELECT doc_id, w, h, (doc_id + x + 2*y) % 16 AS i FROM gc),
+        |g AS (SELECT doc_id, 'gif' AS fmt, CAST(3 AS BIGINT) AS nc,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(sum(255 + (i*51) % 256) AS BIGINT) AS pix_sum
+        |  FROM gi GROUP BY doc_id, w, h)
+        |SELECT * FROM j UNION ALL SELECT * FROM p UNION ALL SELECT * FROM g""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

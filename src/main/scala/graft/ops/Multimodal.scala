@@ -147,8 +147,8 @@ object Multimodal {
     media.mapPartitions { rows =>
       val hist = new Array[Long](16) // reused per batch — no per-row alloc
       rows.map { r =>
-        if (graft.codec.Jpeg.isJpeg(r.payload))
-          graft.codec.Jpeg.decode(r.payload) match {
+        if (isImagePayload(r.payload))
+          decodeImage(r.payload) match {
             case Right(im) =>
               java.util.Arrays.fill(hist, 0L)
               var sum = 0L
@@ -224,6 +224,20 @@ object Multimodal {
       }
     }
   }
+
+  /** True iff the payload sniffs as a format [[decodeImage]] handles. */
+  def isImagePayload(p: Array[Byte]): Boolean =
+    graft.codec.Jpeg.isJpeg(p) || graft.codec.Png.isPng(p) || graft.codec.Gif.isGif(p)
+
+  /** Sniff-and-decode any supported image payload through the
+    * from-scratch codecs: JPEG (baseline + progressive), PNG, GIF — the
+    * classic web trio. WebP/AVIF/TIFF are honest fences (full VP8/AV1
+    * stacks); they sniff as media upstream and land here as Left. */
+  def decodeImage(payload: Array[Byte]): Either[String, graft.codec.Jpeg.Image] =
+    if (graft.codec.Jpeg.isJpeg(payload)) graft.codec.Jpeg.decode(payload)
+    else if (graft.codec.Png.isPng(payload)) graft.codec.Png.decode(payload)
+    else if (graft.codec.Gif.isGif(payload)) graft.codec.Gif.decode(payload)
+    else Left("image: unrecognized format")
 
   /** 64-bit difference hash (dHash) over a grayscale image — the image
     * near-dup fingerprint (crops/recompressions/brightness shifts keep
