@@ -3259,6 +3259,46 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("fmt"), col("d._2").as("nc"),
           col("d._3").as("width"), col("d._4").as("height"), col("d._5").as("pix_sum"))
+    }),
+
+    // EXIF ORIENTATION NORMALIZATION: crawled photos carry rotation in
+    // APP1, not pixels — the pipeline reads tag 0x0112 and applies the
+    // flip/transpose/rotation before fingerprinting. Two-block images
+    // make the first displayed pixel a closed form that distinguishes
+    // the mirror/rotate classes; the pixel sum is orientation-invariant
+    // (pure permutation) and the displayed dims swap for 5..8.
+    "q203_exif" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 16; val h = 8
+        val pix = new Array[Byte](w * h)
+        var bx = 0
+        while (bx < 2) {
+          val v = ((id * 31 + bx * 7) % 256).toByte
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < 8) { pix(y * w + bx * 8 + x) = v; x += 1 }
+            y += 1
+          }
+          bx += 1
+        }
+        val o = 1 + (id % 8).toInt
+        val bytes = graft.codec.JpegEncoder.withExifOrientation(
+          graft.codec.JpegEncoder.encodeGray(pix, w, h, graft.codec.JpegEncoder.exactQuant), o)
+        val read = graft.codec.Jpeg.exifOrientation(bytes).getOrElse(-1)
+        graft.codec.Jpeg.decode(bytes) match {
+          case Right(im) =>
+            val d = graft.codec.Jpeg.applyOrientation(im, read)
+            var sum = 0L
+            d.pixels.foreach(p => sum += (p & 0xff))
+            (read.toLong, d.width.toLong, d.height.toLong, sum, (d.pixels(0) & 0xff).toLong)
+          case Left(_) => (read.toLong, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("orientation"),
+          col("d._2").as("disp_w"), col("d._3").as("disp_h"),
+          col("d._4").as("pix_sum"), col("d._5").as("first_px"))
     })
   )
 
@@ -7170,6 +7210,20 @@ object Queries {
         |    CAST(sum(255 + (i*51) % 256) AS BIGINT) AS pix_sum
         |  FROM gi GROUP BY doc_id, w, h)
         |SELECT * FROM j UNION ALL SELECT * FROM p UNION ALL SELECT * FROM g""".stripMargin,
+
+    // q203: orientations {1,4,5,6} display block b0 first, {2,3,7,8}
+    // block b1; dims swap for 5..8; the sum is a permutation invariant.
+    "q203_exif" ->
+      """WITH g AS (
+        |  SELECT doc_id, 1 + doc_id % 8 AS o,
+        |    (doc_id*31) % 256 AS b0, (doc_id*31 + 7) % 256 AS b1
+        |  FROM documents)
+        |SELECT doc_id, CAST(o AS BIGINT) AS orientation,
+        |  CAST(CASE WHEN o <= 4 THEN 16 ELSE 8 END AS BIGINT) AS disp_w,
+        |  CAST(CASE WHEN o <= 4 THEN 8 ELSE 16 END AS BIGINT) AS disp_h,
+        |  CAST(64*(b0 + b1) AS BIGINT) AS pix_sum,
+        |  CAST(CASE WHEN o IN (1, 4, 5, 6) THEN b0 ELSE b1 END AS BIGINT) AS first_px
+        |FROM g""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

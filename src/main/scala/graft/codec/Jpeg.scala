@@ -62,6 +62,93 @@ object Jpeg {
     try decodeInternal(bytes, headerOnly = false)
     catch { case e: Exception => Left(s"jpeg: ${e.getClass.getSimpleName}: ${e.getMessage}") }
 
+  /** EXIF orientation (tag 0x0112 in IFD0 of an APP1 "Exif" segment),
+    * 1..8 per the TIFF/EP convention; None when absent or malformed —
+    * crawled photos routinely carry rotation here rather than in the
+    * pixel data, so curation must read it before fingerprinting. */
+  def exifOrientation(b: Array[Byte]): Option[Int] = {
+    try {
+      if (!isJpeg(b)) return None
+      var p = 2
+      while (p + 4 <= b.length) {
+        if ((b(p) & 0xff) != 0xff) return None
+        val m = b(p + 1) & 0xff
+        if (m == 0xda || m == 0xd9) return None // into the scan: no EXIF
+        if (m == 0x01 || (m >= 0xd0 && m <= 0xd7)) { p += 2 }
+        else {
+          val len = u16(b, p + 2)
+          if (len < 2 || p + 2 + len > b.length) return None
+          if (m == 0xe1 && len >= 16 &&
+              b(p + 4) == 'E' && b(p + 5) == 'x' && b(p + 6) == 'i' && b(p + 7) == 'f' &&
+              b(p + 8) == 0 && b(p + 9) == 0) {
+            val t = p + 10 // TIFF header
+            val le = b(t) == 'I' && b(t + 1) == 'I'
+            val be = b(t) == 'M' && b(t + 1) == 'M'
+            if (!le && !be) return None
+            def r16(o: Int): Int =
+              if (le) (b(o) & 0xff) | ((b(o + 1) & 0xff) << 8)
+              else ((b(o) & 0xff) << 8) | (b(o + 1) & 0xff)
+            def r32(o: Int): Long =
+              if (le) r16(o).toLong | (r16(o + 2).toLong << 16)
+              else (r16(o).toLong << 16) | r16(o + 2).toLong
+            if (r16(t + 2) != 42) return None
+            val ifd = t + r32(t + 4).toInt
+            if (ifd + 2 > p + 2 + len) return None
+            val n = r16(ifd)
+            var i = 0
+            while (i < n) {
+              val e = ifd + 2 + i * 12
+              if (e + 12 > p + 2 + len) return None
+              if (r16(e) == 0x0112 && r16(e + 2) == 3) {
+                val v = r16(e + 8)
+                return if (v >= 1 && v <= 8) Some(v) else None
+              }
+              i += 1
+            }
+            return None
+          }
+          p += 2 + len
+        }
+      }
+      None
+    } catch { case _: Exception => None }
+  }
+
+  /** Apply an EXIF orientation (1..8) to decoded pixels: flips,
+    * transposes, quarter rotations. Returns (pixels, width, height) in
+    * display orientation; identity for 1 or anything out of range. */
+  def applyOrientation(im: Image, orientation: Int): Image = {
+    if (orientation <= 1 || orientation > 8) return im
+    val w = im.width; val h = im.height; val nc = im.nComponents
+    val swap = orientation >= 5
+    val w2 = if (swap) h else w
+    val h2 = if (swap) w else h
+    val out = new Array[Byte](im.pixels.length)
+    var y2 = 0
+    while (y2 < h2) {
+      var x2 = 0
+      while (x2 < w2) {
+        // source coordinates per EXIF cases (display (x2,y2) <- stored (x,y))
+        val (x, y) = orientation match {
+          case 2 => (w - 1 - x2, y2) // mirror horizontal
+          case 3 => (w - 1 - x2, h - 1 - y2) // rotate 180
+          case 4 => (x2, h - 1 - y2) // mirror vertical
+          case 5 => (y2, x2) // transpose
+          case 6 => (y2, h - 1 - x2) // rotate 90 CW for display
+          case 7 => (w - 1 - y2, h - 1 - x2) // transverse
+          case _ => (w - 1 - y2, x2) // 8: rotate 270 CW
+        }
+        val so = (y * w + x) * nc
+        val dof = (y2 * w2 + x2) * nc
+        var c = 0
+        while (c < nc) { out(dof + c) = im.pixels(so + c); c += 1 }
+        x2 += 1
+      }
+      y2 += 1
+    }
+    Image(w2, h2, nc, out)
+  }
+
   // ---------------------------------------------------------------- tables
 
   /** Natural position of the k-th coefficient in zig-zag order (T.81

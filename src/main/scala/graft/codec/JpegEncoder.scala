@@ -486,6 +486,28 @@ object JpegEncoder {
       scaledQuant(stdLumaQuant, quality), scaledQuant(stdChromaQuant, quality), dri)
   }
 
+  /** Splice a minimal APP1 EXIF segment (little-endian TIFF, one IFD0
+    * entry: orientation tag 0x0112) right after SOI. */
+  def withExifOrientation(jpeg: Array[Byte], orientation: Int): Array[Byte] = {
+    require(orientation >= 1 && orientation <= 8, "orientation 1..8")
+    require(Jpeg.isJpeg(jpeg), "not a jpeg")
+    val tiff = Array[Int](
+      'I', 'I', 42, 0, 8, 0, 0, 0, // LE header, IFD0 at offset 8
+      1, 0, // one entry
+      0x12, 0x01, 3, 0, 1, 0, 0, 0, orientation, 0, 0, 0, // tag, SHORT, count 1, value
+      0, 0, 0, 0 // next IFD: none
+    ).map(_.toByte)
+    val body = "Exif".getBytes("US-ASCII") ++ Array[Byte](0, 0) ++ tiff
+    val len = body.length + 2
+    val seg = Array[Byte](0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ body
+    val out = new Array[Byte](jpeg.length + seg.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(seg, 0, out, 2, seg.length)
+    System.arraycopy(jpeg, 2, out, 2 + seg.length, jpeg.length - 2)
+    out
+  }
+
   private def clamp255(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
   private def pixEstimate(w: Int, h: Int): Int = math.min(w * h, 1 << 24)
 }

@@ -268,6 +268,48 @@ class JpegSpec extends AnyFunSuite {
       "progressive and sequential encodes of identical coefficients must decode identically")
   }
 
+  // ------------------------------------------------------------------ exif
+
+  test("EXIF orientation: splice, read back, absent cases") {
+    val base = JpegEncoder.encodeGray(Array.fill[Byte](64)(99), 8, 8)
+    assert(Jpeg.exifOrientation(base).isEmpty) // no APP1
+    for (o <- 1 to 8) {
+      val tagged = JpegEncoder.withExifOrientation(base, o)
+      assert(Jpeg.exifOrientation(tagged) == Some(o), s"orientation $o")
+      // still decodes identically with the extra segment in place
+      val im = Jpeg.decode(tagged).fold(e => fail(e), identity)
+      assert(im.pixels.forall(_ == 99.toByte))
+      // and ImageIO still accepts the spliced file
+      assert(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(tagged)) != null)
+    }
+    assert(Jpeg.exifOrientation(null).isEmpty)
+    assert(Jpeg.exifOrientation("junk".getBytes).isEmpty)
+  }
+
+  test("applyOrientation: all 8 cases on an asymmetric image") {
+    // 3x2 gray image:  0 1 2
+    //                  3 4 5
+    val im = Jpeg.Image(3, 2, 1, Array[Byte](0, 1, 2, 3, 4, 5))
+    def pix(i: Jpeg.Image): Seq[Int] = i.pixels.map(_ & 0xff).toSeq
+    assert(pix(Jpeg.applyOrientation(im, 1)) == Seq(0, 1, 2, 3, 4, 5))
+    assert(pix(Jpeg.applyOrientation(im, 2)) == Seq(2, 1, 0, 5, 4, 3)) // mirror H
+    assert(pix(Jpeg.applyOrientation(im, 3)) == Seq(5, 4, 3, 2, 1, 0)) // rot180
+    assert(pix(Jpeg.applyOrientation(im, 4)) == Seq(3, 4, 5, 0, 1, 2)) // mirror V
+    val t5 = Jpeg.applyOrientation(im, 5) // transpose -> 2x3
+    assert(t5.width == 2 && t5.height == 3 && pix(t5) == Seq(0, 3, 1, 4, 2, 5))
+    val t6 = Jpeg.applyOrientation(im, 6) // rot90 CW -> 2x3
+    assert(t6.width == 2 && t6.height == 3 && pix(t6) == Seq(3, 0, 4, 1, 5, 2))
+    val t7 = Jpeg.applyOrientation(im, 7) // transverse -> 2x3
+    assert(t7.width == 2 && t7.height == 3 && pix(t7) == Seq(5, 2, 4, 1, 3, 0))
+    val t8 = Jpeg.applyOrientation(im, 8) // rot270 CW -> 2x3
+    assert(t8.width == 2 && t8.height == 3 && pix(t8) == Seq(2, 5, 1, 4, 0, 3))
+    // rot90 of rot270 is identity
+    assert(pix(Jpeg.applyOrientation(Jpeg.applyOrientation(im, 6), 8)) == pix(im))
+    // RGB channels move together
+    val rgb = Jpeg.Image(2, 1, 3, Array[Byte](1, 2, 3, 4, 5, 6))
+    assert(pix(Jpeg.applyOrientation(rgb, 2)) == Seq(4, 5, 6, 1, 2, 3))
+  }
+
   // --------------------------------------------------------------- fences
 
   test("malformed inputs are Left, never exceptions") {
