@@ -62,8 +62,8 @@ object Gif {
             p += 3 * n
           }
           if (pal == null) return Left("gif: no color table")
-          if (iw <= 0 || ih <= 0 || iw.toLong * ih > Int.MaxValue / 4)
-            return Left("gif: bad frame size")
+          if (iw <= 0 || ih <= 0 || iw.toLong * ih > (1L << 28) / 4)
+            return Left("gif: bad frame size") // alloc ceiling, not just overflow guard
           if (p >= b.length) return Left("gif: missing LZW code size")
           val minCode = b(p) & 0xff
           p += 1

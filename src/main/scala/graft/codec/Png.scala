@@ -62,7 +62,9 @@ object Png {
           if ((b(p + 19) & 0xff) != 0) return Left("png: unknown filter method")
           interlace = b(p + 20) & 0xff
           if (width <= 0 || height <= 0) return Left("png: bad dimensions")
-          if (width.toLong * height > Int.MaxValue / 4) return Left("png: image too large")
+          // 256M-pixel ceiling (bpp up to 4): crafted IHDRs become error
+          // rows, not executor OOMs
+          if (width.toLong * height > (1L << 28) / 4) return Left("png: image too large")
           if (bitDepth != 8) return Left(s"png: bit depth $bitDepth unsupported (8 only)")
           if (!Set(0, 2, 3, 4, 6).contains(colorType)) return Left(s"png: color type $colorType")
           if (interlace == 1) return Left("png: Adam7 interlace unsupported")

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.{CcittG4, Gif, Jpeg, JpegEncoder, Png, Wav}
+
+/** Mutation fuzz over every codec: random byte flips / truncations /
+  * splices of VALID files must terminate with `Left` or a (possibly
+  * wrong) `Right` — never an exception, never a hang. This is the X7
+  * error-as-data rule applied to the media layer: a 100-TB crawl WILL
+  * contain every possible corruption. */
+class CodecFuzzSpec extends AnyFunSuite {
+
+  private val r = new scala.util.Random(20260820)
+
+  private def mutations(valid: Array[Byte], n: Int): Iterator[Array[Byte]] =
+    Iterator.tabulate(n) { i =>
+      val m = valid.clone()
+      (i % 4) match {
+        case 0 => // flip 1-4 random bytes
+          for (_ <- 0 to r.nextInt(4)) {
+            val p = r.nextInt(m.length)
+            m(p) = (m(p) ^ (1 << r.nextInt(8))).toByte
+          }
+          m
+        case 1 => // truncate
+          java.util.Arrays.copyOf(m, 1 + r.nextInt(m.length))
+        case 2 => // splice a random window with noise
+          val p = r.nextInt(m.length)
+          val len = math.min(1 + r.nextInt(16), m.length - p)
+          for (k <- 0 until len) m(p + k) = r.nextInt(256).toByte
+          m
+        case _ => // duplicate a slice (structure confusion)
+          val p = r.nextInt(m.length)
+          val len = math.min(1 + r.nextInt(32), m.length - p)
+          val out = new Array[Byte](m.length + len)
+          System.arraycopy(m, 0, out, 0, p + len)
+          System.arraycopy(m, p, out, p + len, len)
+          System.arraycopy(m, p + len, out, p + 2 * len, m.length - p - len)
+          out
+      }
+    }
+
+  private def flatJpeg(): Array[Byte] = {
+    val pix = Array.tabulate[Byte](48 * 32)(i => ((i * 7) % 256).toByte)
+    JpegEncoder.encodeGray(pix, 48, 32)
+  }
+
+  test("jpeg decode survives 400 mutations (sequential + progressive + exif)") {
+    val pix = Array.tabulate[Byte](48 * 32)(i => ((i * 7) % 256).toByte)
+    val seeds = Seq(
+      flatJpeg(),
+      JpegEncoder.encodeGrayProgressive(pix, 48, 32),
+      JpegEncoder.withExifOrientation(flatJpeg(), 6),
+      JpegEncoder.encodeRgb444(Array.tabulate[Byte](16 * 16 * 3)(i => (i % 256).toByte), 16, 16))
+    for (seed <- seeds; m <- mutations(seed, 100)) {
+      Jpeg.decode(m) // Left or Right, never throw
+      Jpeg.dimensions(m)
+      Jpeg.exifOrientation(m)
+    }
+    succeed
+  }
+
+  test("png decode survives 300 mutations") {
+    val pix = Array.tabulate[Byte](40 * 20)(i => ((i * 3) % 256).toByte)
+    val seed = Png.encode(pix, 40, 20, 1)
+    for (m <- mutations(seed, 300)) Png.decode(m)
+    succeed
+  }
+
+  test("gif decode survives 300 mutations") {
+    val pal = Array.tabulate[Byte](16 * 3)(i => (i * 5).toByte)
+    val idx = Array.tabulate[Byte](30 * 18)(i => (i % 16).toByte)
+    val seed = Gif.encode(idx, 30, 18, pal)
+    for (m <- mutations(seed, 300)) Gif.decode(m)
+    succeed
+  }
+
+  test("wav decode survives 300 mutations") {
+    val seed = Wav.encode(Array.tabulate(400)(i => ((i * 37) % 2001 - 1000).toShort), 1, 16000)
+    for (m <- mutations(seed, 300)) Wav.decode(m)
+    succeed
+  }
+
+  test("ccitt decode survives 300 mutations") {
+    val pix = Array.tabulate[Byte](64 * 16)(i => ((i / 5) % 2).toByte)
+    val seed = CcittG4.encode(pix, 64, 16)
+    for (m <- mutations(seed, 300)) CcittG4.decode(m, 64, 16)
+    succeed
+  }
+}
