@@ -3299,6 +3299,51 @@ object Queries {
         .select(col("doc_id"), col("d._1").as("orientation"),
           col("d._2").as("disp_w"), col("d._3").as("disp_h"),
           col("d._4").as("pix_sum"), col("d._5").as("first_px"))
+    }),
+
+    // THUMBNAILING over real decoded pixels: box-average resize of each
+    // document's 72x64 JPEG to 9x8 (block-exact: cells ARE the block
+    // values) and to 3x2 (each cell the floor mean of a 3x4 block
+    // group) — the model-input normalization step, oracled through the
+    // codec + resize composition.
+    "q204_thumbnail" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 72; val h = 64
+        val pix = new Array[Byte](w * h)
+        var by = 0
+        while (by < 8) {
+          var bx = 0
+          while (bx < 9) {
+            val v = ((id * 23 + bx * 5 + by * 9) % 256).toByte
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { pix((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val bytes = graft.codec.JpegEncoder.encodeGray(pix, w, h,
+          graft.codec.JpegEncoder.exactQuant)
+        graft.codec.Jpeg.decode(bytes) match {
+          case Right(im) =>
+            val t98 = graft.ops.Multimodal.boxResize(im, 9, 8)
+            val t32 = graft.ops.Multimodal.boxResize(im, 3, 2)
+            var s98 = 0L; t98.pixels.foreach(p => s98 += (p & 0xff))
+            var s32 = 0L; var mn = 255L; var mx = 0L
+            t32.pixels.foreach { p =>
+              val u = (p & 0xff).toLong
+              s32 += u; if (u < mn) mn = u; if (u > mx) mx = u
+            }
+            (s98, s32, mn, mx)
+          case Left(_) => (-1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("sum_9x8"), col("d._2").as("sum_3x2"),
+          col("d._3").as("min_3x2"), col("d._4").as("max_3x2"))
     })
   )
 
@@ -7224,6 +7269,24 @@ object Queries {
         |  CAST(64*(b0 + b1) AS BIGINT) AS pix_sum,
         |  CAST(CASE WHEN o IN (1, 4, 5, 6) THEN b0 ELSE b1 END AS BIGINT) AS first_px
         |FROM g""".stripMargin,
+
+    // q204: the 9x8 thumbnail cells are the block values; each 3x2 cell
+    // is the floor mean of its 3x4 block group.
+    "q204_thumbnail" ->
+      """WITH b AS (
+        |  SELECT doc_id, bx.x AS bx, byy.y AS by,
+        |    (doc_id*23 + bx.x*5 + byy.y*9) % 256 AS v
+        |  FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS x) bx
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) byy),
+        |cells AS (SELECT doc_id, bx // 3 AS cx, by // 4 AS cy,
+        |    CAST(sum(v) // 12 AS BIGINT) AS cell
+        |  FROM b GROUP BY doc_id, bx // 3, by // 4)
+        |SELECT s9.doc_id, s9.sum_9x8, s3.sum_3x2, s3.min_3x2, s3.max_3x2
+        |FROM (SELECT doc_id, CAST(sum(v) AS BIGINT) AS sum_9x8 FROM b GROUP BY doc_id) s9
+        |JOIN (SELECT doc_id, CAST(sum(cell) AS BIGINT) AS sum_3x2,
+        |        CAST(min(cell) AS BIGINT) AS min_3x2, CAST(max(cell) AS BIGINT) AS max_3x2
+        |      FROM cells GROUP BY doc_id) s3 USING (doc_id)""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

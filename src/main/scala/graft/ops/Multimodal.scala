@@ -239,6 +239,42 @@ object Multimodal {
     else if (graft.codec.Gif.isGif(payload)) graft.codec.Gif.decode(payload)
     else Left("image: unrecognized format")
 
+  /** Box-average resize (area interpolation) to tw x th — the thumbnail /
+    * model-input-normalization step of an image pipeline. Each output
+    * cell is the floor mean of its source box (boxes partition the image
+    * via the same x*dim/out rounding [[dhash64]] uses); channels resize
+    * independently. Deterministic integer math, so SQL oracles replay it
+    * on block-aligned inputs. */
+  def boxResize(im: graft.codec.Jpeg.Image, tw: Int, th: Int): graft.codec.Jpeg.Image = {
+    require(tw >= 1 && th >= 1 && tw <= im.width && th <= im.height,
+      "thumbnail must downscale")
+    val w = im.width; val h = im.height; val nc = im.nComponents
+    val out = new Array[Byte](tw * th * nc)
+    var cy = 0
+    while (cy < th) {
+      val y0 = cy * h / th; val y1 = (cy + 1) * h / th
+      var cx = 0
+      while (cx < tw) {
+        val x0 = cx * w / tw; val x1 = (cx + 1) * w / tw
+        var c = 0
+        while (c < nc) {
+          var sum = 0L
+          var y = y0
+          while (y < y1) {
+            var x = x0
+            while (x < x1) { sum += (im.pixels((y * w + x) * nc + c) & 0xff); x += 1 }
+            y += 1
+          }
+          out((cy * tw + cx) * nc + c) = (sum / ((y1 - y0).toLong * (x1 - x0))).toByte
+          c += 1
+        }
+        cx += 1
+      }
+      cy += 1
+    }
+    graft.codec.Jpeg.Image(tw, th, nc, out)
+  }
+
   /** 64-bit difference hash (dHash) over a grayscale image — the image
     * near-dup fingerprint (crops/recompressions/brightness shifts keep
     * the hash within a few bits; pair with SimHash-style pigeonhole

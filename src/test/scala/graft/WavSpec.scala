@@ -103,6 +103,26 @@ class WavSpec extends AnyFunSuite {
     assert(Multimodal.dhash64(pix, 72, 64) == want)
   }
 
+  test("boxResize: block-aligned reduction, channel independence, floor means") {
+    import graft.codec.Jpeg
+    // 4x2 gray: boxes of 2x2 -> 2x1 thumbnail of floor means
+    val g = Jpeg.Image(4, 2, 1, Array[Byte](10, 20, 30, 40, 50, 60, 70, 80))
+    val t = Multimodal.boxResize(g, 2, 1)
+    assert(t.width == 2 && t.height == 1)
+    assert((t.pixels(0) & 0xff) == (10 + 20 + 50 + 60) / 4)
+    assert((t.pixels(1) & 0xff) == (30 + 40 + 70 + 80) / 4)
+    // floor: mean 2.75 -> 2
+    val f = Jpeg.Image(2, 2, 1, Array[Byte](2, 3, 3, 3))
+    assert((Multimodal.boxResize(f, 1, 1).pixels(0) & 0xff) == 2)
+    // RGB channels independent
+    val rgb = Jpeg.Image(2, 1, 3, Array[Byte](10, 100, 200.toByte, 20, 110, 210.toByte))
+    val tr = Multimodal.boxResize(rgb, 1, 1)
+    assert((tr.pixels(0) & 0xff, tr.pixels(1) & 0xff, tr.pixels(2) & 0xff) == ((15, 105, 205)))
+    // full-size resize is identity
+    val id = Multimodal.boxResize(g, 4, 2)
+    assert(java.util.Arrays.equals(id.pixels, g.pixels))
+  }
+
   test("dhash64 is robust to small brightness shifts") {
     val r = new scala.util.Random(9)
     val blocks = Array.fill(8, 9)(r.nextInt(200))
