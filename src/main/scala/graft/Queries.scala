@@ -3344,6 +3344,67 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("sum_9x8"), col("d._2").as("sum_3x2"),
           col("d._3").as("min_3x2"), col("d._4").as("max_3x2"))
+    }),
+
+    // TIFF DECODE, ORACLED ON PIXELS: the scanned-document container,
+    // un-fenced — three branches exercise the whole codec: multi-strip
+    // uncompressed gray, interleaved RGB, and CCITT G4 bilevel strips
+    // (the fax leg inside a real IFD walk). Payloads route through the
+    // sniffing dispatcher, so the oracle also pins the dispatch.
+    "q205_tiff" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val (kind, payload) = (id % 3) match {
+          case 0 =>
+            val w = 12 + (id % 5).toInt; val h = 7 + (id % 4).toInt
+            val pix = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { pix(y * w + x) = ((id * 7 + x + 5 * y) % 256).toByte; x += 1 }
+              y += 1
+            }
+            ("gray", graft.codec.Tiff.encode(pix, w, h, 1, rowsPerStrip = 3))
+          case 1 =>
+            val w = 6 + (id % 3).toInt; val h = 5
+            val pix = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                pix(base) = ((id + x * 3 + y) % 256).toByte
+                pix(base + 1) = ((id * 2 + x + y * 5) % 256).toByte
+                pix(base + 2) = ((id * 4 + x * 7 + y * 2) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            ("rgb", graft.codec.Tiff.encode(pix, w, h, 3))
+          case _ =>
+            val w = 24 + (id % 3).toInt * 8; val h = 9 + (id % 4).toInt
+            val pix = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                pix(y * w + x) = (if ((x + 3 * y + id) % 7 < 3) 1 else 0).toByte
+                x += 1
+              }
+              y += 1
+            }
+            ("g4", graft.codec.Tiff.encodeG4(pix, w, h, rowsPerStrip = 4))
+        }
+        graft.ops.Multimodal.decodeImage(payload) match {
+          case Right(im) =>
+            var sum = 0L
+            im.pixels.foreach(p => sum += (p & 0xff))
+            (kind, im.nComponents.toLong, im.width.toLong, im.height.toLong, sum)
+          case Left(_) => (kind, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("kind"), col("d._2").as("nc"),
+          col("d._3").as("width"), col("d._4").as("height"), col("d._5").as("pix_sum"))
     })
   )
 
@@ -7287,6 +7348,36 @@ object Queries {
         |JOIN (SELECT doc_id, CAST(sum(cell) AS BIGINT) AS sum_3x2,
         |        CAST(min(cell) AS BIGINT) AS min_3x2, CAST(max(cell) AS BIGINT) AS max_3x2
         |      FROM cells GROUP BY doc_id) s3 USING (doc_id)""".stripMargin,
+
+    // q205: TIFF is lossless on every branch — gray/RGB restate the
+    // generator patterns, G4 restates the bilevel mask as 0/255 gray.
+    "q205_tiff" ->
+      """WITH gg AS (SELECT doc_id, 12 + doc_id % 5 AS w, 7 + doc_id % 4 AS h
+        |    FROM documents WHERE doc_id % 3 = 0),
+        |gx AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM gg),
+        |gc AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM gx),
+        |g AS (SELECT doc_id, 'gray' AS kind, CAST(1 AS BIGINT) AS nc,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(sum((doc_id*7 + x + 5*y) % 256) AS BIGINT) AS pix_sum
+        |  FROM gc GROUP BY doc_id, w, h),
+        |rg AS (SELECT doc_id, 6 + doc_id % 3 AS w, 5 AS h
+        |    FROM documents WHERE doc_id % 3 = 1),
+        |rx AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM rg),
+        |rc AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM rx),
+        |r AS (SELECT doc_id, 'rgb' AS kind, CAST(3 AS BIGINT) AS nc,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(sum((doc_id + x*3 + y) % 256 + (doc_id*2 + x + y*5) % 256
+        |             + (doc_id*4 + x*7 + y*2) % 256) AS BIGINT) AS pix_sum
+        |  FROM rc GROUP BY doc_id, w, h),
+        |fg AS (SELECT doc_id, 24 + (doc_id % 3)*8 AS w, 9 + doc_id % 4 AS h
+        |    FROM documents WHERE doc_id % 3 = 2),
+        |fx AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM fg),
+        |fc AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM fx),
+        |f AS (SELECT doc_id, 'g4' AS kind, CAST(1 AS BIGINT) AS nc,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(255 * sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN 0 ELSE 1 END) AS BIGINT) AS pix_sum
+        |  FROM fc GROUP BY doc_id, w, h)
+        |SELECT * FROM g UNION ALL SELECT * FROM r UNION ALL SELECT * FROM f""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

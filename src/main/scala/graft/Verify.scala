@@ -16,7 +16,11 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // local-iteration filter: comma-separated name prefixes (the driver
+    // never sets this — default is the full suite)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSeq)
+    def selected(name: String) = only.forall(_.exists(name.startsWith))
+    SparkEntry.queries.filter(kv => selected(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name.parquet")
       catch { case e: Throwable =>
@@ -36,13 +40,13 @@ object Verify {
     // driver picks whichever it looks up), and ALSO drop a standalone
     // `<name>.sql` file beside each parquet so a file-based lookup works
     // regardless of JSON key shape.
-    val entries = SparkEntry.oracleSql.toSeq.flatMap { case (k, v) =>
+    val entries = SparkEntry.oracleSql.toSeq.filter(kv => selected(kv._1)).flatMap { case (k, v) =>
       Seq(k -> v, s"$k.parquet" -> v)
     }
     val json = entries
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
-    SparkEntry.oracleSql.foreach { case (k, v) =>
+    SparkEntry.oracleSql.filter(kv => selected(kv._1)).foreach { case (k, v) =>
       Files.writeString(Paths.get(s"$outDir/$k.sql"), v)
     }
     spark.stop()

@@ -1,0 +1,299 @@
+package graft.codec
+
+/** From-scratch baseline TIFF 6.0 codec — un-fences the third classic
+  * still-image container (after JPEG/PNG/GIF): scanned-document crawls
+  * and fax archives ship TIFF, and the PDF fence notes already route its
+  * G4 payloads through [[CcittG4]].
+  *
+  * Decode: both byte orders (II/MM), classic 32-bit IFD walk, strip
+  * organization (single or multi-strip, RowsPerStrip honored), and three
+  * sample layouts —
+  *   - uncompressed 8-bit grayscale (Photometric 0 or 1; MinIsWhite
+  *     inverts on output so gray always reads 0=black),
+  *   - uncompressed 8-bit RGB (SamplesPerPixel 3, chunky planar config),
+  *   - CCITT G4 bilevel (Compression 4) via [[CcittG4]], emitted as
+  *     8-bit gray 0/255 honoring the photometric sense.
+  * Tiles, LZW/PackBits/JPEG compression, planar config 2, predictors,
+  * FillOrder 2, and non-8-bit multitone depths return `Left` (honest
+  * fences — each is a real sub-format, not an error). Output shape is
+  * [[Jpeg.Image]] like every other codec here.
+  *
+  * Encode (fixture/round-trip twin): little-endian, compression 1
+  * (gray or RGB, configurable RowsPerStrip so multi-strip paths stay
+  * covered) or G4 bilevel. Lossless — round-trips are bit-exact, which
+  * is what lets SQL oracles state decoded pixels directly.
+  */
+object Tiff {
+
+  def isTiff(b: Array[Byte]): Boolean =
+    b != null && b.length >= 8 &&
+      ((b(0) == 'I' && b(1) == 'I' && b(2) == 42 && b(3) == 0) ||
+        (b(0) == 'M' && b(1) == 'M' && b(2) == 0 && b(3) == 42))
+
+  def decode(b: Array[Byte]): Either[String, Jpeg.Image] =
+    try decodeImpl(b)
+    catch { case e: Exception => Left(s"tiff: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  // one parsed IFD entry: type + count + either inline value or offset
+  private final case class Entry(typ: Int, count: Long, valOff: Int)
+
+  private def decodeImpl(b: Array[Byte]): Either[String, Jpeg.Image] = {
+    if (!isTiff(b)) return Left("tiff: bad header")
+    val le = b(0) == 'I'
+    def u16(p: Int): Int =
+      if (le) (b(p) & 0xff) | ((b(p + 1) & 0xff) << 8)
+      else ((b(p) & 0xff) << 8) | (b(p + 1) & 0xff)
+    def u32(p: Int): Long =
+      if (le) (u16(p).toLong) | (u16(p + 2).toLong << 16)
+      else (u16(p).toLong << 16) | u16(p + 2).toLong
+
+    val ifdOff = u32(4)
+    if (ifdOff < 8 || ifdOff + 2 > b.length) return Left("tiff: bad IFD offset")
+    val nEntries = u16(ifdOff.toInt)
+    val base = ifdOff.toInt + 2
+    // the IFD ends with a 4-byte next-IFD pointer — require it too
+    if (base + nEntries * 12 + 4 > b.length) return Left("tiff: IFD overruns file")
+
+    val entries = new java.util.HashMap[Integer, Entry]()
+    var i = 0
+    while (i < nEntries) {
+      val p = base + i * 12
+      entries.put(u16(p), Entry(u16(p + 2), u32(p + 4), p + 8))
+      i += 1
+    }
+
+    def typeSize(t: Int): Int = t match {
+      case 1 | 2 | 6 | 7 => 1 // BYTE/ASCII/SBYTE/UNDEFINED
+      case 3 | 8         => 2 // SHORT/SSHORT
+      case 4 | 9         => 4 // LONG/SLONG
+      case 5 | 10        => 8 // RATIONAL
+      case _             => 0
+    }
+
+    /** All values of a tag as longs (SHORT/LONG only), or null if absent. */
+    def values(tag: Int): Array[Long] = {
+      val e = entries.get(tag)
+      if (e == null) return null
+      val sz = typeSize(e.typ)
+      if (sz == 0 || (e.typ != 3 && e.typ != 4)) return null
+      val total = sz * e.count
+      if (e.count < 0 || e.count > 65536) return null
+      val at = if (total <= 4) e.valOff else {
+        val off = u32(e.valOff)
+        if (off + total > b.length) return null
+        off.toInt
+      }
+      Array.tabulate(e.count.toInt) { k =>
+        if (e.typ == 3) u16(at + 2 * k).toLong else u32(at + 4 * k)
+      }
+    }
+    def scalar(tag: Int, default: Long = -1L): Long = {
+      val v = values(tag)
+      if (v == null || v.isEmpty) default else v(0)
+    }
+
+    if (entries.containsKey(322) || entries.containsKey(323))
+      return Left("tiff: tiled layout unsupported")
+    val width = scalar(256).toInt
+    val height = scalar(257).toInt
+    if (width <= 0 || height <= 0) return Left("tiff: bad dimensions")
+    // 64M-sample ceiling (3 samples/px max): crafted IFDs become error
+    // rows, not multi-GB allocations (the shared codec alloc discipline)
+    if (width.toLong * height > (1L << 28) / 4) return Left("tiff: image too large")
+    val compression = scalar(259, 1L).toInt
+    val photometric = scalar(262).toInt
+    val spp = scalar(277, 1L).toInt
+    val bits = values(258) match {
+      case null => Array.fill(spp)(1L) // default BitsPerSample = 1
+      case v    => v
+    }
+    val planar = scalar(284, 1L).toInt
+    val fillOrder = scalar(266, 1L).toInt
+    val predictor = scalar(317, 1L).toInt
+    if (planar != 1) return Left("tiff: planar configuration 2 unsupported")
+    if (fillOrder != 1) return Left("tiff: FillOrder 2 unsupported")
+    if (predictor != 1) return Left("tiff: predictor unsupported")
+
+    val stripOffsets = values(273)
+    val stripCounts = values(279)
+    if (stripOffsets == null || stripCounts == null ||
+      stripOffsets.length != stripCounts.length || stripOffsets.isEmpty)
+      return Left("tiff: missing strip tags")
+    val rowsPerStrip = {
+      val r = scalar(278, 0xffffffffL)
+      if (r <= 0 || r > height) height.toLong else r
+    }.toInt
+    val nStrips = stripOffsets.length
+    if (nStrips != (height + rowsPerStrip - 1) / rowsPerStrip)
+      return Left("tiff: strip count inconsistent with RowsPerStrip")
+
+    def strip(k: Int): Array[Byte] = {
+      val off = stripOffsets(k); val len = stripCounts(k)
+      if (off < 0 || len < 0 || off + len > b.length) null
+      else java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
+    }
+
+    compression match {
+      case 1 => // uncompressed 8-bit gray or RGB
+        if (!bits.forall(_ == 8L)) return Left(s"tiff: ${bits.mkString("/")}-bit uncompressed unsupported (8-bit only)")
+        if (spp != 1 && spp != 3) return Left(s"tiff: $spp samples/pixel unsupported")
+        if (spp == 1 && photometric != 0 && photometric != 1)
+          return Left(s"tiff: photometric $photometric unsupported for gray")
+        if (spp == 3 && photometric != 2) return Left(s"tiff: photometric $photometric unsupported for RGB")
+        val rowBytes = width * spp
+        val out = new Array[Byte](rowBytes * height)
+        var row = 0
+        var k = 0
+        while (k < nStrips) {
+          val s = strip(k)
+          if (s == null) return Left("tiff: strip overruns file")
+          val rows = math.min(rowsPerStrip, height - row)
+          if (s.length < rows * rowBytes) return Left("tiff: strip too short")
+          System.arraycopy(s, 0, out, row * rowBytes, rows * rowBytes)
+          row += rows
+          k += 1
+        }
+        if (spp == 1 && photometric == 0) { // MinIsWhite: invert to 0=black
+          var j = 0
+          while (j < out.length) { out(j) = (255 - (out(j) & 0xff)).toByte; j += 1 }
+        }
+        Right(Jpeg.Image(width, height, spp, out))
+
+      case 4 => // CCITT G4 bilevel
+        if (spp != 1 || bits(0) != 1L) return Left("tiff: G4 requires 1-bit single-sample data")
+        if (photometric != 0 && photometric != 1)
+          return Left(s"tiff: photometric $photometric unsupported for bilevel")
+        val out = new Array[Byte](width * height)
+        var row = 0
+        var k = 0
+        while (k < nStrips) {
+          val s = strip(k)
+          if (s == null) return Left("tiff: strip overruns file")
+          val rows = math.min(rowsPerStrip, height - row)
+          CcittG4.decode(s, width, rows) match {
+            case Left(e) => return Left(s"tiff: $e")
+            case Right(bl) => // bl: 1 = black run bit
+              var j = 0
+              while (j < width * rows) {
+                // photometric 0 (MinIsWhite): G4 black bit -> black pixel (0).
+                // photometric 1 (MinIsBlack): the coded "black" bits are max
+                // sample value, i.e. white — invert the sense.
+                val black = if (photometric == 0) bl(j) == 1 else bl(j) == 0
+                out(row * width + j) = if (black) 0 else 255.toByte
+                j += 1
+              }
+          }
+          row += rows
+          k += 1
+        }
+        Right(Jpeg.Image(width, height, 1, out))
+
+      case 5     => Left("tiff: LZW compression unsupported")
+      case 7     => Left("tiff: JPEG-in-TIFF unsupported")
+      case 32773 => Left("tiff: PackBits compression unsupported")
+      case c     => Left(s"tiff: compression $c unsupported")
+    }
+  }
+
+  /** Encode 8-bit gray (nc=1) or RGB (nc=3) as a little-endian
+    * uncompressed TIFF with the given RowsPerStrip (multi-strip when
+    * rowsPerStrip < height). */
+  def encode(pixels: Array[Byte], width: Int, height: Int, nc: Int,
+      rowsPerStrip: Int = Int.MaxValue): Array[Byte] = {
+    require(nc == 1 || nc == 3, "gray or RGB only")
+    require(pixels.length == width * height * nc, "pixel buffer size mismatch")
+    val rps = math.min(rowsPerStrip, height)
+    require(rps >= 1, "RowsPerStrip must be positive")
+    val nStrips = (height + rps - 1) / rps
+    val rowBytes = width * nc
+    val strips = Array.tabulate(nStrips) { k =>
+      val rows = math.min(rps, height - k * rps)
+      java.util.Arrays.copyOfRange(pixels, k * rps * rowBytes, (k * rps + rows) * rowBytes)
+    }
+    writeTiff(width, height, nc, compression = 1, photometric = if (nc == 3) 2 else 1,
+      bitsPerSample = 8, rps, strips)
+  }
+
+  /** Encode a bilevel image (pixels: 1 = black) as a little-endian G4
+    * TIFF (Compression 4, MinIsWhite), optionally multi-strip. */
+  def encodeG4(pixels: Array[Byte], width: Int, height: Int,
+      rowsPerStrip: Int = Int.MaxValue): Array[Byte] = {
+    require(pixels.length == width * height, "pixel buffer size mismatch")
+    val rps = math.min(rowsPerStrip, height)
+    require(rps >= 1, "RowsPerStrip must be positive")
+    val nStrips = (height + rps - 1) / rps
+    val strips = Array.tabulate(nStrips) { k =>
+      val rows = math.min(rps, height - k * rps)
+      CcittG4.encode(java.util.Arrays.copyOfRange(pixels, k * rps * width,
+        (k * rps + rows) * width), width, rows)
+    }
+    writeTiff(width, height, 1, compression = 4, photometric = 0,
+      bitsPerSample = 1, rps, strips)
+  }
+
+  /** Shared little-endian writer: header, strip data, then one IFD with
+    * the minimal baseline tag set (sorted ascending as the spec requires). */
+  private def writeTiff(width: Int, height: Int, spp: Int, compression: Int,
+      photometric: Int, bitsPerSample: Int, rps: Int,
+      strips: Array[Array[Byte]]): Array[Byte] = {
+    val nStrips = strips.length
+    val dataStart = 8
+    val stripOffsets = new Array[Int](nStrips)
+    var off = dataStart
+    var k = 0
+    while (k < nStrips) {
+      stripOffsets(k) = off
+      off += strips(k).length
+      off += off & 1 // word-align next strip
+      k += 1
+    }
+    val ifdOff = off
+    // tags: 256,257,258,259,262,273,277,278,279 (+284 chunky, implicit default)
+    val tags = Array(256, 257, 258, 259, 262, 273, 277, 278, 279)
+    val nE = tags.length
+    // external value areas (after the IFD) for arrays that don't fit inline
+    var extOff = ifdOff + 2 + nE * 12 + 4
+    val bpsExt = if (spp == 3) { val o = extOff; extOff += 6; o } else -1
+    val soExt = if (nStrips > 1) { val o = extOff; extOff += 4 * nStrips; o } else -1
+    val sbExt = if (nStrips > 1) { val o = extOff; extOff += 4 * nStrips; o } else -1
+    val out = new Array[Byte](extOff)
+    def le16(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(p: Int, v: Int): Unit = { le16(p, v & 0xffff); le16(p + 2, (v >>> 16) & 0xffff) }
+    out(0) = 'I'; out(1) = 'I'; out(2) = 42; out(3) = 0
+    le32(4, ifdOff)
+    k = 0
+    while (k < nStrips) {
+      System.arraycopy(strips(k), 0, out, stripOffsets(k), strips(k).length)
+      k += 1
+    }
+    le16(ifdOff, nE)
+    var e = 0
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      val p = ifdOff + 2 + e * 12
+      le16(p, tag); le16(p + 2, typ); le32(p + 4, count)
+      if (typ == 3 && count == 1) { le16(p + 8, value); le16(p + 10, 0) }
+      else le32(p + 8, value)
+      e += 1
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    if (spp == 3) { entry(258, 3, 3, bpsExt); le16(bpsExt, 8); le16(bpsExt + 2, 8); le16(bpsExt + 4, 8) }
+    else entry(258, 3, 1, bitsPerSample)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, photometric)
+    if (nStrips > 1) {
+      entry(273, 4, nStrips, soExt)
+      var j = 0
+      while (j < nStrips) { le32(soExt + 4 * j, stripOffsets(j)); j += 1 }
+    } else entry(273, 4, 1, stripOffsets(0))
+    entry(277, 3, 1, spp)
+    entry(278, 4, 1, rps)
+    if (nStrips > 1) {
+      entry(279, 4, nStrips, sbExt)
+      var j = 0
+      while (j < nStrips) { le32(sbExt + 4 * j, strips(j).length); j += 1 }
+    } else entry(279, 4, 1, strips(0).length)
+    le32(ifdOff + 2 + nE * 12, 0) // next-IFD pointer: none
+    out
+  }
+}

@@ -88,4 +88,16 @@ class CodecFuzzSpec extends AnyFunSuite {
     for (m <- mutations(seed, 300)) CcittG4.decode(m, 64, 16)
     succeed
   }
+
+  test("tiff decode survives 300 mutations (gray multi-strip, RGB, G4)") {
+    val gray = Array.tabulate[Byte](20 * 12)(i => ((i * 3) % 256).toByte)
+    val rgb = Array.tabulate[Byte](10 * 8 * 3)(i => ((i * 5) % 256).toByte)
+    val bilevel = Array.tabulate[Byte](32 * 10)(i => ((i / 4) % 2).toByte)
+    val seeds = Seq(
+      graft.codec.Tiff.encode(gray, 20, 12, 1, rowsPerStrip = 3),
+      graft.codec.Tiff.encode(rgb, 10, 8, 3),
+      graft.codec.Tiff.encodeG4(bilevel, 32, 10, rowsPerStrip = 4))
+    for (seed <- seeds; m <- mutations(seed, 100)) graft.codec.Tiff.decode(m)
+    succeed
+  }
 }

@@ -1,0 +1,145 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.codec.Tiff
+
+/** TIFF codec tests. Lossless container, so uncompressed and G4 paths
+  * are bit-exact; the independent oracle is the JDK's ImageIO TIFF
+  * plugin (shares no code with ours), exercised in BOTH directions —
+  * including its big-endian output, multi-strip layouts, and its own
+  * G4 compressor/decompressor.
+  */
+class TiffSpec extends AnyFunSuite {
+
+  private def rng(seed: Long) = new scala.util.Random(seed)
+
+  private def imageIoTiff(im: java.awt.image.BufferedImage,
+      compression: Option[String] = None): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    compression.foreach { c =>
+      p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      p.setCompressionType(c)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(im, null, null), p)
+    ios.close(); wr.dispose()
+    bos.toByteArray
+  }
+
+  test("encode -> decode round-trips bit-exactly (gray/RGB, single and multi-strip)") {
+    val r = rng(1)
+    for {
+      (w, h, nc) <- Seq((17, 9, 1), (64, 16, 3), (1, 1, 1), (3, 200, 3))
+      rps <- Seq(Int.MaxValue, 1, 5)
+    } {
+      val pix = Array.fill[Byte](w * h * nc)(r.nextInt(256).toByte)
+      val im = Tiff.decode(Tiff.encode(pix, w, h, nc, rps)).fold(e => fail(e), identity)
+      assert(im.width == w && im.height == h && im.nComponents == nc, s"$w x $h nc=$nc rps=$rps")
+      assert(java.util.Arrays.equals(im.pixels, pix), s"$w x $h nc=$nc rps=$rps")
+    }
+  }
+
+  test("our TIFF bytes decode under ImageIO bit-exactly (incl. multi-strip)") {
+    val r = rng(2)
+    val w = 41; val h = 23
+    for (rps <- Seq(Int.MaxValue, 7)) {
+      val pix = Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Tiff.encode(pix, w, h, 3, rps)))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = ref.getRGB(x, y)
+        val base = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff) == (pix(base) & 0xff), s"r at $x,$y rps=$rps")
+        assert(((argb >> 8) & 0xff) == (pix(base + 1) & 0xff))
+        assert((argb & 0xff) == (pix(base + 2) & 0xff))
+      }
+      val gray = Array.fill[Byte](w * h)(r.nextInt(256).toByte)
+      val gref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Tiff.encode(gray, w, h, 1, rps)))
+      assert(gref != null && gref.getWidth == w && gref.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert(gref.getRaster.getSample(x, y, 0) == (gray(y * w + x) & 0xff), s"gray $x,$y rps=$rps")
+    }
+  }
+
+  test("ImageIO-written TIFFs (big-endian container) decode bit-exactly under ours") {
+    for ((typ, nc) <- Seq(
+        (java.awt.image.BufferedImage.TYPE_BYTE_GRAY, 1),
+        (java.awt.image.BufferedImage.TYPE_INT_RGB, 3))) {
+      val w = 57; val h = 33
+      val buf = new java.awt.image.BufferedImage(w, h, typ)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (nc == 1) buf.getRaster.setSample(x, y, 0, (x * 5 + y * 11) % 256)
+        else buf.setRGB(x, y, (((x * 4) % 256) << 16) | (((y * 7) % 256) << 8) | ((x + y) % 256))
+      }
+      val im = Tiff.decode(imageIoTiff(buf)).fold(e => fail(e), identity)
+      assert(im.width == w && im.height == h && im.nComponents == nc)
+      for (y <- 0 until h; x <- 0 until w) {
+        if (nc == 1)
+          assert((im.pixels(y * w + x) & 0xff) == buf.getRaster.getSample(x, y, 0))
+        else {
+          val argb = buf.getRGB(x, y)
+          val base = (y * w + x) * 3
+          assert((im.pixels(base) & 0xff) == ((argb >> 16) & 0xff), s"r at $x,$y")
+          assert((im.pixels(base + 1) & 0xff) == ((argb >> 8) & 0xff))
+          assert((im.pixels(base + 2) & 0xff) == (argb & 0xff))
+        }
+      }
+    }
+  }
+
+  test("G4 TIFF: ours decodes under ImageIO and ImageIO's decodes under ours") {
+    val r = rng(4)
+    val w = 64; val h = 20
+    val bilevel = Array.tabulate[Byte](w * h) { i =>
+      if ((i % w) / 4 % 2 == (i / w) / 3 % 2 || r.nextDouble() < 0.1) 1 else 0
+    }
+    // ours -> ImageIO (single and multi-strip)
+    for (rps <- Seq(Int.MaxValue, 6)) {
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Tiff.encodeG4(bilevel, w, h, rps)))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h, s"rps=$rps")
+      for (y <- 0 until h; x <- 0 until w) {
+        val black = (ref.getRGB(x, y) & 0xff) < 128
+        assert(black == (bilevel(y * w + x) == 1), s"at $x,$y rps=$rps")
+      }
+    }
+    // ImageIO -> ours
+    val im = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until h; x <- 0 until w)
+      im.setRGB(x, y, if (bilevel(y * w + x) == 1) 0x000000 else 0xffffff)
+    val ours = Tiff.decode(imageIoTiff(im, Some("CCITT T.6"))).fold(e => fail(e), identity)
+    assert(ours.width == w && ours.height == h && ours.nComponents == 1)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(((ours.pixels(y * w + x) & 0xff) < 128) == (bilevel(y * w + x) == 1), s"at $x,$y")
+  }
+
+  test("round-trip through our G4 leg is bit-exact") {
+    val w = 33; val h = 11
+    val bilevel = Array.tabulate[Byte](w * h)(i => (((i % w) + 2 * (i / w)) % 5 / 3).toByte)
+    val im = Tiff.decode(Tiff.encodeG4(bilevel, w, h, 4)).fold(e => fail(e), identity)
+    assert(im.width == w && im.height == h)
+    for (i <- 0 until w * h)
+      assert(((im.pixels(i) & 0xff) == 0) == (bilevel(i) == 1), s"at $i")
+  }
+
+  test("fences and malformed inputs fail closed") {
+    assert(Tiff.decode(null).isLeft)
+    assert(Tiff.decode(Array[Byte](1, 2, 3)).isLeft)
+    assert(!Tiff.isTiff("II+garbage".getBytes("US-ASCII")))
+    val good = Tiff.encode(Array.fill[Byte](64)(7), 8, 8, 1)
+    assert(Tiff.decode(good).isRight)
+    for (n <- Seq(4, 8, 20, good.length / 2, good.length - 3))
+      assert(Tiff.decode(java.util.Arrays.copyOf(good, n)).isLeft, s"prefix $n decoded")
+    // LZW is a documented fence
+    val buf = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until 8; x <- 0 until 16) buf.getRaster.setSample(x, y, 0, (x + y) % 256)
+    val lzw = Tiff.decode(imageIoTiff(buf, Some("LZW")))
+    assert(lzw.isLeft && lzw.swap.exists(_.contains("LZW")))
+  }
+}
