@@ -3405,6 +3405,42 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("kind"), col("d._2").as("nc"),
           col("d._3").as("width"), col("d._4").as("height"), col("d._5").as("pix_sum"))
+    }),
+
+    // BMP DECODE, ORACLED ON PIXELS: the legacy uncompressed format —
+    // odd widths keep the 4-byte row-stride padding on the oracle path
+    // (the classic BMP decoder bug class); lossless, so the generator
+    // pattern restates decoded pixels directly. Routed through the
+    // sniffing dispatcher.
+    "q206_bmp" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 5 + (id % 4).toInt; val h = 3 + (id % 3).toInt
+        val pix = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val base = (y * w + x) * 3
+            pix(base) = ((id * 3 + x + y) % 256).toByte
+            pix(base + 1) = ((id * 5 + x * 2) % 256).toByte
+            pix(base + 2) = ((id * 7 + y * 3) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val payload = graft.codec.Bmp.encode(pix, w, h)
+        graft.ops.Multimodal.decodeImage(payload) match {
+          case Right(im) =>
+            var sum = 0L
+            im.pixels.foreach(p => sum += (p & 0xff))
+            (im.nComponents.toLong, im.width.toLong, im.height.toLong, sum,
+              (im.pixels(0) & 0xff).toLong)
+          case Left(_) => (-1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("nc"), col("d._2").as("width"),
+          col("d._3").as("height"), col("d._4").as("pix_sum"), col("d._5").as("first_r"))
     })
   )
 
@@ -7378,6 +7414,19 @@ object Queries {
         |    CAST(255 * sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN 0 ELSE 1 END) AS BIGINT) AS pix_sum
         |  FROM fc GROUP BY doc_id, w, h)
         |SELECT * FROM g UNION ALL SELECT * FROM r UNION ALL SELECT * FROM f""".stripMargin,
+
+    // q206: BMP is lossless — the generator pattern IS the decoded image;
+    // first_r pins the row order (bottom-up storage must not flip output).
+    "q206_bmp" ->
+      """WITH g AS (SELECT doc_id, 5 + doc_id % 4 AS w, 3 + doc_id % 3 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM g),
+        |c AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS nc,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum((doc_id*3 + x + y) % 256 + (doc_id*5 + x*2) % 256
+        |           + (doc_id*7 + y*3) % 256) AS BIGINT) AS pix_sum,
+        |  CAST((doc_id*3) % 256 AS BIGINT) AS first_r
+        |FROM c GROUP BY doc_id, w, h""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

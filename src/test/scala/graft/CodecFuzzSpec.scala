@@ -100,4 +100,11 @@ class CodecFuzzSpec extends AnyFunSuite {
     for (seed <- seeds; m <- mutations(seed, 100)) graft.codec.Tiff.decode(m)
     succeed
   }
+
+  test("bmp decode survives 300 mutations") {
+    val rgb = Array.tabulate[Byte](21 * 14 * 3)(i => ((i * 5) % 256).toByte)
+    val seed = graft.codec.Bmp.encode(rgb, 21, 14)
+    for (m <- mutations(seed, 300)) graft.codec.Bmp.decode(m)
+    succeed
+  }
 }
