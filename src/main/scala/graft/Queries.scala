@@ -3441,6 +3441,48 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("nc"), col("d._2").as("width"),
           col("d._3").as("height"), col("d._4").as("pix_sum"), col("d._5").as("first_r"))
+    }),
+
+    // VIDEO FRAME SAMPLING over a REAL container: per-document MJPEG AVIs
+    // (every frame a complete exact-class JPEG) walk the RIFF/movi
+    // structure, stride-2 sample WITHOUT decoding skipped frames, and
+    // JPEG-decode only the sampled ones — the multimodal "frame-sample"
+    // stage end to end, pixel statistics restated by the oracle.
+    "q207_video" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val n = 3 + (id % 4).toInt
+        val us = 20000 + (id % 3).toInt * 10000
+        val frames = (0 until n).map { f =>
+          val v = ((id * 11 + f * 29) % 256).toByte
+          graft.codec.JpegEncoder.encodeGray(Array.fill[Byte](16 * 16)(v), 16, 16,
+            graft.codec.JpegEncoder.exactQuant)
+        }
+        val payload = graft.codec.Avi.encode(frames, 16, 16, us)
+        graft.codec.Avi.decode(payload) match {
+          case Right(video) =>
+            graft.ops.Multimodal.sampleVideoFrames(payload, 2) match {
+              case Right(sampled) =>
+                var pixSum = 0L; var firstPx = -1L
+                sampled.foreach { case (f, bytes) =>
+                  graft.codec.Jpeg.decode(bytes) match {
+                    case Right(im) =>
+                      var sfr = 0L
+                      im.pixels.foreach(p => sfr += (p & 0xff))
+                      pixSum += sfr
+                      if (f == 0) firstPx = im.pixels(0) & 0xff
+                    case Left(_) => pixSum = Long.MinValue // poison
+                  }
+                }
+                (video.nFrames.toLong, video.durationUs, sampled.length.toLong,
+                  pixSum, firstPx)
+              case Left(_) => (-1L, -1L, -1L, -1L, -1L)
+            }
+          case Left(_) => (-1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("n_frames"), col("d._2").as("dur_us"),
+          col("d._3").as("n_sampled"), col("d._4").as("pix_sum"), col("d._5").as("first_px"))
     })
   )
 
@@ -7427,6 +7469,22 @@ object Queries {
         |           + (doc_id*7 + y*3) % 256) AS BIGINT) AS pix_sum,
         |  CAST((doc_id*3) % 256 AS BIGINT) AS first_r
         |FROM c GROUP BY doc_id, w, h""".stripMargin,
+
+    // q207: the container is lossless and the frames are the JPEG exact
+    // class, so sampled pixel sums are 256 * the frame closed form over
+    // the even frame indices; duration is frames x per-frame micros.
+    "q207_video" ->
+      """WITH g AS (SELECT doc_id, 3 + doc_id % 4 AS n,
+        |    20000 + (doc_id % 3) * 10000 AS us FROM documents),
+        |f AS (SELECT doc_id, n, us, unnest(generate_series(0, n - 1)) AS fi FROM g),
+        |s AS (SELECT doc_id, n, us, fi, (doc_id*11 + fi*29) % 256 AS v
+        |  FROM f WHERE fi % 2 = 0)
+        |SELECT doc_id, CAST(n AS BIGINT) AS n_frames,
+        |  CAST(n AS BIGINT) * us AS dur_us,
+        |  CAST(count(*) AS BIGINT) AS n_sampled,
+        |  CAST(256 * sum(v) AS BIGINT) AS pix_sum,
+        |  CAST((doc_id*11) % 256 AS BIGINT) AS first_px
+        |FROM s GROUP BY doc_id, n, us""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

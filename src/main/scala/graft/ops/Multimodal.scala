@@ -12,16 +12,19 @@ import org.apache.spark.sql.functions._
   * `mapInPandas` batch UDF: one iterator per partition, amortized setup,
   * no per-row driver involvement).
   *
-  * The image leg is REAL for baseline JPEG: payloads sniffing as JPEG
-  * (FFD8) decode through the from-scratch [[graft.codec.Jpeg]] kernel and
-  * the features are true pixel statistics ([[dhash64]] fingerprints
-  * them for near-dup mining). The audio leg is REAL for PCM WAV via
-  * [[graft.codec.Wav]] (q198). Video and the remaining formats go
-  * through the **DETERMINISTIC FAKE** codec (this container has no
-  * media libraries): payloads are self-describing (magic + metadata
-  * header + seeded body) and "decoding" parses that header and
-  * histograms the body bytes. A production build swaps [[FakeCodec]]
-  * for real decoders behind the same signatures.
+  * The image leg is REAL for JPEG/PNG/GIF/TIFF/BMP: payloads decode
+  * through the from-scratch [[graft.codec]] kernels and the features are
+  * true pixel statistics ([[dhash64]] fingerprints them for near-dup
+  * mining). The audio leg is REAL for PCM WAV via [[graft.codec.Wav]]
+  * (q198). The video leg is REAL for MJPEG AVI via [[graft.codec.Avi]]
+  * (q207) — container walk + per-frame JPEG decode, with stride
+  * sampling that never decodes skipped frames. Formats beyond those
+  * (MP4/H.264, MP3/AAC, WebP/AVIF) go through the **DETERMINISTIC
+  * FAKE** codec (this container has no media libraries): payloads are
+  * self-describing (magic + metadata header + seeded body) and
+  * "decoding" parses that header and histograms the body bytes. A
+  * production build swaps [[FakeCodec]] for real decoders behind the
+  * same signatures.
   */
 object Multimodal {
 
@@ -101,6 +104,7 @@ object Multimodal {
         if (i % 23 == 13) Array[Byte](1, 2, 3) // malformed slice
         else if (modality == "image" && i % 4 == 0) realJpeg(i, meta) // real-codec slice
         else if (modality == "audio" && i % 4 == 1) realWav(i, meta) // real-codec slice
+        else if (modality == "video" && i % 4 == 2) realAvi(i, meta) // real-codec slice
         else FakeCodec.encode(modality, meta, seed ^ i, bodyLen)
       MediaRow(i, modality, payload, meta)
     }
@@ -136,6 +140,18 @@ object Multimodal {
     val n = 256 + (id % 7).toInt * 64
     val samples = Array.tabulate(n)(i => (((id * 13 + i * 17) % 2001) - 1000).toShort)
     graft.codec.Wav.encode(samples, 1, meta.sampleRate)
+  }
+
+  /** Deterministic real MJPEG AVI for the video slice: meta.nFrames flat
+    * frames at meta dims, frame value a closed form of (id, frame). */
+  private def realAvi(id: Long, meta: MediaMeta): Array[Byte] = {
+    val frames = (0 until meta.nFrames).map { f =>
+      val v = ((id * 31 + f * 17) % 256).toByte
+      graft.codec.JpegEncoder.encodeGray(
+        Array.fill[Byte](meta.width * meta.height)(v), meta.width, meta.height,
+        graft.codec.JpegEncoder.exactQuant)
+    }
+    graft.codec.Avi.encode(frames, meta.width, meta.height, 40000)
   }
 
   /** Batched decode + feature extraction. The feature kernel (byte
@@ -185,6 +201,33 @@ object Multimodal {
               MediaFeatures(r.media_id, "audio", decoded_ok = false, 0,
                 Array.fill(16)(0d), 0d)
           }
+        else if (graft.codec.Avi.isAvi(r.payload))
+          graft.codec.Avi.decode(r.payload) match {
+            case Right(v) =>
+              // feature = histogram over the FIRST decoded frame (the
+              // keyframe thumbnail read); remaining frames stay undecoded
+              graft.codec.Jpeg.decode(v.frames(0)) match {
+                case Right(im) =>
+                  java.util.Arrays.fill(hist, 0L)
+                  var sum = 0L
+                  var i = 0
+                  while (i < im.pixels.length) {
+                    val p = im.pixels(i) & 0xff
+                    hist(p >>> 4) += 1
+                    sum += p
+                    i += 1
+                  }
+                  val n = math.max(im.pixels.length, 1)
+                  MediaFeatures(r.media_id, "video", decoded_ok = true,
+                    v.frames.map(_.length).sum, hist.map(_.toDouble / n), sum.toDouble / n)
+                case Left(_) =>
+                  MediaFeatures(r.media_id, "video", decoded_ok = false, 0,
+                    Array.fill(16)(0d), 0d)
+              }
+            case Left(_) =>
+              MediaFeatures(r.media_id, "video", decoded_ok = false, 0,
+                Array.fill(16)(0d), 0d)
+          }
         else FakeCodec.decode(r.payload) match {
           case Some((mod, _, body)) =>
             java.util.Arrays.fill(hist, 0L)
@@ -207,13 +250,28 @@ object Multimodal {
     }
   }
 
-  /** Frame sampling for "video" payloads: every `stride`-th fixed-size
-    * block of the body becomes a frame row (fan-out via flatMap — the
-    * Dataset analog of a generator/UDTF). */
+  /** Stride-sample the frames of a real video payload: every `stride`-th
+    * movi chunk, WITHOUT JPEG-decoding the skipped ones (the container
+    * walk is the cheap part; pixel decode is the expensive one a sampler
+    * must avoid paying per skipped frame). */
+  def sampleVideoFrames(payload: Array[Byte], stride: Int): Either[String, Seq[(Int, Array[Byte])]] =
+    graft.codec.Avi.decode(payload).map { v =>
+      (0 until v.nFrames by stride).map(f => (f, v.frames(f)))
+    }
+
+  /** Frame sampling for "video" payloads: every `stride`-th frame becomes
+    * a frame row (fan-out via flatMap — the Dataset analog of a
+    * generator/UDTF). Real MJPEG AVIs walk the container ([[sampleVideoFrames]]);
+    * fake-codec payloads chop the body into fixed-size pseudo-frames. */
   def sampleFrames(media: Dataset[MediaRow], frameSize: Int = 64, stride: Int = 2): Dataset[FrameRow] = {
     import media.sparkSession.implicits._
     media.filter(_.modality == "video").flatMap { r =>
-      FakeCodec.decode(r.payload) match {
+      if (graft.codec.Avi.isAvi(r.payload))
+        sampleVideoFrames(r.payload, stride) match {
+          case Right(fs) => fs.map { case (f, bytes) => FrameRow(r.media_id, f, bytes) }
+          case Left(_)   => Nil
+        }
+      else FakeCodec.decode(r.payload) match {
         case Some((_, _, body)) =>
           val nFrames = body.length / frameSize
           (0 until nFrames by stride).map { f =>

@@ -107,4 +107,12 @@ class CodecFuzzSpec extends AnyFunSuite {
     for (m <- mutations(seed, 300)) graft.codec.Bmp.decode(m)
     succeed
   }
+
+  test("avi decode survives 300 mutations") {
+    val frames = (0 until 3).map(i =>
+      JpegEncoder.encodeGray(Array.fill[Byte](16 * 16)((i * 70).toByte), 16, 16))
+    val seed = graft.codec.Avi.encode(frames, 16, 16, 40000)
+    for (m <- mutations(seed, 300)) graft.codec.Avi.decode(m)
+    succeed
+  }
 }

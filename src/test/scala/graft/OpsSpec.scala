@@ -499,7 +499,16 @@ class OpsSpec extends AnyFunSuite {
     val ok = feats.filter(_.decoded_ok)
     assert(ok.forall(f => math.abs(f.histogram.sum - 1.0) < 1e-9)) // L1-normalized
     val frames = Multimodal.sampleFrames(media).collect()
-    assert(frames.nonEmpty && frames.forall(_.frame_bytes.length == 64))
+    assert(frames.nonEmpty)
+    // real-AVI slice (video, i%4==2): frames are true JPEGs at stride 2;
+    // fake-codec videos chop the body into 64-byte pseudo-frames
+    val realVid = (0L until 60L).filter(i => i % 3 == 2 && i % 4 == 2 && i % 23 != 13).toSet
+    val (rf, ff) = frames.partition(f => realVid.contains(f.media_id))
+    assert(ff.forall(_.frame_bytes.length == 64))
+    assert(rf.nonEmpty && rf.forall(f => graft.codec.Jpeg.isJpeg(f.frame_bytes)))
+    assert(rf.forall(_.frame_idx % 2 == 0))
+    val id14 = rf.filter(_.media_id == 14L)
+    assert(id14.length == (8 + 14 % 5 + 1) / 2) // ceil(nFrames / stride)
     // deterministic: regenerate → identical features
     val again = Multimodal.decodeFeatures(Multimodal.mediaDs(spark, 60L)).collect()
     assert(feats.map(_.mean_byte).toSeq == again.map(_.mean_byte).toSeq)
