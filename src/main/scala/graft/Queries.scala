@@ -3483,6 +3483,27 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("n_frames"), col("d._2").as("dur_us"),
           col("d._3").as("n_sampled"), col("d._4").as("pix_sum"), col("d._5").as("first_px"))
+    }),
+
+    // AUDIO SIGNAL-QUALITY FEATURES over decoded PCM: zero crossings
+    // (voicing proxy), longest silence run (dead-air gate), and clipped
+    // samples (recording damage) — all exact integers on the q198
+    // sawtooth, replayed in SQL with a lag window + gaps-and-islands.
+    "q208_audio_features" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val n = 400 + (id % 5).toInt * 80
+        val samples = Array.tabulate(n)(i => (((id * 13 + i * 17) % 2001) - 1000).toShort)
+        val bytes = graft.codec.Wav.encode(samples, 1, 16000)
+        graft.codec.Wav.decode(bytes) match {
+          case Right(a) =>
+            val (zc, maxSil, clipped) = graft.codec.Wav.analysis(a)
+            (zc, maxSil, clipped)
+          case Left(_) => (-1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("zero_crossings"),
+          col("d._2").as("max_silence"), col("d._3").as("clipped"))
     })
   )
 
@@ -7485,6 +7506,27 @@ object Queries {
         |  CAST(256 * sum(v) AS BIGINT) AS pix_sum,
         |  CAST((doc_id*11) % 256 AS BIGINT) AS first_px
         |FROM s GROUP BY doc_id, n, us""".stripMargin,
+
+    // q208: the sawtooth closed form + a lag window for sign transitions
+    // + the gaps-and-islands rank trick for the longest silence run.
+    "q208_audio_features" ->
+      """WITH g AS (SELECT doc_id, 400 + (doc_id % 5) * 80 AS n FROM documents),
+        |ii AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM g),
+        |s AS (SELECT doc_id, i, (doc_id*13 + i*17) % 2001 - 1000 AS s FROM ii),
+        |t AS (SELECT doc_id, s, lag(s) OVER (PARTITION BY doc_id ORDER BY i) AS ps FROM s),
+        |z AS (SELECT doc_id,
+        |    CAST(sum(CASE WHEN ps IS NOT NULL AND ((s >= 0) != (ps >= 0))
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS zero_crossings,
+        |    CAST(sum(CASE WHEN abs(s) >= 990 THEN 1 ELSE 0 END) AS BIGINT) AS clipped
+        |  FROM t GROUP BY doc_id),
+        |sil AS (SELECT doc_id, i,
+        |    i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS grp
+        |  FROM s WHERE abs(s) <= 100),
+        |runs AS (SELECT doc_id, count(*) AS runlen FROM sil GROUP BY doc_id, grp),
+        |mx AS (SELECT doc_id, CAST(max(runlen) AS BIGINT) AS max_silence
+        |  FROM runs GROUP BY doc_id)
+        |SELECT z.doc_id, zero_crossings, coalesce(max_silence, 0) AS max_silence, clipped
+        |FROM z LEFT JOIN mx ON z.doc_id = mx.doc_id""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

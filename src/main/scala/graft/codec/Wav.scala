@@ -104,6 +104,35 @@ object Wav {
     out
   }
 
+  /** Signal-quality features beyond [[features]]'s energy triple — the
+    * audio-curation gates (dead-air detection, clipping damage, voicing
+    * proxy), all exact integers so SQL oracles replay them:
+    *   - zero crossings: transitions of the sample sign bit (>= 0 vs < 0)
+    *     between consecutive samples — the classic spectral-centroid
+    *     proxy separating tones/speech from noise;
+    *   - longest silence run: max consecutive samples with
+    *     |s| <= silenceThresh (dead-air / truncated-recording signal);
+    *   - clipped count: samples with |s| >= clipThresh (recording-chain
+    *     damage).
+    * Interleaved stereo is analyzed as the sample stream (channel
+    * handling is the caller's split). */
+  def analysis(a: Audio, silenceThresh: Int = 100, clipThresh: Int = 990): (Long, Long, Long) = {
+    var zc = 0L
+    var maxRun = 0L; var run = 0L
+    var clipped = 0L
+    var i = 0
+    val n = a.samples.length
+    while (i < n) {
+      val s = a.samples(i).toInt
+      if (i > 0 && ((s >= 0) != (a.samples(i - 1) >= 0))) zc += 1
+      if (math.abs(s) <= silenceThresh) { run += 1; if (run > maxRun) maxRun = run }
+      else run = 0
+      if (math.abs(s) >= clipThresh) clipped += 1
+      i += 1
+    }
+    (zc, maxRun, clipped)
+  }
+
   /** The feature triple the curation queries pin: exact integer energy
     * (sum of squared samples), peak magnitude, and floor-division
     * duration in microseconds. */

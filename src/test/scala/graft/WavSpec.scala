@@ -134,4 +134,30 @@ class WavSpec extends AnyFunSuite {
     }
     assert(Multimodal.dhash64(img(0), 72, 64) == Multimodal.dhash64(img(20), 72, 64))
   }
+
+  test("analysis: zero crossings, longest silence run, clipping (hand vector + brute force)") {
+    def audio(ss: Seq[Int]) = Wav.Audio(1, 16000, 16, ss.map(_.toShort).toArray)
+    // hand vector: signs + - - + 0(+) -, silence run {0} length 1, one clip
+    val (zc, sil, clip) = Wav.analysis(audio(Seq(500, -500, -200, 300, 0, -995)),
+      silenceThresh = 100, clipThresh = 990)
+    assert(zc == 3)   // +- , -+ , 0->-995 (0 counts as >= 0 so 300->0 is no cross)
+    assert(sil == 1)  // only the 0 sample
+    assert(clip == 1) // -995
+    // empty and single-sample edges
+    assert(Wav.analysis(audio(Nil)) == ((0L, 0L, 0L)))
+    assert(Wav.analysis(audio(Seq(50))) == ((0L, 1L, 0L)))
+    // brute force on random streams
+    val r = new scala.util.Random(11)
+    for (_ <- 0 until 20) {
+      val ss = Seq.fill(200)(r.nextInt(2001) - 1000)
+      val zcB = ss.sliding(2).count(p => (p(0) >= 0) != (p(1) >= 0))
+      val silB = {
+        var best = 0; var run = 0
+        for (s <- ss) { if (math.abs(s) <= 100) { run += 1; best = math.max(best, run) } else run = 0 }
+        best
+      }
+      val clipB = ss.count(s => math.abs(s) >= 990)
+      assert(Wav.analysis(audio(ss)) == ((zcB.toLong, silB.toLong, clipB.toLong)))
+    }
+  }
 }
