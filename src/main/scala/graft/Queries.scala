@@ -3348,9 +3348,12 @@ object Queries {
 
     // TIFF DECODE, ORACLED ON PIXELS: the scanned-document container,
     // un-fenced — three branches exercise the whole codec: multi-strip
-    // uncompressed gray, interleaved RGB, and CCITT G4 bilevel strips
-    // (the fax leg inside a real IFD walk). Payloads route through the
-    // sniffing dispatcher, so the oracle also pins the dispatch.
+    // LZW gray UNDER the horizontal-differencing predictor, PackBits
+    // RGB, and CCITT G4 bilevel strips (the fax leg inside a real IFD
+    // walk). TIFF is lossless on every branch, so the oracle is
+    // compression-independent — the same closed forms pin raw, LZW
+    // (incl. early change), and PackBits decode paths. Payloads route
+    // through the sniffing dispatcher, so the oracle also pins dispatch.
     "q205_tiff" -> ((s, dir) => {
       val st = udf { id: Long =>
         val (kind, payload) = (id % 3) match {
@@ -3363,7 +3366,8 @@ object Queries {
               while (x < w) { pix(y * w + x) = ((id * 7 + x + 5 * y) % 256).toByte; x += 1 }
               y += 1
             }
-            ("gray", graft.codec.Tiff.encode(pix, w, h, 1, rowsPerStrip = 3))
+            ("gray", graft.codec.Tiff.encodeCompressed(pix, w, h, 1, compression = 5,
+              rowsPerStrip = 3, predictor = true))
           case 1 =>
             val w = 6 + (id % 3).toInt; val h = 5
             val pix = new Array[Byte](w * h * 3)
@@ -3379,7 +3383,7 @@ object Queries {
               }
               y += 1
             }
-            ("rgb", graft.codec.Tiff.encode(pix, w, h, 3))
+            ("rgb", graft.codec.Tiff.encodeCompressed(pix, w, h, 3, compression = 32773))
           case _ =>
             val w = 24 + (id % 3).toInt * 8; val h = 9 + (id % 4).toInt
             val pix = new Array[Byte](w * h)

@@ -6,22 +6,25 @@ package graft.codec
   * G4 payloads through [[CcittG4]].
   *
   * Decode: both byte orders (II/MM), classic 32-bit IFD walk, strip
-  * organization (single or multi-strip, RowsPerStrip honored), and three
-  * sample layouts —
-  *   - uncompressed 8-bit grayscale (Photometric 0 or 1; MinIsWhite
-  *     inverts on output so gray always reads 0=black),
-  *   - uncompressed 8-bit RGB (SamplesPerPixel 3, chunky planar config),
+  * organization (single or multi-strip, RowsPerStrip honored), and the
+  * sample layouts a scanned/exported corpus actually carries —
+  *   - 8-bit grayscale (Photometric 0 or 1; MinIsWhite inverts on
+  *     output so gray always reads 0=black) and 8-bit chunky RGB, each
+  *     uncompressed (1), LZW (5, with early change), or PackBits
+  *     (32773), optionally under the horizontal-differencing
+  *     predictor (tag 317 = 2),
   *   - CCITT G4 bilevel (Compression 4) via [[CcittG4]], emitted as
   *     8-bit gray 0/255 honoring the photometric sense.
-  * Tiles, LZW/PackBits/JPEG compression, planar config 2, predictors,
-  * FillOrder 2, and non-8-bit multitone depths return `Left` (honest
-  * fences — each is a real sub-format, not an error). Output shape is
-  * [[Jpeg.Image]] like every other codec here.
+  * Tiles, JPEG-in-TIFF, planar config 2, FillOrder 2, and non-8-bit
+  * multitone depths return `Left` (honest fences — each is a real
+  * sub-format, not an error). Output shape is [[Jpeg.Image]] like every
+  * other codec here.
   *
-  * Encode (fixture/round-trip twin): little-endian, compression 1
-  * (gray or RGB, configurable RowsPerStrip so multi-strip paths stay
-  * covered) or G4 bilevel. Lossless — round-trips are bit-exact, which
-  * is what lets SQL oracles state decoded pixels directly.
+  * Encode (fixture/round-trip twin): little-endian, compression 1/5/
+  * 32773 (gray or RGB, configurable RowsPerStrip so multi-strip paths
+  * stay covered, optional predictor) or G4 bilevel. Lossless — round-
+  * trips are bit-exact, which is what lets SQL oracles state decoded
+  * pixels directly.
   */
 object Tiff {
 
@@ -112,7 +115,9 @@ object Tiff {
     val predictor = scalar(317, 1L).toInt
     if (planar != 1) return Left("tiff: planar configuration 2 unsupported")
     if (fillOrder != 1) return Left("tiff: FillOrder 2 unsupported")
-    if (predictor != 1) return Left("tiff: predictor unsupported")
+    if (predictor != 1 && predictor != 2) return Left(s"tiff: predictor $predictor unsupported")
+    if (predictor == 2 && compression != 5 && compression != 1 && compression != 32773)
+      return Left("tiff: predictor with this compression unsupported")
 
     val stripOffsets = values(273)
     val stripCounts = values(279)
@@ -134,8 +139,8 @@ object Tiff {
     }
 
     compression match {
-      case 1 => // uncompressed 8-bit gray or RGB
-        if (!bits.forall(_ == 8L)) return Left(s"tiff: ${bits.mkString("/")}-bit uncompressed unsupported (8-bit only)")
+      case 1 | 5 | 32773 => // 8-bit gray or RGB; raw, LZW, or PackBits strips
+        if (!bits.forall(_ == 8L)) return Left(s"tiff: ${bits.mkString("/")}-bit samples unsupported (8-bit only)")
         if (spp != 1 && spp != 3) return Left(s"tiff: $spp samples/pixel unsupported")
         if (spp == 1 && photometric != 0 && photometric != 1)
           return Left(s"tiff: photometric $photometric unsupported for gray")
@@ -148,8 +153,30 @@ object Tiff {
           val s = strip(k)
           if (s == null) return Left("tiff: strip overruns file")
           val rows = math.min(rowsPerStrip, height - row)
-          if (s.length < rows * rowBytes) return Left("tiff: strip too short")
-          System.arraycopy(s, 0, out, row * rowBytes, rows * rowBytes)
+          val raw: Array[Byte] = compression match {
+            case 1 => s
+            case 5 =>
+              Lzw.decode(s, rows * rowBytes) match {
+                case Left(e)  => return Left(e)
+                case Right(d) => d
+              }
+            case _ =>
+              PackBits.decode(s, rows * rowBytes) match {
+                case Left(e)  => return Left(e)
+                case Right(d) => d
+              }
+          }
+          if (raw.length < rows * rowBytes) return Left("tiff: strip too short")
+          System.arraycopy(raw, 0, out, row * rowBytes, rows * rowBytes)
+          if (predictor == 2) { // horizontal differencing, per strip row
+            var r2 = row
+            while (r2 < row + rows) {
+              var j = r2 * rowBytes + spp
+              val end = (r2 + 1) * rowBytes
+              while (j < end) { out(j) = (out(j) + out(j - spp)).toByte; j += 1 }
+              r2 += 1
+            }
+          }
           row += rows
           k += 1
         }
@@ -188,10 +215,175 @@ object Tiff {
         }
         Right(Jpeg.Image(width, height, 1, out))
 
-      case 5     => Left("tiff: LZW compression unsupported")
-      case 7     => Left("tiff: JPEG-in-TIFF unsupported")
-      case 32773 => Left("tiff: PackBits compression unsupported")
-      case c     => Left(s"tiff: compression $c unsupported")
+      case 7 => Left("tiff: JPEG-in-TIFF unsupported")
+      case c => Left(s"tiff: compression $c unsupported")
+    }
+  }
+
+  /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, Clear=256, EOI=257,
+    * 9→12-bit widths with the "early change" bump at table size 2^w − 1.
+    * Per-strip; `expected` bounds the output allocation. */
+  private[codec] object Lzw {
+    private val Clear = 256
+    private val Eoi = 257
+
+    def decode(data: Array[Byte], expected: Int): Either[String, Array[Byte]] = {
+      if (expected < 0 || expected > (1 << 28)) return Left("tiff: lzw output too large")
+      val out = new Array[Byte](expected)
+      var outPos = 0
+      // string table: packed (prefixCode, byte); 0..255 implicit roots
+      val prefix = new Array[Int](4096)
+      val suffix = new Array[Byte](4096)
+      var next = 258
+      var width = 9
+      var acc = 0L; var nBits = 0; var p = 0
+      var old = -1
+      val stack = new Array[Byte](4096)
+      def readCode(): Int = {
+        while (nBits < width) {
+          if (p >= data.length) return -1
+          acc = (acc << 8) | (data(p) & 0xff); p += 1; nBits += 8
+        }
+        nBits -= width
+        ((acc >>> nBits) & ((1 << width) - 1)).toInt
+      }
+      while (true) {
+        val code = readCode()
+        if (code < 0) return Left("tiff: lzw stream truncated")
+        if (code == Eoi) {
+          if (outPos < expected) return Left("tiff: lzw output short")
+          return Right(out)
+        }
+        if (code == Clear) {
+          next = 258; width = 9; old = -1
+        } else if (old < 0) {
+          if (code > 255) return Left("tiff: lzw bad first code")
+          if (outPos >= expected) return Left("tiff: lzw output overrun")
+          out(outPos) = code.toByte; outPos += 1
+          old = code
+        } else {
+          if (code > next) return Left("tiff: lzw code out of range")
+          var sp = 0
+          var c = code
+          if (code == next) { // KwK: emit old + first(old)
+            c = old
+            stack(sp) = 0; sp += 1 // placeholder for the repeated first byte
+          }
+          while (c > 255) { stack(sp) = suffix(c); sp += 1; c = prefix(c) }
+          val first = c.toByte
+          if (code == next) stack(0) = first
+          if (outPos + sp + 1 > expected) return Left("tiff: lzw output overrun")
+          out(outPos) = first; outPos += 1
+          var i = sp - 1
+          while (i >= 0) { out(outPos) = stack(i); outPos += 1; i -= 1 }
+          if (next < 4096) {
+            prefix(next) = old; suffix(next) = first
+            next += 1
+          }
+          old = code
+        }
+        // early change: bump when the NEXT add would need more bits
+        if (code != Clear && next == (1 << width) - 1 && width < 12) width += 1
+      }
+      Left("tiff: unreachable")
+    }
+
+    def encode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length / 2 + 16)
+      var acc = 0L; var nBits = 0
+      var width = 9
+      def put(code: Int): Unit = {
+        acc = (acc << width) | code; nBits += width
+        while (nBits >= 8) { out.write(((acc >>> (nBits - 8)) & 0xff).toInt); nBits -= 8 }
+      }
+      // table: (prefixCode << 8 | byte) -> code
+      var table = new java.util.HashMap[Integer, Integer]()
+      var next = 258
+      put(Clear)
+      var cur = -1
+      var i = 0
+      while (i < data.length) {
+        val b = data(i) & 0xff
+        if (cur < 0) cur = b
+        else {
+          val key = (cur << 8) | b
+          val hit = table.get(key)
+          if (hit != null) cur = hit
+          else {
+            put(cur)
+            table.put(key, next)
+            next += 1
+            // early-change alignment: the encoder's k-th add happens one
+            // code EARLIER in the stream than the decoder's (the decoder
+            // only adds from its 2nd post-clear code), so the encoder
+            // widens at 1<<w where the decoder widens at (1<<w)-1 —
+            // validated both ways against ImageIO's independent codec
+            if (next == (1 << width) && width < 12) width += 1
+            if (next >= 4094) { // table nearly full: reset
+              put(Clear)
+              table = new java.util.HashMap[Integer, Integer]()
+              next = 258
+              width = 9
+            }
+            cur = b
+          }
+        }
+        i += 1
+      }
+      if (cur >= 0) put(cur)
+      put(Eoi)
+      if (nBits > 0) out.write(((acc << (8 - nBits)) & 0xff).toInt)
+      out.toByteArray
+    }
+  }
+
+  /** PackBits (TIFF 6.0 §9 / classic Mac RLE). */
+  private[codec] object PackBits {
+    def decode(data: Array[Byte], expected: Int): Either[String, Array[Byte]] = {
+      if (expected < 0 || expected > (1 << 28)) return Left("tiff: packbits output too large")
+      val out = new Array[Byte](expected)
+      var p = 0; var o = 0
+      while (o < expected) {
+        if (p >= data.length) return Left("tiff: packbits truncated")
+        val n = data(p); p += 1
+        if (n >= 0) { // literal run of n+1
+          val len = n + 1
+          if (p + len > data.length || o + len > expected) return Left("tiff: packbits overrun")
+          System.arraycopy(data, p, out, o, len)
+          p += len; o += len
+        } else if (n != -128) { // repeat next byte 1-n times
+          val len = 1 - n
+          if (p >= data.length || o + len > expected) return Left("tiff: packbits overrun")
+          java.util.Arrays.fill(out, o, o + len, data(p))
+          p += 1; o += len
+        } // -128: noop
+      }
+      Right(out)
+    }
+
+    def encode(data: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream(data.length + 16)
+      var i = 0
+      while (i < data.length) {
+        // find run length of identical bytes
+        var run = 1
+        while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+        if (run >= 2) {
+          out.write(1 - run) // signed negative
+          out.write(data(i))
+          i += run
+        } else {
+          // literal stretch until the next run of >= 3 (or 128 cap)
+          var end = i + 1
+          while (end < data.length && end - i < 128 &&
+            !(end + 2 < data.length && data(end) == data(end + 1) && data(end) == data(end + 2)))
+            end += 1
+          out.write(end - i - 1)
+          out.write(data, i, end - i)
+          i = end
+        }
+      }
+      out.toByteArray
     }
   }
 
@@ -212,6 +404,37 @@ object Tiff {
     }
     writeTiff(width, height, nc, compression = 1, photometric = if (nc == 3) 2 else 1,
       bitsPerSample = 8, rps, strips)
+  }
+
+  /** Encode 8-bit gray or RGB with LZW (compression 5) or PackBits
+    * (32773), optionally with the horizontal-differencing predictor
+    * (LZW's usual companion) and multi-strip layout. */
+  def encodeCompressed(pixels: Array[Byte], width: Int, height: Int, nc: Int,
+      compression: Int, rowsPerStrip: Int = Int.MaxValue,
+      predictor: Boolean = false): Array[Byte] = {
+    require(nc == 1 || nc == 3, "gray or RGB only")
+    require(pixels.length == width * height * nc, "pixel buffer size mismatch")
+    require(compression == 5 || compression == 32773, "LZW or PackBits")
+    val rps = math.min(rowsPerStrip, height)
+    require(rps >= 1, "RowsPerStrip must be positive")
+    val nStrips = (height + rps - 1) / rps
+    val rowBytes = width * nc
+    val strips = Array.tabulate(nStrips) { k =>
+      val rows = math.min(rps, height - k * rps)
+      val raw = java.util.Arrays.copyOfRange(pixels, k * rps * rowBytes,
+        (k * rps + rows) * rowBytes)
+      if (predictor) { // horizontal differencing, per row (right to left)
+        var r = 0
+        while (r < rows) {
+          var j = (r + 1) * rowBytes - 1
+          while (j >= r * rowBytes + nc) { raw(j) = (raw(j) - raw(j - nc)).toByte; j -= 1 }
+          r += 1
+        }
+      }
+      if (compression == 5) Lzw.encode(raw) else PackBits.encode(raw)
+    }
+    writeTiff(width, height, nc, compression, photometric = if (nc == 3) 2 else 1,
+      bitsPerSample = 8, rps, strips, predictor = if (predictor) 2 else 1)
   }
 
   /** Encode a bilevel image (pixels: 1 = black) as a little-endian G4
@@ -235,7 +458,7 @@ object Tiff {
     * the minimal baseline tag set (sorted ascending as the spec requires). */
   private def writeTiff(width: Int, height: Int, spp: Int, compression: Int,
       photometric: Int, bitsPerSample: Int, rps: Int,
-      strips: Array[Array[Byte]]): Array[Byte] = {
+      strips: Array[Array[Byte]], predictor: Int = 1): Array[Byte] = {
     val nStrips = strips.length
     val dataStart = 8
     val stripOffsets = new Array[Int](nStrips)
@@ -248,9 +471,9 @@ object Tiff {
       k += 1
     }
     val ifdOff = off
-    // tags: 256,257,258,259,262,273,277,278,279 (+284 chunky, implicit default)
-    val tags = Array(256, 257, 258, 259, 262, 273, 277, 278, 279)
-    val nE = tags.length
+    // tags: 256,257,258,259,262,273,277,278,279 (+317 when differencing;
+    // 284 chunky is the implicit default)
+    val nE = if (predictor == 2) 10 else 9
     // external value areas (after the IFD) for arrays that don't fit inline
     var extOff = ifdOff + 2 + nE * 12 + 4
     val bpsExt = if (spp == 3) { val o = extOff; extOff += 6; o } else -1
@@ -293,6 +516,7 @@ object Tiff {
       var j = 0
       while (j < nStrips) { le32(sbExt + 4 * j, strips(j).length); j += 1 }
     } else entry(279, 4, 1, strips(0).length)
+    if (predictor == 2) entry(317, 3, 1, 2)
     le32(ifdOff + 2 + nE * 12, 0) // next-IFD pointer: none
     out
   }

@@ -290,11 +290,11 @@ object Multimodal {
 
   /** Sniff-and-decode any supported image payload through the
     * from-scratch codecs: JPEG (baseline + progressive), PNG, GIF — the
-    * classic web trio — plus TIFF (uncompressed gray/RGB and CCITT G4,
-    * the scanned-document container) and BMP (8/24/32-bit BI_RGB).
+    * classic web trio — plus TIFF (gray/RGB raw/LZW/PackBits and CCITT
+    * G4, the scanned-document container) and BMP (8/24/32-bit BI_RGB).
     * WebP/AVIF are honest fences (full VP8/AV1 stacks); they sniff as
-    * media upstream and land here as Left, as do TIFF's LZW/JPEG
-    * sub-formats and BMP's RLE modes. */
+    * media upstream and land here as Left, as do JPEG-in-TIFF and BMP's
+    * RLE modes. */
   def decodeImage(payload: Array[Byte]): Either[String, graft.codec.Jpeg.Image] =
     if (graft.codec.Jpeg.isJpeg(payload)) graft.codec.Jpeg.decode(payload)
     else if (graft.codec.Png.isPng(payload)) graft.codec.Png.decode(payload)

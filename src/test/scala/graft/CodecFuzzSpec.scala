@@ -96,7 +96,9 @@ class CodecFuzzSpec extends AnyFunSuite {
     val seeds = Seq(
       graft.codec.Tiff.encode(gray, 20, 12, 1, rowsPerStrip = 3),
       graft.codec.Tiff.encode(rgb, 10, 8, 3),
-      graft.codec.Tiff.encodeG4(bilevel, 32, 10, rowsPerStrip = 4))
+      graft.codec.Tiff.encodeG4(bilevel, 32, 10, rowsPerStrip = 4),
+      graft.codec.Tiff.encodeCompressed(gray, 20, 12, 1, 5, rowsPerStrip = 5, predictor = true),
+      graft.codec.Tiff.encodeCompressed(rgb, 10, 8, 3, 32773))
     for (seed <- seeds; m <- mutations(seed, 100)) graft.codec.Tiff.decode(m)
     succeed
   }

@@ -128,6 +128,78 @@ class TiffSpec extends AnyFunSuite {
       assert(((im.pixels(i) & 0xff) == 0) == (bilevel(i) == 1), s"at $i")
   }
 
+  test("LZW and PackBits round-trip bit-exactly (multi-strip, predictor on/off)") {
+    val r = rng(5)
+    for {
+      (w, h, nc) <- Seq((23, 11, 1), (16, 9, 3), (1, 1, 1))
+      comp <- Seq(5, 32773)
+      pred <- Seq(false, true)
+      rps <- Seq(Int.MaxValue, 4)
+    } {
+      // half smooth gradient (LZW-friendly, predictor-meaningful), half noise
+      val pix = Array.tabulate[Byte](w * h * nc) { i =>
+        if (i % 2 == 0) ((i / nc) % 256).toByte else r.nextInt(256).toByte
+      }
+      val bytes = Tiff.encodeCompressed(pix, w, h, nc, comp, rps, pred)
+      val im = Tiff.decode(bytes).fold(e => fail(s"comp=$comp pred=$pred rps=$rps: $e"), identity)
+      assert(im.width == w && im.height == h && im.nComponents == nc)
+      assert(java.util.Arrays.equals(im.pixels, pix), s"comp=$comp pred=$pred rps=$rps $w x $h nc=$nc")
+    }
+  }
+
+  test("our LZW/PackBits TIFFs decode under ImageIO bit-exactly") {
+    val r = rng(6)
+    val w = 37; val h = 19
+    val pix = Array.tabulate[Byte](w * h * 3)(i => if (i % 3 == 0) (i % 256).toByte else r.nextInt(256).toByte)
+    for ((comp, pred) <- Seq((5, false), (5, true), (32773, false))) {
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Tiff.encodeCompressed(pix, w, h, 3, comp, rowsPerStrip = 7, predictor = pred)))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h, s"comp=$comp pred=$pred")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = ref.getRGB(x, y)
+        val base = (y * w + x) * 3
+        assert(((argb >> 16) & 0xff) == (pix(base) & 0xff), s"comp=$comp pred=$pred r at $x,$y")
+        assert(((argb >> 8) & 0xff) == (pix(base + 1) & 0xff))
+        assert((argb & 0xff) == (pix(base + 2) & 0xff))
+      }
+    }
+  }
+
+  test("ImageIO-written LZW and PackBits TIFFs decode bit-exactly under ours") {
+    for (comp <- Seq("LZW", "PackBits")) {
+      val w = 45; val h = 27
+      val buf = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        buf.setRGB(x, y, (((x * 3 + y) % 256) << 16) | (((y * 9) % 256) << 8) | ((x * x + y) % 256))
+      val im = Tiff.decode(imageIoTiff(buf, Some(comp))).fold(e => fail(s"$comp: $e"), identity)
+      assert(im.width == w && im.height == h && im.nComponents == 3, comp)
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = buf.getRGB(x, y)
+        val base = (y * w + x) * 3
+        assert((im.pixels(base) & 0xff) == ((argb >> 16) & 0xff), s"$comp r at $x,$y")
+        assert((im.pixels(base + 1) & 0xff) == ((argb >> 8) & 0xff))
+        assert((im.pixels(base + 2) & 0xff) == (argb & 0xff))
+      }
+    }
+  }
+
+  test("LZW table reset (noise past 4094 entries) round-trips and reads under ImageIO") {
+    val r = rng(7)
+    val w = 300; val h = 200 // 180k noise bytes: several dictionary resets
+    val pix = Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte)
+    val bytes = Tiff.encodeCompressed(pix, w, h, 3, 5)
+    val im = Tiff.decode(bytes).fold(e => fail(e), identity)
+    assert(java.util.Arrays.equals(im.pixels, pix))
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null && ref.getWidth == w && ref.getHeight == h)
+    val y = h - 1
+    for (x <- 0 until w) { // full compare is slow; last row crosses resets
+      val argb = ref.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert(((argb >> 16) & 0xff) == (pix(base) & 0xff), s"r at $x,$y")
+    }
+  }
+
   test("fences and malformed inputs fail closed") {
     assert(Tiff.decode(null).isLeft)
     assert(Tiff.decode(Array[Byte](1, 2, 3)).isLeft)
@@ -136,10 +208,14 @@ class TiffSpec extends AnyFunSuite {
     assert(Tiff.decode(good).isRight)
     for (n <- Seq(4, 8, 20, good.length / 2, good.length - 3))
       assert(Tiff.decode(java.util.Arrays.copyOf(good, n)).isLeft, s"prefix $n decoded")
-    // LZW is a documented fence
+    // ZLib/Deflate-in-TIFF is a documented fence
     val buf = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
     for (y <- 0 until 8; x <- 0 until 16) buf.getRaster.setSample(x, y, 0, (x + y) % 256)
-    val lzw = Tiff.decode(imageIoTiff(buf, Some("LZW")))
-    assert(lzw.isLeft && lzw.swap.exists(_.contains("LZW")))
+    val z = Tiff.decode(imageIoTiff(buf, Some("ZLib")))
+    assert(z.isLeft && z.swap.exists(_.contains("unsupported")))
+    // truncated LZW strips fail closed, not hang
+    val lzw = Tiff.encodeCompressed(Array.fill[Byte](64)(9), 8, 8, 1, 5)
+    for (n <- Seq(lzw.length - 3, lzw.length / 2))
+      assert(Tiff.decode(java.util.Arrays.copyOf(lzw, n)).isLeft, s"lzw prefix $n decoded")
   }
 }
