@@ -3508,6 +3508,54 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("zero_crossings"),
           col("d._2").as("max_silence"), col("d._3").as("clipped"))
+    }),
+
+    // ANIMATED GIF COMPOSITING, ORACLED ON CANVAS SUMS: a 3-frame
+    // animation per document — full-screen base, an offset patch with a
+    // TRANSPARENT index and a doc-varying disposal method (leave /
+    // restore-background / restore-previous), then a corner patch that
+    // only reads correctly if the disposal between frames 2 and 3 ran.
+    // The per-frame composited channel sums are closed forms the oracle
+    // restates pixel-by-pixel — any drift in offsets, transparency, or
+    // disposal semantics breaks the hash.
+    "q209_gif_anim" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val sw = 12; val sh = 8
+        val pal = new Array[Byte](16 * 3)
+        var i = 0
+        while (i < 16) {
+          pal(3 * i) = (i * 17).toByte
+          pal(3 * i + 1) = (255 - i * 17).toByte
+          pal(3 * i + 2) = ((i * 51) % 256).toByte
+          i += 1
+        }
+        val base = graft.codec.Gif.FrameSpec(
+          Array.tabulate[Byte](sw * sh)(k => ((id + k % sw + k / sw) % 8).toByte),
+          0, 0, sw, sh, delayCs = 4 + (id % 3).toInt, disposal = 1)
+        val patch = graft.codec.Gif.FrameSpec(
+          Array.tabulate[Byte](4 * 3)(k => (8 + (id + k % 4 + k / 4) % 8).toByte),
+          4, 2, 4, 3, delayCs = 5, disposal = 1 + (id % 3).toInt, transIdx = 15)
+        val patch2 = graft.codec.Gif.FrameSpec(
+          Array.tabulate[Byte](2 * 2)(k => ((id + 3 + k % 2 + k / 2) % 8).toByte),
+          0, 0, 2, 2, delayCs = 6, disposal = 1)
+        val bytes = graft.codec.Gif.encodeAnimated(sw, sh, pal, (id % 5).toInt,
+          Seq(base, patch, patch2))
+        graft.codec.Gif.decodeFrames(bytes) match {
+          case Right(anim) =>
+            def chanSum(k: Int): Long = {
+              var sum = 0L
+              anim.frames(k).pixels.foreach(p => sum += (p & 0xff))
+              sum
+            }
+            (anim.nFrames.toLong, anim.loop.toLong, anim.durationCs,
+              chanSum(0), chanSum(1), chanSum(2))
+          case Left(_) => (-1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("n_frames"), col("d._2").as("loop_count"),
+          col("d._3").as("dur_cs"), col("d._4").as("sum0"), col("d._5").as("sum1"),
+          col("d._6").as("sum2"))
     })
   )
 
@@ -7531,6 +7579,42 @@ object Queries {
         |  FROM runs GROUP BY doc_id)
         |SELECT z.doc_id, zero_crossings, coalesce(max_silence, 0) AS max_silence, clipped
         |FROM z LEFT JOIN mx ON z.doc_id = mx.doc_id""".stripMargin,
+
+    // q209: the browser compositing model restated per pixel — s(i) is
+    // the palette channel sum 255 + (51i)%256; frame 2's transparent
+    // index (15) shows the base, and frame 3's base depends on frame 2's
+    // disposal (1 leave, 2 rect->black, 3 restore base).
+    "q209_gif_anim" ->
+      """WITH px AS (
+        |  SELECT doc_id, xs.x AS x, ys.y AS y FROM documents
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 11)) AS x) xs
+        |  CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS y) ys),
+        |v AS (SELECT doc_id, x, y,
+        |    (doc_id + x + y) % 8 AS p0,
+        |    8 + (doc_id + (x-4) + (y-2)) % 8 AS i1,
+        |    (x BETWEEN 4 AND 7 AND y BETWEEN 2 AND 4) AS in1,
+        |    (x < 2 AND y < 2) AS in2,
+        |    (doc_id + 3 + x + y) % 8 AS p2,
+        |    1 + doc_id % 3 AS disp
+        |  FROM px),
+        |w AS (SELECT doc_id, in1, in2, p0, p2, disp,
+        |    255 + (51*p0) % 256 AS s0,
+        |    CASE WHEN in1 AND i1 != 15 THEN 255 + (51*i1) % 256
+        |         ELSE 255 + (51*p0) % 256 END AS s1
+        |  FROM v),
+        |f AS (SELECT doc_id, s0, s1,
+        |    CASE WHEN in2 THEN 255 + (51*p2) % 256
+        |         WHEN disp = 2 AND in1 THEN 0
+        |         WHEN disp = 3 THEN 255 + (51*p0) % 256
+        |         ELSE s1 END AS s2
+        |  FROM w)
+        |SELECT doc_id, CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 5 AS BIGINT) AS loop_count,
+        |  CAST(15 + doc_id % 3 AS BIGINT) AS dur_cs,
+        |  CAST(sum(s0) AS BIGINT) AS sum0,
+        |  CAST(sum(s1) AS BIGINT) AS sum1,
+        |  CAST(sum(s2) AS BIGINT) AS sum2
+        |FROM f GROUP BY doc_id""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

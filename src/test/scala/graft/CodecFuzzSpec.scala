@@ -76,6 +76,17 @@ class CodecFuzzSpec extends AnyFunSuite {
     succeed
   }
 
+  test("animated gif decode survives 300 mutations") {
+    val pal = Array.tabulate[Byte](16 * 3)(i => (i * 5).toByte)
+    val frames = Seq(
+      Gif.FrameSpec(Array.tabulate[Byte](12 * 8)(i => (i % 16).toByte), 0, 0, 12, 8, 5, 1),
+      Gif.FrameSpec(Array.tabulate[Byte](4 * 3)(i => (i % 16).toByte), 4, 2, 4, 3, 5, 2, transIdx = 7),
+      Gif.FrameSpec(Array.tabulate[Byte](2 * 2)(i => (i % 4).toByte), 1, 1, 2, 2, 5, 3))
+    val seed = Gif.encodeAnimated(12, 8, pal, 2, frames)
+    for (m <- mutations(seed, 300)) Gif.decodeFrames(m)
+    succeed
+  }
+
   test("wav decode survives 300 mutations") {
     val seed = Wav.encode(Array.tabulate(400)(i => ((i * 37) % 2001 - 1000).toShort), 1, 16000)
     for (m <- mutations(seed, 300)) Wav.decode(m)
