@@ -3556,6 +3556,20 @@ object Queries {
         .select(col("doc_id"), col("d._1").as("n_frames"), col("d._2").as("loop_count"),
           col("d._3").as("dur_cs"), col("d._4").as("sum0"), col("d._5").as("sum1"),
           col("d._6").as("sum2"))
+    }),
+
+    // REDIRECT-CHAIN RESOLUTION by pointer doubling: synthetic 7-hop
+    // chains down to block roots, with every 7th block root closed into
+    // a 2-cycle — resolved finals, exact hop counts, and cycle flags in
+    // ⌈log₂ 16⌉ = 4 self-joins instead of 16 hop rounds (the functional-
+    // graph move that matters at 10¹⁰ redirect edges).
+    "q210_redirects" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"))
+      val chain = d.filter(col("doc_id") % 8 =!= 0)
+        .select(col("doc_id").as("src"), (col("doc_id") - 1).as("dst"))
+      val cyc = d.filter(col("doc_id") % 8 === 0 && expr("doc_id DIV 8") % 7 === 3)
+        .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
+      graft.ops.WebOps.resolveRedirects(chain.unionByName(cyc), "src", "dst", maxHops = 16)
     })
   )
 
@@ -7615,6 +7629,23 @@ object Queries {
         |  CAST(sum(s1) AS BIGINT) AS sum1,
         |  CAST(sum(s2) AS BIGINT) AS sum2
         |FROM f GROUP BY doc_id""".stripMargin,
+
+    // q210: the synthetic redirect graph's answers are closed forms —
+    // chain nodes resolve to their block root in (id % 8) hops unless the
+    // root's block index is ≡ 3 (mod 7), which closes a 2-cycle that
+    // swallows the whole chain; cyclic roots themselves are sources too.
+    "q210_redirects" ->
+      """WITH s AS (
+        |  SELECT doc_id AS src, doc_id % 8 AS h, doc_id // 8 AS k
+        |  FROM documents WHERE doc_id % 8 != 0
+        |  UNION ALL
+        |  SELECT doc_id, 0, doc_id // 8
+        |  FROM documents WHERE doc_id % 8 = 0 AND (doc_id // 8) % 7 = 3)
+        |SELECT src,
+        |  CASE WHEN k % 7 = 3 THEN CAST(NULL AS BIGINT) ELSE CAST(8*k AS BIGINT) END AS final_id,
+        |  CAST(CASE WHEN k % 7 = 3 THEN -1 ELSE h END AS BIGINT) AS hops,
+        |  (k % 7 = 3) AS is_cycle
+        |FROM s""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -487,6 +487,46 @@ object WebOps {
     Curation.capPerKey(fresh, "host", "url", perHostCap)
   }
 
+  /** Redirect-chain resolution by POINTER DOUBLING — every crawl holds a
+    * (src → dst) redirect map (301/302/canonical hops) that fetch records
+    * must be resolved through before dedup/grouping sees them. Following
+    * chains hop-by-hop is O(maxHops) shuffle rounds; doubling the span
+    * each round (f_{2k} = f_k ∘ f_k, the classic parallel
+    * list-ranking/functional-graph move) resolves every chain of length
+    * ≤ maxHops in ⌈log₂ maxHops⌉ self-joins — the difference between 32
+    * exchanges and 5 at 10¹⁰ edges. Nodes whose final pointer still has
+    * an outgoing edge after the budget are REDIRECT CYCLES (or
+    * over-budget chains): flagged, never looped on.
+    *
+    * Input: one row per redirecting node (srcCol, dstCol); nodes absent
+    * from srcCol are terminal. Output: (src, final_id NULL on cycle,
+    * hops −1 on cycle, is_cycle). Hop counts compose additively through
+    * the doubling, so they are exact for resolved chains. */
+  def resolveRedirects(edges: DataFrame, srcCol: String, dstCol: String,
+      maxHops: Int = 32): DataFrame = {
+    require(maxHops >= 1, "positive hop budget")
+    val base = edges.select(col(srcCol).as("node"), col(dstCol).as("reach")).distinct()
+    var f = base.withColumn("hops", lit(1L))
+    var span = 1
+    while (span < maxHops) {
+      val g = f.select(col("node").as("g_node"), col("reach").as("g_reach"),
+        col("hops").as("g_hops"))
+      // terminal reaches (no outgoing edge) miss the join and keep their row
+      f = f.join(g, f("reach") === g("g_node"), "left")
+        .select(col("node"),
+          coalesce(col("g_reach"), col("reach")).as("reach"),
+          (col("hops") + coalesce(col("g_hops"), lit(0L))).as("hops"))
+      span *= 2
+    }
+    // a reach that still redirects after the budget is a cycle member
+    val redirecting = base.select(col("node").as("t_node")).distinct()
+    f.join(redirecting, f("reach") === col("t_node"), "left")
+      .select(col("node").as("src"),
+        when(col("t_node").isNull, col("reach")).as("final_id"),
+        when(col("t_node").isNull, col("hops")).otherwise(lit(-1L)).as("hops"),
+        col("t_node").isNotNull.as("is_cycle"))
+  }
+
   /** URL PATTERN profile — the crawl-trap detector: every url's path is
     * collapsed to a SHAPE (digit runs → `#`, query dropped), and shapes
     * are profiled per host. A shape fanning out to millions of distinct

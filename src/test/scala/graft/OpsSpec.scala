@@ -2629,6 +2629,36 @@ class OpsSpec extends AnyFunSuite {
       ("b.example", "http://b.example/p9")), got.mkString(","))
   }
 
+  test("resolveRedirects: pointer doubling matches a brute-force walk on random functional graphs") {
+    import graft.ops.WebOps
+    val rnd = new scala.util.Random(77)
+    for (trial <- 0 until 3) {
+      val n = 60
+      val edges = (0 until n).flatMap { i =>
+        if (rnd.nextDouble() < 0.7) Some((i.toLong, rnd.nextInt(n).toLong)) else None
+      }
+      val edgeMap = edges.toMap
+      val maxHops = 16
+      def brute(src: Long): (Option[Long], Long, Boolean) = {
+        var cur = src; var hops = 0L
+        while (hops < maxHops && edgeMap.contains(cur)) { cur = edgeMap(cur); hops += 1 }
+        if (edgeMap.contains(cur)) (None, -1L, true) else (Some(cur), hops, false)
+      }
+      val df = edges.toDF("src", "dst")
+      val got = WebOps.resolveRedirects(df, "src", "dst", maxHops)
+        .collect()
+        .map(r => r.getLong(0) -> ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          r.getLong(2), r.getBoolean(3))).toMap
+      assert(got.keySet == edgeMap.keySet, s"trial $trial: source set")
+      for (src <- edgeMap.keys)
+        assert(got(src) == brute(src), s"trial $trial src $src")
+    }
+    // self-loop is the minimal cycle
+    val self = Seq((5L, 5L)).toDF("src", "dst")
+    val r = WebOps.resolveRedirects(self, "src", "dst", 8).collect().head
+    assert(r.isNullAt(1) && r.getLong(2) == -1L && r.getBoolean(3))
+  }
+
   test("bpeEncodeStats: rank-ordered merges, chained consumption, exact counts") {
     import graft.ops.TextOps
     val merges = Seq(("e", "r"), ("t", "h"), ("th", "e"), ("a", "n"), ("an", "d"))
