@@ -3570,6 +3570,47 @@ object Queries {
       val cyc = d.filter(col("doc_id") % 8 === 0 && expr("doc_id DIV 8") % 7 === 3)
         .select(col("doc_id").as("src"), (col("doc_id") + 1).as("dst"))
       graft.ops.WebOps.resolveRedirects(chain.unionByName(cyc), "src", "dst", maxHops = 16)
+    }),
+
+    // JPEG-IN-TIFF (compression 7), ORACLED ON PIXELS: per-document
+    // multi-strip TIFFs whose strips are standalone baseline JPEGs in
+    // the exact class — the remaining common scanned-corpus TIFF leg,
+    // through the full IFD walk + per-strip JPEG decode + assembly.
+    "q211_tiff_jpeg" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val bw = 2 + (id % 3).toInt; val bh = 2 + (id % 4).toInt
+        val w = bw * 8; val h = bh * 8
+        val pix = new Array[Byte](w * h)
+        var by = 0
+        while (by < bh) {
+          var bx = 0
+          while (bx < bw) {
+            val v = ((id * 19 + bx * 7 + by * 3) % 256).toByte
+            var y = 0
+            while (y < 8) {
+              var x = 0
+              while (x < 8) { pix((by * 8 + y) * w + bx * 8 + x) = v; x += 1 }
+              y += 1
+            }
+            bx += 1
+          }
+          by += 1
+        }
+        val bytes = graft.codec.Tiff.encodeJpeg(pix, w, h, rowsPerStrip = 16)
+        graft.ops.Multimodal.decodeImage(bytes) match {
+          case Right(im) =>
+            var sum = 0L; var mn = 255L; var mx = 0L
+            im.pixels.foreach { p =>
+              val u = (p & 0xff).toLong
+              sum += u; if (u < mn) mn = u; if (u > mx) mx = u
+            }
+            (im.width.toLong, im.height.toLong, sum, mn, mx)
+          case Left(_) => (0L, 0L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("pix_sum"), col("d._4").as("pix_min"), col("d._5").as("pix_max"))
     })
   )
 
@@ -7646,6 +7687,19 @@ object Queries {
         |  CAST(CASE WHEN k % 7 = 3 THEN -1 ELSE h END AS BIGINT) AS hops,
         |  (k % 7 = 3) AS is_cycle
         |FROM s""".stripMargin,
+
+    // q211: the q199 closed-form shape with this generator's parameters —
+    // JPEG strips in the exact class reassemble losslessly.
+    "q211_tiff_jpeg" ->
+      """WITH g AS (
+        |  SELECT doc_id, 2 + doc_id % 3 AS bw, 2 + doc_id % 4 AS bh FROM documents),
+        |bxs AS (SELECT doc_id, bw, bh, unnest(generate_series(0, bw - 1)) AS bx FROM g),
+        |b AS (SELECT doc_id, bw, bh, bx, unnest(generate_series(0, bh - 1)) AS by FROM bxs),
+        |v AS (SELECT doc_id, bw, bh, (doc_id*19 + bx*7 + by*3) % 256 AS v FROM b)
+        |SELECT doc_id, CAST(8*bw AS BIGINT) AS width, CAST(8*bh AS BIGINT) AS height,
+        |  CAST(64*sum(v) AS BIGINT) AS pix_sum,
+        |  CAST(min(v) AS BIGINT) AS pix_min, CAST(max(v) AS BIGINT) AS pix_max
+        |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -94,6 +94,19 @@ object Tiff {
       val v = values(tag)
       if (v == null || v.isEmpty) default else v(0)
     }
+    /** Raw value bytes of a BYTE/UNDEFINED tag (JPEGTables), or null. */
+    def rawBytes(tag: Int): Array[Byte] = {
+      val e = entries.get(tag)
+      if (e == null || typeSize(e.typ) != 1) return null
+      if (e.count < 0 || e.count > (1 << 20)) return null
+      val total = e.count.toInt
+      val at = if (total <= 4) e.valOff else {
+        val off = u32(e.valOff)
+        if (off + total > b.length) return null
+        off.toInt
+      }
+      java.util.Arrays.copyOfRange(b, at, at + total)
+    }
 
     if (entries.containsKey(322) || entries.containsKey(323))
       return Left("tiff: tiled layout unsupported")
@@ -215,9 +228,80 @@ object Tiff {
         }
         Right(Jpeg.Image(width, height, 1, out))
 
-      case 7 => Left("tiff: JPEG-in-TIFF unsupported")
+      case 7 => // new-style JPEG-in-TIFF: each strip is a JPEG stream,
+        // shared tables optionally hoisted into tag 347 (JPEGTables)
+        if (!bits.forall(_ == 8L)) return Left("tiff: JPEG strips must be 8-bit")
+        if (spp != 1 && spp != 3) return Left(s"tiff: $spp samples/pixel unsupported")
+        // gray: photometric 0/1; RGB: 2 (no transform) or 6 (YCbCr — the
+        // JPEG decode already lands in RGB)
+        if (spp == 1 && photometric != 0 && photometric != 1)
+          return Left(s"tiff: photometric $photometric unsupported for gray JPEG")
+        if (spp == 3 && photometric != 2 && photometric != 6)
+          return Left(s"tiff: photometric $photometric unsupported for RGB JPEG")
+        val tables = rawBytes(347)
+        val rowBytes = width * spp
+        val out = new Array[Byte](rowBytes * height)
+        var row = 0
+        var k = 0
+        while (k < nStrips) {
+          val s = strip(k)
+          if (s == null) return Left("tiff: strip overruns file")
+          val rows = math.min(rowsPerStrip, height - row)
+          val stream: Array[Byte] =
+            if (tables == null || tables.length < 4) s
+            else {
+              // abbreviated strip + abbreviated tables: SOI, tables'
+              // payload (between ITS SOI and EOI), then the strip's
+              // payload after its SOI
+              if (s.length < 2 || (s(0) & 0xff) != 0xff || (s(1) & 0xff) != 0xd8)
+                return Left("tiff: JPEG strip missing SOI")
+              val tl = tables.length
+              val tPayloadEnd =
+                if ((tables(tl - 2) & 0xff) == 0xff && (tables(tl - 1) & 0xff) == 0xd9) tl - 2 else tl
+              val merged = new Array[Byte](2 + (tPayloadEnd - 2) + (s.length - 2))
+              merged(0) = 0xff.toByte; merged(1) = 0xd8.toByte
+              System.arraycopy(tables, 2, merged, 2, tPayloadEnd - 2)
+              System.arraycopy(s, 2, merged, tPayloadEnd, s.length - 2)
+              merged
+            }
+          Jpeg.decode(stream) match {
+            case Left(e) => return Left(s"tiff: $e")
+            case Right(im) =>
+              if (im.width != width || im.height != rows || im.nComponents != spp)
+                return Left(s"tiff: JPEG strip is ${im.width}x${im.height}x${im.nComponents}, wanted ${width}x${rows}x$spp")
+              System.arraycopy(im.pixels, 0, out, row * rowBytes, rows * rowBytes)
+          }
+          row += rows
+          k += 1
+        }
+        if (spp == 1 && photometric == 0) {
+          var j = 0
+          while (j < out.length) { out(j) = (255 - (out(j) & 0xff)).toByte; j += 1 }
+        }
+        Right(Jpeg.Image(width, height, spp, out))
+
       case c => Left(s"tiff: compression $c unsupported")
     }
+  }
+
+  /** Encode 8-bit gray as new-style JPEG-in-TIFF (compression 7): each
+    * strip a standalone baseline-JPEG stream from [[JpegEncoder]]. With
+    * the exact quant table and flat 8x8 blocks the strips round-trip
+    * bit-exactly, which is what lets SQL oracles state pixels. */
+  def encodeJpeg(pixels: Array[Byte], width: Int, height: Int,
+      rowsPerStrip: Int = Int.MaxValue,
+      quant: Array[Int] = JpegEncoder.exactQuant): Array[Byte] = {
+    require(pixels.length == width * height, "pixel buffer size mismatch")
+    val rps = math.min(rowsPerStrip, height)
+    require(rps >= 1, "RowsPerStrip must be positive")
+    val nStrips = (height + rps - 1) / rps
+    val strips = Array.tabulate(nStrips) { k =>
+      val rows = math.min(rps, height - k * rps)
+      JpegEncoder.encodeGray(java.util.Arrays.copyOfRange(pixels,
+        k * rps * width, (k * rps + rows) * width), width, rows, quant)
+    }
+    writeTiff(width, height, 1, compression = 7, photometric = 1,
+      bitsPerSample = 8, rps, strips)
   }
 
   /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, Clear=256, EOI=257,

@@ -200,6 +200,57 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  /** Flat 8x8 blocks: DC-only JPEG content every conformant decoder
+    * reconstructs identically — the exact class the JPEG differentials
+    * and oracles use. */
+  private def flatBlocks(w: Int, h: Int, f: (Int, Int) => Int): Array[Byte] = {
+    val pix = new Array[Byte](w * h)
+    for (by <- 0 until h / 8; bx <- 0 until w / 8; y <- 0 until 8; x <- 0 until 8)
+      pix((by * 8 + y) * w + bx * 8 + x) = f(bx, by).toByte
+    pix
+  }
+
+  test("JPEG-in-TIFF: our strips round-trip bit-exactly and read under ImageIO") {
+    val w = 32; val h = 48
+    val pix = flatBlocks(w, h, (bx, by) => (40 * bx + 25 * by + 7) % 256)
+    for (rps <- Seq(Int.MaxValue, 16)) {
+      val bytes = graft.codec.Tiff.encodeJpeg(pix, w, h, rps)
+      val im = Tiff.decode(bytes).fold(e => fail(s"rps=$rps: $e"), identity)
+      assert(im.width == w && im.height == h && im.nComponents == 1)
+      assert(java.util.Arrays.equals(im.pixels, pix), s"rps=$rps")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h, s"rps=$rps imageio")
+      for (y <- 0 until h; x <- 0 until w)
+        assert(ref.getRaster.getSample(x, y, 0) == (pix(y * w + x) & 0xff), s"rps=$rps at $x,$y")
+    }
+  }
+
+  test("ImageIO-written JPEG-in-TIFF (JPEGTables) decodes under ours matching their read") {
+    for ((typ, nc) <- Seq(
+        (java.awt.image.BufferedImage.TYPE_BYTE_GRAY, 1),
+        (java.awt.image.BufferedImage.TYPE_INT_RGB, 3))) {
+      val w = 32; val h = 24
+      val buf = new java.awt.image.BufferedImage(w, h, typ)
+      // flat 8x8 blocks: decoder-exact content even through their encoder
+      for (by <- 0 until h / 8; bx <- 0 until w / 8) {
+        val v = (30 * bx + 50 * by + 60) % 200 + 20
+        for (y <- 0 until 8; x <- 0 until 8)
+          if (nc == 1) buf.getRaster.setSample(bx * 8 + x, by * 8 + y, 0, v)
+          else buf.setRGB(bx * 8 + x, by * 8 + y, (v << 16) | (v << 8) | v)
+      }
+      val bytes = imageIoTiff(buf, Some("JPEG"))
+      val theirs = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      val im = Tiff.decode(bytes).fold(e => fail(s"nc=$nc: $e"), identity)
+      assert(im.width == w && im.height == h && im.nComponents == nc, s"nc=$nc")
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until nc) {
+        val want =
+          if (nc == 1) theirs.getRaster.getSample(x, y, 0)
+          else (theirs.getRGB(x, y) >> (16 - 8 * c)) & 0xff
+        assert((im.pixels((y * w + x) * nc + c) & 0xff) == want, s"nc=$nc c=$c at $x,$y")
+      }
+    }
+  }
+
   test("fences and malformed inputs fail closed") {
     assert(Tiff.decode(null).isLeft)
     assert(Tiff.decode(Array[Byte](1, 2, 3)).isLeft)
