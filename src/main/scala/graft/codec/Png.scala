@@ -7,11 +7,13 @@ package graft.codec
   * IDAT zlib streams (JDK Inflater — the same public primitive the PDF
   * FlateDecode path uses), per-row filters None/Sub/Up/Average/Paeth,
   * color types 0 (gray), 2 (RGB), 3 (palette), 4 (gray+alpha) and
-  * 6 (RGBA) at bit depth 8 — alpha is dropped on output (the feature
-  * extraction consumers read color planes; compositing policy is the
-  * caller's). Bit depths 1/2/4/16 and Adam7 interlace return `Left`
-  * (honest fences). Output shape matches [[Jpeg.Image]]: gray bytes or
-  * interleaved RGB.
+  * 6 (RGBA) at bit depths 8 and 16 — alpha is dropped on output (the
+  * feature extraction consumers read color planes; compositing policy
+  * is the caller's), and 16-bit samples reduce to their high byte (the
+  * standard 8-bit read; filtering still runs over the full 16-bit
+  * scanlines first, as the spec requires). Bit depths 1/2/4 and Adam7
+  * interlace return `Left` (honest fences). Output shape matches
+  * [[Jpeg.Image]]: gray bytes or interleaved RGB.
   *
   * Encode (test/fixture twin): color type 0 or 2, filter 0 rows, one
   * IDAT. Lossless — round-trips are bit-exact by construction, which
@@ -64,8 +66,10 @@ object Png {
           if (width <= 0 || height <= 0) return Left("png: bad dimensions")
           // 256M-pixel ceiling (bpp up to 4): crafted IHDRs become error
           // rows, not executor OOMs
-          if (width.toLong * height > (1L << 28) / 4) return Left("png: image too large")
-          if (bitDepth != 8) return Left(s"png: bit depth $bitDepth unsupported (8 only)")
+          if (width.toLong * height > (1L << 28) / 8) return Left("png: image too large")
+          if (bitDepth != 8 && bitDepth != 16)
+            return Left(s"png: bit depth $bitDepth unsupported (8/16 only)")
+          if (bitDepth == 16 && colorType == 3) return Left("png: 16-bit palette is invalid")
           if (!Set(0, 2, 3, 4, 6).contains(colorType)) return Left(s"png: color type $colorType")
           if (interlace == 1) return Left("png: Adam7 interlace unsupported")
           if (interlace != 0) return Left("png: unknown interlace method")
@@ -83,12 +87,13 @@ object Png {
     if (idat.size() == 0) return Left("png: no IDAT")
     if (colorType == 3 && palette == null) return Left("png: palette image without PLTE")
 
-    val bpp = colorType match { // bytes per pixel in the raw scanline
+    val sampleBytes = if (bitDepth == 16) 2 else 1
+    val bpp = (colorType match { // bytes per pixel in the raw scanline
       case 0 | 3 => 1
       case 2 => 3
       case 4 => 2
       case 6 => 4
-    }
+    }) * sampleBytes
     val stride = width * bpp
     val raw = new Array[Byte]((stride + 1) * height)
     val inf = new java.util.zip.Inflater()
@@ -150,16 +155,26 @@ object Png {
       y += 1
     }
 
+    // 16-bit samples reduce to their high byte (big-endian per spec) —
+    // the standard 8-bit read for feature-extraction consumers
+    val pix8 =
+      if (sampleBytes == 1) pix
+      else {
+        val p8 = new Array[Byte](pix.length / 2)
+        var i = 0
+        while (i < p8.length) { p8(i) = pix(2 * i); i += 1 }
+        p8
+      }
     // project to the Image layout
     colorType match {
-      case 0 => Right(Jpeg.Image(width, height, 1, pix))
-      case 2 => Right(Jpeg.Image(width, height, 3, pix))
+      case 0 => Right(Jpeg.Image(width, height, 1, pix8))
+      case 2 => Right(Jpeg.Image(width, height, 3, pix8))
       case 3 =>
         val out = new Array[Byte](width * height * 3)
         val maxIdx = palette.length / 3
         var i = 0
         while (i < width * height) {
-          val idx = pix(i) & 0xff
+          val idx = pix8(i) & 0xff
           if (idx >= maxIdx) return Left("png: palette index out of range")
           out(3 * i) = palette(3 * idx)
           out(3 * i + 1) = palette(3 * idx + 1)
@@ -170,13 +185,13 @@ object Png {
       case 4 => // gray+alpha -> gray
         val out = new Array[Byte](width * height)
         var i = 0
-        while (i < width * height) { out(i) = pix(2 * i); i += 1 }
+        while (i < width * height) { out(i) = pix8(2 * i); i += 1 }
         Right(Jpeg.Image(width, height, 1, out))
       case _ => // 6: RGBA -> RGB
         val out = new Array[Byte](width * height * 3)
         var i = 0
         while (i < width * height) {
-          out(3 * i) = pix(4 * i); out(3 * i + 1) = pix(4 * i + 1); out(3 * i + 2) = pix(4 * i + 2)
+          out(3 * i) = pix8(4 * i); out(3 * i + 1) = pix8(4 * i + 1); out(3 * i + 2) = pix8(4 * i + 2)
           i += 1
         }
         Right(Jpeg.Image(width, height, 3, out))

@@ -109,10 +109,77 @@ class PngSpec extends AnyFunSuite {
     // corrupt a data byte -> CRC must catch it
     val bad = good.clone(); bad(30) = (bad(30) ^ 0x40).toByte
     assert(Png.decode(bad).isLeft)
-    // 16-bit depth is a documented fence: patch IHDR bit depth + its CRC impossible
-    // without recomputing — simpler: build via ImageIO with TYPE_USHORT_GRAY
-    val deep = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
-    val r = Png.decode(imageIoPng(deep))
+    // 1-bit depth is a documented fence (TYPE_BYTE_BINARY writes depth 1)
+    val binary = new java.awt.image.BufferedImage(4, 4, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    val r = Png.decode(imageIoPng(binary))
     assert(r.isLeft && r.swap.exists(_.contains("unsupported")))
+  }
+
+  test("16-bit gray PNGs (ImageIO-written) decode to the sample high bytes") {
+    val w = 33; val h = 21
+    val deep = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      deep.getRaster.setSample(x, y, 0, (x * 1934 + y * 517 + 12345) % 65536)
+    val im = Png.decode(imageIoPng(deep)).fold(e => fail(e), identity)
+    assert(im.width == w && im.height == h && im.nComponents == 1)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((im.pixels(y * w + x) & 0xff) == (deep.getRaster.getSample(x, y, 0) >> 8),
+        s"at $x,$y")
+  }
+
+  test("16-bit RGB PNG (hand-built, Sub-filtered) decodes to high bytes") {
+    // build a minimal 16-bit color-type-2 PNG by hand: IHDR + one IDAT
+    // (zlib of filter-1 scanlines) + IEND — exercises filtering over the
+    // full 6-byte pixels before the high-byte reduction
+    val w = 5; val h = 3
+    val samples = Array.tabulate(w * h * 3)(i => (i * 4099 + 77) % 65536)
+    val stride = w * 6
+    val raw = new Array[Byte]((stride + 1) * h)
+    for (y <- 0 until h) {
+      raw(y * (stride + 1)) = 1 // Sub filter
+      val rowBytes = new Array[Byte](stride)
+      for (x <- 0 until w; c <- 0 until 3) {
+        val v = samples((y * w + x) * 3 + c)
+        rowBytes(x * 6 + 2 * c) = (v >> 8).toByte
+        rowBytes(x * 6 + 2 * c + 1) = (v & 0xff).toByte
+      }
+      for (i <- 0 until stride) {
+        val left = if (i >= 6) rowBytes(i - 6) & 0xff else 0
+        raw(y * (stride + 1) + 1 + i) = ((rowBytes(i) & 0xff) - left).toByte
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](256)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit = { o.write(((v >> 24) & 0xff).toInt); o.write(((v >> 16) & 0xff).toInt); o.write(((v >> 8) & 0xff).toInt); o.write((v & 0xff).toInt) }
+      be32(body.length)
+      val tb = typ.getBytes("US-ASCII")
+      o.write(tb); o.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      be32(crc.getValue)
+      o.toByteArray
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    for (v <- Seq(w, h)) { ihdr.write(v >> 24); ihdr.write((v >> 16) & 0xff); ihdr.write((v >> 8) & 0xff); ihdr.write(v & 0xff) }
+    ihdr.write(16); ihdr.write(2); ihdr.write(0); ihdr.write(0); ihdr.write(0)
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    png.write(chunk("IHDR", ihdr.toByteArray))
+    png.write(chunk("IDAT", z.toByteArray))
+    png.write(chunk("IEND", Array.emptyByteArray))
+    val im = Png.decode(png.toByteArray).fold(e => fail(e), identity)
+    assert(im.width == w && im.height == h && im.nComponents == 3)
+    for (i <- 0 until w * h * 3)
+      assert((im.pixels(i) & 0xff) == (samples(i) >> 8), s"sample $i")
+    // sanity: ImageIO agrees on the same hand-built file
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png.toByteArray))
+    assert(ref != null && ref.getWidth == w)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      assert(ref.getRaster.getSample(x, y, c) == samples((y * w + x) * 3 + c), s"imageio $x,$y,$c")
   }
 }
