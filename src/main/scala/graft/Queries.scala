@@ -3611,6 +3611,42 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
           col("d._3").as("pix_sum"), col("d._4").as("pix_min"), col("d._5").as("pix_max"))
+    }),
+
+    // 8-BIT AND 24-BIT PCM WAV, ORACLED ON NORMALIZED SAMPLES: the
+    // offset-binary 8-bit and top-16-bits 24-bit normalizations are
+    // exact integer maps the oracle restates (arithmetic shift = floor
+    // division); energy/peak/duration follow on the normalized stream.
+    "q212_wav_depths" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val (bits, payload, rate) =
+          if (id % 2 == 0) {
+            val n = 300 + (id % 4).toInt * 50
+            (8L, Array.tabulate[Byte](n)(i => ((id * 7 + i * 13) % 256).toByte), 8000)
+          } else {
+            val n = 200 + (id % 3).toInt * 40
+            val p = new Array[Byte](3 * n)
+            var i = 0
+            while (i < n) {
+              val v = (((id * 131 + i.toLong * 997) % 2000001) - 1000000).toInt
+              p(3 * i) = (v & 0xff).toByte
+              p(3 * i + 1) = ((v >> 8) & 0xff).toByte
+              p(3 * i + 2) = ((v >> 16) & 0xff).toByte
+              i += 1
+            }
+            (24L, p, 16000)
+          }
+        val bytes = graft.codec.Wav.encodePcm(payload, bits.toInt, 1, rate)
+        graft.codec.Wav.decode(bytes) match {
+          case Right(a) =>
+            val (energy, peak, dur) = graft.codec.Wav.features(a)
+            (bits, a.nFrames.toLong, energy, peak, dur)
+          case Left(_) => (bits, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("bits"), col("d._2").as("n_frames"),
+          col("d._3").as("energy"), col("d._4").as("peak"), col("d._5").as("dur_us"))
     })
   )
 
@@ -7700,6 +7736,27 @@ object Queries {
         |  CAST(64*sum(v) AS BIGINT) AS pix_sum,
         |  CAST(min(v) AS BIGINT) AS pix_min, CAST(max(v) AS BIGINT) AS pix_max
         |FROM v GROUP BY doc_id, bw, bh""".stripMargin,
+
+    // q212: the 8-bit branch normalizes (u - 128) << 8, the 24-bit branch
+    // floor(v / 256) — both exact integer maps over the generators.
+    "q212_wav_depths" ->
+      """WITH g8 AS (SELECT doc_id, 300 + (doc_id % 4) * 50 AS n FROM documents WHERE doc_id % 2 = 0),
+        |i8 AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM g8),
+        |s8 AS (SELECT doc_id, n, ((doc_id*7 + i*13) % 256 - 128) * 256 AS s FROM i8),
+        |r8 AS (SELECT doc_id, CAST(8 AS BIGINT) AS bits, CAST(n AS BIGINT) AS n_frames,
+        |    CAST(sum(s*s) AS BIGINT) AS energy, CAST(max(abs(s)) AS BIGINT) AS peak,
+        |    CAST(n AS BIGINT) * 1000000 // 8000 AS dur_us
+        |  FROM s8 GROUP BY doc_id, n),
+        |g24 AS (SELECT doc_id, 200 + (doc_id % 3) * 40 AS n FROM documents WHERE doc_id % 2 = 1),
+        |i24 AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM g24),
+        |s24 AS (SELECT doc_id, n,
+        |    CAST(floor(((doc_id*131 + i*997) % 2000001 - 1000000) / 256.0) AS BIGINT) AS s
+        |  FROM i24),
+        |r24 AS (SELECT doc_id, CAST(24 AS BIGINT) AS bits, CAST(n AS BIGINT) AS n_frames,
+        |    CAST(sum(s*s) AS BIGINT) AS energy, CAST(max(abs(s)) AS BIGINT) AS peak,
+        |    CAST(n AS BIGINT) * 1000000 // 16000 AS dur_us
+        |  FROM s24 GROUP BY doc_id, n)
+        |SELECT * FROM r8 UNION ALL SELECT * FROM r24""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

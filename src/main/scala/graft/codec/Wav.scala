@@ -3,8 +3,11 @@ package graft.codec
 /** Minimal RIFF/WAVE PCM codec — the audio leg of the multimodal ops made
   * real (the image leg is [[Jpeg]]/[[CcittG4]]): a crawl's audio payloads
   * are dominated by PCM WAV wherever they aren't lossy-compressed, and
-  * parsing it needs no external library. 16-bit signed little-endian PCM,
-  * mono or stereo; any other format code / bit depth returns `Left`
+  * parsing it needs no external library. 8-bit (unsigned offset-binary),
+  * 16-bit, and 24-bit little-endian PCM, mono or stereo — every depth
+  * normalizes to signed 16-bit samples (8-bit shifts up, 24-bit keeps
+  * its top 16 bits via arithmetic shift, i.e. floor division, so SQL
+  * oracles replay it); any other format code / bit depth returns `Left`
   * (error-as-data) — the honest fence where MP3/AAC/Opus would need real
   * entropy decoders.
   *
@@ -16,7 +19,7 @@ package graft.codec
 object Wav {
 
   final case class Audio(channels: Int, sampleRate: Int, bitsPerSample: Int,
-      samples: Array[Short]) { // interleaved if stereo
+      samples: Array[Short]) { // normalized signed 16-bit, interleaved if stereo
     def nFrames: Int = samples.length / channels
   }
 
@@ -65,17 +68,36 @@ object Wav {
     if (fmtCode < 0) return Left("wav: no fmt chunk")
     if (dataOff < 0) return Left("wav: no data chunk")
     if (fmtCode != 1) return Left(s"wav: format $fmtCode unsupported (PCM only)")
-    if (bits != 16) return Left(s"wav: $bits-bit samples unsupported (16-bit only)")
+    if (bits != 8 && bits != 16 && bits != 24)
+      return Left(s"wav: $bits-bit samples unsupported (8/16/24 only)")
     if (channels != 1 && channels != 2) return Left(s"wav: $channels channels unsupported")
     if (rate <= 0) return Left("wav: bad sample rate")
-    val n = dataLen / 2
+    // normalize every depth to signed 16-bit: 8-bit PCM is UNSIGNED
+    // (offset-binary, per the format), 24-bit keeps its top 16 bits
+    // (arithmetic shift = floor division, so SQL oracles replay it)
+    val n = dataLen / (bits / 8)
     val samples = new Array[Short](n)
     var i = 0
-    while (i < n) {
-      samples(i) = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
-      i += 1
+    bits match {
+      case 8 =>
+        while (i < n) {
+          samples(i) = ((((b(dataOff + i) & 0xff)) - 128) << 8).toShort
+          i += 1
+        }
+      case 16 =>
+        while (i < n) {
+          samples(i) = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
+          i += 1
+        }
+      case _ =>
+        while (i < n) {
+          val v = (b(dataOff + 3 * i) & 0xff) | ((b(dataOff + 3 * i + 1) & 0xff) << 8) |
+            (b(dataOff + 3 * i + 2) << 16) // sign-extends
+          samples(i) = (v >> 8).toShort
+          i += 1
+        }
     }
-    Right(Audio(channels, rate, 16, samples))
+    Right(Audio(channels, rate, bits, samples))
   }
 
   /** Encode 16-bit PCM (interleaved if stereo) as a canonical WAV file. */
@@ -101,6 +123,25 @@ object Wav {
       le16(44 + 2 * i, samples(i) & 0xffff)
       i += 1
     }
+    out
+  }
+
+  /** Encode a raw PCM payload (already little-endian at the given depth)
+    * under a canonical WAV header — the fixture writer for the 8/24-bit
+    * decode paths ([[encode]] is the 16-bit sample-level twin). */
+  def encodePcm(payload: Array[Byte], bits: Int, channels: Int, sampleRate: Int): Array[Byte] = {
+    require(bits == 8 || bits == 16 || bits == 24, "8/16/24-bit only")
+    require(channels == 1 || channels == 2, "mono or stereo only")
+    val out = new Array[Byte](44 + payload.length)
+    def put4(p: Int, s: String): Unit = { var i = 0; while (i < 4) { out(p + i) = s.charAt(i).toByte; i += 1 } }
+    def le16(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(p: Int, v: Int): Unit = { le16(p, v & 0xffff); le16(p + 2, (v >>> 16) & 0xffff) }
+    put4(0, "RIFF"); le32(4, 36 + payload.length); put4(8, "WAVE")
+    put4(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, channels)
+    le32(24, sampleRate); le32(28, sampleRate * channels * bits / 8)
+    le16(32, channels * bits / 8); le16(34, bits)
+    put4(36, "data"); le32(40, payload.length)
+    payload.copyToArray(out, 44)
     out
   }
 

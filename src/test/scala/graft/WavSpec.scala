@@ -67,8 +67,8 @@ class WavSpec extends AnyFunSuite {
       assert(Wav.decode(java.util.Arrays.copyOf(good, n)).isLeft, s"prefix $n")
     val float32 = good.clone(); float32(20) = 3 // format code 3 = IEEE float
     assert(Wav.decode(float32).swap.exists(_.contains("unsupported")))
-    val bits8 = good.clone(); bits8(34) = 8
-    assert(Wav.decode(bits8).swap.exists(_.contains("unsupported")))
+    val bits32 = good.clone(); bits32(34) = 32 // 32-bit PCM stays a fence
+    assert(Wav.decode(bits32).swap.exists(_.contains("unsupported")))
   }
 
   test("features: exact energy / peak / duration") {
@@ -133,6 +133,56 @@ class WavSpec extends AnyFunSuite {
       pix
     }
     assert(Multimodal.dhash64(img(0), 72, 64) == Multimodal.dhash64(img(20), 72, 64))
+  }
+
+  test("8-bit and 24-bit PCM normalize to signed 16-bit, matching javax.sound frames") {
+    // hand-build a WAV of arbitrary depth (our encoder writes 16-bit only)
+    def buildWav(payload: Array[Byte], bits: Int, rate: Int): Array[Byte] = {
+      val out = new Array[Byte](44 + payload.length)
+      def put4(p: Int, s: String): Unit = for (i <- 0 until 4) out(p + i) = s.charAt(i).toByte
+      def le16(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte }
+      def le32(p: Int, v: Int): Unit = { le16(p, v & 0xffff); le16(p + 2, (v >>> 16) & 0xffff) }
+      put4(0, "RIFF"); le32(4, 36 + payload.length); put4(8, "WAVE")
+      put4(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1); le32(24, rate)
+      le32(28, rate * bits / 8); le16(32, bits / 8); le16(34, bits)
+      put4(36, "data"); le32(40, payload.length)
+      payload.copyToArray(out, 44)
+      out
+    }
+    // 8-bit: unsigned bytes
+    val u8 = Array.tabulate[Byte](300)(i => ((i * 37 + 11) % 256).toByte)
+    val w8 = buildWav(u8, 8, 8000)
+    val a8 = Wav.decode(w8).fold(e => fail(e), identity)
+    assert(a8.bitsPerSample == 8 && a8.samples.length == 300)
+    for (i <- 0 until 300)
+      assert(a8.samples(i) == (((u8(i) & 0xff) - 128) << 8).toShort, s"8-bit at $i")
+    // javax.sound agrees the file is 8-bit unsigned PCM with these frames
+    val ais8 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(w8))
+    assert(ais8.getFormat.getSampleSizeInBits == 8)
+    assert(ais8.getFormat.getEncoding == javax.sound.sampled.AudioFormat.Encoding.PCM_UNSIGNED)
+    val their8 = ais8.readAllBytes()
+    assert(java.util.Arrays.equals(their8, u8))
+    // 24-bit: signed little-endian triples -> top 16 bits
+    val vals = Array.tabulate(200)(i => ((i * 131071 + 77) % 16000001) - 8000000)
+    val p24 = new Array[Byte](600)
+    for (i <- 0 until 200) {
+      p24(3 * i) = (vals(i) & 0xff).toByte
+      p24(3 * i + 1) = ((vals(i) >> 8) & 0xff).toByte
+      p24(3 * i + 2) = ((vals(i) >> 16) & 0xff).toByte
+    }
+    val w24 = buildWav(p24, 24, 16000)
+    val a24 = Wav.decode(w24).fold(e => fail(e), identity)
+    assert(a24.bitsPerSample == 24 && a24.samples.length == 200)
+    for (i <- 0 until 200)
+      assert(a24.samples(i) == (vals(i) >> 8).toShort, s"24-bit at $i (${vals(i)})")
+    val ais24 = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(w24))
+    assert(ais24.getFormat.getSampleSizeInBits == 24)
+    val their24 = ais24.readAllBytes()
+    assert(java.util.Arrays.equals(their24, p24))
+    // 12-bit stays a fence
+    assert(Wav.decode(buildWav(new Array[Byte](12), 12, 8000)).isLeft)
   }
 
   test("analysis: zero crossings, longest silence run, clipping (hand vector + brute force)") {
