@@ -3647,6 +3647,32 @@ object Queries {
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("bits"), col("d._2").as("n_frames"),
           col("d._3").as("energy"), col("d._4").as("peak"), col("d._5").as("dur_us"))
+    }),
+
+    // RFC 9309 ROBOTS MATCHING, ORACLED ON VERDICTS: wildcard patterns,
+    // $ end anchors, Allow rules, and the longest-match precedence —
+    // four host families x four path classes, every verdict a stated
+    // closed form. The q159 prefix gate stays as the plain-rule case;
+    // this pins the full REP semantics real robots files rely on.
+    "q213_robots_rfc" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val path = when(col("doc_id") % 4 === 0, concat(lit("/file"), col("doc_id"), lit(".php")))
+        .when(col("doc_id") % 4 === 1, concat(lit("/file"), col("doc_id"), lit(".php.bak")))
+        .when(col("doc_id") % 4 === 2, concat(lit("/private/pub/x"), col("doc_id")))
+        .otherwise(concat(lit("/private/sec/x"), col("doc_id")))
+      val pages = d.select(
+        concat(lit("http://"), col("source"), lit(".example"), path).as("url"))
+      val txt = when(col("source").isin("src0", "src1", "src2"),
+          lit("User-agent: *\nDisallow: /*.php$\n"))
+        .when(col("source").isin("src3", "src4", "src5"),
+          lit("User-agent: *\nDisallow: /private\nAllow: /private/pub\n"))
+        .when(col("source").isin("src6", "src7"),
+          lit("User-agent: *\nAllow: /\nDisallow: /file*.bak$\nDisallow: /private\n"))
+        .otherwise(
+          lit("User-agent: *\nDisallow: /\nAllow: /file\n"))
+      val robots = d.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"), txt.as("robots_txt"))
+      graft.ops.WebOps.robotsDisallowed(pages, "url", robots, "host", "robots_txt")
     })
   )
 
@@ -7757,6 +7783,26 @@ object Queries {
         |    CAST(n AS BIGINT) * 1000000 // 16000 AS dur_us
         |  FROM s24 GROUP BY doc_id, n)
         |SELECT * FROM r8 UNION ALL SELECT * FROM r24""".stripMargin,
+
+    // q213: every family x path-class verdict derived by hand from the
+    // REP rules (longest match, allow ties) and stated directly.
+    "q213_robots_rfc" ->
+      """WITH p AS (SELECT doc_id, source,
+        |    CASE doc_id % 4 WHEN 0 THEN '/file' || doc_id || '.php'
+        |                    WHEN 1 THEN '/file' || doc_id || '.php.bak'
+        |                    WHEN 2 THEN '/private/pub/x' || doc_id
+        |                    ELSE '/private/sec/x' || doc_id END AS path,
+        |    CASE WHEN source IN ('src0','src1','src2') THEN 1
+        |         WHEN source IN ('src3','src4','src5') THEN 2
+        |         WHEN source IN ('src6','src7') THEN 3 ELSE 4 END AS fam
+        |  FROM documents)
+        |SELECT 'http://' || source || '.example' || path AS url,
+        |  source || '.example' AS host, path,
+        |  CASE fam WHEN 1 THEN doc_id % 4 = 0
+        |           WHEN 2 THEN doc_id % 4 = 3
+        |           WHEN 3 THEN doc_id % 4 IN (1, 2, 3)
+        |           ELSE doc_id % 4 IN (2, 3) END AS disallowed
+        |FROM p""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

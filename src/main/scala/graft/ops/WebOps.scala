@@ -146,6 +146,89 @@ object WebOps {
     out.toArray
   }
 
+  /** Star-group Allow AND Disallow rules, RFC 9309 shape: each entry is
+    * `"A" + pattern` or `"D" + pattern` (flat strings so the UDF column
+    * type stays `array<string>`). Empty-value rules drop (an empty
+    * Disallow means allow-all, an empty Allow is a no-op). */
+  private[graft] def robotsRulesKernel(txt: String): Array[String] = {
+    if (txt == null) return Array.empty
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var inStar = false
+    var sawRule = true
+    txt.split("\n").foreach { raw =>
+      val line = raw.takeWhile(_ != '#').trim
+      val i = line.indexOf(':')
+      if (i > 0) {
+        val key = line.substring(0, i).trim.toLowerCase
+        val v = line.substring(i + 1).trim
+        key match {
+          case "user-agent" =>
+            if (sawRule) { inStar = v == "*"; sawRule = false }
+            else inStar = inStar || v == "*"
+          case "disallow" =>
+            sawRule = true
+            if (inStar && v.nonEmpty) out += ("D" + v)
+          case "allow" =>
+            sawRule = true
+            if (inStar && v.nonEmpty) out += ("A" + v)
+          case "crawl-delay" => sawRule = true
+          case _ => () // sitemap etc: group-neutral per RFC
+        }
+      }
+    }
+    out.toArray
+  }
+
+  /** RFC 9309 path-pattern match: `*` spans any characters, a trailing
+    * `$` anchors the end, and the pattern is anchored at the path start. */
+  private[graft] def robotsPathMatch(pattern: String, path: String): Boolean = {
+    val anchored = pattern.endsWith("$")
+    val pat = if (anchored) pattern.substring(0, pattern.length - 1) else pattern
+    val segs = pat.split("\\*", -1)
+    // first segment anchored at 0
+    if (!path.startsWith(segs(0))) return false
+    var pos = segs(0).length
+    var i = 1
+    while (i < segs.length) {
+      val s = segs(i)
+      if (i == segs.length - 1 && anchored) {
+        // last segment anchored at the end
+        return path.length - pos >= s.length && path.endsWith(s)
+      }
+      if (s.isEmpty) { /* '*' absorbs freely */ }
+      else {
+        val at = path.indexOf(s, pos)
+        if (at < 0) return false
+        pos = at + s.length
+      }
+      i += 1
+    }
+    if (anchored) pos == path.length || (segs.length == 1 && segs(0).length == path.length)
+    else true
+  }
+
+  /** RFC 9309 verdict: among matching rules the LONGEST pattern wins;
+    * ties go to Allow; no match = allowed. Returns true = disallowed. */
+  private[graft] def robotsVerdict(rules: Array[String], path: String): Boolean = {
+    var bestLen = -1
+    var bestDisallow = false
+    var i = 0
+    while (i < rules.length) {
+      val r = rules(i)
+      val pattern = r.substring(1)
+      if (robotsPathMatch(pattern, path)) {
+        val len = pattern.length
+        val isAllow = r.charAt(0) == 'A'
+        if (len > bestLen || (len == bestLen && bestDisallow && isAllow)) {
+          bestLen = len
+          bestDisallow = !isAllow
+        }
+      }
+      i += 1
+    }
+    bestDisallow
+  }
+
   /** Row type of [[robotsPolicy]]. */
   case class RobotsPolicy(crawl_delay: Long, n_rules: Long, n_sitemaps: Long)
 
@@ -195,33 +278,36 @@ object WebOps {
     udf((t: String) => robotsPolicyKernel(t)).apply(txt)
 
   /** robots.txt disallow gate — the compliance filter a Common-Crawl
-    * style corpus applies before anything else: pages whose path is
-    * prefix-matched by a `*`-group `Disallow:` rule of their host's
-    * robots.txt are flagged. Hosts with no robots row, no `*` group, or
-    * an empty `Disallow:` allow everything.
+    * style corpus applies before anything else, with FULL RFC 9309
+    * matching: `*`-group `Allow:` AND `Disallow:` rules, `*` wildcards,
+    * `$` end anchors, and the longest-match precedence (ties go to
+    * Allow) that real robots files rely on (`Disallow: /private` +
+    * `Allow: /private/pub`). Hosts with no robots row, no `*` group, or
+    * only empty rules allow everything.
     *
     * Scale shape: the kernel parses each robots.txt ONCE on the
     * hosts-sized `robots` frame (tiny next to the corpus), rules
     * collapse to one array row per host and BROADCAST; the page side is
-    * a narrow host/path projection + a broadcast left join + an `exists`
-    * prefix fold — the 10^12-row corpus never shuffles. Returns
+    * a narrow host/path projection + a broadcast left join + a per-row
+    * verdict kernel — the 10^12-row corpus never shuffles. Returns
     * (url, host, path, disallowed). */
   def robotsDisallowed(
       pages: DataFrame, urlCol: String,
       robots: DataFrame, hostCol: String, txtCol: String): DataFrame = {
     import org.apache.spark.sql.functions.broadcast
-    val parse = udf((t: String) => robotsDisallowKernel(t))
+    val parse = udf((t: String) => robotsRulesKernel(t))
     val ruleSets = robots
       .select(col(hostCol).as("host"), parse(col(txtCol)).as("__rules"))
       .filter(size(col("__rules")) > 0)
+    val verdict = udf((rules: Seq[String], path: String) =>
+      rules != null && robotsVerdict(rules.toArray, path))
     val u = col(urlCol)
     pages
       .select(u.as("url"), urlHost(u).as("host"),
         regexp_extract(u, "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^#]*)", 1).as("path"))
       .join(broadcast(ruleSets), Seq("host"), "left")
       .select(col("url"), col("host"), col("path"),
-        coalesce(exists(col("__rules"), p => col("path").startsWith(p)),
-          lit(false)).as("disallowed"))
+        verdict(col("__rules"), col("path")).as("disallowed"))
   }
 
   /** Soft-404 phrase lists — ONE constant drives both engines: the Spark

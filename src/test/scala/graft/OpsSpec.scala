@@ -2629,6 +2629,29 @@ class OpsSpec extends AnyFunSuite {
       ("b.example", "http://b.example/p9")), got.mkString(","))
   }
 
+  test("robots RFC 9309 matching: wildcards, end anchors, longest-match, allow ties") {
+    import graft.ops.WebOps.{robotsPathMatch => m, robotsRulesKernel, robotsVerdict}
+    // wildcard + anchor semantics (the REP spec's documented examples)
+    assert(m("/fish", "/fish.html") && m("/fish", "/fishheads/x") && !m("/fish", "/Fish"))
+    assert(m("/fish*", "/fish.html") && !m("/fish*", "/catfish"))
+    assert(m("/fish/", "/fish/salmon") && !m("/fish/", "/fish"))
+    assert(m("/*.php", "/index.php") && m("/*.php", "/folder/any.php.file") && !m("/*.php", "/php/"))
+    assert(m("/*.php$", "/index.php") && !m("/*.php$", "/index.php?x=1") && !m("/*.php$", "/index.php5"))
+    assert(m("/fish*.php", "/fish.php") && m("/fish*.php", "/fishheads/catfish.php?p=1"))
+    assert(m("/a*b/", "/axxb/c") && m("/a*b/", "/ab/c") && !m("/a*b/", "/b/a") && !m("/a*b/", "/axx"))
+    assert(m("/$", "/") && !m("/$", "/x"))
+    // longest-match precedence, allow wins ties
+    val r1 = robotsRulesKernel("User-agent: *\nDisallow: /\nAllow: /p\n")
+    assert(!robotsVerdict(r1, "/page") && robotsVerdict(r1, "/x"))
+    val r2 = robotsRulesKernel("User-agent: *\nAllow: /folder\nDisallow: /folder\n")
+    assert(!robotsVerdict(r2, "/folder/page")) // tie -> allow
+    val r3 = robotsRulesKernel("User-agent: *\nAllow: /page\nDisallow: /*.htm\n")
+    assert(robotsVerdict(r3, "/page.htm")) // "/*.htm" (6) beats "/page" (5)
+    val r4 = robotsRulesKernel("User-agent: *\nDisallow: /private\nAllow: /private/pub\n")
+    assert(!robotsVerdict(r4, "/private/pub/x") && robotsVerdict(r4, "/private/sec"))
+    assert(!robotsVerdict(Array.empty[String], "/anything"))
+  }
+
   test("resolveRedirects: pointer doubling matches a brute-force walk on random functional graphs") {
     import graft.ops.WebOps
     val rnd = new scala.util.Random(77)
