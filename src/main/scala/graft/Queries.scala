@@ -3673,6 +3673,17 @@ object Queries {
       val robots = d.select(col("source")).distinct()
         .select(concat(col("source"), lit(".example")).as("host"), txt.as("robots_txt"))
       graft.ops.WebOps.robotsDisallowed(pages, "url", robots, "host", "robots_txt")
+    }),
+
+    // K-ANONYMITY SUPPRESSION: rows whose (source, lang, size-bucket)
+    // quasi-identifier tuple has fewer than k peers are re-identifying
+    // and get flagged — the privacy gate before a corpus release. One
+    // quasi-key exchange + unordered window count; oracle replays the
+    // identical aggregation on the real table.
+    "q214_k_anonymity" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
+        (col("n_chars") / 1000).cast("long").as("size_bucket"))
+      graft.ops.Curation.kAnonymityGate(d, Seq("source", "lang", "size_bucket"), k = 5L)
     })
   )
 
@@ -7803,6 +7814,15 @@ object Queries {
         |           WHEN 3 THEN doc_id % 4 IN (1, 2, 3)
         |           ELSE doc_id % 4 IN (2, 3) END AS disallowed
         |FROM p""".stripMargin,
+
+    // q214: the identical window aggregation replayed on the table.
+    "q214_k_anonymity" ->
+      """WITH d AS (SELECT doc_id, source, lang,
+        |    CAST(n_chars // 1000 AS BIGINT) AS size_bucket FROM documents)
+        |SELECT doc_id, source, lang, size_bucket,
+        |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
+        |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
+        |FROM d""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -122,6 +122,24 @@ object Curation {
     * pruning for free, where a hand-rolled salted two-stage window would
     * shuffle every row once and add a second exchange. PlanSpec pins the
     * partial-below-exchange shape so a regression is visible. */
+  /** k-anonymity suppression gate — the privacy screen a published
+    * training corpus runs over its metadata: any combination of
+    * quasi-identifier columns shared by FEWER than k rows is re-
+    * identifying (the classic Sweeney linkage attack shape), so those
+    * rows are flagged for suppression or generalization before release.
+    * Returns the input plus `group_n` (the quasi-tuple's cohort size)
+    * and `suppressed` (cohort < k).
+    *
+    * Scale shape: one exchange on the quasi key feeding an unordered
+    * window count — no second scan, no join back, no driver collect;
+    * skew on a hot tuple is bounded by the count being a single long. */
+  def kAnonymityGate(df: DataFrame, quasiCols: Seq[String], k: Long): DataFrame = {
+    require(quasiCols.nonEmpty && k >= 1)
+    val w = Window.partitionBy(quasiCols.map(col): _*)
+    df.withColumn("group_n", count(lit(1)).over(w))
+      .withColumn("suppressed", col("group_n") < k)
+  }
+
   def capPerKey(df: DataFrame, keyCol: String, orderCol: String, n: Int): DataFrame = {
     require(n > 0)
     val rn = "__graft_cap_rn"

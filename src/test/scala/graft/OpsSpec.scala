@@ -2629,6 +2629,22 @@ class OpsSpec extends AnyFunSuite {
       ("b.example", "http://b.example/p9")), got.mkString(","))
   }
 
+  test("kAnonymityGate: cohort sizes and suppression flags match brute force") {
+    import graft.ops.Curation
+    val rows = Seq(
+      (1L, "a", "en", 0L), (2L, "a", "en", 0L), (3L, "a", "en", 0L),
+      (4L, "a", "de", 0L), (5L, "b", "en", 1L), (6L, "b", "en", 1L),
+      (7L, "c", "zh", 2L))
+    val df = rows.toDF("id", "source", "lang", "bucket")
+    val got = Curation.kAnonymityGate(df, Seq("source", "lang", "bucket"), k = 3L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(4), r.getBoolean(5)))).toMap
+    val sizes = rows.groupBy(r => (r._2, r._3, r._4)).map { case (k2, v) => k2 -> v.size }
+    for ((id, s2, l, b) <- rows) {
+      val n = sizes((s2, l, b))
+      assert(got(id) == ((n.toLong, n < 3)), s"id $id")
+    }
+  }
+
   test("robots RFC 9309 matching: wildcards, end anchors, longest-match, allow ties") {
     import graft.ops.WebOps.{robotsPathMatch => m, robotsRulesKernel, robotsVerdict}
     // wildcard + anchor semantics (the REP spec's documented examples)
