@@ -3684,6 +3684,21 @@ object Queries {
       val d = docs(s, dir).select(col("doc_id"), col("source"), col("lang"),
         (col("n_chars") / 1000).cast("long").as("size_bucket"))
       graft.ops.Curation.kAnonymityGate(d, Seq("source", "lang", "size_bucket"), k = 5L)
+    }),
+
+    // UNICODE-NFC DEDUP: composed vs decomposed spellings of the same
+    // text (é vs e+combining-acute) hash apart raw — plant one of each
+    // per triple plus a distinct third doc; after NFC the pair collapses.
+    // Both engines normalize with their own Unicode tables (Normalizer
+    // vs nfc_normalize), so table drift breaks the hash.
+    "q215_nfc_dedup" -> ((s, dir) => {
+      val text = when(col("doc_id") % 3 === 0, // composed U+00E9
+          concat(lit("caf\u00e9 menu "), (col("doc_id") / 3).cast("long")))
+        .when(col("doc_id") % 3 === 1, // decomposed e + U+0301
+          concat(lit("cafe\u0301 menu "), ((col("doc_id") - 1) / 3).cast("long")))
+        .otherwise(concat(lit("unique page "), col("doc_id")))
+      val d = docs(s, dir).select(col("doc_id"), text.as("t"))
+      graft.ops.Dedup.nfcExactDedup(d, "doc_id", "t")
     })
   )
 
@@ -7814,6 +7829,22 @@ object Queries {
         |           WHEN 3 THEN doc_id % 4 IN (1, 2, 3)
         |           ELSE doc_id % 4 IN (2, 3) END AS disallowed
         |FROM p""".stripMargin,
+
+    // q215: DuckDB rebuilds both spellings (chr(233) composed, 'e' ||
+    // chr(769) decomposed), normalizes with ITS nfc_normalize, and
+    // replays the cohort window — independent Unicode tables must agree.
+    "q215_nfc_dedup" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE doc_id % 3
+        |      WHEN 0 THEN 'caf' || chr(233) || ' menu ' || (doc_id // 3)
+        |      WHEN 1 THEN 'cafe' || chr(769) || ' menu ' || ((doc_id - 1) // 3)
+        |      ELSE 'unique page ' || doc_id END AS t
+        |  FROM documents),
+        |n AS (SELECT doc_id, nfc_normalize(t) AS nt FROM d)
+        |SELECT doc_id,
+        |  CAST(count(*) OVER (PARTITION BY nt) AS BIGINT) AS n_dup,
+        |  CAST(min(doc_id) OVER (PARTITION BY nt) AS BIGINT) AS canonical_id
+        |FROM n""".stripMargin,
 
     // q214: the identical window aggregation replayed on the table.
     "q214_k_anonymity" ->

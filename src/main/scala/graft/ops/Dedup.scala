@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a web-scale training-data pipeline.
@@ -156,6 +157,31 @@ object Dedup {
 
   /** Exact Jaccard over two distinct-element arrays (set semantics —
     * correct here because shingle arrays are array_distinct'ed). */
+  /** Unicode-normalized exact dedup — the NFC pass plain byte-hash dedup
+    * misses: composed (`é` U+00E9) and decomposed (`e` + U+0301) spellings
+    * of the SAME text hash differently raw, so mirrored pages that differ
+    * only in normalization survive T1. Normalize NFC (the W3C/WHATWG web
+    * canonical form, `java.text.Normalizer` — the same tables DuckDB's
+    * `nfc_normalize` implements, which is what makes this oracle-able),
+    * hash, and annotate each row with its cohort size and canonical
+    * (minimum) id.
+    *
+    * Scale shape: narrow normalize+hash projection (raw text never
+    * shuffles — only the 8-byte digest and id ride the exchange), then
+    * ONE digest-keyed exchange feeding an unordered window (count + min),
+    * the kAnonymityGate shape. */
+  def nfcExactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val norm = udf { s: String =>
+      if (s == null) ""
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    }
+    val w = Window.partitionBy(col("__nfc_digest"))
+    df.select(col(idCol), xxhash64(norm(col(textCol))).as("__nfc_digest"))
+      .withColumn("n_dup", count(lit(1)).over(w))
+      .withColumn("canonical_id", min(col(idCol)).over(w))
+      .drop("__nfc_digest")
+  }
+
   def jaccardSets(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val union = (size(a) + size(b)).cast("double") - inter
