@@ -3699,6 +3699,57 @@ object Queries {
         .otherwise(concat(lit("unique page "), col("doc_id")))
       val d = docs(s, dir).select(col("doc_id"), text.as("t"))
       graft.ops.Dedup.nfcExactDedup(d, "doc_id", "t")
+    }),
+
+    // TILED TIFF + DEFLATE, ORACLED ON PIXELS: the random-access layout
+    // big scanned/geo images ship — 32x16 tiles with edge clipping, gray
+    // under Deflate+predictor and RGB under LZW; lossless, so the same
+    // generator closed forms pin tile placement, seams, and padding.
+    "q216_tiff_tiled" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val (kind, payload) = (id % 2) match {
+          case 0 =>
+            val w = 40 + (id % 3).toInt * 9; val h = 20 + (id % 5).toInt * 7
+            val pix = new Array[Byte](w * h)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) { pix(y * w + x) = ((id * 11 + x * 3 + y * 5) % 256).toByte; x += 1 }
+              y += 1
+            }
+            ("gray", graft.codec.Tiff.encodeTiled(pix, w, h, 1, 32, 16,
+              compression = 8, predictor = true))
+          case _ =>
+            val w = 33 + (id % 4).toInt; val h = 18
+            val pix = new Array[Byte](w * h * 3)
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val base = (y * w + x) * 3
+                pix(base) = ((id * 2 + x + y * 7) % 256).toByte
+                pix(base + 1) = ((id * 3 + x * 5 + y) % 256).toByte
+                pix(base + 2) = ((id * 5 + x * 2 + y * 3) % 256).toByte
+                x += 1
+              }
+              y += 1
+            }
+            ("rgb", graft.codec.Tiff.encodeTiled(pix, w, h, 3, 16, 16,
+              compression = 5))
+        }
+        graft.ops.Multimodal.decodeImage(payload) match {
+          case Right(im) =>
+            var sum = 0L
+            im.pixels.foreach(p => sum += (p & 0xff))
+            (kind, im.nComponents.toLong, im.width.toLong, im.height.toLong, sum,
+              (im.pixels(im.pixels.length - 1) & 0xff).toLong)
+          case Left(_) => (kind, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("kind"), col("d._2").as("nc"),
+          col("d._3").as("width"), col("d._4").as("height"),
+          col("d._5").as("pix_sum"), col("d._6").as("last_px"))
     })
   )
 
@@ -7845,6 +7896,30 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY nt) AS BIGINT) AS n_dup,
         |  CAST(min(doc_id) OVER (PARTITION BY nt) AS BIGINT) AS canonical_id
         |FROM n""".stripMargin,
+
+    // q216: lossless tiles — the generators restate decoded pixels;
+    // last_px pins seam/padding correctness at the far corner.
+    "q216_tiff_tiled" ->
+      """WITH gg AS (SELECT doc_id, 40 + (doc_id % 3) * 9 AS w, 20 + (doc_id % 5) * 7 AS h
+        |    FROM documents WHERE doc_id % 2 = 0),
+        |gx AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM gg),
+        |gc AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM gx),
+        |g AS (SELECT doc_id, 'gray' AS kind, CAST(1 AS BIGINT) AS nc,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(sum((doc_id*11 + x*3 + y*5) % 256) AS BIGINT) AS pix_sum,
+        |    CAST((doc_id*11 + (w-1)*3 + (h-1)*5) % 256 AS BIGINT) AS last_px
+        |  FROM gc GROUP BY doc_id, w, h),
+        |rg AS (SELECT doc_id, 33 + doc_id % 4 AS w, 18 AS h
+        |    FROM documents WHERE doc_id % 2 = 1),
+        |rx AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM rg),
+        |rc AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM rx),
+        |r AS (SELECT doc_id, 'rgb' AS kind, CAST(3 AS BIGINT) AS nc,
+        |    CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |    CAST(sum((doc_id*2 + x + y*7) % 256 + (doc_id*3 + x*5 + y) % 256
+        |             + (doc_id*5 + x*2 + y*3) % 256) AS BIGINT) AS pix_sum,
+        |    CAST((doc_id*5 + (w-1)*2 + 17*3) % 256 AS BIGINT) AS last_px
+        |  FROM rc GROUP BY doc_id, w, h)
+        |SELECT * FROM g UNION ALL SELECT * FROM r""".stripMargin,
 
     // q214: the identical window aggregation replayed on the table.
     "q214_k_anonymity" ->

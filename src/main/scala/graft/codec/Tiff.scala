@@ -5,26 +5,29 @@ package graft.codec
   * and fax archives ship TIFF, and the PDF fence notes already route its
   * G4 payloads through [[CcittG4]].
   *
-  * Decode: both byte orders (II/MM), classic 32-bit IFD walk, strip
-  * organization (single or multi-strip, RowsPerStrip honored), and the
-  * sample layouts a scanned/exported corpus actually carries —
+  * Decode: both byte orders (II/MM), classic 32-bit IFD walk, BOTH
+  * storage organizations (strips with RowsPerStrip, and the tiled
+  * layout of tags 322-325 with edge clipping), and the sample layouts a
+  * scanned/exported corpus actually carries —
   *   - 8-bit grayscale (Photometric 0 or 1; MinIsWhite inverts on
   *     output so gray always reads 0=black) and 8-bit chunky RGB, each
-  *     uncompressed (1), LZW (5, with early change), or PackBits
-  *     (32773), optionally under the horizontal-differencing
-  *     predictor (tag 317 = 2),
+  *     uncompressed (1), LZW (5, with early change), zlib Deflate
+  *     (8/32946), or PackBits (32773), optionally under the
+  *     horizontal-differencing predictor (tag 317 = 2),
   *   - CCITT G4 bilevel (Compression 4) via [[CcittG4]], emitted as
-  *     8-bit gray 0/255 honoring the photometric sense.
-  * Tiles, JPEG-in-TIFF, planar config 2, FillOrder 2, and non-8-bit
+  *     8-bit gray 0/255 honoring the photometric sense,
+  *   - new-style JPEG-in-TIFF (7) via [[Jpeg]], with the shared
+  *     JPEGTables tag spliced into abbreviated strips.
+  * Planar config 2, FillOrder 2, CCITT 1-D/2-D (2/3), and non-8-bit
   * multitone depths return `Left` (honest fences — each is a real
   * sub-format, not an error). Output shape is [[Jpeg.Image]] like every
   * other codec here.
   *
-  * Encode (fixture/round-trip twin): little-endian, compression 1/5/
-  * 32773 (gray or RGB, configurable RowsPerStrip so multi-strip paths
-  * stay covered, optional predictor) or G4 bilevel. Lossless — round-
-  * trips are bit-exact, which is what lets SQL oracles state decoded
-  * pixels directly.
+  * Encode (fixture/round-trip twins): little-endian strips (raw, LZW,
+  * Deflate, PackBits, G4, per-strip JPEG) and tiles (raw/LZW/Deflate/
+  * PackBits), configurable strip/tile geometry, optional predictor.
+  * Lossless paths round-trip bit-exact, which is what lets SQL oracles
+  * state decoded pixels directly.
   */
 object Tiff {
 
@@ -108,8 +111,6 @@ object Tiff {
       java.util.Arrays.copyOfRange(b, at, at + total)
     }
 
-    if (entries.containsKey(322) || entries.containsKey(323))
-      return Left("tiff: tiled layout unsupported")
     val width = scalar(256).toInt
     val height = scalar(257).toInt
     if (width <= 0 || height <= 0) return Left("tiff: bad dimensions")
@@ -129,8 +130,68 @@ object Tiff {
     if (planar != 1) return Left("tiff: planar configuration 2 unsupported")
     if (fillOrder != 1) return Left("tiff: FillOrder 2 unsupported")
     if (predictor != 1 && predictor != 2) return Left(s"tiff: predictor $predictor unsupported")
-    if (predictor == 2 && compression != 5 && compression != 1 && compression != 32773)
+    if (predictor == 2 && !Set(1, 5, 8, 32946, 32773).contains(compression))
       return Left("tiff: predictor with this compression unsupported")
+
+    // ---- tiled layout (tags 322-325): 8-bit gray/RGB only ----
+    if (entries.containsKey(322) || entries.containsKey(323)) {
+      val tw = scalar(322).toInt; val th = scalar(323).toInt
+      val tileOffsets = values(324); val tileCounts = values(325)
+      if (tw <= 0 || th <= 0 || tw % 16 != 0 || th % 16 != 0)
+        return Left("tiff: bad tile size")
+      if (tileOffsets == null || tileCounts == null ||
+        tileOffsets.length != tileCounts.length)
+        return Left("tiff: missing tile tags")
+      if (!Set(1, 5, 8, 32946, 32773).contains(compression))
+        return Left(s"tiff: compression $compression unsupported for tiles")
+      if (!bits.forall(_ == 8L)) return Left("tiff: tiles must be 8-bit")
+      if (spp != 1 && spp != 3) return Left(s"tiff: $spp samples/pixel unsupported")
+      if (spp == 1 && photometric != 0 && photometric != 1)
+        return Left(s"tiff: photometric $photometric unsupported for gray")
+      if (spp == 3 && photometric != 2) return Left(s"tiff: photometric $photometric unsupported for RGB")
+      val across = (width + tw - 1) / tw
+      val down = (height + th - 1) / th
+      if (tileOffsets.length != across * down)
+        return Left("tiff: tile count inconsistent with dimensions")
+      val tileRowBytes = tw * spp
+      val rowBytes = width * spp
+      val out = new Array[Byte](rowBytes * height)
+      var t = 0
+      while (t < tileOffsets.length) {
+        val off = tileOffsets(t); val len = tileCounts(t)
+        if (off < 0 || len < 0 || off + len > b.length) return Left("tiff: tile overruns file")
+        val data = java.util.Arrays.copyOfRange(b, off.toInt, (off + len).toInt)
+        val raw = decompressChunk(data, tileRowBytes * th, compression) match {
+          case Left(e)  => return Left(e)
+          case Right(d) => d
+        }
+        if (raw.length < tileRowBytes * th) return Left("tiff: tile too short")
+        if (predictor == 2) { // per tile row, over the FULL padded tile width
+          var r = 0
+          while (r < th) {
+            var j = r * tileRowBytes + spp
+            val end = (r + 1) * tileRowBytes
+            while (j < end) { raw(j) = (raw(j) + raw(j - spp)).toByte; j += 1 }
+            r += 1
+          }
+        }
+        val tx = (t % across) * tw
+        val ty = (t / across) * th
+        val copyW = math.min(tw, width - tx) * spp
+        val copyH = math.min(th, height - ty)
+        var r = 0
+        while (r < copyH) {
+          System.arraycopy(raw, r * tileRowBytes, out, (ty + r) * rowBytes + tx * spp, copyW)
+          r += 1
+        }
+        t += 1
+      }
+      if (spp == 1 && photometric == 0) {
+        var j = 0
+        while (j < out.length) { out(j) = (255 - (out(j) & 0xff)).toByte; j += 1 }
+      }
+      return Right(Jpeg.Image(width, height, spp, out))
+    }
 
     val stripOffsets = values(273)
     val stripCounts = values(279)
@@ -152,7 +213,7 @@ object Tiff {
     }
 
     compression match {
-      case 1 | 5 | 32773 => // 8-bit gray or RGB; raw, LZW, or PackBits strips
+      case 1 | 5 | 8 | 32946 | 32773 => // 8-bit gray/RGB: raw, LZW, Deflate, PackBits
         if (!bits.forall(_ == 8L)) return Left(s"tiff: ${bits.mkString("/")}-bit samples unsupported (8-bit only)")
         if (spp != 1 && spp != 3) return Left(s"tiff: $spp samples/pixel unsupported")
         if (spp == 1 && photometric != 0 && photometric != 1)
@@ -166,18 +227,9 @@ object Tiff {
           val s = strip(k)
           if (s == null) return Left("tiff: strip overruns file")
           val rows = math.min(rowsPerStrip, height - row)
-          val raw: Array[Byte] = compression match {
-            case 1 => s
-            case 5 =>
-              Lzw.decode(s, rows * rowBytes) match {
-                case Left(e)  => return Left(e)
-                case Right(d) => d
-              }
-            case _ =>
-              PackBits.decode(s, rows * rowBytes) match {
-                case Left(e)  => return Left(e)
-                case Right(d) => d
-              }
+          val raw = decompressChunk(s, rows * rowBytes, compression) match {
+            case Left(e)  => return Left(e)
+            case Right(d) => d
           }
           if (raw.length < rows * rowBytes) return Left("tiff: strip too short")
           System.arraycopy(raw, 0, out, row * rowBytes, rows * rowBytes)
@@ -304,10 +356,36 @@ object Tiff {
       bitsPerSample = 8, rps, strips)
   }
 
+  /** Decompress one strip/tile payload: 1 raw, 5 LZW, 8/32946 zlib
+    * Deflate (the Adobe and legacy tags; JDK Inflater — the same public
+    * primitive the PNG/PDF Flate paths use), 32773 PackBits. */
+  private def decompressChunk(data: Array[Byte], expected: Int,
+      compression: Int): Either[String, Array[Byte]] = compression match {
+    case 1 => Right(data)
+    case 5 => Lzw.decode(data, expected)
+    case 8 | 32946 =>
+      if (expected < 0 || expected > (1 << 28)) Left("tiff: deflate output too large")
+      else try {
+        val out = new Array[Byte](expected)
+        val inf = new java.util.zip.Inflater()
+        inf.setInput(data)
+        var got = 0
+        while (got < expected && !inf.finished()) {
+          val n = inf.inflate(out, got, expected - got)
+          if (n == 0 && inf.needsInput()) { inf.end(); return Left("tiff: deflate truncated") }
+          got += n
+        }
+        inf.end()
+        if (got < expected) Left("tiff: deflate output short") else Right(out)
+      } catch { case e: Exception => Left(s"tiff: deflate: ${e.getMessage}") }
+    case 32773 => PackBits.decode(data, expected)
+    case c     => Left(s"tiff: compression $c unsupported here")
+  }
+
   /** TIFF-variant LZW (TIFF 6.0 §13): MSB-first codes, Clear=256, EOI=257,
     * 9→12-bit widths with the "early change" bump at table size 2^w − 1.
     * Per-strip; `expected` bounds the output allocation. */
-  private[codec] object Lzw {
+  private[graft] object Lzw {
     private val Clear = 256
     private val Eoi = 257
 
@@ -415,6 +493,12 @@ object Tiff {
         i += 1
       }
       if (cur >= 0) put(cur)
+      // EOI fencepost: mid-stream the decoder lags the encoder by one
+      // add, so enc-bump-at-2^w / dec-bump-at-2^w-1 stay aligned — but
+      // at EOI the add counts coincide (no add follows the final code),
+      // so when the table size sits exactly on 2^w - 1 the decoder has
+      // widened and the encoder must too (ImageIO's decoder agrees)
+      if (next == (1 << width) - 1 && width < 12) width += 1
       put(Eoi)
       if (nBits > 0) out.write(((acc << (8 - nBits)) & 0xff).toInt)
       out.toByteArray
@@ -422,7 +506,7 @@ object Tiff {
   }
 
   /** PackBits (TIFF 6.0 §9 / classic Mac RLE). */
-  private[codec] object PackBits {
+  private[graft] object PackBits {
     def decode(data: Array[Byte], expected: Int): Either[String, Array[Byte]] = {
       if (expected < 0 || expected > (1 << 28)) return Left("tiff: packbits output too large")
       val out = new Array[Byte](expected)
@@ -498,7 +582,8 @@ object Tiff {
       predictor: Boolean = false): Array[Byte] = {
     require(nc == 1 || nc == 3, "gray or RGB only")
     require(pixels.length == width * height * nc, "pixel buffer size mismatch")
-    require(compression == 5 || compression == 32773, "LZW or PackBits")
+    require(compression == 5 || compression == 8 || compression == 32773,
+      "LZW, Deflate, or PackBits")
     val rps = math.min(rowsPerStrip, height)
     require(rps >= 1, "RowsPerStrip must be positive")
     val nStrips = (height + rps - 1) / rps
@@ -515,10 +600,66 @@ object Tiff {
           r += 1
         }
       }
-      if (compression == 5) Lzw.encode(raw) else PackBits.encode(raw)
+      compressChunk(raw, compression)
     }
     writeTiff(width, height, nc, compression, photometric = if (nc == 3) 2 else 1,
       bitsPerSample = 8, rps, strips, predictor = if (predictor) 2 else 1)
+  }
+
+  private def compressChunk(raw: Array[Byte], compression: Int): Array[Byte] =
+    compression match {
+      case 1 => raw
+      case 5 => Lzw.encode(raw)
+      case 8 =>
+        val defl = new java.util.zip.Deflater()
+        defl.setInput(raw); defl.finish()
+        val out = new java.io.ByteArrayOutputStream(raw.length / 2 + 32)
+        val buf = new Array[Byte](4096)
+        while (!defl.finished()) out.write(buf, 0, defl.deflate(buf))
+        defl.end()
+        out.toByteArray
+      case _ => PackBits.encode(raw)
+    }
+
+  /** Encode 8-bit gray or RGB as a TILED TIFF (tags 322-325): the layout
+    * large scanned/geo images actually ship, where random-access readers
+    * fetch tiles instead of whole strips. Tile dims must be multiples of
+    * 16 (the spec rule); edge tiles are zero-padded to full size. */
+  def encodeTiled(pixels: Array[Byte], width: Int, height: Int, nc: Int,
+      tileW: Int, tileH: Int, compression: Int = 1,
+      predictor: Boolean = false): Array[Byte] = {
+    require(nc == 1 || nc == 3, "gray or RGB only")
+    require(pixels.length == width * height * nc, "pixel buffer size mismatch")
+    require(tileW % 16 == 0 && tileH % 16 == 0 && tileW > 0 && tileH > 0,
+      "tile dims must be positive multiples of 16")
+    require(Set(1, 5, 8, 32773).contains(compression), "raw, LZW, Deflate, or PackBits")
+    val across = (width + tileW - 1) / tileW
+    val down = (height + tileH - 1) / tileH
+    val tileRowBytes = tileW * nc
+    val tiles = Array.tabulate(across * down) { t =>
+      val tx = (t % across) * tileW
+      val ty = (t / across) * tileH
+      val raw = new Array[Byte](tileRowBytes * tileH)
+      val copyW = math.min(tileW, width - tx) * nc
+      val copyH = math.min(tileH, height - ty)
+      var r = 0
+      while (r < copyH) {
+        System.arraycopy(pixels, (ty + r) * width * nc + tx * nc, raw, r * tileRowBytes, copyW)
+        r += 1
+      }
+      if (predictor) {
+        var r2 = 0
+        while (r2 < tileH) {
+          var j = (r2 + 1) * tileRowBytes - 1
+          while (j >= r2 * tileRowBytes + nc) { raw(j) = (raw(j) - raw(j - nc)).toByte; j -= 1 }
+          r2 += 1
+        }
+      }
+      compressChunk(raw, compression)
+    }
+    writeTiffTiled(width, height, nc, compression,
+      photometric = if (nc == 3) 2 else 1, tileW, tileH, tiles,
+      predictor = if (predictor) 2 else 1)
   }
 
   /** Encode a bilevel image (pixels: 1 = black) as a little-endian G4
@@ -536,6 +677,72 @@ object Tiff {
     }
     writeTiff(width, height, 1, compression = 4, photometric = 0,
       bitsPerSample = 1, rps, strips)
+  }
+
+  /** Little-endian tiled writer: header, tile data, one IFD with the
+    * tile tag set (322-325) in ascending order. */
+  private def writeTiffTiled(width: Int, height: Int, spp: Int, compression: Int,
+      photometric: Int, tileW: Int, tileH: Int, tiles: Array[Array[Byte]],
+      predictor: Int): Array[Byte] = {
+    val n = tiles.length
+    val dataStart = 8
+    val tileOffsets = new Array[Int](n)
+    var off = dataStart
+    var k = 0
+    while (k < n) {
+      tileOffsets(k) = off
+      off += tiles(k).length
+      off += off & 1
+      k += 1
+    }
+    val ifdOff = off
+    // tags: 256,257,258,259,262,277 (+317) + 322,323,324,325
+    val nE = if (predictor == 2) 11 else 10
+    var extOff = ifdOff + 2 + nE * 12 + 4
+    val bpsExt = if (spp == 3) { val o = extOff; extOff += 6; o } else -1
+    val toExt = if (n > 1) { val o = extOff; extOff += 4 * n; o } else -1
+    val tcExt = if (n > 1) { val o = extOff; extOff += 4 * n; o } else -1
+    val out = new Array[Byte](extOff)
+    def le16(p: Int, v: Int): Unit = { out(p) = (v & 0xff).toByte; out(p + 1) = ((v >> 8) & 0xff).toByte }
+    def le32(p: Int, v: Int): Unit = { le16(p, v & 0xffff); le16(p + 2, (v >>> 16) & 0xffff) }
+    out(0) = 'I'; out(1) = 'I'; out(2) = 42; out(3) = 0
+    le32(4, ifdOff)
+    k = 0
+    while (k < n) {
+      System.arraycopy(tiles(k), 0, out, tileOffsets(k), tiles(k).length)
+      k += 1
+    }
+    le16(ifdOff, nE)
+    var e = 0
+    def entry(tag: Int, typ: Int, count: Int, value: Int): Unit = {
+      val p = ifdOff + 2 + e * 12
+      le16(p, tag); le16(p + 2, typ); le32(p + 4, count)
+      if (typ == 3 && count == 1) { le16(p + 8, value); le16(p + 10, 0) }
+      else le32(p + 8, value)
+      e += 1
+    }
+    entry(256, 4, 1, width)
+    entry(257, 4, 1, height)
+    if (spp == 3) { entry(258, 3, 3, bpsExt); le16(bpsExt, 8); le16(bpsExt + 2, 8); le16(bpsExt + 4, 8) }
+    else entry(258, 3, 1, 8)
+    entry(259, 3, 1, compression)
+    entry(262, 3, 1, photometric)
+    entry(277, 3, 1, spp)
+    if (predictor == 2) entry(317, 3, 1, 2)
+    entry(322, 4, 1, tileW)
+    entry(323, 4, 1, tileH)
+    if (n > 1) {
+      entry(324, 4, n, toExt)
+      var j = 0
+      while (j < n) { le32(toExt + 4 * j, tileOffsets(j)); j += 1 }
+    } else entry(324, 4, 1, tileOffsets(0))
+    if (n > 1) {
+      entry(325, 4, n, tcExt)
+      var j = 0
+      while (j < n) { le32(tcExt + 4 * j, tiles(j).length); j += 1 }
+    } else entry(325, 4, 1, tiles(0).length)
+    le32(ifdOff + 2 + nE * 12, 0)
+    out
   }
 
   /** Shared little-endian writer: header, strip data, then one IFD with

@@ -110,6 +110,8 @@ class CodecFuzzSpec extends AnyFunSuite {
       graft.codec.Tiff.encodeG4(bilevel, 32, 10, rowsPerStrip = 4),
       graft.codec.Tiff.encodeCompressed(gray, 20, 12, 1, 5, rowsPerStrip = 5, predictor = true),
       graft.codec.Tiff.encodeCompressed(rgb, 10, 8, 3, 32773),
+      graft.codec.Tiff.encodeCompressed(gray, 20, 12, 1, 8),
+      graft.codec.Tiff.encodeTiled(gray, 20, 12, 1, 16, 16, 5, predictor = true),
       graft.codec.Tiff.encodeJpeg(Array.tabulate[Byte](16 * 16)(i => (i * 3).toByte), 16, 16, 8))
     for (seed <- seeds; m <- mutations(seed, 100)) graft.codec.Tiff.decode(m)
     succeed

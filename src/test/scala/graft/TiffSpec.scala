@@ -183,6 +183,91 @@ class TiffSpec extends AnyFunSuite {
     }
   }
 
+  test("Deflate (ZLib) strips round-trip and differential both ways vs ImageIO") {
+    val r = rng(8)
+    val w = 29; val h = 17
+    val pix = Array.fill[Byte](w * h * 3)(r.nextInt(256).toByte)
+    for (pred <- Seq(false, true)) {
+      val bytes = Tiff.encodeCompressed(pix, w, h, 3, 8, rowsPerStrip = 5, predictor = pred)
+      val im = Tiff.decode(bytes).fold(e => fail(s"pred=$pred: $e"), identity)
+      assert(java.util.Arrays.equals(im.pixels, pix), s"pred=$pred")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null && ref.getWidth == w, s"pred=$pred imageio")
+      val argb = ref.getRGB(3, 4)
+      assert(((argb >> 16) & 0xff) == (pix((4 * w + 3) * 3) & 0xff), s"pred=$pred")
+    }
+    // their ZLib writer -> our reader
+    val buf = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w)
+      buf.setRGB(x, y, (((x * 11) % 256) << 16) | (((y * 3) % 256) << 8) | ((x * y) % 256))
+    val im2 = Tiff.decode(imageIoTiff(buf, Some("ZLib"))).fold(e => fail(e), identity)
+    for (y <- 0 until h; x <- 0 until w) {
+      val argb = buf.getRGB(x, y)
+      val base = (y * w + x) * 3
+      assert((im2.pixels(base) & 0xff) == ((argb >> 16) & 0xff), s"r at $x,$y")
+      assert((im2.pixels(base + 2) & 0xff) == (argb & 0xff))
+    }
+  }
+
+  test("tiled TIFFs: round-trip with edge padding and both ImageIO directions") {
+    val r = rng(9)
+    val w = 70; val h = 40 // not multiples of 16: edge tiles clip
+    for ((nc, comp, pred) <- Seq((1, 1, false), (3, 5, true), (3, 8, false), (1, 32773, false))) {
+      val pix = Array.fill[Byte](w * h * nc)(r.nextInt(256).toByte)
+      val bytes = Tiff.encodeTiled(pix, w, h, nc, 32, 16, comp, pred)
+      val im = Tiff.decode(bytes).fold(e => fail(s"nc=$nc comp=$comp: $e"), identity)
+      assert(im.width == w && im.height == h && im.nComponents == nc)
+      assert(java.util.Arrays.equals(im.pixels, pix), s"nc=$nc comp=$comp pred=$pred")
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h, s"nc=$nc comp=$comp imageio")
+      for (y <- Seq(0, 15, 16, h - 1); x <- Seq(0, 31, 32, w - 1)) { // tile seams
+        val want =
+          if (nc == 1) ref.getRaster.getSample(x, y, 0)
+          else (ref.getRGB(x, y) >> 16) & 0xff
+        assert((pix((y * w + x) * nc) & 0xff) == want, s"nc=$nc comp=$comp seam $x,$y")
+      }
+    }
+    // ImageIO-written tiled file -> our reader
+    val w2 = 48; val h2 = 33
+    val buf = new java.awt.image.BufferedImage(w2, h2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h2; x <- 0 until w2)
+      buf.setRGB(x, y, (((x * 7) % 256) << 16) | (((y * 13) % 256) << 8) | ((x + 2 * y) % 256))
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    p.setTilingMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setTiling(16, 16, 0, 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(buf, null, null), p)
+    ios.close(); wr.dispose()
+    val im2 = Tiff.decode(bos.toByteArray).fold(e => fail(e), identity)
+    assert(im2.width == w2 && im2.height == h2 && im2.nComponents == 3)
+    for (y <- 0 until h2; x <- 0 until w2) {
+      val argb = buf.getRGB(x, y)
+      val base = (y * w2 + x) * 3
+      assert((im2.pixels(base) & 0xff) == ((argb >> 16) & 0xff), s"tiled r at $x,$y")
+      assert((im2.pixels(base + 1) & 0xff) == ((argb >> 8) & 0xff))
+      assert((im2.pixels(base + 2) & 0xff) == (argb & 0xff))
+    }
+  }
+
+  test("LZW width-boundary fencepost: every length through the 511/1023 regions round-trips") {
+    // regression: when the FINAL add lands exactly on 2^w - 1 the decoder
+    // widens before EOI and the encoder must follow (first caught at a
+    // 254-byte tile; ImageIO read the same bytes fine — decoder lag
+    // cancels the bump offset mid-stream but not at EOI)
+    val r = rng(10)
+    for (n <- (1 to 600) ++ (950 to 1200)) {
+      val pat = Array.tabulate[Byte](n)(i => ((i * 7 + i / 48) % 256).toByte)
+      val rnd = Array.fill[Byte](n)(r.nextInt(256).toByte)
+      for (raw <- Seq(pat, rnd)) {
+        val dec = graft.codec.Tiff.Lzw.decode(graft.codec.Tiff.Lzw.encode(raw), n)
+        assert(dec.exists(java.util.Arrays.equals(_, raw)), s"n=$n")
+      }
+    }
+  }
+
   test("LZW table reset (noise past 4094 entries) round-trips and reads under ImageIO") {
     val r = rng(7)
     val w = 300; val h = 200 // 180k noise bytes: several dictionary resets
@@ -259,10 +344,10 @@ class TiffSpec extends AnyFunSuite {
     assert(Tiff.decode(good).isRight)
     for (n <- Seq(4, 8, 20, good.length / 2, good.length - 3))
       assert(Tiff.decode(java.util.Arrays.copyOf(good, n)).isLeft, s"prefix $n decoded")
-    // ZLib/Deflate-in-TIFF is a documented fence
-    val buf = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
-    for (y <- 0 until 8; x <- 0 until 16) buf.getRaster.setSample(x, y, 0, (x + y) % 256)
-    val z = Tiff.decode(imageIoTiff(buf, Some("ZLib")))
+    // CCITT RLE (compression 2, the 1-D fax variant) is a documented fence
+    val buf = new java.awt.image.BufferedImage(16, 8, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 8; x <- 0 until 16) buf.setRGB(x, y, if ((x + y) % 2 == 0) 0 else 0xffffff)
+    val z = Tiff.decode(imageIoTiff(buf, Some("CCITT RLE")))
     assert(z.isLeft && z.swap.exists(_.contains("unsupported")))
     // truncated LZW strips fail closed, not hang
     val lzw = Tiff.encodeCompressed(Array.fill[Byte](64)(9), 8, 8, 1, 5)
