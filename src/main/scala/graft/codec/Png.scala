@@ -11,9 +11,10 @@ package graft.codec
   * feature extraction consumers read color planes; compositing policy
   * is the caller's), and 16-bit samples reduce to their high byte (the
   * standard 8-bit read; filtering still runs over the full 16-bit
-  * scanlines first, as the spec requires). Bit depths 1/2/4 and Adam7
-  * interlace return `Left` (honest fences). Output shape matches
-  * [[Jpeg.Image]]: gray bytes or interleaved RGB.
+  * scanlines first, as the spec requires). Adam7 interlace decodes too:
+  * each of the 7 passes defilters as its own sub-image and scatters on
+  * the pass grid. Bit depths 1/2/4 return `Left` (honest fences).
+  * Output shape matches [[Jpeg.Image]]: gray bytes or interleaved RGB.
   *
   * Encode (test/fixture twin): color type 0 or 2, filter 0 rows, one
   * IDAT. Lossless — round-trips are bit-exact by construction, which
@@ -71,8 +72,7 @@ object Png {
             return Left(s"png: bit depth $bitDepth unsupported (8/16 only)")
           if (bitDepth == 16 && colorType == 3) return Left("png: 16-bit palette is invalid")
           if (!Set(0, 2, 3, 4, 6).contains(colorType)) return Left(s"png: color type $colorType")
-          if (interlace == 1) return Left("png: Adam7 interlace unsupported")
-          if (interlace != 0) return Left("png: unknown interlace method")
+          if (interlace != 0 && interlace != 1) return Left("png: unknown interlace method")
         case "PLTE" =>
           if (l % 3 != 0 || l > 768) return Left("png: bad PLTE")
           palette = java.util.Arrays.copyOfRange(b, p + 8, p + 8 + l)
@@ -95,7 +95,22 @@ object Png {
       case 6 => 4
     }) * sampleBytes
     val stride = width * bpp
-    val raw = new Array[Byte]((stride + 1) * height)
+    // total inflated size: non-interlaced = h scanlines of (1 + stride);
+    // Adam7 = the sum over non-empty passes of their own scanline runs
+    val passes: Seq[(Int, Int, Int, Int)] = // (startX, startY, stepX, stepY)
+      if (interlace == 0) Seq((0, 0, 1, 1))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+        (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    def passDims(p: (Int, Int, Int, Int)): (Int, Int) = {
+      val (sx, sy, dx, dy) = p
+      (math.max(0, (width - sx + dx - 1) / dx), math.max(0, (height - sy + dy - 1) / dy))
+    }
+    val rawLen = passes.map { p =>
+      val (pw, ph) = passDims(p)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw.toLong * bpp)
+    }.sum
+    if (rawLen > (1L << 30)) return Left("png: image too large")
+    val raw = new Array[Byte](rawLen.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     var got = 0
@@ -107,52 +122,88 @@ object Png {
     inf.end()
     if (got < raw.length) return Left("png: short pixel data")
 
-    // defilter in place into `pix` (scanlines without the filter byte)
-    val pix = new Array[Byte](stride * height)
-    var y = 0
-    while (y < height) {
-      val f = raw(y * (stride + 1)) & 0xff
-      val ro = y * (stride + 1) + 1
-      val po = y * stride
-      val prev = po - stride
-      f match {
-        case 0 => System.arraycopy(raw, ro, pix, po, stride)
-        case 1 => // Sub
-          var x = 0
-          while (x < stride) {
-            val left = if (x >= bpp) pix(po + x - bpp) & 0xff else 0
-            pix(po + x) = ((raw(ro + x) & 0xff) + left).toByte
-            x += 1
-          }
-        case 2 => // Up
-          var x = 0
-          while (x < stride) {
-            val up = if (y > 0) pix(prev + x) & 0xff else 0
-            pix(po + x) = ((raw(ro + x) & 0xff) + up).toByte
-            x += 1
-          }
-        case 3 => // Average
-          var x = 0
-          while (x < stride) {
-            val left = if (x >= bpp) pix(po + x - bpp) & 0xff else 0
-            val up = if (y > 0) pix(prev + x) & 0xff else 0
-            pix(po + x) = ((raw(ro + x) & 0xff) + ((left + up) >> 1)).toByte
-            x += 1
-          }
-        case 4 => // Paeth
-          var x = 0
-          while (x < stride) {
-            val a = if (x >= bpp) pix(po + x - bpp) & 0xff else 0
-            val bb = if (y > 0) pix(prev + x) & 0xff else 0
-            val c = if (x >= bpp && y > 0) pix(prev + x - bpp) & 0xff else 0
-            val pa = math.abs(bb - c); val pb = math.abs(a - c); val pc = math.abs(a + bb - 2 * c)
-            val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
-            pix(po + x) = ((raw(ro + x) & 0xff) + pred).toByte
-            x += 1
-          }
-        case other => return Left(s"png: unknown filter $other at row $y")
+    /** Defilter `rows` scanlines of `rowBytes` pixels-bytes starting at
+      * raw(off) (each prefixed by its filter byte) into a fresh buffer. */
+    def defilter(off: Int, rows: Int, rowBytes: Int): Either[String, Array[Byte]] = {
+      val out = new Array[Byte](rowBytes * rows)
+      var y = 0
+      while (y < rows) {
+        val f = raw(off + y * (rowBytes + 1)) & 0xff
+        val ro = off + y * (rowBytes + 1) + 1
+        val po = y * rowBytes
+        val prev = po - rowBytes
+        f match {
+          case 0 => System.arraycopy(raw, ro, out, po, rowBytes)
+          case 1 => // Sub
+            var x = 0
+            while (x < rowBytes) {
+              val left = if (x >= bpp) out(po + x - bpp) & 0xff else 0
+              out(po + x) = ((raw(ro + x) & 0xff) + left).toByte
+              x += 1
+            }
+          case 2 => // Up
+            var x = 0
+            while (x < rowBytes) {
+              val up = if (y > 0) out(prev + x) & 0xff else 0
+              out(po + x) = ((raw(ro + x) & 0xff) + up).toByte
+              x += 1
+            }
+          case 3 => // Average
+            var x = 0
+            while (x < rowBytes) {
+              val left = if (x >= bpp) out(po + x - bpp) & 0xff else 0
+              val up = if (y > 0) out(prev + x) & 0xff else 0
+              out(po + x) = ((raw(ro + x) & 0xff) + ((left + up) >> 1)).toByte
+              x += 1
+            }
+          case 4 => // Paeth
+            var x = 0
+            while (x < rowBytes) {
+              val a = if (x >= bpp) out(po + x - bpp) & 0xff else 0
+              val bb = if (y > 0) out(prev + x) & 0xff else 0
+              val c = if (x >= bpp && y > 0) out(prev + x - bpp) & 0xff else 0
+              val pa = math.abs(bb - c); val pb = math.abs(a - c); val pc = math.abs(a + bb - 2 * c)
+              val pred = if (pa <= pb && pa <= pc) a else if (pb <= pc) bb else c
+              out(po + x) = ((raw(ro + x) & 0xff) + pred).toByte
+              x += 1
+            }
+          case other => return Left(s"png: unknown filter $other at row $y")
+        }
+        y += 1
       }
-      y += 1
+      Right(out)
+    }
+
+    val pix = new Array[Byte](stride * height)
+    if (interlace == 0) {
+      defilter(0, height, stride) match {
+        case Left(e)  => return Left(e)
+        case Right(d) => System.arraycopy(d, 0, pix, 0, d.length)
+      }
+    } else {
+      // Adam7: each pass is its own filtered sub-image (filter context
+      // resets per pass); scatter its pixels on the pass grid
+      var off = 0
+      for (p @ (sx, sy, dx, dy) <- passes) {
+        val (pw, ph) = passDims(p)
+        if (pw > 0 && ph > 0) {
+          val passBytes = defilter(off, ph, pw * bpp) match {
+            case Left(e)  => return Left(e)
+            case Right(d) => d
+          }
+          off += ph * (1 + pw * bpp)
+          var j = 0
+          while (j < ph) {
+            var i = 0
+            while (i < pw) {
+              System.arraycopy(passBytes, (j * pw + i) * bpp,
+                pix, ((sy + j * dy) * width + sx + i * dx) * bpp, bpp)
+              i += 1
+            }
+            j += 1
+          }
+        }
+      }
     }
 
     // 16-bit samples reduce to their high byte (big-endian per spec) —

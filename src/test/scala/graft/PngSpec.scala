@@ -115,6 +115,66 @@ class PngSpec extends AnyFunSuite {
     assert(r.isLeft && r.swap.exists(_.contains("unsupported")))
   }
 
+  test("Adam7 interlaced PNG (hand-built) decodes identically under ours and ImageIO") {
+    // hand-build the interlaced stream: 7 passes, each its own filtered
+    // sub-image (pass 1 Sub-filtered for coverage, the rest filter 0)
+    val w = 13; val h = 9 // odd dims: several passes are ragged/empty-ish
+    val pix = Array.tabulate[Byte](w * h)(i => ((i * 23 + 5) % 256).toByte)
+    val passes = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+      (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    val raw = new java.io.ByteArrayOutputStream()
+    for (((sx, sy, dx, dy), pi) <- passes.zipWithIndex) {
+      val pw = math.max(0, (w - sx + dx - 1) / dx)
+      val ph = math.max(0, (h - sy + dy - 1) / dy)
+      if (pw > 0 && ph > 0) {
+        for (j <- 0 until ph) {
+          val row = Array.tabulate[Byte](pw)(i => pix((sy + j * dy) * w + sx + i * dx))
+          if (pi == 0) { // Sub filter
+            raw.write(1)
+            for (i <- 0 until pw)
+              raw.write(((row(i) & 0xff) - (if (i >= 1) row(i - 1) & 0xff else 0)) & 0xff)
+          } else {
+            raw.write(0)
+            raw.write(row, 0, pw)
+          }
+        }
+      }
+    }
+    val defl = new java.util.zip.Deflater()
+    defl.setInput(raw.toByteArray); defl.finish()
+    val z = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](512)
+    while (!defl.finished()) z.write(buf, 0, defl.deflate(buf))
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      def be32(v: Long): Unit = for (s <- Seq(24, 16, 8, 0)) o.write(((v >> s) & 0xff).toInt)
+      be32(body.length)
+      val tb = typ.getBytes("US-ASCII")
+      o.write(tb); o.write(body)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tb); crc.update(body)
+      be32(crc.getValue)
+      o.toByteArray
+    }
+    val ihdr = new java.io.ByteArrayOutputStream()
+    for (v <- Seq(w, h); s <- Seq(24, 16, 8, 0)) ihdr.write((v >> s) & 0xff)
+    ihdr.write(8); ihdr.write(0); ihdr.write(0); ihdr.write(0); ihdr.write(1) // gray, Adam7
+    val png = new java.io.ByteArrayOutputStream()
+    png.write(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    png.write(chunk("IHDR", ihdr.toByteArray))
+    png.write(chunk("IDAT", z.toByteArray))
+    png.write(chunk("IEND", Array.emptyByteArray))
+    val bytes = png.toByteArray
+    val im = Png.decode(bytes).fold(e => fail(e), identity)
+    assert(im.width == w && im.height == h && im.nComponents == 1)
+    assert(java.util.Arrays.equals(im.pixels, pix))
+    // independent read of the same hand-built file
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null && ref.getWidth == w && ref.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(ref.getRaster.getSample(x, y, 0) == (pix(y * w + x) & 0xff), s"imageio $x,$y")
+  }
+
   test("16-bit gray PNGs (ImageIO-written) decode to the sample high bytes") {
     val w = 33; val h = 21
     val deep = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_USHORT_GRAY)
