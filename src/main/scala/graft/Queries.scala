@@ -3701,6 +3701,26 @@ object Queries {
       graft.ops.Dedup.nfcExactDedup(d, "doc_id", "t")
     }),
 
+    // AUDIO DECIMATION (rate normalization): 48k sawtooth PCM decimated
+    // 3x by floor-mean boxes — including a ragged tail window on odd
+    // docs — then the standard feature triple over the decimated stream;
+    // every value an exact integer map the oracle replays.
+    "q217_audio_resample" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val n = 480 + (id % 3).toInt * 96 + (id % 2).toInt
+        val samples = Array.tabulate(n)(i => (((id * 13 + i * 17) % 2001) - 1000).toShort)
+        val a = graft.codec.Wav.Audio(1, 48000, 16, samples)
+        val dd = graft.codec.Wav.decimate(a, 3)
+        val (energy, peak, _) = graft.codec.Wav.features(dd)
+        (dd.sampleRate.toLong, dd.samples.length.toLong, energy, peak,
+          dd.samples(0).toLong, dd.samples(dd.samples.length - 1).toLong)
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("rate_out"), col("d._2").as("n_out"),
+          col("d._3").as("energy"), col("d._4").as("peak"),
+          col("d._5").as("first_s"), col("d._6").as("last_s"))
+    }),
+
     // TILED TIFF + DEFLATE, ORACLED ON PIXELS: the random-access layout
     // big scanned/geo images ship — 32x16 tiles with edge clipping, gray
     // under Deflate+predictor and RGB under LZW; lossless, so the same
@@ -7896,6 +7916,26 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY nt) AS BIGINT) AS n_dup,
         |  CAST(min(doc_id) OVER (PARTITION BY nt) AS BIGINT) AS canonical_id
         |FROM n""".stripMargin,
+
+    // q217: floor-mean boxes over the sawtooth, ragged tail included;
+    // energy/peak/first/last follow on the decimated values.
+    "q217_audio_resample" ->
+      """WITH g AS (SELECT doc_id,
+        |    480 + (doc_id % 3) * 96 + (doc_id % 2) AS n FROM documents),
+        |ii AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM g),
+        |s AS (SELECT doc_id, i // 3 AS grp, (doc_id*13 + i*17) % 2001 - 1000 AS s FROM ii),
+        |d AS (SELECT doc_id, grp,
+        |    CAST(floor(sum(s) * 1.0 / count(*)) AS BIGINT) AS v
+        |  FROM s GROUP BY doc_id, grp),
+        |dd AS (SELECT doc_id, grp, v,
+        |    max(grp) OVER (PARTITION BY doc_id) AS mg FROM d)
+        |SELECT doc_id, CAST(16000 AS BIGINT) AS rate_out,
+        |  CAST(count(*) AS BIGINT) AS n_out,
+        |  CAST(sum(v*v) AS BIGINT) AS energy,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  CAST(min(CASE WHEN grp = 0 THEN v END) AS BIGINT) AS first_s,
+        |  CAST(min(CASE WHEN grp = mg THEN v END) AS BIGINT) AS last_s
+        |FROM dd GROUP BY doc_id""".stripMargin,
 
     // q216: lossless tiles — the generators restate decoded pixels;
     // last_px pins seam/padding correctness at the far corner.

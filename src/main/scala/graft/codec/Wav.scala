@@ -145,6 +145,35 @@ object Wav {
     out
   }
 
+  /** Integer box decimation — the sample-rate normalization every audio
+    * training pipeline runs before feature extraction (writ large:
+    * 44.1k/48k crawl audio down to a 16k model rate). Each output sample
+    * is the FLOOR MEAN of `factor` consecutive input samples (the
+    * anti-aliasing box filter; a trailing partial window averages what
+    * remains), and the rate divides by the factor. Exact integer math,
+    * so SQL oracles replay it with a group-by on i / factor. Mono only —
+    * stereo callers split channels first. */
+  def decimate(a: Audio, factor: Int): Audio = {
+    require(factor >= 1, "positive decimation factor")
+    require(a.channels == 1, "decimate is mono-only; split channels first")
+    if (factor == 1) return a
+    val n = (a.samples.length + factor - 1) / factor
+    val out = new Array[Short](n)
+    var i = 0
+    while (i < n) {
+      var sum = 0L
+      val from = i * factor
+      val to = math.min(from + factor, a.samples.length)
+      var j = from
+      while (j < to) { sum += a.samples(j); j += 1 }
+      // floorDiv: negative sums round toward negative infinity, the same
+      // integer map DuckDB's floor(x / n) replays
+      out(i) = math.floorDiv(sum, (to - from).toLong).toShort
+      i += 1
+    }
+    Audio(1, a.sampleRate / factor, a.bitsPerSample, out)
+  }
+
   /** Signal-quality features beyond [[features]]'s energy triple — the
     * audio-curation gates (dead-air detection, clipping damage, voicing
     * proxy), all exact integers so SQL oracles replay them:

@@ -185,6 +185,28 @@ class WavSpec extends AnyFunSuite {
     assert(Wav.decode(buildWav(new Array[Byte](12), 12, 8000)).isLeft)
   }
 
+  test("decimate: floor-mean boxes, ragged tail, negative floor semantics") {
+    def audio(ss: Seq[Int]) = Wav.Audio(1, 48000, 16, ss.map(_.toShort).toArray)
+    // hand vector: (-1 + -2 + 4)/3 floor = 0? (1/3 -> 0); (-5 -5 -5) -> -5;
+    // tail (7) -> 7; negative floor: (-1 -2 -4)/3 = -7/3 -> -3
+    val d1 = Wav.decimate(audio(Seq(-1, -2, 4, -5, -5, -5, 7)), 3)
+    assert(d1.samples.toSeq == Seq[Short](0, -5, 7) && d1.sampleRate == 16000)
+    val d2 = Wav.decimate(audio(Seq(-1, -2, -4)), 3)
+    assert(d2.samples.toSeq == Seq[Short](-3)) // floor(-7/3) = -3, not -2
+    // factor 1 is identity
+    val a = audio(Seq(5, -6, 7))
+    assert(Wav.decimate(a, 1) eq a)
+    // brute force on random streams incl. ragged tails
+    val r = new scala.util.Random(13)
+    for (_ <- 0 until 20) {
+      val n = 50 + r.nextInt(40)
+      val f = 2 + r.nextInt(5)
+      val ss = Seq.fill(n)(r.nextInt(2001) - 1000)
+      val want = ss.grouped(f).map(g => math.floorDiv(g.map(_.toLong).sum, g.length)).toSeq
+      assert(Wav.decimate(audio(ss), f).samples.map(_.toLong).toSeq == want, s"n=$n f=$f")
+    }
+  }
+
   test("analysis: zero crossings, longest silence run, clipping (hand vector + brute force)") {
     def audio(ss: Seq[Int]) = Wav.Audio(1, 16000, 16, ss.map(_.toShort).toArray)
     // hand vector: signs + - - + 0(+) -, silence run {0} length 1, one clip
