@@ -3721,6 +3721,37 @@ object Queries {
           col("d._5").as("first_s"), col("d._6").as("last_s"))
     }),
 
+    // JPEG METADATA SCRUB (privacy pass): EXIF (36-byte planted APP1) and
+    // a COM comment strip as pure byte surgery — pixels stay
+    // bit-identical (pix_sum unchanged), the orientation tag reads -1
+    // after, and the byte delta is the exact planted segment total.
+    "q218_exif_scrub" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val v = ((id * 41 + 3) % 256).toByte
+        val base = graft.codec.JpegEncoder.encodeGray(Array.fill[Byte](16 * 8)(v), 16, 8,
+          graft.codec.JpegEncoder.exactQuant)
+        val tagged = graft.codec.JpegEncoder.withComment(
+          graft.codec.JpegEncoder.withExifOrientation(base, 1 + (id % 8).toInt),
+          s"note-$id")
+        val before = graft.codec.Jpeg.exifOrientation(tagged).getOrElse(-1)
+        graft.codec.Jpeg.stripMetadata(tagged) match {
+          case Right(clean) =>
+            val after = graft.codec.Jpeg.exifOrientation(clean).getOrElse(-1)
+            graft.codec.Jpeg.decode(clean) match {
+              case Right(im) =>
+                var sum = 0L
+                im.pixels.foreach(p => sum += (p & 0xff))
+                (before.toLong, after.toLong, sum, (tagged.length - clean.length).toLong)
+              case Left(_) => (before.toLong, -2L, -1L, -1L)
+            }
+          case Left(_) => (before.toLong, -2L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("exif_before"), col("d._2").as("exif_after"),
+          col("d._3").as("pix_sum"), col("d._4").as("bytes_removed"))
+    }),
+
     // TILED TIFF + DEFLATE, ORACLED ON PIXELS: the random-access layout
     // big scanned/geo images ship — 32x16 tiles with edge clipping, gray
     // under Deflate+predictor and RGB under LZW; lossless, so the same
@@ -7936,6 +7967,16 @@ object Queries {
         |  CAST(min(CASE WHEN grp = 0 THEN v END) AS BIGINT) AS first_s,
         |  CAST(min(CASE WHEN grp = mg THEN v END) AS BIGINT) AS last_s
         |FROM dd GROUP BY doc_id""".stripMargin,
+
+    // q218: the planted segments have exact sizes — APP1 = 36 bytes,
+    // COM = 4 + len('note-' || id); pixels are the flat closed form.
+    "q218_exif_scrub" ->
+      """SELECT doc_id,
+        |  CAST(1 + doc_id % 8 AS BIGINT) AS exif_before,
+        |  CAST(-1 AS BIGINT) AS exif_after,
+        |  CAST(128 * ((doc_id*41 + 3) % 256) AS BIGINT) AS pix_sum,
+        |  CAST(36 + 4 + 5 + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS bytes_removed
+        |FROM documents""".stripMargin,
 
     // q216: lossless tiles — the generators restate decoded pixels;
     // last_px pins seam/padding correctness at the far corner.

@@ -62,6 +62,38 @@ object Jpeg {
     try decodeInternal(bytes, headerOnly = false)
     catch { case e: Exception => Left(s"jpeg: ${e.getClass.getSimpleName}: ${e.getMessage}") }
 
+  /** Strip metadata segments — the privacy scrub a published multimodal
+    * corpus runs over its images: APP1 (EXIF incl. GPS coordinates and
+    * timestamps, XMP), APP13 (IPTC captions/bylines), and COM comments
+    * all drop; structural segments (APP0 JFIF, DQT/DHT/SOF/SOS) and the
+    * entropy stream copy verbatim, so decoded pixels are bit-identical.
+    * Pure byte surgery on the marker stream — no re-encode, no
+    * generation loss. */
+  def stripMetadata(b: Array[Byte]): Either[String, Array[Byte]] =
+    try stripMetadataImpl(b)
+    catch { case e: Exception => Left(s"jpeg: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private def stripMetadataImpl(b: Array[Byte]): Either[String, Array[Byte]] = {
+    if (!isJpeg(b)) return Left("jpeg: not a jpeg")
+    val out = new java.io.ByteArrayOutputStream(b.length)
+    out.write(0xff); out.write(0xd8)
+    var p = 2
+    while (p + 4 <= b.length) {
+      if ((b(p) & 0xff) != 0xff) return Left("jpeg: bad marker stream")
+      val m = b(p + 1) & 0xff
+      if (m == 0xda) { // SOS: entropy data to EOI copies verbatim
+        out.write(b, p, b.length - p)
+        return Right(out.toByteArray)
+      }
+      val len = ((b(p + 2) & 0xff) << 8) | (b(p + 3) & 0xff)
+      if (len < 2 || p + 2 + len > b.length) return Left("jpeg: segment overruns file")
+      val drop = m == 0xe1 || m == 0xed || m == 0xfe // APP1, APP13, COM
+      if (!drop) out.write(b, p, 2 + len)
+      p += 2 + len
+    }
+    Left("jpeg: no SOS marker")
+  }
+
   /** EXIF orientation (tag 0x0112 in IFD0 of an APP1 "Exif" segment),
     * 1..8 per the TIFF/EP convention; None when absent or malformed —
     * crawled photos routinely carry rotation here rather than in the

@@ -508,6 +508,21 @@ object JpegEncoder {
     out
   }
 
+  /** Insert a COM (comment) segment after SOI — the test/fixture twin of
+    * [[Jpeg.stripMetadata]]'s COM removal. */
+  def withComment(jpeg: Array[Byte], comment: String): Array[Byte] = {
+    require(Jpeg.isJpeg(jpeg), "not a jpeg")
+    val body = comment.getBytes("UTF-8")
+    val len = body.length + 2
+    val seg = Array[Byte](0xff.toByte, 0xfe.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ body
+    val out = new Array[Byte](jpeg.length + seg.length)
+    out(0) = jpeg(0); out(1) = jpeg(1)
+    System.arraycopy(seg, 0, out, 2, seg.length)
+    System.arraycopy(jpeg, 2, out, 2 + seg.length, jpeg.length - 2)
+    out
+  }
+
   private def clamp255(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
   private def pixEstimate(w: Int, h: Int): Int = math.min(w * h, 1 << 24)
 }

@@ -341,6 +341,31 @@ class JpegSpec extends AnyFunSuite {
     assert(r.isLeft && r.swap.exists(_.contains("unsupported")))
   }
 
+  test("stripMetadata: EXIF/COM drop, pixels bit-identical, structure preserved") {
+    val pix = Array.tabulate[Byte](24 * 16)(i => ((i * 5) % 256).toByte)
+    val base = JpegEncoder.encodeGray(pix, 24, 16, JpegEncoder.exactQuant)
+    val tagged = JpegEncoder.withComment(
+      JpegEncoder.withExifOrientation(base, 6), "GPS 51.5N 0.1W secret")
+    assert(Jpeg.exifOrientation(tagged).contains(6))
+    val clean = Jpeg.stripMetadata(tagged).fold(e => fail(e), identity)
+    assert(Jpeg.exifOrientation(clean).isEmpty)
+    assert(!new String(clean.map(_.toChar)).contains("secret"))
+    val a = Jpeg.decode(tagged).fold(e => fail(e), identity)
+    val b = Jpeg.decode(clean).fold(e => fail(e), identity)
+    assert(java.util.Arrays.equals(a.pixels, b.pixels))
+    // a metadata-free file passes through byte-identically
+    assert(java.util.Arrays.equals(Jpeg.stripMetadata(base).fold(e => fail(e), identity), base))
+    // ImageIO still reads the scrubbed file
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(clean))
+    assert(ref != null && ref.getWidth == 24 && ref.getHeight == 16)
+    // malformed inputs fail closed
+    assert(Jpeg.stripMetadata(null).isLeft)
+    assert(Jpeg.stripMetadata(Array[Byte](0xff.toByte, 0xd8.toByte, 1, 2)).isLeft)
+    for (n <- Seq(3, 10, tagged.length / 4))
+      assert(Jpeg.stripMetadata(java.util.Arrays.copyOf(tagged, n)).isLeft ||
+        n > 40, s"prefix $n")
+  }
+
   test("entropy-garbage body fails closed rather than looping") {
     val good = JpegEncoder.encodeGray(Array.fill[Byte](128 * 128)(0), 128, 128)
     val bad = good.clone()
