@@ -3801,6 +3801,41 @@ object Queries {
         .select(col("doc_id"), col("d._1").as("kind"), col("d._2").as("nc"),
           col("d._3").as("width"), col("d._4").as("height"),
           col("d._5").as("pix_sum"), col("d._6").as("last_px"))
+    }),
+
+    // ENCRYPTED-PDF LEG, ORACLED ON MARKDOWN BYTES: per-document PDFs
+    // under all four standard-security wire formats (doc_id%4 → RC4-40,
+    // RC4-128, AES-128-CBC, AES-256-CBC; empty user password — the
+    // "owner-locked" population every crawl carries) decrypt
+    // transparently on the extraction path; the oracle states the exact
+    // markdown, so any drift in key derivation, RC4, AES-CBC padding,
+    // or string/stream crypt routing breaks the driver's hash.
+    "q219_pdf_encrypted" -> ((s, dir) => {
+      import graft.pdf.{PdfWriter, PdfCrypt}
+      val mk = udf { id: Long =>
+        val mode = (id % 4) match {
+          case 0 => PdfCrypt.Rc4_40
+          case 1 => PdfCrypt.Rc4_128
+          case 2 => PdfCrypt.Aes128
+          case _ => PdfCrypt.Aes256
+        }
+        PdfWriter.write(Vector(
+          PdfWriter.PageSpec(Vector(Vector(s"Locked doc $id line one"))),
+          PdfWriter.PageSpec(Vector(Vector(s"Locked page two of $id")), compress = true)),
+          encrypt = Some(mode), encryptSeed = id)
+      }
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/e"), col("doc_id"), lit(".pdf")).as("url"),
+        col("doc_id"), mk(col("doc_id")).as("html"))
+      graft.extract.ExtractJob.extractedDf(pages)
+        .select(col("url"),
+          when(pmod(col("doc_id"), lit(4)) === 0, "rc4_40")
+            .when(pmod(col("doc_id"), lit(4)) === 1, "rc4_128")
+            .when(pmod(col("doc_id"), lit(4)) === 2, "aes128")
+            .otherwise("aes256").as("mode"),
+          col("extracted.status").as("status"),
+          col("extracted.pages").as("pages"),
+          col("extracted.markdown").as("markdown"))
     })
   )
 
@@ -8010,6 +8045,19 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q219: the decrypted markdown is the same closed form as q184's —
+    // the oracle knows nothing about crypto, so a correct answer proves
+    // the whole standard-security path (key derivation, RC4 / AES-CBC,
+    // string + stream routing) was transparent.
+    "q219_pdf_encrypted" ->
+      """SELECT 'http://x.example/e' || doc_id || '.pdf' AS url,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'rc4_40' WHEN 1 THEN 'rc4_128'
+        |       WHEN 2 THEN 'aes128' ELSE 'aes256' END AS mode,
+        |  'ok' AS status, CAST(2 AS INT) AS pages,
+        |  'Locked doc ' || doc_id || ' line one' || chr(10) || chr(10)
+        |    || 'Locked page two of ' || doc_id AS markdown
+        |FROM documents""".stripMargin,
   )
 
   /** Shared CTE block for q132/q133: micro-quantized embeddings →

@@ -298,7 +298,82 @@ object PdfParser {
     private val cache = mutable.HashMap.empty[Int, PObj]
     /** Decoded object streams: stmNum → (payload, (objNum, relOffset) pairs). */
     private val objStmCache = mutable.HashMap.empty[Int, (Array[Byte], Vector[(Int, Int)])]
+    /** Standard-security-handler session (trailer /Encrypt, empty
+      * password) — None for unencrypted documents. Set ONCE here, after
+      * the xref exists but before any content object is parsed; while
+      * this runs the var is still None, so the /Encrypt dictionary's own
+      * strings (O, U, OE, UE) are read raw, as the spec requires. */
+    private var crypt: Option[graft.pdf.PdfCrypt.Session] = None
+    initCrypt()
     def trailer: PDict = _trailer
+
+    private def initCrypt(): Unit = _trailer.m.get("Encrypt") match {
+      case None => ()
+      case Some(encRef) =>
+        val encNum = encRef match { case PRef(n, _) => n; case _ => -1 }
+        val d = resolve(encRef) match {
+          case dd: PDict => dd
+          case _         => throw PdfError("pdf_bad_encrypt_dict")
+        }
+        def nameOf(o: Option[PObj]): String = o.map(resolve) match {
+          case Some(PName(n)) => n
+          case _              => ""
+        }
+        if (nameOf(d.m.get("Filter")) != "Standard")
+          throw PdfError("pdf_encrypt_unsupported_handler")
+        def intOf(k: String, dflt: Int): Int = d.m.get(k).map(resolve) match {
+          case Some(PNum(v)) => v.toInt
+          case _             => dflt
+        }
+        def strOf(k: String): Array[Byte] = d.m.get(k).map(resolve) match {
+          case Some(PStr(b)) => b
+          case _             => Array.emptyByteArray
+        }
+        val v = intOf("V", 0)
+        val em = d.m.get("EncryptMetadata").map(resolve) match {
+          case Some(PBool(b)) => b
+          case _              => true
+        }
+        // V4/V5: StmF/StrF name → /CF entry → its /CFM; absent = Identity
+        def cfmOf(fKey: String): String = {
+          if (v < 4) return ""
+          val fname = nameOf(d.m.get(fKey)) match { case "" => "Identity"; case x => x }
+          if (fname == "Identity") "Identity"
+          else resolve(d.m.getOrElse("CF", PNull)) match {
+            case cf: PDict => resolve(cf.m.getOrElse(fname, PNull)) match {
+              case e: PDict => nameOf(e.m.get("CFM"))
+              case _        => ""
+            }
+            case _ => ""
+          }
+        }
+        val idFirst = resolve(_trailer.m.getOrElse("ID", PNull)) match {
+          case PArr(xs) if xs.nonEmpty => resolve(xs.head) match {
+            case PStr(b) => b
+            case _       => Array.emptyByteArray
+          }
+          case _ => Array.emptyByteArray
+        }
+        crypt = Some(graft.pdf.PdfCrypt.init(v, intOf("R", 2), intOf("Length", 0),
+          strOf("O"), strOf("U"), strOf("OE"), strOf("UE"), intOf("P", -1), em,
+          cfmOf("StmF"), cfmOf("StrF"), idFirst, encNum))
+    }
+
+    /** Recursively decrypt every string inside an indirect object's body
+      * (strings inside ObjStm-compressed objects never pass through here
+      * — the containing stream was already decrypted, per spec). */
+    private def decryptStrings(o: PObj, num: Int, gen: Int): PObj = crypt match {
+      case None                                               => o
+      case Some(c) if c.encryptObjNum == num || c.strIdentity => o
+      case Some(c) =>
+        def go(x: PObj): PObj = x match {
+          case PStr(b)     => PStr(graft.pdf.PdfCrypt.decryptData(c, num, gen, b, isString = true))
+          case PArr(items) => PArr(items.map(go))
+          case PDict(m)    => PDict(m.map { case (k, v) => k -> go(v) })
+          case other       => other
+        }
+        go(o)
+    }
 
     private def tail(k: Int): String = {
       val from = math.max(0, bytes.length - k)
@@ -527,8 +602,12 @@ object PdfParser {
       val lx = new Lexer(bytes)
       lx.pos = off
       lx.skipWs()
-      lx.token() // obj num
-      lx.token() // gen
+      val objNum = try lx.token().toInt catch {
+        case _: NumberFormatException => throw PdfError("pdf_bad_obj_header")
+      }
+      val genNum = try lx.token().toInt catch {
+        case _: NumberFormatException => throw PdfError("pdf_bad_obj_header")
+      }
       val kw = lx.token()
       if (kw != "obj") throw PdfError("pdf_bad_obj_header")
       val body = lx.obj()
@@ -546,8 +625,21 @@ object PdfParser {
           case _       => throw PdfError("pdf_bad_length")
         }
         if (p + len > bytes.length) throw PdfError("pdf_stream_truncated")
-        PStream(d, java.util.Arrays.copyOfRange(bytes, p, p + len))
-      } else { lx.pos = save; body }
+        val raw = java.util.Arrays.copyOfRange(bytes, p, p + len)
+        // stream decryption: never the xref stream, the /Encrypt object,
+        // or (when /EncryptMetadata false) the XMP metadata stream
+        val typ = d.m.get("Type") match { case Some(PName(t)) => t; case _ => "" }
+        val dec = crypt match {
+          case Some(c) if c.encryptObjNum != objNum && typ != "XRef" &&
+              !(typ == "Metadata" && !c.encryptMetadata) =>
+            graft.pdf.PdfCrypt.decryptData(c, objNum, genNum, raw, isString = false)
+          case _ => raw
+        }
+        PStream(decryptStrings(d, objNum, genNum) match {
+          case dd: PDict => dd
+          case _         => d
+        }, dec)
+      } else { lx.pos = save; decryptStrings(body, objNum, genNum) }
     }
 
     /** A stream's /Filter chain in decode order, each with its

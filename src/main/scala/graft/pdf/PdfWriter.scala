@@ -378,7 +378,8 @@ object PdfWriter {
     * /Resources and a translation /Matrix) invoked from a stub page stream
     * via `Do` — the indirection many real-world generators emit. */
   def write(pages: Vector[PageSpec], flavor: XrefFlavor = Classic,
-      font: FontFlavor = WinAnsiFont, formXObject: Boolean = false): Array[Byte] = {
+      font: FontFlavor = WinAnsiFont, formXObject: Boolean = false,
+      encrypt: Option[PdfCrypt.Mode] = None, encryptSeed: Long = 0L): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(ISO_8859_1))
 
@@ -397,8 +398,37 @@ object PdfWriter {
       }
     val imgObjNum: Map[(Int, Int), Int] =
       allImages.zipWithIndex.map { case ((i, j, _), k) => (i, j) -> (imgBase + k) }.toMap
-    val total = 3 + 2 * nPages + plan.extras.length +
+    val total0 = 3 + 2 * nPages + plan.extras.length +
       (if (formXObject) nPages else 0) + allImages.length
+    // one extra direct object for the /Encrypt dictionary (kept out of
+    // any ObjStm, as the spec requires)
+    val encObjNum = total0 + 1
+    val enc: Option[PdfCrypt.WriterSession] = encrypt.map { m =>
+      val seed = java.nio.ByteBuffer.allocate(8).putLong(encryptSeed).array()
+      PdfCrypt.forWriting(m, seed, encObjNum)
+    }
+    val total = total0 + (if (enc.isDefined) 1 else 0)
+    /** Encrypt one stream payload for object `num` (all streams except
+      * the xref stream; our dictionaries carry no strings). */
+    def encData(num: Int, data: Array[Byte]): Array[Byte] =
+      enc.map(_.encrypt(num, 0, data)).getOrElse(data)
+    /** Encrypt literal strings inside a DIRECT object body (spec: every
+      * string outside the /Encrypt dict is encrypted with its object's
+      * key) — rewritten as hex strings. Our generated bodies only carry
+      * escape-free literals like (Adobe), so the paren regex is exact.
+      * Objects packed into an ObjStm must NOT pass through here: the
+      * containing stream is encrypted as a whole instead. */
+    def encBody(num: Int, body: String): String = enc match {
+      case None => body
+      case Some(e) =>
+        "\\(([^)]*)\\)".r.replaceAllIn(body, m =>
+          "<" + e.encrypt(num, 0, m.group(1).getBytes(ISO_8859_1))
+            .map(x => f"${x & 0xff}%02x").mkString + ">")
+    }
+    def encTrailerEntries: String = enc match {
+      case Some(e) => s" /Encrypt $encObjNum 0 R /ID [<${e.idHex}> <${e.idHex}>]"
+      case None    => ""
+    }
 
     val catalogBody = "<< /Type /Catalog /Pages 2 0 R >>"
     val kids = (0 until nPages).map(i => s"${4 + 2 * i} 0 R").mkString(" ")
@@ -458,14 +488,14 @@ object PdfWriter {
         val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
         w("%PDF-1.4\n")
         def beginObj(n: Int): Unit = { offsets += out.size(); w(s"$n 0 obj\n") }
-        beginObj(1); w(catalogBody + "\nendobj\n")
-        beginObj(2); w(pagesBody + "\nendobj\n")
-        beginObj(3); w(fontBody + "\nendobj\n")
+        beginObj(1); w(encBody(1, catalogBody) + "\nendobj\n")
+        beginObj(2); w(encBody(2, pagesBody) + "\nendobj\n")
+        beginObj(3); w(encBody(3, fontBody) + "\nendobj\n")
         pages.zipWithIndex.foreach { case (spec, i) =>
           beginObj(4 + 2 * i)
-          w(pageBody(spec, 5 + 2 * i, i) + "\nendobj\n")
+          w(encBody(4 + 2 * i, pageBody(spec, 5 + 2 * i, i)) + "\nendobj\n")
           beginObj(5 + 2 * i)
-          val data = pageData(spec)
+          val data = encData(5 + 2 * i, pageData(spec))
           val filter = if (formXObject) "" else filterEntry(spec.effectiveFilters)
           w(s"<< /Length ${data.length}$filter >>\nstream\n")
           out.write(data)
@@ -474,32 +504,38 @@ object PdfWriter {
         plan.extras.zipWithIndex.foreach {
           case (Left(body), k) =>
             beginObj(extraBase + k)
-            w(body + "\nendobj\n")
-          case (Right(data), k) =>
+            w(encBody(extraBase + k, body) + "\nendobj\n")
+          case (Right(data0), k) =>
             beginObj(extraBase + k)
+            val data = encData(extraBase + k, data0)
             w(s"<< /Length ${data.length} >>\nstream\n")
             out.write(data)
             w("\nendstream\nendobj\n")
         }
         if (formXObject) pages.zipWithIndex.foreach { case (spec, i) =>
           beginObj(formBase + i)
-          val data = contentStream(spec, plan.encLine)
+          val data = encData(formBase + i, contentStream(spec, plan.encLine))
           w(s"<< /Length ${data.length}${formDictExtra(spec.effectiveFilters)} >>\nstream\n")
           out.write(data)
           w("\nendstream\nendobj\n")
         }
         allImages.zipWithIndex.foreach { case ((_, _, im), k) =>
           beginObj(imgBase + k)
-          val data = imageData(im)
+          val data = encData(imgBase + k, imageData(im))
           w(s"<< /Length ${data.length}${imageDictExtra(im)} >>\nstream\n")
           out.write(data)
           w("\nendstream\nendobj\n")
+        }
+        enc.foreach { e =>
+          beginObj(encObjNum)
+          w(e.dictBody + "\nendobj\n")
         }
         val xrefPos = out.size()
         w(s"xref\n0 ${total + 1}\n")
         w("0000000000 65535 f \n")
         offsets.foreach(o => w(f"$o%010d 00000 n \n"))
-        w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R >>\nstartxref\n$xrefPos\n%%EOF\n")
+        w(s"trailer\n<< /Size ${total + 1} /Root 1 0 R$encTrailerEntries >>" +
+          s"\nstartxref\n$xrefPos\n%%EOF\n")
 
       case XrefStream(objStm, predictor) =>
         // entry per object: Left(offset) = type 1, Right((stm, idx)) = type 2
@@ -509,14 +545,19 @@ object PdfWriter {
         w("%PDF-1.5\n")
         def directObj(n: Int, body: String): Unit = {
           entries(n) = Left(out.size())
-          w(s"$n 0 obj\n" + body + "\nendobj\n")
+          // the /Encrypt dictionary's own strings stay raw, per spec
+          val b = if (n == encObjNum) body else encBody(n, body)
+          w(s"$n 0 obj\n" + b + "\nendobj\n")
         }
-        def streamObj(n: Int, dictExtra: String, data: Array[Byte]): Unit = {
+        def streamObj(n: Int, dictExtra: String, data0: Array[Byte]): Unit = {
+          // every stream is encrypted except the xref stream itself
+          val data = if (n == xrefNum) data0 else encData(n, data0)
           entries(n) = Left(out.size())
           w(s"$n 0 obj\n<< /Length ${data.length}$dictExtra >>\nstream\n")
           out.write(data)
           w("\nendstream\nendobj\n")
         }
+        enc.foreach(e => directObj(encObjNum, e.dictBody))
 
         val dictObjs: Vector[(Int, String)] =
           Vector(1 -> catalogBody, 2 -> pagesBody, 3 -> fontBody) ++
@@ -600,7 +641,8 @@ object PdfWriter {
               s" /DecodeParms << /Predictor 12 /Columns $rowLen >>")
           }
         streamObj(xrefNum,
-          s" /Type /XRef /Size $size /Root 1 0 R /W [1 4 2]$parms /Filter /FlateDecode",
+          s" /Type /XRef /Size $size /Root 1 0 R$encTrailerEntries" +
+            s" /W [1 4 2]$parms /Filter /FlateDecode",
           xdata)
         w(s"startxref\n$xrefPos\n%%EOF\n")
     }
