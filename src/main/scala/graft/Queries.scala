@@ -3836,6 +3836,31 @@ object Queries {
           col("extracted.status").as("status"),
           col("extracted.pages").as("pages"),
           col("extracted.markdown").as("markdown"))
+    }),
+
+    // HTTP WIRE CODINGS, ORACLED: q145's WARC round-trip with the bodies
+    // stored as they cross the wire — gzipped (Content-Encoding) and
+    // chunk-framed (Transfer-Encoding, with a chunk extension and a
+    // trailer field in the stream); the reader reverses both
+    // transparently, and the oracle recomputes the projection straight
+    // from the documents table, so any framing or inflate drift breaks
+    // the hash.
+    "q220_http_codings" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        lit(200).as("http_status"),
+        lit("text/html; charset=utf-8").as("content_type"),
+        encode(col("text"), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_coded_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.write(base, out, contentEncoding = "gzip", chunked = true)
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      s.read.format("graft.sources.WarcSource").load(out)
+        .select(col("url"),
+          col("http_status").cast("long").as("http_status"),
+          length(col("body")).cast("long").as("n_bytes"),
+          hash(decode(col("body"), "UTF-8")).as("body_hash"))
     })
   )
 
@@ -8045,6 +8070,17 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q220: the oracle knows nothing about gzip or chunk framing — it
+    // restates the projection from the documents table, so equality
+    // proves the reader reversed both wire codings byte-exactly.
+    "q220_http_codings" ->
+      """SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |  CAST(200 AS BIGINT) AS http_status,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(text, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS body_hash
+        |FROM documents""".stripMargin,
 
     // q219: the decrypted markdown is the same closed form as q184's —
     // the oracle knows nothing about crypto, so a correct answer proves

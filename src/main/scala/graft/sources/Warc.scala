@@ -57,19 +57,158 @@ object Warc {
   private def headerBytes(lines: Seq[String]): Array[Byte] =
     (lines.mkString("\r\n") + "\r\n\r\n").getBytes(UTF_8)
 
+  // ------------------------------------- HTTP transfer / content codings
+  //
+  // Real crawl WARCs store the HTTP response bytes as sent: bodies
+  // arrive chunked (RFC 9112 §7.1) and/or compressed (RFC 9110 §8.4.1
+  // Content-Encoding: gzip / deflate — including the bare-deflate form
+  // servers mislabel). A reader that hands those bytes to the HTML
+  // parser sees framing garbage, so [[parse]] reverses both codings
+  // transparently; the encode side exists so the sink can produce
+  // wire-faithful shards and the loop stays closed without external data.
+
+  /** Chunked transfer coding, encode side: fixed-size chunks, a chunk
+    * extension on the first size line and a trailer field after the
+    * last chunk — both legal noise a correct decoder must skip. */
+  def chunkEncode(data: Array[Byte], chunkSize: Int): Array[Byte] = {
+    require(chunkSize > 0, "chunkSize must be positive")
+    val out = new ByteArrayOutputStream(data.length + 64)
+    var off = 0
+    var first = true
+    while (off < data.length) {
+      val n = math.min(chunkSize, data.length - off)
+      val ext = if (first) ";x=crawl" else ""
+      out.write((n.toHexString + ext + "\r\n").getBytes(US_ASCII))
+      out.write(data, off, n)
+      out.write(Crlf)
+      off += n
+      first = false
+    }
+    out.write("0\r\nX-Crawl-Trailer: end\r\n\r\n".getBytes(US_ASCII))
+    out.toByteArray
+  }
+
+  /** Chunked transfer coding, decode side. Returns null on structural
+    * damage (bad size line, truncated chunk) — the caller keeps the raw
+    * bytes, because a crawl archive full of torn responses must degrade
+    * row-by-row, never fail the shard. */
+  def chunkDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length)
+    var i = 0
+    def line(): String = {
+      val start = i
+      while (i < data.length && data(i) != '\n') i += 1
+      if (i >= data.length) return null
+      val end = if (i > start && data(i - 1) == '\r') i - 1 else i
+      i += 1
+      new String(data, start, end - start, US_ASCII)
+    }
+    while (true) {
+      val l = line()
+      if (l == null) return null
+      val semi = l.indexOf(';')
+      val hexs = (if (semi >= 0) l.substring(0, semi) else l).trim
+      val n =
+        try Integer.parseInt(hexs, 16)
+        catch { case _: NumberFormatException => return null }
+      if (n < 0) return null
+      if (n == 0) {
+        var t = line() // trailer section: fields until a blank line / EOF
+        while (t != null && t.nonEmpty) t = line()
+        return out.toByteArray
+      }
+      if (i + n > data.length) return null
+      out.write(data, i, n)
+      i += n
+      if (i < data.length && data(i) == '\r') i += 1
+      if (i < data.length && data(i) == '\n') i += 1
+    }
+    null // unreachable
+  }
+
+  private def readAll(in: InputStream): Array[Byte] = {
+    val out = new ByteArrayOutputStream(1 << 12)
+    val buf = new Array[Byte](1 << 12)
+    var k = in.read(buf)
+    while (k >= 0) { out.write(buf, 0, k); k = in.read(buf) }
+    out.toByteArray
+  }
+
+  def gzipEncode(data: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(data.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos)
+    gz.write(data); gz.close()
+    bos.toByteArray
+  }
+
+  /** Deflate encode; `zlibWrapper = false` is the bare-deflate form. */
+  def deflateEncode(data: Array[Byte], zlibWrapper: Boolean = true): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, !zlibWrapper)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](1 << 12)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflateWith(data: Array[Byte], nowrap: Boolean): Array[Byte] = {
+    val inf = new java.util.zip.Inflater(nowrap)
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(data.length * 2 + 64)
+    val buf = new Array[Byte](1 << 12)
+    while (!inf.finished()) {
+      val k = inf.inflate(buf)
+      if (k == 0 && inf.needsInput()) throw new EOFException("deflate truncated")
+      out.write(buf, 0, k)
+    }
+    inf.end()
+    out.toByteArray
+  }
+
+  /** Content-Encoding decode: gzip / x-gzip, deflate (zlib-wrapped AND
+    * the bare form servers mislabel as "deflate"), identity. Unknown
+    * coding or damaged data → null (caller keeps the raw bytes). */
+  def contentDecode(enc: String, data: Array[Byte]): Array[Byte] = {
+    val e = enc.trim.toLowerCase
+    try e match {
+      case "" | "identity" | "none" => data
+      case "gzip" | "x-gzip" =>
+        readAll(new GZIPInputStream(new java.io.ByteArrayInputStream(data)))
+      case "deflate" =>
+        try inflateWith(data, nowrap = false)
+        catch { case _: Exception => inflateWith(data, nowrap = true) }
+      case _ => null
+    } catch { case _: Exception => null }
+  }
+
   /** Serialize one record (uncompressed) to `out`. With `envelope` the
     * block is an `application/http; msgtype=response` wrapper around the
     * body (raw-crawl records); without it the body IS the block under
     * the record's own content type (WET-style `conversion` records). */
-  def writeRecord(out: OutputStream, r: WarcRecord, envelope: Boolean = true): Unit = {
+  def writeRecord(out: OutputStream, r: WarcRecord, envelope: Boolean = true,
+      contentEncoding: String = "", chunked: Boolean = false,
+      chunkSize: Int = 512): Unit = {
+    // wire-faithful body: Content-Encoding first, then transfer chunking
+    // (the order a server applies them; the reader reverses it)
+    val encoded0 = contentEncoding match {
+      case ""        => r.body
+      case "gzip"    => gzipEncode(r.body)
+      case "deflate" => deflateEncode(r.body)
+      case other     => throw new IllegalArgumentException(s"unsupported coding: $other")
+    }
+    val wire = if (chunked) chunkEncode(encoded0, chunkSize) else encoded0
     val http =
       if (envelope) headerBytes(Seq(
         s"HTTP/1.1 ${r.httpStatus} OK",
-        s"Content-Type: ${r.contentType}",
-        s"Content-Length: ${r.body.length}"))
+        s"Content-Type: ${r.contentType}") ++
+        (if (contentEncoding.nonEmpty) Seq(s"Content-Encoding: $contentEncoding") else Nil) ++
+        (if (chunked) Seq("Transfer-Encoding: chunked")
+         else Seq(s"Content-Length: ${wire.length}")))
       else Array.empty[Byte]
     val blockType = if (envelope) "application/http; msgtype=response" else r.contentType
-    val contentLength = http.length + r.body.length
+    val body = if (envelope) wire else r.body // codings only exist inside an HTTP envelope
+    val contentLength = http.length + body.length
     val warc = headerBytes(Seq(
       "WARC/1.0",
       s"WARC-Type: ${r.recordType}",
@@ -80,7 +219,7 @@ object Warc {
       s"Content-Length: $contentLength"))
     out.write(warc)
     out.write(http)
-    out.write(r.body)
+    out.write(body)
     out.write(Crlf)
     out.write(Crlf)
   }
@@ -88,9 +227,10 @@ object Warc {
   /** One gzip member per record (the Common Crawl `.warc.gz` layout).
     * `finish()` flushes the member's trailer without closing the
     * underlying stream, so members concatenate back-to-back. */
-  def writeGzipMember(out: OutputStream, r: WarcRecord, envelope: Boolean = true): Unit = {
+  def writeGzipMember(out: OutputStream, r: WarcRecord, envelope: Boolean = true,
+      contentEncoding: String = "", chunked: Boolean = false): Unit = {
     val gz = new GZIPOutputStream(out, 8192)
-    writeRecord(gz, r, envelope)
+    writeRecord(gz, r, envelope, contentEncoding, chunked)
     gz.finish()
   }
 
@@ -168,14 +308,25 @@ object Warc {
               .filter(_.length >= 2).flatMap(p => p(1).toIntOption).getOrElse(0)
             val ct = env.drop(1).find(_.toLowerCase.startsWith("content-type:"))
               .map(_.substring("content-type:".length).trim).getOrElse("")
-            nextRecBody(recordType, uri, date, id, status, ct, block, sep + 4)
+            def hdr(name: String): String = env.drop(1)
+              .find(_.toLowerCase.startsWith(name + ":"))
+              .map(_.substring(name.length + 1).trim.toLowerCase).getOrElse("")
+            val raw = java.util.Arrays.copyOfRange(block, sep + 4, block.length)
+            // reverse the wire codings (chunked framing, then content
+            // coding); either failing degrades to the raw bytes — one
+            // torn response must not fail the shard
+            val deChunked =
+              if (hdr("transfer-encoding").contains("chunked"))
+                Option(chunkDecode(raw)).getOrElse(raw)
+              else raw
+            val ce = hdr("content-encoding")
+            val body =
+              if (ce.nonEmpty) Option(contentDecode(ce, deChunked)).getOrElse(deChunked)
+              else deChunked
+            WarcRecord(recordType, uri, date, id, status, ct, body)
           }
         } else WarcRecord(recordType, uri, date, id, 0, blockType, block)
     }
-
-    private def nextRecBody(t: String, u: String, d: Instant, id: String,
-        st: Int, ct: String, block: Array[Byte], from: Int): WarcRecord =
-      WarcRecord(t, u, d, id, st, ct, java.util.Arrays.copyOfRange(block, from, block.length))
 
     override def hasNext: Boolean = {
       if (nextRec == null && !done) advance()
@@ -212,8 +363,10 @@ object Warc {
     * Common-Crawl WET layout, the standard interchange shape for
     * EXTRACTED text — so the full CC round lives in this one module:
     * read `.warc.gz`, extract, publish `.wet`-style shards. */
-  def write(df: DataFrame, dir: String, overwrite: Boolean = true): Unit =
-    writeRecords(df, dir, overwrite, envelope = true, recordType = "response")
+  def write(df: DataFrame, dir: String, overwrite: Boolean = true,
+      contentEncoding: String = "", chunked: Boolean = false): Unit =
+    writeRecords(df, dir, overwrite, envelope = true, recordType = "response",
+      contentEncoding, chunked)
 
   /** WET-style export: `conversion` records, body bytes as the record
     * block (no HTTP envelope), content type taken from the row. Expects
@@ -222,7 +375,8 @@ object Warc {
     writeRecords(df, dir, overwrite, envelope = false, recordType = "conversion")
 
   private def writeRecords(df: DataFrame, dir: String, overwrite: Boolean,
-      envelope: Boolean, recordType: String): Unit = {
+      envelope: Boolean, recordType: String,
+      contentEncoding: String = "", chunked: Boolean = false): Unit = {
     val sel = df.select(col("url").cast("string"), col("warc_ts").cast("timestamp"),
       col("http_status").cast("int"), col("content_type").cast("string"),
       col("body").cast("binary"))
@@ -248,7 +402,7 @@ object Warc {
               recordId = s"<urn:graft:${r.getString(0)}>",
               httpStatus = r.getInt(2),
               contentType = r.getString(3),
-              body = r.getAs[Array[Byte]](4)), envelope)
+              body = r.getAs[Array[Byte]](4)), envelope, contentEncoding, chunked)
           }
         } finally os.close()
         // first attempt wins; a losing speculative attempt cleans up

@@ -170,4 +170,68 @@ class WarcSpec extends AnyFunSuite {
     val empty = Files.createTempDirectory("warc_empty").toString
     assert(spark.read.format("graft.sources.WarcSource").load(empty).count() == 0L)
   }
+
+  // ------------------------------- HTTP transfer / content codings
+
+  test("chunked coding round-trips incl. extension, trailer, odd sizes") {
+    for (n <- Seq(0, 1, 7, 512, 513, 5000); cs <- Seq(1, 7, 512)) {
+      val data = Array.tabulate(n)(i => (i * 31 + 5).toByte)
+      val enc = Warc.chunkEncode(data, cs)
+      val dec = Warc.chunkDecode(enc)
+      assert(dec != null && dec.sameElements(data), s"n=$n cs=$cs")
+    }
+    // lowercase hex sizes with extension parse
+    val manual = "a;name=val\r\n0123456789\r\n0\r\n\r\n".getBytes(UTF_8)
+    assert(new String(Warc.chunkDecode(manual), UTF_8) == "0123456789")
+  }
+
+  test("damaged chunked body degrades to null (caller keeps raw), never throws") {
+    assert(Warc.chunkDecode("zz\r\nxxx".getBytes(UTF_8)) == null)          // bad size
+    assert(Warc.chunkDecode("ff\r\nshort".getBytes(UTF_8)) == null)        // truncated
+    assert(Warc.chunkDecode(Array.emptyByteArray) == null)                  // empty
+    assert(Warc.chunkDecode("5\r\nhello".getBytes(UTF_8)) == null)          // no final chunk
+  }
+
+  test("content codings: gzip, zlib deflate, bare deflate, identity, unknown") {
+    val data = ("payload " * 100).getBytes(UTF_8)
+    assert(Warc.contentDecode("gzip", Warc.gzipEncode(data)).sameElements(data))
+    assert(Warc.contentDecode("x-gzip", Warc.gzipEncode(data)).sameElements(data))
+    assert(Warc.contentDecode("deflate", Warc.deflateEncode(data)).sameElements(data))
+    assert(Warc.contentDecode("deflate",
+      Warc.deflateEncode(data, zlibWrapper = false)).sameElements(data))
+    assert(Warc.contentDecode("identity", data).sameElements(data))
+    assert(Warc.contentDecode("br", data) == null)                          // unsupported
+    assert(Warc.contentDecode("gzip", "not gzip at all".getBytes(UTF_8)) == null)
+  }
+
+  test("codec: chunked + gzip response records decode transparently in parse") {
+    val body = "<html><body>" + ("wire-coded content " * 50) + "</body></html>"
+    val out = new ByteArrayOutputStream()
+    Warc.writeRecord(out, rec("http://c.example/plain", 1577836800L, body))
+    Warc.writeRecord(out, rec("http://c.example/gz", 1577836801L, body),
+      contentEncoding = "gzip")
+    Warc.writeRecord(out, rec("http://c.example/chunked", 1577836802L, body),
+      chunked = true, chunkSize = 100)
+    Warc.writeRecord(out, rec("http://c.example/both", 1577836803L, body),
+      contentEncoding = "deflate", chunked = true, chunkSize = 64)
+    val rs = Warc.parse(new ByteArrayInputStream(out.toByteArray)).toList
+    assert(rs.length == 4)
+    rs.foreach(r => assert(new String(r.body, UTF_8) == body, r.targetUri))
+    assert(rs.forall(_.httpStatus == 200))
+  }
+
+  test("sink + source: gzip+chunked shards round-trip through WarcSource") {
+    val dir = Files.createTempDirectory("warc_coded").toString
+    val rows = (1 to 20).map(i => (s"http://w.example/$i",
+      new java.sql.Timestamp(1000L * i), 200, "text/html",
+      (s"doc $i " + ("content " * i)).getBytes(UTF_8)))
+    Warc.write(rows.toDF("url", "warc_ts", "http_status", "content_type", "body"),
+      dir, contentEncoding = "gzip", chunked = true)
+    val got = spark.read.format("graft.sources.WarcSource").load(dir)
+      .select($"url", decode($"body", "UTF-8").as("t")).as[(String, String)]
+      .collect().toMap
+    assert(got.size == 20)
+    (1 to 20).foreach(i =>
+      assert(got(s"http://w.example/$i") == s"doc $i " + ("content " * i)))
+  }
 }
