@@ -3861,6 +3861,83 @@ object Queries {
           col("http_status").cast("long").as("http_status"),
           length(col("body")).cast("long").as("n_bytes"),
           hash(decode(col("body"), "UTF-8")).as("body_hash"))
+    }),
+
+    // SURT KEYS, ORACLED: the sort-friendly canonical URL key web
+    // archives (and the CC index) sort on, over deliberately messy urls
+    // — mixed case, userinfo, a www2 prefix, a port, unsorted query
+    // params, a fragment; the oracle restates the key as a closed form,
+    // so every normalization rule is pinned.
+    "q223_surt" -> ((s, dir) => {
+      val url = concat(lit("HTTP://User:Pw@WWW2."), col("source"),
+        lit(".Example.COM:8080/Dir"), col("doc_id"), lit("/Page?z=9&a="),
+        pmod(col("doc_id"), lit(7)), lit("&m=5#frag"))
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.WebOps.surtKey(url).as("key"))
+    }),
+
+    // CDX INDEX + RANDOM ACCESS, ORACLED: the writer emits a per-shard
+    // CDX sidecar (surt key, shard file, byte offset, member length,
+    // payload digest); the query then reads the corpus back ONLY through
+    // ranged member reads driven by that index — offsets shuffled by the
+    // index join, one forward-seeking pass per shard — and the oracle
+    // restates every projected field from the documents table. Random
+    // access into 100 TB of .warc.gz is exactly what this layout buys.
+    "q221_cdx_fetch" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        lit(200).as("http_status"),
+        lit("text/html; charset=utf-8").as("content_type"),
+        encode(col("text"), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_cdx_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.write(base, out, cdxIndex = true)
+      val idx = s.read.schema(
+          "key STRING, url STRING, ts_ms LONG, file STRING, offset LONG, " +
+            "length LONG, digest STRING, record_type STRING")
+        .json(out + "/part-*.cdx")
+      val fetched = graft.sources.Warc.fetchByIndex(idx, out)
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      val digestOf = udf((b: Array[Byte]) => graft.sources.Warc.payloadDigest(b))
+      idx.select(col("key"), col("url"))
+        .join(fetched, Seq("url"))
+        .select(col("url"), col("key"),
+          length(col("body")).cast("long").as("n_bytes"),
+          hash(decode(col("body"), "UTF-8")).as("body_hash"),
+          (col("digest") === digestOf(col("body"))).as("digest_ok"))
+    }),
+
+    // REVISIT RECORDS, ORACLED: planted duplicate payloads (each group of
+    // 5 docs shares its representative's text) are written with
+    // identical-payload-digest revisit records — the Common Crawl dedup
+    // mechanism — then resolved back: the digest-keyed join must restore
+    // every payload, mark exactly the non-originals, and point refers_to
+    // at the lexicographically-first url of the group.
+    "q222_revisit" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val reps = d.select((col("doc_id") - pmod(col("doc_id"), lit(5))).as("rep_id"),
+        col("doc_id"), col("source"))
+      val base = reps.join(
+          d.select(col("doc_id").as("rep_id"), col("text")), Seq("rep_id"))
+        .select(
+          concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+          (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+          lit(200).as("http_status"),
+          lit("text/html; charset=utf-8").as("content_type"),
+          // group id appended so payload digests collide exactly within a
+          // group (the synth corpus plants cross-group exact duplicates)
+          encode(concat(col("text"), lit(" #"), col("rep_id")), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_rev_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.write(base, out, dedupRevisits = true)
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      graft.sources.Warc.resolveRevisits(
+          s.read.format("graft.sources.WarcSource").load(out))
+        .select(col("url"), col("was_revisit"),
+          length(col("body")).cast("long").as("n_bytes"),
+          hash(decode(col("body"), "UTF-8")).as("body_hash"),
+          col("refers_to"))
     })
   )
 
@@ -8070,6 +8147,46 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q223: every SURT rule as a closed form — scheme/userinfo/port
+    // dropped, www2 stripped, host reversed comma-joined, path
+    // lowercased, query params sorted (a < m < z), fragment gone.
+    "q223_surt" ->
+      """SELECT doc_id,
+        |  'com,example,' || source || ')/dir' || doc_id || '/page?a=' ||
+        |    (doc_id % 7) || '&m=5&z=9' AS key
+        |FROM documents""".stripMargin,
+
+    // q221: the oracle restates the index-driven ranged reads straight
+    // from the table — keys, byte lengths, payload hashes, and the
+    // digest check all stated independently of the sidecar.
+    "q221_cdx_fetch" ->
+      """SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |  'example,' || source || ')/doc/' || doc_id AS key,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(text, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS body_hash,
+        |  true AS digest_ok
+        |FROM documents""".stripMargin,
+
+    // q222: originals and revisits restated relationally — the group
+    // representative's text (+' #grp' uniquifier), the lexicographic
+    // min url per group as the original, refers_to empty on originals.
+    "q222_revisit" ->
+      """WITH b AS (
+        |  SELECT d.doc_id,
+        |    'http://' || d.source || '.example/doc/' || d.doc_id AS url,
+        |    g.text || ' #' || (d.doc_id - d.doc_id % 5) AS t,
+        |    d.doc_id - d.doc_id % 5 AS grp
+        |  FROM documents d
+        |  JOIN documents g ON g.doc_id = d.doc_id - d.doc_id % 5),
+        |m AS (SELECT *, min(url) OVER (PARTITION BY grp) AS orig FROM b)
+        |SELECT url, (url <> orig) AS was_revisit,
+        |  CAST(octet_length(encode(t)) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(t, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS body_hash,
+        |  CASE WHEN url <> orig THEN orig ELSE '' END AS refers_to
+        |FROM m""".stripMargin,
 
     // q220: the oracle knows nothing about gzip or chunk framing — it
     // restates the projection from the documents table, so equality

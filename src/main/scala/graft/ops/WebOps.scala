@@ -24,6 +24,48 @@ object WebOps {
   def urlHost(url: Column): Column =
     lower(regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://(?:[^/?#@]*@)?([^/:?#]+)", 1))
 
+  /** SURT (Sort-friendly URI Reordering Transform) key — the canonical
+    * URL key web archives sort and join on (OpenWayback/pywb convention,
+    * the key column of the Common Crawl index): lowercase, scheme and
+    * userinfo/port dropped, leading `www\d*.` stripped, host labels
+    * REVERSED and comma-joined, `)` separator, path, `?` + query with
+    * params sorted — so one host's pages are one contiguous key range
+    * and equivalent urls collide. Pure per-row kernel; the q221/q223
+    * DuckDB oracles replay it relationally. */
+  private[graft] def surtKernel(url: String): String = {
+    val u = url.trim.toLowerCase
+    val schemeEnd = u.indexOf("://")
+    val rest = if (schemeEnd >= 0) u.substring(schemeEnd + 3) else u
+    val hostEnd = rest.indexWhere(c => c == '/' || c == '?' || c == '#') match {
+      case -1 => rest.length
+      case i  => i
+    }
+    var host = rest.substring(0, hostEnd)
+    val at = host.lastIndexOf('@')
+    if (at >= 0) host = host.substring(at + 1)
+    val colon = host.indexOf(':')
+    if (colon >= 0) host = host.substring(0, colon)
+    host = host.replaceFirst("^www\\d*\\.", "")
+    val revHost = host.split('.').reverse.mkString(",")
+    val after = rest.substring(hostEnd)
+    val hashIdx = after.indexOf('#')
+    val noFrag = if (hashIdx >= 0) after.substring(0, hashIdx) else after
+    val qIdx = noFrag.indexOf('?')
+    val path = (if (qIdx >= 0) noFrag.substring(0, qIdx) else noFrag) match {
+      case "" => "/"
+      case p  => p
+    }
+    val query = if (qIdx >= 0) noFrag.substring(qIdx + 1) else ""
+    val q = if (query.isEmpty) "" else "?" + query.split('&').sorted.mkString("&")
+    revHost + ")" + path + q
+  }
+
+  /** Column form of [[surtKernel]]. */
+  def surtKey(url: Column): Column = {
+    val f = udf(surtKernel _)
+    f(url)
+  }
+
   /** Multi-part public suffixes recognized by [[registrableDomain]]. */
   val MultiPartSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk",

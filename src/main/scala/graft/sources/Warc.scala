@@ -23,7 +23,9 @@ case class WarcRecord(
     recordId: String,
     httpStatus: Int,
     contentType: String,
-    body: Array[Byte])
+    body: Array[Byte],
+    digest: String = "",   // WARC-Payload-Digest (sha1:BASE32, the CC convention)
+    refersTo: String = "") // WARC-Refers-To-Target-URI (revisit records)
 
 /** From-scratch WARC 1.0 codec + distributed sink (ISO 28500 / the
   * published WARC 1.0 spec; the format Common Crawl ships in). No
@@ -56,6 +58,32 @@ object Warc {
 
   private def headerBytes(lines: Seq[String]): Array[Byte] =
     (lines.mkString("\r\n") + "\r\n\r\n").getBytes(UTF_8)
+
+  /** RFC 4648 base32 (no padding needed: SHA-1's 160 bits divide evenly
+    * into 32 five-bit groups) — the alphabet WARC payload digests use. */
+  private val B32 = "ABCDEFGHIJKLMNOPQRSTUVWXYZ234567"
+  private def base32(bytes: Array[Byte]): String = {
+    val sb = new StringBuilder(bytes.length * 8 / 5 + 1)
+    var acc = 0L
+    var nbits = 0
+    bytes.foreach { b =>
+      acc = (acc << 8) | (b & 0xff)
+      nbits += 8
+      while (nbits >= 5) {
+        nbits -= 5
+        sb.append(B32(((acc >> nbits) & 31).toInt))
+      }
+    }
+    if (nbits > 0) sb.append(B32(((acc << (5 - nbits)) & 31).toInt))
+    sb.toString
+  }
+
+  /** `sha1:BASE32` payload digest — the exact form Common Crawl stamps
+    * in WARC-Payload-Digest headers and its CDX index. */
+  def payloadDigest(body: Array[Byte]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-1")
+    "sha1:" + base32(md.digest(body))
+  }
 
   // ------------------------------------- HTTP transfer / content codings
   //
@@ -209,14 +237,24 @@ object Warc {
     val blockType = if (envelope) "application/http; msgtype=response" else r.contentType
     val body = if (envelope) wire else r.body // codings only exist inside an HTTP envelope
     val contentLength = http.length + body.length
+    // payload digest: as given for bodiless revisit records, computed
+    // over the DECODED payload otherwise (the spec's and CC's semantics)
+    val digest =
+      if (r.digest.nonEmpty) r.digest
+      else if (r.body.nonEmpty) payloadDigest(r.body)
+      else ""
     val warc = headerBytes(Seq(
       "WARC/1.0",
       s"WARC-Type: ${r.recordType}",
       s"WARC-Record-ID: ${r.recordId}",
       s"WARC-Date: ${DateTimeFormatter.ISO_INSTANT.format(r.date)}",
-      s"WARC-Target-URI: ${r.targetUri}",
-      s"Content-Type: $blockType",
-      s"Content-Length: $contentLength"))
+      s"WARC-Target-URI: ${r.targetUri}") ++
+      (if (digest.nonEmpty) Seq(s"WARC-Payload-Digest: $digest") else Nil) ++
+      (if (r.refersTo.nonEmpty) Seq(s"WARC-Refers-To-Target-URI: ${r.refersTo}",
+        "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")
+       else Nil) ++
+      (if (blockType.nonEmpty) Seq(s"Content-Type: $blockType") else Nil) ++
+      Seq(s"Content-Length: $contentLength"))
     out.write(warc)
     out.write(http)
     out.write(body)
@@ -298,10 +336,12 @@ object Warc {
       val date = headers.get("warc-date").map(Instant.parse).getOrElse(Instant.EPOCH)
       val id = headers.getOrElse("warc-record-id", "")
       val blockType = headers.getOrElse("content-type", "")
+      val wDigest = headers.getOrElse("warc-payload-digest", "")
+      val wRefers = headers.getOrElse("warc-refers-to-target-uri", "")
       nextRec =
         if (blockType.startsWith("application/http")) {
           val sep = indexOfDoubleCrlf(block)
-          if (sep < 0) WarcRecord(recordType, uri, date, id, 0, blockType, block)
+          if (sep < 0) WarcRecord(recordType, uri, date, id, 0, blockType, block, wDigest, wRefers)
           else {
             val env = new String(block, 0, sep, UTF_8).split("\r\n")
             val status = env.headOption.map(_.split(" "))
@@ -323,9 +363,9 @@ object Warc {
             val body =
               if (ce.nonEmpty) Option(contentDecode(ce, deChunked)).getOrElse(deChunked)
               else deChunked
-            WarcRecord(recordType, uri, date, id, status, ct, body)
+            WarcRecord(recordType, uri, date, id, status, ct, body, wDigest, wRefers)
           }
-        } else WarcRecord(recordType, uri, date, id, 0, blockType, block)
+        } else WarcRecord(recordType, uri, date, id, 0, blockType, block, wDigest, wRefers)
     }
 
     override def hasNext: Boolean = {
@@ -364,9 +404,10 @@ object Warc {
     * EXTRACTED text — so the full CC round lives in this one module:
     * read `.warc.gz`, extract, publish `.wet`-style shards. */
   def write(df: DataFrame, dir: String, overwrite: Boolean = true,
-      contentEncoding: String = "", chunked: Boolean = false): Unit =
+      contentEncoding: String = "", chunked: Boolean = false,
+      cdxIndex: Boolean = false, dedupRevisits: Boolean = false): Unit =
     writeRecords(df, dir, overwrite, envelope = true, recordType = "response",
-      contentEncoding, chunked)
+      contentEncoding, chunked, cdxIndex, dedupRevisits)
 
   /** WET-style export: `conversion` records, body bytes as the record
     * block (no HTTP envelope), content type taken from the row. Expects
@@ -374,12 +415,39 @@ object Warc {
   def writeConversion(df: DataFrame, dir: String, overwrite: Boolean = true): Unit =
     writeRecords(df, dir, overwrite, envelope = false, recordType = "conversion")
 
+  private final class CountingOutputStream(under: OutputStream) extends OutputStream {
+    var count: Long = 0L
+    override def write(b: Int): Unit = { under.write(b); count += 1 }
+    override def write(b: Array[Byte], off: Int, len: Int): Unit = {
+      under.write(b, off, len); count += len
+    }
+    override def flush(): Unit = under.flush()
+    override def close(): Unit = under.close()
+  }
+
+  private def jsonEsc(s: String): String =
+    s.flatMap {
+      case '"'           => "\\\""
+      case '\\'          => "\\\\"
+      case c if c < 0x20 => f"\\u${c.toInt}%04x"
+      case c             => c.toString
+    }
+
   private def writeRecords(df: DataFrame, dir: String, overwrite: Boolean,
       envelope: Boolean, recordType: String,
-      contentEncoding: String = "", chunked: Boolean = false): Unit = {
-    val sel = df.select(col("url").cast("string"), col("warc_ts").cast("timestamp"),
+      contentEncoding: String = "", chunked: Boolean = false,
+      cdxIndex: Boolean = false, dedupRevisits: Boolean = false): Unit = {
+    val sel0 = df.select(col("url").cast("string"), col("warc_ts").cast("timestamp"),
       col("http_status").cast("int"), col("content_type").cast("string"),
       col("body").cast("binary"))
+    // revisit dedup needs every copy of a payload in ONE partition with a
+    // deterministic original: co-locate by body hash, order by url — the
+    // lexicographically-first url per digest becomes the response record
+    // everywhere, regardless of cluster size
+    val sel =
+      if (dedupRevisits)
+        sel0.repartition(col("body")).sortWithinPartitions(col("body"), col("url"))
+      else sel0
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
     if (overwrite && fs.exists(dirPath)) fs.delete(dirPath, true)
@@ -391,23 +459,146 @@ object Warc {
         val fin = new Path(dir, f"part-$pid%05d.warc.gz")
         val tmp = new Path(dir, f".part-$pid%05d-${tc.taskAttemptId()}.tmp")
         val ofs = tmp.getFileSystem(new Configuration())
-        val os = ofs.create(tmp, true)
+        val os = new CountingOutputStream(ofs.create(tmp, true))
+        val cdx = if (cdxIndex) new StringBuilder else null
+        val seen = scala.collection.mutable.HashMap.empty[String, String]
         try {
           it.foreach { r =>
             val ts = r.getTimestamp(1)
-            writeGzipMember(os, WarcRecord(
-              recordType = recordType,
-              targetUri = r.getString(0),
-              date = Instant.ofEpochMilli(ts.getTime).plusNanos(ts.getNanos % 1000000L),
-              recordId = s"<urn:graft:${r.getString(0)}>",
-              httpStatus = r.getInt(2),
-              contentType = r.getString(3),
-              body = r.getAs[Array[Byte]](4)), envelope, contentEncoding, chunked)
+            val url = r.getString(0)
+            val body = r.getAs[Array[Byte]](4)
+            val digest = payloadDigest(body)
+            val original = if (dedupRevisits) seen.get(digest) else None
+            val rec = original match {
+              case Some(orig) => WarcRecord( // duplicate payload → revisit
+                recordType = "revisit", targetUri = url,
+                date = Instant.ofEpochMilli(ts.getTime).plusNanos(ts.getNanos % 1000000L),
+                recordId = s"<urn:graft:$url>", httpStatus = 0, contentType = "",
+                body = Array.emptyByteArray, digest = digest, refersTo = orig)
+              case None =>
+                if (dedupRevisits) seen(digest) = url
+                WarcRecord(
+                  recordType = recordType, targetUri = url,
+                  date = Instant.ofEpochMilli(ts.getTime).plusNanos(ts.getNanos % 1000000L),
+                  recordId = s"<urn:graft:$url>", httpStatus = r.getInt(2),
+                  contentType = r.getString(3), body = body)
+            }
+            val offset = os.count
+            writeGzipMember(os, rec, envelope && rec.recordType != "revisit",
+              contentEncoding, chunked)
+            if (cdx != null) {
+              val ms = ts.getTime
+              cdx.append("{\"key\":\"").append(jsonEsc(graft.ops.WebOps.surtKernel(url)))
+                .append("\",\"url\":\"").append(jsonEsc(url))
+                .append("\",\"ts_ms\":").append(ms)
+                .append(",\"file\":\"").append(fin.getName)
+                .append("\",\"offset\":").append(offset)
+                .append(",\"length\":").append(os.count - offset)
+                .append(",\"digest\":\"").append(digest)
+                .append("\",\"record_type\":\"").append(rec.recordType)
+                .append("\"}\n")
+            }
           }
         } finally os.close()
         // first attempt wins; a losing speculative attempt cleans up
         if (!ofs.rename(tmp, fin)) { ofs.delete(tmp, false); () }
+        else if (cdx != null) {
+          // the sidecar index: one .cdx (JSONL) per shard, offsets into
+          // the OWN shard's gzip members — written after the shard wins
+          // its rename so an index row never points at a torn file
+          val cdxTmp = new Path(dir, f".part-$pid%05d-${tc.taskAttemptId()}.cdxtmp")
+          val cs = ofs.create(cdxTmp, true)
+          try cs.write(cdx.toString.getBytes(UTF_8)) finally cs.close()
+          val cdxFin = new Path(dir, f"part-$pid%05d.cdx")
+          if (!ofs.rename(cdxTmp, cdxFin)) { ofs.delete(cdxTmp, false); () }
+        }
       }
     }
+  }
+
+  // -------------------------------------------------- random access + dedup
+
+  /** Random-access fetch of ONE record by its CDX (offset, length) — the
+    * reason the writer emits one gzip member per record: a 100 TB crawl
+    * answers point lookups with a single ranged read instead of a shard
+    * scan (exactly how the Common Crawl index is used). */
+  def fetchRecord(file: String, offset: Long, length: Long,
+      conf: Configuration): WarcRecord = {
+    val p = new Path(file)
+    val in = p.getFileSystem(conf).open(p)
+    try {
+      in.seek(offset)
+      val buf = new Array[Byte](length.toInt)
+      in.readFully(buf)
+      val it = parse(new GZIPInputStream(new java.io.ByteArrayInputStream(buf)))
+      if (!it.hasNext) throw new EOFException(s"no record at $file:$offset+$length")
+      it.next()
+    } finally in.close()
+  }
+
+  /** Batch point-lookups driven by a CDX index frame (columns file,
+    * offset, length): co-locates lookups by shard and walks each shard's
+    * members in offset order — at crawl scale this turns N random reads
+    * into one forward-seeking pass per touched shard, the access pattern
+    * object stores and spinning disks both want. */
+  def fetchByIndex(idx: DataFrame, dir: String): DataFrame = {
+    val spark = idx.sparkSession
+    import spark.implicits._
+    idx.select(col("file").cast("string"), col("offset").cast("long"),
+        col("length").cast("long"))
+      .repartition(col("file")).sortWithinPartitions(col("file"), col("offset"))
+      .as[(String, Long, Long)]
+      .mapPartitions { it =>
+        val conf = new Configuration()
+        // one open stream per shard, reused across the offset-sorted run
+        var curFile: String = null
+        var curIn: org.apache.hadoop.fs.FSDataInputStream = null
+        Option(TaskContext.get()).foreach(_.addTaskCompletionListener[Unit] { _ =>
+          if (curIn != null) curIn.close()
+        })
+        it.map { case (f, off, len) =>
+          if (f != curFile) {
+            if (curIn != null) curIn.close()
+            val p = new Path(dir + "/" + f)
+            curIn = p.getFileSystem(conf).open(p)
+            curFile = f
+          }
+          curIn.seek(off)
+          val buf = new Array[Byte](len.toInt)
+          curIn.readFully(buf)
+          val pit = parse(new GZIPInputStream(new java.io.ByteArrayInputStream(buf)))
+          if (!pit.hasNext) throw new EOFException(s"no record at $f:$off+$len")
+          val r = pit.next()
+          (r.targetUri, r.httpStatus, r.digest, r.body)
+        }
+      }.toDF("url", "http_status", "digest", "body")
+  }
+
+  /** Resolve revisit records against their originals: every row comes
+    * back with its payload, `was_revisit` marking restored duplicates.
+    * Scale shape: the join keys on the 37-byte digest; bodies ride the
+    * (deduplicated) response side exactly once — the minimal wire for a
+    * payload-restoring join. Expects the [[WarcSource]] schema. */
+  def resolveRevisits(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val resp = df.filter(col("record_type") =!= "revisit")
+    // one deterministic body per digest (identical payloads by
+    // construction; row_number keeps status/content_type stable too)
+    val w = Window.partitionBy(col("digest")).orderBy(col("url"))
+    val bodies = resp
+      .select(col("digest"), col("url"), col("http_status"), col("content_type"), col("body"))
+      .withColumn("__rn", org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+    val rev = df.filter(col("record_type") === "revisit")
+      .select(col("url").as("r_url"), col("warc_ts"), col("digest"), col("refers_to"))
+    val restored = rev.join(bodies.withColumnRenamed("url", "orig_url"), Seq("digest"))
+      .select(col("r_url").as("url"), col("warc_ts"), col("http_status"),
+        col("content_type"), col("body"),
+        org.apache.spark.sql.functions.lit(true).as("was_revisit"),
+        col("refers_to"))
+    resp.select(col("url"), col("warc_ts"), col("http_status"), col("content_type"),
+        col("body"), org.apache.spark.sql.functions.lit(false).as("was_revisit"),
+        org.apache.spark.sql.functions.lit("").as("refers_to"))
+      .unionByName(restored)
   }
 }

@@ -48,6 +48,8 @@ object WarcSource {
     StructField("http_status", IntegerType),
     StructField("content_type", StringType),
     StructField("body", BinaryType),
+    StructField("digest", StringType),
+    StructField("refers_to", StringType),
     StructField("warc_file", StringType)))
 
   private[sources] def pathsOf(props: Map[String, String]): Seq[String] =
@@ -181,6 +183,8 @@ class WarcPartitionReader(file: String, fields: Array[String])
     case "http_status" => (r: WarcRecord) => r.httpStatus
     case "content_type" => (r: WarcRecord) => UTF8String.fromString(r.contentType)
     case "body" => (r: WarcRecord) => r.body
+    case "digest" => (r: WarcRecord) => UTF8String.fromString(r.digest)
+    case "refers_to" => (r: WarcRecord) => UTF8String.fromString(r.refersTo)
     case "warc_file" => (_: WarcRecord) => fileUtf8
     case other => throw new IllegalArgumentException(s"unknown warc column: $other")
   }

@@ -220,6 +220,99 @@ class WarcSpec extends AnyFunSuite {
     assert(rs.forall(_.httpStatus == 200))
   }
 
+  // ------------------------- digests, revisits, CDX random access
+
+  test("payload digest matches the known SHA-1/base32 form") {
+    // sha1("") = da39a3ee5e6b4b0d3255bfef95601890afd80709
+    //          → base32 3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ
+    assert(Warc.payloadDigest(Array.emptyByteArray) ==
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")
+    // sha1("abc") = a9993e364706816aba3e25717850c26c9cd0d89d
+    assert(Warc.payloadDigest("abc".getBytes(UTF_8)) ==
+      "sha1:VGMT4NSHA2AWVOR6EVYXQUGCNSONBWE5")
+  }
+
+  test("surt key: host reversal, www strip, port/userinfo drop, query sort") {
+    import graft.ops.WebOps.surtKernel
+    assert(surtKernel("http://www.Example.COM/a/B?z=1&a=2") ==
+      "com,example)/a/b?a=2&z=1")
+    assert(surtKernel("https://user:pw@www3.news.example.co.uk:8443/path#frag") ==
+      "uk,co,example,news)/path")
+    assert(surtKernel("http://example.org") == "org,example)/")
+    assert(surtKernel("http://sub.host.net/?x=1") == "net,host,sub)/?x=1")
+  }
+
+  test("records carry WARC-Payload-Digest; revisit records parse with refers_to") {
+    val out = new ByteArrayOutputStream()
+    Warc.writeRecord(out, rec("http://d.example/1", 1577836800L, "same body"))
+    Warc.writeRecord(out, WarcRecord("revisit", "http://d.example/2",
+      Instant.ofEpochSecond(1577836801L), "<urn:graft:http://d.example/2>", 0, "",
+      Array.emptyByteArray, Warc.payloadDigest("same body".getBytes(UTF_8)),
+      "http://d.example/1"), envelope = false)
+    val rs = Warc.parse(new ByteArrayInputStream(out.toByteArray)).toList
+    assert(rs.head.digest == Warc.payloadDigest("same body".getBytes(UTF_8)))
+    assert(rs(1).recordType == "revisit" && rs(1).refersTo == "http://d.example/1")
+    assert(rs(1).digest == rs.head.digest && rs(1).body.isEmpty)
+  }
+
+  test("sink dedupRevisits + resolveRevisits restores every payload") {
+    val dir = Files.createTempDirectory("warc_rev").toString
+    // 12 urls, 4 distinct bodies (i % 4) — 8 rows become revisits
+    val rows = (1 to 12).map(i => (s"http://r.example/p$i",
+      new java.sql.Timestamp(1000L * i), 200, "text/html",
+      s"shared body ${i % 4}".getBytes(UTF_8)))
+    Warc.write(rows.toDF("url", "warc_ts", "http_status", "content_type", "body"),
+      dir, dedupRevisits = true)
+    val raw = spark.read.format("graft.sources.WarcSource").load(dir)
+    assert(raw.filter($"record_type" === "revisit").count() == 8)
+    assert(raw.filter($"record_type" === "response").count() == 4)
+    val resolved = Warc.resolveRevisits(raw)
+      .select($"url", decode($"body", "UTF-8").as("t"), $"was_revisit", $"refers_to")
+      .as[(String, String, Boolean, String)].collect()
+    assert(resolved.length == 12)
+    resolved.foreach { case (url, t, wasRev, refers) =>
+      val i = url.stripPrefix("http://r.example/p").toInt
+      assert(t == s"shared body ${i % 4}", url)
+      // the lexicographically-first url per body is the original
+      val orig = (1 to 12).filter(_ % 4 == i % 4).map(j => s"http://r.example/p$j").min
+      assert(wasRev == (url != orig), url)
+      if (wasRev) assert(refers == orig, url)
+    }
+  }
+
+  test("CDX sidecar offsets support exact random-access fetch") {
+    val dir = Files.createTempDirectory("warc_cdx").toString
+    val rows = (1 to 15).map(i => (s"http://x.example/q$i",
+      new java.sql.Timestamp(1000L * i), 200, "text/html",
+      (s"indexed $i " + ("pad " * i)).getBytes(UTF_8)))
+    Warc.write(rows.toDF("url", "warc_ts", "http_status", "content_type", "body"),
+      dir, cdxIndex = true)
+    val cdxFiles = new java.io.File(dir).listFiles().filter(_.getName.endsWith(".cdx"))
+    assert(cdxFiles.nonEmpty)
+    val idx = spark.read.json(cdxFiles.map(_.getAbsolutePath.toString): _*)
+      .select($"key", $"url", $"offset", $"length", $"digest")
+      .collect()
+    assert(idx.length == 15)
+    val conf = new org.apache.hadoop.conf.Configuration()
+    idx.foreach { r =>
+      val url = r.getAs[String]("url")
+      val i = url.stripPrefix("http://x.example/q").toInt
+      val warcFile = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".warc.gz")).map(_.getAbsolutePath).sorted
+      // offsets are intra-shard: find the record in ONE shard by ranged read
+      val hit = warcFile.flatMap { f =>
+        try {
+          val rec = Warc.fetchRecord(f, r.getAs[Long]("offset"), r.getAs[Long]("length"), conf)
+          if (rec.targetUri == url) Some(rec) else None
+        } catch { case _: Exception => None }
+      }
+      assert(hit.nonEmpty, url)
+      assert(new String(hit.head.body, UTF_8) == s"indexed $i " + ("pad " * i))
+      assert(hit.head.digest == r.getAs[String]("digest"))
+      assert(r.getAs[String]("key") == graft.ops.WebOps.surtKernel(url))
+    }
+  }
+
   test("sink + source: gzip+chunked shards round-trip through WarcSource") {
     val dir = Files.createTempDirectory("warc_coded").toString
     val rows = (1 to 20).map(i => (s"http://w.example/$i",
