@@ -3938,6 +3938,44 @@ object Queries {
           length(col("body")).cast("long").as("n_bytes"),
           hash(decode(col("body"), "UTF-8")).as("body_hash"),
           col("refers_to"))
+    }),
+
+    // WAT EXPORT, ORACLED: the third Common Crawl artifact — per-page
+    // metadata records (title + outlink list under the WAT JSON
+    // envelope) built by the REAL tokenizer, published as `metadata`
+    // WARC records, read back and re-projected through `from_json`; the
+    // oracle restates every field, so the tokenizer pass, the JSON
+    // nesting, and the record round-trip are all pinned at once.
+    "q224_wat" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc &amp; "), col("doc_id"),
+        lit("</title></head><body><p>body</p><a href=\"http://out.example/a"),
+        col("doc_id"), lit("\">x</a><a>no href</a><a href=\"/rel/"), col("doc_id"),
+        lit("\">y</a>"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("<a href=\"http://out.example/b"), col("doc_id"), lit("\">z</a>")))
+          .otherwise(lit("")),
+        lit("</body></html>"))
+      val pages = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        html.as("html"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_wat_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.writeMetadata(
+        graft.extract.MetaHarvest.watFrame(pages, "url", "warc_ts", "html"), out)
+      val schema = org.apache.spark.sql.types.StructType.fromDDL(
+        graft.extract.MetaHarvest.WatSchema)
+      val links = "w.Envelope.`Payload-Metadata`.`HTML-Metadata`.Links"
+      s.read.format("graft.sources.WarcSource").load(out)
+        .filter(col("record_type") === "metadata")
+        .select(from_json(decode(col("body"), "UTF-8"), schema).as("w"))
+        .select(
+          col("w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`").as("url"),
+          col("w.Envelope.`Payload-Metadata`.`HTML-Metadata`.Head.Title").as("title"),
+          size(col(links)).cast("long").as("n_links"),
+          element_at(col(links), 1).as("first_link"),
+          element_at(col(links), -1).as("last_link"))
     })
   )
 
@@ -8147,6 +8185,17 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q224: title (entity-decoded), link count/order restated per doc —
+    // the href-less anchor must drop, the mod-3 extra link lands last.
+    "q224_wat" ->
+      """SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |  'Doc & ' || doc_id AS title,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 2 END AS BIGINT) AS n_links,
+        |  'http://out.example/a' || doc_id AS first_link,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'http://out.example/b' || doc_id
+        |       ELSE '/rel/' || doc_id END AS last_link
+        |FROM documents""".stripMargin,
 
     // q223: every SURT rule as a closed form — scheme/userinfo/port
     // dropped, www2 stripped, host reversed comma-joined, path

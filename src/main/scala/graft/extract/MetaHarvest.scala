@@ -90,6 +90,60 @@ object MetaHarvest {
     df.withColumn("meta", u(col(htmlCol)))
   }
 
+  /** Every `<a href>` of the page in document order — the link graph a
+    * WAT export publishes. Empty/absent hrefs drop; values come back as
+    * the tokenizer yields them (entity handling pinned by the q224
+    * oracle). Capped at 10k links per page (link-stuffed spam exists;
+    * the cap is far above any legitimate page and keeps a hostile row
+    * from ballooning an executor). */
+  def links(html: String, cap: Int = 10000): Seq[String] = {
+    if (html == null) return Nil
+    val out = Vector.newBuilder[String]
+    var n = 0
+    val it = Tokenizer.tokenizeBuf(html).iterator
+    while (it.hasNext && n < cap) {
+      it.next() match {
+        case StartTag("a", attrs, _) =>
+          val href = attrs.getOrElse("href", "").trim
+          if (href.nonEmpty) { out += href; n += 1 }
+        case _ => ()
+      }
+    }
+    out.result()
+  }
+
+  /** WAT-style metadata frame over raw pages: one row per page shaped
+    * for [[graft.sources.Warc.writeMetadata]] — the body is the WAT
+    * JSON envelope (title + outlinks under the Common-Crawl-style
+    * nesting), built declaratively with `to_json` so the only kernel
+    * work is the tokenizer pass. */
+  def watFrame(pages: DataFrame, urlCol: String, tsCol: String,
+      htmlCol: String): DataFrame = {
+    val titleU = udf((h: String) => harvest(h).title)
+    val linksU = udf((h: String) => links(h))
+    pages.select(
+      col(urlCol).as("url"),
+      col(tsCol).as("warc_ts"),
+      org.apache.spark.sql.functions.lit(0).as("http_status"),
+      org.apache.spark.sql.functions.lit("application/json").as("content_type"),
+      encode(to_json(struct(
+        struct(
+          struct(col(urlCol).as("WARC-Target-URI")).as("WARC-Header-Metadata"),
+          struct(
+            struct(
+              struct(titleU(col(htmlCol)).as("Title")).as("Head"),
+              linksU(col(htmlCol)).as("Links")
+            ).as("HTML-Metadata")
+          ).as("Payload-Metadata")
+        ).as("Envelope"))), "UTF-8").as("body"))
+  }
+
+  /** The [[watFrame]] body schema, for `from_json` on read-back. */
+  val WatSchema: String =
+    "Envelope STRUCT<`WARC-Header-Metadata` STRUCT<`WARC-Target-URI` STRING>, " +
+      "`Payload-Metadata` STRUCT<`HTML-Metadata` STRUCT<Head STRUCT<Title STRING>, " +
+      "Links ARRAY<STRING>>>>"
+
   /** Raw JSON-LD blocks of a page, in document order: the contents of
     * every `<script type="application/ld+json">` element (schema.org
     * structured data — the machine-readable article/product/breadcrumb

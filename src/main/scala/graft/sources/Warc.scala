@@ -415,6 +415,13 @@ object Warc {
   def writeConversion(df: DataFrame, dir: String, overwrite: Boolean = true): Unit =
     writeRecords(df, dir, overwrite, envelope = false, recordType = "conversion")
 
+  /** WAT-style export: `metadata` records (the third Common Crawl
+    * artifact beside .warc response and .wet conversion shards) —
+    * envelope-free JSON blocks, typically built by
+    * [[graft.extract.MetaHarvest.watFrame]]. Same columns as [[write]]. */
+  def writeMetadata(df: DataFrame, dir: String, overwrite: Boolean = true): Unit =
+    writeRecords(df, dir, overwrite, envelope = false, recordType = "metadata")
+
   private final class CountingOutputStream(under: OutputStream) extends OutputStream {
     var count: Long = 0L
     override def write(b: Int): Unit = { under.write(b); count += 1 }

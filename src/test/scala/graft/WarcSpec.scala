@@ -313,6 +313,35 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("WAT export: metadata records round-trip title + ordered links") {
+    import graft.extract.MetaHarvest
+    val html = """<html><head><title>T &amp; U</title></head><body>
+      |<a href="http://x/1">a</a><a>skip</a><a href="/two">b</a></body></html>"""
+      .stripMargin
+    assert(MetaHarvest.links(html) == Seq("http://x/1", "/two"))
+    assert(MetaHarvest.links(null) == Nil)
+    assert(MetaHarvest.links("<a href='h'>" * 7, cap = 3).length == 3)
+    val dir = Files.createTempDirectory("warc_wat").toString
+    val pages = Seq(("http://w.example/p1", new java.sql.Timestamp(0L), html))
+      .toDF("url", "warc_ts", "html")
+    Warc.writeMetadata(MetaHarvest.watFrame(pages, "url", "warc_ts", "html"), dir)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(MetaHarvest.WatSchema)
+    val got = spark.read.format("graft.sources.WarcSource").load(dir)
+      .select($"record_type", $"content_type",
+        org.apache.spark.sql.functions.from_json(
+          decode($"body", "UTF-8"), schema).as("w"))
+      .select($"record_type", $"content_type",
+        $"w.Envelope.`WARC-Header-Metadata`.`WARC-Target-URI`".as("u"),
+        $"w.Envelope.`Payload-Metadata`.`HTML-Metadata`.Head.Title".as("t"),
+        $"w.Envelope.`Payload-Metadata`.`HTML-Metadata`.Links".as("l"))
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert(r.getString(0) == "metadata" && r.getString(1) == "application/json")
+    assert(r.getString(2) == "http://w.example/p1" && r.getString(3) == "T & U")
+    assert(r.getSeq[String](4) == Seq("http://x/1", "/two"))
+  }
+
   test("sink + source: gzip+chunked shards round-trip through WarcSource") {
     val dir = Files.createTempDirectory("warc_coded").toString
     val rows = (1 to 20).map(i => (s"http://w.example/$i",
