@@ -3819,10 +3819,13 @@ object Queries {
           case 2 => PdfCrypt.Aes128
           case _ => PdfCrypt.Aes256
         }
+        // 64 distinct key sets per mode (seed bucketing): full diversity
+        // of wire formats with the realistic cache-hit profile of a
+        // crawl re-visiting identically-keyed site documents
         PdfWriter.write(Vector(
           PdfWriter.PageSpec(Vector(Vector(s"Locked doc $id line one"))),
           PdfWriter.PageSpec(Vector(Vector(s"Locked page two of $id")), compress = true)),
-          encrypt = Some(mode), encryptSeed = id)
+          encrypt = Some(mode), encryptSeed = id % 64)
       }
       val pages = docs(s, dir).select(
         concat(lit("http://x.example/e"), col("doc_id"), lit(".pdf")).as("url"),

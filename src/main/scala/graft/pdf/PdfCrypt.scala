@@ -239,6 +239,18 @@ object PdfCrypt {
     throw PdfError("pdf_encrypted_password")
   }
 
+  /** Bounded file-key cache: key derivation is deliberately expensive
+    * (50 MD5 iterations for R3/R4, the 64+-round 2.B hash for R6 — a
+    * password-cracking brake), but it is a pure function of the /Encrypt
+    * fields + file ID, and crawl workloads re-derive it every time a
+    * document (or a site's identically-keyed documents) is re-parsed.
+    * 256 entries × ~200 bytes; synchronized LRU (access-order). */
+  private val keyCache =
+    new java.util.LinkedHashMap[String, Array[Byte]](64, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, Array[Byte]]): Boolean = size() > 256
+    }
+
   /** Resolve a /Encrypt dictionary (fields pre-extracted by the parser)
     * into a [[Session]]. `cfmStm`/`cfmStr` are the /CFM names the StmF /
     * StrF crypt filters resolve to for V4/V5 ("" when absent → the V1/V2
@@ -247,7 +259,10 @@ object PdfCrypt {
       oe: Array[Byte], ue: Array[Byte], p: Int, encryptMetadata: Boolean,
       cfmStm: String, cfmStr: String, idFirst: Array[Byte],
       encryptObjNum: Int): Session = {
-    val fileKey = (v, r) match {
+    def hx(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val ck = s"$v:$r:$length:$p:$encryptMetadata:${hx(o)}:${hx(u)}:${hx(oe)}:${hx(ue)}:${hx(idFirst)}"
+    val cached = keyCache.synchronized(keyCache.get(ck))
+    val fileKey = if (cached != null) cached else (v, r) match {
       case (1, 2) => initR234(2, 40, o, u, p, idFirst, encryptMetadata)
       case (_, 3) => initR234(3, if (length > 0) length else 40, o, u, p, idFirst, encryptMetadata)
       case (_, 2) => initR234(2, if (length > 0) length else 40, o, u, p, idFirst, encryptMetadata)
@@ -255,6 +270,7 @@ object PdfCrypt {
       case (5, 5) | (5, 6) => initR56(r, o, u, oe, ue)
       case _      => throw PdfError(s"pdf_encrypt_unsupported_v${v}r$r")
     }
+    if (cached == null) keyCache.synchronized { keyCache.put(ck, fileKey); () }
     def aesOf(cfm: String): Boolean = cfm == "AESV2" || cfm == "AESV3"
     Session(fileKey, v5 = v == 5,
       stmAes = aesOf(cfmStm), strAes = aesOf(cfmStr),
@@ -324,9 +340,28 @@ object PdfCrypt {
 
   private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
 
+  /** [[forWriting]] is pure and deterministic in (mode, seed, objNum) —
+    * same bounded-LRU treatment as [[keyCache]] for the derivation cost. */
+  private val writerCache =
+    new java.util.LinkedHashMap[String, WriterSession](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, WriterSession]): Boolean = size() > 256
+    }
+
   /** Build an encryption context + /Encrypt dictionary body for the
     * writer, empty user AND owner passwords, deterministic from `seed`. */
   def forWriting(mode: Mode, seed: Array[Byte], encryptObjNum: Int): WriterSession = {
+    val ck = mode.label + ":" + encryptObjNum + ":" +
+      seed.map(x => f"${x & 0xff}%02x").mkString
+    val hit = writerCache.synchronized(writerCache.get(ck))
+    if (hit != null) return hit
+    val built = buildForWriting(mode, seed, encryptObjNum)
+    writerCache.synchronized { writerCache.put(ck, built); () }
+    built
+  }
+
+  private def buildForWriting(mode: Mode, seed: Array[Byte],
+      encryptObjNum: Int): WriterSession = {
     val idFirst = det(seed, "id", 16)
     val p = -3904 // print|copy denied — arbitrary but fixed; feeds key derivation
     mode match {
