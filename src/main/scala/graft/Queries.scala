@@ -3979,6 +3979,110 @@ object Queries {
           size(col(links)).cast("long").as("n_links"),
           element_at(col(links), 1).as("first_link"),
           element_at(col(links), -1).as("last_link"))
+    }),
+
+    // PUBLISH-DATE HARVEST, ORACLED: the dating signal a curation
+    // pipeline mines, with source priority article:published_time >
+    // JSON-LD datePublished > <time datetime> and invalid dates FALLING
+    // THROUGH (the %4=3 family plants an unparsable meta AND an invalid
+    // month that must both be rejected); a decoy <time> on the %4=0
+    // family pins the priority order.
+    "q225_dates" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val dd = lpad((pmod(col("doc_id"), lit(28)) + 1).cast("string"), 2, "0")
+      val mm = lpad((pmod(col("doc_id"), lit(12)) + 1).cast("string"), 2, "0")
+      val html = when(m === 0, concat(
+          lit("<html><head><meta property=\"article:published_time\" content=\"2026-03-"),
+          dd, lit("T09:00:00Z\"></head><body><time datetime=\"2020-01-01\">old</time></body></html>")))
+        .when(m === 1, concat(
+          lit("<html><body><script type=\"application/ld+json\">{\"@type\":\"Article\",\"datePublished\":\"2025-"),
+          mm, lit("-05T08:30:00Z\"}</script></body></html>")))
+        .when(m === 2, concat(
+          lit("<html><body><time datetime=\"2024-07-"), dd,
+          lit("\">d</time></body></html>")))
+        .otherwise(lit(
+          "<html><head><meta property=\"article:published_time\" content=\"not-a-date\">" +
+            "</head><body><time datetime=\"2019-13-40\">bad</time></body></html>"))
+      graft.extract.MetaHarvest.harvestedExt(
+          docs(s, dir).select(col("doc_id"), html.as("html")), "html")
+        .select(col("doc_id"), col("ext.pubSrc").as("pub_src"),
+          col("ext.pubDate").as("pub_date"))
+    }),
+
+    // OPEN GRAPH / TWITTER CARD HARVEST, ORACLED: the social-preview
+    // metadata block (og:title/image/type, twitter:card), first
+    // occurrence wins, absent fields empty — each field present on a
+    // different modular slice so every presence combination occurs.
+    "q226_og" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><meta property=\"og:title\" content=\"OG title "), col("doc_id"),
+        lit("\">"),
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(
+          lit("<meta property=\"og:image\" content=\"http://img.example/"),
+          col("doc_id"), lit(".jpg\">"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          lit("<meta property=\"og:type\" content=\"article\">"))
+          .otherwise(lit("<meta property=\"og:type\" content=\"website\">")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          lit("<meta name=\"twitter:card\" content=\"summary\">")).otherwise(lit("")),
+        lit("<meta property=\"og:title\" content=\"decoy\"></head><body></body></html>"))
+      graft.extract.MetaHarvest.harvestedExt(
+          docs(s, dir).select(col("doc_id"), html.as("html")), "html")
+        .select(col("doc_id"), col("ext.ogTitle").as("og_title"),
+          col("ext.ogImage").as("og_image"), col("ext.ogType").as("og_type"),
+          col("ext.twitterCard").as("twitter_card"))
+    }),
+
+    // META-REFRESH REDIRECT CHAINS, ORACLED end to end: per-group-of-4
+    // pages chain m→m-1 via <meta http-equiv=refresh> (mixed-case URL=,
+    // quoted target on odd hops); the harvested edges resolve by the
+    // q210 pointer-doubling op, so delay parse, target parse, AND the
+    // log-round resolution all pin against the closed form.
+    "q227_meta_refresh" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(4))
+      val url = concat(lit("http://r.example/d"), col("doc_id"))
+      val prev = concat(lit("http://r.example/d"), col("doc_id") - 1)
+      val html = when(m === 0, lit("<html><head></head><body>root</body></html>"))
+        .when(m % 2 === 1, concat(
+          lit("<html><head><meta http-equiv=\"refresh\" content=\""), m,
+          lit("; URL='"), prev, lit("'\"></head></html>")))
+        .otherwise(concat(
+          lit("<html><head><meta http-equiv=\"Refresh\" content=\""), m,
+          lit(";url="), prev, lit("\"></head></html>")))
+      val ext = graft.extract.MetaHarvest.harvestedExt(
+          docs(s, dir).select(col("doc_id"), url.as("url"), html.as("html")), "html")
+        .select(col("doc_id"), col("url"),
+          col("ext.refreshDelay").as("delay"), col("ext.refreshUrl").as("target"))
+      val edges = ext.filter(col("target") =!= "")
+        .select(col("url").as("src"), col("target").as("dst"))
+      val resolved = graft.ops.WebOps.resolveRedirects(edges, "src", "dst")
+      ext.join(resolved, ext("url") === resolved("src"), "left")
+        .select(col("doc_id"), col("delay"), col("target"),
+          coalesce(col("final_id"), col("url")).as("final_url"),
+          coalesce(col("hops"), lit(0L)).as("hops"))
+    }),
+
+    // HREFLANG ALTERNATE HARVEST, ORACLED: the multilingual cluster
+    // declaration bitext mining starts from — per-cluster language sets
+    // (the %3=2 member omits its de alternate), sorted lang lists, and
+    // the x-default pointer all restated.
+    "q228_hreflang" -> ((s, dir) => {
+      val root = (col("doc_id") - pmod(col("doc_id"), lit(3))).cast("string")
+      def alt(lang: String, sub: String) = concat(
+        lit(s"""<link rel="alternate" hreflang="$lang" href="http://h.example/$sub/"""),
+        root, lit("\">"))
+      val html = concat(lit("<html><head>"),
+        alt("en", "en"), alt("fr", "fr"),
+        when(pmod(col("doc_id"), lit(3)) =!= 2, alt("de", "de")).otherwise(lit("")),
+        alt("x-default", "en"), lit("</head><body></body></html>"))
+      graft.extract.MetaHarvest.harvestedExt(
+          docs(s, dir).select(col("doc_id"), html.as("html")), "html")
+        .select(col("doc_id"),
+          size(col("ext.alternates")).cast("long").as("n_alts"),
+          array_join(array_sort(expr("transform(ext.alternates, a -> a.lang)")), ",")
+            .as("langs"),
+          element_at(expr("filter(ext.alternates, a -> a.lang = 'x-default')"), 1)
+            .getField("href").as("xdefault"))
     })
   )
 
@@ -8188,6 +8292,51 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q225: source priority + validation restated per modular family —
+    // the %4=0 decoy <time> and the %4=3 double-invalid family pin the
+    // priority and fall-through rules.
+    "q225_dates" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 4 AS INT) WHEN 0 THEN 'meta' WHEN 1 THEN 'jsonld'
+        |       WHEN 2 THEN 'time' ELSE 'none' END AS pub_src,
+        |  CASE CAST(doc_id % 4 AS INT)
+        |    WHEN 0 THEN '2026-03-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    WHEN 1 THEN '2025-' || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0') || '-05'
+        |    WHEN 2 THEN '2024-07-' || lpad(CAST(doc_id % 28 + 1 AS VARCHAR), 2, '0')
+        |    ELSE '' END AS pub_date
+        |FROM documents""".stripMargin,
+
+    // q226: every field a closed form; the trailing og:title decoy must
+    // lose to first-occurrence-wins.
+    "q226_og" ->
+      """SELECT doc_id, 'OG title ' || doc_id AS og_title,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'http://img.example/' || doc_id || '.jpg'
+        |       ELSE '' END AS og_image,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'article' ELSE 'website' END AS og_type,
+        |  CASE WHEN doc_id % 5 = 0 THEN 'summary' ELSE '' END AS twitter_card
+        |FROM documents""".stripMargin,
+
+    // q227: delays, parsed targets, and the pointer-doubled chain roots
+    // — hops = position in the group-of-4 chain.
+    "q227_meta_refresh" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 4 = 0 THEN -1 ELSE doc_id % 4 END AS BIGINT) AS delay,
+        |  CASE WHEN doc_id % 4 = 0 THEN ''
+        |       ELSE 'http://r.example/d' || (doc_id - 1) END AS target,
+        |  'http://r.example/d' || (doc_id - doc_id % 4) AS final_url,
+        |  CAST(doc_id % 4 AS BIGINT) AS hops
+        |FROM documents""".stripMargin,
+
+    // q228: language sets (sorted), the omitted de member, and the
+    // x-default pointer restated per cluster.
+    "q228_hreflang" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 3 = 2 THEN 3 ELSE 4 END AS BIGINT) AS n_alts,
+        |  CASE WHEN doc_id % 3 = 2 THEN 'en,fr,x-default'
+        |       ELSE 'de,en,fr,x-default' END AS langs,
+        |  'http://h.example/en/' || (doc_id - doc_id % 3) AS xdefault
+        |FROM documents""".stripMargin,
 
     // q224: title (entity-decoded), link count/order restated per doc —
     // the href-less anchor must drop, the mod-3 extra link lands last.

@@ -90,6 +90,113 @@ object MetaHarvest {
     df.withColumn("meta", u(col(htmlCol)))
   }
 
+  /** One hreflang alternate: `<link rel=alternate hreflang href>`. */
+  final case class AltLink(lang: String, href: String)
+
+  /** The second-tier crawl metadata beyond [[PageMeta]] — fields a
+    * curation pipeline mines for dating, dedup, multilingual pairing,
+    * and redirect resolution. Empty string / -1 = absent. */
+  final case class ExtMeta(
+      pubSrc: String, pubDate: String,
+      ogTitle: String, ogImage: String, ogType: String, twitterCard: String,
+      refreshDelay: Long, refreshUrl: String,
+      alternates: Seq[AltLink])
+
+  /** Strict-enough ISO date check: `yyyy-mm-dd` prefix with a plausible
+    * month/day; returns the 10-char date or "". */
+  private def isoDate(s: String): String = {
+    val t = s.trim
+    if (t.length < 10) return ""
+    val d = t.substring(0, 10)
+    if (!d.matches("\\d{4}-\\d{2}-\\d{2}")) return ""
+    val mo = d.substring(5, 7).toInt
+    val da = d.substring(8, 10).toInt
+    if (mo < 1 || mo > 12 || da < 1 || da > 31) "" else d
+  }
+
+  /** `<meta http-equiv=refresh>` content: `N[; url=TARGET]` — leading
+    * integer delay, case-insensitive `url=`, optional quotes. */
+  private def parseRefresh(content: String): (Long, String) = {
+    val c = content.trim
+    val digits = c.takeWhile(_.isDigit)
+    if (digits.isEmpty) return (-1L, "")
+    val delay = digits.toLong
+    val lower = c.toLowerCase
+    val ui = lower.indexOf("url=")
+    val url =
+      if (ui < 0) ""
+      else c.substring(ui + 4).trim.stripPrefix("'").stripPrefix("\"")
+        .stripSuffix("'").stripSuffix("\"").trim
+    (delay, url)
+  }
+
+  /** Full-document single-pass harvest of [[ExtMeta]]: publish date
+    * with source priority `article:published_time` > JSON-LD
+    * `datePublished` > `<time datetime>` (the order of declared intent —
+    * OG and schema.org are explicit publisher statements, a time element
+    * may be any date on the page), Open Graph / twitter card fields
+    * (first occurrence wins, the browser rule), meta-refresh redirects,
+    * and hreflang alternate links. Invalid dates in a higher-priority
+    * source FALL THROUGH to the next source. */
+  def harvestExt(html: String): ExtMeta = {
+    if (html == null) return ExtMeta("", "", "", "", "", "", -1L, "", Nil)
+    var pubMeta = ""; var pubTime = ""
+    var ogTitle = ""; var ogImage = ""; var ogType = ""; var twitterCard = ""
+    var refreshDelay = -1L; var refreshUrl = ""
+    val alts = Vector.newBuilder[AltLink]
+    val it = Tokenizer.tokenizeBuf(html).iterator
+    while (it.hasNext) {
+      it.next() match {
+        case StartTag("meta", attrs, _) =>
+          val prop = attrs.get("property").map(_.trim.toLowerCase)
+          val name = attrs.get("name").map(_.trim.toLowerCase)
+          val content = attrs.getOrElse("content", "").trim
+          prop match {
+            case Some("article:published_time") =>
+              if (pubMeta.isEmpty) pubMeta = isoDate(content)
+            case Some("og:title") => if (ogTitle.isEmpty) ogTitle = content
+            case Some("og:image") => if (ogImage.isEmpty) ogImage = content
+            case Some("og:type")  => if (ogType.isEmpty) ogType = content
+            case _ => ()
+          }
+          if (name.contains("twitter:card") && twitterCard.isEmpty)
+            twitterCard = content
+          if (attrs.get("http-equiv").exists(_.trim.equalsIgnoreCase("refresh"))
+            && refreshUrl.isEmpty && refreshDelay < 0) {
+            val (d, u) = parseRefresh(content)
+            refreshDelay = d; refreshUrl = u
+          }
+        case StartTag("time", attrs, _) =>
+          if (pubTime.isEmpty)
+            pubTime = isoDate(attrs.getOrElse("datetime", ""))
+        case StartTag("link", attrs, _) =>
+          if (attrs.get("rel").exists(_.trim.equalsIgnoreCase("alternate"))) {
+            val lang = attrs.getOrElse("hreflang", "").trim.toLowerCase
+            val href = attrs.getOrElse("href", "").trim
+            if (lang.nonEmpty && href.nonEmpty) alts += AltLink(lang, href)
+          }
+        case _ => ()
+      }
+    }
+    // JSON-LD datePublished: second priority, from the raw LD blocks
+    val pubLd = jsonld(html).iterator
+      .flatMap("\"datePublished\"\\s*:\\s*\"([^\"]+)\"".r.findFirstMatchIn(_))
+      .map(m => isoDate(m.group(1))).find(_.nonEmpty).getOrElse("")
+    val (src, date) =
+      if (pubMeta.nonEmpty) ("meta", pubMeta)
+      else if (pubLd.nonEmpty) ("jsonld", pubLd)
+      else if (pubTime.nonEmpty) ("time", pubTime)
+      else ("none", "")
+    ExtMeta(src, date, ogTitle, ogImage, ogType, twitterCard,
+      refreshDelay, refreshUrl, alts.result())
+  }
+
+  /** DataFrame stage: html string column → ext-meta struct column. */
+  def harvestedExt(df: DataFrame, htmlCol: String): DataFrame = {
+    val u = udf((h: String) => harvestExt(h))
+    df.withColumn("ext", u(col(htmlCol)))
+  }
+
   /** Every `<a href>` of the page in document order — the link graph a
     * WAT export publishes. Empty/absent hrefs drop; values come back as
     * the tokenizer yields them (entity handling pinned by the q224

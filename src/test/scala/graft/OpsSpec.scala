@@ -1068,6 +1068,42 @@ class OpsSpec extends AnyFunSuite {
       graft.extract.PageMeta("", "", "", "", noindex = false))
   }
 
+  test("harvestExt: date priority + fall-through, refresh parse variants, hreflang") {
+    import graft.extract.MetaHarvest
+    // meta beats jsonld beats time
+    val all = MetaHarvest.harvestExt(
+      """<html><head><meta property="article:published_time" content="2026-01-02T00:00:00Z">
+        |<meta http-equiv="REFRESH" content="0;URL='http://t.example/x'">
+        |<link rel="alternate" hreflang="FR" href="http://h/fr">
+        |</head><body><script type="application/ld+json">{"datePublished":"2025-05-05"}</script>
+        |<time datetime="2024-01-01">x</time></body></html>""".stripMargin)
+    assert(all.pubSrc == "meta" && all.pubDate == "2026-01-02")
+    assert(all.refreshDelay == 0L && all.refreshUrl == "http://t.example/x")
+    assert(all.alternates == Seq(MetaHarvest.AltLink("fr", "http://h/fr")))
+    // invalid meta falls through to jsonld; then to time; then none
+    val ld = MetaHarvest.harvestExt(
+      """<meta property="article:published_time" content="yesterday">
+        |<script type="application/ld+json">{"datePublished":"2025-05-05T01:00:00"}</script>
+        |<time datetime="2024-01-01">""".stripMargin)
+    assert(ld.pubSrc == "jsonld" && ld.pubDate == "2025-05-05")
+    val t = MetaHarvest.harvestExt("""<time datetime=" 2024-02-29 ">""")
+    assert(t.pubSrc == "time" && t.pubDate == "2024-02-29")
+    assert(MetaHarvest.harvestExt("""<time datetime="2024-13-01">""").pubSrc == "none")
+    assert(MetaHarvest.harvestExt("""<time datetime="2024-1-01">""").pubSrc == "none")
+    // refresh without url, unparsable delay, bare form
+    assert(MetaHarvest.harvestExt(
+      """<meta http-equiv="refresh" content="30">""").refreshDelay == 30L)
+    assert(MetaHarvest.harvestExt(
+      """<meta http-equiv="refresh" content="soon">""").refreshDelay == -1L)
+    assert(MetaHarvest.harvestExt(
+      """<meta http-equiv="refresh" content="5 ; Url=/next">""").refreshUrl == "/next")
+    // og first-occurrence-wins
+    val og = MetaHarvest.harvestExt(
+      """<meta property="og:title" content="first"><meta property="og:title" content="second">""")
+    assert(og.ogTitle == "first")
+    assert(MetaHarvest.harvestExt(null).pubSrc == "")
+  }
+
   test("volumeAnomaly: trailing mean deviation, warm-up days report null") {
     import graft.ops.Temporal
     // 3 days at 10 rows, then a 1-row crash day
