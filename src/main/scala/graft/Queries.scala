@@ -4083,6 +4083,43 @@ object Queries {
             .as("langs"),
           element_at(expr("filter(ext.alternates, a -> a.lang = 'x-default')"), 1)
             .getField("href").as("xdefault"))
+    }),
+
+    // DEHYPHENATION, ORACLED: the PDF/column-text line-break repair —
+    // lowercase-to-lowercase hyphen+newline joins, a hyphen before an
+    // uppercase continuation survives; the kernel IS the regex both
+    // engines run, so the oracle replays it pattern-identically over the
+    // same constructed text.
+    "q229_dehyphen" -> ((s, dir) => {
+      val t = concat(expr("replace(text, ' the ', '-\nthe ')"),
+        lit("\nwell-\nKnown end"))
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      docs(s, dir).select(col("doc_id"),
+          graft.ops.TextOps.dehyphenate(t).as("__d"),
+          length(t).cast("long").as("n_before"))
+        .select(col("doc_id"), col("n_before"),
+          length(col("__d")).cast("long").as("n_after"),
+          hash(col("__d")).as("h"))
+    }),
+
+    // NFKC NORMALIZATION, ORACLED BY LITERALS: the compatibility pass
+    // (ligatures, fullwidth forms, circled/superscript digits, NBSP)
+    // web-scraped text needs before tokenization — the oracle STATES the
+    // expected strings rather than re-normalizing, so the JDK tables are
+    // pinned against independent constants.
+    "q230_nfkc" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      val raw = when(m === 0, concat(lit("ﬁle#"), col("doc_id")))       // ﬁ
+        .when(m === 1, concat(lit("Ｆｕｌｌ "), col("doc_id"))) // Ｆｕｌｌ
+        .when(m === 2, concat(lit("①②="), col("doc_id")))          // ①②
+        .when(m === 3, concat(lit("x² y "), col("doc_id")))        // ² + NBSP
+        .otherwise(concat(lit("plain "), col("doc_id")))
+      docs(s, dir).select(col("doc_id"),
+          raw.as("__r"), graft.ops.TextOps.nfkc(raw).as("norm"))
+        .select(col("doc_id"), col("norm"),
+          (col("__r") =!= col("norm")).as("changed"),
+          length(col("__r")).cast("long").as("n_before"),
+          length(col("norm")).cast("long").as("n_after"))
     })
   )
 
@@ -8292,6 +8329,41 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q229: the oracle rebuilds the hyphen-broken text and replays the
+    // SAME pattern — plus the uppercase 'Known' tail that must keep its
+    // hyphen (only its newline survives into the hash).
+    "q229_dehyphen" ->
+      """WITH t AS (SELECT doc_id,
+        |    replace(text, ' the ', '-' || chr(10) || 'the ')
+        |      || chr(10) || 'well-' || chr(10) || 'Known end' AS raw
+        |  FROM documents),
+        |d AS (SELECT doc_id, raw,
+        |    regexp_replace(raw, '([a-z])-\n([a-z])', '\1\2', 'g') AS deh FROM t)
+        |SELECT doc_id, CAST(length(raw) AS BIGINT) AS n_before,
+        |  CAST(length(deh) AS BIGINT) AS n_after,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(deh, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS h
+        |FROM d""".stripMargin,
+
+    // q230: expected NFKC outputs stated as ASCII literals — the JDK's
+    // Unicode tables are checked against constants, not echoed back.
+    "q230_nfkc" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'file#' || doc_id
+        |    WHEN 1 THEN 'Full ' || doc_id
+        |    WHEN 2 THEN '12=' || doc_id
+        |    WHEN 3 THEN 'x2 y ' || doc_id
+        |    ELSE 'plain ' || doc_id END AS norm,
+        |  (doc_id % 5 <> 4) AS changed,
+        |  CAST(CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 4 WHEN 1 THEN 5 WHEN 2 THEN 3 WHEN 3 THEN 5 ELSE 6 END
+        |    + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_before,
+        |  CAST(CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 5 WHEN 1 THEN 5 WHEN 2 THEN 3 WHEN 3 THEN 5 ELSE 6 END
+        |    + length(CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_after
+        |FROM documents""".stripMargin,
 
     // q225: source priority + validation restated per modular family —
     // the %4=0 decoy <time> and the %4=3 double-invalid family pin the

@@ -1013,4 +1013,26 @@ object TextOps {
     * Column DSL, not here. */
   def lz78(text: Column): Column =
     udf((t: String) => lz78Stats(t)).apply(text)
+
+  /** Dehyphenation — the classic PDF/column-text repair: a line-final
+    * hyphen between two lowercase letters is a typesetting artifact
+    * ("exam-\nple" → "example"); a hyphen before an UPPERCASE
+    * continuation stays (it is a real compound broken at the line). The
+    * kernel IS one regex replace so the DuckDB oracle replays it with
+    * the same RE2-compatible pattern — no scanning-order divergence. */
+  def dehyphenate(text: Column): Column =
+    regexp_replace(text, "([a-z])-\\n([a-z])", "$1$2")
+
+  /** NFKC compatibility normalization — the quality pass NFC ([[Dedup]]
+    * T189) deliberately is not: ligatures (ﬁ→fi), fullwidth forms
+    * (Ｆ→F), circled/superscript digits (①→1, ²→2), and no-break spaces
+    * collapse to their compatibility equivalents — the forms tokenizers
+    * and dedup hashes want unified in scraped text. JDK Unicode tables;
+    * the q230 oracle states expected strings as literals, so the
+    * normalization itself is pinned, not echoed. */
+  def nfkc(text: Column): Column =
+    udf((s: String) =>
+      if (s == null) null
+      else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFKC))
+      .apply(text)
 }
