@@ -267,7 +267,14 @@ object Warc {
     * underlying stream, so members concatenate back-to-back. */
   def writeGzipMember(out: OutputStream, r: WarcRecord, envelope: Boolean = true,
       contentEncoding: String = "", chunked: Boolean = false): Unit = {
-    val gz = new GZIPOutputStream(out, 8192)
+    // BEST_SPEED: archive shards are written once and read many times
+    // through the same streaming path regardless of level; level 1 is
+    // ~3-4x cheaper on the write-side CPU (the sink's only hot loop) for
+    // a few percent of size — the right trade for a data-production sink
+    // (any level is standard gzip; readers cannot tell)
+    val gz = new GZIPOutputStream(out, 8192) {
+      `def`.setLevel(java.util.zip.Deflater.BEST_SPEED)
+    }
     writeRecord(gz, r, envelope, contentEncoding, chunked)
     gz.finish()
   }

@@ -88,22 +88,81 @@ class WarcTable(paths: Seq[String]) extends Table with SupportsRead {
 }
 
 class WarcScanBuilder(paths: Seq[String]) extends ScanBuilder
-    with SupportsPushDownRequiredColumns {
+    with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownFilters {
+  import org.apache.spark.sql.sources._
   private var required: StructType = WarcSource.Schema
+  private var pushed: Array[Filter] = Array.empty
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new WarcScan(paths, required)
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, rest) = filters.partition(WarcFilters.supported)
+    pushed = sup
+    rest // Spark re-evaluates only what the source did not take
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def build(): Scan = new WarcScan(paths, required, pushed)
 }
 
-class WarcScan(paths: Seq[String], required: StructType) extends Scan with Batch {
+/** Record-level predicate pushdown for the string/int header columns:
+  * a pushed filter skips the record BEFORE any InternalRow (and any
+  * body byte array) is materialized into the query — at crawl scale a
+  * `record_type = 'response'` or url-prefix probe touches a fraction of
+  * each shard's rows (the gzip stream is still walked; that is inherent
+  * to the format). Only filters this source evaluates EXACTLY are
+  * claimed; everything else stays with Spark. */
+object WarcFilters {
+  import org.apache.spark.sql.sources._
+  private val Cols = Set("url", "record_type", "content_type", "http_status", "digest", "refers_to")
+
+  def supported(f: Filter): Boolean = f match {
+    case EqualTo(a, _: String) => Cols(a)
+    case EqualTo("http_status", _: Int) => true
+    case In(a, vs) => Cols(a) && vs.forall(v => v.isInstanceOf[String] || v.isInstanceOf[Int])
+    case StringStartsWith(a, _) => Cols(a)
+    case StringContains(a, _) => Cols(a)
+    case IsNotNull(a) => Cols(a) // our record fields are never null
+    case Not(inner) => supported(inner)
+    case Or(l, r) => supported(l) && supported(r)
+    case And(l, r) => supported(l) && supported(r)
+    case _ => false
+  }
+
+  private def colOf(r: WarcRecord, a: String): Any = a match {
+    case "url"          => r.targetUri
+    case "record_type"  => r.recordType
+    case "content_type" => r.contentType
+    case "http_status"  => r.httpStatus
+    case "digest"       => r.digest
+    case "refers_to"    => r.refersTo
+    case other          => throw new IllegalArgumentException(s"unpushable column: $other")
+  }
+
+  def eval(f: Filter, r: WarcRecord): Boolean = f match {
+    case EqualTo(a, v)          => colOf(r, a) == v
+    case In(a, vs)              => vs.contains(colOf(r, a))
+    case StringStartsWith(a, v) => colOf(r, a).asInstanceOf[String].startsWith(v)
+    case StringContains(a, v)   => colOf(r, a).asInstanceOf[String].contains(v)
+    case IsNotNull(_)           => true
+    case Not(inner)             => !eval(inner, r)
+    case Or(l, rr)              => eval(l, r) || eval(rr, r)
+    case And(l, rr)             => eval(l, r) && eval(rr, r)
+    case other => throw new IllegalArgumentException(s"unpushable filter: $other")
+  }
+}
+
+class WarcScan(paths: Seq[String], required: StructType,
+    pushed: Array[org.apache.spark.sql.sources.Filter]) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
-    s"WarcScan[${required.fieldNames.mkString(",")}] ${paths.mkString(",")}"
+    s"WarcScan[${required.fieldNames.mkString(",")}]" +
+      (if (pushed.nonEmpty) s" PushedFilters: [${pushed.mkString(", ")}]" else "") +
+      s" ${paths.mkString(",")}"
   override def planInputPartitions(): Array[InputPartition] =
     WarcSource.listFiles(paths, new Configuration())
       .map(f => WarcInputPartition(f): InputPartition).toArray
   override def createReaderFactory(): PartitionReaderFactory =
-    WarcReaderFactory(required.fieldNames)
+    WarcReaderFactory(required.fieldNames, pushed)
   override def toMicroBatchStream(checkpointLocation: String) =
     new WarcMicroBatchStream(paths, required.fieldNames)
 }
@@ -163,12 +222,15 @@ class WarcMicroBatchStream(paths: Seq[String], fields: Array[String])
 
 case class WarcInputPartition(file: String) extends InputPartition
 
-case class WarcReaderFactory(fields: Array[String]) extends PartitionReaderFactory {
+case class WarcReaderFactory(fields: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, fields)
+    new WarcPartitionReader(partition.asInstanceOf[WarcInputPartition].file, fields, pushed)
 }
 
-class WarcPartitionReader(file: String, fields: Array[String])
+class WarcPartitionReader(file: String, fields: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends PartitionReader[InternalRow] {
   private val it = Warc.open(file, new Configuration())
   private val fileUtf8 = UTF8String.fromString(file)
@@ -190,7 +252,11 @@ class WarcPartitionReader(file: String, fields: Array[String])
   }
 
   override def next(): Boolean = {
-    if (it.hasNext) { rec = it.next(); true } else false
+    while (it.hasNext) {
+      val r = it.next()
+      if (pushed.forall(WarcFilters.eval(_, r))) { rec = r; return true }
+    }
+    false
   }
   override def get(): InternalRow = {
     val vals = new Array[Any](getters.length)

@@ -313,6 +313,30 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("filter pushdown: record_type/url predicates reach the scan and stay exact") {
+    val dir = Files.createTempDirectory("warc_push").toString
+    val rows = (1 to 10).map(i => (s"http://p.example/${if (i <= 5) "a" else "b"}$i",
+      new java.sql.Timestamp(1000L * i), 200, "text/html",
+      s"same body".getBytes(UTF_8)))
+    Warc.write(rows.toDF("url", "warc_ts", "http_status", "content_type", "body"),
+      dir, dedupRevisits = true) // 1 response + 9 revisits
+    val df = spark.read.format("graft.sources.WarcSource").load(dir)
+
+    val byType = df.filter($"record_type" === "revisit")
+    assert(byType.queryExecution.executedPlan.toString.contains("PushedFilters"),
+      byType.queryExecution.executedPlan.toString)
+    assert(byType.count() == 9)
+    assert(df.filter($"record_type" =!= "revisit").count() == 1) // Not() pushes too
+
+    val byUrl = df.filter($"url".startsWith("http://p.example/a"))
+    assert(byUrl.queryExecution.executedPlan.toString.contains("StringStartsWith"))
+    assert(byUrl.count() == 5)
+
+    // an unpushable predicate must still be exact (Spark keeps it)
+    assert(df.filter(length($"url") % 2 === 0).count() ==
+      rows.count(r => r._1.length % 2 == 0))
+  }
+
   test("WAT export: metadata records round-trip title + ordered links") {
     import graft.extract.MetaHarvest
     val html = """<html><head><title>T &amp; U</title></head><body>
