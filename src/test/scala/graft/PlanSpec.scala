@@ -832,4 +832,56 @@ class PlanSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
     }
   }
+
+  test("revisit resolution: bodies ride only the response side of the digest join") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    val prevBc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      // a WarcSource-schema-shaped frame (source irrelevant to the plan shape)
+      val df = spark.read.parquet(s"$sf/documents.parquet").select(
+        concat(lit("http://x/"), col("doc_id")).as("url"),
+        current_timestamp().as("warc_ts"),
+        when(col("doc_id") % 3 === 0, "revisit").otherwise("response").as("record_type"),
+        lit(200).as("http_status"), lit("text/html").as("content_type"),
+        encode(col("text"), "UTF-8").as("body"),
+        md5(col("text")).as("digest"), lit("").as("refers_to"),
+        lit("f").as("warc_file"))
+      val plan = graft.sources.Warc.resolveRevisits(df).queryExecution.executedPlan
+      val exchanges = plan.collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty, plan.toString)
+      // the revisit (probe) side of the digest join must not carry body
+      // bytes — it is identified by its r_url/refers_to columns
+      exchanges.foreach { e =>
+        val cols = e.child.output.map(_.name)
+        if (cols.contains("r_url"))
+          assert(!cols.exists(_.startsWith("body")), s"revisit side ships $cols")
+      }
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBc)
+    }
+  }
+
+  test("fetchByIndex: the lookup exchange carries only (file, offset, length)") {
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    val prevAqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val idx = spark.read.parquet(s"$sf/documents.parquet").select(
+        lit("part-00000.warc.gz").as("file"),
+        (col("doc_id") * 100).as("offset"), lit(90L).as("length"),
+        col("text").as("extra_payload")) // must NOT ride the exchange
+      val df = graft.sources.Warc.fetchByIndex(idx, "/nonexistent")
+      val exchanges = df.queryExecution.executedPlan
+        .collect { case e: ShuffleExchangeExec => e }
+      assert(exchanges.nonEmpty)
+      exchanges.foreach { e =>
+        val cols = e.child.output.map(_.name).toSet
+        assert(cols.subsetOf(Set("file", "offset", "length")), s"lookup ships $cols")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prevAqe)
+  }
 }
