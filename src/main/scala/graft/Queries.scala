@@ -4120,6 +4120,59 @@ object Queries {
           (col("__r") =!= col("norm")).as("changed"),
           length(col("__r")).cast("long").as("n_before"),
           length(col("norm")).cast("long").as("n_after"))
+    }),
+
+    // RECRAWL FRESHNESS PLANNING, ORACLED: the RFC 9111 fetch-vs-
+    // revalidate-vs-skip decision over stored crawl state — max-age,
+    // no-store/no-cache, Expires fallback, the heuristic
+    // (Date−Last-Modified)/10 lifetime, and validator-gated
+    // revalidation each planted on a modular family with exact integer
+    // arithmetic the oracle restates.
+    "q231_freshness" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(6))
+      val cc = when(m === 0, lit("max-age=3600, public"))
+        .when(m === 1, lit("max-age=60"))
+        .when(m === 2, lit("no-store, max-age=99999"))
+        .when(m === 3, lit("no-cache"))
+        .otherwise(lit(""))
+      val date = lit(100000L)
+      val expires = when(m === 5, lit(100050L)).otherwise(lit(0L))
+      val lm = when(m === 4, lit(80000L)).otherwise(lit(0L))
+      val now = when(m === 4, lit(100000L) + pmod(col("doc_id"), lit(1500)))
+        .otherwise(lit(100100L))
+      val validator = m === 1
+      docs(s, dir).select(col("doc_id"),
+          graft.ops.WebOps.freshness(cc, expires, lm, date, now, validator).as("f"))
+        .select(col("doc_id"), col("f._1").as("verdict"), col("f._2").as("ttl"))
+    }),
+
+    // CHARSET TRANSCODE PIN, ORACLED ON MARKDOWN BYTES: non-UTF-8
+    // payloads (ISO-8859-1 and windows-1252 bytes with declared meta
+    // charsets) must transcode through the declared-charset fallback and
+    // extract to the exact UTF-8 markdown the oracle states; the %3=2
+    // family stays pure UTF-8 through the strict path.
+    "q232_charset" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3))
+      // Spark's builtin encode() allows only a fixed charset list — the
+      // cp1252 test bytes come from a tiny UDF instead
+      val cp1252 = udf((s: String) => s.getBytes("windows-1252"))
+      val body = when(m === 0, encode(concat(
+          lit("<html><head><meta charset=\"iso-8859-1\"><title>t</title></head>" +
+            "<body><p>Café num "), col("doc_id"),
+          lit(" désormais protégé</p></body></html>")), "ISO-8859-1"))
+        .when(m === 1, cp1252(concat(
+          lit("<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; " +
+            "charset=windows-1252\"></head><body><p>“Quoted ”"), col("doc_id"),
+          lit(" — dash</p></body></html>"))))
+        .otherwise(encode(concat(
+          lit("<html><head></head><body><p>Plain é utf8 "), col("doc_id"),
+          lit("</p></body></html>")), "UTF-8"))
+      val pages = docs(s, dir).select(
+        concat(lit("http://cs.example/p"), col("doc_id")).as("url"),
+        col("doc_id"), body.as("html"))
+      graft.extract.ExtractJob.extractedDf(pages)
+        .select(col("url"), col("extracted.status").as("status"),
+          col("extracted.markdown").as("markdown"))
     })
   )
 
@@ -8329,6 +8382,28 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q231: verdicts + remaining-freshness arithmetic restated exactly
+    // per family (heuristic lifetime 2000s on the %6=4 slice).
+    "q231_freshness" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 'fresh' WHEN 1 THEN 'revalidate' WHEN 2 THEN 'refetch'
+        |    WHEN 3 THEN 'revalidate' WHEN 4 THEN 'fresh' ELSE 'refetch' END AS verdict,
+        |  CAST(CASE CAST(doc_id % 6 AS INT)
+        |    WHEN 0 THEN 3500 WHEN 1 THEN -40 WHEN 2 THEN 0 WHEN 3 THEN 0
+        |    WHEN 4 THEN 2000 - (doc_id % 1500) ELSE -50 END AS BIGINT) AS ttl
+        |FROM documents""".stripMargin,
+
+    // q232: the exact UTF-8 markdown per charset family — transcoding
+    // drift (or a strict-decode regression) breaks the hash.
+    "q232_charset" ->
+      """SELECT 'http://cs.example/p' || doc_id AS url, 'ok' AS status,
+        |  CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN 'Café num ' || doc_id || ' désormais protégé'
+        |    WHEN 1 THEN '“Quoted ”' || doc_id || ' — dash'
+        |    ELSE 'Plain é utf8 ' || doc_id END AS markdown
+        |FROM documents""".stripMargin,
 
     // q229: the oracle rebuilds the hyphen-broken text and replays the
     // SAME pattern — plus the uppercase 'Known' tail that must keep its

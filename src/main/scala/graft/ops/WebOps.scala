@@ -66,6 +66,54 @@ object WebOps {
     f(url)
   }
 
+  /** HTTP cache-freshness verdict for recrawl planning (RFC 9111 §4.2):
+    * given a stored response's Cache-Control, age inputs, and validator
+    * presence, decide `fresh` (skip the fetch), `revalidate` (conditional
+    * GET — cheap 304 path), or `refetch` (full GET). Freshness lifetime =
+    * max-age, else Expires−Date, else the §4.2.2 heuristic
+    * (Date−Last-Modified)/10; `no-store` always refetches, `no-cache`
+    * always revalidates; a stale entry revalidates only when a validator
+    * (ETag/Last-Modified) exists. All inputs in integer seconds so the
+    * q231 oracle replays the arithmetic exactly; `ttl` = remaining
+    * freshness (negative = seconds stale).
+    *
+    * Scale shape: a pure per-row kernel over the crawl-state table — the
+    * fetch-vs-skip decision for 10¹² stored urls is one narrow
+    * projection, no shuffle. */
+  private[graft] def freshnessKernel(cacheControl: String, expiresSec: Long,
+      lastModifiedSec: Long, dateSec: Long, nowSec: Long,
+      hasValidator: Boolean): (String, Long) = {
+    val directives = Option(cacheControl).getOrElse("").toLowerCase
+      .split(',').map(_.trim).filter(_.nonEmpty)
+    if (directives.contains("no-store")) return ("refetch", 0L)
+    if (directives.contains("no-cache")) return ("revalidate", 0L)
+    val maxAge = directives.collectFirst {
+      case d if d.startsWith("max-age=") =>
+        d.substring(8).takeWhile(_.isDigit) match {
+          case "" => -1L
+          case n  => n.toLong
+        }
+    }.filter(_ >= 0)
+    val lifetime = maxAge.getOrElse {
+      if (expiresSec > 0) math.max(0L, expiresSec - dateSec)
+      else if (lastModifiedSec > 0 && dateSec > lastModifiedSec)
+        (dateSec - lastModifiedSec) / 10
+      else 0L
+    }
+    val age = nowSec - dateSec
+    val ttl = lifetime - age
+    if (ttl > 0) ("fresh", ttl)
+    else if (hasValidator) ("revalidate", ttl)
+    else ("refetch", ttl)
+  }
+
+  /** Column form of [[freshnessKernel]] → struct(verdict, ttl). */
+  def freshness(cacheControl: Column, expiresSec: Column, lastModifiedSec: Column,
+      dateSec: Column, nowSec: Column, hasValidator: Column): Column = {
+    val f = udf(freshnessKernel _)
+    f(cacheControl, expiresSec, lastModifiedSec, dateSec, nowSec, hasValidator)
+  }
+
   /** Multi-part public suffixes recognized by [[registrableDomain]]. */
   val MultiPartSuffixes: Seq[String] = Seq(
     "co.uk", "org.uk", "ac.uk", "gov.uk",

@@ -1104,6 +1104,25 @@ class OpsSpec extends AnyFunSuite {
     assert(MetaHarvest.harvestExt(null).pubSrc == "")
   }
 
+  test("freshnessKernel: RFC 9111 verdicts — directives, lifetimes, validator gating") {
+    import graft.ops.WebOps.freshnessKernel
+    // max-age wins over Expires; fresh while ttl > 0
+    assert(freshnessKernel("max-age=100, public", 999999L, 0L, 1000L, 1050L, false) ==
+      ("fresh", 50L))
+    // stale + validator → revalidate; stale without → refetch
+    assert(freshnessKernel("max-age=10", 0L, 0L, 1000L, 1050L, true) == ("revalidate", -40L))
+    assert(freshnessKernel("max-age=10", 0L, 0L, 1000L, 1050L, false) == ("refetch", -40L))
+    // no-store / no-cache short-circuit everything
+    assert(freshnessKernel("no-store, max-age=9999", 0L, 0L, 0L, 0L, true)._1 == "refetch")
+    assert(freshnessKernel("No-Cache", 0L, 0L, 0L, 0L, false)._1 == "revalidate")
+    // Expires fallback, then the /10 heuristic
+    assert(freshnessKernel("", 1200L, 0L, 1000L, 1100L, false) == ("fresh", 100L))
+    assert(freshnessKernel("", 0L, 500L, 1500L, 1550L, false) == ("fresh", 50L))
+    // malformed max-age falls through to heuristic inputs (none → refetch)
+    assert(freshnessKernel("max-age=soon", 0L, 0L, 1000L, 1001L, false)._1 == "refetch")
+    assert(freshnessKernel(null, 0L, 0L, 1000L, 1001L, false)._1 == "refetch")
+  }
+
   test("volumeAnomaly: trailing mean deviation, warm-up days report null") {
     import graft.ops.Temporal
     // 3 days at 10 rows, then a 1-row crash day
