@@ -4173,6 +4173,61 @@ object Queries {
       graft.extract.ExtractJob.extractedDf(pages)
         .select(col("url"), col("extracted.status").as("status"),
           col("extracted.markdown").as("markdown"))
+    }),
+
+    // FULL CRAWL LOOP, ORACLED: the capstone composite — raw pages
+    // (each 5-doc group byte-identical, so the sink folds 4/5 into
+    // revisit records) are published as a .warc.gz archive with a CDX
+    // sidecar, read back, revisit-resolved, run through the REAL
+    // extraction, exact-deduped on the extracted markdown (canonical =
+    // lexicographically-first url, q181's pinned page), and re-published
+    // as WET conversion shards; the output is read from the WET layer,
+    // so the oracle's closed form pins archive write/read, revisit
+    // restore, extraction bytes, dedup choice, and the WET round-trip in
+    // one hash compare.
+    "q233_crawl_loop" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val grp = col("doc_id") - pmod(col("doc_id"), lit(5))
+      val html = concat(
+        lit("<html><head><title>Doc "), grp,
+        lit("</title></head><body><nav><a href=\"/a\">Home</a><a href=\"/b\">About</a></nav>"),
+        lit("<div id=\"main\"><h1>Title "), grp,
+        lit("</h1><p>Hello world "), grp,
+        lit(" with enough words to be content here today.</p><p>Second paragraph "),
+        grp, lit(" also has plenty of real sentence text to keep.</p></div>"),
+        lit("<footer>copyright footer</footer></body></html>"))
+      val base = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        lit(200).as("http_status"),
+        lit("text/html; charset=utf-8").as("content_type"),
+        encode(html, "UTF-8").as("body"))
+      val sfName = new java.io.File(dir).getName
+      val raw = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_loop_" + sfName).toString
+      val wet = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_loopwet_" + sfName).toString
+      graft.sources.Warc.write(base, raw, dedupRevisits = true, cdxIndex = true)
+      val resolved = graft.sources.Warc.resolveRevisits(
+        s.read.format("graft.sources.WarcSource").load(raw))
+      val extracted = graft.extract.ExtractJob.extractedDf(
+          resolved.select(col("url"), col("warc_ts"), col("body").as("html")))
+        .filter(col("extracted.status") === "ok")
+        .select(col("url"), col("warc_ts"), col("extracted.markdown").as("md"))
+      val kept = extracted
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("md")).orderBy(col("url"))))
+        .withColumn("n_docs", count(lit(1)).over(Window.partitionBy(col("md"))))
+        .filter(col("__rn") === 1)
+      graft.sources.Warc.writeConversion(
+        kept.select(col("url"), col("warc_ts"), lit(0).as("http_status"),
+          lit("text/plain").as("content_type"), encode(col("md"), "UTF-8").as("body")),
+        wet)
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      s.read.format("graft.sources.WarcSource").load(wet)
+        .select(col("url"), length(col("body")).cast("long").as("n_bytes"),
+          hash(decode(col("body"), "UTF-8")).as("body_hash"))
+        .join(kept.select(col("url"), col("n_docs").cast("long").as("n_docs")), Seq("url"))
     })
   )
 
@@ -8382,6 +8437,27 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q233: one group survives per 5-doc duplicate family — the
+    // lexicographically-first url, q181's pinned markdown (built from
+    // the GROUP id), the WET byte length, and the fold count all stated
+    // from the documents table alone.
+    "q233_crawl_loop" ->
+      """WITH b AS (SELECT doc_id, doc_id - doc_id % 5 AS grp,
+        |    'http://' || source || '.example/doc/' || doc_id AS url FROM documents),
+        |k AS (SELECT grp, min(url) AS url, count(*) AS n_docs FROM b GROUP BY grp),
+        |m AS (SELECT url, n_docs,
+        |    '# Title ' || grp || chr(10) || chr(10)
+        |      || 'Hello world ' || grp
+        |      || ' with enough words to be content here today.' || chr(10) || chr(10)
+        |      || 'Second paragraph ' || grp
+        |      || ' also has plenty of real sentence text to keep.' AS md
+        |  FROM k)
+        |SELECT url, CAST(octet_length(encode(md)) AS BIGINT) AS n_bytes,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(md, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS body_hash,
+        |  CAST(n_docs AS BIGINT) AS n_docs
+        |FROM m""".stripMargin,
 
     // q231: verdicts + remaining-freshness arithmetic restated exactly
     // per family (heuristic lifetime 2000s on the %6=4 slice).
