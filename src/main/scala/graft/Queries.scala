@@ -4228,6 +4228,52 @@ object Queries {
         .select(col("url"), length(col("body")).cast("long").as("n_bytes"),
           hash(decode(col("body"), "UTF-8")).as("body_hash"))
         .join(kept.select(col("url"), col("n_docs").cast("long").as("n_docs")), Seq("url"))
+    }),
+
+    // RFC 3986 REFERENCE RESOLUTION, ORACLED: absolute, scheme-relative,
+    // root-relative, path-relative, ../ chains (excess clamps at root),
+    // query-only, and fragment-only references against a query-carrying
+    // base — every §5.2.2/§5.2.4 rule a closed form.
+    "q235_url_resolve" -> ((s, dir) => {
+      val base = concat(lit("http://"), col("source"), lit(".example/a/b/c?bq=1"))
+      val m = pmod(col("doc_id"), lit(8))
+      val ref = when(m === 0, concat(lit("http://other.example/x"), col("doc_id")))
+        .when(m === 1, concat(lit("//cdn.example/img"), col("doc_id")))
+        .when(m === 2, concat(lit("/root"), col("doc_id")))
+        .when(m === 3, concat(lit("d"), col("doc_id")))
+        .when(m === 4, concat(lit("../up"), col("doc_id")))
+        .when(m === 5, concat(lit("../../../over"), col("doc_id")))
+        .when(m === 6, concat(lit("?q="), col("doc_id")))
+        .otherwise(concat(lit("#f"), col("doc_id")))
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.WebOps.resolveUrl(base, ref).as("abs"))
+    }),
+
+    // FEED AUTODISCOVERY, ORACLED: rel=alternate rss/atom links (the
+    // crawl's entry into the q186 feed parser), a stylesheet link and an
+    // hreflang alternate that must NOT match, and the relative atom href
+    // resolved against the page url via the q235 RFC 3986 op.
+    "q234_feed_discovery" -> ((s, dir) => {
+      val pageUrl = concat(lit("http://"), col("source"), lit(".example/dir/page"),
+        col("doc_id"))
+      val html = concat(
+        lit("<html><head><link rel=\"alternate\" type=\"application/rss+xml\" href=\"http://"),
+        col("source"), lit(".example/feed.xml\">"),
+        when(pmod(col("doc_id"), lit(2)) === 0, concat(
+          lit("<link rel=\"alternate\" type=\"application/atom+xml\" href=\"atom/"),
+          col("doc_id"), lit("\">"))).otherwise(lit("")),
+        lit("<link rel=\"stylesheet\" href=\"/css\">" +
+          "<link rel=\"alternate\" hreflang=\"fr\" href=\"http://h/fr\">" +
+          "</head><body></body></html>"))
+      graft.extract.MetaHarvest.harvestedExt(
+          docs(s, dir).select(col("doc_id"), pageUrl.as("url"), html.as("html")), "html")
+        .select(col("doc_id"), col("url"), col("ext.feeds").as("feeds"))
+        .select(col("doc_id"),
+          size(col("feeds")).cast("long").as("n_feeds"),
+          element_at(col("feeds"), 1).as("feed1"),
+          when(size(col("feeds")) > 1,
+            graft.ops.WebOps.resolveUrl(col("url"), element_at(col("feeds"), 2)))
+            .otherwise(lit("")).as("feed2_resolved"))
     })
   )
 
@@ -8437,6 +8483,32 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q235: every resolution family restated — note the %8=5 excess-../
+    // clamp and the fragment-only case inheriting the base query.
+    "q235_url_resolve" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'http://other.example/x' || doc_id
+        |    WHEN 1 THEN 'http://cdn.example/img' || doc_id
+        |    WHEN 2 THEN 'http://' || source || '.example/root' || doc_id
+        |    WHEN 3 THEN 'http://' || source || '.example/a/b/d' || doc_id
+        |    WHEN 4 THEN 'http://' || source || '.example/a/up' || doc_id
+        |    WHEN 5 THEN 'http://' || source || '.example/over' || doc_id
+        |    WHEN 6 THEN 'http://' || source || '.example/a/b/c?q=' || doc_id
+        |    ELSE 'http://' || source || '.example/a/b/c?bq=1#f' || doc_id END AS abs
+        |FROM documents""".stripMargin,
+
+    // q234: the stylesheet and hreflang links must not match; the
+    // relative atom href resolves under the page's /dir/ directory.
+    "q234_feed_discovery" ->
+      """SELECT doc_id,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_feeds,
+        |  'http://' || source || '.example/feed.xml' AS feed1,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN 'http://' || source || '.example/dir/atom/' || doc_id
+        |    ELSE '' END AS feed2_resolved
+        |FROM documents""".stripMargin,
 
     // q233: one group survives per 5-doc duplicate family — the
     // lexicographically-first url, q181's pinned markdown (built from

@@ -100,7 +100,8 @@ object MetaHarvest {
       pubSrc: String, pubDate: String,
       ogTitle: String, ogImage: String, ogType: String, twitterCard: String,
       refreshDelay: Long, refreshUrl: String,
-      alternates: Seq[AltLink])
+      alternates: Seq[AltLink],
+      feeds: Seq[String]) // rel=alternate rss/atom autodiscovery hrefs, in order
 
   /** Strict-enough ISO date check: `yyyy-mm-dd` prefix with a plausible
     * month/day; returns the 10-char date or "". */
@@ -139,11 +140,12 @@ object MetaHarvest {
     * and hreflang alternate links. Invalid dates in a higher-priority
     * source FALL THROUGH to the next source. */
   def harvestExt(html: String): ExtMeta = {
-    if (html == null) return ExtMeta("", "", "", "", "", "", -1L, "", Nil)
+    if (html == null) return ExtMeta("", "", "", "", "", "", -1L, "", Nil, Nil)
     var pubMeta = ""; var pubTime = ""
     var ogTitle = ""; var ogImage = ""; var ogType = ""; var twitterCard = ""
     var refreshDelay = -1L; var refreshUrl = ""
     val alts = Vector.newBuilder[AltLink]
+    val feeds = Vector.newBuilder[String]
     val it = Tokenizer.tokenizeBuf(html).iterator
     while (it.hasNext) {
       it.next() match {
@@ -174,6 +176,10 @@ object MetaHarvest {
             val lang = attrs.getOrElse("hreflang", "").trim.toLowerCase
             val href = attrs.getOrElse("href", "").trim
             if (lang.nonEmpty && href.nonEmpty) alts += AltLink(lang, href)
+            // feed autodiscovery: type application/rss+xml / atom+xml
+            val typ = attrs.getOrElse("type", "").trim.toLowerCase
+            if (href.nonEmpty && (typ.contains("rss") || typ.contains("atom")))
+              feeds += href
           }
         case _ => ()
       }
@@ -188,7 +194,7 @@ object MetaHarvest {
       else if (pubTime.nonEmpty) ("time", pubTime)
       else ("none", "")
     ExtMeta(src, date, ogTitle, ogImage, ogType, twitterCard,
-      refreshDelay, refreshUrl, alts.result())
+      refreshDelay, refreshUrl, alts.result(), feeds.result())
   }
 
   /** DataFrame stage: html string column → ext-meta struct column. */

@@ -66,6 +66,95 @@ object WebOps {
     f(url)
   }
 
+  /** RFC 3986 §5 reference resolution — the step that turns a page's
+    * raw hrefs (WAT links, feed pointers, redirects) into the absolute
+    * urls a link graph keys on: full §5.2.2 transform including
+    * authority/path/query inheritance, path merge against the base, and
+    * §5.2.4 dot-segment removal (excess `../` clamps at root, per spec).
+    * Fragments resolve faithfully (the crawl layer strips them later via
+    * [[canonicalizeUrl]]). Pure per-row kernel. */
+  private[graft] def resolveUrlKernel(base: String, ref: String): String = {
+    // (scheme, authority-or-null, path, query-or-null) of a URI sans fragment
+    def split(u: String): (String, String, String, String) = {
+      val hi = u.indexOf('#')
+      var rest = if (hi >= 0) u.substring(0, hi) else u
+      var scheme = ""
+      val ci = rest.indexOf(':')
+      if (ci > 0 && rest.substring(0, ci).matches("[A-Za-z][A-Za-z0-9+.-]*")) {
+        scheme = rest.substring(0, ci)
+        rest = rest.substring(ci + 1)
+      }
+      var auth: String = null
+      if (rest.startsWith("//")) {
+        val end = rest.indexWhere(c => c == '/' || c == '?', 2) match {
+          case -1 => rest.length
+          case i  => i
+        }
+        auth = rest.substring(2, end)
+        rest = rest.substring(end)
+      }
+      val qi = rest.indexOf('?')
+      if (qi >= 0) (scheme, auth, rest.substring(0, qi), rest.substring(qi + 1))
+      else (scheme, auth, rest, null)
+    }
+    def removeDotSegments(input: String): String = {
+      var in = input
+      val out = new StringBuilder
+      while (in.nonEmpty) {
+        if (in.startsWith("../")) in = in.substring(3)
+        else if (in.startsWith("./")) in = in.substring(2)
+        else if (in.startsWith("/./")) in = "/" + in.substring(3)
+        else if (in == "/.") in = "/"
+        else if (in.startsWith("/../")) {
+          in = "/" + in.substring(4)
+          val i = out.lastIndexOf("/")
+          out.setLength(math.max(i, 0))
+        } else if (in == "/..") {
+          in = "/"
+          val i = out.lastIndexOf("/")
+          out.setLength(math.max(i, 0))
+        } else if (in == "." || in == "..") in = ""
+        else {
+          val start = if (in.startsWith("/")) 1 else 0
+          val next = in.indexOf('/', start)
+          val seg = if (next >= 0) in.substring(0, next) else in
+          out.append(seg)
+          in = if (next >= 0) in.substring(next) else ""
+        }
+      }
+      out.toString
+    }
+    val fi = ref.indexOf('#')
+    val frag = if (fi >= 0) ref.substring(fi + 1) else null
+    val (bs, ba, bp, bq) = split(base)
+    val (rs, ra, rp, rq) = split(ref)
+    val (ts, ta, tp, tq) =
+      if (rs.nonEmpty) (rs, ra, removeDotSegments(rp), rq)
+      else if (ra != null) (bs, ra, removeDotSegments(rp), rq)
+      else if (rp.isEmpty) (bs, ba, bp, if (rq != null) rq else bq)
+      else if (rp.startsWith("/")) (bs, ba, removeDotSegments(rp), rq)
+      else {
+        // merge (§5.2.3): base path up to its last '/', then the ref
+        val merged =
+          if (ba != null && bp.isEmpty) "/" + rp
+          else bp.substring(0, bp.lastIndexOf('/') + 1) + rp
+        (bs, ba, removeDotSegments(merged), rq)
+      }
+    val sb = new StringBuilder
+    if (ts.nonEmpty) sb.append(ts).append(':')
+    if (ta != null) sb.append("//").append(ta)
+    sb.append(tp)
+    if (tq != null) sb.append('?').append(tq)
+    if (frag != null) sb.append('#').append(frag)
+    sb.toString
+  }
+
+  /** Column form of [[resolveUrlKernel]]. */
+  def resolveUrl(base: Column, ref: Column): Column = {
+    val f = udf(resolveUrlKernel _)
+    f(base, ref)
+  }
+
   /** HTTP cache-freshness verdict for recrawl planning (RFC 9111 §4.2):
     * given a stored response's Cache-Control, age inputs, and validator
     * presence, decide `fresh` (skip the fetch), `revalidate` (conditional

@@ -1104,6 +1104,32 @@ class OpsSpec extends AnyFunSuite {
     assert(MetaHarvest.harvestExt(null).pubSrc == "")
   }
 
+  test("resolveUrlKernel: the full RFC 3986 §5.4 example table (normal + abnormal)") {
+    import graft.ops.WebOps.resolveUrlKernel
+    val base = "http://a/b/c/d;p?q"
+    val cases = Seq(
+      "g" -> "http://a/b/c/g", "./g" -> "http://a/b/c/g", "g/" -> "http://a/b/c/g/",
+      "/g" -> "http://a/g", "//g" -> "http://g", "?y" -> "http://a/b/c/d;p?y",
+      "g?y" -> "http://a/b/c/g?y", "#s" -> "http://a/b/c/d;p?q#s",
+      "g#s" -> "http://a/b/c/g#s", ";x" -> "http://a/b/c/;x",
+      "g;x" -> "http://a/b/c/g;x", "g;x?y#s" -> "http://a/b/c/g;x?y#s",
+      "" -> "http://a/b/c/d;p?q", "." -> "http://a/b/c/", "./" -> "http://a/b/c/",
+      ".." -> "http://a/b/", "../" -> "http://a/b/", "../g" -> "http://a/b/g",
+      "../.." -> "http://a/", "../../" -> "http://a/", "../../g" -> "http://a/g",
+      // abnormal (§5.4.2): excess ../ clamps, dot-prefixed names survive
+      "../../../g" -> "http://a/g", "../../../../g" -> "http://a/g",
+      "/./g" -> "http://a/g", "/../g" -> "http://a/g", "g." -> "http://a/b/c/g.",
+      ".g" -> "http://a/b/c/.g", "g.." -> "http://a/b/c/g..",
+      "..g" -> "http://a/b/c/..g", "./../g" -> "http://a/b/g",
+      "./g/." -> "http://a/b/c/g/", "g/./h" -> "http://a/b/c/g/h",
+      "g/../h" -> "http://a/b/c/h", "g;x=1/./y" -> "http://a/b/c/g;x=1/y",
+      "g;x=1/../y" -> "http://a/b/c/y", "http:g" -> "http:g")
+    cases.foreach { case (ref, want) =>
+      assert(resolveUrlKernel(base, ref) == want,
+        s"resolve('$ref') = ${resolveUrlKernel(base, ref)}, want $want")
+    }
+  }
+
   test("freshnessKernel: RFC 9111 verdicts — directives, lifetimes, validator gating") {
     import graft.ops.WebOps.freshnessKernel
     // max-age wins over Expires; fresh while ttl > 0
