@@ -4274,6 +4274,55 @@ object Queries {
           when(size(col("feeds")) > 1,
             graft.ops.WebOps.resolveUrl(col("url"), element_at(col("feeds"), 2)))
             .otherwise(lit("")).as("feed2_resolved"))
+    }),
+
+    // SPAN-OFFSET PIN, ORACLED: the north-rule's "span offsets per url"
+    // contract stated exactly — q181's page explodes into its (kind,
+    // start, end) blocks and the oracle recomputes every offset from
+    // string lengths alone (heading, then two paragraphs separated by
+    // blank lines).
+    "q236_spans" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/a\">Home</a><a href=\"/b\">About</a></nav>"),
+        lit("<div id=\"main\"><h1>Title "), col("doc_id"),
+        lit("</h1><p>Hello world "), col("doc_id"),
+        lit(" with enough words to be content here today.</p><p>Second paragraph "),
+        col("doc_id"),
+        lit(" also has plenty of real sentence text to keep.</p></div>"),
+        lit("<footer>copyright footer</footer></body></html>"))
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/p"), col("doc_id")).as("url"),
+        encode(html, "UTF-8").as("html"))
+      graft.extract.ExtractJob.extractedDf(pages)
+        .select(col("url"), posexplode(col("extracted.spans")))
+        .select(col("url"), col("pos").cast("long").as("pos"),
+          col("col.kind").as("kind"),
+          col("col.start").as("start"), col("col.end").as("end"))
+    }),
+
+    // RESOLVED LINK GRAPH, ORACLED: the web-graph build — per-page
+    // anchors (one absolute to a rotating external host, one relative
+    // that must resolve under the page's directory) extracted by the
+    // tokenizer, absolutized by the RFC 3986 op, reduced to a
+    // host-level edge list with exact counts; the input to the q59/q97
+    // PageRank/HITS ops stated from the documents table alone.
+    "q237_link_graph" -> ((s, dir) => {
+      val pageUrl = concat(lit("http://"), col("source"), lit(".example/dir/p"),
+        col("doc_id"))
+      val html = concat(
+        lit("<html><body><a href=\"http://out"), pmod(col("doc_id"), lit(3)),
+        lit(".example/x"), col("doc_id"), lit("\">ext</a><a href=\"../rel/"),
+        col("doc_id"), lit("\">rel</a></body></html>"))
+      val linksU = udf((h: String) => graft.extract.MetaHarvest.links(h))
+      val edges = docs(s, dir)
+        .select(pageUrl.as("url"), linksU(html).as("hrefs"))
+        .select(col("url"), explode(col("hrefs")).as("href"))
+        .select(graft.ops.WebOps.urlHost(col("url")).as("src_host"),
+          graft.ops.WebOps.urlHost(
+            graft.ops.WebOps.resolveUrl(col("url"), col("href"))).as("dst_host"))
+      edges.groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("n_links"))
     })
   )
 
@@ -8483,6 +8532,35 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q236: every block offset from string lengths alone — heading,
+    // then two paragraphs each separated by a blank line.
+    "q236_spans" ->
+      """WITH d AS (SELECT doc_id, 'http://x.example/p' || doc_id AS url,
+        |    length('# Title ' || doc_id) AS h_len,
+        |    length('Hello world ' || doc_id ||
+        |      ' with enough words to be content here today.') AS p1_len,
+        |    length('Second paragraph ' || doc_id ||
+        |      ' also has plenty of real sentence text to keep.') AS p2_len
+        |  FROM documents)
+        |SELECT url, CAST(0 AS BIGINT) AS pos, 'heading' AS kind,
+        |  CAST(0 AS BIGINT) AS "start", CAST(h_len AS BIGINT) AS "end" FROM d
+        |UNION ALL SELECT url, CAST(1 AS BIGINT), 'para',
+        |  CAST(h_len + 2 AS BIGINT), CAST(h_len + 2 + p1_len AS BIGINT) FROM d
+        |UNION ALL SELECT url, CAST(2 AS BIGINT), 'para',
+        |  CAST(h_len + 2 + p1_len + 2 AS BIGINT),
+        |  CAST(h_len + 2 + p1_len + 2 + p2_len AS BIGINT) FROM d""".stripMargin,
+
+    // q237: the host-level edge list with exact multiplicities — the
+    // relative anchor folds into a self-edge per source.
+    "q237_link_graph" ->
+      """WITH e AS (
+        |  SELECT source || '.example' AS src_host,
+        |    'out' || (doc_id % 3) || '.example' AS dst_host FROM documents
+        |  UNION ALL
+        |  SELECT source || '.example', source || '.example' FROM documents)
+        |SELECT src_host, dst_host, CAST(count(*) AS BIGINT) AS n_links
+        |FROM e GROUP BY 1, 2""".stripMargin,
 
     // q235: every resolution family restated — note the %8=5 excess-../
     // clamp and the fragment-only case inheriting the base query.
