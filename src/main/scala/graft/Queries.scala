@@ -4323,6 +4323,62 @@ object Queries {
             graft.ops.WebOps.resolveUrl(col("url"), col("href"))).as("dst_host"))
       edges.groupBy(col("src_host"), col("dst_host"))
         .agg(count(lit(1)).as("n_links"))
+    }),
+
+    // WARC-TRUNCATED SEMANTICS, ORACLED: the Common Crawl body cap —
+    // bodies over 200 bytes store truncated with `WARC-Truncated:
+    // length`, the payload digest covers the STORED prefix, and the
+    // reader surfaces the flag so a pipeline can gate on it; lengths,
+    // flags, and prefix hashes all restated from the table.
+    "q238_truncation" -> ((s, dir) => {
+      val base = docs(s, dir).select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        lit(200).as("http_status"),
+        lit("text/html; charset=utf-8").as("content_type"),
+        encode(col("text"), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_trunc_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.write(base, out, truncateAt = 200)
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      s.read.format("graft.sources.WarcSource").load(out)
+        .select(col("url"),
+          length(col("body")).cast("long").as("n_bytes"),
+          (col("truncated") =!= "").as("is_truncated"),
+          hash(decode(col("body"), "UTF-8")).as("body_hash"))
+    }),
+
+    // CC-INDEX-STYLE HOST ROLLUP, ORACLED: the CDX sidecar consumed AS A
+    // TABLE (the actual cc-index access pattern) — per-host record /
+    // response / revisit counts, distinct payload digests, and the
+    // capture-time range, all from index rows alone (no shard read).
+    "q239_host_index" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val reps = d.select((col("doc_id") - pmod(col("doc_id"), lit(5))).as("rep_id"),
+        col("doc_id"), col("source"))
+      val base = reps.join(
+          d.select(col("doc_id").as("rep_id"), col("text")), Seq("rep_id"))
+        .select(
+          concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+          (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+          lit(200).as("http_status"),
+          lit("text/html; charset=utf-8").as("content_type"),
+          encode(concat(col("text"), lit(" #"), col("rep_id")), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_hostidx_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.write(base, out, dedupRevisits = true, cdxIndex = true)
+      val idx = s.read.schema(
+          "key STRING, url STRING, ts_ms LONG, file STRING, offset LONG, " +
+            "length LONG, digest STRING, record_type STRING")
+        .json(out + "/part-*.cdx")
+      idx.select(regexp_extract(col("url"), "://([^/]+)", 1).as("host"),
+          col("record_type"), col("digest"), col("ts_ms"))
+        .groupBy(col("host"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("record_type") === "response", 1L).otherwise(0L)).as("n_responses"),
+          sum(when(col("record_type") === "revisit", 1L).otherwise(0L)).as("n_revisits"),
+          countDistinct(col("digest")).as("n_digests"),
+          min(col("ts_ms")).as("min_ts_ms"), max(col("ts_ms")).as("max_ts_ms"))
     })
   )
 
@@ -8532,6 +8588,33 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q238: the corpus is pure ASCII (pinned by the fixtures), so byte
+    // truncation equals character truncation and left() restates it.
+    "q238_truncation" ->
+      """SELECT 'http://' || source || '.example/doc/' || doc_id AS url,
+        |  CAST(least(octet_length(encode(text)), 200) AS BIGINT) AS n_bytes,
+        |  octet_length(encode(text)) > 200 AS is_truncated,
+        |  list_reduce(list_prepend(0::BIGINT,
+        |      [ascii(c)::BIGINT FOR c IN split(left(text, 200), '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS body_hash
+        |FROM documents""".stripMargin,
+
+    // q239: the index rollup from the documents table alone — the
+    // group-minimal url (across sources!) is the response, everything
+    // else a revisit; distinct digests = distinct 5-doc groups touched.
+    "q239_host_index" ->
+      """WITH b AS (SELECT doc_id, source, doc_id - doc_id % 5 AS grp,
+        |    'http://' || source || '.example/doc/' || doc_id AS url FROM documents),
+        |m AS (SELECT *, min(url) OVER (PARTITION BY grp) AS orig FROM b)
+        |SELECT source || '.example' AS host,
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(sum(CASE WHEN url = orig THEN 1 ELSE 0 END) AS BIGINT) AS n_responses,
+        |  CAST(sum(CASE WHEN url <> orig THEN 1 ELSE 0 END) AS BIGINT) AS n_revisits,
+        |  CAST(count(DISTINCT grp) AS BIGINT) AS n_digests,
+        |  CAST(min(doc_id + 1577836800) * 1000 AS BIGINT) AS min_ts_ms,
+        |  CAST(max(doc_id + 1577836800) * 1000 AS BIGINT) AS max_ts_ms
+        |FROM m GROUP BY source""".stripMargin,
 
     // q236: every block offset from string lengths alone — heading,
     // then two paragraphs each separated by a blank line.

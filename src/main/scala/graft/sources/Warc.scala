@@ -25,7 +25,8 @@ case class WarcRecord(
     contentType: String,
     body: Array[Byte],
     digest: String = "",   // WARC-Payload-Digest (sha1:BASE32, the CC convention)
-    refersTo: String = "") // WARC-Refers-To-Target-URI (revisit records)
+    refersTo: String = "", // WARC-Refers-To-Target-URI (revisit records)
+    truncated: String = "") // WARC-Truncated reason ("" = complete; CC uses "length")
 
 /** From-scratch WARC 1.0 codec + distributed sink (ISO 28500 / the
   * published WARC 1.0 spec; the format Common Crawl ships in). No
@@ -253,6 +254,7 @@ object Warc {
       (if (r.refersTo.nonEmpty) Seq(s"WARC-Refers-To-Target-URI: ${r.refersTo}",
         "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/identical-payload-digest")
        else Nil) ++
+      (if (r.truncated.nonEmpty) Seq(s"WARC-Truncated: ${r.truncated}") else Nil) ++
       (if (blockType.nonEmpty) Seq(s"Content-Type: $blockType") else Nil) ++
       Seq(s"Content-Length: $contentLength"))
     out.write(warc)
@@ -345,10 +347,11 @@ object Warc {
       val blockType = headers.getOrElse("content-type", "")
       val wDigest = headers.getOrElse("warc-payload-digest", "")
       val wRefers = headers.getOrElse("warc-refers-to-target-uri", "")
+      val wTrunc = headers.getOrElse("warc-truncated", "")
       nextRec =
         if (blockType.startsWith("application/http")) {
           val sep = indexOfDoubleCrlf(block)
-          if (sep < 0) WarcRecord(recordType, uri, date, id, 0, blockType, block, wDigest, wRefers)
+          if (sep < 0) WarcRecord(recordType, uri, date, id, 0, blockType, block, wDigest, wRefers, wTrunc)
           else {
             val env = new String(block, 0, sep, UTF_8).split("\r\n")
             val status = env.headOption.map(_.split(" "))
@@ -370,9 +373,9 @@ object Warc {
             val body =
               if (ce.nonEmpty) Option(contentDecode(ce, deChunked)).getOrElse(deChunked)
               else deChunked
-            WarcRecord(recordType, uri, date, id, status, ct, body, wDigest, wRefers)
+            WarcRecord(recordType, uri, date, id, status, ct, body, wDigest, wRefers, wTrunc)
           }
-        } else WarcRecord(recordType, uri, date, id, 0, blockType, block, wDigest, wRefers)
+        } else WarcRecord(recordType, uri, date, id, 0, blockType, block, wDigest, wRefers, wTrunc)
     }
 
     override def hasNext: Boolean = {
@@ -412,9 +415,10 @@ object Warc {
     * read `.warc.gz`, extract, publish `.wet`-style shards. */
   def write(df: DataFrame, dir: String, overwrite: Boolean = true,
       contentEncoding: String = "", chunked: Boolean = false,
-      cdxIndex: Boolean = false, dedupRevisits: Boolean = false): Unit =
+      cdxIndex: Boolean = false, dedupRevisits: Boolean = false,
+      truncateAt: Int = 0): Unit =
     writeRecords(df, dir, overwrite, envelope = true, recordType = "response",
-      contentEncoding, chunked, cdxIndex, dedupRevisits)
+      contentEncoding, chunked, cdxIndex, dedupRevisits, truncateAt)
 
   /** WET-style export: `conversion` records, body bytes as the record
     * block (no HTTP envelope), content type taken from the row. Expects
@@ -450,7 +454,8 @@ object Warc {
   private def writeRecords(df: DataFrame, dir: String, overwrite: Boolean,
       envelope: Boolean, recordType: String,
       contentEncoding: String = "", chunked: Boolean = false,
-      cdxIndex: Boolean = false, dedupRevisits: Boolean = false): Unit = {
+      cdxIndex: Boolean = false, dedupRevisits: Boolean = false,
+      truncateAt: Int = 0): Unit = {
     val sel0 = df.select(col("url").cast("string"), col("warc_ts").cast("timestamp"),
       col("http_status").cast("int"), col("content_type").cast("string"),
       col("body").cast("binary"))
@@ -480,7 +485,14 @@ object Warc {
           it.foreach { r =>
             val ts = r.getTimestamp(1)
             val url = r.getString(0)
-            val body = r.getAs[Array[Byte]](4)
+            val full = r.getAs[Array[Byte]](4)
+            // the CC convention: bodies over the cap are stored truncated
+            // with WARC-Truncated: length; the digest covers the STORED
+            // (truncated) payload, so index-vs-shard digests stay equal
+            val (body, trunc) =
+              if (truncateAt > 0 && full.length > truncateAt)
+                (java.util.Arrays.copyOfRange(full, 0, truncateAt), "length")
+              else (full, "")
             val digest = payloadDigest(body)
             val original = if (dedupRevisits) seen.get(digest) else None
             val rec = original match {
@@ -495,7 +507,7 @@ object Warc {
                   recordType = recordType, targetUri = url,
                   date = Instant.ofEpochMilli(ts.getTime).plusNanos(ts.getNanos % 1000000L),
                   recordId = s"<urn:graft:$url>", httpStatus = r.getInt(2),
-                  contentType = r.getString(3), body = body)
+                  contentType = r.getString(3), body = body, truncated = trunc)
             }
             val offset = os.count
             writeGzipMember(os, rec, envelope && rec.recordType != "revisit",

@@ -50,6 +50,7 @@ object WarcSource {
     StructField("body", BinaryType),
     StructField("digest", StringType),
     StructField("refers_to", StringType),
+    StructField("truncated", StringType),
     StructField("warc_file", StringType)))
 
   private[sources] def pathsOf(props: Map[String, String]): Seq[String] =
@@ -112,7 +113,8 @@ class WarcScanBuilder(paths: Seq[String]) extends ScanBuilder
   * claimed; everything else stays with Spark. */
 object WarcFilters {
   import org.apache.spark.sql.sources._
-  private val Cols = Set("url", "record_type", "content_type", "http_status", "digest", "refers_to")
+  private val Cols = Set("url", "record_type", "content_type", "http_status",
+    "digest", "refers_to", "truncated")
 
   def supported(f: Filter): Boolean = f match {
     case EqualTo(a, _: String) => Cols(a)
@@ -134,6 +136,7 @@ object WarcFilters {
     case "http_status"  => r.httpStatus
     case "digest"       => r.digest
     case "refers_to"    => r.refersTo
+    case "truncated"    => r.truncated
     case other          => throw new IllegalArgumentException(s"unpushable column: $other")
   }
 
@@ -247,6 +250,7 @@ class WarcPartitionReader(file: String, fields: Array[String],
     case "body" => (r: WarcRecord) => r.body
     case "digest" => (r: WarcRecord) => UTF8String.fromString(r.digest)
     case "refers_to" => (r: WarcRecord) => UTF8String.fromString(r.refersTo)
+    case "truncated" => (r: WarcRecord) => UTF8String.fromString(r.truncated)
     case "warc_file" => (_: WarcRecord) => fileUtf8
     case other => throw new IllegalArgumentException(s"unknown warc column: $other")
   }

@@ -280,6 +280,31 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("truncateAt stores the capped prefix with WARC-Truncated: length") {
+    val dir = Files.createTempDirectory("warc_trunc").toString
+    val rows = Seq(
+      ("http://t.example/short", new java.sql.Timestamp(0L), 200, "text/html",
+        ("x" * 50).getBytes(UTF_8)),
+      ("http://t.example/long", new java.sql.Timestamp(0L), 200, "text/html",
+        ("y" * 500).getBytes(UTF_8)))
+    Warc.write(rows.toDF("url", "warc_ts", "http_status", "content_type", "body"),
+      dir, truncateAt = 100)
+    val got = spark.read.format("graft.sources.WarcSource").load(dir)
+      .select($"url", length($"body").as("n"), $"truncated", $"digest")
+      .collect().map(r => r.getString(0) ->
+        ((r.getInt(1), r.getString(2), r.getString(3)))).toMap
+    assert(got("http://t.example/short") ==
+      ((50, "", Warc.payloadDigest(("x" * 50).getBytes(UTF_8)))))
+    // digest covers the STORED (truncated) payload
+    assert(got("http://t.example/long") ==
+      ((100, "length", Warc.payloadDigest(("y" * 100).getBytes(UTF_8)))))
+    // truncated is a pushable filter column
+    val df = spark.read.format("graft.sources.WarcSource").load(dir)
+      .filter($"truncated" === "length")
+    assert(df.queryExecution.executedPlan.toString.contains("PushedFilters"))
+    assert(df.count() == 1)
+  }
+
   test("CDX sidecar offsets support exact random-access fetch") {
     val dir = Files.createTempDirectory("warc_cdx").toString
     val rows = (1 to 15).map(i => (s"http://x.example/q$i",
