@@ -4379,6 +4379,34 @@ object Queries {
           sum(when(col("record_type") === "revisit", 1L).otherwise(0L)).as("n_revisits"),
           countDistinct(col("digest")).as("n_digests"),
           min(col("ts_ms")).as("min_ts_ms"), max(col("ts_ms")).as("max_ts_ms"))
+    }),
+
+    // FETCH-BATCH PLANNER, ORACLED: the triple composition a recrawl
+    // scheduler runs — RFC 9111 freshness (only expired entries are
+    // due), the RFC 9309 robots gate (the /a/ tree is disallowed), and
+    // the per-host politeness cap (10 urls per host, doc_id order); the
+    // oracle restates the surviving batch exactly.
+    "q240_fetch_batch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val url = concat(lit("http://"), col("source"), lit(".example"),
+        when(pmod(col("doc_id"), lit(3)) === 0, lit("/a/p")).otherwise(lit("/b/p")),
+        col("doc_id"))
+      val state = d.select(col("doc_id"), col("source"), url.as("url"),
+          graft.ops.WebOps.freshness(lit("max-age=100"), lit(0L), lit(0L),
+            lit(100000L), lit(100000L) + pmod(col("doc_id"), lit(200)),
+            lit(true)).as("f"))
+        .select(col("doc_id"), col("source"), col("url"),
+          col("f._1").as("verdict"), col("f._2").as("ttl"))
+      val due = state.filter(col("verdict") =!= "fresh")
+      val robots = d.select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"),
+          lit("User-agent: *\nDisallow: /a\n").as("txt"))
+      val allowed = graft.ops.WebOps.robotsDisallowed(
+          due.select(col("url")), "url", robots, "host", "txt")
+        .filter(!col("disallowed")).select(col("url"))
+      graft.ops.Curation.capPerKey(due.join(allowed, Seq("url")),
+          "source", "doc_id", n = 10)
+        .select(col("url"), col("source"), col("doc_id"), col("ttl"))
     })
   )
 
@@ -8588,6 +8616,20 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q240: due = expired max-age entries (negative remaining ttl),
+    // minus the robots-blocked /a/ tree, capped at 10 per host in
+    // doc_id order.
+    "q240_fetch_batch" ->
+      """WITH c AS (SELECT doc_id, source,
+        |    'http://' || source || '.example/b/p' || doc_id AS url,
+        |    100 - (doc_id % 200) AS ttl
+        |  FROM documents
+        |  WHERE doc_id % 3 <> 0 AND doc_id % 200 >= 100),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+        |  FROM c)
+        |SELECT url, source, doc_id, CAST(ttl AS BIGINT) AS ttl
+        |FROM r WHERE rn <= 10""".stripMargin,
 
     // q238: the corpus is pure ASCII (pinned by the fixtures), so byte
     // truncation equals character truncation and left() restates it.
