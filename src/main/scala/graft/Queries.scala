@@ -4407,6 +4407,49 @@ object Queries {
       graft.ops.Curation.capPerKey(due.join(allowed, Seq("url")),
           "source", "doc_id", n = 10)
         .select(col("url"), col("source"), col("doc_id"), col("ttl"))
+    }),
+
+    // FRONTIER NOVELTY VS THE INDEX, ORACLED: discovered outlinks
+    // (anchor extraction → RFC 3986 absolutization → SURT keys) probed
+    // against the captured corpus's CDX keys with a LEFT ANTI join —
+    // "what did the crawl learn about that it has never fetched"; only
+    // the mod-4=0 planted outlinks point at already-captured docs, so
+    // the novel set is a closed form. The anti join keys on the ~40-byte
+    // surt string: discovery at 10¹² scale ships keys, never pages.
+    "q241_frontier_novel" -> ((s, dir) => {
+      val d = docs(s, dir)
+      // captured corpus: the documents table itself, CDX-indexed
+      val base = d.select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        lit(200).as("http_status"), lit("text/html").as("content_type"),
+        encode(col("text"), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_fnov_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.write(base, out, cdxIndex = true)
+      val captured = s.read.schema(
+          "key STRING, url STRING, ts_ms LONG, file STRING, offset LONG, " +
+            "length LONG, digest STRING, record_type STRING")
+        .json(out + "/part-*.cdx").select(col("key"))
+      // discovery: each page links one captured sibling (mod-4=0) or an
+      // external page, plus a relative link to an uncaptured local path
+      val pageUrl = concat(lit("http://"), col("source"), lit(".example/doc/"),
+        col("doc_id"))
+      val html = concat(lit("<html><body>"),
+        when(pmod(col("doc_id"), lit(4)) === 0, concat(
+          lit("<a href=\"http://"), col("source"), lit(".example/doc/"),
+          col("doc_id"), lit("\">self</a>")))
+          .otherwise(concat(lit("<a href=\"http://new"), pmod(col("doc_id"), lit(5)),
+            lit(".example/page"), col("doc_id"), lit("\">n</a>"))),
+        lit("<a href=\"../fresh/f"), col("doc_id"), lit("\">r</a></body></html>"))
+      val linksU = udf((h: String) => graft.extract.MetaHarvest.links(h))
+      val discovered = d.select(pageUrl.as("url"), linksU(html).as("hrefs"))
+        .select(col("url"), explode(col("hrefs")).as("href"))
+        .select(graft.ops.WebOps.surtKey(
+          graft.ops.WebOps.resolveUrl(col("url"), col("href"))).as("key"))
+        .distinct()
+      discovered.join(captured, Seq("key"), "left_anti")
+        .select(col("key"))
     })
   )
 
@@ -8616,6 +8659,15 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q241: the novel frontier — every relative /fresh/ link plus the
+    // external links of non-mod-4 docs; the mod-4 self links collide
+    // with captured CDX keys and drop in the anti join.
+    "q241_frontier_novel" ->
+      """SELECT 'example,' || source || ')/fresh/f' || doc_id AS key FROM documents
+        |UNION ALL
+        |SELECT 'example,new' || (doc_id % 5) || ')/page' || doc_id FROM documents
+        |WHERE doc_id % 4 <> 0""".stripMargin,
 
     // q240: due = expired max-age entries (negative remaining ttl),
     // minus the robots-blocked /a/ tree, capped at 10 per host in
