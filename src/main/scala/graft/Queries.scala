@@ -4450,6 +4450,64 @@ object Queries {
         .distinct()
       discovered.join(captured, Seq("key"), "left_anti")
         .select(col("key"))
+    }),
+
+    // SITEMAP-DRIVEN DISCOVERY, ORACLED: q241's anti-join discipline fed
+    // from the OTHER discovery channel — per-doc sitemaps (parsed by the
+    // real q185 parser) list one captured and one novel loc; only the
+    // novel SURT keys survive the probe against the corpus's CDX keys.
+    "q242_sitemap_frontier" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.select(
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        (col("doc_id") + lit(1577836800L)).cast("timestamp").as("warc_ts"),
+        lit(200).as("http_status"), lit("text/html").as("content_type"),
+        encode(col("text"), "UTF-8").as("body"))
+      val out = java.nio.file.Paths.get(System.getProperty("java.io.tmpdir"),
+        "graft_smf_" + new java.io.File(dir).getName).toString
+      graft.sources.Warc.write(base, out, cdxIndex = true)
+      val captured = s.read.schema(
+          "key STRING, url STRING, ts_ms LONG, file STRING, offset LONG, " +
+            "length LONG, digest STRING, record_type STRING")
+        .json(out + "/part-*.cdx").select(col("key"))
+      val hostBase = concat(lit("http://"), col("source"), lit(".example/doc/"))
+      val xml = concat(
+        lit("<?xml version=\"1.0\"?><urlset><url><loc>"), hostBase, col("doc_id"),
+        lit("</loc></url><url><loc>"), hostBase, lit("n"), col("doc_id"),
+        lit("</loc></url></urlset>"))
+      val discovered = d.select(graft.ops.WebOps.sitemapParse(xml).as("p"))
+        .select(explode(col("p.entries")).as("e"))
+        .select(graft.ops.WebOps.surtKey(col("e.loc")).as("key"))
+        .distinct()
+      discovered.join(captured, Seq("key"), "left_anti").select(col("key"))
+    }),
+
+    // CONDITIONAL REVALIDATION MERGE, ORACLED: the 304 path's state
+    // update — due entries that revalidated as 304 keep their stored
+    // body but bump the fetch time, 200s replace body AND digest hash,
+    // not-due rows pass through untouched; the post-merge state is
+    // restated row by row.
+    "q243_revalidate_merge" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val m = pmod(col("doc_id"), lit(3))
+      val hash = graft.ops.Dedup.polyHashFn(s)
+      val state = d.select(col("doc_id"),
+        concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"),
+        col("text").as("body"), lit(100000L).as("fetched_at"))
+      // revalidation results for the due slice (m != 0)
+      val results = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("doc_id").as("r_id"),
+          when(pmod(col("doc_id"), lit(3)) === 1, 304).otherwise(200).as("status"),
+          when(pmod(col("doc_id"), lit(3)) === 2,
+            concat(lit("fresh body "), col("doc_id"))).as("new_body"),
+          lit(200000L).as("now"))
+      state.join(results, state("doc_id") === results("r_id"), "left")
+        .select(col("doc_id"), col("url"),
+          when(col("status") === 200, col("new_body")).otherwise(col("body")).as("b"),
+          coalesce(col("now"), col("fetched_at")).as("fetched_at"),
+          coalesce(col("status"), lit(0)).cast("long").as("last_status"))
+        .select(col("doc_id"), col("url"), hash(col("b")).as("body_hash"),
+          col("fetched_at"), col("last_status"))
     })
   )
 
@@ -8659,6 +8717,24 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q242: only the 'n'-suffixed locs are novel; the captured siblings
+    // collide with index keys and drop.
+    "q242_sitemap_frontier" ->
+      """SELECT 'example,' || source || ')/doc/n' || doc_id AS key FROM documents""".stripMargin,
+
+    // q243: the merged crawl state — 304s keep the stored body with a
+    // bumped time, 200s take the fresh body, untouched rows keep both.
+    "q243_revalidate_merge" ->
+      """SELECT doc_id,
+        |  'http://' || source || '.example/doc/' || doc_id AS url,
+        |  list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(
+        |      CASE WHEN doc_id % 3 = 2 THEN 'fresh body ' || doc_id ELSE text END, '')]),
+        |    (acc, c) -> (acc * 131 + c) % 2147483647) AS body_hash,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 100000 ELSE 200000 END AS BIGINT) AS fetched_at,
+        |  CAST(CASE WHEN doc_id % 3 = 0 THEN 0 WHEN doc_id % 3 = 1 THEN 304
+        |       ELSE 200 END AS BIGINT) AS last_status
+        |FROM documents""".stripMargin,
 
     // q241: the novel frontier — every relative /fresh/ link plus the
     // external links of non-mod-4 docs; the mod-4 self links collide
