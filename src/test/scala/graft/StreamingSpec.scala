@@ -217,4 +217,53 @@ class StreamingSpec extends AnyFunSuite {
     val rows = out.asScala.toSeq
     assert(rows.size == 2, rows.toString) // dup within TTL dropped
   }
+
+  test("streaming crawl loop: tail WARC segments -> extract -> WET publish per batch") {
+    import graft.sources.Warc
+    val src = SparkTestBase.tempDir("loop_src")
+    val wetDir = SparkTestBase.tempDir("loop_wet")
+    val ckpt = SparkTestBase.tempDir("loop_ckpt")
+    // two crawl segments arrive (lexicographic names, the source contract)
+    def segment(n: Int, ids: Range): Unit = {
+      val os = new java.io.FileOutputStream(f"$src%s/seg-$n%05d.warc.gz")
+      try ids.foreach { i =>
+        val p = graft.synth.Synth.page(42L, i.toLong)
+        Warc.writeGzipMember(os, graft.sources.WarcRecord("response", p.url,
+          java.time.Instant.ofEpochSecond(1000L + i), s"<urn:graft:${p.url}>",
+          200, "text/html", p.html))
+      } finally os.close()
+    }
+    segment(0, 0 until 12)
+    // each micro-batch extracts and publishes a WET shard set
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft.sources.WarcSource").load(src)
+        .writeStream
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, id: Long) =>
+          val ext = graft.extract.ExtractJob.extractedDf(
+              batch.select(col("url"), col("warc_ts"), col("body").as("html")))
+            .filter(col("extracted.status") === "ok")
+            .select(col("url"), col("warc_ts"), lit(0).as("http_status"),
+              lit("text/plain").as("content_type"),
+              encode(col("extracted.markdown"), "UTF-8").as("body"))
+          Warc.writeConversion(ext, s"$wetDir/batch-$id", overwrite = false)
+          ()
+        }
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    runOnce()
+    val n1 = spark.read.format("graft.sources.WarcSource").load(s"$wetDir/batch-0").count()
+    assert(n1 > 0 && n1 <= 12)
+    // a new segment arrives; the restart processes ONLY it
+    segment(1, 12 until 20)
+    runOnce()
+    val batches = new java.io.File(wetDir).listFiles().map(_.getName).sorted
+    assert(batches.length == 2, batches.mkString(","))
+    val all = spark.read.format("graft.sources.WarcSource").load(s"$wetDir/batch-*")
+    val urls = all.select("url").as[String].collect().toSet
+    assert(all.count() == urls.size) // exactly-once: no url published twice
+    assert(all.filter(col("record_type") === "conversion").count() == all.count())
+  }
 }
