@@ -4508,6 +4508,34 @@ object Queries {
           coalesce(col("status"), lit(0)).cast("long").as("last_status"))
         .select(col("doc_id"), col("url"), hash(col("b")).as("body_hash"),
           col("fetched_at"), col("last_status"))
+    }),
+
+    // FETCH-SLOT SCHEDULE, ORACLED: the last scheduler stage — each
+    // host's robots Crawl-delay (parsed by the real q183 policy kernel)
+    // spaces that host's batch into fetch slots (rank × delay from a
+    // common epoch); per-host windows rank in doc_id order, the policy
+    // frame broadcasts, and every slot time is a closed form.
+    "q244_fetch_schedule" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d = docs(s, dir)
+      val srcN = regexp_extract(col("source"), "(\\d+)", 1).cast("long")
+      val robots = d.select(col("source")).distinct()
+        .select(col("source"),
+          graft.ops.WebOps.robotsPolicy(concat(
+            lit("User-agent: *\nCrawl-delay: "),
+            regexp_extract(col("source"), "(\\d+)", 1).cast("long") % 3 + 1,
+            lit("\nDisallow: /x\n"))).as("p"))
+        .select(col("source"), col("p.crawl_delay").as("delay_sec"))
+      val batch = d.filter(pmod(col("doc_id"), lit(3)) =!= 0)
+        .select(col("doc_id"), col("source"),
+          concat(lit("http://"), col("source"), lit(".example/doc/"), col("doc_id")).as("url"))
+      batch.join(broadcast(robots), Seq("source"))
+        .withColumn("slot",
+          (row_number().over(Window.partitionBy(col("source")).orderBy(col("doc_id")))
+            - 1).cast("long"))
+        .select(col("url"), col("source"), col("doc_id"), col("slot"),
+          col("delay_sec"),
+          (lit(100000L) + col("slot") * col("delay_sec")).as("fetch_at"))
     })
   )
 
@@ -8717,6 +8745,20 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q244: per-host slot spacing — delay = srcN % 3 + 1 seconds, slots
+    // rank the due docs in doc_id order from a common epoch.
+    "q244_fetch_schedule" ->
+      """WITH b AS (SELECT doc_id, source,
+        |    'http://' || source || '.example/doc/' || doc_id AS url,
+        |    CAST(regexp_extract(source, '(\d+)', 1) AS BIGINT) % 3 + 1 AS delay_sec
+        |  FROM documents WHERE doc_id % 3 <> 0),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1 AS slot
+        |  FROM b)
+        |SELECT url, source, doc_id, CAST(slot AS BIGINT) AS slot,
+        |  CAST(delay_sec AS BIGINT) AS delay_sec,
+        |  CAST(100000 + slot * delay_sec AS BIGINT) AS fetch_at
+        |FROM r""".stripMargin,
 
     // q242: only the 'n'-suffixed locs are novel; the captured siblings
     // collide with index keys and drop.
