@@ -4536,6 +4536,21 @@ object Queries {
         .select(col("url"), col("source"), col("doc_id"), col("slot"),
           col("delay_sec"),
           (lit(100000L) + col("slot") * col("delay_sec")).as("fetch_at"))
+    }),
+
+    // MIXED-SCRIPT TOKEN COUNTING, ORACLED: CJK ideographs/kana/hangul
+    // count per character, latin by whitespace runs — the multilingual
+    // budget accounting a whitespace counter gets catastrophically
+    // wrong (an unsegmented Chinese document is NOT one token); latin
+    // docs must agree exactly with the whitespace count, CJK plants are
+    // stated constants.
+    "q245_cjk_tokens" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(3))
+      val t = when(m === 0, col("text"))
+        .when(m === 1, concat(lit("漢字テキスト処理 "), col("doc_id")))
+        .otherwise(concat(lit("数据 data 处理 "), col("doc_id")))
+      docs(s, dir).select(col("doc_id"),
+        graft.ops.TextOps.mixedTokenCount(t).as("n_tokens"))
     })
   )
 
@@ -8745,6 +8760,15 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q245: latin docs replay the whitespace count; the CJK plants are
+    // 8 chars + the id token, and 2+1+2 chars + the id token.
+    "q245_cjk_tokens" ->
+      """SELECT doc_id,
+        |  CAST(CASE CAST(doc_id % 3 AS INT)
+        |    WHEN 0 THEN len(string_split_regex(trim(text), '\s+'))
+        |    WHEN 1 THEN 9 ELSE 6 END AS BIGINT) AS n_tokens
+        |FROM documents""".stripMargin,
 
     // q244: per-host slot spacing — delay = srcN % 3 + 1 seconds, slots
     // rank the due docs in doc_id order from a common epoch.

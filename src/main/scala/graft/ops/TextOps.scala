@@ -1014,6 +1014,38 @@ object TextOps {
   def lz78(text: Column): Column =
     udf((t: String) => lz78Stats(t)).apply(text)
 
+  /** Mixed-script token counting — whitespace tokenization undercounts
+    * unsegmented scripts (CJK text has no spaces, so a 400-character
+    * Chinese document reads as "1 token" to a whitespace counter and
+    * slips every length/quality gate): CJK ideographs, kana, and hangul
+    * each count as one token, everything else by whitespace runs — the
+    * standard multilingual-corpus accounting heuristic (mT5/CCNet-style
+    * budget counting without a learned segmenter). */
+  private[graft] def isCjk(cp: Int): Boolean =
+    (cp >= 0x4E00 && cp <= 0x9FFF) ||  // CJK unified ideographs
+      (cp >= 0x3400 && cp <= 0x4DBF) || // extension A
+      (cp >= 0x3040 && cp <= 0x30FF) || // hiragana + katakana
+      (cp >= 0xAC00 && cp <= 0xD7AF)    // hangul syllables
+
+  private[graft] def mixedTokenCountKernel(s: String): Long = {
+    if (s == null) return 0L
+    var i = 0
+    var n = 0L
+    var inWord = false
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      if (isCjk(cp)) { n += 1; inWord = false }
+      else if (Character.isWhitespace(cp)) inWord = false
+      else { if (!inWord) n += 1; inWord = true }
+      i += Character.charCount(cp)
+    }
+    n
+  }
+
+  /** Column form of [[mixedTokenCountKernel]]. */
+  def mixedTokenCount(text: Column): Column =
+    udf(mixedTokenCountKernel _).apply(text)
+
   /** Dehyphenation — the classic PDF/column-text repair: a line-final
     * hyphen between two lowercase letters is a typesetting artifact
     * ("exam-\nple" → "example"); a hyphen before an UPPERCASE
