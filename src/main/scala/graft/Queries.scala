@@ -4551,6 +4551,55 @@ object Queries {
         .otherwise(concat(lit("数据 data 处理 "), col("doc_id")))
       docs(s, dir).select(col("doc_id"),
         graft.ops.TextOps.mixedTokenCount(t).as("n_tokens"))
+    }),
+
+    // INDEXABILITY VERDICT, ORACLED: the should-this-page-enter-the-
+    // corpus gate as ONE composition — robots disallow (the /a/ tree),
+    // harvested meta noindex, canonical-elsewhere (the site's own dedup
+    // declaration), and the soft-404 screen, in that precedence; every
+    // gate fires on its own modular family and the oracle states each
+    // verdict plus the raw component flags.
+    "q246_indexability" -> ((s, dir) => {
+      val m = pmod(col("doc_id"), lit(5))
+      val url = concat(lit("http://"), col("source"), lit(".example"),
+        when(m === 0, lit("/a/p")).otherwise(lit("/p")), col("doc_id"))
+      // benign titles carry no digits: 'Doc 404' (doc_id 404!) would
+      // legitimately trip the "404" title phrase — q157's subject, not
+      // this composition's
+      val title = when(m === 3, lit("Error 404 - Page Not Found"))
+        .otherwise(concat(lit("Welcome page of "), col("source")))
+      val canonical = when(m === 2, lit("http://c.example/other")).otherwise(url)
+      val html = concat(lit("<html><head><title>"), title,
+        lit("</title><link rel=\"canonical\" href=\""), canonical, lit("\">"),
+        when(m === 1, lit("<meta name=\"robots\" content=\"noindex\">"))
+          .otherwise(lit("")),
+        lit("</head><body><p>b</p></body></html>"))
+      // controlled body: the raw corpus text can legitimately trip the
+      // soft-404 BODY heuristics (that is q157's subject) — this query
+      // pins the COMPOSITION, so the body is neutral by construction
+      val body = concat(lit("An ordinary content body for document "), col("doc_id"))
+      val pages = graft.extract.MetaHarvest.harvested(
+        docs(s, dir).select(col("doc_id"), col("source"), url.as("url"),
+          html.as("html"), body.as("text")), "html")
+      val robots = docs(s, dir).select(col("source")).distinct()
+        .select(concat(col("source"), lit(".example")).as("host"),
+          lit("User-agent: *\nDisallow: /a\n").as("txt"))
+      val rd = graft.ops.WebOps.robotsDisallowed(
+          pages.select(col("url")), "url", robots, "host", "txt")
+        .select(col("url"), col("disallowed"))
+      pages.join(rd, Seq("url"))
+        .select(col("doc_id"), col("url"), col("disallowed"),
+          col("meta.noindex").as("noindex"),
+          (col("meta.canonical") =!= col("url")).as("canon_elsewhere"),
+          graft.ops.WebOps.soft404Signals(col("meta.title"), col("text"))
+            .getField("soft404").as("soft404"))
+        .select(col("doc_id"), col("url"),
+          when(col("disallowed"), "robots")
+            .when(col("noindex"), "noindex")
+            .when(col("canon_elsewhere"), "canonical_elsewhere")
+            .when(col("soft404"), "soft404")
+            .otherwise("index").as("verdict"),
+          col("disallowed"), col("noindex"), col("canon_elsewhere"), col("soft404"))
     })
   )
 
@@ -8760,6 +8809,22 @@ object Queries {
         |  CAST(count(*) OVER (PARTITION BY source, lang, size_bucket) AS BIGINT) AS group_n,
         |  (count(*) OVER (PARTITION BY source, lang, size_bucket)) < 5 AS suppressed
         |FROM d""".stripMargin,
+
+    // q246: one gate per modular family, precedence robots > noindex >
+    // canonical_elsewhere > soft404 > index; flags restated raw.
+    "q246_indexability" ->
+      """SELECT doc_id,
+        |  'http://' || source || '.example' ||
+        |    CASE WHEN doc_id % 5 = 0 THEN '/a/p' ELSE '/p' END || doc_id AS url,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 'robots' WHEN 1 THEN 'noindex'
+        |    WHEN 2 THEN 'canonical_elsewhere' WHEN 3 THEN 'soft404'
+        |    ELSE 'index' END AS verdict,
+        |  (doc_id % 5 = 0) AS disallowed,
+        |  (doc_id % 5 = 1) AS noindex,
+        |  (doc_id % 5 = 2) AS canon_elsewhere,
+        |  (doc_id % 5 = 3) AS soft404
+        |FROM documents""".stripMargin,
 
     // q245: latin docs replay the whitespace count; the CJK plants are
     // 8 chars + the id token, and 2+1+2 chars + the id token.
