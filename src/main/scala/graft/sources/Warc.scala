@@ -55,6 +55,10 @@ case class WarcRecord(
   * any splitting machinery. */
 object Warc {
 
+  /** Per-record allocation ceiling for [[parse]] (the conventional WARC
+    * record cap; Common Crawl truncates far below this). */
+  val MaxRecordBytes: Int = 1 << 30
+
   private val Crlf = "\r\n".getBytes(US_ASCII)
 
   private def headerBytes(lines: Seq[String]): Array[Byte] =
@@ -339,6 +343,12 @@ object Warc {
       }
       val len = headers.getOrElse("content-length",
         throw new IllegalArgumentException("warc record missing Content-Length")).toInt
+      // allocation guard: a corrupt (or hostile) length digit must fail
+      // loudly as a parse error, not as a multi-GB array OOM that takes
+      // the executor down — 1 GiB is the conventional WARC record ceiling
+      if (len < 0 || len > Warc.MaxRecordBytes)
+        throw new IllegalArgumentException(
+          s"warc record Content-Length $len outside [0, ${Warc.MaxRecordBytes}]")
       val block = readFully(in, len)
       val recordType = headers.getOrElse("warc-type", "")
       val uri = headers.getOrElse("warc-target-uri", "")

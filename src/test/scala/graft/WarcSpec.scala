@@ -280,6 +280,21 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("hostile Content-Length fails loudly as a parse error, never an OOM allocation") {
+    val out = new ByteArrayOutputStream()
+    Warc.writeRecord(out, rec("http://h.example/1", 0L, "tiny body"))
+    val s = new String(out.toByteArray, java.nio.charset.StandardCharsets.ISO_8859_1)
+    // forge a multi-GB record length (and a negative one)
+    for (bad <- Seq("2000000000", "-5")) {
+      val forged = s.replaceFirst("Content-Length: \\d+", "Content-Length: " + bad)
+      val ex = intercept[IllegalArgumentException] {
+        Warc.parse(new ByteArrayInputStream(
+          forged.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))).toList
+      }
+      assert(ex.getMessage.contains("Content-Length"), ex.getMessage)
+    }
+  }
+
   test("truncateAt stores the capped prefix with WARC-Truncated: length") {
     val dir = Files.createTempDirectory("warc_trunc").toString
     val rows = Seq(
