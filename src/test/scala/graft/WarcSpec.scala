@@ -185,6 +185,26 @@ class WarcSpec extends AnyFunSuite {
     assert(new String(Warc.chunkDecode(manual), UTF_8) == "0123456789")
   }
 
+  test("coding-decoder fuzz: mutated wire bodies decode or return null, never throw") {
+    val body = ("fuzz payload " * 40).getBytes(UTF_8)
+    val wires = Seq(
+      Warc.chunkEncode(body, 64),
+      Warc.gzipEncode(body),
+      Warc.deflateEncode(body),
+      Warc.chunkEncode(Warc.gzipEncode(body), 32))
+    var decoded = 0
+    for (w <- wires; k <- 0 until 150) {
+      val t = w.clone()
+      val pos = (k * 2654435761L % t.length).toInt.abs
+      t(pos) = (t(pos) ^ (1 << (k % 8))).toByte
+      // each decoder must return bytes or null — an exception fails the test
+      if (Warc.chunkDecode(t) != null) decoded += 1
+      if (Warc.contentDecode("gzip", t) != null) decoded += 1
+      if (Warc.contentDecode("deflate", t) != null) decoded += 1
+    }
+    assert(decoded >= 0) // the loop ran; leniency is the assertion
+  }
+
   test("damaged chunked body degrades to null (caller keeps raw), never throws") {
     assert(Warc.chunkDecode("zz\r\nxxx".getBytes(UTF_8)) == null)          // bad size
     assert(Warc.chunkDecode("ff\r\nshort".getBytes(UTF_8)) == null)        // truncated
