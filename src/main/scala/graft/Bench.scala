@@ -70,6 +70,49 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Time-boxed JIT warmup of every codec family's hot kernels on tiny
+    * in-memory fixtures (16x16 images, 256-sample audio): loops
+    * encode+decode until the budget expires so the C2 compiles land
+    * here instead of inside the first timed codec query. */
+  private def warmCodecs(budgetSec: Double): Unit = {
+    import graft.codec._
+    val t0 = System.nanoTime()
+    def left: Double = budgetSec - (System.nanoTime() - t0) / 1e9
+    try {
+      val w = 16; val h = 16
+      val gray = Array.tabulate(w * h)(i => (i * 7).toByte)
+      val rgb = Array.tabulate(w * h * 3)(i => (i * 5).toByte)
+      val bilevel = Array.tabulate(w * h)(i => (if ((i / 3) % 2 == 0) 0 else 1).toByte)
+      val palette = Array.tabulate(256 * 3)(i => i.toByte)
+      val samples = Array.tabulate(256)(i => (math.sin(i * 0.1) * 8000).toShort)
+      var it = 0
+      while (left > 0 && it < 5000) {
+        val jpg = JpegEncoder.encodeRgb444(rgb, w, h)
+        Jpeg.decode(jpg)
+        val png = Png.encode(rgb, w, h, 3)
+        Png.decode(png)
+        val gif = Gif.encode(gray, w, h, palette)
+        Gif.decode(gif)
+        val tif = Tiff.encode(rgb, w, h, 3)
+        Tiff.decode(tif)
+        val bmp = Bmp.encode(rgb, w, h)
+        Bmp.decode(bmp)
+        val g4 = CcittG4.encode(bilevel, w, h)
+        CcittG4.decode(g4, w, h)
+        val wav = Wav.encode(samples, 1, 8000)
+        Wav.decode(wav)
+        // the q202/q203/q204 hot paths: sniffing dispatch, resize, dhash
+        graft.ops.Multimodal.decodeImage(jpg).foreach { im =>
+          graft.ops.Multimodal.boxResize(im, 8, 8)
+        }
+        it += 1
+      }
+      System.err.println(f"[bench] codec warmup: $it%d iterations in ${budgetSec - left}%.1fs")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] codec warmup skipped: ${e.getMessage}")
+    }
+  }
+
   private def extractAll(s: SparkSession, corpusDir: String): Unit =
     force(graft.extract.ExtractJob.extractedDf(s.read.parquet(corpusDir))
       .select(org.apache.spark.sql.functions.col("url"),
@@ -207,6 +250,26 @@ object Bench {
         try spark.read.parquet(s"$sfDir/$t.parquet").count()
         catch { case _: Throwable => () }
       }
+    // Codec JIT warmup: the big decode methods (JPEG/PNG/GIF/TIFF/WAV)
+    // C2-compile on first heavy use, and when the governor drops pass 2
+    // that compile cost lands on whichever codec query runs first —
+    // BENCH_r03 read q203 EXIF at 7.0s vs 0.16s warm, q204 thumbnail
+    // 11.3s vs 1.3s. A few time-boxed seconds of tiny-fixture
+    // encode/decode loops compile those kernels before anything is timed.
+    warmCodecs(4.0)
+    // Representative no-op query: one agg + join + window forced through
+    // the noop sink compiles the exchange/codegen machinery so the
+    // alphabetically-first query (q1) stops absorbing ~3s of session
+    // warmup.
+    try {
+      import org.apache.spark.sql.functions._
+      val d = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"), col("source"))
+      val agg = d.groupBy("source").agg(count("*").as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id"))
+      force(d.join(agg, Seq("source")).withColumn("rk", row_number().over(w)))
+    } catch { case _: Throwable => () }
     // per-query min over up to two passes: this VM's deliverable capacity
     // swings on multi-minute windows (observed 31s vs 72s for an
     // identical suite on an idle machine), and a single pass inherits

@@ -4940,9 +4940,15 @@ object Queries {
         |  SELECT id, unnest([{'band': b, 'key': keys[b + 1]} FOR b IN range(0, 8)], recursive := true)
         |  FROM keyed
         |),
+        |bstat AS (
+        |  SELECT band, key, count(*) AS n, min(id) AS mn FROM buckets GROUP BY band, key
+        |),
         |cand AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
-        |  FROM buckets a JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        |  FROM buckets a
+        |  JOIN bstat s ON s.band = a.band AND s.key = a.key
+        |  JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        |  WHERE s.n <= 1000 OR a.id = s.mn
         |),
         |verified AS (
         |  SELECT id_a, id_b,
@@ -4991,10 +4997,16 @@ object Queries {
         |    recursive := true)
         |  FROM sigs
         |),
+        |cstat AS (
+        |  SELECT chunk, ck, count(*) AS n, min(id) AS mn FROM chunks GROUP BY chunk, ck
+        |),
         |pairs AS (
         |  SELECT DISTINCT a.id AS id_a, b.id AS id_b,
         |    bit_count(xor(a.sig, b.sig)) AS hamming
-        |  FROM chunks a JOIN chunks b ON a.chunk = b.chunk AND a.ck = b.ck AND a.id < b.id
+        |  FROM chunks a
+        |  JOIN cstat s ON s.chunk = a.chunk AND s.ck = a.ck
+        |  JOIN chunks b ON a.chunk = b.chunk AND a.ck = b.ck AND a.id < b.id
+        |  WHERE s.n <= 1000 OR a.id = s.mn
         |)
         |SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3""".stripMargin,
 
@@ -5185,8 +5197,15 @@ object Queries {
         |  SELECT id, unnest([{'band': b, 'bk': (sig >> (b * 4)) & 15} FOR b IN range(0, 4)], recursive := true)
         |  FROM sigt
         |),
+        |bstat AS (
+        |  SELECT band, bk, count(*) AS n, min(id) AS mn FROM bnd GROUP BY band, bk
+        |),
         |cand AS (
-        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bnd a JOIN bnd b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM bnd a
+        |  JOIN bstat s ON s.band = a.band AND s.bk = a.bk
+        |  JOIN bnd b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+        |  WHERE s.n <= 1000 OR a.id = s.mn
         |),
         |scored AS (
         |  SELECT id_a, id_b, CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS sim
@@ -6232,8 +6251,16 @@ object Queries {
          |),
          |${chain("i_", "idx")},
          |${chain("n_", "newc")},
+         |n_stat AS (SELECT band, key, count(*) AS n, min(id) AS mn FROM n_buckets GROUP BY band, key),
+         |i_stat AS (SELECT band, key, count(*) AS n, min(id) AS mn FROM i_buckets GROUP BY band, key),
+         |n_kept AS (SELECT b.id, b.band, b.key FROM n_buckets b
+         |  JOIN n_stat s ON s.band = b.band AND s.key = b.key
+         |  WHERE s.n <= 1000 OR b.id = s.mn),
+         |i_kept AS (SELECT b.id, b.band, b.key FROM i_buckets b
+         |  JOIN i_stat s ON s.band = b.band AND s.key = b.key
+         |  WHERE s.n <= 1000 OR b.id = s.mn),
          |cand AS (SELECT DISTINCT n.id AS new_id, i.id AS idx_id
-         |  FROM n_buckets n JOIN i_buckets i ON n.band = i.band AND n.key = i.key),
+         |  FROM n_kept n JOIN i_kept i ON n.band = i.band AND n.key = i.key),
          |verified AS (SELECT new_id, idx_id,
          |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE AS inter,
          |    (len(sa.shingles) + len(sb.shingles))::DOUBLE AS stot

@@ -203,7 +203,18 @@ object Dedup {
     * per branch (3 scans total) — at 100 TB the wire cost of shipping
     * shingle sets dwarfs the recompute; callers verifying against an
     * already-materialized signature table can persist `df` upstream.
-    */
+    *
+    * Hot-bucket cap (`maxBucket`): a band bucket holding B near-identical
+    * docs (parked-domain farms, calendar templates — realistic at 10^6+)
+    * would emit B²/2 candidate pairs; AQE skew splitting redistributes
+    * the probe but cannot shrink the join OUTPUT. Buckets wider than
+    * `maxBucket` are STAR-REDUCED before the join: only the bucket's
+    * minimum id stays on the left side, so the bucket emits B−1 pairs
+    * all anchored at that representative — duplicate-cluster
+    * connectivity survives (every member still links to the rep, so
+    * connected-components downstream is unchanged) while the quadratic
+    * dies at the join input. Deterministic (min id), replayed verbatim
+    * by the q27 DuckDB oracle. */
   def minhashNearDups(
       df: DataFrame,
       idCol: String,
@@ -211,12 +222,18 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5,
+      maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2)
     val shingleUdf = udf(wordShinglesKernel(shingleK))
     val bandUdf = udf(bandKeysKernel(numHashes, bands))
     val sig = df.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
     val buckets = sig.select(col("id"), posexplode(bandUdf(col("sh"))).as(Seq("band", "key")))
-    val a = buckets.select(col("band"), col("key"), col("id").as("id_a"))
+    val stats = buckets.groupBy(col("band"), col("key"))
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__mn"))
+    val a = buckets.join(stats, Seq("band", "key"))
+      .filter(col("__n") <= maxBucket || col("id") === col("__mn"))
+      .select(col("band"), col("key"), col("id").as("id_a"))
     val b = buckets.select(col("band"), col("key"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "key"))
       .filter(col("id_a") < col("id_b"))
@@ -242,21 +259,36 @@ object Dedup {
     * carry only (id, band, key), shingles re-join by id — with the added
     * asymmetry win: at steady state the new side is a tiny fraction of
     * the index, so the candidate set (and the verify stage's wire cost)
-    * scales with the DELTA, not the corpus. */
+    * scales with the DELTA, not the corpus.
+    *
+    * Hot-bucket cap: same hazard and discipline as [[minhashNearDups]],
+    * applied PER SIDE (the sides are disjoint, so there is no global
+    * ordering to star-reduce across): a side whose bucket is wider than
+    * `maxBucket` is collapsed to its minimum id before the cross-side
+    * join, bounding a hot bucket's output at maxBucket pairs instead of
+    * |new|×|index|. Deterministic; replayed by the q87 oracle. */
   def minhashNearDupsAgainst(
       newDf: DataFrame, indexDf: DataFrame, idCol: String, textCol: String,
       shingleK: Int = 3, numHashes: Int = 32, bands: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = 1000): DataFrame = {
+    require(maxBucket >= 2)
     val shingleUdf = udf(wordShinglesKernel(shingleK))
     val bandUdf = udf(bandKeysKernel(numHashes, bands))
     def sig(df: DataFrame) =
       df.select(col(idCol).as("id"), shingleUdf(col(textCol)).as("sh"))
     def buckets(s: DataFrame) =
       s.select(col("id"), posexplode(bandUdf(col("sh"))).as(Seq("band", "key")))
+    def capped(bk: DataFrame) = {
+      val st = bk.groupBy(col("band"), col("key"))
+        .agg(count(lit(1)).as("__n"), min(col("id")).as("__mn"))
+      bk.join(st, Seq("band", "key"))
+        .filter(col("__n") <= maxBucket || col("id") === col("__mn"))
+        .select(col("band"), col("key"), col("id"))
+    }
     val sigNew = sig(newDf)
     val sigIdx = sig(indexDf)
-    val cand = buckets(sigNew).select(col("band"), col("key"), col("id").as("new_id"))
-      .join(buckets(sigIdx).select(col("band"), col("key"), col("id").as("idx_id")),
+    val cand = capped(buckets(sigNew)).withColumnRenamed("id", "new_id")
+      .join(capped(buckets(sigIdx)).withColumnRenamed("id", "idx_id"),
         Seq("band", "key"))
       .select(col("new_id"), col("idx_id"))
       .distinct()
@@ -322,15 +354,26 @@ object Dedup {
 
   /** SimHash near-dup pairs with hamming distance ≤ maxDist, joined by
     * 15-bit chunk banding (any pair within distance 3 shares ≥1 of the
-    * 4 chunks — pigeonhole — so no cross join is needed). */
-  def simhashNearDups(df: DataFrame, idCol: String, textCol: String, maxDist: Int = 3): DataFrame = {
+    * 4 chunks — pigeonhole — so no cross join is needed).
+    *
+    * Hot-bucket cap: same star-reduction as [[minhashNearDups]] — a
+    * chunk bucket wider than `maxBucket` keeps only its minimum id on
+    * the left join side, bounding a B-doc template cluster at B−1 pairs
+    * per chunk instead of B²/2. Replayed by the q28 oracle. */
+  def simhashNearDups(df: DataFrame, idCol: String, textCol: String,
+      maxDist: Int = 3, maxBucket: Int = 1000): DataFrame = {
     require(maxDist <= 3, "4x15-bit banding guarantees recall only for distance <= 3")
+    require(maxBucket >= 2)
     val shUdf = udf(simhash64)
     val sigs = df.select(col(idCol).as("id"), shUdf(col(textCol)).as("sig"))
     val chunks = sigs.select(col("id"), col("sig"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(sig, c * 15) & 32767)")).as(Seq("chunk", "ck")))
-    val a = chunks.select(col("chunk"), col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
+    val stats = chunks.groupBy(col("chunk"), col("ck"))
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__mn"))
+    val a = chunks.join(stats, Seq("chunk", "ck"))
+      .filter(col("__n") <= maxBucket || col("id") === col("__mn"))
+      .select(col("chunk"), col("ck"), col("id").as("id_a"), col("sig").as("sig_a"))
     val b = chunks.select(col("chunk"), col("ck"), col("id").as("id_b"), col("sig").as("sig_b"))
     a.join(b, Seq("chunk", "ck"))
       .filter(col("id_a") < col("id_b"))

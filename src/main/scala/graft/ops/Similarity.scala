@@ -100,8 +100,10 @@ object Similarity {
       threshold: Double,
       numBits: Int = 16,
       bands: Int = 4,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      maxBucket: Int = 1000): DataFrame = {
     require(numBits % bands == 0)
+    require(maxBucket >= 2)
     val r = numBits / bands
     val sigUdf = udf(lshSignature(seed, numBits))
     val vecs = corpus.select(col(idCol).as("id"), col(vecCol).as("v"))
@@ -110,7 +112,15 @@ object Similarity {
       .select(col("id"), posexplode(expr(
         s"transform(sequence(0, ${bands - 1}), b -> shiftright(sig, b * $r) & ${(1L << r) - 1})"))
         .as(Seq("band", "bk")))
-    val a = banded.select(col("band"), col("bk"), col("id").as("id_a"))
+    // hot-bucket star-reduction (see Dedup.minhashNearDups): a signature
+    // bucket wider than maxBucket keeps only its min id on the left side
+    // — B−1 pairs per band instead of B²/2 for a B-vector near-identical
+    // cluster, with cluster connectivity preserved. q34-oracle-replayed.
+    val stats = banded.groupBy(col("band"), col("bk"))
+      .agg(count(lit(1)).as("__n"), min(col("id")).as("__mn"))
+    val a = banded.join(stats, Seq("band", "bk"))
+      .filter(col("__n") <= maxBucket || col("id") === col("__mn"))
+      .select(col("band"), col("bk"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("bk"), col("id").as("id_b"))
     val cand = a.join(b, Seq("band", "bk"))
       .filter(col("id_a") < col("id_b"))

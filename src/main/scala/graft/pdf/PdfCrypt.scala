@@ -19,7 +19,8 @@ import javax.crypto.spec.{IvParameterSpec, SecretKeySpec}
   * (X7 row, never a crash); as a bonus, R2–R4/R6 docs whose OWNER
   * password is empty are also recovered via the /O side.
   *
-  * Reference: /root/reference/mvp/server.py hands PDFs to PyMuPDF which
+  * Reference: /root/reference/mvp/utils/pdf_processor.py (fitz.open)
+  * hands PDFs to PyMuPDF which
   * transparently decrypts empty-user-password files; this reproduces
   * that capability on the JVM so such docs extract instead of erroring.
   */

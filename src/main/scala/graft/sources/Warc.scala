@@ -554,12 +554,25 @@ object Warc {
 
   // -------------------------------------------------- random access + dedup
 
+  /** Widest plausible gzip member for one record: the content cap plus
+    * headroom for WARC + HTTP headers and gzip framing. A `.cdx` sidecar
+    * is as forgeable as a WARC header, so every (offset, length) read
+    * from one is validated against this before a single byte is
+    * allocated — same loud failure contract as [[parse]]. */
+  val MaxMemberBytes: Long = MaxRecordBytes.toLong + (1L << 16)
+
+  private def checkCdxRange(file: String, offset: Long, length: Long): Unit =
+    if (offset < 0 || length < 0 || length > MaxMemberBytes)
+      throw new IllegalArgumentException(
+        s"cdx entry $file:$offset+$length outside [0, $MaxMemberBytes]")
+
   /** Random-access fetch of ONE record by its CDX (offset, length) — the
     * reason the writer emits one gzip member per record: a 100 TB crawl
     * answers point lookups with a single ranged read instead of a shard
     * scan (exactly how the Common Crawl index is used). */
   def fetchRecord(file: String, offset: Long, length: Long,
       conf: Configuration): WarcRecord = {
+    checkCdxRange(file, offset, length)
     val p = new Path(file)
     val in = p.getFileSystem(conf).open(p)
     try {
@@ -593,6 +606,7 @@ object Warc {
           if (curIn != null) curIn.close()
         })
         it.map { case (f, off, len) =>
+          checkCdxRange(f, off, len)
           if (f != curFile) {
             if (curIn != null) curIn.close()
             val p = new Path(dir + "/" + f)
@@ -627,9 +641,17 @@ object Warc {
       .filter(col("__rn") === 1).drop("__rn")
     val rev = df.filter(col("record_type") === "revisit")
       .select(col("url").as("r_url"), col("warc_ts"), col("digest"), col("refers_to"))
-    val restored = rev.join(bodies.withColumnRenamed("url", "orig_url"), Seq("digest"))
-      .select(col("r_url").as("url"), col("warc_ts"), col("http_status"),
-        col("content_type"), col("body"),
+    // LEFT join: real crawls contain cross-segment/cross-crawl revisits
+    // whose original lives in a shard that was not loaded — those must
+    // surface (empty body, status 0) rather than silently vanish.
+    val restored = rev.join(bodies.withColumnRenamed("url", "orig_url"), Seq("digest"), "left")
+      .select(col("r_url").as("url"), col("warc_ts"),
+        org.apache.spark.sql.functions.coalesce(col("http_status"),
+          org.apache.spark.sql.functions.lit(0)).as("http_status"),
+        org.apache.spark.sql.functions.coalesce(col("content_type"),
+          org.apache.spark.sql.functions.lit("")).as("content_type"),
+        org.apache.spark.sql.functions.coalesce(col("body"),
+          org.apache.spark.sql.functions.lit(Array.emptyByteArray)).as("body"),
         org.apache.spark.sql.functions.lit(true).as("was_revisit"),
         col("refers_to"))
     resp.select(col("url"), col("warc_ts"), col("http_status"), col("content_type"),

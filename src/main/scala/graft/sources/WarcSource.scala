@@ -167,7 +167,7 @@ class WarcScan(paths: Seq[String], required: StructType,
   override def createReaderFactory(): PartitionReaderFactory =
     WarcReaderFactory(required.fieldNames, pushed)
   override def toMicroBatchStream(checkpointLocation: String) =
-    new WarcMicroBatchStream(paths, required.fieldNames)
+    new WarcMicroBatchStream(paths, required.fieldNames, pushed)
 }
 
 /** High-water-mark offset: the lexicographically largest file name
@@ -192,7 +192,8 @@ case class WarcFileOffset(lastFile: String)
   * an O(1) offset instead of Spark's seen-files map (whose size is the
   * known FileStreamSource scaling wall at 10^5+ segments).
   * Supports Trigger.AvailableNow (offsets pinned at prepare time). */
-class WarcMicroBatchStream(paths: Seq[String], fields: Array[String])
+class WarcMicroBatchStream(paths: Seq[String], fields: Array[String],
+    pushed: Array[org.apache.spark.sql.sources.Filter] = Array.empty)
     extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
   import org.apache.spark.sql.connector.read.streaming.{Offset, ReadLimit}
@@ -218,7 +219,10 @@ class WarcMicroBatchStream(paths: Seq[String], fields: Array[String])
     currentFiles().filter(f => f > lo && f <= hi)
       .map(f => WarcInputPartition(f): InputPartition).toArray
   }
-  override def createReaderFactory(): PartitionReaderFactory = WarcReaderFactory(fields)
+  // pass pushed filters through: Spark drops anything listed in
+  // pushedFilters() from the residual plan, so a claimed-but-unapplied
+  // filter on a future micro-batch push path would silently drop rows
+  override def createReaderFactory(): PartitionReaderFactory = WarcReaderFactory(fields, pushed)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }

@@ -300,6 +300,36 @@ class WarcSpec extends AnyFunSuite {
     }
   }
 
+  test("resolveRevisits surfaces orphan revisits (original in an unloaded shard)") {
+    val dir = Files.createTempDirectory("warc_orphan").toString
+    val rows = Seq(
+      ("http://o.example/a", new java.sql.Timestamp(1000L), 200, "text/html",
+        "present body".getBytes(UTF_8)),
+      ("http://o.example/b", new java.sql.Timestamp(2000L), 200, "text/html",
+        "present body".getBytes(UTF_8)))
+    Warc.write(rows.toDF("url", "warc_ts", "http_status", "content_type", "body"),
+      dir, dedupRevisits = true)
+    val raw = spark.read.format("graft.sources.WarcSource").load(dir)
+    // simulate a partial shard load / cross-crawl revisit: drop the original
+    val partial = raw.filter($"record_type" === "revisit")
+    val resolved = Warc.resolveRevisits(partial)
+      .select($"url", $"body", $"was_revisit", $"http_status").collect()
+    assert(resolved.length == 1, "orphan revisit must surface, not vanish")
+    val r = resolved.head
+    assert(r.getString(0) == "http://o.example/b")
+    assert(r.getAs[Array[Byte]](1).isEmpty && r.getBoolean(2) && r.getInt(3) == 0)
+  }
+
+  test("fetchByIndex rejects forged cdx offsets/lengths before allocating") {
+    for ((off, len) <- Seq((0L, -5L), (-1L, 10L), (0L, Warc.MaxMemberBytes + 1))) {
+      val ex = intercept[IllegalArgumentException] {
+        Warc.fetchRecord("f.warc.gz", off, len,
+          new org.apache.hadoop.conf.Configuration())
+      }
+      assert(ex.getMessage.contains("cdx entry"), ex.getMessage)
+    }
+  }
+
   test("hostile Content-Length fails loudly as a parse error, never an OOM allocation") {
     val out = new ByteArrayOutputStream()
     Warc.writeRecord(out, rec("http://h.example/1", 0L, "tiny body"))
