@@ -401,6 +401,25 @@ object Queries {
       graft.ops.Dedup.simhashNearDups(base.unionByName(perturbed), "id", "text", maxDist = 3)
     }),
 
+    // Hot-bucket star-reduction, ORACLED with the cap FIRING: 40 planted
+    // clones of one template page share every LSH band bucket (the
+    // parked-domain-farm shape), maxBucket = 8 < 40 collapses each
+    // bucket's left side to its min id, so the cluster emits exactly the
+    // 39 star pairs (1000, 1000+j) instead of 780 — the DuckDB oracle
+    // replays the cap predicate verbatim.
+    "q248_hot_bucket_cap" -> ((s, dir) => {
+      val base = docs(s, dir).filter(col("doc_id") < 20)
+        .select(col("doc_id").cast("long").as("id"), col("text"))
+      val template = "graft hot bucket template page alpha beta gamma " +
+        "delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron"
+      val clones = docs(s, dir).filter(col("doc_id") < 40)
+        .select((col("doc_id").cast("long") + 1000L).as("id"),
+          lit(template).as("text"))
+      graft.ops.Dedup.minhashNearDups(base.unionByName(clones), "id", "text",
+          threshold = 0.5, maxBucket = 8)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    }),
+
     // LSH-bucketed ANN (training op): the scale path for q24 — random
     // hyperplane signatures, banded bucket join, exact re-rank
     "q29_ann_lsh" -> ((s, dir) => {
@@ -8852,6 +8871,77 @@ object Queries {
         |  (doc_id % 5 = 2) AS canon_elsewhere,
         |  (doc_id % 5 = 3) AS soft404
         |FROM documents""".stripMargin,
+
+    // q248: the q27 replay with a planted 40-clone hot bucket and the
+    // star-reduction cap (maxBucket = 8) FIRING — the cap predicate
+    // (n <= 8 OR a.id = mn) is the exact SQL twin of the Scala prune.
+    "q248_hot_bucket_cap" ->
+      """WITH corpus AS (
+        |  SELECT CAST(doc_id AS BIGINT) AS id, text FROM documents WHERE doc_id < 20
+        |  UNION ALL
+        |  SELECT CAST(doc_id AS BIGINT) + 1000 AS id,
+        |    'graft hot bucket template page alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi omicron' AS text
+        |  FROM documents WHERE doc_id < 40
+        |),
+        |words AS (
+        |  SELECT id, list_filter(regexp_split_to_array(trim(text), '\s+'), x -> x <> '') AS w
+        |  FROM corpus
+        |),
+        |sh AS (
+        |  SELECT id, list_distinct(
+        |    CASE WHEN len(w) = 0 THEN []
+        |         WHEN len(w) <= 3 THEN [array_to_string(w, ' ')]
+        |         ELSE [w[i] || ' ' || w[i+1] || ' ' || w[i+2] FOR i IN range(1, len(w) - 1)]
+        |    END) AS shingles
+        |  FROM words
+        |),
+        |ph AS (
+        |  SELECT id, shingles,
+        |    [list_reduce(list_prepend(0::BIGINT, [ascii(c)::BIGINT FOR c IN split(sg, '')]),
+        |       (acc, c) -> (acc * 131 + c) % 2147483647) FOR sg IN shingles] AS hb
+        |  FROM sh
+        |),
+        |sigs AS (
+        |  SELECT id, shingles,
+        |    [CASE WHEN len(hb) = 0 THEN 2147483647::BIGINT
+        |          ELSE list_min([((((h+1) * 1103515245 + 12345) % 2147483647) * x
+        |                          + (((h+1) * 1234567891 + 987654321) % 2147483647)) % 2147483647
+        |                         FOR x IN hb]) END
+        |     FOR h IN range(0, 32)] AS sig
+        |  FROM ph
+        |),
+        |keyed AS (
+        |  SELECT id, shingles,
+        |    [list_reduce(list_prepend((b+1)::BIGINT, [sig[4*b + j] FOR j IN range(1, 5)]),
+        |       (acc, s) -> (acc * 131071 + s) % 2147483647) FOR b IN range(0, 8)] AS keys
+        |  FROM sigs
+        |),
+        |buckets AS (
+        |  SELECT id, unnest([{'band': b, 'key': keys[b + 1]} FOR b IN range(0, 8)], recursive := true)
+        |  FROM keyed
+        |),
+        |bstat AS (
+        |  SELECT band, key, count(*) AS n, min(id) AS mn FROM buckets GROUP BY band, key
+        |),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |  FROM buckets a
+        |  JOIN bstat s ON s.band = a.band AND s.key = a.key
+        |  JOIN buckets b ON a.band = b.band AND a.key = b.key AND a.id < b.id
+        |  WHERE s.n <= 8 OR a.id = s.mn
+        |),
+        |verified AS (
+        |  SELECT id_a, id_b,
+        |    len(list_intersect(sa.shingles, sb.shingles))::DOUBLE AS inter,
+        |    (len(sa.shingles) + len(sb.shingles))::DOUBLE AS stot
+        |  FROM cand
+        |  JOIN sh sa ON sa.id = cand.id_a
+        |  JOIN sh sb ON sb.id = cand.id_b
+        |)
+        |SELECT id_a, id_b,
+        |  round(CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END, 6) AS jaccard
+        |FROM verified
+        |WHERE (CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) >= 0.5""".stripMargin,
 
     // q245: latin docs replay the whitespace count; the CJK plants are
     // 8 chars + the id token, and 2+1+2 chars + the id token.

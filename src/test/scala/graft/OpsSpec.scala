@@ -2199,6 +2199,55 @@ class OpsSpec extends AnyFunSuite {
     assert(got.forall { case (n, i) => n >= 10L && i < 10L })
   }
 
+  test("hot-bucket cap: 1000 identical docs emit the 999 star pairs, not 499500") {
+    // the parked-domain-farm shape: every LSH band bucket holds all 1000
+    // docs; star-reduction must anchor every pair at the min id and keep
+    // the cluster connected (999 pairs) without the B²/2 blowup.
+    val clones = spark.range(1000)
+      .select($"id", lit("graft identical template page " +
+        "alpha beta gamma delta epsilon zeta eta theta").as("text"))
+    val got = Dedup.minhashNearDups(clones, "id", "text",
+        threshold = 0.5, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.length == 999, s"expected 999 star pairs, got ${got.length}")
+    assert(got.forall { case (a, b, j) => a == 0L && b > 0L && j == 1.0 })
+
+    val sim = Dedup.simhashNearDups(clones, "id", "text",
+        maxDist = 3, maxBucket = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(sim.length == 999 && sim.forall(_._1 == 0L))
+  }
+
+  test("hot-bucket cap fires per side in minhashNearDupsAgainst") {
+    val text = "graft identical template page alpha beta gamma delta epsilon zeta"
+    val idx = spark.range(200).select($"id", lit(text).as("text"))
+    val delta = spark.range(100).select(($"id" + 10000L).as("id"), lit(text).as("text"))
+    // both sides' buckets are over-wide at maxBucket=10: each collapses
+    // to its min id, so the hot cluster contributes exactly ONE pair
+    val got = Dedup.minhashNearDupsAgainst(delta, idx, "id", "text",
+        threshold = 0.5, maxBucket = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((10000L, 0L)), got.mkString(","))
+  }
+
+  test("hot-bucket cap: cosineNearDups star-reduces an identical-vector cluster") {
+    val v = Array(0.5f, -0.25f, 0.125f, 1.0f)
+    val clones = spark.range(300).select($"id",
+      typedLit(v.toSeq).as("v"))
+    val got = Similarity.cosineNearDups(clones, "id", "v",
+        threshold = 0.9, maxBucket = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 299 && got.forall(_._1 == 0L))
+  }
+
+  test("hot-bucket cap leaves sub-threshold buckets untouched (default 1000)") {
+    // the 5-doc fixture never trips the default cap: output identical to
+    // the uncapped round-3 behavior
+    val pairs = Dedup.minhashNearDups(docsDf, "id", "text", threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
+  }
+
   test("majorityStats: majority, deterministic ties, exact mixed fraction") {
     import graft.ops.Curation
     val df = Seq(
