@@ -457,14 +457,42 @@ object Queries {
     "q30_multimodal" -> ((s, dir) =>
       graft.ops.Multimodal.featureSummary(s, 300L)),
 
-    // X2/X3 flagship: extraction over the deterministic synth corpus
+    // P1/P2/T16 dispatch mix, ORACLED (was rows-only through round 3):
+    // five payload families — q181's html page, q184's 2-page PDF, JPEG
+    // magic, RIFF/WAVE magic, empty — drive the magic-sniff dispatcher
+    // end to end; every (status, content_type) bucket's count and
+    // markdown-char total is a closed form the DuckDB oracle states
+    // (markdown lengths come from the q181/q184 pinned bytes).
     "q20_extract" -> ((s, dir) => {
-      val pages = graft.synth.Synth.pagesDs(s, 500L, seed = 42L).toDF()
+      import graft.pdf.PdfWriter
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/a\">Home</a><a href=\"/b\">About</a></nav>"),
+        lit("<div id=\"main\"><h1>Title "), col("doc_id"),
+        lit("</h1><p>Hello world "), col("doc_id"),
+        lit(" with enough words to be content here today.</p><p>Second paragraph "),
+        col("doc_id"),
+        lit(" also has plenty of real sentence text to keep.</p></div>"),
+        lit("<footer>copyright footer</footer></body></html>"))
+      val mkPdf = udf((id: Long) => PdfWriter.write(Vector(
+        PdfWriter.PageSpec(Vector(Vector(s"Pdf doc $id line one", s"and line two of $id"))),
+        PdfWriter.PageSpec(Vector(Vector(s"Second page of $id")), compress = true))))
+      val jpegMagic = lit(Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte))
+      val wavMagic = lit("RIFF$   WAVEfmt ".getBytes("ISO-8859-1"))
+      val m = pmod(col("doc_id"), lit(5))
+      val payload = when(m === 0, encode(html, "UTF-8"))
+        .when(m === 1, mkPdf(col("doc_id").cast("long")))
+        .when(m === 2, jpegMagic)
+        .when(m === 3, wavMagic)
+        .otherwise(lit(Array.emptyByteArray))
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/m"), col("doc_id")).as("url"),
+        payload.as("html"))
       graft.extract.ExtractJob.extractedDf(pages)
         .groupBy(col("extracted.status").as("status"),
           col("extracted.content_type").as("content_type"))
         .agg(count(lit(1)).as("cnt"),
-          sum(length(col("extracted.markdown"))).as("md_chars"))
+          sum(length(col("extracted.markdown"))).cast("long").as("md_chars"))
     }),
 
     // N1-N8 full kernel + A7/A8/A4 metrics via UDFs (eval.py:248-267).
@@ -502,42 +530,80 @@ object Queries {
     }),
 
     // A9: difflib ratio (incl. autojunk) through the real normalize +
-    // SequenceMatcher kernels — rows-only (see q21 note)
+    // SequenceMatcher kernels, ORACLED on hand-derived closed forms
+    // (was rows-only through round 3; the kernel itself stays pinned to
+    // CPython fixtures in SequenceMatcherSpec). Five constructed
+    // families over a fixed-width ref "alpha beta gamma delta %04d"
+    // (L = 27, replacement chars q/j/z/w/x/y never occur in ref, so a
+    // single contiguous same-length substitution leaves matching blocks
+    // of exactly L - span):
+    //   0: identical                 → ratio 1.0
+    //   1: "beta"  → "qjqj"  (4)     → 2(L-4)/2L = 46/54 = 0.851852
+    //   2: "gamma" → "qzqzq" (5)     → 44/54           = 0.814815
+    //   3: ref + " qzwxy"    (+6)    → 2L/(2L+6) = 54/60 = 0.9
+    //   4: ref = 'ab ' x 80 stripped (239 chars), hyp = 'z ' + ref
+    //      (241 ≥ 200): autojunk FIRES — a/b/space are >1% popular, so
+    //      they cannot SEED a match, and the 'z' prefix blocks the
+    //      zero-seed extension path — ratio 0.0 despite 239 shared
+    //      chars (CPython-verified; identical strings would still read
+    //      1.0 because popular chars can extend an empty seed).
     "q33_seqsim" -> ((s, dir) => {
       val normUdf = udf((t: String) => textnorm.TextNorm.normalize(t))
       val ssUdf = udf((a: String, b: String) => metrics.Metrics.sequenceSimilarity(a, b))
-      val hyp = perturbValueTokens(col("text"))
+      val m = pmod(col("doc_id"), lit(5))
+      val idp = lpad(col("doc_id").cast("string"), 4, "0")
+      val ref0 = concat(lit("alpha beta gamma delta "), idp)
+      val rep = concat_ws("", array_repeat(lit("ab "), 80))
+      val ref = when(m === 4, rep).otherwise(ref0)
+      val hyp = when(m === 0, ref0)
+        .when(m === 1, concat(lit("alpha qjqj gamma delta "), idp))
+        .when(m === 2, concat(lit("alpha beta qzqzq delta "), idp))
+        .when(m === 3, concat(ref0, lit(" qzwxy")))
+        .otherwise(concat(lit("z "), rep))
       docs(s, dir).filter(col("doc_id") < 50)
-        .select(col("doc_id"),
-          normUdf(col("text")).as("ref_n"), normUdf(hyp).as("hyp_n"))
+        .select(col("doc_id"), normUdf(ref).as("ref_n"), normUdf(hyp).as("hyp_n"))
         .select(col("doc_id"),
           round(ssUdf(col("ref_n"), col("hyp_n")), 6).as("seq_sim"))
     }),
 
-    // §3.3 full evaluation pipeline: extraction output scored against a
-    // golden side (here: the same corpus, with a perturbed slice standing
-    // in for prediction drift) → per-url detail + imputation + summary
+    // §3.3 full evaluation pipeline, ORACLED end to end (was rows-only
+    // through round 3): q181's constructed pages run the REAL extract →
+    // detail → summary chain; the prediction side perturbs every 4th
+    // document's markdown with a single same-length substitution
+    // ("enough" → "qjqjqj", q/j never occur in the page text), so every
+    // detail metric is a closed form over the normalized golden —
+    // cer = 6/L, wer = 1/n_tok, word_acc = (n_tok-1)/n_tok,
+    // seq_sim = (L-6)/L (single-substitution difflib, see q33), table
+    // metrics 0 (no tables) — and the summary's exact-decimal means
+    // replay in DuckDB with the q40 aggregation shape.
+    //
+    // No persist: goldens and preds both branch off the extraction
+    // frame, so the expression runs once per branch — accepted (in
+    // production the branches read the MATERIALIZED extraction table;
+    // see round-3 note). detail() places its own broadcast hints.
     "q31_eval_pipeline" -> ((s, dir) => {
-      val pages = graft.synth.Synth.pagesDs(s, 200L, seed = 42L).toDF()
-      // no persist: goldens and preds both branch off this frame, so the
-      // extraction expression runs once per branch — accepted. A persist
-      // here pinned storage blocks that a library caller composing
-      // EvalJob directly never released (Verify/Bench compensated with
-      // clearCache, which is a harness crutch, not a contract). In
-      // production the branches read the MATERIALIZED extraction table
-      // (ExtractJob's resumable sink), so nothing recomputes at scale;
-      // here the recompute is one extra 200-doc narrow map.
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/a\">Home</a><a href=\"/b\">About</a></nav>"),
+        lit("<div id=\"main\"><h1>Title "), col("doc_id"),
+        lit("</h1><p>Hello world "), col("doc_id"),
+        lit(" with enough words to be content here today.</p><p>Second paragraph "),
+        col("doc_id"),
+        lit(" also has plenty of real sentence text to keep.</p></div>"),
+        lit("<footer>copyright footer</footer></body></html>"))
+      val pages = docs(s, dir).filter(col("doc_id") < 50).select(
+        concat(lit("http://x.example/p"), col("doc_id")).as("url"),
+        encode(html, "UTF-8").as("html"),
+        col("doc_id"))
       val extracted = graft.extract.ExtractJob.extractedDf(pages).select(
         col("url"), col("extracted.status").as("status"),
-        col("extracted.markdown").as("markdown"))
-      // golden = clean extraction; prediction = word-perturbed on a slice
+        col("extracted.markdown").as("markdown"), col("doc_id"))
       val goldens = extracted.select(col("url"), col("markdown").as("g_markdown"))
       val preds = extracted.withColumn("markdown",
-        when(xxhash64(col("url")) % 4 === 0,
-          regexp_replace(col("markdown"), "the|value|report", "X"))
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          regexp_replace(col("markdown"), "enough", "qjqjqj"))
           .otherwise(col("markdown")))
-      // no broadcast wrapper here: detail() places its own hints (the
-      // golden side of its left join must never carry a build-left hint)
+        .select(col("url"), col("status"), col("markdown"))
       val det = graft.jobs.EvalJob.detail(preds, goldens)
       graft.jobs.EvalJob.summary(det)
     }),
@@ -573,12 +639,36 @@ object Queries {
       graft.jobs.EvalJob.summary(detailLike)
     }),
 
-    // X5 schema-guided field harvest: markdown + JSON schema → fields
+    // X5 schema-guided field harvest, ORACLED (was rows-only through
+    // round 3): constructed pages drive the real extract → markdown →
+    // FieldExtractor chain through three harvest paths with stated
+    // key/value closed forms — a pipe table (header cell → first data
+    // row), a `Col A: value` line, and a no-match page that must yield
+    // null and drop. The oracle states fields_json verbatim per doc_id.
     "q32_fields" -> ((s, dir) => {
       val schema = """{"type":"object","properties":{"Col A":{"type":"string"},"Col B":{"type":"string"},"missing key":{"type":"string"}}}"""
       val fieldsUdf = udf((md: String) =>
         graft.fields.FieldExtractor.extractFields(md, schema).orNull)
-      val pages = graft.synth.Synth.pagesDs(s, 300L, seed = 42L).toDF()
+      val m = pmod(col("doc_id"), lit(3))
+      val mid = when(m === 0, concat(
+          lit("<table><tr><th>Col A</th><th>Col B</th></tr><tr><td>a"),
+          col("doc_id"), lit("</td><td>b"), col("doc_id"),
+          lit("</td></tr></table>")))
+        .when(m === 1, concat(
+          lit("<p>Col A: value "), col("doc_id"), lit("</p>")))
+        .otherwise(lit(""))
+      val html = concat(
+        lit("<html><head><title>Doc "), col("doc_id"),
+        lit("</title></head><body><nav><a href=\"/a\">Home</a><a href=\"/b\">About</a></nav>"),
+        lit("<div id=\"main\"><h1>Title "), col("doc_id"),
+        lit("</h1><p>Hello world "), col("doc_id"),
+        lit(" with enough words to be content here today.</p>"), mid,
+        lit("<p>Second paragraph "), col("doc_id"),
+        lit(" also has plenty of real sentence text to keep.</p></div>"),
+        lit("<footer>copyright footer</footer></body></html>"))
+      val pages = docs(s, dir).filter(col("doc_id") < 90).select(
+        concat(lit("http://x.example/f"), col("doc_id")).as("url"),
+        encode(html, "UTF-8").as("html"))
       graft.extract.ExtractJob.extractedDf(pages)
         .filter(col("extracted.status") === "ok")
         .select(col("url"), fieldsUdf(col("extracted.markdown")).as("fields"))
@@ -8253,6 +8343,86 @@ object Queries {
         |       WHEN source IN ('src3','src4','src7') THEN 0
         |       ELSE 1 END AS BIGINT) AS n_sitemaps
         |FROM h""".stripMargin,
+
+    // q20: the dispatch mix stated exactly — counts per family, markdown
+    // totals from the q181/q184 pinned byte forms, zero for the sniffed
+    // media/empty families.
+    "q20_extract" ->
+      """WITH e AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 5 IN (0, 1) THEN 'ok' ELSE 'error' END AS status,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 'html' WHEN 1 THEN 'pdf' WHEN 2 THEN 'image'
+        |      WHEN 3 THEN 'media' ELSE 'unknown' END AS content_type,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN length('# Title ' || doc_id || chr(10) || chr(10)
+        |        || 'Hello world ' || doc_id || ' with enough words to be content here today.'
+        |        || chr(10) || chr(10) || 'Second paragraph ' || doc_id
+        |        || ' also has plenty of real sentence text to keep.')
+        |      WHEN 1 THEN length('Pdf doc ' || doc_id || ' line one' || chr(10)
+        |        || 'and line two of ' || doc_id || chr(10) || chr(10)
+        |        || 'Second page of ' || doc_id)
+        |      ELSE 0 END AS md_len
+        |  FROM documents)
+        |SELECT status, content_type, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(md_len) AS BIGINT) AS md_chars
+        |FROM e GROUP BY status, content_type""".stripMargin,
+
+    // q33: the hand-derived difflib closed forms (see the query comment;
+    // CPython-verified): single same-length substitutions give
+    // 2(L-span)/2L over L = 27, the append family 2L/(2L+6), and the
+    // autojunk family 0.0.
+    "q33_seqsim" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 5 AS INT)
+        |    WHEN 0 THEN 1.0 WHEN 1 THEN 0.851852 WHEN 2 THEN 0.814815
+        |    WHEN 3 THEN 0.9 ELSE 0.0 END AS seq_sim
+        |FROM documents WHERE doc_id < 50""".stripMargin,
+
+    // q32: fields_json stated verbatim per family — table harvest gives
+    // both columns, the kv-line family only Col A, the no-match family
+    // drops (null filter).
+    "q32_fields" ->
+      """SELECT 'http://x.example/f' || doc_id AS url,
+        |  CASE WHEN doc_id % 3 = 0
+        |       THEN '{"Col A":"a' || doc_id || '","Col B":"b' || doc_id || '"}'
+        |       ELSE '{"Col A":"value ' || doc_id || '"}' END AS fields_json
+        |FROM documents WHERE doc_id < 90 AND doc_id % 3 <> 2""".stripMargin,
+
+    // q31: the eval summary replayed with the q40 exact-decimal shape
+    // over the closed-form detail metrics — perturbed rows (doc_id%4=0)
+    // carry cer 6/L, wer 1/n, word_acc (n-1)/n, seq_sim (L-6)/L on the
+    // normalized golden stated below; table metrics are 0 (no tables).
+    "q31_eval_pipeline" ->
+      """WITH g AS (
+        |  SELECT doc_id,
+        |    '# title ' || doc_id || chr(10) || 'hello world ' || doc_id
+        |      || ' with enough words to be content here today.' || chr(10)
+        |      || 'second paragraph ' || doc_id
+        |      || ' also has plenty of real sentence text to keep.' AS norm,
+        |    doc_id % 4 = 0 AS perturbed
+        |  FROM documents WHERE doc_id < 50),
+        |d AS (
+        |  SELECT
+        |    CASE WHEN perturbed THEN round(6.0 / length(norm), 6) ELSE 0.0 END AS cer,
+        |    CASE WHEN perturbed THEN round(1.0 / len(regexp_split_to_array(norm, '\s+')), 6)
+        |         ELSE 0.0 END AS wer,
+        |    CASE WHEN perturbed THEN round((len(regexp_split_to_array(norm, '\s+')) - 1)::DOUBLE
+        |           / len(regexp_split_to_array(norm, '\s+')), 6)
+        |         ELSE 1.0 END AS word_acc,
+        |    CASE WHEN perturbed THEN round((length(norm) - 6)::DOUBLE / length(norm), 6)
+        |         ELSE 1.0 END AS seq_sim
+        |  FROM g)
+        |SELECT CAST(count(*) AS BIGINT) AS total,
+        |  CAST(count(*) AS BIGINT) AS successes,
+        |  1.0 AS success_rate,
+        |  round(CAST(sum(CAST(cer AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_cer,
+        |  round(CAST(sum(CAST(wer AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_wer,
+        |  round(CAST(sum(CAST(word_acc AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_word_acc,
+        |  0.0 AS mean_table_acc,
+        |  round(CAST(sum(CAST(seq_sim AS DECIMAL(28,6))) AS DOUBLE) / count(*), 6) AS mean_seq_sim,
+        |  0.0 AS mean_row_acc, 0.0 AS mean_col_acc, 0.0 AS mean_cell_acc
+        |FROM d""".stripMargin,
 
     // q184: the exact PDF-branch markdown stated per document — lines
     // join with newlines inside a page, pages join with a blank line,
