@@ -401,6 +401,49 @@ object Queries {
       graft.ops.Dedup.simhashNearDups(base.unionByName(perturbed), "id", "text", maxDist = 3)
     }),
 
+    // WEBP LOSSLESS DECODE, ORACLED ON PIXELS (T179's biggest fence
+    // retired): per-document RGB patterns encode through the VP8L
+    // encoder twin and decode through the sniffing dispatcher
+    // (Multimodal.decodeImage) — lossless, so the per-channel sums are
+    // the generator pattern itself. The codec is pinned byte-for-byte
+    // against the system libwebp in WebpSpec (fixtures incl. predictor/
+    // palette/cache/meta streams and all 120 distance-map probes).
+    "q247_webp" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 8 + (id % 7).toInt; val h = 6 + (id % 5).toInt
+        val pix = new Array[Byte](w * h * 3)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val i = (y * w + x) * 3
+            pix(i) = ((id * 5 + x * 7 + y * 11) % 256).toByte
+            pix(i + 1) = ((id * 3 + x + 2 * y) % 256).toByte
+            pix(i + 2) = ((id + x * 13 + y * 3) % 256).toByte
+            x += 1
+          }
+          y += 1
+        }
+        val bytes = graft.codec.WebpVp8l.encode(pix, w, h, 3)
+        graft.ops.Multimodal.decodeImage(bytes) match {
+          case Right(im) if im.nComponents == 3 =>
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var i = 0
+            while (i < im.pixels.length) {
+              sr += im.pixels(i) & 0xff
+              sg += im.pixels(i + 1) & 0xff
+              sb += im.pixels(i + 2) & 0xff
+              i += 3
+            }
+            (im.width.toLong, im.height.toLong, sr, sg, sb)
+          case _ => (0L, 0L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("sum_r"), col("d._4").as("sum_g"), col("d._5").as("sum_b"))
+    }),
+
     // Hot-bucket star-reduction, ORACLED with the cap FIRING: 40 planted
     // clones of one template page share every LSH band bucket (the
     // parked-domain-farm shape), maxBucket = 8 < 40 collapses each
@@ -478,7 +521,7 @@ object Queries {
         PdfWriter.PageSpec(Vector(Vector(s"Pdf doc $id line one", s"and line two of $id"))),
         PdfWriter.PageSpec(Vector(Vector(s"Second page of $id")), compress = true))))
       val jpegMagic = lit(Array(0xFF, 0xD8, 0xFF, 0xE0, 0x00, 0x10).map(_.toByte))
-      val wavMagic = lit("RIFF$   WAVEfmt ".getBytes("ISO-8859-1"))
+      val wavMagic = lit("RIFF$\u0000\u0000\u0000WAVEfmt ".getBytes("ISO-8859-1"))
       val m = pmod(col("doc_id"), lit(5))
       val payload = when(m === 0, encode(html, "UTF-8"))
         .when(m === 1, mkPdf(col("doc_id").cast("long")))
@@ -9041,6 +9084,19 @@ object Queries {
         |  (doc_id % 5 = 2) AS canon_elsewhere,
         |  (doc_id % 5 = 3) AS soft404
         |FROM documents""".stripMargin,
+
+    // q247: lossless decode = the generator pattern itself (the q200
+    // shape for the VP8L leg).
+    "q247_webp" ->
+      """WITH g AS (
+        |  SELECT doc_id, 8 + doc_id % 7 AS w, 6 + doc_id % 5 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM g),
+        |c AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum((doc_id*5 + x*7 + y*11) % 256) AS BIGINT) AS sum_r,
+        |  CAST(sum((doc_id*3 + x + 2*y) % 256) AS BIGINT) AS sum_g,
+        |  CAST(sum((doc_id + x*13 + y*3) % 256) AS BIGINT) AS sum_b
+        |FROM c GROUP BY doc_id, w, h""".stripMargin,
 
     // q248: the q27 replay with a planted 40-clone hot bucket and the
     // star-reduction cap (maxBucket = 8) FIRING — the cap predicate

@@ -1,0 +1,734 @@
+package graft.codec
+
+/** From-scratch WebP **lossless** (VP8L) codec: full decoder (all four
+  * transforms, color cache, meta prefix codes, LZ77 backward references)
+  * plus a minimal spec-conformant encoder twin used for round-trip
+  * testing and oracle fixtures.
+  *
+  * Implements the public WebP container + lossless bitstream
+  * specification (RFC 9649); no reference code was used. Because the
+  * JDK ships no WebP implementation to differential-test against (the
+  * ImageIO discipline used for JPEG/PNG/GIF/TIFF/BMP), the test suite
+  * pins this codec against frozen fixtures produced by the system
+  * libwebp at fixture-generation time (scripts/gen_webp_fixtures.py),
+  * including handcrafted streams that exercise every distance-map
+  * entry, the color cache, and meta prefix codes — see
+  * fixtures/webp_goldens_v1.jsonl and WebpSpec.
+  *
+  * Lossy VP8 stays fenced as a typed error (`webp: lossy VP8
+  * unsupported`): it is a different codec family (DCT + loop filter),
+  * and the honest-labeling rule (Extractor X7) wants an explicit error
+  * over a wrong decode.
+  *
+  * Reference behavior being replaced: /root/reference/mvp/utils/
+  * pdf_processor.py ships page images to a vision LLM regardless of
+  * format; this library decodes formats deterministically instead.
+  *
+  * Scale shape: a pure per-row kernel (no shuffle); allocations are
+  * capped before they happen (the shared codec discipline) so a forged
+  * header cannot OOM an executor.
+  */
+object WebpVp8l {
+
+  // ------------------------------------------------------------ container
+
+  def isWebp(b: Array[Byte]): Boolean =
+    b != null && b.length >= 12 &&
+      b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+      b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
+
+  /** Decode a WebP container. Lossless (VP8L) payloads decode fully;
+    * lossy (VP8) and animation fail with typed errors. */
+  def decode(b: Array[Byte]): Either[String, Jpeg.Image] =
+    try decodeImpl(b)
+    catch { case e: Exception => Left(s"webp: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private def decodeImpl(b: Array[Byte]): Either[String, Jpeg.Image] = {
+    if (!isWebp(b)) return Left("webp: bad signature")
+    var p = 12
+    while (p + 8 <= b.length) {
+      val tag = new String(b, p, 4, "US-ASCII")
+      val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
+        ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
+      if (size < 0 || p + 8 + size > b.length) return Left("webp: truncated chunk")
+      tag match {
+        case "VP8L" => return decodeVp8l(b, p + 8, size)
+        case "VP8 " => return Left("webp: lossy VP8 unsupported")
+        case "ANIM" | "ANMF" => return Left("webp: animation unsupported")
+        case _ => () // VP8X / ICCP / EXIF / XMP / ALPH: skip
+      }
+      p += 8 + size + (size & 1) // chunks are 2-byte aligned
+    }
+    Left("webp: no VP8L chunk")
+  }
+
+  // ------------------------------------------------------------ bit reader
+
+  private final class BitReader(b: Array[Byte], var pos: Int, val end: Int) {
+    private var bitPos = 0
+    def readBits(n: Int): Int = { // LSB-first, n <= 24
+      var v = 0
+      var got = 0
+      while (got < n) {
+        if (pos >= end) throw new IllegalArgumentException("bitstream overrun")
+        val avail = 8 - bitPos
+        val take = math.min(n - got, avail)
+        val bits = ((b(pos) & 0xff) >>> bitPos) & ((1 << take) - 1)
+        v |= bits << got
+        got += take
+        bitPos += take
+        if (bitPos == 8) { bitPos = 0; pos += 1 }
+      }
+      v
+    }
+    def readBit(): Int = readBits(1)
+  }
+
+  // ------------------------------------------------------------ huffman
+
+  /** Canonical prefix code (DEFLATE-style: codes assigned in (length,
+    * symbol) order, bits read MSB-of-code-first). `singleSymbol >= 0`
+    * means a 0-bit code (one used symbol). */
+  private final class Huffman(codeLengths: Array[Int]) {
+    private val MaxLen = 15
+    val singleSymbol: Int = {
+      var cnt = 0; var sym = -1
+      var i = 0
+      while (i < codeLengths.length) {
+        if (codeLengths(i) > 0) { cnt += 1; sym = i }
+        i += 1
+      }
+      if (cnt == 1) sym else -1
+    }
+    // first code and symbol table per length
+    private val count = new Array[Int](MaxLen + 1)
+    private val firstCode = new Array[Int](MaxLen + 1)
+    private val firstIdx = new Array[Int](MaxLen + 1)
+    private val syms: Array[Int] = {
+      if (singleSymbol >= 0) Array(singleSymbol)
+      else {
+        codeLengths.foreach { l =>
+          if (l > MaxLen) throw new IllegalArgumentException("code length > 15")
+          if (l > 0) count(l) += 1
+        }
+        var code = 0
+        var idx = 0
+        var kraft = 0L
+        var l = 1
+        while (l <= MaxLen) {
+          firstCode(l) = code
+          firstIdx(l) = idx
+          code = (code + count(l)) << 1
+          idx += count(l)
+          kraft += count(l).toLong << (MaxLen - l)
+          l += 1
+        }
+        if (kraft != (1L << MaxLen))
+          throw new IllegalArgumentException("incomplete prefix code")
+        val out = new Array[Int](idx)
+        val next = new Array[Int](MaxLen + 1)
+        var s = 0
+        while (s < codeLengths.length) {
+          val cl = codeLengths(s)
+          if (cl > 0) { out(firstIdx(cl) + next(cl)) = s; next(cl) += 1 }
+          s += 1
+        }
+        out
+      }
+    }
+    def decode(br: BitReader): Int = {
+      if (singleSymbol >= 0) return singleSymbol
+      var code = 0
+      var l = 0
+      while (l < MaxLen) {
+        code = (code << 1) | br.readBit()
+        l += 1
+        if (count(l) > 0 && code - firstCode(l) < count(l))
+          return syms(firstIdx(l) + code - firstCode(l))
+      }
+      throw new IllegalArgumentException("bad prefix code")
+    }
+  }
+
+  private val KCodeLengthOrder =
+    Array(17, 18, 0, 1, 2, 3, 4, 5, 16, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15)
+
+  /** Read one prefix code (simple or normal form) over `alphabetSize`. */
+  private def readHuffmanCode(br: BitReader, alphabetSize: Int): Huffman = {
+    val lengths = new Array[Int](alphabetSize)
+    if (br.readBit() == 1) { // simple code
+      val numSymbols = br.readBit() + 1
+      val first8 = br.readBit()
+      val s0 = br.readBits(if (first8 == 1) 8 else 1)
+      if (s0 >= alphabetSize) throw new IllegalArgumentException("simple symbol out of range")
+      if (numSymbols == 1) { lengths(s0) = 1; return new Huffman(lengths) } // single → 0-bit
+      val s1 = br.readBits(8)
+      if (s1 >= alphabetSize || s1 == s0) throw new IllegalArgumentException("simple symbol out of range")
+      lengths(s0) = 1; lengths(s1) = 1
+      // canonical order over (length, symbol): both length 1 → smaller
+      // symbol gets code 0 (libwebp-verified by the probe fixtures)
+      new Huffman(lengths)
+    } else {
+      val numCodes = 4 + br.readBits(4)
+      val clcl = new Array[Int](19)
+      var i = 0
+      while (i < numCodes) { clcl(KCodeLengthOrder(i)) = br.readBits(3); i += 1 }
+      val clHuff = new Huffman(clcl)
+      // optional cap on the number of length-decode operations
+      var maxOps =
+        if (br.readBit() == 1) {
+          val lengthNBits = 2 + 2 * br.readBits(3)
+          val m = 2 + br.readBits(lengthNBits)
+          if (m > alphabetSize) throw new IllegalArgumentException("max_symbol too large")
+          m
+        } else alphabetSize
+      var symbol = 0
+      var prevLen = 8
+      while (symbol < alphabetSize && maxOps > 0) {
+        maxOps -= 1
+        val cl = clHuff.decode(br)
+        if (cl < 16) {
+          lengths(symbol) = cl; symbol += 1
+          if (cl != 0) prevLen = cl
+        } else {
+          val (extraBits, offset, len) = cl match {
+            case 16 => (2, 3, prevLen)
+            case 17 => (3, 3, 0)
+            case _ => (7, 11, 0)
+          }
+          val repeat = br.readBits(extraBits) + offset
+          if (symbol + repeat > alphabetSize)
+            throw new IllegalArgumentException("length repeat overflow")
+          var r = 0
+          while (r < repeat) { lengths(symbol) = len; symbol += 1; r += 1 }
+        }
+      }
+      new Huffman(lengths)
+    }
+  }
+
+  // ------------------------------------------------------------ LZ77 helpers
+
+  private def prefixDecode(code: Int, br: BitReader): Int =
+    if (code < 4) code + 1
+    else {
+      val extra = (code - 2) >> 1
+      val offset = (2 + (code & 1)) << extra
+      offset + br.readBits(extra) + 1
+    }
+
+  /** RFC 9649 distance map: codes 1..120 are 2D neighbor offsets
+    * (dy << 4) | (8 - dx); generated by the spec's ordering (increasing
+    * dx*dx + dy*dy, then larger dy first, then smaller |dx| first, then
+    * positive dx first) and verified entry-by-entry against libwebp by
+    * scripts/gen_webp_fixtures.py (the dist_probe fixtures). */
+  private[graft] val DistanceMap: Array[Int] = { // (dy << 8) | (dx + 128)
+    val cand = for {
+      dy <- 0 to 7
+      dx <- -7 to 8
+      if dy > 0 || dx > 0
+    } yield (dx, dy)
+    val sorted = cand.sortBy { case (dx, dy) =>
+      (dx * dx + dy * dy, -dy, math.abs(dx), -dx)
+    }
+    require(sorted.length == 120)
+    sorted.map { case (dx, dy) => (dy << 8) | (dx + 128) }.toArray
+  }
+
+  private def planeCodeToDistance(xsize: Int, planeCode: Int): Int =
+    if (planeCode > 120) planeCode - 120
+    else {
+      val e = DistanceMap(planeCode - 1)
+      val dy = e >> 8
+      val dx = (e & 0xff) - 128
+      val dist = dy * xsize + dx
+      if (dist >= 1) dist else 1
+    }
+
+  // ------------------------------------------------------------ transforms
+
+  private sealed trait Transform { def xsize: Int }
+  private final case class PredictorT(xsize: Int, bits: Int, tiles: Array[Int]) extends Transform
+  private final case class ColorT(xsize: Int, bits: Int, tiles: Array[Int]) extends Transform
+  private final case class SubtractGreenT(xsize: Int) extends Transform
+  private final case class ColorIndexT(xsize: Int, palette: Array[Int]) extends Transform
+
+  private def subSampleSize(size: Int, bits: Int): Int = (size + (1 << bits) - 1) >> bits
+
+  // ------------------------------------------------------------ decoder core
+
+  private val MaxPixels = (1L << 28) / 4
+
+  private def decodeVp8l(b: Array[Byte], off: Int, len: Int): Either[String, Jpeg.Image] = {
+    if (len < 5) return Left("webp: vp8l too short")
+    if ((b(off) & 0xff) != 0x2f) return Left("webp: bad vp8l signature")
+    val br = new BitReader(b, off + 1, off + len)
+    val w = br.readBits(14) + 1
+    val h = br.readBits(14) + 1
+    val alphaUsed = br.readBit()
+    val version = br.readBits(3)
+    if (version != 0) return Left("webp: bad vp8l version")
+    if (w.toLong * h > MaxPixels) return Left("webp: image too large")
+    val argb = decodeImageStream(br, w, h, isLevel0 = true)
+    // emit RGB / RGBA
+    val nc = if (alphaUsed == 1) 4 else 3
+    val out = new Array[Byte](w * h * nc)
+    var i = 0
+    var o = 0
+    while (i < argb.length) {
+      val px = argb(i)
+      out(o) = ((px >> 16) & 0xff).toByte
+      out(o + 1) = ((px >> 8) & 0xff).toByte
+      out(o + 2) = (px & 0xff).toByte
+      if (nc == 4) out(o + 3) = ((px >>> 24) & 0xff).toByte
+      i += 1; o += nc
+    }
+    Right(Jpeg.Image(w, h, nc, out))
+  }
+
+  /** DecodeImageStream per the spec: [transforms (level 0 only)] →
+    * color-cache info → prefix-code groups (meta prefix codes at level 0
+    * only) → LZ77/cache pixel decode → inverse transforms. */
+  private def decodeImageStream(br: BitReader, wIn: Int, hIn: Int, isLevel0: Boolean): Array[Int] = {
+    var w = wIn
+    val h = hIn
+    var transforms = List.empty[Transform]
+    if (isLevel0) {
+      var seen = 0
+      while (br.readBit() == 1) {
+        val t = br.readBits(2)
+        if ((seen & (1 << t)) != 0) throw new IllegalArgumentException("duplicate transform")
+        seen |= 1 << t
+        t match {
+          case 0 => // predictor
+            val bits = br.readBits(3) + 2
+            val tiles = decodeImageStream(br, subSampleSize(w, bits), subSampleSize(h, bits), isLevel0 = false)
+            transforms ::= PredictorT(w, bits, tiles)
+          case 1 => // cross-color
+            val bits = br.readBits(3) + 2
+            val tiles = decodeImageStream(br, subSampleSize(w, bits), subSampleSize(h, bits), isLevel0 = false)
+            transforms ::= ColorT(w, bits, tiles)
+          case 2 => // subtract green
+            transforms ::= SubtractGreenT(w)
+          case _ => // color indexing
+            val n = br.readBits(8) + 1
+            val pal = decodeImageStream(br, n, 1, isLevel0 = false)
+            // palette entries are delta-coded per channel
+            var i = 1
+            while (i < pal.length) {
+              val p = pal(i - 1); val d = pal(i)
+              pal(i) = (((p & 0xff00ff00) + (d & 0xff00ff00)) & 0xff00ff00) |
+                (((p & 0x00ff00ff) + (d & 0x00ff00ff)) & 0x00ff00ff)
+              i += 1
+            }
+            transforms ::= ColorIndexT(w, pal)
+            val xb = paletteXBits(n)
+            w = subSampleSize(w, xb) // main image decodes at packed width
+        }
+      }
+    }
+    // color cache
+    var cacheBits = 0
+    if (br.readBit() == 1) {
+      cacheBits = br.readBits(4)
+      if (cacheBits < 1 || cacheBits > 11) throw new IllegalArgumentException("bad cache bits")
+    }
+    // meta prefix codes
+    var metaBits = 0
+    var metaImage: Array[Int] = null
+    var numGroups = 1
+    if (isLevel0 && br.readBit() == 1) {
+      metaBits = br.readBits(3) + 2
+      metaImage = decodeImageStream(br, subSampleSize(w, metaBits), subSampleSize(h, metaBits), isLevel0 = false)
+      var mx = 0
+      var i = 0
+      while (i < metaImage.length) {
+        val g = (metaImage(i) >> 8) & 0xffff
+        if (g > mx) mx = g
+        i += 1
+      }
+      numGroups = mx + 1
+      if (numGroups > 65536) throw new IllegalArgumentException("too many prefix groups")
+    }
+    val cacheSize = if (cacheBits > 0) 1 << cacheBits else 0
+    val greenAlphabet = 256 + 24 + cacheSize
+    val groups = Array.fill(numGroups) {
+      Array(
+        readHuffmanCode(br, greenAlphabet),
+        readHuffmanCode(br, 256),
+        readHuffmanCode(br, 256),
+        readHuffmanCode(br, 256),
+        readHuffmanCode(br, 40))
+    }
+    // pixel decode
+    val n = w * h
+    if (n.toLong > MaxPixels) throw new IllegalArgumentException("image too large")
+    val argb = new Array[Int](n)
+    val cache = if (cacheSize > 0) new Array[Int](cacheSize) else null
+    val metaW = if (metaImage != null) subSampleSize(w, metaBits) else 0
+    def groupAt(pos: Int): Array[Huffman] =
+      if (metaImage == null) groups(0)
+      else {
+        val x = pos % w; val y = pos / w
+        val g = (metaImage((y >> metaBits) * metaW + (x >> metaBits)) >> 8) & 0xffff
+        groups(g)
+      }
+    def cacheInsert(px: Int): Unit =
+      if (cache != null) cache(((0x1e35a7bd * px) >>> (32 - cacheBits))) = px
+    var pos = 0
+    while (pos < n) {
+      val g = groupAt(pos)
+      val s = g(0).decode(br)
+      if (s < 256) {
+        val red = g(1).decode(br)
+        val blue = g(2).decode(br)
+        val alpha = g(3).decode(br)
+        val px = (alpha << 24) | (red << 16) | (s << 8) | blue
+        argb(pos) = px
+        cacheInsert(px)
+        pos += 1
+      } else if (s < 280) {
+        val length = prefixDecode(s - 256, br)
+        val distSym = g(4).decode(br)
+        val distCode = prefixDecode(distSym, br)
+        val dist = planeCodeToDistance(w, distCode)
+        if (dist > pos || length > n - pos)
+          throw new IllegalArgumentException("bad backward reference")
+        var k = 0
+        while (k < length) {
+          val px = argb(pos - dist)
+          argb(pos) = px
+          cacheInsert(px)
+          pos += 1; k += 1
+        }
+      } else {
+        if (cache == null) throw new IllegalArgumentException("cache symbol without cache")
+        val idx = s - 280
+        if (idx >= cacheSize) throw new IllegalArgumentException("cache index out of range")
+        argb(pos) = cache(idx)
+        pos += 1
+      }
+    }
+    // inverse transforms, reverse read order (head of list = last read)
+    var result = argb
+    transforms.foreach { t => result = inverseTransform(t, result, h) }
+    result
+  }
+
+  private def paletteXBits(n: Int): Int =
+    if (n <= 2) 3 else if (n <= 4) 2 else if (n <= 16) 1 else 0
+
+  private def inverseTransform(t: Transform, in: Array[Int], h: Int): Array[Int] = t match {
+    case SubtractGreenT(w) =>
+      var i = 0
+      while (i < in.length) {
+        val px = in(i)
+        val g = (px >> 8) & 0xff
+        val r = (((px >> 16) & 0xff) + g) & 0xff
+        val b = ((px & 0xff) + g) & 0xff
+        in(i) = (px & 0xff00ff00) | (r << 16) | b
+        i += 1
+      }
+      in
+    case ColorT(w, bits, tiles) =>
+      val tw = subSampleSize(w, bits)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val te = tiles((y >> bits) * tw + (x >> bits))
+          val g2r = (te & 0xff).toByte
+          val g2b = ((te >> 8) & 0xff).toByte
+          val r2b = ((te >> 16) & 0xff).toByte
+          val px = in(i)
+          val g = ((px >> 8) & 0xff).toByte
+          var r = (px >> 16) & 0xff
+          r = (r + ((g2r * g) >> 5)) & 0xff
+          var b = px & 0xff
+          b = (b + ((g2b * g) >> 5)) & 0xff
+          b = (b + ((r2b * r.toByte) >> 5)) & 0xff
+          in(i) = (px & 0xff00ff00) | (r << 16) | b
+          x += 1; i += 1
+        }
+        y += 1
+      }
+      in
+    case PredictorT(w, bits, tiles) =>
+      val tw = subSampleSize(w, bits)
+      var y = 0
+      var i = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val pred =
+            if (x == 0 && y == 0) 0xff000000
+            else if (y == 0) in(i - 1) // top row: L
+            else if (x == 0) in(i - w) // first column: T
+            else {
+              val mode = (tiles((y >> bits) * tw + (x >> bits)) >> 8) & 0xff
+              val l = in(i - 1)
+              val t = in(i - w)
+              val tl = in(i - w - 1)
+              // rightmost column: TR wraps to the first (already decoded)
+              // pixel of the CURRENT row — normative per RFC 9649
+              val tr = if (x == w - 1) in(y * w) else in(i - w + 1)
+              predict(mode, l, t, tl, tr)
+            }
+          in(i) = addPixels(in(i), pred)
+          x += 1; i += 1
+        }
+        y += 1
+      }
+      in
+    case ColorIndexT(w, palette) =>
+      val n = palette.length
+      val xb = paletteXBits(n)
+      if (xb == 0) {
+        var i = 0
+        while (i < in.length) {
+          val idx = (in(i) >> 8) & 0xff
+          in(i) = if (idx < n) palette(idx) else 0
+          i += 1
+        }
+        in
+      } else {
+        val packedW = subSampleSize(w, xb)
+        val out = new Array[Int](w * h)
+        val bpp = 8 >> xb
+        val mask = (1 << bpp) - 1
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val packed = (in(y * packedW + (x >> xb)) >> 8) & 0xff
+            val idx = (packed >> ((x & ((1 << xb) - 1)) * bpp)) & mask
+            out(y * w + x) = if (idx < n) palette(idx) else 0
+            x += 1
+          }
+          y += 1
+        }
+        out
+      }
+  }
+
+  // per-channel add modulo 256
+  private def addPixels(a: Int, b: Int): Int =
+    (((a & 0xff00ff00) + (b & 0xff00ff00)) & 0xff00ff00) |
+      (((a & 0x00ff00ff) + (b & 0x00ff00ff)) & 0x00ff00ff)
+
+  private def avg2(a: Int, b: Int): Int =
+    (((a ^ b) & 0xfefefefe) >>> 1) + (a & b)
+
+  private def clip255(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+
+  private def predict(mode: Int, l: Int, t: Int, tl: Int, tr: Int): Int = mode match {
+    case 0 => 0xff000000
+    case 1 => l
+    case 2 => t
+    case 3 => tr
+    case 4 => tl
+    case 5 => avg2(avg2(l, tr), t)
+    case 6 => avg2(l, tl)
+    case 7 => avg2(l, t)
+    case 8 => avg2(tl, t)
+    case 9 => avg2(t, tr)
+    case 10 => avg2(avg2(l, tl), avg2(t, tr))
+    case 11 => // Select(T, L, TL)
+      def sub3(a: Int, b: Int, c: Int): Int = {
+        val pb = b - c; val pa = a - c
+        math.abs(pb) - math.abs(pa)
+      }
+      val paMinusPb =
+        sub3((t >>> 24), (l >>> 24), (tl >>> 24)) +
+          sub3((t >> 16) & 0xff, (l >> 16) & 0xff, (tl >> 16) & 0xff) +
+          sub3((t >> 8) & 0xff, (l >> 8) & 0xff, (tl >> 8) & 0xff) +
+          sub3(t & 0xff, l & 0xff, tl & 0xff)
+      if (paMinusPb <= 0) t else l
+    case 12 => // ClampAddSubtractFull(L, T, TL)
+      def f(sh: Int): Int =
+        clip255(((l >>> sh) & 0xff) + ((t >>> sh) & 0xff) - ((tl >>> sh) & 0xff)) << sh
+      f(24) | f(16) | f(8) | f(0)
+    case 13 => // ClampAddSubtractHalf(Avg2(L,T), TL)
+      val ave = avg2(l, t)
+      def g(sh: Int): Int = {
+        val a = (ave >>> sh) & 0xff
+        val c = (tl >>> sh) & 0xff
+        clip255(a + (a - c) / 2) << sh
+      }
+      g(24) | g(16) | g(8) | g(0)
+    case _ => throw new IllegalArgumentException(s"bad predictor mode $mode")
+  }
+
+  // ------------------------------------------------------------ encoder twin
+
+  private final class BitWriter {
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var nbits = 0
+    def writeBits(v: Int, n: Int): Unit = { // LSB-first
+      var i = 0
+      while (i < n) {
+        cur |= ((v >>> i) & 1) << nbits
+        nbits += 1
+        if (nbits == 8) { buf += cur.toByte; cur = 0; nbits = 0 }
+        i += 1
+      }
+    }
+    /** a prefix code's bits, MSB of the code first. */
+    def writeCode(code: Int, len: Int): Unit = {
+      var i = len - 1
+      while (i >= 0) { writeBits((code >>> i) & 1, 1); i -= 1 }
+    }
+    def toBytes: Array[Byte] = {
+      val out = if (nbits > 0) buf :+ cur.toByte else buf
+      out.toArray
+    }
+  }
+
+  /** Emit a literal prefix code: simple form for <= 2 used symbols,
+    * otherwise a full 256-symbol 8-bit code (complete by construction)
+    * with zero-padding to `alphabetSize` via an 18-run. */
+  private def writeLiteralCode(bw: BitWriter, used: Array[Int], alphabetSize: Int): (Int => (Int, Int)) = {
+    if (used.length == 1) {
+      val s = used(0)
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(0, 1) // one symbol
+      if (s < 2) { bw.writeBits(0, 1); bw.writeBits(s, 1) }
+      else { bw.writeBits(1, 1); bw.writeBits(s, 8) }
+      sym => { require(sym == s); (0, 0) }
+    } else if (used.length == 2) {
+      val lo = math.min(used(0), used(1))
+      val hi = math.max(used(0), used(1))
+      bw.writeBits(1, 1) // simple
+      bw.writeBits(1, 1) // two symbols
+      if (lo < 2) { bw.writeBits(0, 1); bw.writeBits(lo, 1) }
+      else { bw.writeBits(1, 1); bw.writeBits(lo, 8) }
+      bw.writeBits(hi, 8)
+      sym => if (sym == lo) (0, 1) else (1, 1)
+    } else {
+      // normal form: 256 symbols of length 8
+      bw.writeBits(0, 1) // not simple
+      bw.writeBits(12 - 4, 4) // num_code_lengths = 12 (through symbol 8)
+      // kOrder prefix [17,18,0,1,2,3,4,5,16,6,7,8]: lengths 8→1, 16→1
+      val lens = Array(0, 0, 0, 0, 0, 0, 0, 0, 1, 0, 0, 1)
+      lens.foreach(l => bw.writeBits(l, 3))
+      bw.writeBits(0, 1) // no max_symbol cap
+      // code-length alphabet {8, 16} at length 1: canonical → 8 = '0', 16 = '1'
+      bw.writeCode(0, 1) // symbol 8: first length
+      var remaining = 255
+      while (remaining > 0) { // repeat-previous runs of 3..6
+        val r = math.min(6, if (remaining - 6 >= 3 || remaining <= 6) remaining else remaining - 3)
+        val take = if (r < 3) 3 else r // remaining >= 3 always by loop construction
+        bw.writeCode(1, 1) // symbol 16
+        bw.writeBits(take - 3, 2)
+        remaining -= take
+      }
+      if (alphabetSize > 256) {
+        // zero out the tail in one or two 18-runs (11..138 each)
+        var zeros = alphabetSize - 256
+        while (zeros > 0) {
+          val take = math.min(138, if (zeros - 138 >= 11 || zeros <= 138) zeros else zeros - 11)
+          require(take >= 11, s"zero tail $zeros not expressible")
+          // need symbol 18: but our cl alphabet only has {8,16}! —
+          // handled by caller passing alphabetSize == 256 here; green
+          // uses writeGreenCode below.
+          throw new IllegalStateException("writeLiteralCode: tail unsupported")
+        }
+      }
+      sym => (sym, 8)
+    }
+  }
+
+  /** Green code (alphabet 280, no cache): 256 literals at 8 bits plus a
+    * 24-symbol zero tail via one 18-run. */
+  private def writeGreenCode(bw: BitWriter): Int => (Int, Int) = {
+    bw.writeBits(0, 1) // not simple
+    bw.writeBits(12 - 4, 4)
+    // lengths for [17,18,0,1,2,3,4,5,16,6,7,8]: 18→2, 16→2, 8→1
+    val lens = Array(0, 2, 0, 0, 0, 0, 0, 0, 2, 0, 0, 1)
+    lens.foreach(l => bw.writeBits(l, 3))
+    bw.writeBits(0, 1) // no cap
+    // canonical over {8:1, 16:2, 18:2}: 8='0', 16='10', 18='11'
+    bw.writeCode(0, 1) // symbol 8
+    var remaining = 255
+    while (remaining > 0) {
+      val take = math.min(6, if (remaining - 6 >= 3 || remaining <= 6) remaining else remaining - 3)
+      bw.writeCode(2, 2) // symbol 16
+      bw.writeBits(take - 3, 2)
+      remaining -= take
+    }
+    bw.writeCode(3, 2) // symbol 18: 24 zeros
+    bw.writeBits(24 - 11, 7)
+    sym => (sym, 8)
+  }
+
+  /** Minimal spec-conformant lossless encoder: no transforms, no color
+    * cache, one prefix-code group, literals only. `pix` is RGB (nc=3)
+    * or RGBA (nc=4), row-major. */
+  def encode(pix: Array[Byte], w: Int, h: Int, nc: Int): Array[Byte] = {
+    require(nc == 3 || nc == 4, "rgb or rgba")
+    require(pix.length == w * h * nc, "pixel buffer size mismatch")
+    require(w >= 1 && h >= 1 && w <= 16384 && h <= 16384, "bad dims")
+    val bw = new BitWriter
+    bw.writeBits(w - 1, 14)
+    bw.writeBits(h - 1, 14)
+    val alphaUsed = nc == 4 && {
+      var i = 3; var any = false
+      while (i < pix.length && !any) { if ((pix(i) & 0xff) != 255) any = true; i += nc }
+      any
+    }
+    bw.writeBits(if (alphaUsed) 1 else 0, 1)
+    bw.writeBits(0, 3) // version
+    bw.writeBits(0, 1) // no transforms
+    bw.writeBits(0, 1) // no color cache
+    bw.writeBits(0, 1) // no meta prefix codes
+    val green = writeGreenCode(bw)
+    def channelUsed(c: Int): Array[Int] = {
+      val seen = new Array[Boolean](256)
+      var i = 0
+      while (i < w * h) {
+        val v = if (c == 3 && nc == 3) 255 else pix(i * nc + c) & 0xff
+        seen(v) = true
+        i += 1
+      }
+      (0 until 256).filter(seen).toArray
+    }
+    val red = writeLiteralCode(bw, channelUsed(0), 256)
+    val blue = writeLiteralCode(bw, channelUsed(2), 256)
+    val alpha = writeLiteralCode(bw, channelUsed(3), 256)
+    // distance code: simple, single symbol 0 (never used)
+    bw.writeBits(1, 1); bw.writeBits(0, 1); bw.writeBits(0, 1); bw.writeBits(0, 1)
+    var i = 0
+    while (i < w * h) {
+      val r = pix(i * nc) & 0xff
+      val g = pix(i * nc + 1) & 0xff
+      val b = pix(i * nc + 2) & 0xff
+      val a = if (nc == 4) pix(i * nc + 3) & 0xff else 255
+      val (gc, gl) = green(g); bw.writeCode(gc, gl)
+      val (rc, rl) = red(r); bw.writeCode(rc, rl)
+      val (bc, bl) = blue(b); bw.writeCode(bc, bl)
+      val (ac, al) = alpha(a); bw.writeCode(ac, al)
+      i += 1
+    }
+    val payload = Array[Byte](0x2f) ++ bw.toBytes
+    wrapRiff(payload)
+  }
+
+  private def wrapRiff(vp8l: Array[Byte]): Array[Byte] = {
+    val chunkLen = vp8l.length
+    val padded = chunkLen + (chunkLen & 1)
+    val total = 4 + 8 + padded // "WEBP" + chunk header + payload
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = {
+      out.write(v & 0xff); out.write((v >> 8) & 0xff)
+      out.write((v >> 16) & 0xff); out.write((v >> 24) & 0xff)
+    }
+    out.write("RIFF".getBytes("US-ASCII")); le32(total)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8L".getBytes("US-ASCII")); le32(chunkLen)
+    out.write(vp8l, 0, vp8l.length)
+    if ((chunkLen & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+}

@@ -286,21 +286,23 @@ object Multimodal {
   /** True iff the payload sniffs as a format [[decodeImage]] handles. */
   def isImagePayload(p: Array[Byte]): Boolean =
     graft.codec.Jpeg.isJpeg(p) || graft.codec.Png.isPng(p) || graft.codec.Gif.isGif(p) ||
-      graft.codec.Tiff.isTiff(p) || graft.codec.Bmp.isBmp(p)
+      graft.codec.Tiff.isTiff(p) || graft.codec.Bmp.isBmp(p) ||
+      graft.codec.WebpVp8l.isWebp(p)
 
   /** Sniff-and-decode any supported image payload through the
     * from-scratch codecs: JPEG (baseline + progressive), PNG, GIF — the
     * classic web trio — plus TIFF (gray/RGB raw/LZW/PackBits and CCITT
-    * G4, the scanned-document container) and BMP (8/24/32-bit BI_RGB).
-    * WebP/AVIF are honest fences (full VP8/AV1 stacks); they sniff as
-    * media upstream and land here as Left, as do JPEG-in-TIFF and BMP's
-    * RLE modes. */
+    * G4, the scanned-document container), BMP (8/24/32-bit BI_RGB), and
+    * WebP lossless (VP8L, libwebp-differential-pinned). Lossy VP8 and
+    * AVIF remain honest fences (DCT/AV1 stacks) and land here as Left,
+    * as do JPEG-in-TIFF and BMP's RLE modes. */
   def decodeImage(payload: Array[Byte]): Either[String, graft.codec.Jpeg.Image] =
     if (graft.codec.Jpeg.isJpeg(payload)) graft.codec.Jpeg.decode(payload)
     else if (graft.codec.Png.isPng(payload)) graft.codec.Png.decode(payload)
     else if (graft.codec.Gif.isGif(payload)) graft.codec.Gif.decode(payload)
     else if (graft.codec.Tiff.isTiff(payload)) graft.codec.Tiff.decode(payload)
     else if (graft.codec.Bmp.isBmp(payload)) graft.codec.Bmp.decode(payload)
+    else if (graft.codec.WebpVp8l.isWebp(payload)) graft.codec.WebpVp8l.decode(payload)
     else Left("image: unrecognized format")
 
   /** Box-average resize (area interpolation) to tw x th — the thumbnail /

@@ -111,7 +111,11 @@ class PlanSpec extends AnyFunSuite {
       bandEx.foreach { e =>
         val cols = e.child.output.map(_.name).toSet
         assert(!cols.exists(_.startsWith("sh")), s"band exchange ships $cols")
-        assert(cols.subsetOf(Set("id", "id_a", "id_b", "band", "key")), s"band exchange ships $cols")
+        // count/min are the hot-bucket cap's partial bucket-stat
+        // aggregate (8 bytes each per (band, key) group) — metadata,
+        // not payload; shingle arrays must still never appear
+        assert(cols.subsetOf(Set("id", "id_a", "id_b", "band", "key", "count", "min")),
+          s"band exchange ships $cols")
       }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
@@ -134,7 +138,10 @@ class PlanSpec extends AnyFunSuite {
       assert(bandEx.nonEmpty, df.queryExecution.executedPlan.toString)
       bandEx.foreach { e =>
         val cols = e.child.output.map(_.name).toSet
-        assert(cols.subsetOf(Set("id", "id_a", "id_b", "band", "bk")), s"band exchange ships $cols")
+        // count/min: the hot-bucket cap's bucket-stat partials (see the
+        // minhash twin above); vectors must still never appear
+        assert(cols.subsetOf(Set("id", "id_a", "id_b", "band", "bk", "count", "min")),
+          s"band exchange ships $cols")
       }
     } finally {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

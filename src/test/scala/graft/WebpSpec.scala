@@ -1,0 +1,177 @@
+package graft
+
+import java.util.Base64
+import org.scalatest.funsuite.AnyFunSuite
+import graft.codec.{Jpeg, WebpVp8l}
+
+/** WebP-lossless codec pinned against the system libwebp: the frozen
+  * fixtures (fixtures/webp_goldens_v1.jsonl) were produced by
+  * scripts/gen_webp_fixtures.py, which (a) encodes deterministic
+  * patterns with libwebp's own lossless encoder (full transform /
+  * cache / meta coverage chosen by the reference implementation) and
+  * (b) handcrafts VP8L streams validated through libwebp's decoder
+  * before freezing (distance-map probes, color-cache hit, meta prefix
+  * dispatch). Regenerate only via the script; any drift here is codec
+  * drift, not fixture drift. */
+class WebpSpec extends AnyFunSuite {
+
+  private case class Fx(name: String, w: Int, h: Int, webp: Array[Byte], rgba: Array[Byte])
+
+  private def loadFixtures(): Seq[Fx] = {
+    val src = scala.io.Source.fromFile("fixtures/webp_goldens_v1.jsonl", "UTF-8")
+    try {
+      src.getLines().map { line =>
+        def field(k: String): String = {
+          val i = line.indexOf("\"" + k + "\":")
+          val vstart = line.indexOf('"', i + k.length + 3) + 1
+          line.substring(vstart, line.indexOf('"', vstart))
+        }
+        def intField(k: String): Int = {
+          val i = line.indexOf("\"" + k + "\":") + k.length + 3
+          line.substring(i).dropWhile(!_.isDigit).takeWhile(_.isDigit).toInt
+        }
+        Fx(field("name"), intField("w"), intField("h"),
+          Base64.getDecoder.decode(field("webp_b64")),
+          Base64.getDecoder.decode(field("rgba_b64")))
+      }.toList
+    } finally src.close()
+  }
+
+  private def toRgba(im: Jpeg.Image): Array[Byte] = {
+    val out = new Array[Byte](im.width * im.height * 4)
+    var i = 0
+    while (i < im.width * im.height) {
+      im.nComponents match {
+        case 4 =>
+          System.arraycopy(im.pixels, i * 4, out, i * 4, 4)
+        case 3 =>
+          out(i * 4) = im.pixels(i * 3)
+          out(i * 4 + 1) = im.pixels(i * 3 + 1)
+          out(i * 4 + 2) = im.pixels(i * 3 + 2)
+          out(i * 4 + 3) = 0xff.toByte
+        case 1 =>
+          out(i * 4) = im.pixels(i); out(i * 4 + 1) = im.pixels(i)
+          out(i * 4 + 2) = im.pixels(i); out(i * 4 + 3) = 0xff.toByte
+      }
+      i += 1
+    }
+    out
+  }
+
+  test("every libwebp-pinned fixture decodes byte-identically") {
+    val fxs = loadFixtures()
+    assert(fxs.size >= 18, "fixture file truncated?")
+    fxs.foreach { fx =>
+      WebpVp8l.decode(fx.webp) match {
+        case Right(im) =>
+          assert(im.width == fx.w && im.height == fx.h, s"${fx.name}: dims")
+          assert(java.util.Arrays.equals(toRgba(im), fx.rgba),
+            s"${fx.name}: PIXEL DRIFT vs libwebp")
+        case Left(err) => fail(s"${fx.name}: decode failed: $err")
+      }
+    }
+  }
+
+  test("distance map equals the libwebp-extracted table entry for entry") {
+    // extracted empirically by scripts/gen_webp_fixtures.py: a length-1
+    // backref per code 1..120 decoded through libwebp, source pixel
+    // recovered from its unique color
+    val expected = Seq(
+      (0, 1), (1, 0), (1, 1), (-1, 1), (0, 2), (2, 0), (1, 2), (-1, 2),
+      (2, 1), (-2, 1), (2, 2), (-2, 2), (0, 3), (3, 0), (1, 3), (-1, 3),
+      (3, 1), (-3, 1), (2, 3), (-2, 3), (3, 2), (-3, 2), (0, 4), (4, 0),
+      (1, 4), (-1, 4), (4, 1), (-4, 1), (3, 3), (-3, 3), (2, 4), (-2, 4),
+      (4, 2), (-4, 2), (0, 5), (3, 4), (-3, 4), (4, 3), (-4, 3), (5, 0),
+      (1, 5), (-1, 5), (5, 1), (-5, 1), (2, 5), (-2, 5), (5, 2), (-5, 2),
+      (4, 4), (-4, 4), (3, 5), (-3, 5), (5, 3), (-5, 3), (0, 6), (6, 0),
+      (1, 6), (-1, 6), (6, 1), (-6, 1), (2, 6), (-2, 6), (6, 2), (-6, 2),
+      (4, 5), (-4, 5), (5, 4), (-5, 4), (3, 6), (-3, 6), (6, 3), (-6, 3),
+      (0, 7), (7, 0), (1, 7), (-1, 7), (5, 5), (-5, 5), (7, 1), (-7, 1),
+      (4, 6), (-4, 6), (6, 4), (-6, 4), (2, 7), (-2, 7), (7, 2), (-7, 2),
+      (3, 7), (-3, 7), (7, 3), (-7, 3), (5, 6), (-5, 6), (6, 5), (-6, 5),
+      (8, 0), (4, 7), (-4, 7), (7, 4), (-7, 4), (8, 1), (8, 2), (6, 6),
+      (-6, 6), (8, 3), (5, 7), (-5, 7), (7, 5), (-7, 5), (8, 4), (6, 7),
+      (-6, 7), (7, 6), (-7, 6), (8, 5), (7, 7), (-7, 7), (8, 6), (8, 7))
+    val got = WebpVp8l.DistanceMap.map(e => ((e & 0xff) - 128, e >> 8)).toSeq
+    assert(got == expected)
+  }
+
+  test("encoder twin round-trips rgb and rgba (incl. 1x1 and odd sizes)") {
+    val rng = new scala.util.Random(42)
+    for ((w, h, nc) <- Seq((1, 1, 3), (3, 2, 3), (16, 16, 3), (7, 5, 4), (33, 9, 4))) {
+      val pix = new Array[Byte](w * h * nc)
+      rng.nextBytes(pix)
+      val webp = WebpVp8l.encode(pix, w, h, nc)
+      WebpVp8l.decode(webp) match {
+        case Right(im) =>
+          assert(im.width == w && im.height == h, s"$w x $h dims")
+          if (nc == 3) {
+            assert(im.nComponents == 3)
+            assert(java.util.Arrays.equals(im.pixels, pix), s"$w x $h rgb roundtrip")
+          } else {
+            // alpha flag set only if some alpha != 255
+            val rt = toRgba(im)
+            val want = new Array[Byte](w * h * 4)
+            System.arraycopy(pix, 0, want, 0, pix.length)
+            assert(java.util.Arrays.equals(rt, want), s"$w x $h rgba roundtrip")
+          }
+        case Left(err) => fail(s"$w x $h: $err")
+      }
+    }
+  }
+
+  test("constant-channel images use 0-bit simple codes and round-trip") {
+    val w = 9; val h = 4
+    val pix = Array.tabulate(w * h * 3) { i =>
+      if (i % 3 == 0) 77.toByte else if (i % 3 == 1) (i / 3).toByte else 200.toByte
+    }
+    val webp = WebpVp8l.encode(pix, w, h, 3)
+    val im = WebpVp8l.decode(webp).toOption.get
+    assert(java.util.Arrays.equals(im.pixels, pix))
+  }
+
+  test("typed errors: lossy VP8, bad signature, truncation, hostile dims") {
+    assert(WebpVp8l.decode("RIFF\u0000\u0000\u0000\u0000WEBPVP8 \u0000\u0000\u0000\u0000"
+      .getBytes("ISO-8859-1")).left.exists(_.contains("lossy")))
+    assert(WebpVp8l.decode("nope".getBytes).isLeft)
+    assert(WebpVp8l.decode(Array.emptyByteArray).isLeft)
+    // 16384x16384 = 2^28 pixels > cap: the header alone must fail fast
+    val payload = Array[Byte](0x2f, -1, -1, -1, 0x1f, 0, 0, 0, 0, 0)
+    val out = new java.io.ByteArrayOutputStream()
+    def le32(v: Int): Unit = (0 until 4).foreach(k => out.write((v >> (8 * k)) & 0xff))
+    out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + payload.length)
+    out.write("WEBP".getBytes("US-ASCII"))
+    out.write("VP8L".getBytes("US-ASCII")); le32(payload.length)
+    out.write(payload, 0, payload.length)
+    val r = WebpVp8l.decode(out.toByteArray)
+    assert(r.left.exists(e => e.contains("too large") || e.contains("overrun")), r)
+  }
+
+  test("mutation fuzz: corrupted streams degrade to typed errors, never throw") {
+    val fxs = loadFixtures().take(6)
+    val rng = new scala.util.Random(1337)
+    var errs = 0
+    fxs.foreach { fx =>
+      (0 until 120).foreach { k =>
+        val mutated = fx.webp.clone()
+        k % 3 match {
+          case 0 => // flip a random byte
+            val i = rng.nextInt(mutated.length)
+            mutated(i) = (mutated(i) ^ (1 << rng.nextInt(8))).toByte
+          case 1 => // truncate
+            val n = rng.nextInt(mutated.length)
+            val t = java.util.Arrays.copyOf(mutated, n)
+            WebpVp8l.decode(t) // must not throw
+          case _ => // garbage tail region
+            val i = rng.nextInt(mutated.length)
+            mutated(i) = rng.nextInt(256).toByte
+        }
+        WebpVp8l.decode(mutated) match { // must not throw
+          case Left(_) => errs += 1
+          case Right(_) => () // a mutation may still decode; that's fine
+        }
+      }
+    }
+    assert(errs > 0) // the sweep actually exercised failure paths
+  }
+}
