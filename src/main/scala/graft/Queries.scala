@@ -444,6 +444,63 @@ object Queries {
           col("d._3").as("sum_r"), col("d._4").as("sum_g"), col("d._5").as("sum_b"))
     }),
 
+    // PDF -> JBIG2Decode -> PIXELS, END TO END (the third scanned-
+    // document class after q194 DCT and q196 CCITT — the one T24
+    // previously shipped undecoded): the writer embeds real JBIG2
+    // embedded-organization streams built by the encoder twin, the
+    // harvest surfaces them, the codec decodes. Odd ids use the MMR
+    // coding (T.6 — externally pinned through the JDK-differential G4
+    // coder); even ids sweep the four arithmetic templates with TPGDON
+    // on every third doc. The oracle recounts black pixels and their
+    // positional checksum from the generator's closed form.
+    "q249_pdf_jbig2" -> ((s, dir) => {
+      import graft.pdf.PdfWriter
+      val mk = udf { id: Long =>
+        val w = 24 + (id % 3).toInt * 8; val h = 6 + (id % 4).toInt
+        val pix = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            if ((x + 3 * y + id) % 7 < 3) pix(y * w + x) = 1
+            x += 1
+          }
+          y += 1
+        }
+        val stream = graft.codec.Jbig2.encode(pix, w, h,
+          template = ((id / 2) % 4).toInt,
+          tpgdon = id % 3 == 0,
+          mmr = id % 2 == 1)
+        PdfWriter.write(Vector(PdfWriter.PageSpec(Vector(Vector(s"jbig $id")),
+          images = Vector(PdfWriter.ImageSpec(w, h, PdfWriter.Jbig2Codec, stream,
+            colorSpace = "DeviceGray", bitsPerComponent = 1)))))
+      }
+      val dec = udf { b: Array[Byte] =>
+        graft.codec.Jbig2.decode(b) match {
+          case Right(im) =>
+            var nb = 0L; var ck = 0L
+            var i = 0
+            while (i < im.pixels.length) {
+              if (im.pixels(i) != 0) { nb += 1; ck += i }
+              i += 1
+            }
+            (im.width.toLong, im.height.toLong, nb, ck)
+          case Left(_) => (-1L, -1L, -1L, -1L)
+        }
+      }
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/jb"), col("doc_id"), lit(".pdf")).as("url"),
+        mk(col("doc_id").cast("long")).as("payload"))
+      graft.extract.PdfImages.imagesDf(pages, "url", "payload")
+        .select(
+          regexp_extract(col("url"), "jb(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+          col("format"), col("color_space"), col("bits").cast("long").as("bits"),
+          dec(col("data")).as("d"))
+        .select(col("doc_id"), col("format"), col("color_space"), col("bits"),
+          col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("n_black"), col("d._4").as("checksum"))
+    }),
+
     // Hot-bucket star-reduction, ORACLED with the cap FIRING: 40 planted
     // clones of one template page share every LSH band bucket (the
     // parked-domain-farm shape), maxBucket = 8 < 40 collapses each
@@ -6607,7 +6664,11 @@ object Queries {
         |k AS (SELECT doc_id, ls,
         |    list_filter(ls, (x, i) -> x = '' OR list_position(ls, x) = i) AS ks
         |  FROM l)
-        |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        |SELECT doc_id,
+        |  -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+        |  -- array_join([]) is '' — fires when every line strips away
+        |  -- (first seen at the sf1.0 clone tier, q96)
+        |  coalesce(array_to_string(ks, chr(10)), '') AS text,
         |  len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept
         |FROM k""".stripMargin,
 
@@ -6670,7 +6731,11 @@ object Queries {
         |    list_filter(l.ls, x -> x = '' OR
         |      NOT list_contains(coalesce(b.bl, CAST([] AS VARCHAR[])), x)) AS ks
         |  FROM l LEFT JOIN b ON b.source = l.source)
-        |SELECT doc_id, array_to_string(ks, chr(10)) AS text,
+        |SELECT doc_id,
+        |  -- coalesce: DuckDB array_to_string([]) is NULL where Spark
+        |  -- array_join([]) is '' — fires when every line strips away
+        |  -- (first seen at the sf1.0 clone tier, q96)
+        |  coalesce(array_to_string(ks, chr(10)), '') AS text,
         |  len(ls)::BIGINT AS n_lines, len(ks)::BIGINT AS n_kept
         |FROM k""".stripMargin,
 
@@ -8665,6 +8730,21 @@ object Queries {
         |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM g),
         |c AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
         |SELECT doc_id, 'ccitt' AS format, 'DeviceGray' AS color_space,
+        |  CAST(1 AS BIGINT) AS bits,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_black,
+        |  CAST(sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN y*w + x ELSE 0 END) AS BIGINT) AS checksum
+        |FROM c GROUP BY doc_id, w, h""".stripMargin,
+
+    // q249: q196's closed form for the JBIG2 leg (taller rows so TPGDON
+    // has something to predict); the dict constants are what the PDF
+    // harvest must read from the /JBIG2Decode XObject.
+    "q249_pdf_jbig2" ->
+      """WITH g AS (
+        |  SELECT doc_id, 24 + (doc_id % 3) * 8 AS w, 6 + doc_id % 4 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM g),
+        |c AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+        |SELECT doc_id, 'jbig2' AS format, 'DeviceGray' AS color_space,
         |  CAST(1 AS BIGINT) AS bits,
         |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
         |  CAST(sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_black,

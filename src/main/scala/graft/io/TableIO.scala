@@ -24,8 +24,25 @@ final class ParquetTableIO(warehouse: String) extends TableIO {
   override def readTable(spark: SparkSession, name: String): DataFrame =
     spark.read.parquet(path(name))
 
-  override def appendTable(df: DataFrame, name: String): Unit =
+  override def appendTable(df: DataFrame, name: String): Unit = {
+    // Iceberg rejects appends whose schema does not match the table
+    // (evolution is an explicit DDL step); plain parquet would silently
+    // accept them and leave the directory with MIXED schemas whose read
+    // schema depends on which file gets sampled. Enforce the Iceberg
+    // contract here so the production swap changes no behavior
+    // (TableIOSpec pins this).
+    if (tableExists(df.sparkSession, name)) {
+      val existing = df.sparkSession.read.parquet(path(name)).schema
+      val incoming = df.schema
+      val e = existing.fields.map(f => (f.name, f.dataType)).toSeq
+      val i = incoming.fields.map(f => (f.name, f.dataType)).toSeq
+      if (e != i)
+        throw new IllegalArgumentException(
+          s"appendTable($name): schema mismatch — table has ${e.mkString(",")}; " +
+            s"append has ${i.mkString(",")}. Evolve the table explicitly instead.")
+    }
     df.write.mode("append").parquet(path(name))
+  }
 
   override def overwritePartitions(df: DataFrame, name: String, partitionCol: String): Unit =
     df.write
