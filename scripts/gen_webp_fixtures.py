@@ -33,7 +33,30 @@ lib.WebPDecodeRGBA.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
 lib.WebPEncodeLosslessRGBA.restype = ctypes.c_size_t
 lib.WebPEncodeLosslessRGBA.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
                                        ctypes.c_int, ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+lib.WebPEncodeRGBA.restype = ctypes.c_size_t
+lib.WebPEncodeRGBA.argtypes = [ctypes.c_char_p, ctypes.c_int, ctypes.c_int,
+                               ctypes.c_int, ctypes.c_float,
+                               ctypes.POINTER(ctypes.POINTER(ctypes.c_uint8))]
+lib.WebPGetInfo.restype = ctypes.c_int
+lib.WebPGetInfo.argtypes = [ctypes.c_char_p, ctypes.c_size_t,
+                            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int)]
 lib.WebPFree.argtypes = [ctypes.c_void_p]
+
+
+def get_info(data: bytes):
+    w = ctypes.c_int()
+    h = ctypes.c_int()
+    ok = lib.WebPGetInfo(data, len(data), ctypes.byref(w), ctypes.byref(h))
+    return (w.value, h.value) if ok else None
+
+
+def encode_lossy(rgba: bytes, w: int, h: int, q: float = 75.0) -> bytes:
+    out = ctypes.POINTER(ctypes.c_uint8)()
+    n = lib.WebPEncodeRGBA(rgba, w, h, w * 4, q, ctypes.byref(out))
+    assert n > 0, "libwebp lossy encode failed"
+    data = bytes(ctypes.cast(out, ctypes.POINTER(ctypes.c_uint8 * n)).contents)
+    lib.WebPFree(out)
+    return data
 
 
 def decode(data: bytes):
@@ -421,6 +444,40 @@ def main():
         records.append({"name": f"enc_{name}_{w}x{h}", "w": w, "h": h,
                         "webp_b64": base64.b64encode(webp).decode(),
                         "rgba_b64": base64.b64encode(rgba).decode()})
+
+    # family 1b: LOSSY encodes — header-info fixtures only (pixels stay
+    # fenced; the Scala info() must agree with WebPGetInfo). The
+    # with-alpha case makes libwebp emit a VP8X + ALPH container,
+    # pinning the VP8X canvas path.
+    for name, w, h, alpha in [("smooth", 40, 24, False), ("gradient", 17, 31, False),
+                              ("alpha_noise", 20, 20, True)]:
+        rgba = pattern(name, w, h)
+        lossy = encode_lossy(rgba, w, h)
+        gi = get_info(lossy)
+        assert gi == (w, h), f"WebPGetInfo disagreed for lossy {name}: {gi}"
+        records.append({"name": f"lossy_{name}_{w}x{h}", "w": w, "h": h,
+                        "kind": "lossy",
+                        "webp_b64": base64.b64encode(lossy).decode(),
+                        "rgba_b64": ""})
+    # synthetic VP8-header-only stream (the q250-style closed-form shape):
+    # frame tag + start code + 14-bit dims, no valid coefficient data —
+    # WebPGetInfo must still read the dims (it parses only the header)
+    def vp8_header_only(w, h):
+        payload = bytes([0x10, 0x00, 0x00, 0x9D, 0x01, 0x2A,
+                         w & 0xFF, (w >> 8) & 0x3F, h & 0xFF, (h >> 8) & 0x3F])
+        ch = len(payload)
+        total = 4 + 8 + ch + (ch & 1)
+        out = (b"RIFF" + total.to_bytes(4, "little") + b"WEBP" +
+               b"VP8 " + ch.to_bytes(4, "little") + payload)
+        return out + (b"\x00" if ch & 1 else b"")
+    for (w, h) in [(33, 21), (100, 7)]:
+        data = vp8_header_only(w, h)
+        gi = get_info(data)
+        assert gi == (w, h), f"WebPGetInfo rejected synthetic VP8 header: {gi}"
+        records.append({"name": f"vp8hdr_{w}x{h}", "w": w, "h": h,
+                        "kind": "lossy",
+                        "webp_b64": base64.b64encode(data).decode(),
+                        "rgba_b64": ""})
 
     # family 2a: distance-map probes (also extract the table)
     table = []

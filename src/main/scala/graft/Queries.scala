@@ -444,6 +444,250 @@ object Queries {
           col("d._3").as("sum_r"), col("d._4").as("sum_g"), col("d._5").as("sum_b"))
     }),
 
+    // WebP crawl labeling, ORACLED: header-level info (dimensions +
+    // lossless flag) WITHOUT pixel decode — what a 100-TB labeler reads
+    // for every webp before deciding to decode. Even ids are real VP8L
+    // streams from the encoder twin (also decoded, proving decodable);
+    // odd ids are VP8 lossy headers (frame tag + 0x9D012A start code +
+    // 14-bit dims — the exact construction the fixture script validated
+    // against libwebp's WebPGetInfo) whose pixels stay fenced with the
+    // typed lossy error. All fields closed forms of doc_id.
+    "q250_webp_info" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 9 + (id % 11).toInt; val h = 5 + (id % 7).toInt
+        val bytes =
+          if (id % 2 == 0) {
+            val pix = Array.tabulate(w * h * 3)(i => ((id + i * 7) % 256).toByte)
+            graft.codec.WebpVp8l.encode(pix, w, h, 3)
+          } else {
+            val payload = Array[Byte](0x10, 0x00, 0x00, 0x9d.toByte, 0x01, 0x2a,
+              (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+              (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
+            val ch = payload.length
+            val out = new java.io.ByteArrayOutputStream()
+            def le32(v: Int): Unit = (0 until 4).foreach(k => out.write((v >> (8 * k)) & 0xff))
+            out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + ch + (ch & 1))
+            out.write("WEBP".getBytes("US-ASCII"))
+            out.write("VP8 ".getBytes("US-ASCII")); le32(ch)
+            out.write(payload, 0, ch)
+            if ((ch & 1) == 1) out.write(0)
+            out.toByteArray
+          }
+        val infoRes = graft.codec.WebpVp8l.info(bytes)
+        val decodeStatus = graft.codec.WebpVp8l.decode(bytes) match {
+          case Right(im) if im.width == w && im.height == h => "ok"
+          case Right(_) => "wrong_dims"
+          case Left(e) if e.contains("lossy") => "lossy_fenced"
+          case Left(_) => "error"
+        }
+        infoRes match {
+          case Right((iw, ih, lossless)) => (iw.toLong, ih.toLong, lossless, decodeStatus)
+          case Left(_) => (-1L, -1L, false, decodeStatus)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("lossless"), col("d._4").as("decode_status"))
+    }),
+
+    // AUDIO CRAWL LABELING, ORACLED: the per-payload read before any
+    // audio decode decision — WAV rows through the REAL (JDK-pinned)
+    // codec's parse, MP3 rows through the new ISO 11172-3 header walk
+    // (synthesized frame sequences with closed-form bitrate/samplerate
+    // table indices; every frame header walked, duration exact from
+    // per-frame sample counts). Full MP3 audio decode stays fenced.
+    "q253_audio_info" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        if (id % 2 == 0) {
+          val n = 500 + (id % 300).toInt
+          val rate = 8000 * (1 + (id % 3).toInt)
+          val samples = Array.tabulate[Short](n)(i => ((id * 7 + i * 13) % 4096).toShort)
+          val bytes = graft.codec.Wav.encode(samples, 1, rate)
+          graft.codec.Wav.decode(bytes) match {
+            case Right(a) =>
+              ("wav", a.sampleRate.toLong, a.channels.toLong,
+                (a.samples.length / a.channels).toLong,
+                (a.samples.length / a.channels).toLong * 1000L / a.sampleRate)
+            case Left(_) => ("error", -1L, -1L, -1L, -1L)
+          }
+        } else {
+          val n = 3 + (id % 10).toInt
+          val brIdx = 1 + (id % 14).toInt
+          val srIdx = (id % 3).toInt
+          val bytes = graft.codec.Mp3.synthesize(n, versionBits = 3, layer = 3,
+            brIdx = brIdx, srIdx = srIdx, mono = (id / 2) % 2 == 0,
+            id3Size = (id % 5).toInt * 7)
+          graft.codec.Mp3.info(bytes) match {
+            case Right(mi) =>
+              ("mp3", mi.sampleRate.toLong, mi.channels.toLong,
+                mi.nFrames.toLong, mi.durationMs)
+            case Left(_) => ("error", -1L, -1L, -1L, -1L)
+          }
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("kind"), col("d._2").as("sample_rate"),
+          col("d._3").as("channels"), col("d._4").as("n_units"),
+          col("d._5").as("duration_ms"))
+    }),
+
+    // OGG CONTAINER LABELING, ORACLED: RFC 3533 page walk with Opus /
+    // Vorbis identification headers — codec, channels, rate, page
+    // count, and exact duration from the final granule (Opus granules
+    // tick at 48 kHz minus pre-skip; Vorbis at the stream rate).
+    "q255_ogg_info" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val opus = id % 2 == 0
+        val chans = 1 + (id % 2).toInt
+        val pages = 2 + (id % 6).toInt
+        val bytes =
+          if (opus) graft.codec.Ogg.synthesize("opus", chans, 48000,
+            preSkip = 312, nDataPages = pages, finalGranule = 48312 + id * 480)
+          else graft.codec.Ogg.synthesize("vorbis", chans, 22050,
+            preSkip = 0, nDataPages = pages, finalGranule = 22050 + id * 441)
+        graft.codec.Ogg.info(bytes) match {
+          case Right(oi) =>
+            (oi.codec, oi.channels.toLong, oi.sampleRate.toLong,
+              oi.nPages.toLong, oi.durationMs)
+          case Left(_) => ("error", -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("codec"), col("d._2").as("channels"),
+          col("d._3").as("sample_rate"), col("d._4").as("n_pages"),
+          col("d._5").as("duration_ms"))
+    }),
+
+    // VIDEO CONTAINER LABELING, ORACLED: ISO-BMFF (MP4) box walk —
+    // brand, mvhd timescale→ms duration (exact integer), track count,
+    // 16.16 video dimensions — without touching coded samples (H.264
+    // decode stays fenced; labeling is the curation read). Completes
+    // the image (q250) / audio (q253) / video labeling triad.
+    "q254_video_info" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val timescale = 600 * (1 + (id % 4).toInt)
+        val durUnits = 1000 + (id * 37 % 5000)
+        val w = 320 + (id % 5).toInt * 160
+        val h = 180 + (id % 5).toInt * 90
+        val bytes = graft.codec.Mp4.synthesize(
+          if (id % 3 == 0) "mp42" else "isom", timescale, durUnits, w, h,
+          extraAudioTrack = id % 2 == 0)
+        graft.codec.Mp4.info(bytes) match {
+          case Right(mi) =>
+            (mi.brand, mi.durationMs, mi.nTracks.toLong,
+              mi.videoW.toLong, mi.videoH.toLong)
+          case Left(_) => ("error", -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("brand"), col("d._2").as("duration_ms"),
+          col("d._3").as("n_tracks"), col("d._4").as("video_w"), col("d._5").as("video_h"))
+    }),
+
+    // ANIMATED WEBP, ORACLED (q209's sibling for the WebP container):
+    // VP8X/ANIM/ANMF parsing + canvas compositing with no-blend opaque
+    // frames and a dispose-to-background rect, every frame a VP8L
+    // stream through the libwebp-pinned still decoder. Per-frame RGBA
+    // canvas totals are closed forms: frame 1 full gradient, frame 2
+    // overwrites a patch (later disposed to transparent), frame 3 draws
+    // beside the hole.
+    "q252_webp_anim" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val cw = 10; val ch = 6
+        def rgb(w: Int, h: Int)(f: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+          val px = new Array[Byte](w * h * 3)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val (r, g, b) = f(x, y)
+              val i = (y * w + x) * 3
+              px(i) = (r % 256).toByte; px(i + 1) = (g % 256).toByte
+              px(i + 2) = (b % 256).toByte
+              x += 1
+            }
+            y += 1
+          }
+          px
+        }
+        val f0 = rgb(cw, ch)((x, y) =>
+          (((id * 3 + x + 2 * y) % 256).toInt, ((id * 5 + x) % 256).toInt,
+            ((id * 7 + y) % 256).toInt))
+        val fp = rgb(4, 2)((x, y) =>
+          (((id * 11 + x + y) % 256).toInt, ((id * 13 + x) % 256).toInt,
+            ((id * 17 + y) % 256).toInt))
+        val fq = rgb(2, 2)((x, y) =>
+          (((id * 19 + x) % 256).toInt, ((id * 23 + y) % 256).toInt,
+            ((id * 29) % 256).toInt))
+        val bytes = graft.codec.WebpVp8l.encodeAnimated(cw, ch, (id % 4).toInt, Seq(
+          (0, 0, cw, ch, f0, 3, 30, true, false),
+          (2, 2, 4, 2, fp, 3, 40, true, true),
+          (6, 2, 2, 2, fq, 3, 50, true, false)))
+        graft.codec.WebpVp8l.decodeFrames(bytes) match {
+          case Right(anim) =>
+            def total(k: Int): Long = {
+              var sum = 0L
+              anim.frames(k).pixels.foreach(p => sum += (p & 0xff))
+              sum
+            }
+            (anim.nFrames.toLong, anim.loop.toLong,
+              anim.durationsMs.map(_.toLong).sum, total(0), total(1), total(2))
+          case Left(_) => (-1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("n_frames"), col("d._2").as("loop_count"),
+          col("d._3").as("dur_ms"), col("d._4").as("sum0"), col("d._5").as("sum1"),
+          col("d._6").as("sum2"))
+    }),
+
+    // SYMBOL-CODED JBIG2 in PDF, ORACLED (q249's other half — the
+    // coding real scanned PDFs predominantly use): per-document glyph
+    // grids run arithmetic symbol dictionary → text region → page
+    // composition through the real PDF harvest; placements are disjoint
+    // so black count and positional checksum are exact closed forms.
+    "q251_pdf_jbig2_text" -> ((s, dir) => {
+      import graft.pdf.PdfWriter
+      val mk = udf { id: Long =>
+        val cols = 4 + (id % 3).toInt; val rows = 2 + (id % 2).toInt
+        val w = 5 * cols + 2; val h = 5 * rows + 2
+        val square = Array.fill[Byte](9)(1)
+        val diag = Array.tabulate[Byte](9)(i => if (i % 4 == 0) 1 else 0) // (0,0),(1,1),(2,2)
+        val syms = Vector((3, 3, square), (3, 3, diag))
+        val placements = for {
+          cy <- 0 until rows
+          cx <- 0 until cols
+        } yield (((id + cx + cy) % 2).toInt, 1 + 5 * cx, 1 + 5 * cy)
+        val stream = graft.codec.Jbig2.encodeSymbolPage(w, h, syms, placements)
+        PdfWriter.write(Vector(PdfWriter.PageSpec(Vector(Vector(s"sym $id")),
+          images = Vector(PdfWriter.ImageSpec(w, h, PdfWriter.Jbig2Codec, stream,
+            colorSpace = "DeviceGray", bitsPerComponent = 1)))))
+      }
+      val dec = udf { b: Array[Byte] =>
+        graft.codec.Jbig2.decode(b) match {
+          case Right(im) =>
+            var nb = 0L; var ck = 0L
+            var i = 0
+            while (i < im.pixels.length) {
+              if (im.pixels(i) != 0) { nb += 1; ck += i }
+              i += 1
+            }
+            (im.width.toLong, im.height.toLong, nb, ck)
+          case Left(_) => (-1L, -1L, -1L, -1L)
+        }
+      }
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/sym"), col("doc_id"), lit(".pdf")).as("url"),
+        mk(col("doc_id").cast("long")).as("payload"))
+      graft.extract.PdfImages.imagesDf(pages, "url", "payload")
+        .select(
+          regexp_extract(col("url"), "sym(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+          col("format"), dec(col("data")).as("d"))
+        .select(col("doc_id"), col("format"),
+          col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("n_black"), col("d._4").as("checksum"))
+    }),
+
     // PDF -> JBIG2Decode -> PIXELS, END TO END (the third scanned-
     // document class after q194 DCT and q196 CCITT — the one T24
     // previously shipped undecoded): the writer embeds real JBIG2
@@ -8735,6 +8979,109 @@ object Queries {
         |  CAST(sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_black,
         |  CAST(sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN y*w + x ELSE 0 END) AS BIGINT) AS checksum
         |FROM c GROUP BY doc_id, w, h""".stripMargin,
+
+    // q250: dims and flags are pure closed forms; the lossless branch
+    // must read "ok" (real decode round-trip), the lossy branch the
+    // typed fence.
+    "q250_webp_info" ->
+      """SELECT doc_id,
+        |  CAST(9 + doc_id % 11 AS BIGINT) AS width,
+        |  CAST(5 + doc_id % 7 AS BIGINT) AS height,
+        |  (doc_id % 2 = 0) AS lossless,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'ok' ELSE 'lossy_fenced' END AS decode_status
+        |FROM documents""".stripMargin,
+
+    // q255: opus duration = (final granule - 312 pre-skip) at 48 kHz;
+    // vorbis at the stream's own rate; page count = data pages + BOS.
+    "q255_ogg_info" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'opus' ELSE 'vorbis' END AS codec,
+        |  CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 48000 ELSE 22050 END AS BIGINT) AS sample_rate,
+        |  CAST(3 + doc_id % 6 AS BIGINT) AS n_pages,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN (48312 + doc_id * 480 - 312) * 1000 // 48000
+        |       ELSE (22050 + doc_id * 441) * 1000 // 22050 END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // q254: every field is the synthesis closed form; duration is the
+    // exact integer units*1000 // timescale.
+    "q254_video_info" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'mp42' ELSE 'isom' END AS brand,
+        |  CAST((1000 + (doc_id * 37) % 5000) * 1000
+        |       // (600 * (1 + doc_id % 4)) AS BIGINT) AS duration_ms,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+        |  CAST(320 + (doc_id % 5) * 160 AS BIGINT) AS video_w,
+        |  CAST(180 + (doc_id % 5) * 90 AS BIGINT) AS video_h
+        |FROM documents""".stripMargin,
+
+    // q253: wav fields are the generator's; mp3 bitrate/samplerate come
+    // from the ISO tables stated as list literals, duration is the exact
+    // integer nframes*1152*1000 // rate, channels from the mono flag.
+    "q253_audio_info" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'wav' ELSE 'mp3' END AS kind,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 3)
+        |       ELSE list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1)
+        |       END AS BIGINT) AS sample_rate,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 1
+        |       WHEN (doc_id // 2) % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS channels,
+        |  CAST(CASE WHEN doc_id % 2 = 0 THEN 500 + doc_id % 300
+        |       ELSE 3 + doc_id % 10 END AS BIGINT) AS n_units,
+        |  CAST(CASE WHEN doc_id % 2 = 0
+        |       THEN (500 + doc_id % 300) * 1000 // (8000 * (1 + doc_id % 3))
+        |       ELSE (3 + doc_id % 10) * 1152 * 1000
+        |            // list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1)
+        |       END AS BIGINT) AS duration_ms
+        |FROM documents""".stripMargin,
+
+    // q252: three RGBA canvas snapshots as closed forms — frame 2
+    // replaces the patch rect, frame 3 sees that rect disposed to
+    // transparent (all four channels 0) and draws beside it.
+    "q252_webp_anim" ->
+      """WITH px AS (
+        |  SELECT doc_id, x, y FROM documents,
+        |    unnest(generate_series(0, 9)) AS t1(x),
+        |    unnest(generate_series(0, 5)) AS t2(y)),
+        |v AS (SELECT doc_id, x, y,
+        |    (doc_id*3 + x + 2*y) % 256 + (doc_id*5 + x) % 256 + (doc_id*7 + y) % 256 + 255 AS base,
+        |    CASE WHEN x BETWEEN 2 AND 5 AND y BETWEEN 2 AND 3
+        |         THEN (doc_id*11 + (x-2) + (y-2)) % 256 + (doc_id*13 + (x-2)) % 256
+        |              + (doc_id*17 + (y-2)) % 256 + 255 END AS patch,
+        |    CASE WHEN x BETWEEN 6 AND 7 AND y BETWEEN 2 AND 3
+        |         THEN (doc_id*19 + (x-6)) % 256 + (doc_id*23 + (y-2)) % 256
+        |              + (doc_id*29) % 256 + 255 END AS q3
+        |  FROM px)
+        |SELECT doc_id,
+        |  CAST(3 AS BIGINT) AS n_frames,
+        |  CAST(doc_id % 4 AS BIGINT) AS loop_count,
+        |  CAST(120 AS BIGINT) AS dur_ms,
+        |  CAST(sum(base) AS BIGINT) AS sum0,
+        |  CAST(sum(coalesce(patch, base)) AS BIGINT) AS sum1,
+        |  CAST(sum(CASE WHEN patch IS NOT NULL THEN 0
+        |                ELSE coalesce(q3, base) END) AS BIGINT) AS sum2
+        |FROM v GROUP BY doc_id""".stripMargin,
+
+    // q251: per-glyph closed forms — a 3x3 full square contributes
+    // 9*(y0*w+x0) + 9w + 9 to the checksum, the diagonal 3*(y0*w+x0)
+    // + 3w + 3; placements are disjoint grid cells.
+    "q251_pdf_jbig2_text" ->
+      """WITH g AS (
+        |  SELECT doc_id, 4 + doc_id % 3 AS cols, 2 + doc_id % 2 AS rows FROM documents),
+        |dims AS (SELECT doc_id, cols, rows, 5*cols + 2 AS w, 5*rows + 2 AS h FROM g),
+        |cx AS (SELECT doc_id, cols, rows, w, h, unnest(generate_series(0, cols - 1)) AS cx FROM dims),
+        |cell AS (SELECT doc_id, w, h, cx, unnest(generate_series(0, rows - 1)) AS cy FROM cx),
+        |pl AS (SELECT doc_id, w, h,
+        |    (doc_id + cx + cy) % 2 AS glyph,
+        |    (1 + 5*cy) * w + (1 + 5*cx) AS base
+        |  FROM cell)
+        |SELECT doc_id, 'jbig2' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN glyph = 0 THEN 9 ELSE 3 END) AS BIGINT) AS n_black,
+        |  CAST(sum(CASE WHEN glyph = 0 THEN 9*base + 9*w + 9
+        |                ELSE 3*base + 3*w + 3 END) AS BIGINT) AS checksum
+        |FROM pl GROUP BY doc_id, w, h""".stripMargin,
 
     // q249: q196's closed form for the JBIG2 leg (taller rows so TPGDON
     // has something to predict); the dict constants are what the PDF

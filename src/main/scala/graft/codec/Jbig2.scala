@@ -227,15 +227,26 @@ object Jbig2 {
 
   // ------------------------------------------------------------ generic region
 
+  private def genericCtxSize(template: Int): Int =
+    math.max(1 << Templates(template).length, TpgdonContext(template) + 1)
+
   /** Decode one arithmetic generic region into a row-major bit-per-byte
     * bitmap (1 = black). */
   private def decodeGenericArith(data: Array[Byte], off: Int, len: Int,
       w: Int, h: Int, template: Int, tpgdon: Boolean): Array[Byte] = {
-    val tpl = Templates(template)
-    val ctxSize = math.max(1 << tpl.length, TpgdonContext(template) + 1)
+    val ctxSize = genericCtxSize(template)
     val ix = new Array[Int](ctxSize)
     val mps = new Array[Byte](ctxSize)
     val dec = new MQDecoder(data, off, len)
+    decodeGenericWith(dec, ix, mps, w, h, template, tpgdon)
+  }
+
+  /** Same, but continuing an EXISTING MQ decoder + context state — the
+    * symbol-dictionary path: all symbol bitmaps of a dictionary share
+    * one arithmetic decoder and one generic context set (T.88 6.5.8). */
+  private def decodeGenericWith(dec: MQDecoder, ix: Array[Int], mps: Array[Byte],
+      w: Int, h: Int, template: Int, tpgdon: Boolean): Array[Byte] = {
+    val tpl = Templates(template)
     val bm = new Array[Byte](w * h)
     var ltp = 0
     var y = 0
@@ -274,11 +285,19 @@ object Jbig2 {
     * [[decodeGenericArith]]). */
   private def encodeGenericArith(bm: Array[Byte], w: Int, h: Int,
       template: Int, tpgdon: Boolean): Array[Byte] = {
-    val tpl = Templates(template)
-    val ctxSize = math.max(1 << tpl.length, TpgdonContext(template) + 1)
+    val ctxSize = genericCtxSize(template)
     val ix = new Array[Int](ctxSize)
     val mps = new Array[Byte](ctxSize)
     val enc = new MQEncoder
+    encodeGenericWith(enc, ix, mps, bm, w, h, template, tpgdon)
+    enc.flush()
+  }
+
+  /** Twin of [[decodeGenericWith]]: append one generic bitmap to an
+    * existing encoder + shared context state (no flush). */
+  private def encodeGenericWith(enc: MQEncoder, ix: Array[Int], mps: Array[Byte],
+      bm: Array[Byte], w: Int, h: Int, template: Int, tpgdon: Boolean): Unit = {
+    val tpl = Templates(template)
     var ltp = 0
     var y = 0
     while (y < h) {
@@ -315,7 +334,256 @@ object Jbig2 {
       }
       y += 1
     }
-    enc.flush()
+  }
+
+  // ------------------------------------------------ arithmetic integers
+
+  /** One IAx integer-decoding context (T.88 A.2): 512 adaptive states
+    * walked by the PREV register. */
+  private final class IntCtx {
+    val ix = new Array[Int](512)
+    val mps = new Array[Byte](512)
+  }
+
+  private def nextPrev(prev: Int, b: Int): Int =
+    if (prev < 256) (prev << 1) | b else ((((prev << 1) | b) & 511) | 256)
+
+  /** Decode one IAx integer; None = OOB. */
+  private def decodeInt(dec: MQDecoder, cx: IntCtx): Option[Int] = {
+    var prev = 1
+    def bit(): Int = {
+      val b = dec.decode(cx.ix, cx.mps, prev)
+      prev = nextPrev(prev, b)
+      b
+    }
+    def bits(n: Int): Int = { // MSB-first
+      var v = 0
+      var k = 0
+      while (k < n) { v = (v << 1) | bit(); k += 1 }
+      v
+    }
+    val sign = bit()
+    val v =
+      if (bit() == 0) bits(2)
+      else if (bit() == 0) bits(4) + 4
+      else if (bit() == 0) bits(6) + 20
+      else if (bit() == 0) bits(8) + 84
+      else if (bit() == 0) bits(12) + 340
+      else bits(32) + 4436
+    if (sign == 1 && v == 0) None
+    else Some(if (sign == 1) -v else v)
+  }
+
+  /** Twin of [[decodeInt]]; value = None encodes OOB. */
+  private def encodeInt(enc: MQEncoder, cx: IntCtx, value: Option[Int]): Unit = {
+    var prev = 1
+    def bit(b: Int): Unit = {
+      enc.encode(cx.ix, cx.mps, prev, b)
+      prev = nextPrev(prev, b)
+    }
+    def bits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { bit((v >>> k) & 1); k -= 1 }
+    }
+    value match {
+      case None => bit(1); bit(0); bits(0, 2) // OOB = negative zero
+      case Some(x) =>
+        bit(if (x < 0) 1 else 0)
+        val v = math.abs(x)
+        if (v < 4) { bit(0); bits(v, 2) }
+        else if (v < 20) { bit(1); bit(0); bits(v - 4, 4) }
+        else if (v < 84) { bit(1); bit(1); bit(0); bits(v - 20, 6) }
+        else if (v < 340) { bit(1); bit(1); bit(1); bit(0); bits(v - 84, 8) }
+        else if (v < 4436) { bit(1); bit(1); bit(1); bit(1); bit(0); bits(v - 340, 12) }
+        else { bit(1); bit(1); bit(1); bit(1); bit(1); bits(v - 4436, 32) }
+    }
+  }
+
+  /** Symbol-id decode (T.88 A.3): a plain prefix walk of symCodeLen
+    * adaptive bits. */
+  private def decodeIaid(dec: MQDecoder, ctx: IntCtx, symCodeLen: Int): Int = {
+    var prev = 1
+    var k = 0
+    while (k < symCodeLen) {
+      val b = dec.decode(ctx.ix, ctx.mps, prev)
+      prev = (prev << 1) | b
+      k += 1
+    }
+    prev - (1 << symCodeLen)
+  }
+
+  private def encodeIaid(enc: MQEncoder, ctx: IntCtx, symCodeLen: Int, id: Int): Unit = {
+    var prev = 1
+    var k = symCodeLen - 1
+    while (k >= 0) {
+      val b = (id >>> k) & 1
+      enc.encode(ctx.ix, ctx.mps, prev, b)
+      prev = (prev << 1) | b
+      k -= 1
+    }
+  }
+
+  // ------------------------------------------------ symbol dict + text region
+
+  private final case class SymBitmap(w: Int, h: Int, px: Array[Byte])
+
+  /** Decode an arithmetic symbol dictionary's data; `inputSyms` are the
+    * symbols of referred dictionaries, in segment order. Returns the
+    * EXPORTED symbols. Fences: SDHUFF, SDREFAGG, non-nominal AT. */
+  private def decodeSymbolDict(b: Array[Byte], off: Int, end: Int,
+      inputSyms: Vector[SymBitmap]): Either[String, Vector[SymBitmap]] = {
+    if (off + 12 > end) return Left("jbig2: short symbol dict")
+    val flags = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    val sdhuff = (flags & 1) != 0
+    val sdrefagg = (flags & 2) != 0
+    val template = (flags >> 10) & 3
+    if (sdhuff) return Left("jbig2: huffman symbol dict unsupported")
+    if (sdrefagg) return Left("jbig2: refinement/aggregate symbol dict unsupported")
+    var q = off + 2
+    val atCount = if (template == 0) 4 else 1
+    if (q + 2 * atCount + 8 > end) return Left("jbig2: short symbol dict")
+    val at = (0 until atCount).map(k => (b(q + 2 * k).toInt, b(q + 2 * k + 1).toInt))
+    if (at != NominalAt(template).toSeq)
+      return Left("jbig2: non-nominal AT pixels unsupported")
+    q += 2 * atCount
+    val numEx = be32(b, q).toInt
+    val numNew = be32(b, q + 4).toInt
+    q += 8
+    if (numNew < 0 || numNew > 100000 || numEx < 0 || numEx > 100000)
+      return Left("jbig2: implausible symbol counts")
+    val dec = new MQDecoder(b, q, end - q)
+    val iadh = new IntCtx; val iadw = new IntCtx; val iaex = new IntCtx
+    val gix = new Array[Int](genericCtxSize(template))
+    val gmps = new Array[Byte](genericCtxSize(template))
+    val newSyms = Vector.newBuilder[SymBitmap]
+    var decoded = 0
+    var height = 0
+    while (decoded < numNew) {
+      val dh = decodeInt(dec, iadh).getOrElse(
+        return Left("jbig2: OOB height-class delta"))
+      height += dh
+      if (height <= 0 || height > (1 << 14)) return Left("jbig2: bad symbol height")
+      var width = 0
+      var classDone = false
+      while (!classDone) {
+        decodeInt(dec, iadw) match {
+          case None => classDone = true
+          case Some(dw) =>
+            width += dw
+            if (width <= 0 || width > (1 << 14) || decoded >= numNew)
+              return Left("jbig2: bad symbol width")
+            if (width.toLong * height > MaxPixels) return Left("jbig2: symbol too large")
+            val px = decodeGenericWith(dec, gix, gmps, width, height, template, tpgdon = false)
+            newSyms += SymBitmap(width, height, px)
+            decoded += 1
+        }
+      }
+    }
+    // export flags: alternating run lengths over input ++ new
+    val all = inputSyms ++ newSyms.result()
+    val exported = Vector.newBuilder[SymBitmap]
+    var exIndex = 0
+    var curFlag = false
+    while (exIndex < all.length) {
+      val run = decodeInt(dec, iaex).getOrElse(return Left("jbig2: OOB export run"))
+      if (run < 0 || exIndex + run > all.length) return Left("jbig2: bad export run")
+      if (curFlag) (exIndex until exIndex + run).foreach(i => exported += all(i))
+      exIndex += run
+      curFlag = !curFlag
+    }
+    val ex = exported.result()
+    if (ex.length != numEx) return Left("jbig2: export count mismatch")
+    Right(ex)
+  }
+
+  /** Decode an arithmetic text region's data onto a fresh region bitmap.
+    * Fences: SBHUFF, SBREFINE, TRANSPOSED, combination ops beyond OR. */
+  private def decodeTextRegion(b: Array[Byte], off: Int, end: Int,
+      rw: Int, rh: Int, syms: Vector[SymBitmap]): Either[String, Array[Byte]] = {
+    if (off + 4 > end) return Left("jbig2: short text region")
+    val flags = ((b(off) & 0xff) << 8) | (b(off + 1) & 0xff)
+    val sbhuff = (flags & 1) != 0
+    val refine = (flags & 2) != 0
+    val logStrips = (flags >> 2) & 3
+    val refCorner = (flags >> 4) & 3 // 0 BL, 1 TL, 2 BR, 3 TR
+    val transposed = (flags & 0x40) != 0
+    val combOp = (flags >> 7) & 3
+    val defPixel = (flags >> 9) & 1
+    var dsOffset = (flags >> 10) & 0x1f
+    if (dsOffset > 15) dsOffset -= 32 // signed 5-bit
+    if (sbhuff) return Left("jbig2: huffman text region unsupported")
+    if (refine) return Left("jbig2: refinement text region unsupported")
+    if (transposed) return Left("jbig2: transposed text region unsupported")
+    if (combOp != 0) return Left("jbig2: text region comb op unsupported")
+    if (defPixel != 0) return Left("jbig2: SBDEFPIXEL unsupported")
+    if (syms.isEmpty) return Left("jbig2: text region without symbols")
+    val q = off + 2
+    if (q + 4 > end) return Left("jbig2: short text region")
+    val numInstances = be32(b, q).toInt
+    if (numInstances < 0 || numInstances > (1 << 24)) return Left("jbig2: bad instance count")
+    val strips = 1 << logStrips
+    var symCodeLen = 32 - Integer.numberOfLeadingZeros(math.max(1, syms.length - 1))
+    if ((1 << symCodeLen) < syms.length) symCodeLen += 1
+    if (symCodeLen == 0) symCodeLen = 1
+    val dec = new MQDecoder(b, q + 4, end - (q + 4))
+    val iadt = new IntCtx; val iafs = new IntCtx; val iads = new IntCtx
+    val iait = new IntCtx; val iaid = new IntCtx
+    val bm = new Array[Byte](rw * rh)
+    var stripT = -decodeInt(dec, iadt).getOrElse(return Left("jbig2: OOB DT")) * strips
+    var firstS = 0
+    var inst = 0
+    while (inst < numInstances) {
+      stripT += decodeInt(dec, iadt).getOrElse(return Left("jbig2: OOB DT")) * strips
+      firstS += decodeInt(dec, iafs).getOrElse(return Left("jbig2: OOB FS"))
+      var curS = firstS
+      var stripDone = false
+      var firstInStrip = true
+      while (!stripDone && inst < numInstances) {
+        if (!firstInStrip) {
+          decodeInt(dec, iads) match {
+            case None => stripDone = true
+            case Some(ids) => curS += ids + dsOffset
+          }
+        }
+        if (!stripDone) {
+          val curT = if (strips == 1) 0 else decodeInt(dec, iait).getOrElse(
+            return Left("jbig2: OOB IT"))
+          val t = stripT + curT
+          val id = decodeIaid(dec, iaid, symCodeLen)
+          if (id < 0 || id >= syms.length) return Left("jbig2: symbol id out of range")
+          val sym = syms(id)
+          // draw (left-corner flow; right corners advance S first)
+          val x0 = refCorner match {
+            case 1 | 0 => curS // TOPLEFT / BOTTOMLEFT
+            case _ => curS // TOPRIGHT / BOTTOMRIGHT: S names the right
+              // edge, but since curS advances by WI-1 either way the left
+              // edge is curS for the first placement of the strip too
+          }
+          val y0 = refCorner match {
+            case 1 | 3 => t // top corners
+            case _ => t - sym.h + 1 // bottom corners
+          }
+          var yy = 0
+          while (yy < sym.h) {
+            var xx = 0
+            val ty = y0 + yy
+            if (ty >= 0 && ty < rh) {
+              while (xx < sym.w) {
+                val tx = x0 + xx
+                if (tx >= 0 && tx < rw && sym.px(yy * sym.w + xx) != 0)
+                  bm(ty * rw + tx) = 1
+                xx += 1
+              }
+            }
+            yy += 1
+          }
+          curS += sym.w - 1
+          inst += 1
+          firstInStrip = false
+        }
+      }
+    }
+    Right(bm)
   }
 
   // ------------------------------------------------------------ segments
@@ -341,6 +609,7 @@ object Jbig2 {
     var pageH = -1
     var page: Array[Byte] = null
     var sawRegion = false
+    val dicts = scala.collection.mutable.Map.empty[Long, Vector[SymBitmap]]
     while (p < b.length) {
       if (p + 11 > b.length) return Left("jbig2: truncated segment header")
       // segment number (4) + flags (1)
@@ -358,7 +627,18 @@ object Jbig2 {
       // referred segment numbers: size by THIS segment's number
       val segNum = be32(b, p)
       val refSize = if (segNum <= 256) 1 else if (segNum <= 65536) 2 else 4
-      q += refCount * refSize
+      if (refCount < 0 || refCount > 1000) return Left("jbig2: implausible ref count")
+      val referred = new Array[Long](refCount)
+      var rr = 0
+      while (rr < refCount) {
+        referred(rr) = refSize match {
+          case 1 => (b(q) & 0xffL)
+          case 2 => ((b(q) & 0xffL) << 8) | (b(q + 1) & 0xffL)
+          case _ => be32(b, q)
+        }
+        q += refSize
+        rr += 1
+      }
       q += (if (pageAssoc4) 4 else 1)
       if (q + 4 > b.length) return Left("jbig2: truncated segment header")
       val dataLen = be32(b, q)
@@ -436,8 +716,47 @@ object Jbig2 {
             }
             yy += 1
           }
-        case 0 => return Left("jbig2: symbol dictionary unsupported")
-        case 4 | 6 | 7 => return Left("jbig2: text region unsupported")
+        case 0 => // symbol dictionary
+          val inputSyms = referred.toVector.flatMap(r => dicts.getOrElse(r, Vector.empty))
+          decodeSymbolDict(b, q, dEnd, inputSyms) match {
+            case Right(ex) => dicts(segNum) = ex
+            case Left(err) => return Left(err)
+          }
+        case 4 | 6 | 7 => // text region (intermediate or immediate)
+          if (dataLen < 17) return Left("jbig2: short region segment")
+          val rw = be32(b, q).toInt
+          val rh = be32(b, q + 4).toInt
+          val rx = be32(b, q + 8).toInt
+          val ry = be32(b, q + 12).toInt
+          val combOpR = b(q + 16) & 0x7
+          if (rw <= 0 || rh <= 0 || rw.toLong * rh > MaxPixels)
+            return Left("jbig2: bad region size")
+          if (combOpR > 1 && combOpR != 4)
+            return Left("jbig2: unsupported combination operator")
+          val syms = referred.toVector.flatMap(r => dicts.getOrElse(r, Vector.empty))
+          decodeTextRegion(b, q + 17, dEnd, rw, rh, syms) match {
+            case Left(err) => return Left(err)
+            case Right(bitmap) =>
+              sawRegion = true
+              if (page == null) {
+                if (pageW <= 0) pageW = rx + rw
+                pageH = math.max(pageH, ry + rh)
+                if (pageW.toLong * pageH > MaxPixels || rx + rw > pageW)
+                  return Left("jbig2: image too large")
+                page = new Array[Byte](pageW * pageH)
+              } else if (ry + rh > pageH || rx + rw > pageW) {
+                return Left("jbig2: region outside page")
+              }
+              var yy = 0
+              while (yy < rh) {
+                var xx = 0
+                while (xx < rw) {
+                  if (bitmap(yy * rw + xx) != 0) page((ry + yy) * pageW + (rx + xx)) = 1
+                  xx += 1
+                }
+                yy += 1
+              }
+          }
         case 16 | 20 | 22 | 23 => return Left("jbig2: halftone unsupported")
         case 40 | 42 | 43 => return Left("jbig2: refinement region unsupported")
         case _ => () // page end / stripe end / tables / extensions: skip
@@ -493,6 +812,131 @@ object Jbig2 {
     out.write(payload, 0, payload.length)
     // end of page (#3, type 49)
     be(3, 4); out.write(49); out.write(0); out.write(1); be(0, 4)
+    out.toByteArray
+  }
+
+  /** Encoder twin for the SYMBOL-CODED page (the dominant real-world
+    * JBIG2 shape): page info + one arithmetic symbol dictionary + one
+    * immediate text region referring to it + end-of-page. `symbols` are
+    * distinct glyph bitmaps (w, h, row-major nonzero=black);
+    * `placements` are (symbolIndex, x, y) with (x, y) the glyph's
+    * top-left. Canonical stream: TOPLEFT ref corner, 1-row strips,
+    * OR composition, nominal AT. */
+  def encodeSymbolPage(w: Int, h: Int,
+      symbols: Vector[(Int, Int, Array[Byte])],
+      placements: Seq[(Int, Int, Int)],
+      template: Int = 0): Array[Byte] = {
+    require(w > 0 && h > 0 && symbols.nonEmpty)
+    symbols.foreach { case (sw, sh, px) =>
+      require(sw > 0 && sh > 0 && px.length == sw * sh, "bad symbol bitmap")
+    }
+    placements.foreach { case (id, _, _) => require(id >= 0 && id < symbols.length) }
+    // dictionary decode order is height-class order: sort, remap ids
+    val order = symbols.zipWithIndex.sortBy { case ((_, sh, _), i) => (sh, i) }
+    val idMap = order.zipWithIndex.map { case ((_, orig), newId) => orig -> newId }.toMap
+    val sorted = order.map(_._1)
+
+    // ---- symbol dictionary data
+    val dictBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be(v: Long, n: Int): Unit = {
+        var k = n - 1
+        while (k >= 0) { out.write(((v >> (8 * k)) & 0xff).toInt); k -= 1 }
+      }
+      be(template << 10, 2) // flags: arith, no refagg
+      NominalAt(template).foreach { case (x, y) => out.write(x & 0xff); out.write(y & 0xff) }
+      be(sorted.length, 4) // SDNUMEXSYMS
+      be(sorted.length, 4) // SDNUMNEWSYMS
+      val enc = new MQEncoder
+      val iadh = new IntCtx; val iadw = new IntCtx; val iaex = new IntCtx
+      val gix = new Array[Int](genericCtxSize(template))
+      val gmps = new Array[Byte](genericCtxSize(template))
+      var height = 0
+      var i = 0
+      while (i < sorted.length) {
+        val classH = sorted(i)._2
+        encodeInt(enc, iadh, Some(classH - height))
+        height = classH
+        var width = 0
+        while (i < sorted.length && sorted(i)._2 == classH) {
+          val (sw, _, px) = sorted(i)
+          encodeInt(enc, iadw, Some(sw - width))
+          width = sw
+          val norm = px.map(v => (if (v != 0) 1 else 0).toByte)
+          encodeGenericWith(enc, gix, gmps, norm, sw, classH, template, tpgdon = false)
+          i += 1
+        }
+        encodeInt(enc, iadw, None) // end of height class
+      }
+      encodeInt(enc, iaex, Some(0)) // run of 0 non-exported
+      encodeInt(enc, iaex, Some(sorted.length)) // export all
+      out.write(enc.flush())
+      out.toByteArray
+    }
+
+    // ---- text region data
+    val textBody = {
+      val out = new java.io.ByteArrayOutputStream()
+      def be(v: Long, n: Int): Unit = {
+        var k = n - 1
+        while (k >= 0) { out.write(((v >> (8 * k)) & 0xff).toInt); k -= 1 }
+      }
+      be(w, 4); be(h, 4); be(0, 4); be(0, 4); out.write(0) // region info, OR
+      be(1 << 4, 2) // flags: TOPLEFT, strips=1, arith, no refine/transpose
+      be(placements.length, 4)
+      var symCodeLen = 32 - Integer.numberOfLeadingZeros(math.max(1, sorted.length - 1))
+      if ((1 << symCodeLen) < sorted.length) symCodeLen += 1
+      if (symCodeLen == 0) symCodeLen = 1
+      val enc = new MQEncoder
+      val iadt = new IntCtx; val iafs = new IntCtx; val iads = new IntCtx
+      val iaid = new IntCtx
+      encodeInt(enc, iadt, Some(0)) // STRIPT init
+      val byStrip = placements.map { case (id, x, y) => (idMap(id), x, y) }
+        .groupBy(_._3).toSeq.sortBy(_._1)
+      var stripT = 0
+      var firstS = 0
+      byStrip.foreach { case (y, ps) =>
+        encodeInt(enc, iadt, Some(y - stripT))
+        stripT = y
+        val inOrder = ps.sortBy(_._2)
+        var curS = 0
+        var first = true
+        inOrder.foreach { case (id, x, _) =>
+          if (first) {
+            encodeInt(enc, iafs, Some(x - firstS))
+            firstS = x
+            curS = x
+            first = false
+          } else {
+            encodeInt(enc, iads, Some(x - curS))
+            curS = x
+          }
+          encodeIaid(enc, iaid, symCodeLen, id)
+          curS += sorted(id)._1 - 1
+        }
+        encodeInt(enc, iads, None) // end of strip
+      }
+      out.write(enc.flush())
+      out.toByteArray
+    }
+
+    // ---- segments
+    val out = new java.io.ByteArrayOutputStream()
+    def be(v: Long, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) { out.write(((v >> (8 * k)) & 0xff).toInt); k -= 1 }
+    }
+    // page info (#1)
+    be(1, 4); out.write(48); out.write(0); out.write(1)
+    be(19, 4); be(w, 4); be(h, 4); be(0, 4); be(0, 4); out.write(0); be(0, 2)
+    // symbol dictionary (#2)
+    be(2, 4); out.write(0); out.write(0); out.write(1)
+    be(dictBody.length, 4); out.write(dictBody, 0, dictBody.length)
+    // immediate text region (#3, refers to #2)
+    be(3, 4); out.write(6); out.write(1 << 5); out.write(2); out.write(1)
+    be(textBody.length, 4); out.write(textBody, 0, textBody.length)
+    // end of page (#4)
+    be(4, 4); out.write(49); out.write(0); out.write(1); be(0, 4)
     out.toByteArray
   }
 }

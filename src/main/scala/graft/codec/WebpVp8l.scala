@@ -62,6 +62,53 @@ object WebpVp8l {
     Left("webp: no VP8L chunk")
   }
 
+  /** Container-level info WITHOUT pixel decoding — the crawl-labeling
+    * read for formats whose pixels stay fenced (lossy VP8): returns
+    * (width, height, lossless). Dimensions come from the VP8X canvas
+    * when present (what libwebp's WebPGetInfo reports), else from the
+    * VP8L 14-bit fields or the VP8 keyframe header (start code
+    * 0x9D012A + two 14-bit little-endian fields). Pinned against
+    * WebPGetInfo by the frozen fixtures. */
+  def info(b: Array[Byte]): Either[String, (Int, Int, Boolean)] = {
+    if (!isWebp(b)) return Left("webp: bad signature")
+    var p = 12
+    var canvas: Option[(Int, Int)] = None
+    def le24(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    while (p + 8 <= b.length) {
+      val tag = new String(b, p, 4, "US-ASCII")
+      val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
+        ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
+      if (size < 0 || p + 8 + size > b.length) return Left("webp: truncated chunk")
+      val d = p + 8
+      tag match {
+        case "VP8X" =>
+          if (size < 10) return Left("webp: short VP8X")
+          canvas = Some((1 + le24(d + 4), 1 + le24(d + 7)))
+        case "VP8L" =>
+          if (size < 5 || (b(d) & 0xff) != 0x2f) return Left("webp: bad vp8l signature")
+          val bits = (b(d + 1) & 0xff) | ((b(d + 2) & 0xff) << 8) |
+            ((b(d + 3) & 0xff) << 16) | ((b(d + 4) & 0xff) << 24)
+          val w = (bits & 0x3fff) + 1
+          val h = ((bits >> 14) & 0x3fff) + 1
+          val (cw, ch) = canvas.getOrElse((w, h))
+          return Right((cw, ch, true))
+        case "VP8 " =>
+          if (size < 10) return Left("webp: short VP8 header")
+          val keyframe = (b(d) & 1) == 0
+          if (!keyframe) return Left("webp: not a keyframe")
+          if ((b(d + 3) & 0xff) != 0x9d || (b(d + 4) & 0xff) != 0x01 || (b(d + 5) & 0xff) != 0x2a)
+            return Left("webp: bad VP8 start code")
+          val w = ((b(d + 6) & 0xff) | ((b(d + 7) & 0xff) << 8)) & 0x3fff
+          val h = ((b(d + 8) & 0xff) | ((b(d + 9) & 0xff) << 8)) & 0x3fff
+          val (cw, ch) = canvas.getOrElse((w, h))
+          return Right((cw, ch, false))
+        case _ => ()
+      }
+      p += 8 + size + (size & 1)
+    }
+    Left("webp: no image chunk")
+  }
+
   // ------------------------------------------------------------ bit reader
 
   private final class BitReader(b: Array[Byte], var pos: Int, val end: Int) {
@@ -730,5 +777,209 @@ object WebpVp8l {
     out.write(vp8l, 0, vp8l.length)
     if ((chunkLen & 1) == 1) out.write(0)
     out.toByteArray
+  }
+
+  // ------------------------------------------------------------ animation
+
+  final case class Anim(width: Int, height: Int, loop: Int,
+      frames: Vector[Jpeg.Image], durationsMs: Vector[Int]) {
+    def nFrames: Int = frames.length
+  }
+
+  /** Decode an ANIMATED WebP whose frames are LOSSLESS (VP8L) — the
+    * sibling of [[Gif.decodeFrames]]: each ANMF frame decodes through
+    * the libwebp-pinned VP8L decoder and composites onto the VP8X
+    * canvas per its blend/dispose flags; every returned frame is the
+    * full RGBA canvas after that frame renders. Canvas starts fully
+    * transparent; dispose-to-background clears the frame rect back to
+    * transparent. Alpha blending uses exact integer arithmetic with
+    * floor division (deterministic; the oracle queries use opaque
+    * frames where blend == replace exactly). Lossy (VP8) frames are a
+    * typed error, like still lossy images. */
+  def decodeFrames(b: Array[Byte], maxFrames: Int = 4096): Either[String, Anim] =
+    try decodeFramesImpl(b, maxFrames)
+    catch { case e: Exception => Left(s"webp: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private def decodeFramesImpl(b: Array[Byte], maxFrames: Int): Either[String, Anim] = {
+    if (!isWebp(b)) return Left("webp: bad signature")
+    var p = 12
+    var cw = -1
+    var ch = -1
+    var loop = -1
+    val frames = Vector.newBuilder[Jpeg.Image]
+    val durs = Vector.newBuilder[Int]
+    var canvas: Array[Int] = null // ARGB
+    var n = 0
+    def le24(i: Int): Int = (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8) | ((b(i + 2) & 0xff) << 16)
+    while (p + 8 <= b.length) {
+      val tag = new String(b, p, 4, "US-ASCII")
+      val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
+        ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
+      if (size < 0 || p + 8 + size > b.length) return Left("webp: truncated chunk")
+      val d = p + 8
+      tag match {
+        case "VP8X" =>
+          if (size < 10) return Left("webp: short VP8X")
+          cw = 1 + le24(d + 4); ch = 1 + le24(d + 7)
+          if (cw.toLong * ch > MaxPixels) return Left("webp: image too large")
+          canvas = new Array[Int](cw * ch)
+        case "ANIM" =>
+          if (size < 6) return Left("webp: short ANIM")
+          loop = (b(d + 4) & 0xff) | ((b(d + 5) & 0xff) << 8)
+        case "ANMF" =>
+          if (canvas == null) return Left("webp: ANMF before VP8X")
+          if (size < 16) return Left("webp: short ANMF")
+          if (n >= maxFrames) return Left("webp: too many frames")
+          val fx = 2 * le24(d)
+          val fy = 2 * le24(d + 3)
+          val fw = 1 + le24(d + 6)
+          val fh = 1 + le24(d + 9)
+          val dur = le24(d + 12)
+          val flags = b(d + 15) & 0xff
+          val noBlend = (flags & 2) != 0
+          val disposeBg = (flags & 1) != 0
+          if (fx + fw > cw || fy + fh > ch) return Left("webp: frame outside canvas")
+          // frame payload: optional ALPH then VP8L/VP8
+          var fp = d + 16
+          val fEnd = d + size
+          var framePixels: Jpeg.Image = null
+          while (fp + 8 <= fEnd && framePixels == null) {
+            val ftag = new String(b, fp, 4, "US-ASCII")
+            val fsize = (b(fp + 4) & 0xff) | ((b(fp + 5) & 0xff) << 8) |
+              ((b(fp + 6) & 0xff) << 16) | ((b(fp + 7) & 0xff) << 24)
+            if (fsize < 0 || fp + 8 + fsize > fEnd) return Left("webp: truncated frame chunk")
+            ftag match {
+              case "VP8L" =>
+                framePixels = decodeVp8l(b, fp + 8, fsize) match {
+                  case Right(im) => im
+                  case Left(err) => return Left(err)
+                }
+              case "VP8 " => return Left("webp: lossy animation frame unsupported")
+              case _ => () // ALPH etc.
+            }
+            fp += 8 + fsize + (fsize & 1)
+          }
+          if (framePixels == null) return Left("webp: frame without image chunk")
+          if (framePixels.width != fw || framePixels.height != fh)
+            return Left("webp: frame size mismatch")
+          // composite
+          val nc = framePixels.nComponents
+          var yy = 0
+          while (yy < fh) {
+            var xx = 0
+            while (xx < fw) {
+              val si = (yy * fw + xx) * nc
+              val sr = framePixels.pixels(si) & 0xff
+              val sg = framePixels.pixels(si + 1) & 0xff
+              val sb = framePixels.pixels(si + 2) & 0xff
+              val sa = if (nc == 4) framePixels.pixels(si + 3) & 0xff else 255
+              val ci = (fy + yy) * cw + (fx + xx)
+              if (noBlend || sa == 255) {
+                canvas(ci) = (sa << 24) | (sr << 16) | (sg << 8) | sb
+              } else if (sa > 0) {
+                val dst = canvas(ci)
+                val da = (dst >>> 24) & 0xff
+                val aOut255 = sa * 255 + da * (255 - sa) // alpha scaled by 255
+                if (aOut255 == 0) canvas(ci) = 0
+                else {
+                  def ch(dsh: Int, sv: Int): Int = {
+                    val dv = (dst >>> dsh) & 0xff
+                    (sv * sa * 255 + dv * da * (255 - sa)) / aOut255
+                  }
+                  val a = (aOut255 + 127) / 255
+                  canvas(ci) = (a << 24) | (ch(16, sr) << 16) | (ch(8, sg) << 8) | ch(0, sb)
+                }
+              }
+              xx += 1
+            }
+            yy += 1
+          }
+          // snapshot
+          val snap = new Array[Byte](cw * ch * 4)
+          var i = 0
+          while (i < canvas.length) {
+            val px = canvas(i)
+            snap(i * 4) = ((px >> 16) & 0xff).toByte
+            snap(i * 4 + 1) = ((px >> 8) & 0xff).toByte
+            snap(i * 4 + 2) = (px & 0xff).toByte
+            snap(i * 4 + 3) = ((px >>> 24) & 0xff).toByte
+            i += 1
+          }
+          frames += Jpeg.Image(cw, ch, 4, snap)
+          durs += dur
+          n += 1
+          // dispose
+          if (disposeBg) {
+            var y2 = 0
+            while (y2 < fh) {
+              var x2 = 0
+              while (x2 < fw) { canvas((fy + y2) * cw + (fx + x2)) = 0; x2 += 1 }
+              y2 += 1
+            }
+          }
+        case _ => ()
+      }
+      p += 8 + size + (size & 1)
+    }
+    if (n == 0) return Left("webp: no animation frames")
+    Right(Anim(cw, ch, loop, frames.result(), durs.result()))
+  }
+
+  /** Encoder twin for lossless animations: each frame is (x, y, fw, fh,
+    * rgb-or-rgba pixels, nc, durationMs, noBlend, disposeBg); frame
+    * offsets must be even (the container stores x/2, y/2). */
+  def encodeAnimated(cw: Int, ch: Int, loop: Int,
+      frames: Seq[(Int, Int, Int, Int, Array[Byte], Int, Int, Boolean, Boolean)]): Array[Byte] = {
+    require(cw >= 1 && ch >= 1 && frames.nonEmpty)
+    val out = new java.io.ByteArrayOutputStream()
+    def le24(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff); out.write((v >> 16) & 0xff) }
+    def le32(v: Int): Unit = { le24(v); out.write((v >> 24) & 0xff) }
+    def chunk(tag: String, payload: Array[Byte]): Unit = {
+      out.write(tag.getBytes("US-ASCII")); le32(payload.length)
+      out.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) out.write(0)
+    }
+    // VP8X: animation + alpha flags, canvas size
+    val vp8x = new java.io.ByteArrayOutputStream()
+    vp8x.write(0x12); vp8x.write(0); vp8x.write(0); vp8x.write(0) // ANIM | ALPHA
+    def w24(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff)
+    }
+    w24(vp8x, cw - 1); w24(vp8x, ch - 1)
+    chunk("VP8X", vp8x.toByteArray)
+    // ANIM: transparent background, loop count
+    val anim = new java.io.ByteArrayOutputStream()
+    anim.write(0); anim.write(0); anim.write(0); anim.write(0)
+    anim.write(loop & 0xff); anim.write((loop >> 8) & 0xff)
+    chunk("ANIM", anim.toByteArray)
+    frames.foreach { case (x, y, fw, fh, pix, nc, dur, noBlend, disposeBg) =>
+      require(x % 2 == 0 && y % 2 == 0, "frame offsets must be even")
+      require(x + fw <= cw && y + fh <= ch, "frame outside canvas")
+      val vp8l = encode(pix, fw, fh, nc)
+      // extract the VP8L chunk payload from the still container
+      val chunkStart = 12
+      val csize = (vp8l(chunkStart + 4) & 0xff) | ((vp8l(chunkStart + 5) & 0xff) << 8) |
+        ((vp8l(chunkStart + 6) & 0xff) << 16) | ((vp8l(chunkStart + 7) & 0xff) << 24)
+      val payload = java.util.Arrays.copyOfRange(vp8l, chunkStart + 8, chunkStart + 8 + csize)
+      val anmf = new java.io.ByteArrayOutputStream()
+      w24(anmf, x / 2); w24(anmf, y / 2); w24(anmf, fw - 1); w24(anmf, fh - 1)
+      w24(anmf, dur)
+      anmf.write((if (noBlend) 2 else 0) | (if (disposeBg) 1 else 0))
+      anmf.write("VP8L".getBytes("US-ASCII"))
+      val ps = payload.length
+      anmf.write(ps & 0xff); anmf.write((ps >> 8) & 0xff); anmf.write((ps >> 16) & 0xff); anmf.write((ps >> 24) & 0xff)
+      anmf.write(payload, 0, payload.length)
+      if ((ps & 1) == 1) anmf.write(0)
+      chunk("ANMF", anmf.toByteArray)
+    }
+    val payload = out.toByteArray
+    val full = new java.io.ByteArrayOutputStream()
+    full.write("RIFF".getBytes("US-ASCII"))
+    val total = 4 + payload.length
+    full.write(total & 0xff); full.write((total >> 8) & 0xff)
+    full.write((total >> 16) & 0xff); full.write((total >> 24) & 0xff)
+    full.write("WEBP".getBytes("US-ASCII"))
+    full.write(payload, 0, payload.length)
+    full.toByteArray
   }
 }

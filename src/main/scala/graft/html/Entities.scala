@@ -90,7 +90,14 @@ object Entities {
     val n = s.length
     while (i < n) {
       val c = s.charAt(i)
-      if (c != '&') { sb.append(c); i += 1 }
+      if (c != '&') {
+        // bulk-copy the run to the next '&' — entity-bearing text is
+        // still mostly plain characters
+        val amp = s.indexOf('&', i)
+        val end = if (amp < 0) n else amp
+        sb.underlying.append(s, i, end)
+        i = end
+      }
       else {
         // find terminator ';' within a bounded window
         val semi = s.indexOf(';', i + 1)

@@ -115,6 +115,62 @@ class Jbig2Spec extends AnyFunSuite {
     }
   }
 
+  test("symbol-coded page round-trips: dict height classes, strips, id remap") {
+    // three glyphs of different sizes placed like text lines
+    val glyphA = Array[Byte](
+      0, 1, 0,
+      1, 0, 1,
+      1, 1, 1,
+      1, 0, 1)
+    val glyphB = Array[Byte](
+      1, 1,
+      1, 0,
+      1, 1)
+    val glyphDot = Array[Byte](1)
+    val syms = Vector((3, 4, glyphA), (2, 3, glyphB), (1, 1, glyphDot))
+    val w = 40; val h = 16
+    val placements = Seq(
+      (0, 1, 1), (1, 6, 2), (0, 10, 1), (2, 15, 4),   // line at y~1
+      (1, 2, 9), (1, 6, 9), (0, 11, 8), (2, 16, 11))  // line at y~9
+    val stream = Jbig2.encodeSymbolPage(w, h, syms, placements)
+    val im = Jbig2.decode(stream).toOption.getOrElse(fail("decode failed"))
+    assert(im.width == w && im.height == h)
+    // reference render
+    val want = new Array[Int](w * h)
+    placements.foreach { case (id, x, y) =>
+      val (sw, sh, px) = syms(id)
+      for (yy <- 0 until sh; xx <- 0 until sw)
+        if (px(yy * sw + xx) != 0) want((y + yy) * w + (x + xx)) = 1
+    }
+    val got = im.pixels.map(p => if (p != 0) 1 else 0)
+    assert(got.sameElements(want), "symbol page pixel drift")
+  }
+
+  test("symbol page: many instances, shared glyphs, multiple height classes") {
+    val rng = new scala.util.Random(123)
+    val syms = Vector.tabulate(7) { k =>
+      val sw = 1 + rng.nextInt(5); val sh = 1 + rng.nextInt(6)
+      val px = Array.fill(sw * sh)((if (rng.nextInt(3) > 0) 1 else 0).toByte)
+      px(0) = 1
+      (sw, sh, px)
+    }
+    val w = 120; val h = 60
+    val placements = (0 until 200).map { _ =>
+      val id = rng.nextInt(syms.length)
+      val (sw, sh, _) = syms(id)
+      (id, rng.nextInt(w - sw), rng.nextInt(h - sh))
+    }
+    val stream = Jbig2.encodeSymbolPage(w, h, syms, placements)
+    val im = Jbig2.decode(stream).toOption.getOrElse(fail("decode failed"))
+    val want = new Array[Int](w * h)
+    placements.foreach { case (id, x, y) =>
+      val (sw, sh, px) = syms(id)
+      for (yy <- 0 until sh; xx <- 0 until sw)
+        if (px(yy * sw + xx) != 0) want((y + yy) * w + (x + xx)) = 1
+    }
+    assert(im.pixels.map(p => if (p != 0) 1 else 0).sameElements(want))
+  }
+
   test("typed errors: unsupported features and truncation, never throws") {
     val good = Jbig2.encode(textLike(20, 10, 5L), 20, 10)
     // truncations

@@ -15,7 +15,8 @@ import graft.codec.{Jpeg, WebpVp8l}
   * drift, not fixture drift. */
 class WebpSpec extends AnyFunSuite {
 
-  private case class Fx(name: String, w: Int, h: Int, webp: Array[Byte], rgba: Array[Byte])
+  private case class Fx(name: String, w: Int, h: Int, webp: Array[Byte],
+      rgba: Array[Byte], lossy: Boolean)
 
   private def loadFixtures(): Seq[Fx] = {
     val src = scala.io.Source.fromFile("fixtures/webp_goldens_v1.jsonl", "UTF-8")
@@ -32,7 +33,8 @@ class WebpSpec extends AnyFunSuite {
         }
         Fx(field("name"), intField("w"), intField("h"),
           Base64.getDecoder.decode(field("webp_b64")),
-          Base64.getDecoder.decode(field("rgba_b64")))
+          Base64.getDecoder.decode(field("rgba_b64")),
+          line.contains("\"kind\": \"lossy\"") || line.contains("\"kind\":\"lossy\""))
       }.toList
     } finally src.close()
   }
@@ -59,7 +61,7 @@ class WebpSpec extends AnyFunSuite {
   }
 
   test("every libwebp-pinned fixture decodes byte-identically") {
-    val fxs = loadFixtures()
+    val fxs = loadFixtures().filterNot(_.lossy)
     assert(fxs.size >= 18, "fixture file truncated?")
     fxs.foreach { fx =>
       WebpVp8l.decode(fx.webp) match {
@@ -69,6 +71,22 @@ class WebpSpec extends AnyFunSuite {
             s"${fx.name}: PIXEL DRIFT vs libwebp")
         case Left(err) => fail(s"${fx.name}: decode failed: $err")
       }
+    }
+  }
+
+  test("info() agrees with WebPGetInfo on every fixture incl. lossy/VP8X") {
+    val fxs = loadFixtures()
+    assert(fxs.exists(_.lossy), "lossy fixtures missing?")
+    fxs.foreach { fx =>
+      WebpVp8l.info(fx.webp) match {
+        case Right((w, h, lossless)) =>
+          assert(w == fx.w && h == fx.h, s"${fx.name}: info dims $w x $h")
+          assert(lossless == !fx.lossy, s"${fx.name}: lossless flag")
+        case Left(err) => fail(s"${fx.name}: info failed: $err")
+      }
+      if (fx.lossy)
+        assert(WebpVp8l.decode(fx.webp).left.exists(e =>
+          e.contains("lossy") || e.contains("no VP8L")), s"${fx.name}: lossy must stay fenced")
     }
   }
 
@@ -145,6 +163,69 @@ class WebpSpec extends AnyFunSuite {
     out.write(payload, 0, payload.length)
     val r = WebpVp8l.decode(out.toByteArray)
     assert(r.left.exists(e => e.contains("too large") || e.contains("overrun")), r)
+  }
+
+  test("animated webp: opaque frames composite last-writer-wins with dispose") {
+    val cw = 12; val ch = 8
+    def solid(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] =
+      Array.tabulate(w * h * 3)(i => (i % 3 match {
+        case 0 => r; case 1 => g; case _ => b
+      }).toByte)
+    // frame 1: full canvas red; frame 2: 4x4 green at (2,2) no-blend;
+    // frame 3: 4x2 blue at (6,4) with disposeBg, then frame 4 tiny white
+    val frames = Seq(
+      (0, 0, cw, ch, solid(cw, ch, 200, 0, 0), 3, 40, true, false),
+      (2, 2, 4, 4, solid(4, 4, 0, 200, 0), 3, 50, true, false),
+      (6, 4, 4, 2, solid(4, 2, 0, 0, 200), 3, 60, true, true),
+      (0, 0, 2, 2, solid(2, 2, 255, 255, 255), 3, 70, true, false))
+    val data = WebpVp8l.encodeAnimated(cw, ch, 5, frames)
+    val anim = WebpVp8l.decodeFrames(data).toOption.getOrElse(fail("decode failed"))
+    assert(anim.width == cw && anim.height == ch && anim.nFrames == 4)
+    assert(anim.loop == 5 && anim.durationsMs == Vector(40, 50, 60, 70))
+    // reference composite
+    val ref = new Array[Int](cw * ch) // ARGB
+    def place(x0: Int, y0: Int, w: Int, h: Int, px: Array[Byte]): Unit =
+      for (y <- 0 until h; x <- 0 until w) {
+        val i = (y * w + x) * 3
+        ref((y0 + y) * cw + (x0 + x)) = 0xff000000 |
+          ((px(i) & 0xff) << 16) | ((px(i + 1) & 0xff) << 8) | (px(i + 2) & 0xff)
+      }
+    def snapshotEq(k: Int): Unit = {
+      val got = anim.frames(k).pixels
+      for (i <- 0 until cw * ch) {
+        val want = ref(i)
+        val g = ((got(i * 4 + 3) & 0xff) << 24) | ((got(i * 4) & 0xff) << 16) |
+          ((got(i * 4 + 1) & 0xff) << 8) | (got(i * 4 + 2) & 0xff)
+        assert(g == want, s"frame $k pixel $i: got ${g.toHexString} want ${want.toHexString}")
+      }
+    }
+    place(0, 0, cw, ch, solid(cw, ch, 200, 0, 0)); snapshotEq(0)
+    place(2, 2, 4, 4, solid(4, 4, 0, 200, 0)); snapshotEq(1)
+    place(6, 4, 4, 2, solid(4, 2, 0, 0, 200)); snapshotEq(2)
+    // frame 3 disposed its rect to TRANSPARENT before frame 4
+    for (y <- 4 until 6; x <- 6 until 10) ref(y * cw + x) = 0
+    place(0, 0, 2, 2, solid(2, 2, 255, 255, 255)); snapshotEq(3)
+  }
+
+  test("animated webp: alpha blending is deterministic and bounded") {
+    val cw = 6; val ch = 4
+    val opaque = Array.tabulate(cw * ch * 4)(i => (i % 4 match {
+      case 0 => 100; case 1 => 150; case 2 => 200; case _ => 255
+    }).toByte)
+    val translucent = Array.tabulate(cw * ch * 4)(i => (i % 4 match {
+      case 0 => 255; case 1 => 0; case 2 => 0; case _ => 128
+    }).toByte)
+    val frames = Seq(
+      (0, 0, cw, ch, opaque, 4, 10, false, false),
+      (0, 0, cw, ch, translucent, 4, 10, false, false)) // alpha-blend over
+    val anim = WebpVp8l.decodeFrames(
+      WebpVp8l.encodeAnimated(cw, ch, 0, frames)).toOption.get
+    val f = anim.frames(1).pixels
+    // blended red channel: (255*128*255 + 100*255*127) / (128*255 + 255*127)
+    val aOut255 = 128 * 255 + 255 * (255 - 128)
+    val wantR = (255 * 128 * 255 + 100 * 255 * (255 - 128)) / aOut255
+    assert((f(0) & 0xff) == wantR, s"got ${f(0) & 0xff} want $wantR")
+    assert((f(3) & 0xff) == (aOut255 + 127) / 255)
   }
 
   test("mutation fuzz: corrupted streams degrade to typed errors, never throw") {
