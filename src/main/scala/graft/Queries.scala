@@ -531,6 +531,33 @@ object Queries {
           col("d._5").as("duration_ms"))
     }),
 
+    // ID3v2 TEXT-FRAME HARVEST, ORACLED: the audio-corpus metadata read
+    // (TIT2/TPE1/TALB/TYER-TDRC) through both tag versions and mixed
+    // frame encodings — the audio sibling of the HTML head-metadata
+    // harvest (T136/T198). Unicode alternates exercise the UTF-16/BOM
+    // and UTF-8 paths with values the oracle states verbatim.
+    "q256_id3_harvest" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val major = if (id % 2 == 0) 3 else 4
+        val enc = (id % 3).toInt match { case 0 => 0; case 1 => 3; case _ => 1 }
+        val title = s"Track $id" + (if (id % 3 == 2) " é日" else "")
+        val frames = Seq(
+          ("TIT2", title, enc),
+          ("TPE1", s"Artist ${id % 7}", enc),
+          ("TALB", s"Album ${id % 5}", 0)) ++
+          (if (major == 3) Seq(("TYER", (1990 + id % 30).toString, 0))
+          else Seq(("TDRC", s"${2000 + id % 20}-0${1 + id % 9}", 0)))
+        val bytes = graft.codec.Mp3.synthesizeId3(major, frames)
+        graft.codec.Mp3.id3Tags(bytes) match {
+          case Right(t) => (t.title, t.artist, t.album, t.year)
+          case Left(e) => (s"error:$e", "", "", "")
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("title"), col("d._2").as("artist"),
+          col("d._3").as("album"), col("d._4").as("year"))
+    }),
+
     // OGG CONTAINER LABELING, ORACLED: RFC 3533 page walk with Opus /
     // Vorbis identification headers — codec, channels, rate, page
     // count, and exact duration from the final granule (Opus granules
@@ -8989,6 +9016,18 @@ object Queries {
         |  CAST(5 + doc_id % 7 AS BIGINT) AS height,
         |  (doc_id % 2 = 0) AS lossless,
         |  CASE WHEN doc_id % 2 = 0 THEN 'ok' ELSE 'lossy_fenced' END AS decode_status
+        |FROM documents""".stripMargin,
+
+    // q256: all four tags stated verbatim per family (v2.3 TYER years,
+    // v2.4 TDRC dates, the unicode suffix on the %3=2 slice).
+    "q256_id3_harvest" ->
+      """SELECT doc_id,
+        |  'Track ' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 2 THEN ' ' || chr(233) || chr(26085) ELSE '' END AS title,
+        |  'Artist ' || (doc_id % 7) AS artist,
+        |  'Album ' || (doc_id % 5) AS album,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(1990 + doc_id % 30 AS VARCHAR)
+        |       ELSE (2000 + doc_id % 20) || '-0' || (1 + doc_id % 9) END AS year
         |FROM documents""".stripMargin,
 
     // q255: opus duration = (final granule - 312 pre-skip) at 48 kHz;

@@ -155,4 +155,100 @@ object Mp3 {
     }
     out.toByteArray
   }
+
+  // ------------------------------------------------ ID3v2 text frames
+
+  final case class Id3Tags(title: String, artist: String, album: String, year: String)
+
+  /** Harvest the standard ID3v2.3/2.4 text frames (TIT2/TPE1/TALB/
+    * TYER-or-TDRC) — the audio-corpus sibling of the HTML head-metadata
+    * harvest: the textual metadata a curation pipeline keys on. Handles
+    * the v2.4 syncsafe frame sizes, latin-1 / UTF-8 / UTF-16(+BOM)
+    * encodings, and stops at padding. Absent frames read "". */
+  def id3Tags(b: Array[Byte]): Either[String, Id3Tags] =
+    try id3Impl(b)
+    catch { case e: Exception => Left(s"id3: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private def id3Impl(b: Array[Byte]): Either[String, Id3Tags] = {
+    if (b == null || b.length < 10 || b(0) != 'I' || b(1) != 'D' || b(2) != '3')
+      return Left("id3: no ID3v2 header")
+    val major = b(3) & 0xff
+    if (major < 3 || major > 4) return Left(s"id3: unsupported version 2.$major")
+    val tagSize = ((b(6) & 0x7f) << 21) | ((b(7) & 0x7f) << 14) |
+      ((b(8) & 0x7f) << 7) | (b(9) & 0x7f)
+    val end = math.min(10 + tagSize, b.length)
+    var p = 10
+    var title = ""; var artist = ""; var album = ""; var year = ""
+    while (p + 10 <= end) {
+      val id = new String(b, p, 4, "US-ASCII")
+      if (id.charAt(0) == 0) p = end // padding: stop
+      else {
+        val size =
+          if (major == 4)
+            ((b(p + 4) & 0x7f) << 21) | ((b(p + 5) & 0x7f) << 14) |
+              ((b(p + 6) & 0x7f) << 7) | (b(p + 7) & 0x7f)
+          else
+            ((b(p + 4) & 0xff) << 24) | ((b(p + 5) & 0xff) << 16) |
+              ((b(p + 6) & 0xff) << 8) | (b(p + 7) & 0xff)
+        // subtraction form: p + 10 + size overflows Int for a forged
+        // 0x7fffffff size and would slip past an addition-form bound
+        if (size < 0 || size > end - p - 10) return Left("id3: bad frame size")
+        if (id.startsWith("T") && size >= 1) {
+          val enc = b(p + 10) & 0xff
+          val raw = java.util.Arrays.copyOfRange(b, p + 11, p + 10 + size)
+          val text = (enc match {
+            case 0 => new String(raw, "ISO-8859-1")
+            case 1 => new String(raw, "UTF-16") // BOM-carrying
+            case 2 => new String(raw, "UTF-16BE")
+            case 3 => new String(raw, "UTF-8")
+            case _ => ""
+          }).takeWhile(_ != 0)
+          id match {
+            case "TIT2" => if (title.isEmpty) title = text
+            case "TPE1" => if (artist.isEmpty) artist = text
+            case "TALB" => if (album.isEmpty) album = text
+            case "TYER" | "TDRC" => if (year.isEmpty) year = text
+            case _ => ()
+          }
+        }
+        p += 10 + size
+      }
+    }
+    Right(Id3Tags(title, artist, album, year))
+  }
+
+  /** Synthesis twin: an ID3v2 tag with the given text frames. */
+  def synthesizeId3(major: Int, frames: Seq[(String, String, Int)]): Array[Byte] = {
+    require(major == 3 || major == 4)
+    val body = new java.io.ByteArrayOutputStream()
+    frames.foreach { case (id, text, enc) =>
+      require(id.length == 4)
+      val payload = enc match {
+        case 0 => text.getBytes("ISO-8859-1")
+        case 1 => Array[Byte](0xfe.toByte, 0xff.toByte) ++ text.getBytes("UTF-16BE")
+        case 3 => text.getBytes("UTF-8")
+        case _ => throw new IllegalArgumentException("enc")
+      }
+      val size = 1 + payload.length
+      body.write(id.getBytes("US-ASCII"))
+      if (major == 4) {
+        body.write((size >> 21) & 0x7f); body.write((size >> 14) & 0x7f)
+        body.write((size >> 7) & 0x7f); body.write(size & 0x7f)
+      } else {
+        body.write((size >> 24) & 0xff); body.write((size >> 16) & 0xff)
+        body.write((size >> 8) & 0xff); body.write(size & 0xff)
+      }
+      body.write(0); body.write(0)
+      body.write(enc)
+      body.write(payload, 0, payload.length)
+    }
+    val frameBytes = body.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write('I'); out.write('D'); out.write('3'); out.write(major); out.write(0); out.write(0)
+    val ts = frameBytes.length
+    out.write((ts >> 21) & 0x7f); out.write((ts >> 14) & 0x7f)
+    out.write((ts >> 7) & 0x7f); out.write(ts & 0x7f)
+    out.write(frameBytes, 0, frameBytes.length)
+    out.toByteArray
+  }
 }

@@ -50,7 +50,9 @@ object WebpVp8l {
       val tag = new String(b, p, 4, "US-ASCII")
       val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
         ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
-      if (size < 0 || p + 8 + size > b.length) return Left("webp: truncated chunk")
+      // subtraction form: p + 8 + size overflows Int for a forged
+      // ~2^31 size and would wrap past an addition-form bound
+      if (size < 0 || size > b.length - p - 8) return Left("webp: truncated chunk")
       tag match {
         case "VP8L" => return decodeVp8l(b, p + 8, size)
         case "VP8 " => return Left("webp: lossy VP8 unsupported")
@@ -78,7 +80,9 @@ object WebpVp8l {
       val tag = new String(b, p, 4, "US-ASCII")
       val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
         ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
-      if (size < 0 || p + 8 + size > b.length) return Left("webp: truncated chunk")
+      // subtraction form: p + 8 + size overflows Int for a forged
+      // ~2^31 size and would wrap past an addition-form bound
+      if (size < 0 || size > b.length - p - 8) return Left("webp: truncated chunk")
       val d = p + 8
       tag match {
         case "VP8X" =>
@@ -815,7 +819,9 @@ object WebpVp8l {
       val tag = new String(b, p, 4, "US-ASCII")
       val size = (b(p + 4) & 0xff) | ((b(p + 5) & 0xff) << 8) |
         ((b(p + 6) & 0xff) << 16) | ((b(p + 7) & 0xff) << 24)
-      if (size < 0 || p + 8 + size > b.length) return Left("webp: truncated chunk")
+      // subtraction form: p + 8 + size overflows Int for a forged
+      // ~2^31 size and would wrap past an addition-form bound
+      if (size < 0 || size > b.length - p - 8) return Left("webp: truncated chunk")
       val d = p + 8
       tag match {
         case "VP8X" =>
@@ -847,7 +853,7 @@ object WebpVp8l {
             val ftag = new String(b, fp, 4, "US-ASCII")
             val fsize = (b(fp + 4) & 0xff) | ((b(fp + 5) & 0xff) << 8) |
               ((b(fp + 6) & 0xff) << 16) | ((b(fp + 7) & 0xff) << 24)
-            if (fsize < 0 || fp + 8 + fsize > fEnd) return Left("webp: truncated frame chunk")
+            if (fsize < 0 || fsize > fEnd - fp - 8) return Left("webp: truncated frame chunk")
             ftag match {
               case "VP8L" =>
                 framePixels = decodeVp8l(b, fp + 8, fsize) match {

@@ -46,6 +46,39 @@ class Mp3Spec extends AnyFunSuite {
     assert(Mp3.info(withHead).left.exists(_.contains("no frame sync")))
   }
 
+  test("id3 tags: v2.3 and v2.4 frames across all three text encodings") {
+    val b3 = Mp3.synthesizeId3(3, Seq(
+      ("TIT2", "Der Titel \u00e9t\u00e9", 0), // latin-1
+      ("TPE1", "Some Artist", 3), // utf-8
+      ("TALB", "\u65e5\u672c\u306e\u30a2\u30eb\u30d0\u30e0", 1), // utf-16 + BOM
+      ("TYER", "1999", 0)))
+    val t3 = Mp3.id3Tags(b3).toOption.get
+    assert(t3.title == "Der Titel \u00e9t\u00e9")
+    assert(t3.artist == "Some Artist")
+    assert(t3.album == "\u65e5\u672c\u306e\u30a2\u30eb\u30d0\u30e0")
+    assert(t3.year == "1999")
+    val b4 = Mp3.synthesizeId3(4, Seq(("TIT2", "v24 title", 3), ("TDRC", "2015-03", 3)))
+    val t4 = Mp3.id3Tags(b4).toOption.get
+    assert(t4.title == "v24 title" && t4.year == "2015-03" && t4.artist == "")
+  }
+
+  test("id3 tags: padding stop, hostile sizes, fuzz never throws") {
+    val good = Mp3.synthesizeId3(3, Seq(("TIT2", "t", 0)))
+    // enlarge the declared tag size → trailing zeros read as padding
+    val padded = good ++ new Array[Byte](64)
+    padded(9) = (padded(9) + 64).toByte
+    assert(Mp3.id3Tags(padded).toOption.get.title == "t")
+    val hostile = good.clone()
+    hostile(14) = 0x7f; hostile(15) = -1; hostile(16) = -1; hostile(17) = -1
+    assert(Mp3.id3Tags(hostile).left.exists(_.contains("bad frame size")))
+    val rng = new scala.util.Random(29)
+    (0 until 300).foreach { _ =>
+      val m = good.clone()
+      m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+      Mp3.id3Tags(m) // must not throw
+    }
+  }
+
   test("typed errors: free bitrate, reserved fields, truncation, fuzz never throws") {
     val good = Mp3.synthesize(n = 3, versionBits = 3, layer = 3, brIdx = 9, srIdx = 0, mono = true)
     // free-format bitrate: zero the bitrate index of frame 1
