@@ -531,6 +531,59 @@ object Queries {
           col("d._5").as("duration_ms"))
     }),
 
+    // UNIFIED PAYLOAD LABELING, ORACLED: Multimodal.mediaInfo — the
+    // one-pass header-only dispatcher over the whole codec/labeling
+    // family — driven by an eight-way mixed corpus (JPEG, PNG, WebP
+    // lossless + lossy, WAV, MP3, MP4, OGG/Opus), every output field a
+    // closed form. This is the single read a 100-TB pipeline does per
+    // binary payload before deciding what (if anything) to decode.
+    "q257_media_info" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val payload: Array[Byte] = (id % 8).toInt match {
+          case 0 =>
+            val w = 16 + (id % 3).toInt * 8; val h = 8 + (id % 2).toInt * 8
+            graft.codec.JpegEncoder.encodeGray(new Array[Byte](w * h), w, h,
+              graft.codec.JpegEncoder.exactQuant)
+          case 1 =>
+            val w = 9 + (id % 5).toInt; val h = 4 + (id % 3).toInt
+            graft.codec.Png.encode(new Array[Byte](w * h), w, h, 1)
+          case 2 =>
+            val w = 7 + (id % 6).toInt; val h = 5 + (id % 4).toInt
+            graft.codec.WebpVp8l.encode(new Array[Byte](w * h * 3), w, h, 3)
+          case 3 =>
+            val w = 20 + (id % 9).toInt; val h = 10 + (id % 7).toInt
+            val pl = Array[Byte](0x10, 0x00, 0x00, 0x9d.toByte, 0x01, 0x2a,
+              (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
+              (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
+            val o = new java.io.ByteArrayOutputStream()
+            def le32(v: Int): Unit = (0 until 4).foreach(k => o.write((v >> (8 * k)) & 0xff))
+            o.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + pl.length)
+            o.write("WEBPVP8 ".getBytes("US-ASCII")); le32(pl.length)
+            o.write(pl, 0, pl.length); o.toByteArray
+          case 4 =>
+            val n = 400 + (id % 200).toInt
+            graft.codec.Wav.encode(new Array[Short](n), 1, 16000)
+          case 5 =>
+            graft.codec.Mp3.synthesize(4 + (id % 5).toInt, 3, 3,
+              brIdx = 1 + (id % 14).toInt, srIdx = (id % 3).toInt, mono = true)
+          case 6 =>
+            graft.codec.Mp4.synthesize("isom", 1000, 2000 + id % 3000,
+              320 + (id % 4).toInt * 80, 240 + (id % 4).toInt * 60)
+          case _ =>
+            graft.codec.Ogg.synthesize("opus", 2, 48000, preSkip = 0,
+              nDataPages = 3, finalGranule = 48000 + id * 96)
+        }
+        val mi = graft.ops.Multimodal.mediaInfo(payload)
+        (mi.kind, mi.format, mi.width.toLong, mi.height.toLong,
+          mi.sampleRate.toLong, mi.channels.toLong, mi.durationMs, mi.decodable)
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("kind"), col("d._2").as("format"),
+          col("d._3").as("width"), col("d._4").as("height"),
+          col("d._5").as("sample_rate"), col("d._6").as("channels"),
+          col("d._7").as("duration_ms"), col("d._8").as("decodable"))
+    }),
+
     // ID3v2 TEXT-FRAME HARVEST, ORACLED: the audio-corpus metadata read
     // (TIT2/TPE1/TALB/TYER-TDRC) through both tag versions and mixed
     // frame encodings — the audio sibling of the HTML head-metadata
@@ -9016,6 +9069,43 @@ object Queries {
         |  CAST(5 + doc_id % 7 AS BIGINT) AS height,
         |  (doc_id % 2 = 0) AS lossless,
         |  CASE WHEN doc_id % 2 = 0 THEN 'ok' ELSE 'lossy_fenced' END AS decode_status
+        |FROM documents""".stripMargin,
+
+    // q257: eight families, every field stated; wav duration =
+    // samples*1000 // rate, mp3 = frames*1152*1000 // rate (ISO table
+    // literals), mp4 = units*1000 // 1000, opus = granule // 48.
+    "q257_media_info" ->
+      """SELECT doc_id,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'image'
+        |    WHEN 3 THEN 'image' WHEN 4 THEN 'audio' WHEN 5 THEN 'audio'
+        |    WHEN 6 THEN 'video' ELSE 'audio' END AS kind,
+        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'webp'
+        |    WHEN 3 THEN 'webp-lossy' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp3'
+        |    WHEN 6 THEN 'mp4' ELSE 'ogg-opus' END AS format,
+        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 16 + (doc_id % 3) * 8 WHEN 1 THEN 9 + doc_id % 5
+        |    WHEN 2 THEN 7 + doc_id % 6 WHEN 3 THEN 20 + doc_id % 9
+        |    WHEN 6 THEN 320 + (doc_id % 4) * 80 ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 0 THEN 8 + (doc_id % 2) * 8 WHEN 1 THEN 4 + doc_id % 3
+        |    WHEN 2 THEN 5 + doc_id % 4 WHEN 3 THEN 10 + doc_id % 7
+        |    WHEN 6 THEN 240 + (doc_id % 4) * 60 ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 4 THEN 16000
+        |    WHEN 5 THEN list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1)
+        |    WHEN 7 THEN 48000 ELSE 0 END AS BIGINT) AS sample_rate,
+        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 7 THEN 2 ELSE 0 END AS BIGINT) AS channels,
+        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 4 THEN (400 + doc_id % 200) * 1000 // 16000
+        |    WHEN 5 THEN (4 + doc_id % 5) * 1152 * 1000
+        |         // list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1)
+        |    WHEN 6 THEN 2000 + doc_id % 3000
+        |    WHEN 7 THEN (48000 + doc_id * 96) * 1000 // 48000
+        |    ELSE 0 END AS BIGINT) AS duration_ms,
+        |  CAST(doc_id % 8 AS INT) IN (0, 1, 2, 4) AS decodable
         |FROM documents""".stripMargin,
 
     // q256: all four tags stated verbatim per family (v2.3 TYER years,

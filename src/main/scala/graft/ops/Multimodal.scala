@@ -305,6 +305,127 @@ object Multimodal {
     else if (graft.codec.WebpVp8l.isWebp(payload)) graft.codec.WebpVp8l.decode(payload)
     else Left("image: unrecognized format")
 
+  /** One-pass payload labeling — the unified dispatcher over the whole
+    * codec/labeling family (T179 + T219–T224): sniff the container,
+    * read ONLY headers (never pixel/sample data), and return the
+    * metadata a 100-TB curation pipeline keys on. `decodable` says
+    * whether the engine can produce pixels/samples for the payload
+    * (lossless WebP yes, lossy VP8 no; MP3/MP4/OGG are labeled-only by
+    * design). Every branch is a bounded header read with typed errors.
+    */
+  final case class PayloadInfo(kind: String, format: String,
+      width: Int, height: Int, sampleRate: Int, channels: Int,
+      durationMs: Long, decodable: Boolean)
+
+  def mediaInfo(p: Array[Byte]): PayloadInfo = {
+    import graft.codec._
+    def img(format: String, w: Int, h: Int, ok: Boolean) =
+      PayloadInfo("image", format, w, h, 0, 0, 0L, ok)
+    def bad(kind: String, format: String) = PayloadInfo(kind, format, 0, 0, 0, 0, 0L, decodable = false)
+    try {
+      if (p == null || p.length < 4) bad("unknown", "empty")
+      else if (graft.pdf.PdfParser.isPdf(p)) PayloadInfo("document", "pdf", 0, 0, 0, 0, 0L, decodable = true)
+      else if (Jpeg.isJpeg(p)) Jpeg.dimensions(p) match {
+        case Right((w, h, _)) => img("jpeg", w, h, ok = true)
+        case Left(_) => bad("image", "jpeg")
+      }
+      else if (Png.isPng(p)) {
+        // IHDR: width/height big-endian at offsets 16/20
+        if (p.length < 24) bad("image", "png")
+        else {
+          def be(i: Int) = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
+            ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
+          img("png", be(16), be(20), ok = true)
+        }
+      }
+      else if (Gif.isGif(p)) {
+        if (p.length < 10) bad("image", "gif")
+        else img("gif", (p(6) & 0xff) | ((p(7) & 0xff) << 8), (p(8) & 0xff) | ((p(9) & 0xff) << 8), ok = true)
+      }
+      else if (Bmp.isBmp(p)) {
+        if (p.length < 26) bad("image", "bmp")
+        else {
+          def le(i: Int) = (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8) |
+            ((p(i + 2) & 0xff) << 16) | ((p(i + 3) & 0xff) << 24)
+          img("bmp", le(18), math.abs(le(22)), ok = true)
+        }
+      }
+      else if (Tiff.isTiff(p)) {
+        // minimal first-IFD walk for ImageWidth(256)/ImageLength(257)
+        val le = (p(0) == 'I')
+        def u16(i: Int) = if (le) (p(i) & 0xff) | ((p(i + 1) & 0xff) << 8)
+          else ((p(i) & 0xff) << 8) | (p(i + 1) & 0xff)
+        def u32(i: Int) = if (le) (p(i) & 0xffL) | ((p(i + 1) & 0xffL) << 8) | ((p(i + 2) & 0xffL) << 16) | ((p(i + 3) & 0xffL) << 24)
+          else ((p(i) & 0xffL) << 24) | ((p(i + 1) & 0xffL) << 16) | ((p(i + 2) & 0xffL) << 8) | (p(i + 3) & 0xffL)
+        val ifd = u32(4).toInt
+        if (ifd < 0 || ifd + 2 > p.length) bad("image", "tiff")
+        else {
+          val n = u16(ifd)
+          var w = 0; var h = 0
+          var k = 0
+          while (k < n && ifd + 2 + 12 * (k + 1) <= p.length) {
+            val e = ifd + 2 + 12 * k
+            val tag = u16(e)
+            val typ = u16(e + 2)
+            val v = if (typ == 3) u16(e + 8) else u32(e + 8).toInt
+            if (tag == 256) w = v
+            if (tag == 257) h = v
+            k += 1
+          }
+          img("tiff", w, h, ok = w > 0 && h > 0)
+        }
+      }
+      else if (WebpVp8l.isWebp(p)) WebpVp8l.info(p) match {
+        case Right((w, h, lossless)) =>
+          PayloadInfo("image", if (lossless) "webp" else "webp-lossy", w, h, 0, 0, 0L, decodable = lossless)
+        case Left(_) => bad("image", "webp")
+      }
+      else if (Wav.isWav(p)) {
+        // RIFF chunk walk for fmt (channels/rate/bits) + data size
+        var q = 12
+        var chn = 0; var rate = 0; var bits = 0; var dataLen = -1
+        while (q + 8 <= p.length && (chn == 0 || dataLen < 0)) {
+          val tag = new String(p, q, 4, "US-ASCII")
+          val size = (p(q + 4) & 0xff) | ((p(q + 5) & 0xff) << 8) |
+            ((p(q + 6) & 0xff) << 16) | ((p(q + 7) & 0xff) << 24)
+          if (size < 0 || size > p.length - q - 8) return bad("audio", "wav")
+          if (tag == "fmt " && size >= 16) {
+            chn = (p(q + 10) & 0xff) | ((p(q + 11) & 0xff) << 8)
+            rate = (p(q + 12) & 0xff) | ((p(q + 13) & 0xff) << 8) |
+              ((p(q + 14) & 0xff) << 16) | ((p(q + 15) & 0xff) << 24)
+            bits = (p(q + 22) & 0xff) | ((p(q + 23) & 0xff) << 8)
+          }
+          if (tag == "data") dataLen = size
+          q += 8 + size + (size & 1)
+        }
+        if (chn <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) bad("audio", "wav")
+        else {
+          val nSamples = dataLen.toLong / (chn * bits / 8)
+          PayloadInfo("audio", "wav", 0, 0, rate, chn, nSamples * 1000L / rate, decodable = true)
+        }
+      }
+      else if (graft.codec.Avi.isAvi(p)) PayloadInfo("video", "avi", 0, 0, 0, 0, 0L, decodable = true)
+      else if (Ogg.isOgg(p)) Ogg.info(p) match {
+        case Right(oi) => PayloadInfo("audio", "ogg-" + oi.codec, 0, 0, oi.sampleRate,
+          oi.channels, oi.durationMs, decodable = false)
+        case Left(_) => bad("audio", "ogg")
+      }
+      else if (Mp4.isMp4(p)) Mp4.info(p) match {
+        case Right(mi) => PayloadInfo(if (mi.videoW > 0) "video" else "media", "mp4",
+          mi.videoW, mi.videoH, 0, 0, mi.durationMs, decodable = false)
+        case Left(_) => bad("video", "mp4")
+      }
+      else if (Mp3.isMp3(p)) Mp3.info(p) match {
+        case Right(mi) => PayloadInfo("audio", "mp3", 0, 0, mi.sampleRate,
+          mi.channels, mi.durationMs, decodable = false)
+        case Left(_) => bad("audio", "mp3")
+      }
+      else bad("unknown", "unknown")
+    } catch {
+      case _: Exception => bad("unknown", "error")
+    }
+  }
+
   /** Box-average resize (area interpolation) to tw x th — the thumbnail /
     * model-input-normalization step of an image pipeline. Each output
     * cell is the floor mean of its source box (boxes partition the image

@@ -2248,6 +2248,39 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs == Set((1L, 2L), (1L, 5L), (2L, 5L)))
   }
 
+  test("mediaInfo: dispatch labels, typed unknowns, never throws on fuzz") {
+    import graft.ops.Multimodal
+    assert(Multimodal.mediaInfo("%PDF-1.4 junk".getBytes).kind == "document")
+    assert(Multimodal.mediaInfo("random text payload".getBytes).format == "unknown")
+    assert(Multimodal.mediaInfo(Array.emptyByteArray).format == "empty")
+    assert(Multimodal.mediaInfo(null).format == "empty")
+    // a real TIFF through the minimal IFD walk
+    val tiff = graft.codec.Tiff.encode(new Array[Byte](12 * 5), 12, 5, 1)
+    val ti = Multimodal.mediaInfo(tiff)
+    assert(ti.format == "tiff" && ti.width == 12 && ti.height == 5 && ti.decodable)
+    // gif + bmp header reads
+    val gif = graft.codec.Gif.encode(new Array[Byte](6 * 4), 6, 4,
+      Array.tabulate(256 * 3)(i => i.toByte))
+    assert(Multimodal.mediaInfo(gif).width == 6)
+    val bmp = graft.codec.Bmp.encode(new Array[Byte](7 * 3 * 3), 7, 3)
+    val bi = Multimodal.mediaInfo(bmp)
+    assert(bi.format == "bmp" && bi.width == 7 && bi.height == 3)
+    // fuzz: corrupt every family's bytes — must never throw
+    val rng = new scala.util.Random(31)
+    val seeds = Seq(tiff, gif, bmp,
+      graft.codec.WebpVp8l.encode(new Array[Byte](4 * 4 * 3), 4, 4, 3),
+      graft.codec.Mp3.synthesize(2, 3, 3, 9, 0, mono = true),
+      graft.codec.Mp4.synthesize("isom", 1000, 500, 64, 48),
+      graft.codec.Ogg.synthesize("opus", 1, 48000, 0, 2, 4800))
+    seeds.foreach { base =>
+      (0 until 100).foreach { _ =>
+        val m = base.clone()
+        m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+        Multimodal.mediaInfo(m) // must not throw
+      }
+    }
+  }
+
   test("majorityStats: majority, deterministic ties, exact mixed fraction") {
     import graft.ops.Curation
     val df = Seq(
