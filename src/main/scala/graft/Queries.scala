@@ -876,10 +876,20 @@ object Queries {
       graft.ops.Similarity.cosineNearDups(base.unionByName(doubled), "id", "v", threshold = 0.9)
     }),
 
-    // multimodal plumbing (training op): binary payloads + typed meta,
-    // batched decode/feature-extract via mapPartitions (codec = fake)
+    // Multimodal plumbing (T11), ORACLED since r4 (the LAST rows-only
+    // query): binary payloads + typed meta, batched decode/feature-
+    // extract via mapPartitions over the mixed real/fake corpus. The
+    // projection keeps the SQL-expressible columns — counts, decode
+    // successes, and total DECODED payload bytes (video n_bytes is now
+    // frames x frame-pixels, consistent with the image leg's w*h and
+    // the audio leg's samples*2; the old encoded-JPEG-length sum was
+    // both inconsistent and oracle-proof). avg_byte stays an operator
+    // output (OpsSpec pins it per slice) but not a driver column: the
+    // fake-codec slice's byte mean is a splitmix64 stream with no
+    // closed SQL form.
     "q30_multimodal" -> ((s, dir) =>
-      graft.ops.Multimodal.featureSummary(s, 300L)),
+      graft.ops.Multimodal.featureSummary(s, 300L)
+        .select(col("modality"), col("cnt"), col("decoded"), col("total_bytes"))),
 
     // P1/P2/T16 dispatch mix, ORACLED (was rows-only through round 3):
     // five payload families — q181's html page, q184's 2-page PDF, JPEG
@@ -8775,6 +8785,28 @@ object Queries {
         |       WHEN source IN ('src3','src4','src7') THEN 0
         |       ELSE 1 END AS BIGINT) AS n_sitemaps
         |FROM h""".stripMargin,
+
+    // q30: the synthetic media corpus replayed slice by slice — the
+    // real-codec slices (JPEG i%4=0, WAV i%4=1, AVI i%4=2) contribute
+    // their decoded sizes as closed forms of i, the fake-codec rows
+    // their stated body lengths, the malformed slice zero.
+    "q30_multimodal" ->
+      """WITH r AS (SELECT unnest(generate_series(0, 299)) AS i),
+        |c AS (SELECT i,
+        |    CASE CAST(i % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |         ELSE 'video' END AS modality,
+        |    i % 23 = 13 AS malformed,
+        |    CASE
+        |      WHEN i % 23 = 13 THEN 0
+        |      WHEN i % 3 = 0 AND i % 4 = 0 THEN (64 + (i % 8) * 32) * (64 + (i % 5) * 32)
+        |      WHEN i % 3 = 1 AND i % 4 = 1 THEN (256 + (i % 7) * 64) * 2
+        |      WHEN i % 3 = 2 AND i % 4 = 2 THEN (8 + i % 5) * 128 * 96
+        |      ELSE 256 + (i * 37) % 512 END AS nb
+        |  FROM r)
+        |SELECT modality, CAST(count(*) AS BIGINT) AS cnt,
+        |  CAST(sum(CASE WHEN malformed THEN 0 ELSE 1 END) AS BIGINT) AS decoded,
+        |  CAST(sum(nb) AS BIGINT) AS total_bytes
+        |FROM c GROUP BY modality""".stripMargin,
 
     // q20: the dispatch mix stated exactly — counts per family, markdown
     // totals from the q181/q184 pinned byte forms, zero for the sniffed

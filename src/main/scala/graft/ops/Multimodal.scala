@@ -218,8 +218,12 @@ object Multimodal {
                     i += 1
                   }
                   val n = math.max(im.pixels.length, 1)
+                  // n_bytes = DECODED payload size (frames x frame
+                  // pixels), consistent with the image leg's w*h and the
+                  // audio leg's samples*2 — and, unlike encoded JPEG
+                  // frame lengths, a closed form the q30 oracle replays
                   MediaFeatures(r.media_id, "video", decoded_ok = true,
-                    v.frames.map(_.length).sum, hist.map(_.toDouble / n), sum.toDouble / n)
+                    v.nFrames * im.pixels.length, hist.map(_.toDouble / n), sum.toDouble / n)
                 case Left(_) =>
                   MediaFeatures(r.media_id, "video", decoded_ok = false, 0,
                     Array.fill(16)(0d), 0d)
