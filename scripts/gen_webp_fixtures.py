@@ -106,6 +106,12 @@ def pattern(name, w, h):
             for x in range(w):
                 c = cols[(x // 3 + y // 2) % 4]
                 px[(y * w + x) * 4:(y * w + x) * 4 + 4] = bytes(c)
+    elif name == "palette17":
+        cols = [((c * 41) % 256, (c * 67) % 256, (c * 101) % 256, 255) for c in range(17)]
+        for y in range(h):
+            for x in range(w):
+                c = cols[(x * 3 + y) % 17]
+                px[(y * w + x) * 4:(y * w + x) * 4 + 4] = bytes(c)
     elif name == "palette13":
         cols = [((c * 37) % 256, (c * 83) % 256, (c * 139) % 256, 255) for c in range(13)]
         for y in range(h):
@@ -435,6 +441,13 @@ def main():
         ("palette13", 40, 21), ("noise", 48, 48), ("alpha_noise", 16, 16),
         ("smooth", 96, 96), ("repeat", 64, 32), ("const", 8, 8),
         ("gradient", 1, 1), ("noise", 3, 2), ("smooth", 129, 65),
+        # round-4 widening: larger images push libwebp into more meta-
+        # huffman groups / bigger color caches; palette17 sits just above
+        # the 16-color bundling threshold; degenerate strips stress the
+        # prediction borders
+        ("smooth", 200, 200), ("noise", 150, 150), ("repeat", 256, 64),
+        ("palette17", 50, 33), ("gradient", 1, 64), ("gradient", 64, 1),
+        ("alpha_noise", 77, 41), ("smooth", 255, 3),
     ]
     for name, w, h in cases:
         rgba = pattern(name, w, h)
