@@ -458,6 +458,12 @@ object Jbig2 {
     val newSyms = Vector.newBuilder[SymBitmap]
     var decoded = 0
     var height = 0
+    // cumulative allocation cap: each symbol is individually bounded,
+    // but a hostile stream may request MANY large symbols — real
+    // dictionaries hold small glyphs, so one page-worth of pixels
+    // across the whole dictionary is a generous ceiling (found by the
+    // 25k-mutation fuzz campaign as an OOM, not a Left)
+    var totalPixels = 0L
     while (decoded < numNew) {
       val dh = decodeInt(dec, iadh).getOrElse(
         return Left("jbig2: OOB height-class delta"))
@@ -473,6 +479,8 @@ object Jbig2 {
             if (width <= 0 || width > (1 << 14) || decoded >= numNew)
               return Left("jbig2: bad symbol width")
             if (width.toLong * height > MaxPixels) return Left("jbig2: symbol too large")
+            totalPixels += width.toLong * height
+            if (totalPixels > MaxPixels) return Left("jbig2: dictionary too large")
             val px = decodeGenericWith(dec, gix, gmps, width, height, template, tpgdon = false)
             newSyms += SymBitmap(width, height, px)
             decoded += 1

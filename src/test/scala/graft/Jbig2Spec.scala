@@ -191,6 +191,23 @@ class Jbig2Spec extends AnyFunSuite {
     assert(Jbig2.decode(symDict).left.exists(_.contains("unsupported")))
   }
 
+  test("symbol-stream mutation fuzz: typed errors only, bounded allocation") {
+    // regression for the cumulative-dictionary-allocation cap: a 25k-
+    // mutation campaign OOMed here before symbol pixels were capped
+    // across the whole dictionary (each symbol was individually bounded)
+    val good = Jbig2.encodeSymbolPage(30, 20,
+      Vector((3, 3, Array.fill[Byte](9)(1)), (2, 2, Array[Byte](1, 0, 0, 1))),
+      Seq((0, 1, 1), (1, 6, 2), (0, 11, 9), (1, 20, 14)))
+    val rng = new scala.util.Random(47)
+    (0 until 2000).foreach { _ =>
+      val m = good.clone()
+      (0 until 1 + rng.nextInt(4)).foreach { _ =>
+        m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+      }
+      Jbig2.decode(m) // must not throw or over-allocate
+    }
+  }
+
   test("globals stream prepends transparently") {
     val w = 16; val h = 8
     val bm = textLike(w, h, 3L)
