@@ -289,7 +289,8 @@ object Queries {
       val inter = size(array_intersect(col("ga"), col("gb"))).cast("double")
       val union = (size(col("ga")) + size(col("gb"))).cast("double") - inter
       a.crossJoin(b).filter(col("id_a") < col("id_b"))
-        .select(col("id_a"), col("id_b"), round(inter / union, 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"),
+          floor(inter / union * 1000000 + 0.5).cast("long").as("jaccard_micro"))
     }),
 
     // ANN baseline (training op): brute-force cosine top-k, broadcast
@@ -388,7 +389,8 @@ object Queries {
         regexp_replace(col("text"), "^(\\S+) (\\S+)", "changed prefix").as("text"))
       val corpus = base.unionByName(perturbed)
       graft.ops.Dedup.minhashNearDups(corpus, "id", "text", threshold = 0.5)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_micro"))
     }),
 
     // SimHash near-dup (training op): 64-bit fingerprints, 16-bit chunk
@@ -841,7 +843,8 @@ object Queries {
           lit(template).as("text"))
       graft.ops.Dedup.minhashNearDups(base.unionByName(clones), "id", "text",
           threshold = 0.5, maxBucket = 8)
-        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("id_a"), col("id_b"),
+          floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_micro"))
     }),
 
     // LSH-bucketed ANN (training op): the scale path for q24 — random
@@ -1821,7 +1824,8 @@ object Queries {
         .select(col("doc_id").cast("long").as("id"), col("text"))
       graft.ops.Dedup.minhashNearDupsAgainst(
           perturbed.unionByName(fresh), idx, "id", "text")
-        .select(col("new_id"), col("idx_id"), round(col("jaccard"), 6).as("jaccard"))
+        .select(col("new_id"), col("idx_id"),
+          floor(col("jaccard") * 1000000 + 0.5).cast("long").as("jaccard_micro"))
     }),
 
     // Collocation mining, ORACLED: top-20 adjacent token pairs by integer
@@ -2907,14 +2911,17 @@ object Queries {
 
     // Snapshot extraction drift: v2 rewrites one word family on every
     // 4th doc and appends a tail on every 4th+1 — the oracle recomputes
-    // levenshtein and the floor-div means independently.
+    // levenshtein and the floor-div means independently. prefix=256
+    // BINDS at every tier (texts run ~48-550 chars), so the oracle
+    // verifies the straggler-bounding clamp cross-engine: docs longer
+    // than the prefix whose only change is the appended tail read lev=0.
     "q172_snapshot_drift" -> ((s, dir) => {
       val d = docs(s, dir)
       val v2 = d.select(col("doc_id"), col("source"),
         when(col("doc_id") % 4 === 0, regexp_replace(col("text"), "data", "info"))
           .when(col("doc_id") % 4 === 1, concat(col("text"), lit(" appended tail words")))
           .otherwise(col("text")).as("text"))
-      graft.ops.Temporal.snapshotDrift(d, v2, "doc_id", "text")
+      graft.ops.Temporal.snapshotDrift(d, v2, "doc_id", "text", prefix = 256)
         .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
@@ -5502,7 +5509,7 @@ object Queries {
         |  JOIN sh sb ON sb.id = cand.id_b
         |)
         |SELECT id_a, id_b,
-        |  round(CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END, 6) AS jaccard
+        |  CAST(floor((CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
         |FROM verified
         |WHERE (CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) >= 0.5""".stripMargin,
 
@@ -5769,8 +5776,8 @@ object Queries {
         |    FOR i IN range(1, greatest(length(t) - 1, 2))]) AS g
         |  FROM (SELECT doc_id, substr(text, 1, 150) AS t FROM documents WHERE doc_id < 30))
         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-        |  round(len(list_intersect(a.g, b.g))::DOUBLE
-        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))), 6) AS jaccard
+        |  CAST(floor(len(list_intersect(a.g, b.g))::DOUBLE
+        |    / (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
         |FROM g a, g b WHERE a.doc_id < b.doc_id""".stripMargin,
 
     "q24_cosine_topk" ->
@@ -6811,7 +6818,7 @@ object Queries {
          |  JOIN n_sh sa ON sa.id = cand.new_id
          |  JOIN i_sh sb ON sb.id = cand.idx_id)
          |SELECT new_id, idx_id,
-         |  round(CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END, 6) AS jaccard
+         |  CAST(floor((CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
          |FROM verified
          |WHERE (CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) >= 0.5""".stripMargin
     },
@@ -8504,12 +8511,13 @@ object Queries {
         |SELECT host, url FROM r WHERE rn <= 15""".stripMargin,
 
     // q172: levenshtein recomputed by DuckDB's own builtin, floor-div
-    // means in integers
+    // means in integers; both sides clamped to the 256-char prefix
+    // exactly as snapshotDrift does (straggler bound, replayed here)
     "q172_snapshot_drift" ->
-      """WITH v2 AS (SELECT doc_id, source, text AS t0,
-        |    CASE WHEN doc_id % 4 = 0 THEN replace(text, 'data', 'info')
+      """WITH v2 AS (SELECT doc_id, source, left(text, 256) AS t0,
+        |    left(CASE WHEN doc_id % 4 = 0 THEN replace(text, 'data', 'info')
         |         WHEN doc_id % 4 = 1 THEN text || ' appended tail words'
-        |         ELSE text END AS t1
+        |         ELSE text END, 256) AS t1
         |  FROM documents),
         |p AS (SELECT source, levenshtein(t0, t1)::BIGINT AS lev,
         |    length(t0)::BIGINT AS len_old FROM v2),
@@ -9753,7 +9761,7 @@ object Queries {
         |  JOIN sh sb ON sb.id = cand.id_b
         |)
         |SELECT id_a, id_b,
-        |  round(CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END, 6) AS jaccard
+        |  CAST(floor((CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) * 1000000 + 0.5) AS BIGINT) AS jaccard_micro
         |FROM verified
         |WHERE (CASE WHEN stot - inter = 0 THEN 1.0 ELSE inter / (stot - inter) END) >= 0.5""".stripMargin,
 

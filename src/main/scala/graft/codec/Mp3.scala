@@ -58,8 +58,12 @@ object Mp3 {
     }
     var first: Info = null
     var nFrames = 0
-    var samplesTimes1000 = 0L // Σ frameSamples * 1000, divided once at the end
-    var rate0 = 0
+    // Σ per-frame duration in exact ticks at 14,112,000 Hz — the LCM of
+    // every MPEG sample rate (8000..48000 incl. the 11025 family) — so a
+    // stream whose frames CHANGE sample rate (concatenated/corrupt VBR)
+    // still gets an exact total, not samples/firstFrameRate.
+    var ticks = 0L // Σ frameSamples * (TickHz / rate); TickHz/rate is exact
+    val TickHz = 14112000L
     var done = false
     while (!done && p + 4 <= b.length) {
       if ((b(p) & 0xff) != 0xff || (b(p + 1) & 0xe0) != 0xe0) {
@@ -102,18 +106,16 @@ object Mp3 {
           if (layer == 1) (12 * bitrate * 1000 / rate + padding) * 4
           else frameSamples / 8 * bitrate * 1000 / rate + padding
         if (frameLen <= 4) return Left("mp3: implausible frame length")
-        if (first == null) {
+        if (first == null)
           first = Info(verName, layer, bitrate, rate, channels, 0, 0L)
-          rate0 = rate
-        }
         nFrames += 1
-        samplesTimes1000 += frameSamples.toLong * 1000L
+        ticks += frameSamples.toLong * (TickHz / rate)
         if (nFrames > 1000000) return Left("mp3: implausible frame count")
         p += frameLen
       }
     }
     if (first == null || nFrames == 0) return Left("mp3: no frames")
-    Right(first.copy(nFrames = nFrames, durationMs = samplesTimes1000 / rate0))
+    Right(first.copy(nFrames = nFrames, durationMs = ticks * 1000L / TickHz))
   }
 
   /** Header-only frame synthesis (the encoder twin for labeling tests):

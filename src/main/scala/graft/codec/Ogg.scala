@@ -11,7 +11,7 @@ object Ogg {
       codec: String, // "opus" | "vorbis" | "unknown"
       channels: Int,
       sampleRate: Int, // Opus: the 48000 granule clock
-      nPages: Int,
+      nPages: Int, // pages of the tracked (first-BOS) stream only
       durationMs: Long)
 
   def isOgg(b: Array[Byte]): Boolean =
@@ -36,7 +36,8 @@ object Ogg {
     var preSkip = 0
     var granuleRate = 0L
     var lastGranule = -1L
-    var nPages = 0
+    var nPages = 0   // pages of the tracked (first-BOS) stream only
+    var nScanned = 0 // all pages, any serial — loop bound
     var serial = -1L
     while (p + 27 <= b.length) {
       if (!(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S' && b(p + 4) == 0)) {
@@ -69,12 +70,18 @@ object Ogg {
           granuleRate = rate.toLong
         }
       }
-      if (pageSerial == serial && granule >= 0) lastGranule = granule
-      nPages += 1
-      if (nPages > 1000000) return Left("ogg: implausible page count")
+      // nPages counts only the TRACKED stream's pages so a multiplexed
+      // (grouped audio+video) container doesn't report the combined page
+      // count against one stream's duration; nScanned bounds the walk.
+      if (pageSerial == serial) {
+        if (granule >= 0) lastGranule = granule
+        nPages += 1
+      }
+      nScanned += 1
+      if (nScanned > 1000000) return Left("ogg: implausible page count")
       p = body + bodyLen
     }
-    if (nPages == 0) return Left("ogg: no pages")
+    if (nScanned == 0) return Left("ogg: no pages")
     finish(codec, channels, rate, nPages, lastGranule, preSkip, granuleRate)
   }
 

@@ -32,14 +32,21 @@ final class ParquetTableIO(warehouse: String) extends TableIO {
     // contract here so the production swap changes no behavior
     // (TableIOSpec pins this).
     if (tableExists(df.sparkSession, name)) {
+      // Iceberg resolves append columns BY NAME (order-insensitive) and
+      // enforces nullability one-directionally: writing a nullable column
+      // into a required one is rejected, required-into-nullable is fine.
       val existing = df.sparkSession.read.parquet(path(name)).schema
-      val incoming = df.schema
-      val e = existing.fields.map(f => (f.name, f.dataType)).toSeq
-      val i = incoming.fields.map(f => (f.name, f.dataType)).toSeq
-      if (e != i)
-        throw new IllegalArgumentException(
-          s"appendTable($name): schema mismatch — table has ${e.mkString(",")}; " +
-            s"append has ${i.mkString(",")}. Evolve the table explicitly instead.")
+      val e = existing.fields.map(f => f.name -> f).toMap
+      val i = df.schema.fields.map(f => f.name -> f).toMap
+      def fail(why: String) = throw new IllegalArgumentException(
+        s"appendTable($name): $why — table has ${existing.simpleString}; " +
+          s"append has ${df.schema.simpleString}. Evolve the table explicitly instead.")
+      if (e.keySet != i.keySet) fail("column-set mismatch")
+      for ((n, ef) <- e) {
+        val inf = i(n)
+        if (ef.dataType != inf.dataType) fail(s"type mismatch on '$n'")
+        if (!ef.nullable && inf.nullable) fail(s"nullable append into required column '$n'")
+      }
     }
     df.write.mode("append").parquet(path(name))
   }

@@ -334,8 +334,12 @@ object Multimodal {
         case Left(_) => bad("image", "jpeg")
       }
       else if (Png.isPng(p)) {
-        // IHDR: width/height big-endian at offsets 16/20
-        if (p.length < 24) bad("image", "png")
+        // IHDR: width/height big-endian at offsets 16/20 — but only if
+        // the first chunk really IS an IHDR (the spec mandates it, and a
+        // forged file that puts another chunk first must get the typed
+        // bad(...) row, not dimensions read from that chunk's payload)
+        if (p.length < 24 || p(12) != 'I' || p(13) != 'H' || p(14) != 'D' || p(15) != 'R')
+          bad("image", "png")
         else {
           def be(i: Int) = ((p(i) & 0xff) << 24) | ((p(i + 1) & 0xff) << 16) |
             ((p(i + 2) & 0xff) << 8) | (p(i + 3) & 0xff)
@@ -403,6 +407,9 @@ object Multimodal {
           q += 8 + size + (size & 1)
         }
         if (chn <= 0 || rate <= 0 || bits <= 0 || dataLen < 0) bad("audio", "wav")
+        else if (bits % 8 != 0) bad("audio", "wav") // sub-byte depths (ADPCM
+        // 4-bit, 12-bit packed): chn*bits/8 would floor to a wrong (or zero)
+        // frame size — typed fence instead of a silently wrong duration
         else {
           val nSamples = dataLen.toLong / (chn * bits / 8)
           PayloadInfo("audio", "wav", 0, 0, rate, chn, nSamples * 1000L / rate, decodable = true)

@@ -264,15 +264,32 @@ object Temporal {
     * content. Returns per-doc (id, lev, len_old, drift_micro); callers
     * aggregate per source/release.
     *
+    * Both sides are clamped to a `prefix`-char prefix (default 64 Ki)
+    * before the DP: drift is a regression MONITOR, not an exact diff,
+    * and an unbounded O(len² ) kernel turns a handful of megabyte-class
+    * documents into hour-long straggler tasks at crawl scale — skew the
+    * shuffle-shape audits can't see because it hides inside one row.
+    * With the clamp the worst row costs O(prefix²) bounded CPU and the
+    * 0→5% release-regression signal survives intact (a stripper that
+    * rewrote everyone's content rewrites the first 64 KiB too).
+    * `len_old` is the clamped length, so drift_micro stays a true
+    * edits-per-compared-char rate; oracles replay the clamp with
+    * `left(t, prefix)`.
+    *
     * Scale shape: one equi-join on the id — text must co-locate to be
     * compared, so this is the operator whose input WANTS bucketed/
     * co-partitioned snapshot tables (T60) at 10¹² rows — then a purely
     * narrow levenshtein projection (Spark's builtin, codegen'd). */
   def snapshotDrift(
-      old: DataFrame, cur: DataFrame, idCol: String, textCol: String): DataFrame =
-    old.select(col(idCol).cast("long").as("id"), col(textCol).as("__t0"))
-      .join(cur.select(col(idCol).cast("long").as("id"), col(textCol).as("__t1")), Seq("id"))
+      old: DataFrame, cur: DataFrame, idCol: String, textCol: String,
+      prefix: Int = 65536): DataFrame = {
+    require(prefix >= 1, s"snapshotDrift prefix must be >= 1, got $prefix")
+    old.select(col(idCol).cast("long").as("id"),
+        substring(col(textCol), 1, prefix).as("__t0"))
+      .join(cur.select(col(idCol).cast("long").as("id"),
+        substring(col(textCol), 1, prefix).as("__t1")), Seq("id"))
       .select(col("id"), levenshtein(col("__t0"), col("__t1")).cast("long").as("lev"),
         length(col("__t0")).cast("long").as("len_old"))
       .withColumn("drift_micro", expr("lev * 1000000 div greatest(len_old, 1)"))
+  }
 }

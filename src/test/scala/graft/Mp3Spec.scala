@@ -30,6 +30,17 @@ class Mp3Spec extends AnyFunSuite {
     assert(mi.durationMs == 8L * 576 * 1000 / 24000)
   }
 
+  test("mixed-sample-rate stream: duration is exact per frame, not samples/rate0") {
+    // 4 frames at 44100 then 4 frames at 48000 (a concatenated-VBR shape):
+    // exact duration = 4·1152/44100 + 4·1152/48000 s = 104.489… + 96 ms → 200 ms.
+    // The old Σsamples/rate0 formula read 9216·1000/44100 = 208 ms.
+    val b = Mp3.synthesize(4, 3, 3, 9, 0, mono = true) ++
+      Mp3.synthesize(4, 3, 3, 9, 1, mono = true)
+    val mi = Mp3.info(b).toOption.get
+    assert(mi.nFrames == 8 && mi.sampleRate == 44100) // first-frame labeling
+    assert(mi.durationMs == 200L, mi.toString)
+  }
+
   test("ID3v2 prefix is skipped via its syncsafe size") {
     val b = Mp3.synthesize(n = 4, versionBits = 3, layer = 3, brIdx = 5, srIdx = 2,
       mono = true, id3Size = 1000)

@@ -2281,6 +2281,32 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("mediaInfo: hostile payloads get typed rows, not forged dimensions") {
+    import graft.ops.Multimodal
+    // PNG whose FIRST chunk is not IHDR: the spec mandates IHDR-first, so
+    // dimensions must NOT be read from whatever chunk sits at offset 16
+    val forged = java.nio.ByteBuffer.allocate(64)
+    forged.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    forged.putInt(13).put("gAMA".getBytes("US-ASCII")) // wrong chunk first
+    forged.putInt(0x7fffffff).putInt(0x7fffffff)       // would read as w/h
+    val fi = Multimodal.mediaInfo(java.util.Arrays.copyOf(forged.array(), 40))
+    assert(fi.format == "png" && !fi.decodable && fi.width == 0 && fi.height == 0, fi.toString)
+    // a REAL PNG still labels
+    val png = graft.codec.Png.encode(new Array[Byte](5 * 4), 5, 4, 1)
+    val pi = Multimodal.mediaInfo(png)
+    assert(pi.format == "png" && pi.width == 5 && pi.height == 4 && pi.decodable)
+    // WAV with a sub-byte bit depth (4-bit ADPCM-style): typed fence, not
+    // a zero-divisor ArithmeticException swallowed into ("unknown","error")
+    val wav = java.nio.ByteBuffer.allocate(60).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    wav.put("RIFF".getBytes); wav.putInt(48); wav.put("WAVE".getBytes)
+    wav.put("fmt ".getBytes); wav.putInt(16)
+    wav.putShort(17); wav.putShort(1); wav.putInt(8000) // IMA ADPCM, mono, 8 kHz
+    wav.putInt(4000); wav.putShort(256); wav.putShort(4) // bits = 4
+    wav.put("data".getBytes); wav.putInt(8); wav.put(new Array[Byte](8))
+    val wi = Multimodal.mediaInfo(java.util.Arrays.copyOf(wav.array(), 56))
+    assert(wi.kind == "audio" && wi.format == "wav" && !wi.decodable, wi.toString)
+  }
+
   test("majorityStats: majority, deterministic ties, exact mixed fraction") {
     import graft.ops.Curation
     val df = Seq(
@@ -2991,6 +3017,24 @@ class OpsSpec extends AnyFunSuite {
       1L -> ((2L, 6L, 333333L)),  // 1 sub + 1 insert over 6 chars
       2L -> ((0L, 4L, 0L)),
       3L -> ((2L, 0L, 2000000L))), got.toString) // empty old: greatest(len,1)
+  }
+
+  test("snapshotDrift: prefix clamp bounds the DP and rescopes len_old") {
+    import graft.ops.Temporal
+    // 1: edit INSIDE the prefix survives; 2: change entirely BEYOND the
+    // prefix reads 0 edits; 3: short doc unaffected by the clamp.
+    val v1 = Seq((1L, "aXcd" + "z" * 100), (2L, "abcd" + "z" * 100), (3L, "ab")).toDF("id", "t")
+    val v2 = Seq((1L, "aYcd" + "z" * 100), (2L, "abcd" + "z" * 90 + "EDITED"),
+      (3L, "aX")).toDF("id", "t")
+    val got = Temporal.snapshotDrift(v1, v2, "id", "t", prefix = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((1L, 8L, 125000L)),  // sub at pos 2, len = clamped 8
+      2L -> ((0L, 8L, 0L)),       // divergence starts at char 95 > prefix
+      3L -> ((1L, 2L, 500000L))), got.toString)
+    intercept[IllegalArgumentException] {
+      Temporal.snapshotDrift(v1, v2, "id", "t", prefix = 0)
+    }
   }
 
   test("sitemapKernel: urlset fields, entity decode, index children, invalid fallback") {
