@@ -393,6 +393,55 @@ object Bench {
     }
     try rm(new java.io.File(corpusDir)) catch { case _: Throwable => () }
 
+    // ---- phase 3 (budget-gated): targeted outlier re-measure ----
+    // A multi-minute contended host window can charge a 7.8s query 60s
+    // in whichever suite pass it hits (BENCH_r04: q172 60.1s driver vs
+    // 7.8s isolated; q173 12.0s vs 3.6s), and when the governor dropped
+    // pass 2 there is no second reading to min against. Re-running JUST
+    // the most expensive recorded walls at the END of the budget — by
+    // then the window has usually moved on — costs seconds, not a suite
+    // pass, and per-query min() can only improve the record. Suspects:
+    // wall > max(8 x suite median, 2s); honestly-expensive queries that
+    // re-read their true cost lose nothing.
+    locally {
+      val walls = results.filter(_._2 >= 0).map(_._2).sorted
+      if (walls.nonEmpty) {
+        val median = walls(walls.size / 2)
+        val cut = math.max(median * 8, 2.0)
+        val suspects = results.filter(_._2 > cut).sortBy(-_._2)
+        if (suspects.nonEmpty && budget - elapsed > 45) {
+          beat(f"phase 3 start: re-measuring ${suspects.size} outliers (wall > $cut%.1fs)")
+          val s3 = session(cpus)
+          try {
+            try s3.read.parquet(s"$sfDir/documents.parquet").count()
+            catch { case _: Throwable => () }
+            warmCodecs(2.0)
+            val q = SparkEntry.queries
+            val redone = suspects.flatMap { case (name, old) =>
+              // each re-run is individually budget-gated on the RECORDED
+              // wall (an upper bound when the record is contention-inflated)
+              if (budget - elapsed < math.min(old, 30.0) + 20) None
+              else {
+                val sec = try time(force(q(name)(s3, sfDir)))
+                  catch { case _: Throwable => -1.0 }
+                s3.catalog.clearCache()
+                if (sec >= 0) Some(name -> sec) else None
+              }
+            }.toMap
+            results = results.map { case (name, w) =>
+              name -> (redone.get(name) match {
+                case Some(r) => math.min(w, r)
+                case None => w
+              })
+            }
+            val improved = redone.count { case (n, r) =>
+              r < results.find(_._1 == n).map(_._2).getOrElse(r) + 1e-9 }
+            beat(s"phase 3 done: ${redone.size} re-measured, $improved kept as min")
+          } finally s3.stop()
+        }
+      }
+    }
+
     val line = emit(results, Some(scalingJson()))
     beat("done")
     println(line)

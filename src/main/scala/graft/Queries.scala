@@ -535,13 +535,13 @@ object Queries {
 
     // UNIFIED PAYLOAD LABELING, ORACLED: Multimodal.mediaInfo — the
     // one-pass header-only dispatcher over the whole codec/labeling
-    // family — driven by an eight-way mixed corpus (JPEG, PNG, WebP
-    // lossless + lossy, WAV, MP3, MP4, OGG/Opus), every output field a
-    // closed form. This is the single read a 100-TB pipeline does per
-    // binary payload before deciding what (if anything) to decode.
+    // family — driven by a ten-way mixed corpus (JPEG, PNG, WebP
+    // lossless + lossy, WAV, MP3, MP4, OGG/Opus, AVIF, HEIC), every
+    // output field a closed form. This is the single read a 100-TB
+    // pipeline does per binary payload before deciding what to decode.
     "q257_media_info" -> ((s, dir) => {
       val st = udf { id: Long =>
-        val payload: Array[Byte] = (id % 8).toInt match {
+        val payload: Array[Byte] = (id % 10).toInt match {
           case 0 =>
             val w = 16 + (id % 3).toInt * 8; val h = 8 + (id % 2).toInt * 8
             graft.codec.JpegEncoder.encodeGray(new Array[Byte](w * h), w, h,
@@ -571,6 +571,15 @@ object Queries {
           case 6 =>
             graft.codec.Mp4.synthesize("isom", 1000, 2000 + id % 3000,
               320 + (id % 4).toInt * 80, 240 + (id % 4).toInt * 60)
+          case 8 =>
+            // AVIF still: primary ispe + a smaller thumbnail ispe — the
+            // labeler must pick the LARGEST (= primary) per the
+            // documented heuristic in Mp4.infoImpl
+            graft.codec.Mp4.synthesizeHeif("avif",
+              Seq((64 + (id % 16).toInt, 48 + (id % 8).toInt), (16, 12)))
+          case 9 =>
+            graft.codec.Mp4.synthesizeHeif("heic",
+              Seq((100 + (id % 20).toInt, 80 + (id % 10).toInt)))
           case _ =>
             graft.codec.Ogg.synthesize("opus", 2, 48000, preSkip = 0,
               nDataPages = 3, finalGranule = 48000 + id * 96)
@@ -9111,41 +9120,48 @@ object Queries {
         |  CASE WHEN doc_id % 2 = 0 THEN 'ok' ELSE 'lossy_fenced' END AS decode_status
         |FROM documents""".stripMargin,
 
-    // q257: eight families, every field stated; wav duration =
+    // q257: ten families, every field stated; wav duration =
     // samples*1000 // rate, mp3 = frames*1152*1000 // rate (ISO table
-    // literals), mp4 = units*1000 // 1000, opus = granule // 48.
+    // literals), mp4 = units*1000 // 1000, opus = granule // 48; AVIF
+    // dims are the LARGEST ispe (primary beats the planted thumbnail).
     "q257_media_info" ->
       """SELECT doc_id,
-        |  CASE CAST(doc_id % 8 AS INT)
+        |  CASE CAST(doc_id % 10 AS INT)
         |    WHEN 0 THEN 'image' WHEN 1 THEN 'image' WHEN 2 THEN 'image'
         |    WHEN 3 THEN 'image' WHEN 4 THEN 'audio' WHEN 5 THEN 'audio'
-        |    WHEN 6 THEN 'video' ELSE 'audio' END AS kind,
-        |  CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 6 THEN 'video' WHEN 8 THEN 'image' WHEN 9 THEN 'image'
+        |    ELSE 'audio' END AS kind,
+        |  CASE CAST(doc_id % 10 AS INT)
         |    WHEN 0 THEN 'jpeg' WHEN 1 THEN 'png' WHEN 2 THEN 'webp'
         |    WHEN 3 THEN 'webp-lossy' WHEN 4 THEN 'wav' WHEN 5 THEN 'mp3'
-        |    WHEN 6 THEN 'mp4' ELSE 'ogg-opus' END AS format,
-        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 6 THEN 'mp4' WHEN 8 THEN 'avif' WHEN 9 THEN 'heic'
+        |    ELSE 'ogg-opus' END AS format,
+        |  CAST(CASE CAST(doc_id % 10 AS INT)
         |    WHEN 0 THEN 16 + (doc_id % 3) * 8 WHEN 1 THEN 9 + doc_id % 5
         |    WHEN 2 THEN 7 + doc_id % 6 WHEN 3 THEN 20 + doc_id % 9
-        |    WHEN 6 THEN 320 + (doc_id % 4) * 80 ELSE 0 END AS BIGINT) AS width,
-        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 6 THEN 320 + (doc_id % 4) * 80
+        |    WHEN 8 THEN 64 + doc_id % 16 WHEN 9 THEN 100 + doc_id % 20
+        |    ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE CAST(doc_id % 10 AS INT)
         |    WHEN 0 THEN 8 + (doc_id % 2) * 8 WHEN 1 THEN 4 + doc_id % 3
         |    WHEN 2 THEN 5 + doc_id % 4 WHEN 3 THEN 10 + doc_id % 7
-        |    WHEN 6 THEN 240 + (doc_id % 4) * 60 ELSE 0 END AS BIGINT) AS height,
-        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |    WHEN 6 THEN 240 + (doc_id % 4) * 60
+        |    WHEN 8 THEN 48 + doc_id % 8 WHEN 9 THEN 80 + doc_id % 10
+        |    ELSE 0 END AS BIGINT) AS height,
+        |  CAST(CASE CAST(doc_id % 10 AS INT)
         |    WHEN 4 THEN 16000
         |    WHEN 5 THEN list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1)
         |    WHEN 7 THEN 48000 ELSE 0 END AS BIGINT) AS sample_rate,
-        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |  CAST(CASE CAST(doc_id % 10 AS INT)
         |    WHEN 4 THEN 1 WHEN 5 THEN 1 WHEN 7 THEN 2 ELSE 0 END AS BIGINT) AS channels,
-        |  CAST(CASE CAST(doc_id % 8 AS INT)
+        |  CAST(CASE CAST(doc_id % 10 AS INT)
         |    WHEN 4 THEN (400 + doc_id % 200) * 1000 // 16000
         |    WHEN 5 THEN (4 + doc_id % 5) * 1152 * 1000
         |         // list_extract([44100, 48000, 32000], CAST(doc_id % 3 AS INT) + 1)
         |    WHEN 6 THEN 2000 + doc_id % 3000
         |    WHEN 7 THEN (48000 + doc_id * 96) * 1000 // 48000
         |    ELSE 0 END AS BIGINT) AS duration_ms,
-        |  CAST(doc_id % 8 AS INT) IN (0, 1, 2, 4) AS decodable
+        |  CAST(doc_id % 10 AS INT) IN (0, 1, 2, 4) AS decodable
         |FROM documents""".stripMargin,
 
     // q256: all four tags stated verbatim per family (v2.3 TYER years,

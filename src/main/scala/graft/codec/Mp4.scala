@@ -10,7 +10,13 @@ package graft.codec
   * major brand, `moov/mvhd` timescale+duration, `trak/tkhd` 16.16
   * fixed-point width/height, `hdlr` handler type per track. Unknown
   * boxes are skipped by size; malformed sizes are typed errors before
-  * any allocation.
+  * any allocation. HEIF-family still images (AVIF/HEIC — the
+  * fastest-growing crawl image population) carry no `moov`: their
+  * dimensions live in `meta/iprp/ipco/ispe` (ISO/IEC 23008-12), which
+  * the same walker reads; the LARGEST ispe is reported (a file carries
+  * one per item — primary image, thumbnail, alpha plane — and without a
+  * full pitm/ipma association walk the largest is the primary for every
+  * real encoder output).
   */
 object Mp4 {
 
@@ -19,8 +25,13 @@ object Mp4 {
       brand: String,
       durationMs: Long,
       nTracks: Int,
-      videoW: Int, // 0 when no video track
+      videoW: Int, // 0 when no video track; HEIF still: largest ispe dims
       videoH: Int)
+
+  /** ftyp major brands that mark a HEIF-family STILL image container
+    * (no moov; dims from meta/iprp/ipco/ispe). */
+  val ImageBrands: Set[String] =
+    Set("avif", "avis", "heic", "heix", "heim", "heis", "hevc", "hevx", "mif1", "msf1")
 
   def isMp4(b: Array[Byte]): Boolean =
     b != null && b.length >= 12 &&
@@ -45,6 +56,8 @@ object Mp4 {
     var nTracks = 0
     var videoW = 0
     var videoH = 0
+    var ispeW = 0
+    var ispeH = 0
 
     // walk one box level [from, to); returns false on malformed sizes
     def walk(from: Int, to: Int, depth: Int)(f: (String, Int, Int) => Either[String, Unit]): Either[String, Unit] = {
@@ -118,13 +131,40 @@ object Mp4 {
             }
           case _ => Right(())
         }
+      case ("meta", s0, e0) =>
+        // meta is a FullBox: 4 bytes version/flags before the children
+        if (e0 - s0 < 4) Right(())
+        else walk(s0 + 4, e0, 1) {
+          case ("iprp", is, ie) => walk(is, ie, 2) {
+            case ("ipco", cs, ce) => walk(cs, ce, 3) {
+              case ("ispe", ps, pe) =>
+                // FullBox(4) + width(4) + height(4)
+                if (pe - ps >= 12) {
+                  val w = be32(b, ps + 4).toInt
+                  val h = be32(b, ps + 8).toInt
+                  if (w > 0 && h > 0 && w.toLong * h > ispeW.toLong * ispeH) {
+                    ispeW = w; ispeH = h
+                  }
+                }
+                Right(())
+              case _ => Right(())
+            }
+            case _ => Right(())
+          }
+          case _ => Right(())
+        }
       case _ => Right(()) // mdat / free / skip...
     }
     top match {
       case Left(e) => Left(e)
       case _ =>
         if (brand.isEmpty) Left("mp4: no ftyp")
-        else if (duration < 0 || timescale <= 0) Left("mp4: no mvhd")
+        else if (duration < 0 || timescale <= 0) {
+          // HEIF still image: no movie header is the NORMAL shape
+          if (ispeW > 0 && ImageBrands.contains(brand))
+            Right(Info(brand, 0L, 0, ispeW, ispeH))
+          else Left("mp4: no mvhd")
+        }
         else Right(Info(brand, duration * 1000L / timescale, nTracks, videoW, videoH))
     }
   }
@@ -161,5 +201,31 @@ object Mp4 {
     val moov = box("moov", mvhd ++ traks)
     val mdat = box("mdat", Array.emptyByteArray)
     ftyp ++ moov ++ mdat
+  }
+
+  /** Synthesis twin for HEIF-family stills: ftyp + meta(hdlr pict +
+    * iprp/ipco with one ispe per (w,h) pair) + empty mdat. The real
+    * coded payload (av01/hvc1 items) is irrelevant to labeling. */
+  def synthesizeHeif(brand: String, dims: Seq[(Int, Int)]): Array[Byte] = {
+    require(brand.length == 4 && dims.nonEmpty)
+    def box(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      val size = 8 + payload.length
+      out.write((size >> 24) & 0xff); out.write((size >> 16) & 0xff)
+      out.write((size >> 8) & 0xff); out.write(size & 0xff)
+      out.write(tag.getBytes("US-ASCII"))
+      out.write(payload, 0, payload.length)
+      out.toByteArray
+    }
+    def be(v: Long, n: Int): Array[Byte] =
+      Array.tabulate[Byte](n)(i => ((v >> (8 * (n - 1 - i))) & 0xff).toByte)
+    val ftyp = box("ftyp", brand.getBytes("US-ASCII") ++ be(0, 4) ++ "mif1".getBytes("US-ASCII"))
+    val hdlr = box("hdlr", be(0, 4) ++ be(0, 4) ++ "pict".getBytes("US-ASCII") ++ new Array[Byte](12))
+    val ispes = dims.map { case (w, h) =>
+      box("ispe", be(0, 4) ++ be(w.toLong, 4) ++ be(h.toLong, 4))
+    }.reduce(_ ++ _)
+    val iprp = box("iprp", box("ipco", ispes))
+    val meta = box("meta", be(0, 4) ++ hdlr ++ iprp)
+    ftyp ++ meta ++ box("mdat", Array.emptyByteArray)
   }
 }

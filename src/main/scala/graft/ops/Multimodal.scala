@@ -422,6 +422,11 @@ object Multimodal {
         case Left(_) => bad("audio", "ogg")
       }
       else if (Mp4.isMp4(p)) Mp4.info(p) match {
+        case Right(mi) if Mp4.ImageBrands.contains(mi.brand) =>
+          // HEIF-family still image (AVIF/HEIC): dims from meta/iprp/
+          // ipco/ispe; coded payload (AV1/HEVC intra) decode is fenced
+          PayloadInfo("image", if (mi.brand.startsWith("av")) "avif" else "heic",
+            mi.videoW, mi.videoH, 0, 0, 0L, decodable = false)
         case Right(mi) => PayloadInfo(if (mi.videoW > 0) "video" else "media", "mp4",
           mi.videoW, mi.videoH, 0, 0, mi.durationMs, decodable = false)
         case Left(_) => bad("video", "mp4")

@@ -26,6 +26,32 @@ class Mp4Spec extends AnyFunSuite {
     assert(mi.videoW == 1920 && mi.videoH == 1080 && mi.nTracks == 1)
   }
 
+  test("HEIF stills: ispe dims via meta/iprp/ipco, largest wins, brands label") {
+    // AVIF with a primary ispe and a smaller thumbnail ispe
+    val avif = Mp4.synthesizeHeif("avif", Seq((640, 480), (64, 48)))
+    val ai = Mp4.info(avif).toOption.get
+    assert(ai.brand == "avif" && ai.videoW == 640 && ai.videoH == 480, ai.toString)
+    assert(ai.durationMs == 0L && ai.nTracks == 0)
+    // thumbnail listed FIRST must still lose to the larger primary
+    val rev = Mp4.info(Mp4.synthesizeHeif("heic", Seq((32, 24), (800, 600)))).toOption.get
+    assert(rev.brand == "heic" && rev.videoW == 800 && rev.videoH == 600)
+    // mediaInfo dispatch: image kind, avif/heic formats, decode fenced
+    val mi = graft.ops.Multimodal.mediaInfo(avif)
+    assert(mi.kind == "image" && mi.format == "avif" && mi.width == 640 &&
+      mi.height == 480 && !mi.decodable, mi.toString)
+    val hi = graft.ops.Multimodal.mediaInfo(Mp4.synthesizeHeif("heic", Seq((12, 7))))
+    assert(hi.kind == "image" && hi.format == "heic" && hi.width == 12 && hi.height == 7)
+    // a non-image brand with no moov stays a typed error
+    assert(Mp4.info(Mp4.synthesizeHeif("isom", Seq((10, 10)))).isLeft)
+    // fuzz: mutated HEIF bytes never throw
+    val rng = new scala.util.Random(7)
+    (0 until 300).foreach { _ =>
+      val m = avif.clone()
+      m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+      Mp4.info(m); graft.ops.Multimodal.mediaInfo(m)
+    }
+  }
+
   test("typed errors: junk, truncation, hostile box sizes; fuzz never throws") {
     assert(Mp4.info("not an mp4 at all".getBytes).isLeft)
     val good = Mp4.synthesize("mp42", 600, 1200, 320, 240)
