@@ -595,6 +595,128 @@ object Queries {
           col("d._7").as("duration_ms"), col("d._8").as("decodable"))
     }),
 
+    // LOW-BIT PNG DECODE, ORACLED ON PIXELS: sub-byte depths 1/2/4
+    // through the real pack→filter→inflate→defilter→unpack path, both
+    // color types that allow them — gray (samples scale v*255/(2^d-1),
+    // exact for 255's divisors 1/3/15) and palette (indices raw). The
+    // legacy-web population the round-4 verdict asked to un-fence.
+    "q258_png_lowbit" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val d = 1 << (id % 3).toInt // 1, 2, 4
+        val maxV = (1 << d) - 1
+        val w = 9 + (id % 6).toInt; val h = 5 + (id % 4).toInt
+        val vals = new Array[Byte](w * h)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { vals(y * w + x) = (((id + 3 * x + 5 * y) % (maxV + 1)).toInt).toByte; x += 1 }
+          y += 1
+        }
+        val gray = graft.codec.Png.decode(graft.codec.Png.encodeGrayLowBit(vals, w, h, d))
+          .fold(e => throw new IllegalStateException(e), identity)
+        var gSum = 0L; var gMin = 255L; var gMax = 0L
+        gray.pixels.foreach { pb =>
+          val u = (pb & 0xff).toLong
+          gSum += u; if (u < gMin) gMin = u; if (u > gMax) gMax = u
+        }
+        // palette leg at depth 4: 16 closed-form RGB entries
+        val pal = new Array[Byte](16 * 3)
+        var i = 0
+        while (i < 16) {
+          pal(3 * i) = ((i * 13) % 256).toByte
+          pal(3 * i + 1) = (255 - i * 9).toByte
+          pal(3 * i + 2) = ((i * 29) % 256).toByte
+          i += 1
+        }
+        val idx = new Array[Byte](w * h)
+        y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { idx(y * w + x) = (((id + 7 * x + 3 * y) % 16).toInt).toByte; x += 1 }
+          y += 1
+        }
+        val ind = graft.codec.Png.decode(graft.codec.Png.encodeIndexed(idx, w, h, 4, pal))
+          .fold(e => throw new IllegalStateException(e), identity)
+        var rSum = 0L; var gSum2 = 0L; var bSum = 0L
+        i = 0
+        while (i < w * h) {
+          rSum += ind.pixels(3 * i) & 0xff
+          gSum2 += ind.pixels(3 * i + 1) & 0xff
+          bSum += ind.pixels(3 * i + 2) & 0xff
+          i += 1
+        }
+        (d.toLong, w.toLong, h.toLong, gSum, gMin, gMax, rSum, gSum2, bSum)
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("depth"), col("d._2").as("width"),
+          col("d._3").as("height"), col("d._4").as("gray_sum"), col("d._5").as("gray_min"),
+          col("d._6").as("gray_max"), col("d._7").as("pal_sum_r"),
+          col("d._8").as("pal_sum_g"), col("d._9").as("pal_sum_b"))
+    }),
+
+    // RLE BMP DECODE, ORACLED ON PIXELS: BI_RLE8 and BI_RLE4 through the
+    // real GDI run-length machinery (encoded runs, EOL/EOB escapes,
+    // bottom-up rows) — the legacy-web screenshot population.
+    "q259_bmp_rle" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w8 = 9 + (id % 7).toInt; val h8 = 4 + (id % 5).toInt
+        val pal8 = new Array[Byte](256 * 3)
+        var e = 0
+        while (e < 256) {
+          pal8(3 * e) = ((e * 7) % 256).toByte
+          pal8(3 * e + 1) = ((e * 11) % 256).toByte
+          pal8(3 * e + 2) = ((e * 13) % 256).toByte
+          e += 1
+        }
+        val idx8 = new Array[Byte](w8 * h8)
+        var y = 0
+        while (y < h8) {
+          var x = 0
+          while (x < w8) { idx8(y * w8 + x) = (((x / 3 + y + id) % 40).toInt).toByte; x += 1 }
+          y += 1
+        }
+        val im8 = graft.codec.Bmp.decode(graft.codec.Bmp.encodeRle8(idx8, w8, h8, pal8))
+          .fold(er => throw new IllegalStateException(er), identity)
+        var r8 = 0L; var g8 = 0L; var b8 = 0L
+        var i = 0
+        while (i < w8 * h8) {
+          r8 += im8.pixels(3 * i) & 0xff; g8 += im8.pixels(3 * i + 1) & 0xff
+          b8 += im8.pixels(3 * i + 2) & 0xff
+          i += 1
+        }
+        val w4 = 7 + (id % 5).toInt; val h4 = 3 + (id % 4).toInt
+        val pal4 = new Array[Byte](16 * 3)
+        e = 0
+        while (e < 16) {
+          pal4(3 * e) = (e * 17).toByte
+          pal4(3 * e + 1) = (255 - e * 17).toByte
+          pal4(3 * e + 2) = ((e * 37) % 256).toByte
+          e += 1
+        }
+        val idx4 = new Array[Byte](w4 * h4)
+        y = 0
+        while (y < h4) {
+          var x = 0
+          while (x < w4) { idx4(y * w4 + x) = (((x + 2 * y + id) % 16).toInt).toByte; x += 1 }
+          y += 1
+        }
+        val im4 = graft.codec.Bmp.decode(graft.codec.Bmp.encodeRle4(idx4, w4, h4, pal4))
+          .fold(er => throw new IllegalStateException(er), identity)
+        var r4 = 0L; var g4 = 0L; var b4 = 0L
+        i = 0
+        while (i < w4 * h4) {
+          r4 += im4.pixels(3 * i) & 0xff; g4 += im4.pixels(3 * i + 1) & 0xff
+          b4 += im4.pixels(3 * i + 2) & 0xff
+          i += 1
+        }
+        (r8, g8, b8, r4, g4, b4)
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("rle8_sum_r"), col("d._2").as("rle8_sum_g"),
+          col("d._3").as("rle8_sum_b"), col("d._4").as("rle4_sum_r"),
+          col("d._5").as("rle4_sum_g"), col("d._6").as("rle4_sum_b"))
+    }),
+
     // ID3v2 TEXT-FRAME HARVEST, ORACLED: the audio-corpus metadata read
     // (TIT2/TPE1/TALB/TYER-TDRC) through both tag versions and mixed
     // frame encodings — the audio sibling of the HTML head-metadata
@@ -9163,6 +9285,49 @@ object Queries {
         |    ELSE 0 END AS BIGINT) AS duration_ms,
         |  CAST(doc_id % 10 AS INT) IN (0, 1, 2, 4) AS decodable
         |FROM documents""".stripMargin,
+
+    // q258: gray samples scale v*255/(2^d-1) — exact integer (255's
+    // divisors); palette legs are pure closed-form channel sums.
+    "q258_png_lowbit" ->
+      """WITH g AS (SELECT doc_id, (1 << CAST(doc_id % 3 AS INT)) AS d,
+        |    9 + doc_id % 6 AS w, 5 + doc_id % 4 AS h FROM documents),
+        |xs AS (SELECT doc_id, d, w, h, unnest(generate_series(0, w - 1)) AS x FROM g),
+        |c AS (SELECT doc_id, d, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs),
+        |v AS (SELECT doc_id, d, w, h,
+        |    ((doc_id + 3*x + 5*y) % (((1 << d) - 1) + 1)) * 255 // ((1 << d) - 1) AS gv,
+        |    (doc_id + 7*x + 3*y) % 16 AS pi
+        |  FROM c)
+        |SELECT doc_id, CAST(d AS BIGINT) AS depth,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(gv) AS BIGINT) AS gray_sum,
+        |  CAST(min(gv) AS BIGINT) AS gray_min, CAST(max(gv) AS BIGINT) AS gray_max,
+        |  CAST(sum((pi * 13) % 256) AS BIGINT) AS pal_sum_r,
+        |  CAST(sum(255 - pi * 9) AS BIGINT) AS pal_sum_g,
+        |  CAST(sum((pi * 29) % 256) AS BIGINT) AS pal_sum_b
+        |FROM v GROUP BY doc_id, d, w, h""".stripMargin,
+
+    // q259: both RLE legs are lossless round-trips of closed-form index
+    // planes, so channel sums restate the palette formulas directly.
+    "q259_bmp_rle" ->
+      """WITH g AS (SELECT doc_id, 9 + doc_id % 7 AS w8, 4 + doc_id % 5 AS h8,
+        |    7 + doc_id % 5 AS w4, 3 + doc_id % 4 AS h4 FROM documents),
+        |x8 AS (SELECT doc_id, w8, h8, unnest(generate_series(0, w8 - 1)) AS x FROM g),
+        |c8 AS (SELECT doc_id, x, unnest(generate_series(0, h8 - 1)) AS y FROM x8),
+        |e8 AS (SELECT doc_id, (x // 3 + y + doc_id) % 40 AS e FROM c8),
+        |s8 AS (SELECT doc_id, CAST(sum((e * 7) % 256) AS BIGINT) AS rle8_sum_r,
+        |    CAST(sum((e * 11) % 256) AS BIGINT) AS rle8_sum_g,
+        |    CAST(sum((e * 13) % 256) AS BIGINT) AS rle8_sum_b
+        |  FROM e8 GROUP BY doc_id),
+        |x4 AS (SELECT doc_id, w4, h4, unnest(generate_series(0, w4 - 1)) AS x FROM g),
+        |c4 AS (SELECT doc_id, x, unnest(generate_series(0, h4 - 1)) AS y FROM x4),
+        |e4 AS (SELECT doc_id, (x + 2*y + doc_id) % 16 AS e FROM c4),
+        |s4 AS (SELECT doc_id, CAST(sum(e * 17) AS BIGINT) AS rle4_sum_r,
+        |    CAST(sum(255 - e * 17) AS BIGINT) AS rle4_sum_g,
+        |    CAST(sum((e * 37) % 256) AS BIGINT) AS rle4_sum_b
+        |  FROM e4 GROUP BY doc_id)
+        |SELECT s8.doc_id, rle8_sum_r, rle8_sum_g, rle8_sum_b,
+        |  rle4_sum_r, rle4_sum_g, rle4_sum_b
+        |FROM s8 JOIN s4 ON s8.doc_id = s4.doc_id""".stripMargin,
 
     // q256: all four tags stated verbatim per family (v2.3 TYER years,
     // v2.4 TDRC dates, the unicode suffix on the %3=2 slice).

@@ -13,11 +13,16 @@ package graft.codec
   * standard 8-bit read; filtering still runs over the full 16-bit
   * scanlines first, as the spec requires). Adam7 interlace decodes too:
   * each of the 7 passes defilters as its own sub-image and scatters on
-  * the pass grid. Bit depths 1/2/4 return `Left` (honest fences).
+  * the pass grid. Sub-byte depths 1/2/4 (legal for gray and palette
+  * only, per the spec's allowed combinations) unpack MSB-first after
+  * defiltering: gray samples scale to 8-bit as v*255/(2^d-1) (the
+  * spec's sample-depth scaling), palette indices stay raw.
   * Output shape matches [[Jpeg.Image]]: gray bytes or interleaved RGB.
   *
-  * Encode (test/fixture twin): color type 0 or 2, filter 0 rows, one
-  * IDAT. Lossless — round-trips are bit-exact by construction, which
+  * Encode (test/fixture twin): color type 0 or 2 at depth 8, filter 0
+  * rows, one IDAT; [[encodeGrayLowBit]] and [[encodeIndexed]] write the
+  * 1/2/4-bit gray and palette shapes for the differential specs.
+  * Lossless — round-trips are bit-exact by construction, which
   * is what lets the q200 oracle state decoded pixels directly.
   */
 object Png {
@@ -68,9 +73,11 @@ object Png {
           // 256M-pixel ceiling (bpp up to 4): crafted IHDRs become error
           // rows, not executor OOMs
           if (width.toLong * height > (1L << 28) / 8) return Left("png: image too large")
-          if (bitDepth != 8 && bitDepth != 16)
-            return Left(s"png: bit depth $bitDepth unsupported (8/16 only)")
+          if (!Set(1, 2, 4, 8, 16).contains(bitDepth))
+            return Left(s"png: bit depth $bitDepth invalid")
           if (bitDepth == 16 && colorType == 3) return Left("png: 16-bit palette is invalid")
+          if (bitDepth < 8 && colorType != 0 && colorType != 3)
+            return Left(s"png: bit depth $bitDepth invalid for color type $colorType")
           if (!Set(0, 2, 3, 4, 6).contains(colorType)) return Left(s"png: color type $colorType")
           if (interlace != 0 && interlace != 1) return Left("png: unknown interlace method")
         case "PLTE" =>
@@ -88,14 +95,20 @@ object Png {
     if (colorType == 3 && palette == null) return Left("png: palette image without PLTE")
 
     val sampleBytes = if (bitDepth == 16) 2 else 1
-    val bpp = (colorType match { // bytes per pixel in the raw scanline
+    val channels = colorType match {
       case 0 | 3 => 1
       case 2 => 3
       case 4 => 2
       case 6 => 4
-    }) * sampleBytes
-    val stride = width * bpp
-    // total inflated size: non-interlaced = h scanlines of (1 + stride);
+    }
+    val bitsPerPx = channels * bitDepth
+    // filter left-neighbor offset: "bpp" in the spec is defined as the
+    // number of bytes per COMPLETE pixel, ROUNDED UP to one for sub-byte
+    val bpp = math.max(1, bitsPerPx / 8)
+    // packed scanline bytes for a pw-pixel row
+    def rowBytes(pw: Int): Int = ((pw.toLong * bitsPerPx + 7) / 8).toInt
+    val stride = width * channels * sampleBytes // UNPACKED output stride
+    // total inflated size: non-interlaced = h scanlines of (1 + rowBytes);
     // Adam7 = the sum over non-empty passes of their own scanline runs
     val passes: Seq[(Int, Int, Int, Int)] = // (startX, startY, stepX, stepY)
       if (interlace == 0) Seq((0, 0, 1, 1))
@@ -107,7 +120,7 @@ object Png {
     }
     val rawLen = passes.map { p =>
       val (pw, ph) = passDims(p)
-      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + pw.toLong * bpp)
+      if (pw == 0 || ph == 0) 0L else ph.toLong * (1 + rowBytes(pw))
     }.sum
     if (rawLen > (1L << 30)) return Left("png: image too large")
     val raw = new Array[Byte](rawLen.toInt)
@@ -174,11 +187,36 @@ object Png {
       Right(out)
     }
 
+    // unpack sub-byte rows to one byte per pixel (MSB-first packing per
+    // spec); gray scales to 8-bit by v*255/(2^d-1), palette indices stay
+    // raw (the spec scales SAMPLES, never palette indices)
+    val outBpp = channels * sampleBytes // bytes/pixel AFTER unpacking
+    def unpack(packed: Array[Byte], rows: Int, pw: Int): Array[Byte] =
+      if (bitDepth >= 8) packed
+      else {
+        val maxV = (1 << bitDepth) - 1
+        val o = new Array[Byte](rows * pw)
+        var y = 0
+        while (y < rows) {
+          val rb = rowBytes(pw)
+          var x = 0
+          while (x < pw) {
+            val bitPos = x * bitDepth
+            val v = ((packed(y * rb + (bitPos >> 3)) & 0xff) >>
+              (8 - bitDepth - (bitPos & 7))) & maxV
+            o(y * pw + x) = (if (colorType == 0) v * 255 / maxV else v).toByte
+            x += 1
+          }
+          y += 1
+        }
+        o
+      }
+
     val pix = new Array[Byte](stride * height)
     if (interlace == 0) {
-      defilter(0, height, stride) match {
+      defilter(0, height, rowBytes(width)) match {
         case Left(e)  => return Left(e)
-        case Right(d) => System.arraycopy(d, 0, pix, 0, d.length)
+        case Right(d) => System.arraycopy(unpack(d, height, width), 0, pix, 0, pix.length)
       }
     } else {
       // Adam7: each pass is its own filtered sub-image (filter context
@@ -187,17 +225,17 @@ object Png {
       for (p @ (sx, sy, dx, dy) <- passes) {
         val (pw, ph) = passDims(p)
         if (pw > 0 && ph > 0) {
-          val passBytes = defilter(off, ph, pw * bpp) match {
+          val passBytes = defilter(off, ph, rowBytes(pw)) match {
             case Left(e)  => return Left(e)
-            case Right(d) => d
+            case Right(d) => unpack(d, ph, pw)
           }
-          off += ph * (1 + pw * bpp)
+          off += ph * (1 + rowBytes(pw))
           var j = 0
           while (j < ph) {
             var i = 0
             while (i < pw) {
-              System.arraycopy(passBytes, (j * pw + i) * bpp,
-                pix, ((sy + j * dy) * width + sx + i * dx) * bpp, bpp)
+              System.arraycopy(passBytes, (j * pw + i) * outBpp,
+                pix, ((sy + j * dy) * width + sx + i * dx) * outBpp, outBpp)
               i += 1
             }
             j += 1
@@ -296,5 +334,79 @@ object Png {
     chunk("IDAT", zbuf.toByteArray)
     chunk("IEND", Array.emptyByteArray)
     out.toByteArray
+  }
+
+  // shared chunk-stream assembly for the low-bit twins
+  private def assemble(width: Int, height: Int, bitDepth: Int, colorType: Int,
+      plte: Array[Byte], packedRows: Array[Byte]): Array[Byte] = {
+    val defl = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION)
+    defl.setInput(packedRows); defl.finish()
+    val zbuf = new java.io.ByteArrayOutputStream(packedRows.length / 2 + 64)
+    val tmp = new Array[Byte](8192)
+    while (!defl.finished()) zbuf.write(tmp, 0, defl.deflate(tmp))
+    defl.end()
+    val out = new java.io.ByteArrayOutputStream(zbuf.size() + 128)
+    out.write(Signature, 0, 8)
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val l = data.length
+      out.write((l >>> 24) & 0xff); out.write((l >>> 16) & 0xff)
+      out.write((l >>> 8) & 0xff); out.write(l & 0xff)
+      val td = new Array[Byte](4 + l)
+      var i = 0
+      while (i < 4) { td(i) = typ.charAt(i).toByte; i += 1 }
+      System.arraycopy(data, 0, td, 4, l)
+      out.write(td, 0, td.length)
+      val c = crc(td, 0, td.length)
+      out.write(((c >>> 24) & 0xff).toInt); out.write(((c >>> 16) & 0xff).toInt)
+      out.write(((c >>> 8) & 0xff).toInt); out.write((c & 0xff).toInt)
+    }
+    val ihdr = new Array[Byte](13)
+    def be32(a: Array[Byte], p: Int, v: Int): Unit = {
+      a(p) = ((v >>> 24) & 0xff).toByte; a(p + 1) = ((v >>> 16) & 0xff).toByte
+      a(p + 2) = ((v >>> 8) & 0xff).toByte; a(p + 3) = (v & 0xff).toByte
+    }
+    be32(ihdr, 0, width); be32(ihdr, 4, height)
+    ihdr(8) = bitDepth.toByte; ihdr(9) = colorType.toByte
+    chunk("IHDR", ihdr)
+    if (plte != null) chunk("PLTE", plte)
+    chunk("IDAT", zbuf.toByteArray)
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  private def packRows(vals: Array[Byte], width: Int, height: Int, d: Int): Array[Byte] = {
+    val rb = (width * d + 7) / 8
+    val raw = new Array[Byte]((rb + 1) * height) // filter 0 per row
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        val bitPos = x * d
+        val at = y * (rb + 1) + 1 + (bitPos >> 3)
+        raw(at) = (raw(at) | ((vals(y * width + x) & ((1 << d) - 1)) <<
+          (8 - d - (bitPos & 7)))).toByte
+        x += 1
+      }
+      y += 1
+    }
+    raw
+  }
+
+  /** Low-bit gray twin: `vals` holds one sample 0..2^d-1 per pixel;
+    * packed MSB-first at depth d ∈ {1,2,4}, color type 0. */
+  def encodeGrayLowBit(vals: Array[Byte], width: Int, height: Int, d: Int): Array[Byte] = {
+    require(d == 1 || d == 2 || d == 4, "low-bit depths only")
+    require(vals.length == width * height, "bad image shape")
+    assemble(width, height, d, 0, null, packRows(vals, width, height, d))
+  }
+
+  /** Low-bit palette twin: `idx` holds one palette index per pixel at
+    * depth d ∈ {1,2,4}, color type 3; `palette` is RGB triples. */
+  def encodeIndexed(idx: Array[Byte], width: Int, height: Int, d: Int,
+      palette: Array[Byte]): Array[Byte] = {
+    require(d == 1 || d == 2 || d == 4, "low-bit depths only")
+    require(idx.length == width * height, "bad image shape")
+    require(palette.length % 3 == 0 && palette.length <= 768, "bad palette")
+    assemble(width, height, d, 3, palette, packRows(idx, width, height, d))
   }
 }

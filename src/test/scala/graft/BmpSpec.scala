@@ -101,8 +101,164 @@ class BmpSpec extends AnyFunSuite {
     // 16-bit depth is a documented fence
     val bad = good.clone(); bad(28) = 16
     assert(Bmp.decode(bad).isLeft)
-    // RLE8 compression is a documented fence
+    // RLE8 on a 24-bit image is invalid (BI_RLE8 requires 8-bit)
     val rle = good.clone(); rle(30) = 1
     assert(Bmp.decode(rle).isLeft)
+  }
+
+  private def gdiPalette(n: Int): Array[Byte] = Array.tabulate[Byte](n * 3) { i =>
+    val e = i / 3
+    (i % 3 match { case 0 => 13 * e + 5; case 1 => 255 - 9 * e; case _ => 29 * e }).toByte
+  }
+
+  test("RLE8: our encoder and hostile hand-built streams, ImageIO-differential") {
+    val w = 13; val h = 6 // odd width: encoded runs end mid-word
+    val pal = gdiPalette(256)
+    // runs of varying lengths, including full-row runs
+    val idx = Array.tabulate[Byte](w * h)(i => ((i / 3 + i / w) % 20).toByte)
+    val bytes = Bmp.encodeRle8(idx, w, h, pal)
+    val im = Bmp.decode(bytes).fold(e => fail(e), identity)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, "ImageIO rejected our RLE8 stream")
+    for (y <- 0 until h; x <- 0 until w) {
+      val e = idx(y * w + x) & 0xff
+      val base = (y * w + x) * 3
+      assert((im.pixels(base) & 0xff) == (pal(3 * e) & 0xff), s"R($x,$y)")
+      assert((im.pixels(base + 1) & 0xff) == (pal(3 * e + 1) & 0xff))
+      assert((im.pixels(base + 2) & 0xff) == (pal(3 * e + 2) & 0xff))
+      val argb = ref.getRGB(x, y)
+      assert(((argb >> 16) & 0xff) == (pal(3 * e) & 0xff), s"ImageIO R($x,$y)")
+      assert(((argb >> 8) & 0xff) == (pal(3 * e + 1) & 0xff))
+      assert((argb & 0xff) == (pal(3 * e + 2) & 0xff))
+    }
+    // truncation fails closed at every prefix
+    for (n <- Seq(54, 54 + 1024, bytes.length - 2, bytes.length - 7))
+      assert(Bmp.decode(java.util.Arrays.copyOf(bytes, n)).isLeft, s"prefix $n decoded")
+    // a run overflowing its row fails closed (255-pixel run on a 13-wide row)
+    val overflow = bytes.clone()
+    overflow(54 + 1024) = 255.toByte
+    assert(Bmp.decode(overflow).isLeft)
+  }
+
+  test("RLE8 deltas and absolute runs: skipped pixels read palette entry 0") {
+    // hand-built 8x4 stream: row0 = absolute run of 5 + EOL (rest 0),
+    // row1 = delta skip (3,0) then a 2-run, row2+3 skipped entirely by EOB
+    val pal = gdiPalette(256)
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(0); body.write(5); body.write(Array[Byte](7, 8, 9, 10, 11), 0, 5)
+    body.write(0) // pad absolute run of 5 bytes to word boundary
+    body.write(0); body.write(0) // EOL
+    body.write(0); body.write(2); body.write(3); body.write(0) // delta +3,+0
+    body.write(2); body.write(4) // run: 2 pixels of entry 4
+    body.write(0); body.write(1) // EOB
+    val hdr = Bmp.encodeRle8(new Array[Byte](8 * 4), 8, 4, pal).take(54 + 1024)
+    val bytes = hdr.clone()
+    // patch biSizeImage + file size to the hand-built body
+    val full = bytes ++ body.toByteArray
+    val expectIdx = Array.ofDim[Int](4, 8)
+    for (x <- 0 until 5) expectIdx(3)(x) = 7 + x // bottom-up row 0 = display row 3
+    expectIdx(2)(3) = 4; expectIdx(2)(4) = 4
+    val im = Bmp.decode(full).fold(e => fail(e), identity)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(full))
+    assert(ref != null, "ImageIO rejected the hand-built RLE8 stream")
+    for (y <- 0 until 4; x <- 0 until 8) {
+      val e = expectIdx(y)(x)
+      val base = (y * 8 + x) * 3
+      assert((im.pixels(base) & 0xff) == (pal(3 * e) & 0xff), s"R($x,$y) e=$e")
+      // The JDK BMPImageReader DROPS pixels written after a delta escape
+      // (observed: the 2-run lands as zeros under ImageIO) — a reader
+      // gap, not spec: GDI's delta moves the current position and
+      // decoding continues there. Differential only on delta-free rows;
+      // the delta row itself is pinned by the hand-derived expectation.
+      if (y != 2) {
+        val argb = ref.getRGB(x, y)
+        assert(((argb >> 16) & 0xff) == (pal(3 * e) & 0xff), s"ImageIO R($x,$y)")
+        assert((argb & 0xff) == (pal(3 * e + 2) & 0xff))
+      }
+    }
+  }
+
+  test("RLE4: alternating-nibble runs decode, ImageIO-differential") {
+    val w = 11; val h = 5
+    val pal = gdiPalette(16)
+    val idx = Array.tabulate[Byte](w * h)(i => (i % 16).toByte)
+    val bytes = Bmp.encodeRle4(idx, w, h, pal)
+    val im = Bmp.decode(bytes).fold(e => fail(e), identity)
+    val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(ref != null, "ImageIO rejected our RLE4 stream")
+    for (y <- 0 until h; x <- 0 until w) {
+      val e = idx(y * w + x) & 0x0f
+      val base = (y * w + x) * 3
+      assert((im.pixels(base) & 0xff) == (pal(3 * e) & 0xff), s"R($x,$y)")
+      val argb = ref.getRGB(x, y)
+      assert(((argb >> 16) & 0xff) == (pal(3 * e) & 0xff), s"ImageIO R($x,$y)")
+      assert((argb & 0xff) == (pal(3 * e + 2) & 0xff))
+    }
+  }
+
+  test("1-bit and 4-bit uncompressed BMPs (ImageIO-written) decode under ours") {
+    // 1-bit: TYPE_BYTE_BINARY writes a 2-entry palette at depth 1
+    val bin = new java.awt.image.BufferedImage(19, 7, java.awt.image.BufferedImage.TYPE_BYTE_BINARY)
+    for (y <- 0 until 7; x <- 0 until 19)
+      bin.setRGB(x, y, if ((x * 3 + y) % 4 == 0) 0xffffff else 0)
+    val b1 = imageIoBmp(bin)
+    assert((b1(28) & 0xff) == 1, s"ImageIO wrote depth ${b1(28)}, not 1")
+    val im1 = Bmp.decode(b1).fold(e => fail(e), identity)
+    for (y <- 0 until 7; x <- 0 until 19) {
+      val want = if ((x * 3 + y) % 4 == 0) 255 else 0
+      assert((im1.pixels((y * 19 + x) * 3) & 0xff) == want, s"1-bit ($x,$y)")
+    }
+    // 4-bit: a 16-entry IndexColorModel
+    val cmap = gdiPalette(16)
+    val icm = new java.awt.image.IndexColorModel(4, 16,
+      Array.tabulate[Byte](16)(i => cmap(3 * i)),
+      Array.tabulate[Byte](16)(i => cmap(3 * i + 1)),
+      Array.tabulate[Byte](16)(i => cmap(3 * i + 2)))
+    val im4src = new java.awt.image.BufferedImage(9, 6,
+      java.awt.image.BufferedImage.TYPE_BYTE_BINARY, icm)
+    val r4 = im4src.getRaster
+    for (y <- 0 until 6; x <- 0 until 9) r4.setSample(x, y, 0, (x + y) % 16)
+    val b4 = imageIoBmp(im4src)
+    assert((b4(28) & 0xff) == 4, s"ImageIO wrote depth ${b4(28)}, not 4")
+    val im4 = Bmp.decode(b4).fold(e => fail(e), identity)
+    val ref4 = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b4))
+    for (y <- 0 until 6; x <- 0 until 9) {
+      val argb = ref4.getRGB(x, y)
+      val base = (y * 9 + x) * 3
+      assert((im4.pixels(base) & 0xff) == ((argb >> 16) & 0xff), s"4-bit R($x,$y)")
+      assert((im4.pixels(base + 1) & 0xff) == ((argb >> 8) & 0xff))
+      assert((im4.pixels(base + 2) & 0xff) == (argb & 0xff))
+    }
+  }
+
+  test("ImageIO-WRITTEN RLE8 decodes under ours (writer-side differential)") {
+    val cmap = gdiPalette(256)
+    val icm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate[Byte](256)(i => cmap(3 * i)),
+      Array.tabulate[Byte](256)(i => cmap(3 * i + 1)),
+      Array.tabulate[Byte](256)(i => cmap(3 * i + 2)))
+    val src = new java.awt.image.BufferedImage(21, 9,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, icm)
+    val ras = src.getRaster
+    for (y <- 0 until 9; x <- 0 until 21) ras.setSample(x, y, 0, (x / 4 + 3 * y) % 40)
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("bmp").next()
+    val param = writer.getDefaultWriteParam
+    param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    param.setCompressionType("BI_RLE8")
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(src, null, null), param)
+    ios.close(); writer.dispose()
+    val bytes = bos.toByteArray
+    assert((bytes(30) & 0xff) == 1, "writer did not emit BI_RLE8")
+    val im = Bmp.decode(bytes).fold(e => fail(e), identity)
+    for (y <- 0 until 9; x <- 0 until 21) {
+      val e = (x / 4 + 3 * y) % 40
+      val base = (y * 21 + x) * 3
+      assert((im.pixels(base) & 0xff) == (cmap(3 * e) & 0xff), s"R($x,$y)")
+      assert((im.pixels(base + 1) & 0xff) == (cmap(3 * e + 1) & 0xff))
+      assert((im.pixels(base + 2) & 0xff) == (cmap(3 * e + 2) & 0xff))
+    }
   }
 }

@@ -68,6 +68,18 @@ class CodecFuzzSpec extends AnyFunSuite {
     succeed
   }
 
+  test("low-bit png decode survives 300 mutations per depth") {
+    for (d <- Seq(1, 2, 4)) {
+      val vals = Array.tabulate[Byte](23 * 11)(i => (i % (1 << d)).toByte)
+      val gray = Png.encodeGrayLowBit(vals, 23, 11, d)
+      for (m <- mutations(gray, 300)) Png.decode(m)
+      val pal = Array.tabulate[Byte]((1 << d) * 3)(i => (i * 11).toByte)
+      val indexed = Png.encodeIndexed(vals, 23, 11, d, pal)
+      for (m <- mutations(indexed, 300)) Png.decode(m)
+    }
+    succeed
+  }
+
   test("gif decode survives 300 mutations") {
     val pal = Array.tabulate[Byte](16 * 3)(i => (i * 5).toByte)
     val idx = Array.tabulate[Byte](30 * 18)(i => (i % 16).toByte)
@@ -121,6 +133,17 @@ class CodecFuzzSpec extends AnyFunSuite {
     val rgb = Array.tabulate[Byte](21 * 14 * 3)(i => ((i * 5) % 256).toByte)
     val seed = graft.codec.Bmp.encode(rgb, 21, 14)
     for (m <- mutations(seed, 300)) graft.codec.Bmp.decode(m)
+    succeed
+  }
+
+  test("rle bmp decode survives 600 mutations") {
+    val pal = Array.tabulate[Byte](256 * 3)(i => (i * 7).toByte)
+    val idx8 = Array.tabulate[Byte](19 * 9)(i => ((i / 3) % 50).toByte)
+    val rle8 = graft.codec.Bmp.encodeRle8(idx8, 19, 9, pal)
+    for (m <- mutations(rle8, 300)) graft.codec.Bmp.decode(m)
+    val idx4 = Array.tabulate[Byte](17 * 7)(i => (i % 16).toByte)
+    val rle4 = graft.codec.Bmp.encodeRle4(idx4, 17, 7, pal)
+    for (m <- mutations(rle4, 300)) graft.codec.Bmp.decode(m)
     succeed
   }
 
