@@ -717,6 +717,60 @@ object Queries {
           col("d._5").as("rle4_sum_g"), col("d._6").as("rle4_sum_b"))
     }),
 
+    // CMYK/YCCK JPEG DECODE, ORACLED ON PIXELS: the 4-component Adobe
+    // print population (scanned/print PDFs) through the real scan
+    // machinery. Flat exact-class blocks make stored samples closed
+    // forms; the CMYK leg replays R = s*k/255 directly and the YCCK leg
+    // replays the documented fixed-point YCbCr matrix then *k/255.
+    "q260_jpeg_cmyk" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 16; val h = 8 // two flat 8x8 blocks per plane
+        def planeOf(f: Int => Int): Array[Byte] = {
+          val p = new Array[Byte](w * h)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) { p(y * w + x) = f(x / 8).toByte; x += 1 }
+            y += 1
+          }
+          p
+        }
+        def v(ci: Int, bx: Int) = ((id * 7 + ci * 31 + bx * 13) % 256).toInt
+        val cmyk = graft.codec.JpegEncoder.encodeCmyk444(
+          planeOf(v(0, _)), planeOf(v(1, _)), planeOf(v(2, _)), planeOf(v(3, _)),
+          w, h, transform = 0, graft.codec.JpegEncoder.exactQuant)
+        val im = graft.codec.Jpeg.decode(cmyk)
+          .fold(e => throw new IllegalStateException(e), identity)
+        var cr = 0L; var cg = 0L; var cb2 = 0L
+        var i = 0
+        while (i < w * h) {
+          cr += im.pixels(3 * i) & 0xff; cg += im.pixels(3 * i + 1) & 0xff
+          cb2 += im.pixels(3 * i + 2) & 0xff
+          i += 1
+        }
+        def u(ci: Int, bx: Int) = ((id * (5 + 2 * ci) + bx * (17 + 6 * ci)) % 256).toInt
+        val ycck = graft.codec.JpegEncoder.encodeCmyk444(
+          planeOf(u(0, _)), planeOf(u(1, _)), planeOf(u(2, _)), planeOf(u(3, _)),
+          w, h, transform = 2, graft.codec.JpegEncoder.exactQuant)
+        val im2 = graft.codec.Jpeg.decode(ycck)
+          .fold(e => throw new IllegalStateException(e), identity)
+        var yr = 0L; var yg = 0L; var yb = 0L
+        i = 0
+        while (i < w * h) {
+          yr += im2.pixels(3 * i) & 0xff; yg += im2.pixels(3 * i + 1) & 0xff
+          yb += im2.pixels(3 * i + 2) & 0xff
+          i += 1
+        }
+        val nf = graft.codec.Jpeg.dimensions(cmyk).toOption.map(_._3).getOrElse(-1)
+        (nf.toLong, cr, cg, cb2, yr, yg, yb)
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
+        .select(col("doc_id"), col("d._1").as("nf"),
+          col("d._2").as("cmyk_sum_r"), col("d._3").as("cmyk_sum_g"),
+          col("d._4").as("cmyk_sum_b"), col("d._5").as("ycck_sum_r"),
+          col("d._6").as("ycck_sum_g"), col("d._7").as("ycck_sum_b"))
+    }),
+
     // ID3v2 TEXT-FRAME HARVEST, ORACLED: the audio-corpus metadata read
     // (TIT2/TPE1/TALB/TYER-TDRC) through both tag versions and mixed
     // frame encodings — the audio sibling of the HTML head-metadata
@@ -9328,6 +9382,42 @@ object Queries {
         |SELECT s8.doc_id, rle8_sum_r, rle8_sum_g, rle8_sum_b,
         |  rle4_sum_r, rle4_sum_g, rle4_sum_b
         |FROM s8 JOIN s4 ON s8.doc_id = s4.doc_id""".stripMargin,
+
+    // q260: both legs flat-block exact class — CMYK R=s*k//255; YCCK
+    // runs the fixed-point matrix ((a+32768)>>16 = floor((a+32768)/65536))
+    // on the stored planes then *k//255; 64 pixels per block.
+    "q260_jpeg_cmyk" ->
+      """WITH b AS (SELECT doc_id, unnest(generate_series(0, 1)) AS bx FROM documents),
+        |cm AS (SELECT doc_id, bx,
+        |    (doc_id*7 + 0*31 + bx*13) % 256 AS s0,
+        |    (doc_id*7 + 1*31 + bx*13) % 256 AS s1,
+        |    (doc_id*7 + 2*31 + bx*13) % 256 AS s2,
+        |    (doc_id*7 + 3*31 + bx*13) % 256 AS k
+        |  FROM b),
+        |cs AS (SELECT doc_id,
+        |    CAST(sum(64 * (s0 * k // 255)) AS BIGINT) AS cmyk_sum_r,
+        |    CAST(sum(64 * (s1 * k // 255)) AS BIGINT) AS cmyk_sum_g,
+        |    CAST(sum(64 * (s2 * k // 255)) AS BIGINT) AS cmyk_sum_b
+        |  FROM cm GROUP BY doc_id),
+        |yc AS (SELECT doc_id, bx,
+        |    (doc_id*5 + bx*17) % 256 AS yv,
+        |    (doc_id*7 + bx*23) % 256 AS cb,
+        |    (doc_id*9 + bx*29) % 256 AS cr,
+        |    (doc_id*11 + bx*35) % 256 AS k
+        |  FROM b),
+        |yr AS (SELECT doc_id, k,
+        |    greatest(0, least(255, yv + CAST(floor((91881*(cr-128) + 32768)/65536.0) AS BIGINT))) AS c0,
+        |    greatest(0, least(255, yv - CAST(floor((22554*(cb-128) + 46802*(cr-128) + 32768)/65536.0) AS BIGINT))) AS c1,
+        |    greatest(0, least(255, yv + CAST(floor((116130*(cb-128) + 32768)/65536.0) AS BIGINT))) AS c2
+        |  FROM yc),
+        |ys AS (SELECT doc_id,
+        |    CAST(sum(64 * (c0 * k // 255)) AS BIGINT) AS ycck_sum_r,
+        |    CAST(sum(64 * (c1 * k // 255)) AS BIGINT) AS ycck_sum_g,
+        |    CAST(sum(64 * (c2 * k // 255)) AS BIGINT) AS ycck_sum_b
+        |  FROM yr GROUP BY doc_id)
+        |SELECT cs.doc_id, CAST(4 AS BIGINT) AS nf,
+        |  cmyk_sum_r, cmyk_sum_g, cmyk_sum_b, ycck_sum_r, ycck_sum_g, ycck_sum_b
+        |FROM cs JOIN ys ON cs.doc_id = ys.doc_id""".stripMargin,
 
     // q256: all four tags stated verbatim per family (v2.3 TYER years,
     // v2.4 TDRC dates, the unicode suffix on the %3=2 slice).

@@ -15,10 +15,17 @@ package graft.codec
   * progressive Huffman (SOF2: spectral selection, successive
   * approximation, DC/AC first + refinement scans, EOB runs — a real
   * fraction of web JPEGs is progressive), 8-bit, grayscale and
-  * 3-component YCbCr (JFIF), sampling factors where each component's h/v
+  * 3-component YCbCr (JFIF) or Adobe-flagged direct RGB (APP14
+  * transform 0), and 4-component Adobe CMYK/YCCK (the print-workflow
+  * population embedded in PDFs): Adobe writers store ink-INVERTED
+  * samples, so the standard multiplicative CMYK→RGB collapses to
+  * R = s0*s3/255 on stored values (floor division, stated as a closed
+  * form by the q260 oracle); YCCK first runs the stored CMY legs
+  * through the same fixed-point YCbCr matrix below. Sampling factors
+  * where each component's h/v
   * divides the max and the ratio is 1 or 2 (covers 4:4:4, 4:2:2, 4:4:0,
   * 4:2:0), restart markers, byte stuffing. Everything else (arithmetic
-  * coding, 12-bit, CMYK/YCCK, DNL, fractional/4x ratios) returns `Left`
+  * coding, 12-bit, DNL, fractional/4x ratios) returns `Left`
   * — error-as-data per the X7 rule, never an exception. Sequential
   * decode streams block by block (no whole-image coefficient buffer);
   * progressive inherently buffers coefficients (true of every decoder —
@@ -306,6 +313,7 @@ object Jpeg {
     var progCoefs: Array[Array[Int]] = null
     var progScans = 0
     var mcusX = 0; var mcusY = 0; var maxH = 0; var maxV = 0
+    var adobeTransform = -1 // APP14 "Adobe" transform: -1 absent, 0/1/2
     var p = 2
 
     while (p + 4 <= b.length) {
@@ -318,7 +326,7 @@ object Jpeg {
         case 0xd9 => // EOI
           if (progressive && progScans > 0)
             return renderProgressive(comps, progCoefs, quant, width, height,
-              mcusX, mcusY, maxH, maxV)
+              mcusX, mcusY, maxH, maxV, adobeTransform)
           return Left("jpeg: EOI before SOS")
         case 0x01 => () // TEM, no segment
         case _ if m >= 0xd0 && m <= 0xd7 => () // stray RST
@@ -364,7 +372,8 @@ object Jpeg {
               if (height == 0) return Left("jpeg: DNL-deferred height unsupported")
               if (width == 0) return Left("jpeg: zero width")
               val nf = b(seg + 5) & 0xff
-              if (nf != 1 && nf != 3) return Left(s"jpeg: $nf components unsupported")
+              if (nf != 1 && nf != 3 && nf != 4)
+                return Left(s"jpeg: $nf components unsupported")
               if (seg + 6 + 3 * nf > segEnd) return Left("jpeg: SOF truncated")
               comps = Array.tabulate(nf) { i =>
                 val o = seg + 6 + 3 * i
@@ -409,7 +418,7 @@ object Jpeg {
                   i += 1
                 }
                 return decodeScan(b, segEnd, comps, quant, dcTab, acTab,
-                  width, height, restartInterval)
+                  width, height, restartInterval, adobeTransform)
               } else {
                 if (ns < 1 || ns > comps.length) return Left("jpeg: bad scan component count")
                 if (seg + 4 + 2 * ns > segEnd) return Left("jpeg: SOS truncated")
@@ -434,6 +443,12 @@ object Jpeg {
                   case Left(e) => return Left(e)
                 }
               }
+            case 0xee => // APP14: Adobe color-transform flag (0 = direct
+              // CMYK/RGB storage, 1 = YCbCr, 2 = YCCK) — the marker
+              // every CMYK-writing encoder emits (print-workflow PDFs)
+              if (segEnd - seg >= 12 && b(seg) == 'A' && b(seg + 1) == 'd' &&
+                b(seg + 2) == 'o' && b(seg + 3) == 'b' && b(seg + 4) == 'e')
+                adobeTransform = b(seg + 11) & 0xff
             case _ => () // APPn, COM, others: skip
           }
           if (!(m == 0xda && progressive)) p = segEnd
@@ -443,7 +458,7 @@ object Jpeg {
     // enter; a progressive file with all scans decoded renders here
     if (progressive && progScans > 0)
       renderProgressive(comps, progCoefs, quant, width, height,
-        mcusX, mcusY, maxH, maxV)
+        mcusX, mcusY, maxH, maxV, adobeTransform)
     else Left("jpeg: no SOS")
   }
 
@@ -673,7 +688,8 @@ object Jpeg {
     * component planes, then assemble. */
   private def renderProgressive(comps: Array[Component], coefs: Array[Array[Int]],
       quant: Array[Array[Int]], width: Int, height: Int,
-      mcusX: Int, mcusY: Int, maxH: Int, maxV: Int): Either[String, Image] = {
+      mcusX: Int, mcusY: Int, maxH: Int, maxV: Int,
+      adobeTransform: Int): Either[String, Image] = {
     for (c <- comps) {
       if (maxH % c.h != 0 || maxV % c.v != 0 || maxH / c.h > 2 || maxV / c.v > 2)
         return Left(s"jpeg: sampling ${c.h}x${c.v} vs max ${maxH}x${maxV} unsupported")
@@ -711,14 +727,15 @@ object Jpeg {
       }
       ci += 1
     }
-    assemble(comps, width, height, maxH, maxV)
+    assemble(comps, width, height, maxH, maxV, adobeTransform)
   }
 
   /** Entropy-coded scan decode: MCU loop -> per-component sample planes ->
     * upsample + color convert. */
   private def decodeScan(b: Array[Byte], start: Int, comps: Array[Component],
       quant: Array[Array[Int]], dcTab: Array[Huff], acTab: Array[Huff],
-      width: Int, height: Int, restartInterval: Int): Either[String, Image] = {
+      width: Int, height: Int, restartInterval: Int,
+      adobeTransform: Int): Either[String, Image] = {
 
     val maxH = comps.map(_.h).max
     val maxV = comps.map(_.v).max
@@ -875,13 +892,13 @@ object Jpeg {
       my += 1
     }
 
-    assemble(comps, width, height, maxH, maxV)
+    assemble(comps, width, height, maxH, maxV, adobeTransform)
   }
 
   /** Shared tail of both decode paths: upsample the component planes and
     * color-convert to the output pixel layout. */
   private def assemble(comps: Array[Component], width: Int, height: Int,
-      maxH: Int, maxV: Int): Either[String, Image] = {
+      maxH: Int, maxV: Int, adobeTransform: Int): Either[String, Image] = {
     if (comps.length == 1) {
       val c = comps(0)
       val out = new Array[Byte](width * height)
@@ -891,20 +908,63 @@ object Jpeg {
         y += 1
       }
       Right(Image(width, height, 1, out))
-    } else {
+    } else if (comps.length == 3) {
       val planes = comps.map(c => upsample(c, maxH, maxV, width, height))
       val out = new Array[Byte](width * height * 3)
       val yp = planes(0); val cbp = planes(1); val crp = planes(2)
-      var i = 0
       val n = width * height
+      if (adobeTransform == 0) {
+        // Adobe transform 0 on 3 components: planes ARE R,G,B (no matrix)
+        var i = 0
+        while (i < n) {
+          out(3 * i) = yp(i); out(3 * i + 1) = cbp(i); out(3 * i + 2) = crp(i)
+          i += 1
+        }
+      } else {
+        var i = 0
+        while (i < n) {
+          val yv = yp(i) & 0xff
+          val cb = (cbp(i) & 0xff) - 128
+          val cr = (crp(i) & 0xff) - 128
+          val r = yv + ((91881 * cr + 32768) >> 16)
+          val g = yv - ((22554 * cb + 46802 * cr + 32768) >> 16)
+          val bb = yv + ((116130 * cb + 32768) >> 16)
+          out(3 * i) = clamp(r); out(3 * i + 1) = clamp(g); out(3 * i + 2) = clamp(bb)
+          i += 1
+        }
+      }
+      Right(Image(width, height, 3, out))
+    } else {
+      // 4 components: Adobe CMYK (transform 0/absent) or YCCK (2), the
+      // print-workflow population embedded in PDFs. Adobe writers store
+      // INK-INVERTED samples (stored = 255 - ink); with the standard
+      // multiplicative CMYK->RGB (R = (255-C)(255-K)/255) the inversions
+      // cancel, so on STORED values R = s0*s3/255 exactly — stated as a
+      // closed form by the q260 oracle. YCCK first runs the stored
+      // (inverted) CMY through the same fixed-point YCbCr->RGB as the
+      // 3-component path (that is how Adobe defines the transform), K
+      // passes through. Output is RGB; floor division documented.
+      val planes = comps.map(c => upsample(c, maxH, maxV, width, height))
+      val out = new Array[Byte](width * height * 3)
+      val n = width * height
+      val p0 = planes(0); val p1 = planes(1); val p2 = planes(2); val kp = planes(3)
+      var i = 0
       while (i < n) {
-        val yv = yp(i) & 0xff
-        val cb = (cbp(i) & 0xff) - 128
-        val cr = (crp(i) & 0xff) - 128
-        val r = yv + ((91881 * cr + 32768) >> 16)
-        val g = yv - ((22554 * cb + 46802 * cr + 32768) >> 16)
-        val bb = yv + ((116130 * cb + 32768) >> 16)
-        out(3 * i) = clamp(r); out(3 * i + 1) = clamp(g); out(3 * i + 2) = clamp(bb)
+        var c0 = 0; var c1 = 0; var c2 = 0
+        if (adobeTransform == 2) {
+          val yv = p0(i) & 0xff
+          val cb = (p1(i) & 0xff) - 128
+          val cr = (p2(i) & 0xff) - 128
+          c0 = clamp(yv + ((91881 * cr + 32768) >> 16)) & 0xff
+          c1 = clamp(yv - ((22554 * cb + 46802 * cr + 32768) >> 16)) & 0xff
+          c2 = clamp(yv + ((116130 * cb + 32768) >> 16)) & 0xff
+        } else {
+          c0 = p0(i) & 0xff; c1 = p1(i) & 0xff; c2 = p2(i) & 0xff
+        }
+        val k = kp(i) & 0xff
+        out(3 * i) = (c0 * k / 255).toByte
+        out(3 * i + 1) = (c1 * k / 255).toByte
+        out(3 * i + 2) = (c2 * k / 255).toByte
         i += 1
       }
       Right(Image(width, height, 3, out))

@@ -468,6 +468,67 @@ object JpegEncoder {
     out.toByteArray
   }
 
+  /** Encode four 4:4:4 component planes as an Adobe CMYK-family JPEG:
+    * APP14 "Adobe" with the given transform (0 = planes stored direct —
+    * the CMYK shape; 2 = YCCK — caller provides the already-
+    * YCbCr-transformed first three planes), all components on the luma
+    * quant/huffman tables. Planes are stored VERBATIM (the exact class
+    * round-trips bit-exactly), so closed-form pixel oracles extend to
+    * the 4-component decode path. */
+  def encodeCmyk444(p0: Array[Byte], p1: Array[Byte], p2: Array[Byte], p3: Array[Byte],
+      w: Int, h: Int, transform: Int,
+      qtable: Array[Int] = scaledQuant(stdLumaQuant, 75)): Array[Byte] = {
+    require(w > 0 && h > 0 && Seq(p0, p1, p2, p3).forall(_.length == w * h),
+      "bad cmyk image shape")
+    require(transform == 0 || transform == 2, "Adobe transform 0 (CMYK) or 2 (YCCK)")
+    val out = new java.io.ByteArrayOutputStream(1024 + w * h)
+    out.write(0xff); out.write(0xd8)
+    // APP14 Adobe: tag(5) + version(2) + flags0(2) + flags1(2) + transform(1)
+    seg(out, 0xee, "Adobe".getBytes("US-ASCII") ++
+      Array[Byte](0, 100, 0, 0, 0, 0, transform.toByte))
+    seg(out, 0xdb, dqtSeg(0, qtable))
+    seg(out, 0xc0, (Array[Int](8, h >> 8, h & 0xff, w >> 8, w & 0xff, 4) ++
+      (1 to 4).flatMap(ci => Seq(ci, 0x11, 0))).map(_.toByte))
+    seg(out, 0xc4, dhtSeg(0x00, dcLumaBits, dcLumaVals))
+    seg(out, 0xc4, dhtSeg(0x10, acLumaBits, acLumaVals))
+    seg(out, 0xda, (Array[Int](4) ++ (1 to 4).flatMap(ci => Seq(ci, 0x00)) ++
+      Seq(0, 63, 0)).map(_.toByte))
+    val bw = new BitWriter(out)
+    val blocksX = (w + 7) / 8; val blocksY = (h + 7) / 8
+    val samples = new Array[Int](64)
+    val coefs = new Array[Int](64)
+    val preds = new Array[Int](4)
+    val planes = Array(p0, p1, p2, p3)
+    var by = 0
+    while (by < blocksY) {
+      var bx = 0
+      while (bx < blocksX) {
+        var ci = 0
+        while (ci < 4) {
+          val plane = planes(ci)
+          var yy = 0
+          while (yy < 8) {
+            val sy = math.min(by * 8 + yy, h - 1)
+            var xx = 0
+            while (xx < 8) {
+              samples(yy * 8 + xx) = plane(sy * w + math.min(bx * 8 + xx, w - 1)) & 0xff
+              xx += 1
+            }
+            yy += 1
+          }
+          fdctQuant(samples, qtable, coefs)
+          preds(ci) = encodeBlock(bw, coefs, preds(ci), dcLumaEnc, acLumaEnc)
+          ci += 1
+        }
+        bx += 1
+      }
+      by += 1
+    }
+    bw.flush()
+    out.write(0xff); out.write(0xd9)
+    out.toByteArray
+  }
+
   /** Encode interleaved RGB via the inverse of [[Jpeg]]'s fixed-point
     * YCbCr->RGB (forward JFIF floats, rounded half-up). */
   def encodeRgb444(rgb: Array[Byte], w: Int, h: Int, quality: Int = 75, dri: Int = 0): Array[Byte] = {

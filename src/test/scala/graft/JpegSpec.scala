@@ -99,6 +99,100 @@ class JpegSpec extends AnyFunSuite {
 
   // --------------------------------------------------------- differential
 
+  test("CMYK (Adobe transform 0): exact class round-trips, RGB = s*k/255 closed form") {
+    val r = rng(17)
+    for (trial <- 0 until 4) {
+      val bw = 1 + r.nextInt(3); val bh = 1 + r.nextInt(3)
+      val w = bw * 8; val h = bh * 8
+      val planes = Array.fill(4)(new Array[Byte](w * h))
+      val blockVals = Array.ofDim[Int](4, bh, bw)
+      for (ci <- 0 until 4; by <- 0 until bh; bx <- 0 until bw) {
+        val v = r.nextInt(256)
+        blockVals(ci)(by)(bx) = v
+        for (y <- 0 until 8; x <- 0 until 8)
+          planes(ci)((by * 8 + y) * w + bx * 8 + x) = v.toByte
+      }
+      val bytes = JpegEncoder.encodeCmyk444(planes(0), planes(1), planes(2), planes(3),
+        w, h, transform = 0, JpegEncoder.exactQuant)
+      val im = Jpeg.decode(bytes).fold(e => fail(s"trial $trial: $e"), identity)
+      assert(im.width == w && im.height == h && im.nComponents == 3)
+      for (y <- 0 until h; x <- 0 until w) {
+        val (by, bx) = (y / 8, x / 8)
+        val k = blockVals(3)(by)(bx)
+        val base = (y * w + x) * 3
+        for (ch <- 0 until 3) {
+          val want = blockVals(ch)(by)(bx) * k / 255
+          assert((im.pixels(base + ch) & 0xff) == want, s"trial $trial ch$ch ($x,$y)")
+        }
+      }
+      // header-only scan labels 4 components
+      assert(Jpeg.dimensions(bytes).toOption.get == ((w, h, 4)))
+      // INDEPENDENT pin: the JDK reader can't color-manage CMYK but CAN
+      // return the raw 4-band raster — it must equal our stored planes
+      val rdr = javax.imageio.ImageIO.getImageReadersByFormatName("jpeg").next()
+      rdr.setInput(javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(bytes)))
+      val ras = rdr.readRaster(0, null)
+      assert(ras.getNumBands == 4 && ras.getWidth == w && ras.getHeight == h)
+      for (y <- 0 until h; x <- 0 until w; ci <- 0 until 4)
+        assert(ras.getSample(x, y, ci) == blockVals(ci)(y / 8)(x / 8),
+          s"trial $trial ImageIO raster band $ci ($x,$y)")
+      rdr.dispose()
+    }
+  }
+
+  test("YCCK (Adobe transform 2): YCbCr legs run the fixed-point matrix, K passes through") {
+    // flat single block: closed-form YCbCr->RGB then *k/255
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    for ((yv, cb, cr, k) <- Seq((120, 128, 128, 255), (90, 60, 200, 128),
+      (255, 0, 0, 17), (5, 250, 5, 0))) {
+      val w = 8; val h = 8
+      def flat(v: Int) = Array.fill[Byte](w * h)(v.toByte)
+      val bytes = JpegEncoder.encodeCmyk444(flat(yv), flat(cb), flat(cr), flat(k),
+        w, h, transform = 2, JpegEncoder.exactQuant)
+      val im = Jpeg.decode(bytes).fold(e => fail(e), identity)
+      val c0 = cl(yv + ((91881 * (cr - 128) + 32768) >> 16))
+      val c1 = cl(yv - ((22554 * (cb - 128) + 46802 * (cr - 128) + 32768) >> 16))
+      val c2 = cl(yv + ((116130 * (cb - 128) + 32768) >> 16))
+      assert((im.pixels(0) & 0xff) == c0 * k / 255, s"($yv,$cb,$cr,$k) R")
+      assert((im.pixels(1) & 0xff) == c1 * k / 255, s"($yv,$cb,$cr,$k) G")
+      assert((im.pixels(2) & 0xff) == c2 * k / 255, s"($yv,$cb,$cr,$k) B")
+    }
+  }
+
+  test("Adobe transform 0 on 3 components: planes are RGB, no matrix") {
+    // hand-splice: take an encodeYcbcr444 stream (which carries JFIF
+    // APP0) and verify an Adobe APP14 transform-0 prefix flips the
+    // interpretation — planes must come back verbatim as R,G,B
+    val w = 8; val h = 8
+    def flat(v: Int) = Array.fill[Byte](w * h)(v.toByte)
+    val base = JpegEncoder.encodeYcbcr444(flat(77), flat(150), flat(33), w, h,
+      JpegEncoder.exactQuant, JpegEncoder.exactQuant)
+    // splice APP14 right after SOI
+    val app14 = Array[Byte](0xff.toByte, 0xee.toByte, 0, 14) ++
+      "Adobe".getBytes("US-ASCII") ++ Array[Byte](0, 100, 0, 0, 0, 0, 0)
+    val spliced = base.take(2) ++ app14 ++ base.drop(2)
+    val im = Jpeg.decode(spliced).fold(e => fail(e), identity)
+    assert((im.pixels(0) & 0xff) == 77 && (im.pixels(1) & 0xff) == 150 &&
+      (im.pixels(2) & 0xff) == 33)
+    // without the marker the same stream color-converts (sanity)
+    val im2 = Jpeg.decode(base).fold(e => fail(e), identity)
+    assert((im2.pixels(0) & 0xff) != 77 || (im2.pixels(1) & 0xff) != 150)
+  }
+
+  test("cmyk fuzz: 400 mutations never throw") {
+    val r = rng(23)
+    val planes = Array.fill(4)(Array.tabulate[Byte](16 * 16)(i => (i * 5).toByte))
+    val seed = JpegEncoder.encodeCmyk444(planes(0), planes(1), planes(2), planes(3),
+      16, 16, transform = 0)
+    for (_ <- 0 until 400) {
+      val m = seed.clone()
+      m(r.nextInt(m.length)) = r.nextInt(256).toByte
+      Jpeg.decode(m)
+    }
+    succeed
+  }
+
   test("our gray encode -> our decode vs ImageIO, random pixels, tolerance <= 2") {
     val r = rng(3)
     for (q <- Seq(50, 75, 95)) {
