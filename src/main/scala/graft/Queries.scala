@@ -462,24 +462,15 @@ object Queries {
             val pix = Array.tabulate(w * h * 3)(i => ((id + i * 7) % 256).toByte)
             graft.codec.WebpVp8l.encode(pix, w, h, 3)
           } else {
-            val payload = Array[Byte](0x10, 0x00, 0x00, 0x9d.toByte, 0x01, 0x2a,
-              (w & 0xff).toByte, ((w >> 8) & 0x3f).toByte,
-              (h & 0xff).toByte, ((h >> 8) & 0x3f).toByte)
-            val ch = payload.length
-            val out = new java.io.ByteArrayOutputStream()
-            def le32(v: Int): Unit = (0 until 4).foreach(k => out.write((v >> (8 * k)) & 0xff))
-            out.write("RIFF".getBytes("US-ASCII")); le32(4 + 8 + ch + (ch & 1))
-            out.write("WEBP".getBytes("US-ASCII"))
-            out.write("VP8 ".getBytes("US-ASCII")); le32(ch)
-            out.write(payload, 0, ch)
-            if ((ch & 1) == 1) out.write(0)
-            out.toByteArray
+            // REAL lossy stream via the synthesis twin (round 5: the
+            // VP8 leg decodes now — no more header-only fence probe)
+            graft.codec.Vp8Synth.wrapWebp(graft.codec.Vp8Synth.synthesize(
+              w, h, yAcQi = (id % 128).toInt, filterLevel = (id % 64).toInt))
           }
         val infoRes = graft.codec.WebpVp8l.info(bytes)
         val decodeStatus = graft.codec.WebpVp8l.decode(bytes) match {
           case Right(im) if im.width == w && im.height == h => "ok"
           case Right(_) => "wrong_dims"
-          case Left(e) if e.contains("lossy") => "lossy_fenced"
           case Left(_) => "error"
         }
         infoRes match {
@@ -769,6 +760,35 @@ object Queries {
           col("d._2").as("cmyk_sum_r"), col("d._3").as("cmyk_sum_g"),
           col("d._4").as("cmyk_sum_b"), col("d._5").as("ycck_sum_r"),
           col("d._6").as("ycck_sum_g"), col("d._7").as("ycck_sum_b"))
+    }),
+
+    // LOSSY VP8 DECODE, ORACLED ON PIXELS: synthesis-twin key frames
+    // (all-DC modes, explicit all-EOB tokens, skip disabled so the
+    // token partition is really read, varying quantizer + loop-filter
+    // levels) through the full libwebp-pinned decode path and the
+    // documented BT.601 conversion: every YUV sample decodes to 128,
+    // so every RGB pixel is exactly (130,130,130) — stated closed-form.
+    "q261_vp8_lossy" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 17 + (id % 16).toInt // crosses the 1->2 MB-column boundary
+        val h = 9 + (id % 12).toInt
+        val webp = graft.codec.Vp8Synth.wrapWebp(graft.codec.Vp8Synth.synthesize(
+          w, h, yAcQi = (id % 128).toInt, filterLevel = (id % 64).toInt))
+        graft.ops.Multimodal.decodeImage(webp) match {
+          case Right(im) =>
+            var sum = 0L; var mn = 255L; var mx = 0L
+            im.pixels.foreach { pb =>
+              val u = (pb & 0xff).toLong
+              sum += u; if (u < mn) mn = u; if (u > mx) mx = u
+            }
+            (im.nComponents.toLong, im.width.toLong, im.height.toLong, sum, mn, mx)
+          case Left(e) => (-1L, -1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("nc"), col("d._2").as("width"),
+          col("d._3").as("height"), col("d._4").as("pix_sum"),
+          col("d._5").as("pix_min"), col("d._6").as("pix_max"))
     }),
 
     // ID3v2 TEXT-FRAME HARVEST, ORACLED: the audio-corpus metadata read
@@ -9285,15 +9305,15 @@ object Queries {
         |  CAST(sum(CASE WHEN (x + 3*y + doc_id) % 7 < 3 THEN y*w + x ELSE 0 END) AS BIGINT) AS checksum
         |FROM c GROUP BY doc_id, w, h""".stripMargin,
 
-    // q250: dims and flags are pure closed forms; the lossless branch
-    // must read "ok" (real decode round-trip), the lossy branch the
-    // typed fence.
+    // q250: dims and flags are pure closed forms; BOTH branches now
+    // read "ok" — lossless round-trips, lossy decodes through the
+    // libwebp-pinned VP8 key-frame decoder (synthesis-twin stream).
     "q250_webp_info" ->
       """SELECT doc_id,
         |  CAST(9 + doc_id % 11 AS BIGINT) AS width,
         |  CAST(5 + doc_id % 7 AS BIGINT) AS height,
         |  (doc_id % 2 = 0) AS lossless,
-        |  CASE WHEN doc_id % 2 = 0 THEN 'ok' ELSE 'lossy_fenced' END AS decode_status
+        |  'ok' AS decode_status
         |FROM documents""".stripMargin,
 
     // q257: ten families, every field stated; wav duration =
@@ -9337,7 +9357,7 @@ object Queries {
         |    WHEN 6 THEN 2000 + doc_id % 3000
         |    WHEN 7 THEN (48000 + doc_id * 96) * 1000 // 48000
         |    ELSE 0 END AS BIGINT) AS duration_ms,
-        |  CAST(doc_id % 10 AS INT) IN (0, 1, 2, 4) AS decodable
+        |  CAST(doc_id % 10 AS INT) IN (0, 1, 2, 3, 4) AS decodable
         |FROM documents""".stripMargin,
 
     // q258: gray samples scale v*255/(2^d-1) — exact integer (255's
@@ -9418,6 +9438,16 @@ object Queries {
         |SELECT cs.doc_id, CAST(4 AS BIGINT) AS nf,
         |  cmyk_sum_r, cmyk_sum_g, cmyk_sum_b, ycck_sum_r, ycck_sum_g, ycck_sum_b
         |FROM cs JOIN ys ON cs.doc_id = ys.doc_id""".stripMargin,
+
+    // q261: uniform 128 YUV -> R=G=B = (298*112 + 128) >> 8 = 130 on
+    // every pixel; sums/extrema follow directly.
+    "q261_vp8_lossy" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS nc,
+        |  CAST(17 + doc_id % 16 AS BIGINT) AS width,
+        |  CAST(9 + doc_id % 12 AS BIGINT) AS height,
+        |  CAST((17 + doc_id % 16) * (9 + doc_id % 12) * 3 * 130 AS BIGINT) AS pix_sum,
+        |  CAST(130 AS BIGINT) AS pix_min, CAST(130 AS BIGINT) AS pix_max
+        |FROM documents""".stripMargin,
 
     // q256: all four tags stated verbatim per family (v2.3 TYER years,
     // v2.4 TDRC dates, the unicode suffix on the %3=2 slice).

@@ -38,7 +38,12 @@ object WebpVp8l {
       b(8) == 'W' && b(9) == 'E' && b(10) == 'B' && b(11) == 'P'
 
   /** Decode a WebP container. Lossless (VP8L) payloads decode fully;
-    * lossy (VP8) and animation fail with typed errors. */
+    * lossy (VP8) key frames decode through the libwebp-pinned [[Vp8]]
+    * decoder, converted to RGB with the documented integer BT.601
+    * limited-range conversion and co-located (replicated) chroma —
+    * the decoded YUV planes are the normative, fixture-pinned output;
+    * the RGB projection is this library's own documented convention
+    * for the Image consumers. Animation fails with typed errors. */
   def decode(b: Array[Byte]): Either[String, Jpeg.Image] =
     try decodeImpl(b)
     catch { case e: Exception => Left(s"webp: ${e.getClass.getSimpleName}: ${e.getMessage}") }
@@ -55,13 +60,40 @@ object WebpVp8l {
       if (size < 0 || size > b.length - p - 8) return Left("webp: truncated chunk")
       tag match {
         case "VP8L" => return decodeVp8l(b, p + 8, size)
-        case "VP8 " => return Left("webp: lossy VP8 unsupported")
+        case "VP8 " => return Vp8.decode(b, p + 8, size).map(yuvToRgb)
         case "ANIM" | "ANMF" => return Left("webp: animation unsupported")
         case _ => () // VP8X / ICCP / EXIF / XMP / ALPH: skip
       }
       p += 8 + size + (size & 1) // chunks are 2-byte aligned
     }
     Left("webp: no VP8L chunk")
+  }
+
+  /** Integer BT.601 limited-range YUV420 -> interleaved RGB; chroma
+    * replicated 2x2 (co-located). R = (298c + 409e + 128) >> 8 etc with
+    * c = y-16, d = u-128, e = v-128 — exact integer, SQL-replayable. */
+  private[codec] def yuvToRgb(f: Vp8.Yuv): Jpeg.Image = {
+    val w = f.width; val h = f.height
+    val cw = (w + 1) / 2
+    val out = new Array[Byte](w * h * 3)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val c = (f.y(y * w + x) & 0xff) - 16
+        val ci = (y >> 1) * cw + (x >> 1)
+        val d = (f.u(ci) & 0xff) - 128
+        val e = (f.v(ci) & 0xff) - 128
+        def cl(v: Int): Byte = (if (v < 0) 0 else if (v > 255) 255 else v).toByte
+        val base = (y * w + x) * 3
+        out(base) = cl((298 * c + 409 * e + 128) >> 8)
+        out(base + 1) = cl((298 * c - 100 * d - 208 * e + 128) >> 8)
+        out(base + 2) = cl((298 * c + 516 * d + 128) >> 8)
+        x += 1
+      }
+      y += 1
+    }
+    Jpeg.Image(w, h, 3, out)
   }
 
   /** Container-level info WITHOUT pixel decoding — the crawl-labeling

@@ -385,7 +385,9 @@ object Multimodal {
       }
       else if (WebpVp8l.isWebp(p)) WebpVp8l.info(p) match {
         case Right((w, h, lossless)) =>
-          PayloadInfo("image", if (lossless) "webp" else "webp-lossy", w, h, 0, 0, 0L, decodable = lossless)
+          // both legs decode now: VP8L natively, VP8 via the
+          // libwebp-pinned key-frame decoder (round 5)
+          PayloadInfo("image", if (lossless) "webp" else "webp-lossy", w, h, 0, 0, 0L, decodable = true)
         case Left(_) => bad("image", "webp")
       }
       else if (Wav.isWav(p)) {

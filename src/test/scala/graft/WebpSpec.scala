@@ -84,9 +84,19 @@ class WebpSpec extends AnyFunSuite {
           assert(lossless == !fx.lossy, s"${fx.name}: lossless flag")
         case Left(err) => fail(s"${fx.name}: info failed: $err")
       }
-      if (fx.lossy)
-        assert(WebpVp8l.decode(fx.webp).left.exists(e =>
-          e.contains("lossy") || e.contains("no VP8L")), s"${fx.name}: lossy must stay fenced")
+      if (fx.lossy) {
+        if (fx.name.startsWith("vp8hdr")) {
+          // round-4 header-only stub (10-byte frame header, no frame
+          // data): still labels via info(), and the real decoder now
+          // reports the truncation as a typed error
+          assert(WebpVp8l.decode(fx.webp).isLeft, s"${fx.name}: stub decoded?")
+        } else {
+          // round 5: lossy decodes for real through the Vp8 key-frame
+          // decoder (itself fixture-pinned bit-exactly in Vp8Spec)
+          val im = WebpVp8l.decode(fx.webp).fold(e => fail(s"${fx.name}: lossy decode: $e"), identity)
+          assert(im.width == fx.w && im.height == fx.h && im.nComponents == 3, fx.name)
+        }
+      }
     }
   }
 
@@ -148,9 +158,10 @@ class WebpSpec extends AnyFunSuite {
     assert(java.util.Arrays.equals(im.pixels, pix))
   }
 
-  test("typed errors: lossy VP8, bad signature, truncation, hostile dims") {
+  test("typed errors: truncated VP8, bad signature, truncation, hostile dims") {
+    // an empty VP8 chunk is now a TRUNCATION error from the real decoder
     assert(WebpVp8l.decode("RIFF\u0000\u0000\u0000\u0000WEBPVP8 \u0000\u0000\u0000\u0000"
-      .getBytes("ISO-8859-1")).left.exists(_.contains("lossy")))
+      .getBytes("ISO-8859-1")).isLeft)
     assert(WebpVp8l.decode("nope".getBytes).isLeft)
     assert(WebpVp8l.decode(Array.emptyByteArray).isLeft)
     // 16384x16384 = 2^28 pixels > cap: the header alone must fail fast
