@@ -975,6 +975,54 @@ object Queries {
           col("d._3").as("n_black"), col("d._4").as("checksum"))
     }),
 
+    // PDF -> HUFFMAN JBIG2 -> PIXELS: the q251 shape through the
+    // round-5 SDHUFF/SBHUFF legs — id%4 sweeps {MMR, uncompressed}
+    // collective bitmaps x {arithmetic, SBHUFF-with-custom-tables} text
+    // regions; the MMR leg rides the JDK-pinned G4 coder, the custom
+    // FS/DS/DT tables ship as type-53 segments the decoder must parse.
+    "q262_pdf_jbig2_huff" -> ((s, dir) => {
+      import graft.pdf.PdfWriter
+      val mk = udf { id: Long =>
+        val cols = 3 + (id % 4).toInt; val rows = 2 + (id % 3).toInt
+        val w = 5 * cols + 2; val h = 5 * rows + 2
+        val square = Array.fill[Byte](9)(1)
+        val diag = Array.tabulate[Byte](9)(i => if (i % 4 == 0) 1 else 0)
+        val syms = Vector((3, 3, square), (3, 3, diag))
+        val placements = for {
+          cy <- 0 until rows
+          cx <- 0 until cols
+        } yield (((id + cx + cy) % 2).toInt, 1 + 5 * cx, 1 + 5 * cy)
+        val stream = graft.codec.Jbig2.encodeSymbolPageHuff(w, h, syms, placements,
+          huffText = (id % 4) >= 2, uncompressed = (id % 2) == 1)
+        PdfWriter.write(Vector(PdfWriter.PageSpec(Vector(Vector(s"huf $id")),
+          images = Vector(PdfWriter.ImageSpec(w, h, PdfWriter.Jbig2Codec, stream,
+            colorSpace = "DeviceGray", bitsPerComponent = 1)))))
+      }
+      val dec = udf { b: Array[Byte] =>
+        graft.codec.Jbig2.decode(b) match {
+          case Right(im) =>
+            var nb = 0L; var ck = 0L
+            var i = 0
+            while (i < im.pixels.length) {
+              if (im.pixels(i) != 0) { nb += 1; ck += i }
+              i += 1
+            }
+            (im.width.toLong, im.height.toLong, nb, ck)
+          case Left(_) => (-1L, -1L, -1L, -1L)
+        }
+      }
+      val pages = docs(s, dir).select(
+        concat(lit("http://x.example/huf"), col("doc_id"), lit(".pdf")).as("url"),
+        mk(col("doc_id").cast("long")).as("payload"))
+      graft.extract.PdfImages.imagesDf(pages, "url", "payload")
+        .select(
+          regexp_extract(col("url"), "huf(\\d+)\\.pdf", 1).cast("long").as("doc_id"),
+          col("format"), dec(col("data")).as("d"))
+        .select(col("doc_id"), col("format"),
+          col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("n_black"), col("d._4").as("checksum"))
+    }),
+
     // PDF -> JBIG2Decode -> PIXELS, END TO END (the third scanned-
     // document class after q194 DCT and q196 CCITT — the one T24
     // previously shipped undecoded): the writer embeds real JBIG2
@@ -9539,6 +9587,25 @@ object Queries {
     "q251_pdf_jbig2_text" ->
       """WITH g AS (
         |  SELECT doc_id, 4 + doc_id % 3 AS cols, 2 + doc_id % 2 AS rows FROM documents),
+        |dims AS (SELECT doc_id, cols, rows, 5*cols + 2 AS w, 5*rows + 2 AS h FROM g),
+        |cx AS (SELECT doc_id, cols, rows, w, h, unnest(generate_series(0, cols - 1)) AS cx FROM dims),
+        |cell AS (SELECT doc_id, w, h, cx, unnest(generate_series(0, rows - 1)) AS cy FROM cx),
+        |pl AS (SELECT doc_id, w, h,
+        |    (doc_id + cx + cy) % 2 AS glyph,
+        |    (1 + 5*cy) * w + (1 + 5*cx) AS base
+        |  FROM cell)
+        |SELECT doc_id, 'jbig2' AS format,
+        |  CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum(CASE WHEN glyph = 0 THEN 9 ELSE 3 END) AS BIGINT) AS n_black,
+        |  CAST(sum(CASE WHEN glyph = 0 THEN 9*base + 9*w + 9
+        |                ELSE 3*base + 3*w + 3 END) AS BIGINT) AS checksum
+        |FROM pl GROUP BY doc_id, w, h""".stripMargin,
+
+    // q262: same glyph-grid closed form as q251, over the huffman
+    // encoder's dims — the coding variants are pixel-identical.
+    "q262_pdf_jbig2_huff" ->
+      """WITH g AS (
+        |  SELECT doc_id, 3 + doc_id % 4 AS cols, 2 + doc_id % 3 AS rows FROM documents),
         |dims AS (SELECT doc_id, cols, rows, 5*cols + 2 AS w, 5*rows + 2 AS h FROM g),
         |cx AS (SELECT doc_id, cols, rows, w, h, unnest(generate_series(0, cols - 1)) AS cx FROM dims),
         |cell AS (SELECT doc_id, w, h, cx, unnest(generate_series(0, rows - 1)) AS cy FROM cx),

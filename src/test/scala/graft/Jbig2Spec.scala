@@ -171,6 +171,84 @@ class Jbig2Spec extends AnyFunSuite {
     assert(im.pixels.map(p => if (p != 0) 1 else 0).sameElements(want))
   }
 
+  test("standard huffman tables B.1-B.5: Kraft-complete and range-chained") {
+    // two independent structural checks on the transcribed Annex B data:
+    // the prefix-length multiset must sum to EXACTLY 1 (complete code)
+    // and each normal line's low must extend the previous line's range
+    Jbig2.tableInvariants.foreach { case (name, kraft, chain) =>
+      assert(kraft == (1L << 32) || kraft == 0x100000000L, s"table $name kraft=$kraft")
+      assert(chain, s"table $name range chain broken")
+    }
+  }
+
+  private def renderWant(w: Int, h: Int, syms: Vector[(Int, Int, Array[Byte])],
+      placements: Seq[(Int, Int, Int)]): Array[Int] = {
+    val want = new Array[Int](w * h)
+    placements.foreach { case (id, x, y) =>
+      val (sw, sh, px) = syms(id)
+      for (yy <- 0 until sh; xx <- 0 until sw)
+        if (px(yy * sw + xx) != 0) want((y + yy) * w + (x + xx)) = 1
+    }
+    want
+  }
+
+  test("SDHUFF dictionary round-trips: MMR collective bitmaps (JDK-pinned leg)") {
+    val rng = new scala.util.Random(7)
+    val syms = Vector.tabulate(6) { i =>
+      val sw = 2 + i % 4; val sh = 2 + i / 2
+      (sw, sh, Array.fill[Byte](sw * sh)(if (rng.nextInt(3) == 0) 0 else 1))
+    }
+    val w = 64; val h = 24
+    val placements = (0 until 20).map { k =>
+      (k % syms.length, 2 + (k * 3) % (w - 8), 1 + (k % 3) * 7)
+    }
+    for (uncompressed <- Seq(false, true)) {
+      val stream = Jbig2.encodeSymbolPageHuff(w, h, syms, placements,
+        huffText = false, uncompressed = uncompressed)
+      val im = Jbig2.decode(stream).fold(e => fail(s"uncompressed=$uncompressed: $e"), identity)
+      assert(im.width == w && im.height == h)
+      val got = im.pixels.map(p => if (p != 0) 1 else 0)
+      assert(got.sameElements(renderWant(w, h, syms, placements)),
+        s"SDHUFF pixel drift (uncompressed=$uncompressed)")
+    }
+  }
+
+  test("SBHUFF text region round-trips: custom FS/DS/DT tables + runcode symbol IDs") {
+    val glyphs = Vector(
+      (3, 4, Array[Byte](0,1,0, 1,0,1, 1,1,1, 1,0,1)),
+      (2, 3, Array[Byte](1,1, 1,0, 1,1)),
+      (1, 1, Array[Byte](1)),
+      (4, 4, Array[Byte](1,0,0,1, 0,1,1,0, 0,1,1,0, 1,0,0,1)))
+    val w = 48; val h = 20
+    val placements = Seq(
+      (0, 1, 1), (1, 6, 2), (3, 10, 1), (2, 16, 4),
+      (1, 2, 9), (3, 8, 9), (0, 14, 8), (2, 20, 11),
+      (3, 26, 9), (0, 32, 10))
+    val stream = Jbig2.encodeSymbolPageHuff(w, h, glyphs, placements, huffText = true)
+    val im = Jbig2.decode(stream).fold(e => fail(e), identity)
+    assert(im.width == w && im.height == h)
+    val got = im.pixels.map(p => if (p != 0) 1 else 0)
+    assert(got.sameElements(renderWant(w, h, glyphs, placements)), "SBHUFF pixel drift")
+  }
+
+  test("huffman streams: mutation fuzz never throws, bounded allocation") {
+    val syms = Vector((3, 3, Array.fill[Byte](9)(1)), (2, 2, Array.fill[Byte](4)(1)))
+    val placements = Seq((0, 1, 1), (1, 6, 2), (0, 10, 1))
+    for (huffText <- Seq(false, true)) {
+      val good = Jbig2.encodeSymbolPageHuff(30, 12, syms, placements, huffText = huffText)
+      val rng = new scala.util.Random(if (huffText) 43 else 42)
+      (0 until 400).foreach { _ =>
+        val m = good.clone()
+        m(rng.nextInt(m.length)) = rng.nextInt(256).toByte
+        Jbig2.decode(m) // Left or Right, never throw
+      }
+      // every truncation fails closed
+      for (n <- Seq(5, 20, good.length / 2, good.length - 3))
+        Jbig2.decode(java.util.Arrays.copyOf(good, n))
+    }
+    succeed
+  }
+
   test("typed errors: unsupported features and truncation, never throws") {
     val good = Jbig2.encode(textLike(20, 10, 5L), 20, 10)
     // truncations
