@@ -791,6 +791,99 @@ object Queries {
           col("d._5").as("pix_min"), col("d._6").as("pix_max"))
     }),
 
+    // MATROSKA/WEBM LABELING, ORACLED: EBML walk -> DocType, duration
+    // (TimestampScale x float Duration), track codecs/dims/rate — the
+    // modern web-video metadata read beside q254 (MP4). Three families:
+    // webm video+audio, webm audio-only, mkv video-only.
+    "q265_mkv_info" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val fam = (id % 3).toInt
+        val w = 320 + (id % 5).toInt * 64
+        val h = 240 + (id % 4).toInt * 48
+        val rate = Seq(48000, 44100)((id % 2).toInt)
+        val durTicks = (2000 + id % 5000).toDouble // ms at the default scale
+        val bytes = fam match {
+          case 0 => graft.codec.Mkv.synthesize("webm", 1000000L, durTicks,
+            Some(("V_VP9", w, h)), Some(("A_OPUS", rate, 2)))
+          case 1 => graft.codec.Mkv.synthesize("webm", 1000000L, durTicks,
+            None, Some(("A_VORBIS", rate, 1)))
+          case _ => graft.codec.Mkv.synthesize("matroska", 500000L, durTicks,
+            Some(("V_AV1", w, h)), None)
+        }
+        val mi = graft.ops.Multimodal.mediaInfo(bytes)
+        graft.codec.Mkv.info(bytes) match {
+          case Right(ki) => (ki.docType, ki.durationMs, ki.nTracks.toLong,
+            ki.videoCodec, ki.videoW.toLong, ki.videoH.toLong,
+            ki.audioCodec, ki.audioRate.toLong, ki.audioChannels.toLong,
+            mi.kind, mi.format)
+          case Left(e) => (s"error:$e", -1L, -1L, "", -1L, -1L, "", -1L, -1L, "", "")
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("doc_type"), col("d._2").as("duration_ms"),
+          col("d._3").as("n_tracks"), col("d._4").as("video_codec"),
+          col("d._5").as("video_w"), col("d._6").as("video_h"),
+          col("d._7").as("audio_codec"), col("d._8").as("audio_rate"),
+          col("d._9").as("audio_channels"), col("d._10").as("kind"),
+          col("d._11").as("format"))
+    }),
+
+    // FLAC LABELING + TAG HARVEST, ORACLED: STREAMINFO exact duration
+    // (rate/channels/bits/total samples are closed forms, incl. a
+    // >32-bit total-samples slice exercising the 36-bit field) and the
+    // VorbisComment block (TITLE/ARTIST/ALBUM/DATE incl. a unicode
+    // slice) — the FLAC sibling of q253 (MP3) and q256 (ID3).
+    "q263_flac_info" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val rate = Seq(44100, 48000, 96000, 22050)((id % 4).toInt)
+        val chn = 1 + (id % 2).toInt
+        val bits = Seq(16, 24, 8)((id % 3).toInt)
+        val total = (id % 5) match {
+          case 0 => 0L // unknown length
+          case 4 => (1L << 33) + id // exercises the 36-bit field
+          case k => rate.toLong * k + id % 100
+        }
+        val title = s"Song $id" + (if (id % 3 == 2) " é日" else "")
+        val bytes = graft.codec.Flac.synthesize(rate, chn, bits, total,
+          Seq("TITLE" -> title, "ARTIST" -> s"Band ${id % 9}",
+            "ALBUM" -> s"Set ${id % 6}", "DATE" -> (1990 + id % 40).toString))
+        graft.codec.Flac.info(bytes) match {
+          case Right(fi) => (fi.sampleRate.toLong, fi.channels.toLong,
+            fi.bitsPerSample.toLong, fi.totalSamples, fi.durationMs,
+            fi.title, fi.artist, fi.album, fi.date)
+          case Left(e) => (-1L, -1L, -1L, -1L, -1L, s"error:$e", "", "", "")
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("sample_rate"), col("d._2").as("channels"),
+          col("d._3").as("bits"), col("d._4").as("total_samples"),
+          col("d._5").as("duration_ms"), col("d._6").as("title"),
+          col("d._7").as("artist"), col("d._8").as("album"), col("d._9").as("year"))
+    }),
+
+    // OGG COMMENT-HEADER TAG HARVEST, ORACLED: OpusTags and Vorbis
+    // type-3 packets through real page lacing (the unicode slice pushes
+    // the comment packet past one 255-byte lacing segment).
+    "q264_ogg_tags" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val codec = if (id % 2 == 0) "opus" else "vorbis"
+        val pad = if (id % 4 == 3) "x" * 300 else "" // multi-segment lacing
+        val title = s"Track $id" + (if (id % 3 == 1) " ü漢" else "")
+        val bytes = graft.codec.Ogg.synthesize(codec, 2, 48000, preSkip = 0,
+          nDataPages = 2, finalGranule = 48000,
+          tags = Seq("TITLE" -> title, "ARTIST" -> s"Artist ${id % 7}",
+            "COMMENT" -> (s"c$id" + pad)))
+        graft.codec.Ogg.tags(bytes) match {
+          case Right(t) => (t.getOrElse("TITLE", ""), t.getOrElse("ARTIST", ""),
+            t.getOrElse("COMMENT", "").length.toLong)
+          case Left(e) => (s"error:$e", "", -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("title"), col("d._2").as("artist"),
+          col("d._3").as("comment_len"))
+    }),
+
     // ID3v2 TEXT-FRAME HARVEST, ORACLED: the audio-corpus metadata read
     // (TIT2/TPE1/TALB/TYER-TDRC) through both tag versions and mixed
     // frame encodings — the audio sibling of the HTML head-metadata
@@ -9495,6 +9588,64 @@ object Queries {
         |  CAST(9 + doc_id % 12 AS BIGINT) AS height,
         |  CAST((17 + doc_id % 16) * (9 + doc_id % 12) * 3 * 130 AS BIGINT) AS pix_sum,
         |  CAST(130 AS BIGINT) AS pix_min, CAST(130 AS BIGINT) AS pix_max
+        |FROM documents""".stripMargin,
+
+    // q265: every field a stated closed form; mkv family halves the
+    // timestamp scale so duration_ms = ticks // 2.
+    "q265_mkv_info" ->
+      """WITH g AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS fam,
+        |    320 + (doc_id % 5) * 64 AS w, 240 + (doc_id % 4) * 48 AS h,
+        |    list_extract([48000, 44100], CAST(doc_id % 2 AS INT) + 1) AS rate,
+        |    2000 + doc_id % 5000 AS ticks
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CASE fam WHEN 2 THEN 'matroska' ELSE 'webm' END AS doc_type,
+        |  CAST(CASE fam WHEN 2 THEN ticks // 2 ELSE ticks END AS BIGINT) AS duration_ms,
+        |  CAST(CASE fam WHEN 0 THEN 2 ELSE 1 END AS BIGINT) AS n_tracks,
+        |  CASE fam WHEN 0 THEN 'V_VP9' WHEN 2 THEN 'V_AV1' ELSE '' END AS video_codec,
+        |  CAST(CASE fam WHEN 1 THEN 0 ELSE w END AS BIGINT) AS video_w,
+        |  CAST(CASE fam WHEN 1 THEN 0 ELSE h END AS BIGINT) AS video_h,
+        |  CASE fam WHEN 0 THEN 'A_OPUS' WHEN 1 THEN 'A_VORBIS' ELSE '' END AS audio_codec,
+        |  CAST(CASE fam WHEN 2 THEN 0 ELSE rate END AS BIGINT) AS audio_rate,
+        |  CAST(CASE fam WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 0 END AS BIGINT) AS audio_channels,
+        |  CASE fam WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+        |  CASE fam WHEN 2 THEN 'mkv' ELSE 'webm' END AS format
+        |FROM g""".stripMargin,
+
+    // q263: every STREAMINFO field and tag is a stated closed form;
+    // duration = total*1000 // rate exactly.
+    "q263_flac_info" ->
+      """WITH g AS (SELECT doc_id,
+        |    list_extract([44100, 48000, 96000, 22050], CAST(doc_id % 4 AS INT) + 1) AS rate,
+        |    1 + doc_id % 2 AS chn,
+        |    list_extract([16, 24, 8], CAST(doc_id % 3 AS INT) + 1) AS bits
+        |  FROM documents),
+        |t AS (SELECT doc_id, rate, chn, bits,
+        |    CASE CAST(doc_id % 5 AS INT)
+        |      WHEN 0 THEN 0
+        |      WHEN 4 THEN CAST(8589934592 + doc_id AS BIGINT)
+        |      ELSE rate * (doc_id % 5) + doc_id % 100 END AS total
+        |  FROM g)
+        |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(chn AS BIGINT) AS channels, CAST(bits AS BIGINT) AS bits,
+        |  CAST(total AS BIGINT) AS total_samples,
+        |  CAST(total * 1000 // rate AS BIGINT) AS duration_ms,
+        |  'Song ' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 2 THEN ' ' || chr(233) || chr(26085) ELSE '' END AS title,
+        |  'Band ' || (doc_id % 9) AS artist,
+        |  'Set ' || (doc_id % 6) AS album,
+        |  CAST(1990 + doc_id % 40 AS VARCHAR) AS year
+        |FROM t""".stripMargin,
+
+    // q264: tags stated verbatim; the comment length covers the padded
+    // multi-segment slice (2 + digits + 300).
+    "q264_ogg_tags" ->
+      """SELECT doc_id,
+        |  'Track ' || doc_id ||
+        |    CASE WHEN doc_id % 3 = 1 THEN ' ' || chr(252) || chr(28450) ELSE '' END AS title,
+        |  'Artist ' || (doc_id % 7) AS artist,
+        |  CAST(1 + length(CAST(doc_id AS VARCHAR)) +
+        |    CASE WHEN doc_id % 4 = 3 THEN 300 ELSE 0 END AS BIGINT) AS comment_len
         |FROM documents""".stripMargin,
 
     // q256: all four tags stated verbatim per family (v2.3 TYER years,

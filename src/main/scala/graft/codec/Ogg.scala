@@ -85,6 +85,54 @@ object Ogg {
     finish(codec, channels, rate, nPages, lastGranule, preSkip, granuleRate)
   }
 
+  /** Tag harvest from the comment header (Opus "OpusTags" / Vorbis
+    * type-3 packet) of the FIRST (BOS-tracked) stream — the Ogg-side
+    * sibling of the ID3v2 harvest, sharing [[VorbisComment]] with FLAC.
+    * Single-page comment headers only (the near-universal real shape;
+    * a multi-page tag packet returns a typed error, not a wrong read).
+    * Returns the normalized key->value map. */
+  def tags(b: Array[Byte]): Either[String, Map[String, String]] =
+    try tagsImpl(b)
+    catch { case e: Exception => Left(s"ogg: ${e.getClass.getSimpleName}: ${e.getMessage}") }
+
+  private def tagsImpl(b: Array[Byte]): Either[String, Map[String, String]] = {
+    if (!isOgg(b)) return Left("ogg: bad capture pattern")
+    var p = 0
+    var serial = -1L
+    var scanned = 0
+    while (p + 27 <= b.length) {
+      if (!(b(p) == 'O' && b(p + 1) == 'g' && b(p + 2) == 'g' && b(p + 3) == 'S' && b(p + 4) == 0))
+        return Left("ogg: no comment header")
+      val headerType = b(p + 5) & 0xff
+      val pageSerial = le32(b, p + 14)
+      val nSegs = b(p + 26) & 0xff
+      if (p + 27 + nSegs > b.length) return Left("ogg: truncated segment table")
+      var bodyLen = 0
+      var k = 0
+      while (k < nSegs) { bodyLen += b(p + 27 + k) & 0xff; k += 1 }
+      val body = p + 27 + nSegs
+      if (body + bodyLen > b.length) return Left("ogg: truncated page body")
+      if ((headerType & 2) != 0 && serial == -1L) serial = pageSerial
+      else if (pageSerial == serial && bodyLen >= 8) {
+        if (new String(b, body, 8, "US-ASCII") == "OpusTags") {
+          if (nSegs > 0 && (b(p + 27 + nSegs - 1) & 0xff) == 255)
+            return Left("ogg: multi-page comment header unsupported")
+          return VorbisComment.parse(b, body + 8, body + bodyLen).left.map("ogg: " + _)
+        }
+        if ((b(body) & 0xff) == 3 && bodyLen >= 7 &&
+          new String(b, body + 1, 6, "US-ASCII") == "vorbis") {
+          if (nSegs > 0 && (b(p + 27 + nSegs - 1) & 0xff) == 255)
+            return Left("ogg: multi-page comment header unsupported")
+          return VorbisComment.parse(b, body + 7, body + bodyLen).left.map("ogg: " + _)
+        }
+      }
+      p = body + bodyLen
+      scanned += 1
+      if (scanned > 1024) return Left("ogg: no comment header")
+    }
+    Left("ogg: no comment header")
+  }
+
   private def finish(codec: String, channels: Int, rate: Int, nPages: Int,
       lastGranule: Long, preSkip: Int, granuleRate: Long): Either[String, Info] = {
     val dur =
@@ -94,9 +142,11 @@ object Ogg {
   }
 
   /** Synthesis twin: a BOS identification page plus `nPages` data pages
-    * whose final granule is `finalGranule`. */
+    * whose final granule is `finalGranule`; with `tags`, a comment
+    * header page (OpusTags / Vorbis type-3) follows the BOS. */
   def synthesize(codec: String, channels: Int, rate: Int, preSkip: Int,
-      nDataPages: Int, finalGranule: Long): Array[Byte] = {
+      nDataPages: Int, finalGranule: Long,
+      tags: Seq[(String, String)] = Nil): Array[Byte] = {
     require(codec == "opus" || codec == "vorbis")
     val out = new java.io.ByteArrayOutputStream()
     def le(v: Long, n: Int): Unit = (0 until n).foreach(i => out.write(((v >> (8 * i)) & 0xff).toInt))
@@ -104,8 +154,12 @@ object Ogg {
       out.write("OggS".getBytes("US-ASCII")); out.write(0)
       out.write(headerType)
       le(granule, 8); le(77L, 4); le(seq.toLong, 4); le(0L, 4) // serial 77, crc 0
-      require(body.length <= 255, "single-segment twin")
-      out.write(1); out.write(body.length)
+      val nSegs = body.length / 255 + 1
+      require(nSegs <= 255, "body too large for one page")
+      out.write(nSegs)
+      var rem = body.length
+      while (rem >= 255) { out.write(255); rem -= 255 }
+      out.write(rem) // final short (or zero) lacing value ends the packet
       out.write(body, 0, body.length)
     }
     val head = new java.io.ByteArrayOutputStream()
@@ -123,11 +177,22 @@ object Ogg {
       (0 until 14).foreach(_ => head.write(0)) // bitrates(12) + blocksizes + framing
     }
     page(2, 0L, 0, head.toByteArray) // BOS
+    var seq = 1
+    if (tags.nonEmpty) {
+      val cb = new java.io.ByteArrayOutputStream()
+      if (codec == "opus") cb.write("OpusTags".getBytes("US-ASCII"))
+      else { cb.write(3); cb.write("vorbis".getBytes("US-ASCII")) }
+      val vc = VorbisComment.build("graft", tags)
+      cb.write(vc, 0, vc.length)
+      if (codec != "opus") cb.write(1) // vorbis framing bit
+      page(0, if (codec == "opus") 0L else -1L, seq, cb.toByteArray)
+      seq += 1
+    }
     var k = 0
     while (k < nDataPages) {
       val g = if (k == nDataPages - 1) finalGranule else finalGranule * (k + 1) / nDataPages
       val eos = if (k == nDataPages - 1) 4 else 0
-      page(eos, g, k + 1, Array[Byte](0, 1, 2))
+      page(eos, g, seq + k, Array[Byte](0, 1, 2))
       k += 1
     }
     out.toByteArray

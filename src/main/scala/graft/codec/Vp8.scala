@@ -321,6 +321,12 @@ object Vp8 {
           else TM_PRED
         mbX += 1
       }
+      // a corrupted header can claim near-cap dimensions; once the
+      // partition is exhausted every further "bit" is invented from
+      // zero fill — abort per row instead of burning CPU across the
+      // whole claimed MB grid (surfaced by the round-5 fuzz campaign
+      // as a seconds-per-mutation slowdown, not a crash)
+      if (bd.overrun) return Left("vp8: truncated stream")
       mbY += 1
     }
 
@@ -472,6 +478,7 @@ object Vp8 {
           yPlane, yStride, uPlane, vPlane, cStride)
         mbX += 1
       }
+      if (t.overrun) return Left("vp8: truncated stream") // same early abort
       mbY += 1
     }
 

@@ -390,6 +390,11 @@ object Multimodal {
           PayloadInfo("image", if (lossless) "webp" else "webp-lossy", w, h, 0, 0, 0L, decodable = true)
         case Left(_) => bad("image", "webp")
       }
+      else if (Flac.isFlac(p)) Flac.info(p) match {
+        case Right(fi) => PayloadInfo("audio", "flac", 0, 0, fi.sampleRate,
+          fi.channels, fi.durationMs, decodable = false)
+        case Left(_) => bad("audio", "flac")
+      }
       else if (Wav.isWav(p)) {
         // RIFF chunk walk for fmt (channels/rate/bits) + data size
         var q = 12
@@ -422,6 +427,16 @@ object Multimodal {
         case Right(oi) => PayloadInfo("audio", "ogg-" + oi.codec, 0, 0, oi.sampleRate,
           oi.channels, oi.durationMs, decodable = false)
         case Left(_) => bad("audio", "ogg")
+      }
+      else if (Mkv.isMkv(p)) Mkv.info(p) match {
+        case Right(ki) =>
+          val fmt = if (ki.docType == "webm") "webm" else "mkv"
+          if (ki.videoCodec.nonEmpty)
+            PayloadInfo("video", fmt, ki.videoW, ki.videoH,
+              ki.audioRate, ki.audioChannels, ki.durationMs, decodable = false)
+          else PayloadInfo("audio", fmt, 0, 0, ki.audioRate, ki.audioChannels,
+            ki.durationMs, decodable = false)
+        case Left(_) => bad("video", "mkv")
       }
       else if (Mp4.isMp4(p)) Mp4.info(p) match {
         case Right(mi) if Mp4.ImageBrands.contains(mi.brand) =>
