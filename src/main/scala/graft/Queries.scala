@@ -700,12 +700,48 @@ object Queries {
           b4 += im4.pixels(3 * i + 2) & 0xff
           i += 1
         }
-        (r8, g8, b8, r4, g4, b4)
+        // 16-bit 565 BI_BITFIELDS leg (round 5): hand-built rows,
+        // channels scale v*255/max round-half-up
+        val w16 = 6 + (id % 4).toInt; val h16 = 3 + (id % 3).toInt
+        val stride = ((w16 * 2 + 3) / 4) * 4
+        val bb = java.nio.ByteBuffer.allocate(66 + stride * h16)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(66 + stride * h16)
+        bb.putInt(0).putInt(66).putInt(40).putInt(w16).putInt(h16)
+        bb.putShort(1).putShort(16).putInt(3).putInt(stride * h16)
+        bb.putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.putInt(0xf800).putInt(0x07e0).putInt(0x001f)
+        var row = 0
+        while (row < h16) {
+          val yy = h16 - 1 - row
+          var x = 0
+          while (x < w16) {
+            val v = ((((id + x * 3 + yy) % 32).toInt << 11) |
+              (((id + x + yy * 5) % 64).toInt << 5) | ((id + x * 7) % 32).toInt)
+            bb.putShort(v.toShort)
+            x += 1
+          }
+          var pad = stride - 2 * w16
+          while (pad > 0) { bb.put(0.toByte); pad -= 1 }
+          row += 1
+        }
+        val im16 = graft.codec.Bmp.decode(bb.array())
+          .fold(er => throw new IllegalStateException(er), identity)
+        var r16 = 0L; var g16 = 0L; var b16 = 0L
+        i = 0
+        while (i < w16 * h16) {
+          r16 += im16.pixels(3 * i) & 0xff; g16 += im16.pixels(3 * i + 1) & 0xff
+          b16 += im16.pixels(3 * i + 2) & 0xff
+          i += 1
+        }
+        (r8, g8, b8, r4, g4, b4, r16, g16, b16)
       }
       docs(s, dir).select(col("doc_id"), st(col("doc_id")).as("d"))
         .select(col("doc_id"), col("d._1").as("rle8_sum_r"), col("d._2").as("rle8_sum_g"),
           col("d._3").as("rle8_sum_b"), col("d._4").as("rle4_sum_r"),
-          col("d._5").as("rle4_sum_g"), col("d._6").as("rle4_sum_b"))
+          col("d._5").as("rle4_sum_g"), col("d._6").as("rle4_sum_b"),
+          col("d._7").as("bf565_sum_r"), col("d._8").as("bf565_sum_g"),
+          col("d._9").as("bf565_sum_b"))
     }),
 
     // CMYK/YCCK JPEG DECODE, ORACLED ON PIXELS: the 4-component Adobe
@@ -789,6 +825,30 @@ object Queries {
         .select(col("doc_id"), col("d._1").as("nc"), col("d._2").as("width"),
           col("d._3").as("height"), col("d._4").as("pix_sum"),
           col("d._5").as("pix_min"), col("d._6").as("pix_max"))
+    }),
+
+    // FLOAT WAV DECODE, ORACLED: 32-bit IEEE (format 3) through the
+    // real chunk walk + scaling — samples are exact dyadic rationals
+    // k/256 with |k| <= 50, so rint(k*32767/256) never lands on a .5
+    // boundary and the oracle replays it as floor(x + 0.5) exactly.
+    "q266_wav_float" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val n = 64 + (id % 32).toInt
+        val rate = 8000 + (id % 3).toInt * 4000
+        val vals = Array.tabulate(n)(i => ((((id + i * 7) % 101) - 50).toInt / 256.0f))
+        val bytes = graft.codec.Wav.encodeFloat(vals, 1, rate)
+        graft.codec.Wav.decode(bytes) match {
+          case Right(au) =>
+            var sum = 0L; var mn = Long.MaxValue; var mx = Long.MinValue
+            au.samples.foreach { v => sum += v; if (v < mn) mn = v; if (v > mx) mx = v }
+            (au.sampleRate.toLong, au.samples.length.toLong, sum, mn, mx)
+          case Left(e) => (-1L, -1L, -1L, -1L, -1L)
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("sample_rate"), col("d._2").as("n_samples"),
+          col("d._3").as("sample_sum"), col("d._4").as("sample_min"),
+          col("d._5").as("sample_max"))
     }),
 
     // MATROSKA/WEBM LABELING, ORACLED: EBML walk -> DocType, duration
@@ -9539,10 +9599,23 @@ object Queries {
         |s4 AS (SELECT doc_id, CAST(sum(e * 17) AS BIGINT) AS rle4_sum_r,
         |    CAST(sum(255 - e * 17) AS BIGINT) AS rle4_sum_g,
         |    CAST(sum((e * 37) % 256) AS BIGINT) AS rle4_sum_b
-        |  FROM e4 GROUP BY doc_id)
+        |  FROM e4 GROUP BY doc_id),
+        |g16 AS (SELECT doc_id, 6 + doc_id % 4 AS w16, 3 + doc_id % 3 AS h16 FROM g),
+        |x16 AS (SELECT doc_id, h16, unnest(generate_series(0, w16 - 1)) AS x FROM g16),
+        |c16 AS (SELECT doc_id, x, unnest(generate_series(0, h16 - 1)) AS y FROM x16),
+        |v16 AS (SELECT doc_id,
+        |    (doc_id + x*3 + y) % 32 AS r5, (doc_id + x + y*5) % 64 AS g6,
+        |    (doc_id + x*7) % 32 AS b5
+        |  FROM c16),
+        |s16 AS (SELECT doc_id,
+        |    CAST(sum((r5 * 255 + 15) // 31) AS BIGINT) AS bf565_sum_r,
+        |    CAST(sum((g6 * 255 + 31) // 63) AS BIGINT) AS bf565_sum_g,
+        |    CAST(sum((b5 * 255 + 15) // 31) AS BIGINT) AS bf565_sum_b
+        |  FROM v16 GROUP BY doc_id)
         |SELECT s8.doc_id, rle8_sum_r, rle8_sum_g, rle8_sum_b,
-        |  rle4_sum_r, rle4_sum_g, rle4_sum_b
-        |FROM s8 JOIN s4 ON s8.doc_id = s4.doc_id""".stripMargin,
+        |  rle4_sum_r, rle4_sum_g, rle4_sum_b,
+        |  bf565_sum_r, bf565_sum_g, bf565_sum_b
+        |FROM s8 JOIN s4 ON s8.doc_id = s4.doc_id JOIN s16 ON s8.doc_id = s16.doc_id""".stripMargin,
 
     // q260: both legs flat-block exact class — CMYK R=s*k//255; YCCK
     // runs the fixed-point matrix ((a+32768)>>16 = floor((a+32768)/65536))
@@ -9589,6 +9662,22 @@ object Queries {
         |  CAST((17 + doc_id % 16) * (9 + doc_id % 12) * 3 * 130 AS BIGINT) AS pix_sum,
         |  CAST(130 AS BIGINT) AS pix_min, CAST(130 AS BIGINT) AS pix_max
         |FROM documents""".stripMargin,
+
+    // q266: scaled sample = floor(k*32767/256 + 0.5) with k integral in
+    // [-50,50] (never a half boundary, so floor(x+.5) == rint exactly).
+    "q266_wav_float" ->
+      """WITH g AS (SELECT doc_id, 64 + doc_id % 32 AS n,
+        |    8000 + (doc_id % 3) * 4000 AS rate FROM documents),
+        |i AS (SELECT doc_id, n, rate, unnest(generate_series(0, n - 1)) AS idx FROM g),
+        |k AS (SELECT doc_id, n, rate, ((doc_id + idx*7) % 101) - 50 AS kv FROM i),
+        |v AS (SELECT doc_id, n, rate,
+        |    CAST(floor(kv * 32767.0 / 256.0 + 0.5) AS BIGINT) AS sv FROM k)
+        |SELECT doc_id, CAST(rate AS BIGINT) AS sample_rate,
+        |  CAST(n AS BIGINT) AS n_samples,
+        |  CAST(sum(sv) AS BIGINT) AS sample_sum,
+        |  CAST(min(sv) AS BIGINT) AS sample_min,
+        |  CAST(max(sv) AS BIGINT) AS sample_max
+        |FROM v GROUP BY doc_id, n, rate""".stripMargin,
 
     // q265: every field a stated closed form; mkv family halves the
     // timestamp scale so duration_ms = ticks // 2.

@@ -15,8 +15,12 @@ package graft.codec
   * escapes, with pixels skipped by EOL/delta reading as palette entry
   * 0 (what every Windows-era decoder shows); bottom-up (positive
   * height) and top-down (negative height — BI_RGB only; RLE is
-  * spec-bottom-up) row orders; 4-byte row stride padding. 16-bit and
-  * BI_BITFIELDS return `Left` (honest fences). Output shape
+  * spec-bottom-up) row orders; 4-byte row stride padding. 16-bit rows
+  * decode too: BI_RGB 16 = X1R5G5B5, and BI_BITFIELDS (compression 3)
+  * with the three channel masks read from the header — contiguous
+  * masks only (555/565 and friends), channels scaled v*255/max with
+  * round-half-up, matching the JDK's DirectColorModel scaling so the
+  * ImageIO differential is exact. Output shape
   * matches [[Jpeg.Image]] (always nc=3 — BMP is a color format).
   *
   * Encode (fixture/round-trip twin): 24-bit BI_RGB bottom-up, the
@@ -51,15 +55,36 @@ object Bmp {
     val bpp = u16(b, 28)
     val compression = u32(b, 30).toInt
     if (planes != 1) return Left("bmp: planes != 1")
-    if (compression != 0 && compression != 1 && compression != 2)
-      return Left(s"bmp: compression $compression unsupported (BI_RGB/BI_RLE8/BI_RLE4)")
+    if (compression != 0 && compression != 1 && compression != 2 && compression != 3)
+      return Left(s"bmp: compression $compression unsupported")
     if (compression == 1 && bpp != 8) return Left("bmp: BI_RLE8 requires 8-bit")
     if (compression == 2 && bpp != 4) return Left("bmp: BI_RLE4 requires 4-bit")
-    if (compression != 0 && topDown) return Left("bmp: top-down RLE is invalid")
+    if (compression == 3 && bpp != 16 && bpp != 32)
+      return Left("bmp: BI_BITFIELDS requires 16/32-bit")
+    if ((compression == 1 || compression == 2) && topDown)
+      return Left("bmp: top-down RLE is invalid")
     if (width <= 0 || height == 0) return Left("bmp: bad dimensions")
     if (width.toLong * height > (1L << 28) / 4) return Left("bmp: image too large")
-    if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 24 && bpp != 32)
-      return Left(s"bmp: $bpp-bit depth unsupported (1/4/8/24/32 only)")
+    if (bpp != 1 && bpp != 4 && bpp != 8 && bpp != 16 && bpp != 24 && bpp != 32)
+      return Left(s"bmp: $bpp-bit depth unsupported")
+
+    // channel masks: BI_BITFIELDS reads them from the 3 DWORDs after the
+    // info header (or inside V4+ headers at the same offsets); BI_RGB 16
+    // is the fixed X1R5G5B5 layout
+    var maskR = 0x7c00; var maskG = 0x03e0; var maskB = 0x001f
+    if (compression == 3) {
+      val mOff = if (hdrSize >= 52) 14 + 40 else 14 + hdrSize
+      if (mOff + 12 > b.length) return Left("bmp: masks overrun file")
+      maskR = u32(b, mOff).toInt; maskG = u32(b, mOff + 4).toInt; maskB = u32(b, mOff + 8).toInt
+      def contiguous(m: Int): Boolean =
+        m != 0 && { val s0 = java.lang.Integer.numberOfTrailingZeros(m)
+          val run = m >>> s0; (run & (run + 1)) == 0 }
+      if (!contiguous(maskR) || !contiguous(maskG) || !contiguous(maskB))
+        return Left("bmp: non-contiguous bitfield masks unsupported")
+    } else if (bpp == 32) { maskR = 0xff0000; maskG = 0xff00; maskB = 0xff }
+    if (compression == 3 && bpp == 32 &&
+      (maskR != 0xff0000 || maskG != 0xff00 || maskB != 0xff))
+      return Left("bmp: non-BGRX 32-bit bitfields unsupported")
 
     // palette for indexed depths: colorsUsed BGRX entries after the header
     var palette: Array[Byte] = null
@@ -86,7 +111,7 @@ object Bmp {
     val off = pixOff.toInt
     val out = new Array[Byte](width * height * 3)
 
-    if (compression != 0) {
+    if (compression == 1 || compression == 2) {
       // ---- RLE4/RLE8 into a bottom-up index plane; unwritten = 0 ----
       val idxPlane = new Array[Byte](width * height) // (yUp * width + x)
       var x = 0
@@ -172,11 +197,22 @@ object Bmp {
             out(dst) = palette(3 * idx)
             out(dst + 1) = palette(3 * idx + 1)
             out(dst + 2) = palette(3 * idx + 2)
+          case 16 =>
+            val v = (b(rp + 2 * x) & 0xff) | ((b(rp + 2 * x + 1) & 0xff) << 8)
+            def chan(mask: Int): Int = {
+              val sh = java.lang.Integer.numberOfTrailingZeros(mask)
+              val mx = mask >>> sh
+              val c = (v & mask) >>> sh
+              (c * 255 + mx / 2) / mx // round-half-up = DirectColorModel scaling
+            }
+            out(dst) = chan(maskR).toByte
+            out(dst + 1) = chan(maskG).toByte
+            out(dst + 2) = chan(maskB).toByte
           case 24 =>
             out(dst) = b(rp + 3 * x + 2)     // R (stored BGR)
             out(dst + 1) = b(rp + 3 * x + 1) // G
             out(dst + 2) = b(rp + 3 * x)     // B
-          case _ => // 32: BGRX
+          case _ => // 32: BGRX (or bitfields — masks byte-aligned here)
             out(dst) = b(rp + 4 * x + 2)
             out(dst + 1) = b(rp + 4 * x + 1)
             out(dst + 2) = b(rp + 4 * x)

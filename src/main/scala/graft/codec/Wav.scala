@@ -7,9 +7,12 @@ package graft.codec
   * 16-bit, and 24-bit little-endian PCM, mono or stereo — every depth
   * normalizes to signed 16-bit samples (8-bit shifts up, 24-bit keeps
   * its top 16 bits via arithmetic shift, i.e. floor division, so SQL
-  * oracles replay it); any other format code / bit depth returns `Left`
-  * (error-as-data) — the honest fence where MP3/AAC/Opus would need real
-  * entropy decoders.
+  * oracles replay it), and 32-bit IEEE-float (format 3, round 5) scales
+  * by 32767 with round-half-even (Math.rint — what the JDK float
+  * converter does, so the javax.sound differential is exact) and clamps
+  * to the signed-16 range; any other format code / bit depth returns
+  * `Left` (error-as-data) — the honest fence where MP3/AAC/Opus would
+  * need real entropy decoders.
   *
   * The chunk walk honors the RIFF rules a naive header cast gets wrong:
   * chunks are word-aligned (odd sizes pad a byte), `fmt ` and `data` may
@@ -67,8 +70,11 @@ object Wav {
     }
     if (fmtCode < 0) return Left("wav: no fmt chunk")
     if (dataOff < 0) return Left("wav: no data chunk")
-    if (fmtCode != 1) return Left(s"wav: format $fmtCode unsupported (PCM only)")
-    if (bits != 8 && bits != 16 && bits != 24)
+    if (fmtCode != 1 && fmtCode != 3)
+      return Left(s"wav: format $fmtCode unsupported (PCM/float only)")
+    if (fmtCode == 3 && bits != 32)
+      return Left("wav: float format requires 32-bit samples")
+    if (fmtCode == 1 && bits != 8 && bits != 16 && bits != 24)
       return Left(s"wav: $bits-bit samples unsupported (8/16/24 only)")
     if (channels != 1 && channels != 2) return Left(s"wav: $channels channels unsupported")
     if (rate <= 0) return Left("wav: bad sample rate")
@@ -89,15 +95,43 @@ object Wav {
           samples(i) = ((b(dataOff + 2 * i) & 0xff) | (b(dataOff + 2 * i + 1) << 8)).toShort
           i += 1
         }
-      case _ =>
+      case 24 =>
         while (i < n) {
           val v = (b(dataOff + 3 * i) & 0xff) | ((b(dataOff + 3 * i + 1) & 0xff) << 8) |
             (b(dataOff + 3 * i + 2) << 16) // sign-extends
           samples(i) = (v >> 8).toShort
           i += 1
         }
+      case _ => // 32-bit IEEE float
+        while (i < n) {
+          val bits32 = (b(dataOff + 4 * i) & 0xff) | ((b(dataOff + 4 * i + 1) & 0xff) << 8) |
+            ((b(dataOff + 4 * i + 2) & 0xff) << 16) | ((b(dataOff + 4 * i + 3) & 0xff) << 24)
+          val f = java.lang.Float.intBitsToFloat(bits32)
+          val scaled =
+            if (f.isNaN) 0L
+            else Math.rint(f.toDouble * 32767.0).toLong
+          samples(i) = (if (scaled > 32767L) 32767 else if (scaled < -32768L) -32768
+            else scaled.toInt).toShort
+          i += 1
+        }
     }
     Right(Audio(channels, rate, bits, samples))
+  }
+
+  /** Encode 32-bit IEEE-float WAV (format 3) — the float twin for the
+    * javax.sound differential and oracle fixtures. */
+  def encodeFloat(samples: Array[Float], channels: Int, sampleRate: Int): Array[Byte] = {
+    require(channels == 1 || channels == 2)
+    val dataLen = samples.length * 4
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+    out.put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    out.putShort(3).putShort(channels.toShort).putInt(sampleRate)
+    out.putInt(sampleRate * channels * 4).putShort((channels * 4).toShort).putShort(32)
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(f => out.putInt(java.lang.Float.floatToIntBits(f)))
+    out.array()
   }
 
   /** Encode 16-bit PCM (interleaved if stereo) as a canonical WAV file. */

@@ -830,8 +830,11 @@ object WebpVp8l {
     * transparent; dispose-to-background clears the frame rect back to
     * transparent. Alpha blending uses exact integer arithmetic with
     * floor division (deterministic; the oracle queries use opaque
-    * frames where blend == replace exactly). Lossy (VP8) frames are a
-    * typed error, like still lossy images. */
+    * frames where blend == replace exactly). Lossy (VP8) frames decode
+    * through the libwebp-pinned [[Vp8]] key-frame decoder (round 5);
+    * their RGB planes composite opaque (an ALPH sidecar on an
+    * animation frame is rare and not composited — the RGB plane is
+    * what frame-dedup reads). */
   def decodeFrames(b: Array[Byte], maxFrames: Int = 4096): Either[String, Anim] =
     try decodeFramesImpl(b, maxFrames)
     catch { case e: Exception => Left(s"webp: ${e.getClass.getSimpleName}: ${e.getMessage}") }
@@ -892,7 +895,13 @@ object WebpVp8l {
                   case Right(im) => im
                   case Left(err) => return Left(err)
                 }
-              case "VP8 " => return Left("webp: lossy animation frame unsupported")
+              case "VP8 " =>
+                framePixels = Vp8.decode(b, fp + 8, fsize) match {
+                  case Right(yuv) => yuvToRgb(yuv) // opaque: lossy frames carry
+                  // alpha in a preceding ALPH chunk (not composited here —
+                  // rare for animations; the RGB plane is what dedup reads)
+                  case Left(err) => return Left(err)
+                }
               case _ => () // ALPH etc.
             }
             fp += 8 + fsize + (fsize & 1)

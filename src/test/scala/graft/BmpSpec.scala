@@ -98,8 +98,8 @@ class BmpSpec extends AnyFunSuite {
     assert(Bmp.decode(good).isRight)
     for (n <- Seq(2, 14, 30, good.length / 2, good.length - 3))
       assert(Bmp.decode(java.util.Arrays.copyOf(good, n)).isLeft, s"prefix $n decoded")
-    // 16-bit depth is a documented fence
-    val bad = good.clone(); bad(28) = 16
+    // a 2-bit depth is invalid
+    val bad = good.clone(); bad(28) = 2
     assert(Bmp.decode(bad).isLeft)
     // RLE8 on a 24-bit image is invalid (BI_RLE8 requires 8-bit)
     val rle = good.clone(); rle(30) = 1
@@ -229,6 +229,51 @@ class BmpSpec extends AnyFunSuite {
       assert((im4.pixels(base + 1) & 0xff) == ((argb >> 8) & 0xff))
       assert((im4.pixels(base + 2) & 0xff) == (argb & 0xff))
     }
+  }
+
+  test("16-bit 555 and BI_BITFIELDS 565: ImageIO-differential both ways") {
+    // hand-build a 555 BI_RGB 16-bit file and a 565 BI_BITFIELDS file
+    def build16(w: Int, h: Int, bitfields: Boolean, px: (Int, Int) => Int): Array[Byte] = {
+      val masks = if (bitfields) 12 else 0
+      val stride = ((w * 2 + 3) / 4) * 4
+      val out = java.nio.ByteBuffer.allocate(54 + masks + stride * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      out.put('B'.toByte).put('M'.toByte).putInt(54 + masks + stride * h)
+      out.putInt(0).putInt(54 + masks)
+      out.putInt(40).putInt(w).putInt(h).putShort(1).putShort(16)
+      out.putInt(if (bitfields) 3 else 0).putInt(stride * h)
+      out.putInt(0).putInt(0).putInt(0).putInt(0)
+      if (bitfields) out.putInt(0xf800).putInt(0x07e0).putInt(0x001f)
+      for (row <- 0 until h) {
+        val y = h - 1 - row // bottom-up
+        for (x <- 0 until w) out.putShort(px(x, y).toShort)
+        var pad = stride - 2 * w
+        while (pad > 0) { out.put(0.toByte); pad -= 1 }
+      }
+      out.array()
+    }
+    val w = 9; val h = 5
+    val b555 = build16(w, h, bitfields = false,
+      (x, y) => ((x * 3 + y) % 32 << 10) | ((x + y * 5) % 32 << 5) | ((x * 7) % 32))
+    val b565 = build16(w, h, bitfields = true,
+      (x, y) => ((x * 3 + y) % 32 << 11) | ((x + y * 7) % 64 << 5) | ((x * 5) % 32))
+    for ((name, bytes) <- Seq("555" -> b555, "565" -> b565)) {
+      val im = Bmp.decode(bytes).fold(e => fail(s"$name: $e"), identity)
+      val ref = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(ref != null, s"ImageIO rejected the $name stream")
+      for (y <- 0 until h; x <- 0 until w) {
+        val argb = ref.getRGB(x, y)
+        val base = (y * w + x) * 3
+        assert((im.pixels(base) & 0xff) == ((argb >> 16) & 0xff), s"$name R($x,$y)")
+        assert((im.pixels(base + 1) & 0xff) == ((argb >> 8) & 0xff), s"$name G($x,$y)")
+        assert((im.pixels(base + 2) & 0xff) == (argb & 0xff), s"$name B($x,$y)")
+      }
+    }
+    // non-contiguous masks fail closed
+    val hostile = build16(4, 3, bitfields = true, (_, _) => 0)
+    val mOff = 54
+    hostile(mOff) = 0x05 // mask 0xf805: non-contiguous
+    assert(Bmp.decode(hostile).isLeft)
   }
 
   test("ImageIO-WRITTEN RLE8 decodes under ours (writer-side differential)") {

@@ -14,6 +14,45 @@ class WavSpec extends AnyFunSuite {
   private def saw(n: Int, seed: Int): Array[Short] =
     Array.tabulate(n)(i => (((seed * 13 + i * 17) % 2001) - 1000).toShort)
 
+  test("float32 WAV (format 3): documented scaling, javax.sound differential <= 1") {
+    val vals = Array(0.0f, 1.0f, -1.0f, 0.5f, -0.25f, 0.123456f, 1.5f, -2.0f,
+      Float.NaN, 1e-6f, -0.999f, 0.99999f)
+    val bytes = Wav.encodeFloat(vals, 1, 16000)
+    val au = Wav.decode(bytes).fold(e => fail(e), identity)
+    assert(au.channels == 1 && au.sampleRate == 16000 && au.bitsPerSample == 32)
+    // documented convention: rint(f*32767), clamped; NaN -> 0
+    val want = vals.map { f =>
+      if (f.isNaN) 0
+      else math.max(-32768L, math.min(32767L, Math.rint(f.toDouble * 32767.0).toLong)).toInt
+    }
+    assert(au.samples.map(_.toInt).sameElements(want),
+      au.samples.mkString(",") + " vs " + want.mkString(","))
+    // javax.sound reads the same container and converts to 16-bit PCM;
+    // allow <=1 count for converter rounding differences on in-range values
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    assert(ais.getFormat.getEncoding.toString.toUpperCase.contains("FLOAT"))
+    val target = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED, 16000f, 16, 1, 2, 16000f, false)
+    val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(target, ais)
+    val buf = conv.readAllBytes()
+    assert(buf.length == vals.length * 2)
+    var maxDiff = 0
+    // out-of-range floats excluded: the JDK converter WRAPS them while we
+    // clamp (the libsndfile-style convention, asserted exactly above)
+    for (i <- vals.indices if !vals(i).isNaN && math.abs(vals(i)) <= 1.0f) {
+      val jdk = ((buf(2 * i) & 0xff) | (buf(2 * i + 1) << 8)).toShort.toInt
+      maxDiff = math.max(maxDiff, math.abs(jdk - au.samples(i)))
+    }
+    assert(maxDiff <= 1, s"maxDiff=$maxDiff vs javax.sound")
+    // stereo float + mediaInfo duration
+    val st = Wav.encodeFloat(Array.tabulate(800)(i => math.sin(i / 10.0).toFloat), 2, 8000)
+    val au2 = Wav.decode(st).fold(e => fail(e), identity)
+    assert(au2.channels == 2 && au2.nFrames == 400)
+    val mi = graft.ops.Multimodal.mediaInfo(st)
+    assert(mi.kind == "audio" && mi.durationMs == 400L * 1000 / 8000, mi.toString)
+  }
+
   test("encode -> decode round-trips exactly (mono and stereo)") {
     for ((ch, n, rate) <- Seq((1, 480, 8000), (2, 960, 44100), (1, 1, 16000))) {
       val s = saw(n * ch, n + ch)
@@ -65,8 +104,9 @@ class WavSpec extends AnyFunSuite {
     assert(Wav.decode(good).isRight)
     for (n <- Seq(4, 12, 20, good.length - 7))
       assert(Wav.decode(java.util.Arrays.copyOf(good, n)).isLeft, s"prefix $n")
-    val float32 = good.clone(); float32(20) = 3 // format code 3 = IEEE float
-    assert(Wav.decode(float32).swap.exists(_.contains("unsupported")))
+    // format 3 with non-32-bit samples is malformed (float requires 32)
+    val floatBad = good.clone(); floatBad(20) = 3
+    assert(Wav.decode(floatBad).swap.exists(_.contains("32-bit")))
     val bits32 = good.clone(); bits32(34) = 32 // 32-bit PCM stays a fence
     assert(Wav.decode(bits32).swap.exists(_.contains("unsupported")))
   }

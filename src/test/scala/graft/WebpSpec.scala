@@ -239,6 +239,61 @@ class WebpSpec extends AnyFunSuite {
     assert((f(3) & 0xff) == (aOut255 + 127) / 255)
   }
 
+  test("animated webp: LOSSY (VP8) frames composite through the pinned decoder") {
+    // hand-rolled container: VP8X + ANIM + two ANMF frames whose payloads
+    // are Vp8Synth all-DC key frames (decode = uniform 130 RGB)
+    val out = new java.io.ByteArrayOutputStream()
+    def le24(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff); o.write((v >> 16) & 0xff)
+    }
+    def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = { le24(o, v); o.write((v >> 24) & 0xff) }
+    def chunk(tag: String, payload: Array[Byte]): Unit = {
+      out.write(tag.getBytes("US-ASCII")); le32(out, payload.length)
+      out.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) out.write(0)
+    }
+    val cw = 20; val ch = 12
+    val vp8x = new java.io.ByteArrayOutputStream()
+    vp8x.write(0x12); vp8x.write(0); vp8x.write(0); vp8x.write(0)
+    le24(vp8x, cw - 1); le24(vp8x, ch - 1)
+    val body = new java.io.ByteArrayOutputStream()
+    def anmf(x: Int, y: Int, fw: Int, fh: Int, dur: Int): Array[Byte] = {
+      val a = new java.io.ByteArrayOutputStream()
+      le24(a, x / 2); le24(a, y / 2); le24(a, fw - 1); le24(a, fh - 1)
+      le24(a, dur); a.write(2) // no-blend
+      val payload = graft.codec.Vp8Synth.synthesize(fw, fh, 40, 10)
+      a.write("VP8 ".getBytes("US-ASCII")); le32(a, payload.length)
+      a.write(payload, 0, payload.length)
+      if ((payload.length & 1) == 1) a.write(0)
+      a.toByteArray
+    }
+    // assemble container bytes
+    val riff = new java.io.ByteArrayOutputStream()
+    chunk("VP8X", vp8x.toByteArray)
+    val animB = new java.io.ByteArrayOutputStream()
+    (0 until 4).foreach(_ => animB.write(0)); animB.write(0); animB.write(0)
+    chunk("ANIM", animB.toByteArray)
+    chunk("ANMF", anmf(0, 0, cw, ch, 40))
+    chunk("ANMF", anmf(4, 2, 8, 6, 60))
+    val payload = out.toByteArray
+    val full = new java.io.ByteArrayOutputStream()
+    full.write("RIFF".getBytes("US-ASCII")); le32(full, 4 + payload.length)
+    full.write("WEBP".getBytes("US-ASCII"))
+    full.write(payload, 0, payload.length)
+    val bytes = full.toByteArray
+    val anim = WebpVp8l.decodeFrames(bytes).fold(e => fail(e), identity)
+    assert(anim.frames.length == 2 && anim.width == cw && anim.height == ch)
+    assert(anim.durationsMs == Seq(40, 60))
+    // frame 1: whole canvas uniform 130, opaque
+    val f0 = anim.frames(0)
+    for (i <- 0 until cw * ch) {
+      assert((f0.pixels(4 * i) & 0xff) == 130 && (f0.pixels(4 * i + 3) & 0xff) == 255,
+        s"frame0 px $i")
+    }
+    // frame 2 composites the 8x6 sub-frame (same color — still uniform)
+    assert(anim.frames(1).pixels.grouped(4).forall(p => (p(0) & 0xff) == 130))
+  }
+
   test("mutation fuzz: corrupted streams degrade to typed errors, never throw") {
     val fxs = loadFixtures().take(6)
     val rng = new scala.util.Random(1337)
