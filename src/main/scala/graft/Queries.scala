@@ -827,6 +827,32 @@ object Queries {
           col("d._5").as("pix_min"), col("d._6").as("pix_max"))
     }),
 
+    // ICO FAVICON DECODE, ORACLED: directory walk + PNG-entry decode —
+    // two entries per icon, the larger one must win; pixels are the
+    // embedded PNG's closed form through the real Png codec.
+    "q267_ico" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 16 + (id % 8).toInt; val h = 10 + (id % 5).toInt
+        val big = graft.codec.Png.encode(
+          Array.tabulate[Byte](w * h)(i => ((id + (i % w) * 3 + (i / w) * 5) % 256).toByte),
+          w, h, 1)
+        val small = graft.codec.Png.encode(Array.fill[Byte](6 * 4)(7), 6, 4, 1)
+        val ico = graft.codec.Ico.synthesize("icon",
+          Seq((small, 6, 4, 32), (big, w, h, 32)))
+        graft.ops.Multimodal.decodeImage(ico) match {
+          case Right(im) =>
+            var sum = 0L
+            im.pixels.foreach(pb => sum += pb & 0xff)
+            (im.width.toLong, im.height.toLong, sum,
+              graft.ops.Multimodal.mediaInfo(ico).format)
+          case Left(e) => (-1L, -1L, -1L, s"error:$e")
+        }
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("width"), col("d._2").as("height"),
+          col("d._3").as("pix_sum"), col("d._4").as("format"))
+    }),
+
     // FLOAT WAV DECODE, ORACLED: 32-bit IEEE (format 3) through the
     // real chunk walk + scaling — samples are exact dyadic rationals
     // k/256 with |k| <= 50, so rint(k*32767/256) never lands on a .5
@@ -9662,6 +9688,16 @@ object Queries {
         |  CAST((17 + doc_id % 16) * (9 + doc_id % 12) * 3 * 130 AS BIGINT) AS pix_sum,
         |  CAST(130 AS BIGINT) AS pix_min, CAST(130 AS BIGINT) AS pix_max
         |FROM documents""".stripMargin,
+
+    // q267: the larger PNG entry's gray closed form summed.
+    "q267_ico" ->
+      """WITH g AS (SELECT doc_id, 16 + doc_id % 8 AS w, 10 + doc_id % 5 AS h FROM documents),
+        |xs AS (SELECT doc_id, w, h, unnest(generate_series(0, w - 1)) AS x FROM g),
+        |c AS (SELECT doc_id, w, h, x, unnest(generate_series(0, h - 1)) AS y FROM xs)
+        |SELECT doc_id, CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        |  CAST(sum((doc_id + x*3 + y*5) % 256) AS BIGINT) AS pix_sum,
+        |  'ico' AS format
+        |FROM c GROUP BY doc_id, w, h""".stripMargin,
 
     // q266: scaled sample = floor(k*32767/256 + 0.5) with k integral in
     // [-50,50] (never a half boundary, so floor(x+.5) == rint exactly).

@@ -296,10 +296,12 @@ object Multimodal {
   /** Sniff-and-decode any supported image payload through the
     * from-scratch codecs: JPEG (baseline + progressive), PNG, GIF — the
     * classic web trio — plus TIFF (gray/RGB raw/LZW/PackBits and CCITT
-    * G4, the scanned-document container), BMP (8/24/32-bit BI_RGB), and
-    * WebP lossless (VP8L, libwebp-differential-pinned). Lossy VP8 and
-    * AVIF remain honest fences (DCT/AV1 stacks) and land here as Left,
-    * as do JPEG-in-TIFF and BMP's RLE modes. */
+    * G4, the scanned-document container), BMP (1/4/8/16/24/32-bit,
+    * RLE4/RLE8, 565 bitfields), WebP — BOTH legs since round 5
+    * (lossless VP8L and lossy VP8, each libwebp-pinned) — and ICO
+    * favicons whose largest entry is PNG-compressed. AVIF stays an
+    * honest fence (an AV1 stack), as do JPEG-in-TIFF and classic-DIB
+    * icon entries. */
   def decodeImage(payload: Array[Byte]): Either[String, graft.codec.Jpeg.Image] =
     if (graft.codec.Jpeg.isJpeg(payload)) graft.codec.Jpeg.decode(payload)
     else if (graft.codec.Png.isPng(payload)) graft.codec.Png.decode(payload)
@@ -307,6 +309,7 @@ object Multimodal {
     else if (graft.codec.Tiff.isTiff(payload)) graft.codec.Tiff.decode(payload)
     else if (graft.codec.Bmp.isBmp(payload)) graft.codec.Bmp.decode(payload)
     else if (graft.codec.WebpVp8l.isWebp(payload)) graft.codec.WebpVp8l.decode(payload)
+    else if (graft.codec.Ico.isIco(payload)) graft.codec.Ico.decodeLargest(payload)
     else Left("image: unrecognized format")
 
   /** One-pass payload labeling — the unified dispatcher over the whole
@@ -427,6 +430,13 @@ object Multimodal {
         case Right(oi) => PayloadInfo("audio", "ogg-" + oi.codec, 0, 0, oi.sampleRate,
           oi.channels, oi.durationMs, decodable = false)
         case Left(_) => bad("audio", "ogg")
+      }
+      else if (Ico.isIco(p)) Ico.info(p) match {
+        case Right(ic) if ic.entries.nonEmpty =>
+          val best = ic.entries.maxBy(e => e.width.toLong * e.height)
+          PayloadInfo("image", if (ic.kind == "cursor") "cur" else "ico",
+            best.width, best.height, 0, 0, 0L, decodable = best.isPng)
+        case _ => bad("image", "ico")
       }
       else if (Mkv.isMkv(p)) Mkv.info(p) match {
         case Right(ki) =>
