@@ -779,7 +779,12 @@ object Jbig2 {
             if (width <= 0 || width > (1 << 14) || decoded + widths.length >= numNew)
               return Left("jbig2: bad symbol width")
             totWidth += width
-            if (totWidth * height > MaxPixels) return Left("jbig2: height class too large")
+            // glyph dictionaries hold character-scale symbols; a hostile
+            // stream claiming a multi-megapixel height class costs a
+            // full (bounded but slow) MMR decode attempt PER MUTATION —
+            // cap classes at 4M pixels to keep hostile cost low (the
+            // fuzz campaign surfaced this as ~150ms/decode, not a crash)
+            if (totWidth * height > (1L << 22)) return Left("jbig2: height class too large")
             widths += width
           case Left(e) => return Left(e)
         }

@@ -55,7 +55,33 @@ object FuzzCampaign {
       ("heif-heic", Mp4.synthesizeHeif("heic", Seq((100, 80))),
         (m: Array[Byte]) => graft.ops.Multimodal.mediaInfo(m)),
       ("media-info-vp8", Vp8Synth.wrapWebp(Vp8Synth.synthesize(20, 12)),
-        (m: Array[Byte]) => graft.ops.Multimodal.mediaInfo(m))
+        (m: Array[Byte]) => graft.ops.Multimodal.mediaInfo(m)),
+      ("flac", Flac.synthesize(44100, 2, 16, 44100L * 3,
+        Seq("TITLE" -> "t", "ARTIST" -> "a")),
+        (m: Array[Byte]) => { Flac.info(m); graft.ops.Multimodal.mediaInfo(m) }),
+      ("ogg-tags", Ogg.synthesize("opus", 2, 48000, 0, 2, 48000,
+        tags = Seq("TITLE" -> ("t" * 300))),
+        (m: Array[Byte]) => { Ogg.tags(m); Ogg.info(m) }),
+      ("mkv", Mkv.synthesize("webm", 1000000L, 2000.0,
+        Some(("V_VP9", 320, 240)), Some(("A_OPUS", 48000, 2))),
+        (m: Array[Byte]) => { Mkv.info(m); graft.ops.Multimodal.mediaInfo(m) }),
+      ("ico", Ico.synthesize("icon", Seq(
+        (Png.encode(Array.fill[Byte](64)(9), 8, 8, 1), 8, 8, 32))),
+        (m: Array[Byte]) => { Ico.decodeLargest(m); graft.ops.Multimodal.mediaInfo(m) }),
+      ("wav-float", Wav.encodeFloat(Array.tabulate(200)(i => (i / 100.0f) - 1f), 2, 16000),
+        (m: Array[Byte]) => { Wav.decode(m); graft.ops.Multimodal.mediaInfo(m) }),
+      ("bmp-565", { // 16-bit bitfields seed
+        val w = 10; val h = 6; val stride = ((w * 2 + 3) / 4) * 4
+        val bb = java.nio.ByteBuffer.allocate(66 + stride * h)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        bb.put('B'.toByte).put('M'.toByte).putInt(66 + stride * h)
+        bb.putInt(0).putInt(66).putInt(40).putInt(w).putInt(h)
+        bb.putShort(1).putShort(16).putInt(3).putInt(stride * h)
+        bb.putInt(0).putInt(0).putInt(0).putInt(0)
+        bb.putInt(0xf800).putInt(0x07e0).putInt(0x001f)
+        (0 until stride * h).foreach(i => bb.put((i * 7).toByte))
+        bb.array()
+      }, (m: Array[Byte]) => Bmp.decode(m))
     )
 
     var total = 0L
