@@ -827,6 +827,26 @@ object Queries {
           col("d._5").as("pix_min"), col("d._6").as("pix_max"))
     }),
 
+    // SVG + HTML PAYLOAD SNIFF, ORACLED: the markup legs of the unified
+    // labeler — SVG dims from width/height attributes (px units, float
+    // rounding) or the viewBox fallback, HTML as decodable document;
+    // three families by doc_id % 3.
+    "q268_markup_sniff" -> ((s, dir) => {
+      val st = udf { id: Long =>
+        val w = 10 + (id % 90).toInt; val h = 5 + (id % 50).toInt
+        val payload = (id % 3) match {
+          case 0 => s"""<?xml version="1.0"?><svg xmlns="x" width="$w.5px" height="${h}px"><g/></svg>"""
+          case 1 => s"""<svg viewBox="0 0 $w $h"><rect/></svg>"""
+          case _ => s"""<!DOCTYPE html><html><head><title>Doc $id</title></head><body>b</body></html>"""
+        }
+        val mi = graft.ops.Multimodal.mediaInfo(payload.getBytes("UTF-8"))
+        (mi.kind, mi.format, mi.width.toLong, mi.height.toLong, mi.decodable)
+      }
+      docs(s, dir).select(col("doc_id"), st(col("doc_id").cast("long")).as("d"))
+        .select(col("doc_id"), col("d._1").as("kind"), col("d._2").as("format"),
+          col("d._3").as("width"), col("d._4").as("height"), col("d._5").as("decodable"))
+    }),
+
     // ICO FAVICON DECODE, ORACLED: directory walk + PNG-entry decode —
     // two entries per icon, the larger one must win; pixels are the
     // embedded PNG's closed form through the real Png codec.
@@ -9688,6 +9708,19 @@ object Queries {
         |  CAST((17 + doc_id % 16) * (9 + doc_id % 12) * 3 * 130 AS BIGINT) AS pix_sum,
         |  CAST(130 AS BIGINT) AS pix_min, CAST(130 AS BIGINT) AS pix_max
         |FROM documents""".stripMargin,
+
+    // q268: width attr carries ".5px" so rounding lands on w+1 (round
+    // half up of w.5); viewBox family exact; html family zero-dim.
+    "q268_markup_sniff" ->
+      """WITH g AS (SELECT doc_id, CAST(doc_id % 3 AS INT) AS fam,
+        |    10 + doc_id % 90 AS w, 5 + doc_id % 50 AS h FROM documents)
+        |SELECT doc_id,
+        |  CASE fam WHEN 2 THEN 'document' ELSE 'image' END AS kind,
+        |  CASE fam WHEN 2 THEN 'html' ELSE 'svg' END AS format,
+        |  CAST(CASE fam WHEN 0 THEN w + 1 WHEN 1 THEN w ELSE 0 END AS BIGINT) AS width,
+        |  CAST(CASE fam WHEN 2 THEN 0 ELSE h END AS BIGINT) AS height,
+        |  (fam = 2) AS decodable
+        |FROM g""".stripMargin,
 
     // q267: the larger PNG entry's gray closed form summed.
     "q267_ico" ->

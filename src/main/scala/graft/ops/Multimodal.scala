@@ -320,6 +320,52 @@ object Multimodal {
     * (lossless WebP yes, lossy VP8 no; MP3/MP4/OGG are labeled-only by
     * design). Every branch is a bounded header read with typed errors.
     */
+  /** Markup sniff for payloads no binary magic claimed: SVG (an XML
+    * image whose dims live in width/height attributes or the viewBox —
+    * a top-5 crawl image population) and HTML (the dominant document
+    * type — decodable because the extraction pipeline IS its decoder).
+    * Bounded to the first 1 KiB, case-insensitive, typed-none on
+    * anything else (a labeler must never guess binary data as text). */
+  private def textSniff(p: Array[Byte]): Option[PayloadInfo] = {
+    val n = math.min(p.length, 1024)
+    var i = 0
+    while (i < n) { if (p(i) == 0) return None; i += 1 } // binary guard
+    val head = new String(p, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+    val lower = head.toLowerCase(java.util.Locale.ROOT)
+    val svgAt = lower.indexOf("<svg")
+    if (svgAt >= 0 && (lower.startsWith("<svg") || lower.contains("<?xml") ||
+      lower.contains("<!doctype svg") || svgAt < 256)) {
+      // parse the <svg ...> tag attributes for dims
+      val tagEnd = lower.indexOf('>', svgAt)
+      val tag = if (tagEnd > 0) head.substring(svgAt, tagEnd) else head.substring(svgAt)
+      def attr(name: String): Option[String] = {
+        val pat = java.util.regex.Pattern.compile(
+          name + "\\s*=\\s*[\"']([^\"']*)[\"']")
+        val mm = pat.matcher(tag.toLowerCase(java.util.Locale.ROOT))
+        if (mm.find()) Some(mm.group(1).trim) else None
+      }
+      def px(v: String): Int = {
+        val num = v.takeWhile(c => c.isDigit || c == '.' || c == '-' || c == '+')
+        try math.round(num.toDouble).toInt catch { case _: Exception => 0 }
+      }
+      var w = attr("width").map(px).getOrElse(0)
+      var h = attr("height").map(px).getOrElse(0)
+      if ((w <= 0 || h <= 0)) attr("viewbox").foreach { vb =>
+        val parts = vb.split("[\\s,]+").filter(_.nonEmpty)
+        if (parts.length == 4) {
+          if (w <= 0) w = px(parts(2))
+          if (h <= 0) h = px(parts(3))
+        }
+      }
+      return Some(PayloadInfo("image", "svg", math.max(w, 0), math.max(h, 0),
+        0, 0, 0L, decodable = false))
+    }
+    if (lower.contains("<!doctype html") || lower.contains("<html") ||
+      (lower.contains("<head") && lower.contains("<title")))
+      return Some(PayloadInfo("document", "html", 0, 0, 0, 0, 0L, decodable = true))
+    None
+  }
+
   final case class PayloadInfo(kind: String, format: String,
       width: Int, height: Int, sampleRate: Int, channels: Int,
       durationMs: Long, decodable: Boolean)
@@ -331,7 +377,14 @@ object Multimodal {
     def bad(kind: String, format: String) = PayloadInfo(kind, format, 0, 0, 0, 0, 0L, decodable = false)
     try {
       if (p == null || p.length < 4) bad("unknown", "empty")
-      else if (graft.pdf.PdfParser.isPdf(p)) PayloadInfo("document", "pdf", 0, 0, 0, 0, 0L, decodable = true)
+      else if (graft.pdf.PdfParser.isPdf(p)) graft.pdf.PdfParser.pageInfo(p) match {
+        // width/height = first-page MediaBox points (rotation-adjusted);
+        // durationMs carries the PAGE COUNT (the document analog of
+        // duration — documented field reuse, no schema change)
+        case Right((nPages, w, h)) =>
+          PayloadInfo("document", "pdf", w, h, 0, 0, nPages.toLong, decodable = true)
+        case Left(_) => bad("document", "pdf")
+      }
       else if (Jpeg.isJpeg(p)) Jpeg.dimensions(p) match {
         case Right((w, h, _)) => img("jpeg", w, h, ok = true)
         case Left(_) => bad("image", "jpeg")
@@ -463,7 +516,7 @@ object Multimodal {
           mi.channels, mi.durationMs, decodable = false)
         case Left(_) => bad("audio", "mp3")
       }
-      else bad("unknown", "unknown")
+      else textSniff(p).getOrElse(bad("unknown", "unknown"))
     } catch {
       case _: Exception => bad("unknown", "error")
     }

@@ -86,6 +86,27 @@ object PdfParser {
       case e: Throwable => Left("pdf_parse_failed:" + e.getClass.getSimpleName)
     }
 
+  /** Header-grade labeling read: page count + first-page MediaBox
+    * dimensions in points (rotation-adjusted — a /Rotate 90 page's
+    * display box swaps). Parses the xref and page tree only — NO
+    * content-stream decoding, so it fits the `mediaInfo` bounded-read
+    * contract even for huge documents. Never throws. */
+  def pageInfo(payload: Array[Byte]): Either[String, (Int, Int, Int)] =
+    try {
+      val doc = new Doc(payload)
+      val pages = doc.pages()
+      if (pages.isEmpty) return Left("pdf_no_pages")
+      val pg = pages.head
+      val (x0, y0, x1, y1) = pg.mediaBox
+      var w = math.round(math.abs(x1 - x0)).toInt
+      var h = math.round(math.abs(y1 - y0)).toInt
+      if (pg.rotate == 90 || pg.rotate == 270) { val t = w; w = h; h = t }
+      Right((pages.length, w, h))
+    } catch {
+      case PdfError(m)  => Left(m)
+      case e: Throwable => Left("pdf_parse_failed:" + e.getClass.getSimpleName)
+    }
+
   /** Image-codec /Filter names → the byte format they leave in the stream.
     * These are the codecs the engine ships UNDECODED (SURVEY §7.4.1: no
     * raster decode on the extraction path) — a DCTDecode stream IS a

@@ -2251,6 +2251,13 @@ class OpsSpec extends AnyFunSuite {
   test("mediaInfo: dispatch labels, typed unknowns, never throws on fuzz") {
     import graft.ops.Multimodal
     assert(Multimodal.mediaInfo("%PDF-1.4 junk".getBytes).kind == "document")
+    // a REAL pdf labels page count (durationMs field) + MediaBox points
+    val pdf = graft.pdf.PdfWriter.write(Vector(
+      graft.pdf.PdfWriter.PageSpec(Vector(Vector("one"))),
+      graft.pdf.PdfWriter.PageSpec(Vector(Vector("two")))))
+    val pi = Multimodal.mediaInfo(pdf)
+    assert(pi.kind == "document" && pi.format == "pdf" && pi.decodable &&
+      pi.durationMs == 2L && pi.width > 0 && pi.height > 0, pi.toString)
     assert(Multimodal.mediaInfo("random text payload".getBytes).format == "unknown")
     assert(Multimodal.mediaInfo(Array.emptyByteArray).format == "empty")
     assert(Multimodal.mediaInfo(null).format == "empty")
@@ -2305,6 +2312,26 @@ class OpsSpec extends AnyFunSuite {
     wav.put("data".getBytes); wav.putInt(8); wav.put(new Array[Byte](8))
     val wi = Multimodal.mediaInfo(java.util.Arrays.copyOf(wav.array(), 56))
     assert(wi.kind == "audio" && wi.format == "wav" && !wi.decodable, wi.toString)
+  }
+
+  test("mediaInfo: SVG and HTML text sniffing, binary guard") {
+    import graft.ops.Multimodal
+    val svg = """<?xml version="1.0"?><svg xmlns="http://www.w3.org/2000/svg" width="120.5px" height="80" viewBox="0 0 240 160"><rect/></svg>"""
+    val si = Multimodal.mediaInfo(svg.getBytes("UTF-8"))
+    assert(si.kind == "image" && si.format == "svg" && si.width == 121 && si.height == 80, si.toString)
+    // dims fall back to the viewBox when attributes are absent
+    val vb = Multimodal.mediaInfo(
+      """<svg viewBox="0 0 300 150"></svg>""".getBytes("UTF-8"))
+    assert(vb.width == 300 && vb.height == 150, vb.toString)
+    val html = Multimodal.mediaInfo(
+      "<!DOCTYPE html><html><head><title>t</title></head><body></body></html>".getBytes)
+    assert(html.kind == "document" && html.format == "html" && html.decodable, html.toString)
+    // fragment with <html> deep inside the first KiB still sniffs
+    val frag = Multimodal.mediaInfo(("x" * 200 + "<HTML lang=en>").getBytes)
+    assert(frag.format == "html")
+    // plain text and binary-ish payloads stay unknown
+    assert(Multimodal.mediaInfo("just ordinary words, no markup".getBytes).format == "unknown")
+    assert(Multimodal.mediaInfo(("<svg " + "\u0000ab").getBytes("ISO-8859-1")).format == "unknown")
   }
 
   test("majorityStats: majority, deterministic ties, exact mixed fraction") {
